@@ -1,0 +1,78 @@
+"""Sinks (reference ``src/sinks.rs`` + the file/memory surface it lacks).
+
+- ``stdout``: one UTF-8 line per message in (batch_id, msg_idx) order
+  (reference ``src/sinks.rs:17-21``). Batch mode prints on the driver;
+  streaming mode uses the console sink.
+- ``file``: parquet/csv/json/text writer with partitioning — the
+  durable sink the reference lacks (SURVEY §2.4).
+- ``memory``: streaming test sink (named in-memory table).
+- ``kafka``: registered in ``sources.kafka`` (same module as its source,
+  mirroring the reference's file layout).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+
+from ..registry import register_sink
+
+
+@register_sink("stdout")
+def stdout_sink(df: DataFrame, limit: int | None = None, file=None):
+    if df.isStreaming:
+        return df.writeStream.format("console").option("truncate", "false").start()
+    out = file or sys.stdout
+    cols = set(df.columns)
+    if {"batch_id", "msg_idx", "value"} <= cols:
+        df = df.orderBy("batch_id", "msg_idx").select("value")
+    elif "value" not in cols:
+        # relational frame: render rows as pipe-joined lines
+        from pyspark.sql import functions as F
+
+        df = df.select(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns]).alias("value"))
+    else:
+        df = df.select("value")
+    it = df.toLocalIterator()
+    n = 0
+    for row in it:
+        print(row.value, file=out)
+        n += 1
+        if limit is not None and n >= limit:
+            break
+    return None
+
+
+@register_sink("file")
+def file_sink(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    checkpoint: str | None = None,
+    **options,
+):
+    if df.isStreaming:
+        writer = df.writeStream.format(format).option("path", path)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        for k, v in options.items():
+            writer = writer.option(k, v)
+        return writer.start()
+    writer = df.write.format(format).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return None
+
+
+@register_sink("memory")
+def memory_sink(df: DataFrame, name: str = "out"):
+    if not df.isStreaming:
+        df.createOrReplaceTempView(name)
+        return None
+    return df.writeStream.format("memory").queryName(name).outputMode("append").start()

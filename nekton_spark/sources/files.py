@@ -1,0 +1,67 @@
+"""File sources — the connector surface the reference lacks (SURVEY §2.4).
+
+``type: file`` reads text/parquet/csv/json, batch or streaming
+(``stream: true`` → ``spark.readStream`` with the same options; file
+streaming is also the test stand-in for the reference's stdin source
+per SURVEY §2.1). ``type: table`` loads one of the driver's parquet
+tables relationally (no message wrapping) for the relational layer.
+
+Scale: these are plain DataSource V2 scans — column pruning, predicate
+pushdown and partition pruning all apply; ``maxFilesPerTrigger``
+bounds micro-batch size in streaming mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.messages import from_column
+from ..registry import register_source
+
+
+@register_source("file")
+def file_source(
+    spark: SparkSession,
+    path: str,
+    format: str = "text",
+    stream: bool = False,
+    schema: str | None = None,
+    value_column: str = "value",
+    as_messages: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.readStream if stream else spark.read
+    reader = reader.format(format)
+    if schema:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if not as_messages:
+        return df
+    if stream:
+        # monotonically_increasing_id is per-micro-batch in streaming;
+        # batch identity = one message per batch still holds per epoch.
+        return from_column(df, value_column)
+    return from_column(df, value_column)
+
+
+@register_source("table")
+def table_source(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
+    full = f"{path}/{name}.parquet" if name else path
+    return spark.read.parquet(full)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's star schema and register temp views."""
+    names = names or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

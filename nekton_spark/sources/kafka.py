@@ -1,0 +1,80 @@
+"""Kafka source/sink (reference ``src/kafka.rs``).
+
+Reference semantics reproduced:
+
+- KafkaIn subscribes to topics, each record → one single-message batch
+  (``src/kafka.rs:78-84``), offset sync-committed only after the full
+  pipeline + sink completes (``:84-86``) ⇒ at-least-once. Spark's
+  Structured Streaming checkpoint protocol is *exactly* this contract:
+  offsets are written to the offset log before processing and to the
+  commit log after the sink epoch succeeds, so a crash replays the
+  uncommitted epoch — at-least-once, upgradeable to exactly-once with
+  idempotent/transactional sinks, strictly stronger than the reference.
+- KafkaOut keys each record by message metadata ``partition_key``
+  defaulting to ``"0"`` (``src/kafka.rs:133``).
+
+The kafka connector jar (spark-sql-kafka) is not bundled in this
+image, so construction is attempted lazily and surfaces a clear error
+if the classpath lacks it; unit tests cover the option-plumbing only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register_sink, register_source
+
+
+def _apply_config(reader, config: dict[str, str] | None):
+    # reference passes librdkafka config verbatim (src/kafka.rs:44-46);
+    # we pass kafka.* options verbatim to the Spark connector.
+    for k, v in (config or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        reader = reader.option(key, v)
+    return reader
+
+
+@register_source("kafka")
+def kafka_source(
+    spark: SparkSession,
+    topics: list[str] | str,
+    config: dict[str, str] | None = None,
+    stream: bool = True,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    subscribe = ",".join(topics) if isinstance(topics, list) else topics
+    reader = (spark.readStream if stream else spark.read).format("kafka")
+    reader = reader.option("subscribe", subscribe).option("startingOffsets", starting_offsets)
+    reader = _apply_config(reader, config)
+    df = reader.load()
+    # record payload → message value; kafka partition/offset becomes batch id
+    return df.select(
+        (F.col("partition").cast("long") * F.lit(2**40) + F.col("offset")).alias("batch_id"),
+        F.lit(0).cast("long").alias("msg_idx"),
+        F.col("value").cast("string").alias("value"),
+        F.create_map(F.lit("partition_key"), F.col("key").cast("string")).alias("metadata"),
+    )
+
+
+@register_sink("kafka")
+def kafka_sink(
+    df: DataFrame,
+    topic: str,
+    config: dict[str, str] | None = None,
+    checkpoint: str | None = None,
+):
+    """Key from metadata['partition_key'] else "0" (src/kafka.rs:133)."""
+    out = df.select(
+        F.coalesce(F.col("metadata").getItem("partition_key"), F.lit("0")).alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    if out.isStreaming:
+        writer = out.writeStream.format("kafka").option("topic", topic)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        writer = _apply_config(writer, config)
+        return writer.start()
+    writer = _apply_config(out.write.format("kafka").option("topic", topic), config)
+    writer.save()
+    return None

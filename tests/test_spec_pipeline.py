@@ -1,0 +1,124 @@
+"""End-to-end YAML spec tests — the reference's config_examples as specs."""
+
+import io
+
+import pytest
+
+from nekton_spark.sinks import stdout_sink
+from nekton_spark.spec import Spec, compile_spec, run_spec
+
+
+def run_to_lines(spark, yaml_text: str) -> list[str]:
+    df, _ = compile_spec(spark, Spec.from_yaml(yaml_text))
+    buf = io.StringIO()
+    stdout_sink(df, file=buf)
+    return buf.getvalue().splitlines()
+
+
+class TestStdYml:
+    def test_reference_std_yml_semantics(self, spark):
+        # config_examples/std.yml: echo 'cheese,goat' → replace → awk-split → stdout
+        lines = run_to_lines(
+            spark,
+            """
+input:
+  type: stdin
+  lines: ["cheese,goat"]
+pipeline:
+  processors:
+    - type: replace
+      from: cheese
+      to: bacon
+    - type: process
+      name: awk
+      args: ["-v", "RS=[,\\n]", "{a=$0; print a}"]
+output:
+  type: stdout
+""",
+        )
+        assert lines == ["bacon", "goat"]
+
+    def test_spark_native_equivalent(self, spark):
+        # same semantics without the subprocess: regex_split is the fast path
+        lines = run_to_lines(
+            spark,
+            """
+input:
+  type: stdin
+  lines: ["cheese,goat", "milk,cheese"]
+pipeline:
+  processors:
+    - type: replace
+      from: cheese
+      to: bacon
+    - type: regex_split
+      re: ","
+output:
+  type: stdout
+""",
+        )
+        assert lines == ["bacon", "goat", "milk", "bacon"]
+
+    def test_noop_pipeline(self, spark):
+        lines = run_to_lines(
+            spark,
+            """
+input:
+  type: stdin
+  lines: ["a", "b"]
+pipeline:
+  processors:
+    - type: noop
+output:
+  type: stdout
+""",
+        )
+        assert lines == ["a", "b"]
+
+
+class TestSpecErrors:
+    def test_unknown_processor_type(self, spark):
+        with pytest.raises(ValueError, match="unknown processor type"):
+            run_spec(
+                spark,
+                """
+input:
+  type: stdin
+  lines: ["a"]
+pipeline:
+  processors:
+    - type: does_not_exist
+output:
+  type: stdout
+""",
+            )
+
+    def test_missing_type_tag(self, spark):
+        with pytest.raises(ValueError, match="missing 'type'"):
+            run_spec(spark, "input:\n  path: /x\noutput:\n  type: stdout\n")
+
+
+class TestFileRoundTrip:
+    def test_file_source_and_sink(self, spark, tmp_path):
+        src = tmp_path / "in.txt"
+        src.write_text("alpha\nbeta\n")
+        out_dir = tmp_path / "out"
+        run_spec(
+            spark,
+            f"""
+input:
+  type: file
+  path: {src}
+  format: text
+pipeline:
+  processors:
+    - type: regex_select
+      re: "[a-z]+a"
+output:
+  type: file
+  path: {out_dir}
+  format: parquet
+""",
+        )
+        vals = sorted(r.value for r in spark.read.parquet(str(out_dir)).collect())
+        assert vals == ["alpha", "beta"]

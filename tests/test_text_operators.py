@@ -1,0 +1,136 @@
+"""Golden-equality tests for the reference processor surface.
+
+Vectors come verbatim from the reference's own unit tests (FIXTURES.md
+§A); every processor gets a one-batch and a two-batch variant because
+batch-boundary preservation is the invariant the reference tests
+(SURVEY §5).
+"""
+
+from nekton_spark.operators import text
+from nekton_spark.operators.messages import collect_batches, messages_df, renumber
+
+
+def run(spark, batches, op, **kw):
+    return collect_batches(op(messages_df(spark, batches), **kw))
+
+
+class TestReplace:
+    def test_one_batch(self, spark):
+        assert run(spark, [["cheese"]], text.replace, **{"from": "ee", "to": "oo"}) == [["choose"]]
+
+    def test_two_batches(self, spark):
+        # reference src/processors.rs:82-98
+        got = run(spark, [["cheese"], ["geese"]], text.replace, **{"from": "ee", "to": "oo"})
+        assert got == [["choose"], ["goose"]]
+
+    def test_multiple_occurrences(self, spark):
+        assert run(spark, [["aaa"]], text.replace, **{"from": "a", "to": "bb"}) == [["bbbbbb"]]
+
+    def test_literal_not_regex(self, spark):
+        assert run(spark, [["a.c"]], text.replace, **{"from": ".", "to": "!"}) == [["a!c"]]
+
+
+class TestRegexReplace:
+    def test_named_groups_date(self, spark):
+        # reference src/regex.rs:61-75
+        got = run(
+            spark,
+            [["2012-03-14, 2013-01-15 and 2014-07-05"]],
+            text.regex_replace,
+            re=r"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})",
+            rep="$m/$d/$y",
+        )
+        assert got == [["03/14/2012, 01/15/2013 and 07/05/2014"]]
+
+    def test_two_batches(self, spark):
+        got = run(
+            spark,
+            [["2012-03-14"], ["2014-07-05"]],
+            text.regex_replace,
+            re=r"(?P<y>\d{4})-(?P<m>\d{2})-(?P<d>\d{2})",
+            rep="$m/$d/$y",
+        )
+        assert got == [["03/14/2012"], ["07/05/2014"]]
+
+    def test_numeric_group_refs(self, spark):
+        assert run(spark, [["ab"]], text.regex_replace, re=r"(a)(b)", rep="$2$1") == [["ba"]]
+
+    def test_dollar_literal(self, spark):
+        assert run(spark, [["price"]], text.regex_replace, re="price", rep="$$9") == [["$9"]]
+
+
+class TestRegexSplit:
+    def test_whitespace(self, spark):
+        # reference src/regex.rs:152-161
+        assert run(spark, [["cheese\tcheese"]], text.regex_split, re=r"[ \t]+") == [
+            ["cheese", "cheese"]
+        ]
+
+    def test_two_batches(self, spark):
+        got = run(spark, [["a b"], ["c\td"]], text.regex_split, re=r"[ \t]+")
+        assert got == [["a", "b"], ["c", "d"]]
+
+    def test_keeps_empty_segments(self, spark):
+        # Rust Regex::split keeps empties (SURVEY §2.2) → split(..., -1)
+        assert run(spark, [["a,,b,"]], text.regex_split, re=",") == [["a", "", "b", ""]]
+
+    def test_order_preserved_across_fanout(self, spark):
+        got = run(spark, [["1,2,3,4,5,6,7,8,9,10"]], text.regex_split, re=",")
+        assert got == [[str(i) for i in range(1, 11)]]
+
+
+class TestRegexSelect:
+    def test_hashtags(self, spark):
+        # reference src/regex.rs:237-246
+        got = run(spark, [["hello #cheese #world"]], text.regex_select, re=r"\#[a-zA-Z][0-9a-zA-Z_]*")
+        assert got == [["#cheese", "#world"]]
+
+    def test_no_match_drops_message(self, spark):
+        got = run(
+            spark,
+            [["hello #x"], ["no tags at all"]],
+            text.regex_select,
+            re=r"\#[a-zA-Z][0-9a-zA-Z_]*",
+        )
+        assert got == [["#x"]]
+
+    def test_two_batches(self, spark):
+        got = run(spark, [["#a b"], ["c #d"]], text.regex_select, re=r"\#[a-zA-Z]+")
+        assert got == [["#a"], ["#d"]]
+
+
+class TestNoop:
+    def test_identity(self, spark):
+        df = messages_df(spark, [["x", "y"], ["z"]])
+        assert collect_batches(text.noop(df)) == [["x", "y"], ["z"]]
+
+
+class TestRenumber:
+    def test_dense_after_split(self, spark):
+        df = text.regex_split(messages_df(spark, [["a,b,c"]]), re=",")
+        rows = renumber(df).orderBy("msg_idx").collect()
+        assert [r.msg_idx for r in rows] == [0, 1, 2]
+        assert [r.value for r in rows] == ["a", "b", "c"]
+
+
+class TestDialectTranslation:
+    def test_pattern(self):
+        assert text.translate_pattern(r"(?P<y>\d+)") == r"(?<y>\d+)"
+
+    def test_replacement_named(self):
+        assert text.translate_replacement("$m/$d/$y") == "${m}/${d}/${y}"
+
+    def test_replacement_braced(self):
+        assert text.translate_replacement("${name}x") == "${name}x"
+
+    def test_replacement_numeric(self):
+        assert text.translate_replacement("$1-$2") == "$1-$2"
+
+    def test_replacement_dollar_escape(self):
+        assert text.translate_replacement("$$1") == "\\$1"
+
+    def test_trailing_dollar(self):
+        assert text.translate_replacement("x$") == "x\\$"
+
+    def test_backslash(self):
+        assert text.translate_replacement(r"a\b") == "a\\\\b"
