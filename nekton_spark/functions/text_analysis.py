@@ -1,0 +1,162 @@
+r"""Text-analysis operators for LLM-data pipelines (SURVEY §2.5).
+
+All pure Catalyst expressions — whole-stage-codegen'd, zero Python in
+the hot path, so each scales linearly with input and parallelizes
+embarrassingly (no shuffle at all: every function here is a map).
+
+Operators:
+- :func:`tokenize` / :func:`token_count` — whitespace tokens.
+- :func:`bpe_token_count` — BPE-ish regex token count (letter runs /
+  digit runs / punctuation runs), the standard pre-tokenizer shape.
+- :func:`quality_score` — length / punctuation / stopword / repetition
+  heuristics in [0,1], the C4/Gopher-style quality-filter family.
+- :func:`lang_id` — n-gram/stopword-profile language guess.
+- :func:`fingerprint` — md5 content fingerprint of normalized text.
+- :func:`ngrams` — word n-gram array (shared with dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BPE_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
+
+# tiny per-language stopword profiles (public common-word lists)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["de", "la", "que", "el", "en", "y", "los", "del", "las", "un"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "est"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + whitespace-collapse: the canonical form for
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokenize(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokenize(col))
+    )
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string>; empty when fewer than n tokens."""
+    toks = tokenize(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint = md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize(col))
+
+
+# explicit ASCII punctuation class — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle), unlike \p{Punct}
+PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    punct = F.length(F.regexp_replace(col, f"[^{PUNCT_CLASS[1:-1]}]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def upper_ratio(col: Column) -> Column:
+    n = F.length(col)
+    upper = F.length(F.regexp_replace(col, r"[^\p{Lu}]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(upper.cast("double") / n)
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokenize(F.lower(col))
+    stops = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    hits = F.size(F.array_intersect(toks, stops))  # distinct-hit count
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def repetition_ratio(col: Column) -> Column:
+    """1 - distinct_tokens/tokens: high = repetitive boilerplate."""
+    toks = tokenize(F.lower(col))
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+
+
+def mean_word_len(col: Column) -> Column:
+    toks = tokenize(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic (C4/Gopher-filter style):
+    penalize too-short/too-long docs, heavy punctuation, heavy
+    repetition, and extreme mean word length. Deterministic and
+    SQL-expressible for the oracle."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0)) * F.when(
+        n_tok > 10000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    punct_pen = F.when(punct_ratio(col) > 0.2, F.lit(0.5)).otherwise(F.lit(1.0))
+    rep_pen = F.when(repetition_ratio(col) > 0.9, F.lit(0.3)).otherwise(F.lit(1.0))
+    mwl = mean_word_len(col)
+    mwl_pen = F.when((mwl < 2) | (mwl > 12), F.lit(0.5)).otherwise(F.lit(1.0))
+    return F.round(len_score * punct_pen * rep_pen * mwl_pen, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language guess over LANG_PROFILES.
+
+    Scores each language by the number of profile words present
+    (distinct-match, via array_intersect) and returns the argmax;
+    ties break lexicographically; zero hits → 'und'. Pure expressions
+    ⇒ identical semantics in the DuckDB oracle.
+    """
+    toks = F.array_distinct(tokenize(F.lower(col)))
+    scores = [
+        (code, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for code, words in sorted(LANG_PROFILES.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # walk reversed so earlier (lexicographically smaller) codes win ties
+    for code, s in reversed(scores):
+        result = F.when((s == best_score) & (best_score > 0), F.lit(code)).otherwise(result)
+    return result
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(repetition_ratio(c), 6).alias("repetition_ratio"),
+        F.round(mean_word_len(c), 6).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_guess"),
+        fingerprint(c).alias("fp"),
+    )

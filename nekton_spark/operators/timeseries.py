@@ -1,0 +1,88 @@
+"""Time-series operators Spark lacks natively: as-of join, range join.
+
+As-of join (match each left row to the most recent right row at or
+before its timestamp, per key) has no built-in Spark operator. The
+scalable composition — rather than a per-group Pandas ``merge_asof``,
+which would move every byte through Python — is the union-window
+trick:
+
+    1. tag and union both sides (one shuffle on (key, ts) — the same
+       shuffle a sort-merge join would pay),
+    2. per key ordered by (ts, side-tag), carry the last right-side
+       value forward with ``last(..., ignorenulls=True)``,
+    3. keep left rows.
+
+This is a single sort-based window over the union — no skew beyond
+the data's own key skew, no Python, and it streams (the window frame
+is running, so Spark's window exec never buffers more than a key
+group; with bounded gap semantics use a range frame).
+
+Cited reference: none — the reference has no joins at all
+(SURVEY §2.4); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: values of the latest right row with
+    ``right.on <= left.on`` (within the same ``by`` keys), else null.
+
+    ``right_cols`` — right columns to carry (default: all non-key,
+    non-ts). Matches DuckDB's ``ASOF LEFT JOIN`` semantics (backward
+    direction, inclusive).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    right_cols = right_cols or [c for c in right.columns if c not in {on, *by}]
+    left_payload = [c for c in left.columns if c not in {on, *by}]
+
+    lt = left.select(
+        *by,
+        F.col(on),
+        *[F.col(c) for c in left_payload],
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(left.schema[on].dataType).alias("__r_on"),
+    )
+    rt = right.select(
+        *by,
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(on).alias("__r_on"),
+    )
+    merged = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts (side 0 < 1) so an
+    # exactly-simultaneous right row is visible to the left row — the
+    # inclusive (<=) asof convention
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_cols],
+        F.last("__r_on", ignorenulls=True).over(w).alias("__c_on"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *by,
+        on,
+        *left_payload,
+        *[
+            F.col(f"__c_{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in right_cols
+        ],
+        F.col("__c_on").alias(f"{on}{suffix}"),
+    )

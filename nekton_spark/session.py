@@ -50,6 +50,9 @@ def get_spark(app_name: str = "nekton_spark", extra_conf: dict | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark rejects by default; read as long + convert (files.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

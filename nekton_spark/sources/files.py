@@ -47,10 +47,31 @@ def file_source(
     return from_column(df, value_column)
 
 
+# columns stored as parquet TIMESTAMP(NANOS), which Spark reads as long
+# under spark.sql.legacy.parquet.nanosAsLong; converted to TIMESTAMP here.
+NS_TIMESTAMP_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def _convert_ns_cols(df: DataFrame, name: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    for c in NS_TIMESTAMP_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            # integer division ns→us: int64 ns (~1.7e18) exceeds double's
+            # 53-bit mantissa, so a float path would corrupt timestamps
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
 @register_source("table")
 def table_source(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
     full = f"{path}/{name}.parquet" if name else path
-    return spark.read.parquet(full)
+    tbl = name or path.rstrip("/").rsplit("/", 1)[-1].removesuffix(".parquet")
+    if tbl in NS_TIMESTAMP_COLS:
+        # runtime-settable SQL conf; needed even when the caller built the
+        # session (the driver's harness does)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _convert_ns_cols(spark.read.parquet(full), tbl)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
@@ -61,7 +82,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     ]
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df = _convert_ns_cols(spark.read.parquet(f"{sf_dir}/{n}.parquet"), n)
         df.createOrReplaceTempView(n)
         out[n] = df
     return out

@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
+against ``oracle_sql()`` via DuckDB: row count, sorted column names,
+and order-insensitive exact value comparison. Usage:
+
+    python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        else:
+            df[c] = df[c].astype("string")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return False, f"schema: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+    if len(spark_pdf) != len(oracle_pdf):
+        return False, f"rows: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if pd.api.types.is_float_dtype(s[c]):
+            if not np.array_equal(sv, ov, equal_nan=True):
+                bad = ~((sv == ov) | (np.isnan(sv) & np.isnan(ov)))
+                diff = np.nanmax(np.abs(sv[bad] - ov[bad])) if bad.any() else 0
+                return False, f"col {c}: {bad.sum()} mismatches, max_abs_diff={diff:.3e}"
+        else:
+            sn = pd.isna(s[c]).to_numpy()
+            on = pd.isna(o[c]).to_numpy()
+            eq = (sn & on) | ((~sn) & (~on) & (s[c].fillna("").to_numpy() == o[c].fillna("").to_numpy()))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                return False, f"col {c}: {(~eq).sum()} mismatches, first: {sv[i]!r} vs {ov[i]!r}"
+    return True, "ok"
+
+
+def main():
+    import __spark_entry__ as entrymod
+
+    from nekton_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle — rows-only check) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            oracle_pdf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
+            continue
+        ok, msg = compare(spark_pdf, oracle_pdf)
+        status = "PASS" if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(f"{status}  {name}: {len(spark_pdf)} rows vs {len(oracle_pdf)}; {msg} [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
