@@ -468,14 +468,16 @@ _SHINGLES = (
 
 
 def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
-    from nekton_spark.functions.hashing import H0_MOD, affine_consts
+    from nekton_spark.functions.hashing import H0_MOD, REHASH_MASK, affine_consts
 
     r = k // bands
-    consts = "[" + ", ".join(str(c) for c in affine_consts(k)) + "]"
+    a_c, b_c = affine_consts(k)
+    a_l = "[" + ", ".join(str(c) for c in a_c) + "]"
+    b_l = "[" + ", ".join(str(c) for c in b_c) + "]"
     h0 = f"({_H('g', '0')} % {H0_MOD})"
     sig = (
         f"list_transform(range(0, {k}), s -> "
-        f"list_min(list_transform(sh, g -> (2*s + 1) * {h0} + {consts}[s + 1])))"
+        f"list_min(list_transform(sh, g -> ({a_l}[s + 1] * {h0} + {b_l}[s + 1]) & {REHASH_MASK})))"
     )
     band_exprs = ", ".join(
         "STRUCT_PACK(band := {b}, bh := {h})".format(

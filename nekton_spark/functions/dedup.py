@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import H0_MOD, affine_consts, hash60
+from .hashing import H0_MOD, REHASH_MASK, affine_consts, hash60
 from .text_analysis import fingerprint, ngrams
 
 DEFAULT_K = 16  # minhash signature length
@@ -72,7 +72,9 @@ def minhash_signatures(
     k× the hashing work. One md5 per shingle, k cheap affine transforms.
     Docs with < shingle_n tokens yield no shingles and are dropped.
     """
-    consts = F.array(*[F.lit(c) for c in affine_consts(k)])
+    a_c, b_c = affine_consts(k)
+    a_arr = F.array(*[F.lit(c) for c in a_c])
+    b_arr = F.array(*[F.lit(c) for c in b_c])
     sh = ngrams(F.col(text_col), shingle_n)
     base_hashes = F.transform(sh, lambda s: hash60(s, 0) % F.lit(H0_MOD))
     init = F.array_repeat(F.lit((1 << 62)).cast("long"), k)
@@ -82,7 +84,12 @@ def minhash_signatures(
         lambda acc, h: F.zip_with(
             acc,
             F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda mn, i: F.least(mn, (2 * i + 1) * h + F.element_at(consts, i + 1)),
+            lambda mn, i: F.least(
+                mn,
+                (F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1)).bitwiseAND(
+                    F.lit(REHASH_MASK)
+                ),
+            ),
         ),
     )
     return (

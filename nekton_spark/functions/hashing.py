@@ -36,12 +36,18 @@ def hash60_py(s: str, seed: int = 0) -> int:
     return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
 
 
-# affine rehash family for minhash: one md5 per shingle, then k cheap
-# affine transforms h_i = (2i+1)*h0 + B_i with h0 < 2^40, B_i < 2^40 —
-# products stay < 2^46, overflow-free in both Spark (silent wrap would
-# be wrong) and DuckDB (which would raise).
+# universal rehash family for minhash: one md5 base hash per shingle,
+# then k transforms h_i(s) = (A_i * h0 + B_i) mod 2^45 with A_i odd
+# 20-bit, B_i 40-bit, h0 40-bit. The modulus is what de-correlates the
+# argmins across seeds (without it every component picks the same
+# min-h0 shingle); odd A_i makes x -> A_i*x a bijection mod 2^45.
+# Products stay < 2^60: overflow-free in both Spark (silent wrap would
+# be wrong) and DuckDB (which raises on int64 overflow).
 H0_MOD = 1 << 40
+REHASH_MASK = (1 << 45) - 1
 
 
-def affine_consts(k: int) -> list[int]:
-    return [hash60_py(str(i), 999) % H0_MOD for i in range(k)]
+def affine_consts(k: int) -> tuple[list[int], list[int]]:
+    a = [(hash60_py(str(i), 998) % (1 << 20)) | 1 for i in range(k)]
+    b = [hash60_py(str(i), 999) % H0_MOD for i in range(k)]
+    return a, b

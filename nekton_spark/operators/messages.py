@@ -67,9 +67,16 @@ def from_column(df: DataFrame, value_col: str, batch_col: str | None = None) -> 
     source batches: one message per batch, ``src/sources.rs:20-26``).
     ``batch_col`` supplies batch ids; otherwise a monotonic id is used
     (unique per row, assigned partition-locally — no shuffle, no
-    driver coordination, safe at any scale).
+    driver coordination, safe at any scale). Streaming frames can't use
+    monotonically_increasing_id, so they get a 64-bit hash of a uuid —
+    unique w.p. 1 - 2^-64 per pair, also coordination-free.
     """
-    bid = F.col(batch_col).cast("long") if batch_col else F.monotonically_increasing_id()
+    if batch_col:
+        bid = F.col(batch_col).cast("long")
+    elif df.isStreaming:
+        bid = F.xxhash64(F.expr("uuid()"))
+    else:
+        bid = F.monotonically_increasing_id()
     return df.select(
         bid.alias("batch_id"),
         F.lit(0).cast("long").alias("msg_idx"),

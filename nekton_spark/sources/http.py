@@ -2,27 +2,30 @@
 
 Reference semantics: a blocking HTTP server; each POST body at the
 configured path becomes a one-message batch; 405 for non-POST, 404 for
-wrong path, 201 once downstream acks.
+wrong path, 201 on accept.
 
 Spark has no built-in HTTP source, so this is a custom **Python
-DataSource** (Spark 4 ``pyspark.sql.datasource``) with a
-``SimpleDataSourceStreamReader``: an embedded HTTP listener accepts
-POSTs into an in-memory spool; ``read(start)`` drains the spool and
-advances the offset; Structured Streaming's commit log provides the
-ack — a body is only "201-complete" in the reference's sense when its
-epoch commits, which is the same post-sink ack point as the reference
-(``src/sources.rs:70-73``).
+DataSource** (Spark 4 ``pyspark.sql.datasource``). Architecture note:
+the ``SimpleDataSourceStreamReader`` runs in a separate Python worker
+process (and may be constructed more than once), so the listener and
+the reader cannot share memory. The listener therefore runs driver-side
+(started by :func:`http_server_source`) and *spools each POST body to a
+file* (atomic tmp+rename, zero-padded sequence numbers); the reader is
+a pure spool consumer whose offset is the sequence number. The
+streaming checkpoint's offset log then gives exactly the reference's
+ack contract (``src/sources.rs:70-73``): a body is only consumed-once
+after its epoch commits.
 
-Scale note: an HTTP *push* endpoint is inherently a single-ingress
-bottleneck; the 100 TB path is to terminate HTTP at a fleet of
-stateless bridges publishing to Kafka and use the Kafka source. This
-source exists for reference parity and local pipelines.
+Scale note: an HTTP push endpoint is inherently single-ingress; the
+100 TB path is a fleet of stateless HTTP→Kafka bridges + the Kafka
+source. This source exists for reference parity and local pipelines.
 """
 
 from __future__ import annotations
 
 import http.server
-import json
+import os
+import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,28 +41,43 @@ except ImportError:  # pragma: no cover - older Spark
 
 from ..registry import register_source
 
-_SPOOLS: dict[str, "_Spool"] = {}
-_SPOOLS_LOCK = threading.Lock()
+_SERVERS: dict[str, http.server.ThreadingHTTPServer] = {}
+_LOCK = threading.Lock()
 
 
 class _Spool:
-    """Thread-safe append-only body log with offset reads."""
+    """Append-only directory of numbered payload files."""
 
-    def __init__(self):
-        self.items: list[str] = []
-        self.lock = threading.Lock()
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._seq_lock = threading.Lock()
+        existing = [int(f) for f in os.listdir(root) if f.isdigit()]
+        self._seq = max(existing) + 1 if existing else 0
 
-    def append(self, body: str) -> None:
-        with self.lock:
-            self.items.append(body)
+    def append(self, body: bytes) -> int:
+        with self._seq_lock:
+            seq = self._seq
+            self._seq += 1
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(body)
+        os.rename(tmp, os.path.join(self.root, f"{seq:020d}"))
+        return seq
 
-    def read_from(self, start: int) -> tuple[list[str], int]:
-        with self.lock:
-            return self.items[start:], len(self.items)
+    @staticmethod
+    def read_range(root: str, start: int, end: int) -> list[tuple[int, str]]:
+        out = []
+        for seq in range(start, end):
+            path = os.path.join(root, f"{seq:020d}")
+            with open(path, "rb") as f:
+                out.append((seq, f.read().decode("utf-8")))
+        return out
 
-    def read_between(self, start: int, end: int) -> list[str]:
-        with self.lock:
-            return self.items[start:end]
+    @staticmethod
+    def current_end(root: str) -> int:
+        nums = [int(f) for f in os.listdir(root) if f.isdigit()]
+        return max(nums) + 1 if nums else 0
 
 
 def _handler_for(spool: _Spool, path: str):
@@ -73,8 +91,8 @@ def _handler_for(spool: _Spool, path: str):
                 self.end_headers()
                 return
             n = int(self.headers.get("Content-Length", 0))
-            spool.append(self.rfile.read(n).decode("utf-8"))
-            self.send_response(201)  # ack (src/sources.rs:70-73)
+            spool.append(self.rfile.read(n))
+            self.send_response(201)  # accepted (src/sources.rs:70-73)
             self.end_headers()
 
         def do_GET(self):
@@ -84,43 +102,51 @@ def _handler_for(spool: _Spool, path: str):
     return Handler
 
 
-def start_http_listener(address: str, path: str) -> tuple[http.server.ThreadingHTTPServer, _Spool]:
-    host, port = address.rsplit(":", 1)
-    spool = _Spool()
-    with _SPOOLS_LOCK:
-        _SPOOLS[f"{address}{path}"] = spool
-    server = http.server.ThreadingHTTPServer((host, int(port)), _handler_for(spool, path))
-    threading.Thread(target=server.serve_forever, daemon=True).start()
-    return server, spool
+def start_http_listener(address: str, path: str, spool_dir: str | None = None):
+    """Start (or reuse) the listener for address+path; returns (server, spool_dir)."""
+    key = f"{address}{path}"
+    spool_dir = spool_dir or os.path.join(
+        tempfile.gettempdir(), "nekton_http_spool", key.replace(":", "_").replace("/", "_")
+    )
+    with _LOCK:
+        if key not in _SERVERS:
+            host, port = address.rsplit(":", 1)
+            spool = _Spool(spool_dir)
+            server = http.server.ThreadingHTTPServer((host, int(port)), _handler_for(spool, path))
+            threading.Thread(target=server.serve_forever, daemon=True).start()
+            _SERVERS[key] = server
+        return _SERVERS[key], spool_dir
 
 
 if _HAS_DATASOURCE:
 
     class HttpStreamReader(SimpleDataSourceStreamReader):
+        """Pure spool consumer — safe to construct in any process."""
+
         def __init__(self, options):
-            address = options.get("address", "127.0.0.1:4195")
-            path = options.get("path", "/post")
-            key = f"{address}{path}"
-            with _SPOOLS_LOCK:
-                spool = _SPOOLS.get(key)
-            if spool is None:
-                _, spool = start_http_listener(address, path)
-            self.spool = spool
+            self.spool_dir = options.get("spool_dir")
+            if not self.spool_dir:
+                raise ValueError("http_server source requires spool_dir option")
 
         def initialOffset(self):
             return {"idx": 0}
 
         def read(self, start):
-            items, end = self.spool.read_from(start["idx"])
-            rows = [(start["idx"] + i, 0, v, None) for i, v in enumerate(items)]
+            end = _Spool.current_end(self.spool_dir)
+            rows = [
+                (seq, 0, body, None)
+                for seq, body in _Spool.read_range(self.spool_dir, start["idx"], end)
+            ]
             return iter(rows), {"idx": end}
 
         def readBetweenOffsets(self, start, end):
-            items = self.spool.read_between(start["idx"], end["idx"])
-            return iter([(start["idx"] + i, 0, v, None) for i, v in enumerate(items)])
+            return iter(
+                (seq, 0, body, None)
+                for seq, body in _Spool.read_range(self.spool_dir, start["idx"], end["idx"])
+            )
 
         def commit(self, end):
-            pass  # spool is in-memory; checkpoint offset log is the ledger
+            pass  # spool files retained; offset log is the ledger
 
     class HttpServerDataSource(DataSource):
         @classmethod
@@ -136,10 +162,14 @@ if _HAS_DATASOURCE:
 
 @register_source("http_server")
 def http_server_source(
-    spark: SparkSession, address: str = "127.0.0.1:4195", path: str = "/post"
+    spark: SparkSession,
+    address: str = "127.0.0.1:4195",
+    path: str = "/post",
+    spool_dir: str | None = None,
 ) -> DataFrame:
     if not _HAS_DATASOURCE:
         raise NotImplementedError("http_server source requires Spark 4 Python DataSource API")
+    _, spool_dir = start_http_listener(address, path, spool_dir)
     try:
         spark.dataSource.register(HttpServerDataSource)
     except Exception:
@@ -148,5 +178,6 @@ def http_server_source(
         spark.readStream.format("http_server")
         .option("address", address)
         .option("path", path)
+        .option("spool_dir", spool_dir)
         .load()
     )

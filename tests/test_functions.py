@@ -1,0 +1,213 @@
+"""Unit tests for the LLM-pipeline function modules (dedup, similarity,
+text analysis, multimodal, as-of join) on controlled inputs."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(spark, ["a b  c", "", "  ", "one"])
+        rows = df.select("doc_id", ta.token_count(F.col("text")).alias("n")).orderBy("doc_id").collect()
+        assert [r.n for r in rows] == [3, 0, 0, 1]
+
+    def test_bpe_token_count(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(spark, ["hello, world42!"])
+        n = df.select(ta.bpe_token_count(F.col("text")).alias("n")).first().n
+        # hello | , | world | 42 | !
+        assert n == 5
+
+    def test_fingerprint_normalization(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(spark, ["Hello   World", "hello world", "other"])
+        fps = [r.fp for r in df.select(ta.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_lang_id(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(
+            spark,
+            [
+                "the cat and the dog in a house",
+                "el perro y la casa de los gatos en un dia",
+                "der hund und die katze in den garten mit",
+                "xyzzy qwerty",
+            ],
+        )
+        rows = df.select("doc_id", ta.lang_id(F.col("text")).alias("lang")).orderBy("doc_id").collect()
+        assert [r.lang for r in rows] == ["en", "es", "de", "und"]
+
+    def test_repetition_ratio(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(spark, ["a a a a", "a b c d"])
+        rows = df.select(F.round(ta.repetition_ratio(F.col("text")), 4).alias("r")).collect()
+        assert [r.r for r in rows] == [0.75, 0.0]
+
+    def test_ngrams(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(spark, ["a b c d", "a b"])
+        rows = df.select(ta.ngrams(F.col("text"), 3).alias("g")).collect()
+        assert rows[0].g == ["a b c", "b c d"]
+        assert rows[1].g == []
+
+
+class TestHashing:
+    def test_hash60_matches_python(self, spark):
+        from nekton_spark.functions.hashing import hash60, hash60_py
+
+        df = spark.createDataFrame([("hello",), ("wörld",)], "s string")
+        rows = df.select(hash60(F.col("s"), 7).alias("h")).collect()
+        assert rows[0].h == hash60_py("hello", 7)
+        assert rows[1].h == hash60_py("wörld", 7)
+
+    def test_hash60_matches_duckdb(self, spark):
+        import duckdb
+
+        from nekton_spark.functions.hashing import hash60_py, hash60_sql
+
+        frag = hash60_sql("'hello'", "7")
+        got = duckdb.sql(f"SELECT {frag} AS h").fetchone()[0]
+        assert got == hash60_py("hello", 7)
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        from nekton_spark.functions.dedup import exact_dedup
+
+        df = docs_df(spark, ["same  text", "Same Text", "different"])
+        rows = exact_dedup(df).orderBy("keep_id").collect()
+        assert [(r.keep_id, r.n_dups) for r in rows] == [(0, 2), (2, 1)]
+
+    def test_minhash_identical_docs_same_signature(self, spark):
+        from nekton_spark.functions.dedup import minhash_signatures
+
+        df = docs_df(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "a b c d e"])
+        rows = minhash_signatures(df).orderBy("id").collect()
+        assert rows[0].sig == rows[1].sig != rows[2].sig
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        from nekton_spark.functions.dedup import minhash_lsh_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        far = "completely different content with other words entirely here now"
+        df = docs_df(spark, [base, near, far])
+        pairs = minhash_lsh_pairs(df, threshold=0.3).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+        assert pairs[0].jaccard > 0.5
+
+    def test_simhash_short_docs(self, spark):
+        from nekton_spark.functions.dedup import simhash
+
+        df = docs_df(spark, ["a b c", "a b c", "z y x w v"])
+        rows = df.select(simhash(F.col("text")).alias("sh")).collect()
+        assert rows[0].sh == rows[1].sh
+        assert rows[0].sh != rows[2].sh
+        assert all(0 <= r.sh < 2**32 for r in rows)
+
+    def test_ngram_jaccard_exact_value(self, spark):
+        from nekton_spark.functions.dedup import ngram_jaccard_pairs
+
+        # doc0: grams {a b c, b c d}; doc1: grams {a b c, b c x} → J = 1/3
+        df = docs_df(spark, ["a b c d", "a b c x"])
+        rows = ngram_jaccard_pairs(df, threshold=0.1).collect()
+        assert len(rows) == 1
+        assert abs(rows[0].jaccard - 1 / 3) < 1e-12
+
+
+class TestSimilarity:
+    def test_brute_force_topk_exact(self, spark):
+        import numpy as np
+
+        from nekton_spark.functions.similarity import brute_force_topk
+
+        vecs = {
+            0: [1.0, 0.0, 0.0, 0.0],
+            1: [0.9, 0.1, 0.0, 0.0],   # closest to 0
+            2: [0.0, 1.0, 0.0, 0.0],
+            3: [-1.0, 0.0, 0.0, 0.0],  # farthest from 0
+        }
+        df = spark.createDataFrame(
+            [(k, v, 0) for k, v in vecs.items()], "vec_id long, embedding array<float>, label int"
+        )
+        q = df.filter(F.col("vec_id") == 0)
+        rows = brute_force_topk(df, q, k=3).orderBy("rank").collect()
+        assert [r.neighbor_id for r in rows] == [1, 2, 3]
+        expected = np.dot(vecs[0], vecs[1]) / (np.linalg.norm(vecs[0]) * np.linalg.norm(vecs[1]))
+        assert abs(rows[0].score - round(expected, 6)) < 1e-9
+
+    def test_lsh_topk_subset_of_bruteforce_scores(self, spark, tables):
+        from nekton_spark.functions.similarity import brute_force_topk, lsh_topk
+
+        emb = tables["embeddings"]
+        q = emb.filter(F.col("vec_id") < 3)
+        bf = {(r.query_id, r.neighbor_id): r.score for r in brute_force_topk(emb, q, k=50).collect()}
+        lsh = lsh_topk(emb, q, k=5).collect()
+        assert len(lsh) == 15
+        for r in lsh:
+            if (r.query_id, r.neighbor_id) in bf:
+                assert abs(bf[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+
+
+class TestMultimodal:
+    def test_decode_requires_fake_flag(self, spark):
+        from nekton_spark.functions.multimodal import decode_image, media_from_text
+
+        media = media_from_text(docs_df(spark, ["x"]))
+        with pytest.raises(NotImplementedError):
+            decode_image(media)
+
+    def test_fake_decode_deterministic(self, spark):
+        from nekton_spark.functions.multimodal import decode_image, media_from_text
+
+        media = media_from_text(docs_df(spark, ["payload one", "payload one"]))
+        rows = decode_image(media, fake=True, height=4, width=4).collect()
+        assert rows[0].pixels == rows[1].pixels
+        assert len(rows[0].pixels) == 16
+
+    def test_media_features(self, spark):
+        from nekton_spark.functions.multimodal import media_features, media_from_text
+
+        media = media_from_text(docs_df(spark, ["abcd"]), mime="image/png")
+        r = media_features(media).first()
+        assert r.n_bytes == 4
+        assert r.media_class == "image"
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        from nekton_spark.operators.timeseries import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+            "event_id long, user string, ts long",
+        )
+        right = spark.createDataFrame(
+            [("u", 100, "a"), ("u", 200, "b"), ("v", 300, "c")],
+            "user string, ts long, tag string",
+        )
+        out = {
+            r.event_id: (r.tag, r.ts_right)
+            for r in asof_join(left, right, on="ts", by="user").collect()
+        }
+        assert out[1] == ("a", 100)   # inclusive: equal ts matches
+        assert out[2] == ("b", 200)   # latest at-or-before
+        assert out[3] == (None, None)  # nothing before
+        assert out[4] == (None, None)  # other key's rows invisible

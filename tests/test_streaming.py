@@ -1,0 +1,201 @@
+"""Structured Streaming tests: file source → windowed/stateful ops →
+memory sink, driven synchronously with processAllAvailable().
+
+The reference's whole streaming model (one record in flight, ack after
+sink — src/lib.rs:84-93) is subsumed by the micro-batch + offset-log
+loop these tests exercise.
+"""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Materialize sf0.001 events as a parquet dir readable by readStream."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    from nekton_spark.sources.files import table_source
+
+    table_source(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def run_stream(df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_stream_update(df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def read_events_stream(spark, d):
+    schema = spark.read.parquet(d).schema
+    return spark.readStream.schema(schema).parquet(d)
+
+
+class TestWindowedStreams:
+    def test_tumbling_window_counts_match_batch(self, spark, events_stream_dir):
+        from nekton_spark.streaming.windows import tumbling_window
+
+        stream = read_events_stream(spark, events_stream_dir)
+        agg = tumbling_window(
+            stream, duration="5 minutes", group_by=["event_type"],
+            aggs=["count(*) as n"], watermark="1 minute",
+        )
+        got = run_stream(agg, "tumbling_out").select("window", "event_type", "n")
+
+        batch = spark.read.parquet(events_stream_dir)
+        expected = batch.groupBy(F.window("ts", "5 minutes").alias("window"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # append mode only emits windows the watermark has closed: the
+        # trailing open window (per event_type) is withheld — correct
+        # streaming semantics, so allow up to one window per type
+        n_types = batch.select("event_type").distinct().count()
+        assert expected.count() - n_types <= got.count() <= expected.count()
+        assert got.exceptAll(expected).count() == 0  # emitted rows are exact
+
+    def test_session_window_batch_equivalence(self, spark, events_stream_dir):
+        from nekton_spark.streaming.windows import session_window
+
+        batch = spark.read.parquet(events_stream_dir)
+        sess = session_window(batch, gap="30 minutes", group_by=["user_id"], aggs=["count(*) as n"])
+        # one row per (user, session); total events preserved
+        assert sess.agg(F.sum("n")).first()[0] == batch.count()
+
+    def test_dedup_within_watermark_stream(self, spark, events_stream_dir):
+        from nekton_spark.streaming.windows import dedup_within_watermark
+
+        stream = read_events_stream(spark, events_stream_dir)
+        dd = dedup_within_watermark(stream, ["user_id"], delay="10 minutes")
+        got = run_stream(dd, "dedup_out")
+        n_users = spark.read.parquet(events_stream_dir).select("user_id").distinct().count()
+        # within-watermark dedup can only merge rows inside the delay
+        # horizon, so result is >= global distinct; on this data every
+        # user appears across many watermark windows
+        assert n_users <= got.count() <= spark.read.parquet(events_stream_dir).count()
+        assert got.count() < spark.read.parquet(events_stream_dir).count()
+
+
+class TestStatefulStream:
+    def test_running_counters_final_state_matches_batch(self, spark, events_stream_dir):
+        from nekton_spark.streaming.stateful import running_counters
+
+        stream = read_events_stream(spark, events_stream_dir)
+        got = run_stream_update(running_counters(stream), "counters_out")
+        # last update per key = final totals
+        final = (
+            got.toPandas()
+            .sort_index()
+            .groupby("key", as_index=False)
+            .last()
+        )
+        batch = spark.read.parquet(events_stream_dir)
+        expected = (
+            running_counters(batch)
+            .toPandas()
+            .sort_values("key", ignore_index=True)
+        )
+        final = final.sort_values("key", ignore_index=True)
+        assert list(final["key"]) == list(expected["key"])
+        assert list(final["n_events"]) == list(expected["n_events"])
+        assert [round(x, 6) for x in final["total"]] == [round(x, 6) for x in expected["total"]]
+
+
+class TestStreamingSpec:
+    def test_yaml_streaming_pipeline(self, spark, tmp_path):
+        """End-to-end: YAML spec with streaming file source → regex op →
+        memory sink, the reference pipeline shape on an unbounded input."""
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.txt").write_text("hello #one\nworld #two\n")
+        from nekton_spark.spec import Spec, compile_spec
+
+        spec = Spec.from_yaml(
+            f"""
+input:
+  type: file
+  path: {src}
+  format: text
+  stream: true
+pipeline:
+  processors:
+    - type: regex_select
+      re: '\\#[a-z]+'
+output:
+  type: memory
+  name: spec_stream_out
+"""
+        )
+        df, run_sink = compile_spec(spark, spec)
+        assert df.isStreaming
+        q = run_sink()
+        q.processAllAvailable()
+        q.stop()
+        vals = sorted(r.value for r in spark.sql("SELECT * FROM spec_stream_out").collect())
+        assert vals == ["#one", "#two"]
+
+
+class TestHttpSource:
+    def test_http_post_to_stream(self, spark, tmp_path):
+        import random
+        import time
+        import urllib.request
+
+        from nekton_spark.sources.http import http_server_source
+
+        port = random.randint(40000, 60000)
+        df = http_server_source(
+            spark,
+            address=f"127.0.0.1:{port}",
+            path="/post",
+            spool_dir=str(tmp_path / "spool"),
+        )
+        q = df.writeStream.format("memory").queryName("http_out").outputMode("append").start()
+        try:
+            time.sleep(1.0)
+            for body in (b"alpha", b"beta"):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/post", data=body, method="POST"
+                )
+                with urllib.request.urlopen(req) as resp:
+                    assert resp.status == 201
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                q.processAllAvailable()
+                if spark.sql("SELECT * FROM http_out").count() >= 2:
+                    break
+                time.sleep(0.5)
+            vals = sorted(r.value for r in spark.sql("SELECT * FROM http_out").collect())
+            assert vals == ["alpha", "beta"]
+        finally:
+            q.stop()
+
+    def test_http_wrong_path_404_wrong_method_405(self, spark):
+        import urllib.error
+        import urllib.request
+
+        from nekton_spark.sources.http import start_http_listener
+
+        server, _ = start_http_listener("127.0.0.1:49173", "/post")
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(
+                    urllib.request.Request(
+                        "http://127.0.0.1:49173/nope", data=b"x", method="POST"
+                    )
+                )
+            assert e.value.code == 404
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen("http://127.0.0.1:49173/post")
+            assert e.value.code == 405
+        finally:
+            server.shutdown()
