@@ -1,2 +1,2 @@
-from . import messages, process, relational, text  # noqa: F401  (register type tags)
+from . import llm, messages, process, relational, text, timeseries  # noqa: F401  (register type tags)
 from .messages import MESSAGE_SCHEMA, collect_batches, from_column, messages_df, renumber  # noqa: F401

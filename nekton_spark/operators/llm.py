@@ -1,0 +1,117 @@
+"""Spec (YAML) surface for the LLM-data-pipeline operators.
+
+Everything in functions/ is also addressable from a pipeline spec, so
+a user can run e.g.::
+
+    input:
+      type: table
+      path: /root/testdata/sf0.01
+      name: documents
+    pipeline:
+      processors:
+        - type: quality_filter
+          min_quality: 0.5
+        - type: dedup_minhash
+          threshold: 0.8
+    output:
+      type: file
+      path: /out
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dedup as dd
+from ..functions import similarity as sim
+from ..functions import text_analysis as ta
+from ..registry import register_processor
+
+
+@register_processor("text_stats")
+def text_stats_processor(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return ta.with_text_stats(df, text_col)
+
+
+@register_processor("quality_filter")
+def quality_filter(df: DataFrame, text_col: str = "text", min_quality: float = 0.5) -> DataFrame:
+    return df.filter(ta.quality_score(F.col(text_col)) >= min_quality)
+
+
+@register_processor("lang_filter")
+def lang_filter(df: DataFrame, langs: list[str], text_col: str = "text") -> DataFrame:
+    return df.filter(ta.lang_id(F.col(text_col)).isin(langs))
+
+
+@register_processor("token_count")
+def token_count_processor(df: DataFrame, text_col: str = "text", bpe: bool = False) -> DataFrame:
+    fn = ta.bpe_token_count if bpe else ta.token_count
+    return df.withColumn("n_tokens", fn(F.col(text_col)))
+
+
+@register_processor("fingerprint")
+def fingerprint_processor(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fp", ta.fingerprint(F.col(text_col)))
+
+
+@register_processor("dedup_exact")
+def dedup_exact_processor(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep_rows: bool = True
+) -> DataFrame:
+    """keep_rows=True → survivors (full rows); False → group summary."""
+    groups = dd.exact_dedup(df, text_col, id_col)
+    if not keep_rows:
+        return groups
+    return df.join(
+        groups.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+@register_processor("dedup_minhash")
+def dedup_minhash_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    keep_rows: bool = True,
+    **kw,
+) -> DataFrame:
+    """keep_rows=True → drop the higher-id member of each near-dup pair."""
+    pairs = dd.minhash_lsh_pairs(df, text_col, id_col, threshold=threshold, **kw)
+    if not keep_rows:
+        return pairs
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+@register_processor("dedup_simhash")
+def dedup_simhash_processor(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return dd.simhash_dedup(df, text_col, id_col)
+
+
+@register_processor("ngram_jaccard")
+def ngram_jaccard_processor(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    return dd.ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+
+
+@register_processor("ann_topk")
+def ann_topk_processor(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    method: str = "brute",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
+    fn = sim.brute_force_topk if method == "brute" else sim.lsh_topk
+    return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
+
+
+@register_processor("embedding_near_dup")
+def embedding_near_dup_processor(df: DataFrame, threshold: float = 0.95, **kw) -> DataFrame:
+    return sim.embedding_near_dup(df, threshold=threshold, **kw)

@@ -26,6 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..registry import register_processor
+
+
+@register_processor("asof_join")
+def asof_join_processor(
+    df: DataFrame,
+    other: dict,
+    on: str = "ts",
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    from .relational import _resolve_other
+
+    return asof_join(df, _resolve_other(df, other), on=on, by=by, right_cols=right_cols)
+
 
 def asof_join(
     left: DataFrame,

@@ -74,6 +74,18 @@ def table_source(spark: SparkSession, path: str, name: str | None = None) -> Dat
     return _convert_ns_cols(spark.read.parquet(full), tbl)
 
 
+@register_source("sql_view")
+def sql_view_source(spark: SparkSession, name: str) -> DataFrame:
+    """An existing temp view / catalog table as a pipeline input."""
+    return spark.table(name)
+
+
+@register_source("sql")
+def sql_source(spark: SparkSession, query: str) -> DataFrame:
+    """Arbitrary SQL as a pipeline input."""
+    return spark.sql(query)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     """Load the driver's star schema and register temp views."""
     names = names or [

@@ -1,0 +1,111 @@
+"""YAML spec surface for LLM-pipeline operators: end-to-end spec runs
+over the driver's documents/embeddings tables."""
+
+from nekton_spark.spec import Spec, compile_spec
+
+
+def compile_df(spark, yaml_text):
+    df, _ = compile_spec(spark, Spec.from_yaml(yaml_text))
+    return df
+
+
+class TestLlmSpecs:
+    def test_quality_filter_and_dedup_pipeline(self, spark, sf_dir):
+        df = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: documents
+pipeline:
+  processors:
+    - type: text_stats
+    - type: quality_filter
+      min_quality: 0.3
+    - type: dedup_exact
+output:
+  type: memory
+""",
+        )
+        n = df.count()
+        assert 0 < n <= 500
+        assert "quality" in df.columns
+
+    def test_dedup_minhash_drops_near_dups(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog again today"),
+            (1, "the quick brown fox jumps over the lazy dog again tomorrow"),
+            (2, "entirely different words in this completely other document here"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView("near_docs")
+        df = compile_df(
+            spark,
+            """
+input:
+  type: sql_view
+  name: near_docs
+pipeline:
+  processors:
+    - type: dedup_minhash
+      threshold: 0.3
+output:
+  type: memory
+""",
+        )
+        ids = sorted(r.doc_id for r in df.collect())
+        assert ids == [0, 2]  # doc 1 deduped against doc 0
+
+    def test_ann_topk_spec(self, spark, sf_dir):
+        df = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: embeddings
+pipeline:
+  processors:
+    - type: ann_topk
+      query_ids: [0, 1]
+      k: 3
+output:
+  type: memory
+""",
+        )
+        rows = df.collect()
+        assert len(rows) == 6
+        assert {r.query_id for r in rows} == {0, 1}
+
+    def test_asof_join_spec(self, spark, sf_dir):
+        df = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: events
+pipeline:
+  processors:
+    - type: filter
+      predicate: "event_type = 'purchase'"
+    - type: select
+      columns: ["event_id", "user_id", "ts"]
+    - type: asof_join
+      by: user_id
+      other:
+        input:
+          type: table
+          path: {sf_dir}
+          name: events
+        processors:
+          - type: filter
+            predicate: "event_type = 'click'"
+          - type: select
+            columns: ["user_id", "ts", "event_id as click_id"]
+output:
+  type: memory
+""",
+        )
+        assert df.count() > 0
+        assert "click_id" in df.columns

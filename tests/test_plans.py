@@ -1,0 +1,85 @@
+"""Plan-shape assertions: the scale properties the engine promises —
+pushdown, pruning, broadcast selection, bounded shuffle counts,
+map-side partial aggregation, whole-stage codegen — checked against
+the actual physical plans, not taken on faith."""
+
+import pytest
+
+import __spark_entry__ as em
+from nekton_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestPushdownAndPruning:
+    def test_q01_filter_reaches_scan(self, spark):
+        df = em.q01_pricing_summary(spark, SF)
+        pushed = " ".join(plans.pushed_filters(df))
+        assert "LessThanOrEqual(l_shipdate" in pushed
+
+    def test_q01_column_pruning(self, spark):
+        df = em.q01_pricing_summary(spark, SF)
+        cols = set(plans.read_schema_columns(df))
+        # 7 of lineitem's 11 columns needed; key columns must NOT be read
+        assert "l_orderkey" not in cols and "l_partkey" not in cols
+        assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+
+    def test_selective_filter_pushdown_on_dimension(self, spark):
+        df = em.q03_shipping_priority(spark, SF)
+        pushed = " ".join(plans.pushed_filters(df))
+        assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+
+    def test_events_filter_pushdown(self, spark):
+        df = em.events_asof_join(spark, SF)
+        pushed = " ".join(plans.pushed_filters(df))
+        assert "EqualTo(event_type,purchase)" in pushed
+        assert "EqualTo(event_type,click)" in pushed
+
+
+class TestJoinStrategy:
+    def test_q03_broadcasts_dimension(self, spark):
+        assert plans.has_broadcast_join(em.q03_shipping_priority(spark, SF))
+
+    def test_q05_broadcasts_nation_region(self, spark):
+        assert plans.has_broadcast_join(em.q05_region_revenue(spark, SF))
+
+    def test_ann_broadcasts_queries(self, spark):
+        assert plans.has_broadcast_join(em.ann_topk_bruteforce(spark, SF))
+
+
+class TestShuffleBudget:
+    """Each operator's shuffle count is part of its contract — a
+    regression here is a 100 TB performance bug even if results stay
+    correct."""
+
+    @pytest.mark.parametrize(
+        "fn,max_exchanges",
+        [
+            (em.q06_forecast_revenue, 0),   # filter+agg: partial/final, no orderBy
+            (em.pipeline_chain, 0),          # pure map chain: NO shuffle
+            (em.q01_pricing_summary, 2),     # agg shuffle + orderBy range
+            (em.events_asof_join, 1),        # one (key,ts) sort shuffle
+            (em.text_stats, 0),              # map-only text analysis
+            (em.dedup_exact, 1),             # one agg shuffle on fingerprint
+        ],
+    )
+    def test_exchange_budget(self, spark, fn, max_exchanges):
+        assert plans.count_exchanges(fn(spark, SF)) <= max_exchanges
+
+    def test_map_side_partial_aggregation(self, spark):
+        plan = plans.simple_plan(em.q01_pricing_summary(spark, SF))
+        # partial before the exchange, final after: two HashAggregates
+        assert plan.count("HashAggregate") >= 2
+
+
+class TestCodegen:
+    def test_whole_stage_codegen_applies(self, spark):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            n = plans.codegen_stage_count(em.q01_pricing_summary(spark, SF))
+            assert n >= 2  # scan+partial agg stage, final agg stage
+            # text analysis is pure expressions — must be one codegen'd map stage
+            n2 = plans.codegen_stage_count(em.text_stats(spark, SF))
+            assert n2 >= 1
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
