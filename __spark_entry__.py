@@ -233,6 +233,162 @@ def scalar_functions(spark, sf):
     )
 
 
+def pivot_order_status(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("total_f"),
+            F.col("O").alias("total_o"),
+            F.col("P").alias("total_p"),
+        )
+    )
+
+
+def grouping_sets_orders(spark, sf):
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def exists_subquery(spark, sf):
+    for t in ("orders", "lineitem"):
+        _t(spark, sf, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS total
+        FROM orders_v
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity > 45
+        )
+        """
+    )
+
+
+def running_revenue_window(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey")))
+        .alias("order_seq"),
+    )
+
+
+def percentiles_by_segment(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def min_max_by_nation(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest"),
+        F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest"),
+    )
+
+
+def conditional_aggregation(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 2).alias(
+            "rev_bulk"
+        ),
+        F.round(F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 4).alias(
+            "avg_taxed"
+        ),
+    )
+
+
+def date_arithmetic(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias("order_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day(F.to_date("o_orderdate")).cast("string").alias("month_end"),
+    )
+
+
+def string_functions(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 25, "*").alias("padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.reverse("c_name").alias("reversed"),
+        F.split_part("c_name", F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.left(F.col("c_mktsegment"), F.lit(3)).alias("seg3"),
+        F.regexp_count("c_name", F.lit("0")).alias("zeros"),
+        F.position(F.lit("5"), "c_name").alias("pos5"),
+    )
+
+
+def range_join_value_bands(spark, sf):
+    e = _t(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [(i, i * 10.0, (i + 1) * 10.0) for i in range(10)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+def dedup_ngram_dfcut(spark, sf):
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.15, max_doc_freq=50
+    )
+
+
+def pipe_subprocess(spark, sf):
+    """Reference `process` operator over documents (rows-only check:
+    subprocess output not SQL-expressible)."""
+    from nekton_spark.operators.messages import from_column
+    from nekton_spark.operators.process import process
+
+    d = _t(spark, sf, "documents")
+    msgs = from_column(d.orderBy("doc_id").limit(50), "text", batch_col="doc_id")
+    out = process(msgs, name="awk", args=["{print NF}"])
+    return out.select("batch_id", F.col("value").alias("n_fields"))
+
+
 # ----------------------------------------------------------------- events
 
 
@@ -430,6 +586,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "set_ops_customers": set_ops_customers,
         "scalar_functions": scalar_functions,
+        "pivot_order_status": pivot_order_status,
+        "grouping_sets_orders": grouping_sets_orders,
+        "exists_subquery": exists_subquery,
+        "running_revenue_window": running_revenue_window,
+        "percentiles_by_segment": percentiles_by_segment,
+        "min_max_by_nation": min_max_by_nation,
+        "conditional_aggregation": conditional_aggregation,
+        "date_arithmetic": date_arithmetic,
+        "string_functions": string_functions,
+        "range_join_value_bands": range_join_value_bands,
+        "dedup_ngram_dfcut": dedup_ngram_dfcut,
+        "pipe_subprocess": pipe_subprocess,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionization": events_sessionization,
         "events_topk_users": events_topk_users,
@@ -679,6 +847,109 @@ SELECT o_orderkey,
        concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
 FROM orders
 """,
+        "pivot_order_status": """
+SELECT o_orderpriority,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS total_f,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS total_o,
+       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS total_p
+FROM orders GROUP BY o_orderpriority
+""",
+        "grouping_sets_orders": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS total_price, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+        "exists_subquery": """
+SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R' AND l_quantity > 45)
+""",
+        "running_revenue_window": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS running_total,
+       row_number() OVER w AS order_seq
+FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "percentiles_by_segment": """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+       round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+""",
+        "min_max_by_nation": """
+SELECT c_nationkey,
+       max(CASE WHEN rn_asc = 1 THEN c_name END) AS poorest,
+       max(CASE WHEN rn_desc = 1 THEN c_name END) AS richest
+FROM (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS rn_asc,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc
+  FROM customer)
+GROUP BY c_nationkey
+""",
+        "conditional_aggregation": """
+SELECT l_returnflag, count(*)::BIGINT AS n_all,
+       (count(*) FILTER (l_discount > 0.05))::BIGINT AS n_discounted,
+       round(sum(l_extendedprice) FILTER (l_quantity > 25), 2) AS rev_bulk,
+       round(avg(l_extendedprice) FILTER (l_tax > 0.04), 4) AS avg_taxed
+FROM lineitem GROUP BY l_returnflag
+""",
+        "date_arithmetic": """
+SELECT o_orderkey,
+       strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       datediff('day', o_orderdate::DATE, DATE '2002-01-01')::INT AS days_to_2002,
+       (dayofweek(o_orderdate) + 1)::INT AS dow,
+       quarter(o_orderdate)::INT AS qtr,
+       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end
+FROM orders
+""",
+        "string_functions": """
+SELECT c_custkey,
+       lpad(c_name, 25, '*') AS padded,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+       reverse(c_name) AS reversed,
+       split_part(c_name, '#', 1) AS name_prefix,
+       left(c_mktsegment, 3) AS seg3,
+       length(c_name) - length(replace(c_name, '0', '')) AS zeros,
+       position('5' IN c_name)::INT AS pos5
+FROM customer
+""",
+        "range_join_value_bands": """
+WITH bands AS (SELECT i AS band_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi FROM range(10) t(i))
+SELECT band_id::INT AS band_id, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+""",
+        "dedup_ngram_dfcut": f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, sh FROM base WHERE len(sh) > 0
+), inv0 AS (
+  SELECT doc_id, unnest(list_transform(sh, g -> {_H('g', '0')})) AS g FROM nonempty
+), cut AS (
+  SELECT g FROM inv0 GROUP BY g HAVING count(*) > 50
+), inv AS (
+  SELECT doc_id, g FROM inv0 ANTI JOIN cut USING (g)
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM inv GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
+""",
+        # pipe_subprocess: no oracle (child process output) → rows-only check
         "events_tumbling_window": """
 SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value

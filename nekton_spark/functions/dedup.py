@@ -249,6 +249,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every doc pair sharing ≥1 n-gram.
 
@@ -258,16 +259,32 @@ def ngram_jaccard_pairs(
     mitigation is dropping top-frequency shingles (df-cut), standard in
     MinHash pipelines — exposed as ``max_doc_freq``.
     """
+    shingle_set = _distinct_shingles_udf(n)
     base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(ngrams(F.col(text_col), n)).alias("sh"),
+        F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
-    sizes = base.select("id", F.size("sh").alias("sz"))
     # join on the 60-bit shingle hash, not the shingle string: the
     # inverted-index shuffle moves 8-byte keys instead of text, and the
     # (quadratic) pair-join compares longs. Collisions are ~2^-60 and
     # the oracle hashes identically, so results are unchanged.
     inv = base.select("id", F.explode(F.transform("sh", lambda g: hash60(g, 0))).alias("g"))
+    if max_doc_freq is not None:
+        # df-cut: drop shingles shared by more than max_doc_freq docs.
+        # This caps the quadratic pair fan-out per shingle (the standard
+        # near-dup mitigation for stopword-dense corpora) and bounds the
+        # hottest join key at scale. Jaccard is then computed over the
+        # *surviving* shingle sets in both engines.
+        cut = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
+        )
+        # the heavy-hitter list is small by definition → broadcast anti-join
+        inv = inv.join(F.broadcast(cut), "g", "left_anti")
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = base.select("id", F.size("sh").alias("sz"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
