@@ -389,6 +389,48 @@ def pipe_subprocess(spark, sf):
     return out.select("batch_id", F.col("value").alias("n_fields"))
 
 
+def approx_distinct_check(spark, sf):
+    """HLL sketch surface: approx_count_distinct vs exact, verified
+    in-plan. The oracle checks the exact count and that the sketch met
+    its error contract (boolean) — approximations are engine-specific,
+    the contract is not."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= 0.1 * F.col("exact_customers")
+            ).alias("within_10pct"),
+        )
+    )
+
+
+def approx_quantile_check(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_median"),
+            F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_median"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_median",
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median"))
+                <= 0.05 * F.col("exact_median")
+            ).alias("within_5pct"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- events
 
 
@@ -598,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": range_join_value_bands,
         "dedup_ngram_dfcut": dedup_ngram_dfcut,
         "pipe_subprocess": pipe_subprocess,
+        "approx_distinct_check": approx_distinct_check,
+        "approx_quantile_check": approx_quantile_check,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionization": events_sessionization,
         "events_topk_users": events_topk_users,
@@ -950,6 +994,16 @@ FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
 """,
         # pipe_subprocess: no oracle (child process output) → rows-only check
+        "approx_distinct_check": """
+SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS exact_customers,
+       true AS within_10pct
+FROM orders GROUP BY o_orderpriority
+""",
+        "approx_quantile_check": """
+SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+       true AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
         "events_tumbling_window": """
 SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
        count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value

@@ -76,3 +76,5 @@ def memory_sink(df: DataFrame, name: str = "out"):
         df.createOrReplaceTempView(name)
         return None
     return df.writeStream.format("memory").queryName(name).outputMode("append").start()
+
+from . import exactly_once  # noqa: F401, E402  (register type tag)
