@@ -431,6 +431,16 @@ def approx_quantile_check(spark, sf):
     )
 
 
+def dedup_connected_components(spark, sf):
+    """Near-dup pairs -> dedup clusters via iterative min-label
+    propagation (GraphFrames-style CC on DataFrames)."""
+    from nekton_spark.functions.graph import dedup_components
+
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.15)
+    return dedup_components(d, pairs)
+
+
 # ----------------------------------------------------------------- events
 
 
@@ -640,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": range_join_value_bands,
         "dedup_ngram_dfcut": dedup_ngram_dfcut,
         "pipe_subprocess": pipe_subprocess,
+        "dedup_connected_components": dedup_connected_components,
         "approx_distinct_check": approx_distinct_check,
         "approx_quantile_check": approx_quantile_check,
         "events_tumbling_window": events_tumbling_window,
@@ -994,6 +1005,32 @@ FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
 """,
         # pipe_subprocess: no oracle (child process output) → rows-only check
+        "dedup_connected_components": f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, sh, len(sh) AS sz FROM base WHERE len(sh) > 0
+), inv AS (
+  SELECT doc_id, unnest(list_transform(sh, g -> {_H('g', '0')})) AS g FROM nonempty
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN nonempty sa ON id_a = sa.doc_id JOIN nonempty sb ON id_b = sb.doc_id
+  WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+)
+SELECT id AS doc_id, min(r) AS component, (min(r) = id) AS is_representative
+FROM reach GROUP BY id
+""",
         "approx_distinct_check": """
 SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS exact_customers,
        true AS within_10pct

@@ -1,0 +1,40 @@
+"""Connected-components unit tests on hand-built graphs."""
+
+from pyspark.sql import functions as F
+
+from nekton_spark.functions.graph import connected_components, dedup_components
+
+
+def cc(spark, n_vertices, edge_list):
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], "id long")
+    e = spark.createDataFrame(edge_list or [(0, 0)], "id_a long, id_b long")
+    if not edge_list:
+        e = e.filter("false")
+    out = connected_components(v, e)
+    return {r.id: r.component for r in out.collect()}
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_min(self, spark):
+        # 0-1, 1-2, 2-3 → all component 0; 4 singleton
+        got = cc(spark, 5, [(0, 1), (1, 2), (2, 3)])
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+
+    def test_two_clusters(self, spark):
+        got = cc(spark, 6, [(1, 2), (3, 4), (4, 5)])
+        assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3}
+
+    def test_no_edges_all_singletons(self, spark):
+        got = cc(spark, 4, [])
+        assert got == {i: i for i in range(4)}
+
+    def test_long_path_needs_multiple_rounds(self, spark):
+        n = 12  # diameter 11 → exercises the iteration loop
+        got = cc(spark, n, [(i, i + 1) for i in range(n - 1)])
+        assert got == {i: 0 for i in range(n)}
+
+    def test_dedup_components_representatives(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 2), (2, 3)], "id_a long, id_b long")
+        out = {r.doc_id: (r.component, r.is_representative) for r in dedup_components(docs, pairs).collect()}
+        assert out == {0: (0, True), 1: (1, True), 2: (0, False), 3: (0, False)}
