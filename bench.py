@@ -26,6 +26,10 @@ HEADLINE = [
     "q05_region_revenue",
     "q10_returned_items",
     "topk_customers_per_nation",
+    "grouping_sets_orders",
+    "exists_subquery",
+    "running_revenue_window",
+    "range_join_value_bands",
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_join",
@@ -35,7 +39,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_dfcut",
     "dedup_simhash",
+    "dedup_connected_components",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "embedding_near_dup",
@@ -47,11 +53,18 @@ def main() -> int:
 
     from nekton_spark.session import get_spark
 
+    # local mode: driver heap is the only memory pool; a small heap causes
+    # full-GC stalls (observed 10-25 s outliers) once many stages of
+    # shuffle/broadcast state accumulate
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("nekton-bench")
     qs = entrymod.queries()
 
-    # warm the JVM/IO path once (not timed)
+    # warm the JVM + Python-UDF-worker paths once (not timed): local-mode
+    # worker spawn (~10 s for 32 workers) is a fixed local artifact a real
+    # cluster amortizes across the app lifetime
     qs["q01_pricing_summary"](spark, SF_DIR).count()
+    qs["ann_topk_bruteforce"](spark, SF_DIR).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -26,12 +26,24 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     from .spec import Spec, run_spec
 
+    try:
+        spec = Spec.from_file(args.config_file)
+    except FileNotFoundError:
+        print(f"error: config file not found: {args.config_file}", file=sys.stderr)
+        return 1
+    except Exception as e:  # YAML parse errors
+        print(f"error: invalid spec {args.config_file}: {e}", file=sys.stderr)
+        return 1
+
     spark = get_spark("nekton_spark_cli")
     try:
-        result = run_spec(spark, Spec.from_file(args.config_file))
+        result = run_spec(spark, spec)
         if result is not None and hasattr(result, "awaitTermination"):
             result.awaitTermination()
         return 0
+    except ValueError as e:  # unknown type tags / bad operator config
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     finally:
         spark.stop()
 

@@ -38,6 +38,9 @@ def connected_components(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
+        # materialize once: edge derivation is often an expensive upstream
+        # pipeline (LSH pair mining) that must not re-run every iteration
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
