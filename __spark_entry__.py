@@ -389,6 +389,25 @@ def pipe_subprocess(spark, sf):
     return out.select("batch_id", F.col("value").alias("n_fields"))
 
 
+def sample_hash_10pct(spark, sf):
+    """Content-addressed 10% sample: stable across runs/partitionings/
+    engines (df.sample is neither), hence exactly oracle-checkable."""
+    from nekton_spark.functions.sampling import hash_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_sample(d, "doc_id", 0.10).select("doc_id", "lang", "n_chars")
+
+
+def train_val_test_split(spark, sf):
+    from nekton_spark.functions import sampling
+
+    d = _t(spark, sf, "documents")
+    out = sampling.train_val_test_split(d, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
 def approx_distinct_check(spark, sf):
     """HLL sketch surface: approx_count_distinct vs exact, verified
     in-plan. The oracle checks the exact count and that the sketch met
@@ -651,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_dfcut": dedup_ngram_dfcut,
         "pipe_subprocess": pipe_subprocess,
         "dedup_connected_components": dedup_connected_components,
+        "sample_hash_10pct": sample_hash_10pct,
+        "train_val_test_split": train_val_test_split,
         "approx_distinct_check": approx_distinct_check,
         "approx_quantile_check": approx_quantile_check,
         "events_tumbling_window": events_tumbling_window,
@@ -1005,6 +1026,17 @@ FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
 """,
         # pipe_subprocess: no oracle (child process output) → rows-only check
+        "sample_hash_10pct": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 100000
+""",
+        "train_val_test_split": """
+SELECT CASE WHEN (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 800000 THEN 'train'
+            WHEN (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, min(doc_id) AS min_id
+FROM documents GROUP BY split
+""",
         "dedup_connected_components": f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, list_distinct({_SHINGLES}) AS sh

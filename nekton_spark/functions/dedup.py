@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import H0_MOD, REHASH_MASK, affine_consts, hash60
-from .text_analysis import fingerprint, ngrams
+from .text_analysis import fingerprint
 
 DEFAULT_K = 16  # minhash signature length
 DEFAULT_BANDS = 8  # bands of 2 rows each

@@ -19,7 +19,7 @@ Scale notes baked into each operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..registry import SOURCES, register_processor, lookup
