@@ -506,6 +506,69 @@ def events_json_extract(spark, sf):
     )
 
 
+def events_sliding_window(spark, sf):
+    """10-min windows sliding by 5: each event lands in 2 windows."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def q18_large_orders(spark, sf):
+    """HAVING-style: orders whose total quantity exceeds a threshold."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 270)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+def scalar_subquery_above_avg(spark, sf):
+    for t in ("orders",):
+        _t(spark, sf, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_above_avg
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+def unpivot_lineitem_metrics(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'disc', disc) AS (metric, value)",
+    )
+
+
 def events_asof_join(spark, sf):
     e = _t(spark, sf, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
@@ -678,6 +741,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "events_topk_users": events_topk_users,
         "events_json_extract": events_json_extract,
+        "events_sliding_window": events_sliding_window,
+        "q18_large_orders": q18_large_orders,
+        "scalar_subquery_above_avg": scalar_subquery_above_avg,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "events_asof_join": events_asof_join,
         "pipe_replace": pipe_replace,
         "pipe_regex_replace": pipe_regex_replace,
@@ -1099,6 +1166,41 @@ WHERE rank <= 10
         "events_json_extract": r"""
 SELECT regexp_extract(props, '(\d+)', 1)::INT AS k, count(*)::BIGINT AS n
 FROM events GROUP BY k
+""",
+        "events_sliding_window": """
+WITH wins AS (
+  SELECT event_type,
+         unnest([ (floor(epoch(ts) / 300) * 300)::BIGINT,
+                  (floor(epoch(ts) / 300) * 300)::BIGINT - 300 ]) AS window_start,
+         epoch(ts) AS es
+  FROM events
+)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events
+FROM wins WHERE es >= window_start AND es < window_start + 600
+GROUP BY 1, 2
+""",
+        "q18_large_orders": """
+SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS total_price, total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 270) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "scalar_subquery_above_avg": """
+SELECT o_orderpriority, count(*)::BIGINT AS n_above_avg
+FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+""",
+        "unpivot_lineitem_metrics": """
+WITH agg AS (
+  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+         round(sum(l_extendedprice), 2) AS price, round(sum(l_discount), 2) AS disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+UNION ALL SELECT l_returnflag, 'price', price FROM agg
+UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
 """,
         "events_asof_join": """
 SELECT p.event_id, p.user_id, epoch_us(p.ts)::BIGINT AS purchase_us,
