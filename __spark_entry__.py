@@ -506,6 +506,24 @@ def events_json_extract(spark, sf):
     )
 
 
+def null_semantics(spark, sf):
+    """NULL-handling battery: coalesce/nullif/nvl2/null-safe equality,
+    three-valued logic through aggregation."""
+    l = _t(spark, sf, "lineitem")
+    with_nulls = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, F.col("l_discount")).alias("maybe_disc"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+    )
+    return with_nulls.groupBy("flag_or_null").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("maybe_disc").alias("n_nonnull_disc"),
+        F.round(F.coalesce(F.avg("maybe_disc"), F.lit(-1.0)), 6).alias("avg_disc_or_neg1"),
+        F.count_if(F.col("maybe_disc").isNull()).alias("n_null_disc"),
+    )
+
+
 def events_sliding_window(spark, sf):
     """10-min windows sliding by 5: each event lands in 2 windows."""
     e = _t(spark, sf, "events")
@@ -741,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "events_topk_users": events_topk_users,
         "events_json_extract": events_json_extract,
+        "null_semantics": null_semantics,
         "events_sliding_window": events_sliding_window,
         "q18_large_orders": q18_large_orders,
         "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -1166,6 +1185,19 @@ WHERE rank <= 10
         "events_json_extract": r"""
 SELECT regexp_extract(props, '(\d+)', 1)::INT AS k, count(*)::BIGINT AS n
 FROM events GROUP BY k
+""",
+        "null_semantics": """
+WITH wn AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_discount > 0.05 THEN l_discount END AS maybe_disc,
+         nullif(l_returnflag, 'N') AS flag_or_null
+  FROM lineitem
+)
+SELECT flag_or_null, count(*)::BIGINT AS n_rows,
+       count(maybe_disc)::BIGINT AS n_nonnull_disc,
+       round(coalesce(avg(maybe_disc), -1.0), 6) AS avg_disc_or_neg1,
+       (count(*) FILTER (maybe_disc IS NULL))::BIGINT AS n_null_disc
+FROM wn GROUP BY flag_or_null
 """,
         "events_sliding_window": """
 WITH wins AS (
