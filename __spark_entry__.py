@@ -587,6 +587,26 @@ def unpivot_lineitem_metrics(spark, sf):
     )
 
 
+def events_interval_join(spark, sf):
+    """Stream-stream-capable interval join, run in batch mode: every
+    (purchase, click-within-30min-before) pair per user."""
+    from nekton_spark.operators.timeseries import interval_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = interval_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("click_id_r").alias("click_id"),
+        F.unix_micros("ts_r").alias("click_us"),
+    )
+
+
 def events_asof_join(spark, sf):
     e = _t(spark, sf, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
@@ -764,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "scalar_subquery_above_avg": scalar_subquery_above_avg,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "events_interval_join": events_interval_join,
         "events_asof_join": events_asof_join,
         "pipe_replace": pipe_replace,
         "pipe_regex_replace": pipe_regex_replace,
@@ -1233,6 +1254,14 @@ WITH agg AS (
 SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
 UNION ALL SELECT l_returnflag, 'price', price FROM agg
 UNION ALL SELECT l_returnflag, 'disc', disc FROM agg
+""",
+        "events_interval_join": """
+SELECT p.event_id, p.user_id, epoch_us(p.ts)::BIGINT AS purchase_us,
+       c.click_id, epoch_us(c.ts)::BIGINT AS click_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
 """,
         "events_asof_join": """
 SELECT p.event_id, p.user_id, epoch_us(p.ts)::BIGINT AS purchase_us,

@@ -280,8 +280,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("g")
         )
-        # the heavy-hitter list is small by definition → broadcast anti-join
-        inv = inv.join(F.broadcast(cut), "g", "left_anti")
+        # the heavy-hitter list is small by definition → broadcast anti-join.
+        # Materialize the post-cut index once: it feeds sizes and BOTH
+        # self-join sides, which would otherwise re-run the shingle UDF
+        # and the df-cut three more times.
+        inv = inv.join(F.broadcast(cut), "g", "left_anti").localCheckpoint(eager=True)
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = base.select("id", F.size("sh").alias("sz"))

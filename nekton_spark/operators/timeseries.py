@@ -42,6 +42,57 @@ def asof_join_processor(
     return asof_join(df, _resolve_other(df, other), on=on, by=by, right_cols=right_cols)
 
 
+@register_processor("interval_join")
+def interval_join_processor(
+    df, other: dict, on: str = "ts", by=None, lower: str = "interval 0 seconds",
+    upper: str = "interval 30 minutes", watermark: str | None = None,
+):
+    from .relational import _resolve_other
+
+    return interval_join(
+        df, _resolve_other(df, other), on=on, by=by, lower=lower, upper=upper,
+        watermark=watermark,
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | str | None = None,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 30 minutes",
+    watermark: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Join rows whose right timestamp falls in
+    ``[left.on - upper, left.on - lower]`` per key — works identically
+    on batch and on two watermarked streams (Spark's stream-stream
+    join requires exactly this equality + time-range shape; the
+    watermark bounds each side's buffered state).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    if watermark:
+        left = left.withWatermark(on, watermark)
+        right = right.withWatermark(on, watermark)
+    r = right
+    for c in r.columns:
+        if c not in by:
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    ron = f"{on}{suffix}"
+    cond = None
+    for k in by:
+        c = left[k] == r[k]
+        cond = c if cond is None else cond & c
+    time_cond = (F.col(ron) >= F.expr(f"{on} - {upper}")) & (
+        F.col(ron) <= F.expr(f"{on} - {lower}")
+    )
+    cond = time_cond if cond is None else cond & time_cond
+    joined = left.join(r, cond, "inner")
+    # drop the duplicated key columns from the right side
+    return joined.drop(*[r[k] for k in by])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
