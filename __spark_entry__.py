@@ -506,6 +506,32 @@ def events_json_extract(spark, sf):
     )
 
 
+def q02_min_cost_part(spark, sf):
+    """Correlated scalar subquery: parts priced at their brand's minimum."""
+    _t(spark, sf, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+        FROM part_v p1
+        WHERE p_retailprice = (SELECT min(p_retailprice) FROM part_v p2
+                               WHERE p2.p_brand = p1.p_brand)
+        """
+    )
+
+
+def events_lead_lag(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("us_to_next"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
 def null_semantics(spark, sf):
     """NULL-handling battery: coalesce/nullif/nvl2/null-safe equality,
     three-valued logic through aggregation."""
@@ -779,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "events_topk_users": events_topk_users,
         "events_json_extract": events_json_extract,
+        "q02_min_cost_part": q02_min_cost_part,
+        "events_lead_lag": events_lead_lag,
         "null_semantics": null_semantics,
         "events_sliding_window": events_sliding_window,
         "q18_large_orders": q18_large_orders,
@@ -1206,6 +1234,18 @@ WHERE rank <= 10
         "events_json_extract": r"""
 SELECT regexp_extract(props, '(\d+)', 1)::INT AS k, count(*)::BIGINT AS n
 FROM events GROUP BY k
+""",
+        "q02_min_cost_part": """
+SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
+FROM part p1
+WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2 WHERE p2.p_brand = p1.p_brand)
+""",
+        "events_lead_lag": """
+SELECT event_id, user_id, event_type,
+       lead(event_type) OVER w AS next_type,
+       (epoch_us(lead(ts) OVER w) - epoch_us(ts))::BIGINT AS us_to_next,
+       first_value(event_type) OVER w AS first_type
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "null_semantics": """
 WITH wn AS (
