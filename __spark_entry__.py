@@ -506,6 +506,45 @@ def events_json_extract(spark, sf):
     )
 
 
+def q04_order_priority(spark, sf):
+    """Priority counts for orders with at least one late line item
+    (semi-join, TPC-H Q4 shape)."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(spark, sf):
+    """Promo revenue share (TPC-H Q14 shape): conditional agg over a
+    fact-dimension join."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q02_min_cost_part(spark, sf):
     """Correlated scalar subquery: parts priced at their brand's minimum."""
     _t(spark, sf, "part").createOrReplaceTempView("part_v")
@@ -805,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         "events_topk_users": events_topk_users,
         "events_json_extract": events_json_extract,
+        "q04_order_priority": q04_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
         "q02_min_cost_part": q02_min_cost_part,
         "events_lead_lag": events_lead_lag,
         "null_semantics": null_semantics,
@@ -1234,6 +1275,21 @@ WHERE rank <= 10
         "events_json_extract": r"""
 SELECT regexp_extract(props, '(\d+)', 1)::INT AS k, count(*)::BIGINT AS n
 FROM events GROUP BY k
+""",
+        "q04_order_priority": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "q14_promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
 """,
         "q02_min_cost_part": """
 SELECT p_partkey, p_brand, round(p_retailprice, 2) AS price
