@@ -100,7 +100,7 @@ def q03_shipping_priority(spark, sf):
 
 
 def q05_region_revenue(spark, sf):
-    r = _t(spark, sf, "region").filter(F.col("r_name") == "R2")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf, "nation")
     c = _t(spark, sf, "customer")
     s = _t(spark, sf, "supplier")
@@ -202,8 +202,11 @@ def distinct_customers_per_segment(spark, sf):
 
 
 def customers_without_orders(spark, sf):
+    # anti-join vs the URGENT subset: every customer has *some* order
+    # in the testdata, so the unfiltered anti-join is vacuously empty
+    # (advisor finding) — this variant returns rows at every SF
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -1042,7 +1045,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'R2'
+WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY n_name
 """,
@@ -1079,7 +1082,8 @@ FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
 """,
         "customers_without_orders": """
 SELECT c_nationkey, count(*)::BIGINT AS n_customers FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """,
         "set_ops_customers": """

@@ -112,21 +112,31 @@ def asof_join(
     right_cols = right_cols or [c for c in right.columns if c not in {on, *by}]
     left_payload = [c for c in left.columns if c not in {on, *by}]
 
+    # The whole right row travels as ONE struct so that `last(...,
+    # ignorenulls=True)` keys on right-row PRESENCE, not on each
+    # column's nullness — a matched right row with a NULL payload
+    # column must yield NULL for that column, never a stale value
+    # from an older right row (DuckDB ASOF LEFT JOIN semantics).
+    row_struct = F.struct(
+        F.col(on).alias("__on"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    struct_type = (
+        right.select(row_struct.alias("__r")).schema["__r"].dataType
+    )
     lt = left.select(
         *by,
         F.col(on),
         *[F.col(c) for c in left_payload],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(left.schema[on].dataType).alias("__r_on"),
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     rt = right.select(
         *by,
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(on).alias("__r_on"),
+        row_struct.alias("__r"),
     )
     merged = lt.unionByName(rt)
     # right rows sort before left rows at equal ts (side 0 < 1) so an
@@ -137,18 +147,14 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_cols],
-        F.last("__r_on", ignorenulls=True).over(w).alias("__c_on"),
-    )
+    carried = merged.withColumn("__c", F.last("__r", ignorenulls=True).over(w))
     return carried.filter(F.col("__side") == 1).select(
         *by,
         on,
         *left_payload,
         *[
-            F.col(f"__c_{c}").alias(f"{c}{suffix}" if c in left.columns else c)
+            F.col("__c")[c].alias(f"{c}{suffix}" if c in left.columns else c)
             for c in right_cols
         ],
-        F.col("__c_on").alias(f"{on}{suffix}"),
+        F.col("__c")["__on"].alias(f"{on}{suffix}"),
     )

@@ -23,6 +23,7 @@ source. This source exists for reference parity and local pipelines.
 
 from __future__ import annotations
 
+import contextlib
 import http.server
 import os
 import tempfile
@@ -56,13 +57,24 @@ class _Spool:
         self._seq = max(existing) + 1 if existing else 0
 
     def append(self, body: bytes) -> int:
+        # The lock is held across write+rename, and _seq only advances
+        # after a successful rename: concurrent POSTs can never expose
+        # a gap (seq N+1 visible before N), which would make
+        # read_range crash the micro-batch (advisor finding). A failed
+        # write (e.g. disk full) leaves _seq unchanged, so the number
+        # is reused instead of becoming a permanent hole.
         with self._seq_lock:
             seq = self._seq
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".tmp")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(body)
+                os.rename(tmp, os.path.join(self.root, f"{seq:020d}"))
+            except BaseException:
+                with contextlib.suppress(OSError):
+                    os.unlink(tmp)
+                raise
             self._seq += 1
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".tmp")
-        with os.fdopen(fd, "wb") as f:
-            f.write(body)
-        os.rename(tmp, os.path.join(self.root, f"{seq:020d}"))
         return seq
 
     @staticmethod

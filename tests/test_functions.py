@@ -211,3 +211,20 @@ class TestAsofJoin:
         assert out[2] == ("b", 200)   # latest at-or-before
         assert out[3] == (None, None)  # nothing before
         assert out[4] == (None, None)  # other key's rows invisible
+
+    def test_null_payload_in_matched_row_not_backfilled(self, spark):
+        """A NULL column in the MATCHED right row must stay NULL — not
+        be carried forward from an older right row (advisor repro:
+        right (1,'old',1.0) and (5,NULL,2.0) vs left ts=10 must yield
+        (NULL, 2.0), never ('old', 2.0))."""
+        from nekton_spark.operators.timeseries import asof_join
+
+        left = spark.createDataFrame([("u", 10)], "user string, ts long")
+        right = spark.createDataFrame(
+            [("u", 1, "old", 1.0), ("u", 5, None, 2.0)],
+            "user string, ts long, label string, price double",
+        )
+        r = asof_join(left, right, on="ts", by="user").first()
+        assert r.ts_right == 5
+        assert r.price == 2.0
+        assert r.label is None

@@ -199,3 +199,39 @@ class TestHttpSource:
             assert e.value.code == 405
         finally:
             server.shutdown()
+
+    def test_spool_concurrent_appends_never_expose_gaps(self, tmp_path):
+        """Regression for the advisor-reported race: seq N+1 renamed
+        before N exists → current_end() exposes a gap and read_range
+        crashes the micro-batch. Hammer append() from many threads
+        while a reader polls; every observed [0, current_end) range
+        must be fully readable."""
+        import concurrent.futures
+
+        from nekton_spark.sources.http import _Spool
+
+        spool = _Spool(str(tmp_path / "spool"))
+        stop = False
+        errors = []
+
+        def reader():
+            while not stop:
+                end = _Spool.current_end(spool.root)
+                try:
+                    rows = _Spool.read_range(spool.root, 0, end)
+                except FileNotFoundError as e:  # the race being tested
+                    errors.append(e)
+                    return
+                assert [s for s, _ in rows] == list(range(end))
+
+        t = __import__("threading").Thread(target=reader)
+        t.start()
+        try:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=16) as ex:
+                list(ex.map(lambda i: spool.append(f"m{i}".encode()), range(400)))
+        finally:
+            stop = True
+            t.join()
+        assert not errors
+        assert _Spool.current_end(spool.root) == 400
+        assert [s for s, _ in _Spool.read_range(spool.root, 0, 400)] == list(range(400))

@@ -95,6 +95,10 @@ def main():
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
             continue
         ok, msg = compare(spark_pdf, oracle_pdf)
+        if ok and len(spark_pdf) == 0:
+            # a 0-row "match" validates nothing (advisor: q05 with a
+            # nonexistent region passed vacuously) — treat as failure
+            ok, msg = False, "vacuous: both sides returned 0 rows"
         status = "PASS" if ok else "FAIL"
         if not ok:
             failures.append(name)
