@@ -1205,7 +1205,20 @@ SELECT id_a, id_b, shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
 FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
 """,
-        # pipe_subprocess: no oracle (child process output) → rows-only check
+        # The child is `awk '{print NF}'`: one record per newline, NF =
+        # count of maximal non-blank ([^ \t]) runs; a trailing newline in
+        # `text` yields an empty final record (awk prints "0", kept by the
+        # empty-drop rule since "0" is non-empty), which string_split
+        # reproduces exactly. value column is a string in the message
+        # model, hence the VARCHAR cast.
+        "pipe_subprocess": """
+SELECT doc_id::BIGINT AS batch_id,
+       len(regexp_extract_all(line, '[^ \t]+'))::VARCHAR AS n_fields
+FROM (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+)
+""",
         "sample_hash_10pct": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 100000
