@@ -820,6 +820,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q10_returned_items": q10_returned_items,
+        # LLM-pipeline set early in iteration order: round-1 driver gate
+        # exhausted its budget before reaching these when they sat last
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_lsh": ann_topk_lsh,
+        "embedding_near_dup": embedding_near_dup,
+        "multimodal_features": multimodal_features,
+        "multimodal_decode": multimodal_decode,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
         "distinct_customers_per_segment": distinct_customers_per_segment,
@@ -865,15 +876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chain": pipeline_chain,
         "text_stats": text_stats,
         "text_quality": text_quality,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_topk_lsh": ann_topk_lsh,
-        "embedding_near_dup": embedding_near_dup,
-        "multimodal_features": multimodal_features,
-        "multimodal_decode": multimodal_decode,
     }
 
 
@@ -986,24 +988,35 @@ _PUNCT_RE = r"""[^!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""  # '' = escaped quot
 
 _BPE_RE = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
 
+def _unrolled_dot(a: str, b: str, dim: int = 64) -> str:
+    """Left-associated `a[1]*b[1] + a[2]*b[2] + ...` — the same fold
+    order as list_reduce / numpy cumsum, but pure vectorized arithmetic
+    (DuckDB lambdas are row-at-a-time: measured 50× slower)."""
+    return " + ".join(f"{a}[{j}] * {b}[{j}]" for j in range(1, dim + 1))
+
+
 _COS = (
-    "round(list_reduce(list_transform(range(1, 65), i -> qv[i] * cv[i]), (a, b) -> a + b)"
-    " / (sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (a, b) -> a + b))"
-    " * sqrt(list_reduce(list_transform(range(1, 65), i -> cv[i] * cv[i]), (a, b) -> a + b))), 6)"
+    f"round(({_unrolled_dot('qv', 'cv')})"
+    f" / (sqrt({_unrolled_dot('qv', 'qv')})"
+    f" * sqrt({_unrolled_dot('cv', 'cv')})), 6)"
 )
 
 
 def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 64) -> str:
-    """sum of sign bits: bit i set iff <v, h_i> >= 0 — hyperplanes as
-    literal arrays (identical values to similarity.hyperplane_values)."""
+    """sum of sign bits: bit i set iff <v, h_i> >= 0. Hyperplane
+    components are ±1 (similarity.hyperplane_values), so each dot is a
+    signed sum unrolled left-associated — bit-identical to the
+    v[j]*h[j] fold (x*±1.0 is exact; 0.0 - x == -x; ±0.0 + y == y)
+    and ~50× faster than the lambda form in DuckDB."""
     from nekton_spark.functions.similarity import hyperplane_values
 
     def dot(i):
-        hp = "[" + ", ".join(str(v) for v in hyperplane_values(seed_base + i, dim)) + "]"
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), j -> {vcol}[j] * {hp}[j]),"
-            " (a, b) -> a + b)"
+        hs = hyperplane_values(seed_base + i, dim)
+        expr = "".join(
+            ("+ " if h > 0 else "- ") + f"{vcol}[{j}] "
+            for j, h in enumerate(hs, start=1)
         )
+        return expr[2:] if expr.startswith("+") else "0.0 " + expr
 
     return " + ".join(
         f"(CASE WHEN {dot(i)} >= 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"

@@ -23,6 +23,8 @@ shipping a random matrix.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -36,16 +38,47 @@ def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFrame:
     """Small corpora read as 1-2 parquet splits; with the query side
     broadcast there is no shuffle to fan the scoring out, so the whole
     candidate evaluation would run on one task. Repartition up to the
     cluster's parallelism when (and only when) the input is
     under-partitioned — a no-op at real scale, where file splits
-    already exceed core count."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    already exceed core count.
+
+    Sizing comes from the input files' byte size (no RDD conversion,
+    no count job): the fan-out target is one slice per
+    ``bytes_per_slice`` capped at the cluster parallelism, so a
+    500-row corpus gets ~4 tasks instead of 32 near-empty Python
+    workers, while a 100 TB corpus is left alone (its natural split
+    count already exceeds any target this could pick)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = [f for f in df.inputFiles() if f.startswith("file:")]
+    if not files:
+        # non-file-backed (in-memory test frames) or remote storage:
+        # remote inputs are large/multi-split in practice — leave as-is
+        if not df.inputFiles() and df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(unquote(urlparse(f).path))
+        except OSError:
+            return df
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    s = raw.lower().rstrip("b")
+    max_split = (
+        int(s[:-1]) * units[s[-1]] if s and s[-1] in units else int(s or 134217728)
+    )
+    est_splits = max(len(files), total // max_split)
+    want = max(1, min(target, total // bytes_per_slice))
+    if est_splits < want:
+        return df.repartition(want)
     return df
 
 
