@@ -375,8 +375,14 @@ def range_join_value_bands(spark, sf):
 
 
 def dedup_ngram_dfcut(spark, sf):
+    """Exhaustive inverted-index Jaccard with a df-cut bound — the
+    full-recall audit plan (the headline dedup_ngram_jaccard runs the
+    bounded LSH-candidate default)."""
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), threshold=0.15, max_doc_freq=50
+        _t(spark, sf, "documents"),
+        threshold=0.15,
+        max_doc_freq=50,
+        candidates="all",
     )
 
 
@@ -892,7 +898,11 @@ _SHINGLES = (
 )
 
 
-def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
+def _minhash_ctes(threshold: float, k: int = 16, bands: int = 8) -> str:
+    """CTE chain ending in ``mpairs(id_a, id_b, jaccard)``: banded
+    MinHash candidates exact-verified against full shingle sets — the
+    oracle for every operator built on the bounded pair-mining plan
+    (minhash_lsh_pairs / ngram_jaccard_pairs default / CC edges)."""
     from nekton_spark.functions.hashing import H0_MOD, REHASH_MASK, affine_consts
 
     r = k // bands
@@ -911,8 +921,7 @@ def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, {_SHINGLES} AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
 ), nonempty AS (
@@ -927,14 +936,18 @@ WITH base AS (
     ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
 ), dsh AS (
   SELECT doc_id, list_distinct(sh) AS sh FROM nonempty
-)
-SELECT id_a, id_b,
-       len(list_intersect(a.sh, b.sh))::DOUBLE
-         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-FROM cand JOIN dsh a ON cand.id_a = a.doc_id JOIN dsh b ON cand.id_b = b.doc_id
-WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
-"""
+), mpairs AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM cand JOIN dsh a ON cand.id_a = a.doc_id JOIN dsh b ON cand.id_b = b.doc_id
+  ) WHERE jaccard >= {threshold}
+)"""
+
+
+def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
+    return f"WITH {_minhash_ctes(threshold, k, bands)}\nSELECT id_a, id_b, jaccard FROM mpairs"
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -1244,23 +1257,8 @@ SELECT CASE WHEN (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::
 FROM documents GROUP BY split
 """,
         "dedup_connected_components": f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
-  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
-), nonempty AS (
-  SELECT doc_id, sh, len(sh) AS sz FROM base WHERE len(sh) > 0
-), inv AS (
-  SELECT doc_id, unnest(list_transform(sh, g -> {_H('g', '0')})) AS g FROM nonempty
-), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
-  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b
-  FROM shared JOIN nonempty sa ON id_a = sa.doc_id JOIN nonempty sb ON id_b = sb.doc_id
-  WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
-), edges AS (
-  SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs
+WITH RECURSIVE {_minhash_ctes(0.15)}, edges AS (
+  SELECT id_a AS s, id_b AS d FROM mpairs UNION SELECT id_b, id_a FROM mpairs
 ), reach(id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
@@ -1462,23 +1460,9 @@ FROM documents GROUP BY fp
 """,
         "dedup_minhash_lsh": _minhash_sql(threshold=0.1),
         "dedup_simhash": _simhash_sql(),
-        "dedup_ngram_jaccard": f"""
-WITH base AS (
-  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
-  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
-), nonempty AS (
-  SELECT doc_id, sh, len(sh) AS sz FROM base WHERE len(sh) > 0
-), inv AS (
-  SELECT doc_id, unnest(list_transform(sh, g -> {_H('g', '0')})) AS g FROM nonempty
-), shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
-  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
-FROM shared JOIN nonempty sa ON id_a = sa.doc_id JOIN nonempty sb ON id_b = sb.doc_id
-WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
-""",
+        # bounded default plan: LSH candidates, exact-verified (the
+        # exhaustive inverted-index plan is oracled by dedup_ngram_dfcut)
+        "dedup_ngram_jaccard": _minhash_sql(threshold=0.15),
         "ann_topk_bruteforce": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

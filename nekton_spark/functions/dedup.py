@@ -14,9 +14,11 @@ are and why they're the minimum possible):
   product. One explode (b rows/doc) + one self-equi-join.
 - :func:`simhash` — 60-bit SimHash; near-dups share the value
   (or a band of it for Hamming-tolerant matching).
-- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via inverted
-  index join (explode n-grams, pair docs sharing one, count shared vs
-  union). The exact-verification stage behind MinHash candidates.
+- :func:`ngram_jaccard_pairs` — exact-scored n-gram Jaccard pairs.
+  Default plan mines candidates with banded MinHash (bounded pair
+  volume at any scale) and verifies exactly; ``candidates="all"``
+  gives the exhaustive inverted-index plan (full recall, O(Σ df²) —
+  bound it with ``max_doc_freq``).
 - :func:`embedding_near_dup` — cosine-threshold pairs over an
   embedding column via bucketed LSH (see similarity.py) or exact
   pair join for oracle-scale inputs.
@@ -250,15 +252,36 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    candidates: str = "lsh",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every doc pair sharing ≥1 n-gram.
+    """n-gram Jaccard similarity pairs, exact-scored.
 
-    Inverted-index pattern: explode distinct n-grams → self equi-join
-    on the n-gram → count shared per pair → Jaccard via |A|+|B|-shared.
-    The join key (n-gram) can skew on stopword-y shingles at scale;
-    mitigation is dropping top-frequency shingles (df-cut), standard in
-    MinHash pipelines — exposed as ``max_doc_freq``.
+    ``candidates`` picks the pair-mining plan:
+
+    - ``"lsh"`` (default) — MinHash-banded candidate mining, then exact
+      Jaccard over the full shingle sets of the candidates only. This is
+      the bounded plan: pair volume is governed by the LSH S-curve
+      (tune ``k``/``bands``), never by shingle document frequency, so a
+      stopword-dense corpus cannot make it quadratic. Scores are exact;
+      recall is the banding's (pairs far below ``threshold`` may be
+      missed, which is what a near-dup pipeline wants).
+    - ``"all"`` — exhaustive inverted-index plan: explode distinct
+      n-grams → self equi-join on the n-gram → count shared per pair.
+      Full recall, but inherently O(Σ df²) over shingle doc-frequencies;
+      use ``max_doc_freq`` (df-cut: drop shingles shared by more than
+      that many docs) to bound the hottest join key. The
+      exact-verification stage for audits, not the 100 TB default.
     """
+    if candidates == "lsh":
+        if max_doc_freq is not None:
+            raise ValueError("max_doc_freq applies to candidates='all' only")
+        return minhash_lsh_pairs(
+            df, text_col, id_col, k=k, bands=bands, shingle_n=n, threshold=threshold
+        )
+    if candidates != "all":
+        raise ValueError(f"unknown candidates plan: {candidates!r}")
     shingle_set = _distinct_shingles_udf(n)
     base = df.select(
         F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh")

@@ -127,9 +127,35 @@ class TestDedup:
 
         # doc0: grams {a b c, b c d}; doc1: grams {a b c, b c x} → J = 1/3
         df = docs_df(spark, ["a b c d", "a b c x"])
-        rows = ngram_jaccard_pairs(df, threshold=0.1).collect()
+        rows = ngram_jaccard_pairs(df, threshold=0.1, candidates="all").collect()
         assert len(rows) == 1
         assert abs(rows[0].jaccard - 1 / 3) < 1e-12
+
+    def test_ngram_jaccard_bounded_default_scores_exactly(self, spark):
+        """The default (LSH-candidate) plan's recall is the banding's,
+        but every emitted pair must carry the EXACT Jaccard, and be a
+        subset of the exhaustive plan's pairs. Identical docs share all
+        bands, so they are always candidates."""
+        from nekton_spark.functions.dedup import ngram_jaccard_pairs
+
+        df = docs_df(spark, ["a b c d e", "a b c d e", "p q r s t"])
+        got = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.1).collect()}
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, threshold=0.1, candidates="all").collect()
+        }
+        assert (0, 1) in got and got[(0, 1)] == 1.0
+        assert set(got) <= set(exact)
+        assert all(got[p] == exact[p] for p in got)
+
+    def test_ngram_jaccard_rejects_dfcut_with_lsh(self, spark):
+        import pytest
+
+        from nekton_spark.functions.dedup import ngram_jaccard_pairs
+
+        df = docs_df(spark, ["a b c d"])
+        with pytest.raises(ValueError):
+            ngram_jaccard_pairs(df, max_doc_freq=5)
 
 
 class TestSimilarity:
