@@ -772,6 +772,17 @@ def dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
 
+def dedup_minhash_xxh(spark, sf):
+    """Production-path MinHash LSH: pure-JVM xxhash64 signatures and
+    band keys — zero Python workers, zero Arrow transfer. DuckDB has no
+    xxhash64, so this is rows-only under the driver gate; correctness
+    is equivalence-tested against the oracle-parity md5 engine
+    (tests/test_functions.py::TestDedup::test_minhash_xxhash64_equivalent_pairs)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), threshold=0.1, hash="xxhash64"
+    )
+
+
 def dedup_simhash(spark, sf):
     return dedup.simhash_dedup(_t(spark, sf, "documents"))
 
@@ -830,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exhausted its budget before reaching these when they sat last
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_xxh": dedup_minhash_xxh,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk_bruteforce": ann_topk_bruteforce,

@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_xxh",
     "dedup_ngram_jaccard",
     "dedup_ngram_dfcut",
     "dedup_simhash",

@@ -111,24 +111,92 @@ def _minhash_sig_udf(k: int, shingle_n: int):
     return _sig
 
 
+def _shingles_expr(text_col: Column, shingle_n: int) -> Column:
+    """Word n-gram array as a JVM expression (semantics of _shingles_py:
+    ASCII \\s+ split of the trimmed text; < n tokens → empty)."""
+    empty = F.array().cast("array<string>")
+    toks = F.when(F.length(F.trim(text_col)) == 0, empty).otherwise(
+        F.split(F.trim(text_col), r"\s+")
+    )
+    return F.when(
+        F.size(toks) >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle_n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
+        ),
+    ).otherwise(empty)
+
+
+def _minhash_sigs_jvm(
+    df: DataFrame, text_col: str, id_col: str, k: int, shingle_n: int
+) -> DataFrame:
+    """Pure-JVM signatures: explode shingles, ``xxhash64`` base hash,
+    k affine rehashes as plain columns, ``groupBy(id).agg(min × k)``.
+
+    Everything stays inside whole-stage codegen (no higher-order
+    functions — their lambdas are interpreted per element and measured
+    ~10× slower here; no Python workers, no Arrow). The aggregation is
+    partial map-side, so the shuffle carries one k-long row per doc per
+    partition — at 100 TB that is ~the size of the signatures
+    themselves, and the key (doc id) is unique hence skew-free. DuckDB
+    has no xxhash64, so this engine is equivalence-tested against the
+    md5 path instead of hash-matched."""
+    a_c, b_c = affine_consts(k)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles_expr(F.col(text_col), shingle_n)).alias("s")
+    )
+    # base hash reduced below 2^40 so A*h0 + B stays under 2^60:
+    # Spark wraps int64 overflow silently, which would corrupt minima
+    h0 = F.pmod(F.xxhash64("s"), F.lit(H0_MOD))
+    hashed = ex.select(
+        "id",
+        *[
+            (F.lit(a_c[i]) * h0 + F.lit(b_c[i])).bitwiseAND(F.lit(REHASH_MASK)).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return (
+        hashed.groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+        .select("id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_K,
     shingle_n: int = 3,
+    hash: str = "md5",
 ) -> DataFrame:
     """(id, sig: array<long>[k]) — sig[i] = min over shingles of h_i(s),
-    h_i the universal rehash family over one md5 base hash per shingle.
+    h_i the universal rehash family over one base hash per shingle.
 
-    Map-only, Arrow-batched (see _minhash_sig_udf): identical values to
-    the pure-expression form, ~30× faster because Spark higher-order
-    functions are interpreted per element. Docs with < shingle_n tokens
-    yield no shingles and are dropped.
+    ``hash`` picks the base-hash engine:
+
+    - ``"md5"`` — Arrow-batched pandas UDF (see _minhash_sig_udf):
+      bit-identical to the DuckDB oracle, used wherever hash-match
+      verification runs.
+    - ``"xxhash64"`` — pure JVM explode + codegen'd min-aggregation
+      (see _minhash_sigs_jvm): no Python workers at all; the
+      production default at scale.
+
+    Docs with < shingle_n tokens yield no shingles and are dropped.
     """
-    sig_udf = _minhash_sig_udf(k, shingle_n)
+    from .similarity import ensure_parallelism
+
+    # tiny corpora read as one parquet split → the whole shingle+hash
+    # stage would run on one task; fan out proportional to input bytes
+    # (no-op at real scale — see ensure_parallelism)
+    df = ensure_parallelism(df)
+    if hash == "xxhash64":
+        return _minhash_sigs_jvm(df, text_col, id_col, k, shingle_n)
+    if hash != "md5":
+        raise ValueError(f"unknown hash engine: {hash!r}")
+    sig = _minhash_sig_udf(k, shingle_n)(F.col(text_col))
     return (
-        df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
         .filter(F.col("sig").isNotNull())
     )
 
@@ -141,6 +209,7 @@ def minhash_lsh_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, exact-verified.
 
@@ -156,17 +225,19 @@ def minhash_lsh_pairs(
     so no salting needed; r=k/bands rows per band tunes the S-curve.
     """
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, hash=hash)
+    if hash == "xxhash64":
+        # band key needs no oracle parity — keep the production path
+        # fully JVM-native (one xxhash64 per band, no md5 anywhere)
+        def band_key(b):
+            return F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r)), F.lit(b))
+    else:
+        def band_key(b):
+            return hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
+
     banded = sigs.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -255,6 +326,7 @@ def ngram_jaccard_pairs(
     candidates: str = "lsh",
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
+    hash: str = "md5",
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs, exact-scored.
 
@@ -278,7 +350,8 @@ def ngram_jaccard_pairs(
         if max_doc_freq is not None:
             raise ValueError("max_doc_freq applies to candidates='all' only")
         return minhash_lsh_pairs(
-            df, text_col, id_col, k=k, bands=bands, shingle_n=n, threshold=threshold
+            df, text_col, id_col, k=k, bands=bands, shingle_n=n,
+            threshold=threshold, hash=hash,
         )
     if candidates != "all":
         raise ValueError(f"unknown candidates plan: {candidates!r}")

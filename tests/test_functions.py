@@ -113,6 +113,48 @@ class TestDedup:
         assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
         assert pairs[0].jaccard > 0.5
 
+    def test_minhash_xxhash64_equivalent_pairs(self, spark):
+        """Production (pure-JVM xxhash64) and oracle (Arrow md5) hash
+        engines are different hash families, so candidate recall can
+        differ near the S-curve knee — but on clear duplicates (always
+        candidates: identical docs share every band under any hash) and
+        clear non-duplicates both must produce the identical verified
+        pair set, with identical exact Jaccard scores."""
+        from nekton_spark.functions.dedup import minhash_lsh_pairs
+
+        texts = (
+            ["the quick brown fox jumps over the lazy dog today"] * 3
+            + ["pack my box with five dozen liquor jugs now"] * 2
+            + [
+                "unique document number one about topic alpha beta gamma",
+                "another completely different text entirely here right now",
+            ]
+        )
+        df = docs_df(spark, texts)
+        expected = {(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (3, 4, 1.0)}
+        md5_pairs = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+        }
+        xxh_pairs = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_lsh_pairs(df, threshold=0.5, hash="xxhash64").collect()
+        }
+        assert md5_pairs == expected
+        assert xxh_pairs == expected
+
+    def test_minhash_xxhash64_signature_shape(self, spark):
+        from nekton_spark.functions.dedup import DEFAULT_K, minhash_signatures
+        from nekton_spark.functions.hashing import REHASH_MASK
+
+        df = docs_df(spark, ["w1 w2 w3 w4 w5", "w1 w2 w3 w4 w5", "a b", ""])
+        rows = minhash_signatures(df, hash="xxhash64").orderBy("id").collect()
+        # docs 2 ("a b": < 3 tokens) and 3 (empty) are dropped
+        assert [r.id for r in rows] == [0, 1]
+        assert rows[0].sig == rows[1].sig
+        assert len(rows[0].sig) == DEFAULT_K
+        assert all(0 <= v <= REHASH_MASK for v in rows[0].sig)
+
     def test_simhash_short_docs(self, spark):
         from nekton_spark.functions.dedup import simhash
 
