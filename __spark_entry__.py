@@ -787,6 +787,13 @@ def dedup_simhash(spark, sf):
     return dedup.simhash_dedup(_t(spark, sf, "documents"))
 
 
+def dedup_simhash_hamming(spark, sf):
+    """Hamming-tolerant SimHash near-dup pairs: banded 60-bit simhash,
+    exact recall for Hamming <= bands-1 by pigeonhole, xor/popcount
+    verification — all codegen'd JVM expressions."""
+    return dedup.simhash_near_dup_pairs(_t(spark, sf, "documents"))
+
+
 def dedup_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.15)
 
@@ -843,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_xxh": dedup_minhash_xxh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_hamming": dedup_simhash_hamming,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
@@ -962,20 +970,43 @@ def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
     return f"WITH {_minhash_ctes(threshold, k, bands)}\nSELECT id_a, id_b, jaccard FROM mpairs"
 
 
-def _simhash_sql(bits: int = 32) -> str:
+def _simhash_ctes(bits: int) -> str:
+    """CTE chain ending in ``sh_t(doc_id, sh)`` — the packed simhash."""
     h_tok = _H("t", "0")
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> {b}) & 1) = 1)) > len(hs) "
         f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
         for b in range(bits)
     )
-    return f"""
-WITH hs_t AS (
+    return f"""hs_t AS (
   SELECT doc_id, list_transform({_TOKS}, t -> {h_tok}) AS hs FROM documents
 ), sh_t AS (
   SELECT doc_id, ({terms}) AS sh FROM hs_t
+)"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    return (
+        f"WITH {_simhash_ctes(bits)}\n"
+        "SELECT sh, min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs FROM sh_t GROUP BY sh"
+    )
+
+
+def _simhash_hamming_sql(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    r = bits // bands
+    mask = (1 << r) - 1
+    band_list = ", ".join(str(b) for b in range(bands))
+    key_list = ", ".join(f"(sh >> {b * r}) & {mask}" for b in range(bands))
+    return f"""
+WITH {_simhash_ctes(bits)}, banded AS (
+  SELECT doc_id, sh, unnest([{band_list}]) AS band, unnest([{key_list}]) AS key FROM sh_t
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )
-SELECT sh, min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs FROM sh_t GROUP BY sh
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming FROM cand
+) WHERE hamming <= {max_hamming}
 """
 
 
@@ -1472,6 +1503,7 @@ FROM documents GROUP BY fp
 """,
         "dedup_minhash_lsh": _minhash_sql(threshold=0.1),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_hamming": _simhash_hamming_sql(),
         # bounded default plan: LSH candidates, exact-verified (the
         # exhaustive inverted-index plan is oracled by dedup_ngram_dfcut)
         "dedup_ngram_jaccard": _minhash_sql(threshold=0.15),

@@ -164,6 +164,33 @@ class TestDedup:
         assert rows[0].sh != rows[2].sh
         assert all(0 <= r.sh < 2**32 for r in rows)
 
+    def test_simhash_hamming_pairs(self, spark):
+        """Identical docs are always candidates (all bands equal) with
+        hamming 0; every emitted pair respects the bound; recall for
+        hamming <= bands-1 is exact by pigeonhole, checked against a
+        brute-force popcount over all pairs."""
+        from nekton_spark.functions.dedup import simhash, simhash_near_dup_pairs
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog today ok fine",
+            "the quick brown fox jumps over the lazy dog today ok fine",
+            "pack my box with five dozen liquor jugs right now please",
+            "a completely different document about other various topics here",
+        ]
+        df = docs_df(spark, texts)
+        got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(df).collect()}
+        assert got[(0, 1)] == 0
+        assert all(h <= 3 for h in got.values())
+        # brute-force ground truth for the exact-recall guarantee
+        sh = {r.id: r.sh for r in df.select(F.col("doc_id").alias("id"), simhash(F.col("text"), 60).alias("sh")).collect()}
+        want = {
+            (a, b)
+            for a in sh
+            for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+        }
+        assert set(got) == want
+
     def test_ngram_jaccard_exact_value(self, spark):
         from nekton_spark.functions.dedup import ngram_jaccard_pairs
 
