@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from nekton_spark.functions import dedup, similarity
 from nekton_spark.functions import text_analysis as ta
 from nekton_spark.functions.hashing import hash60_sql
-from nekton_spark.functions.multimodal import decode_image, media_features, media_from_text
+from nekton_spark.functions.multimodal import (
+    decode_audio,
+    decode_image,
+    media_features,
+    media_from_text,
+    synth_wav_media,
+)
 from nekton_spark.operators.timeseries import asof_join
 
 SF0001 = "/root/testdata/sf0.001"
@@ -834,6 +840,24 @@ def multimodal_decode(spark, sf):
     return dec.select("doc_id", "dec_height", "dec_width", F.size("pixels").alias("n_pixels"))
 
 
+def audio_features(spark, sf):
+    """REAL WAV codec round trip: synthesize genuine RIFF/PCM16 bytes
+    (stdlib wave writer), parse them back (stdlib wave reader), derive
+    rate/duration/RMS. The DuckDB oracle recomputes the expected
+    features from the synthesis closed form — any corruption in the
+    encode or decode path breaks the hash match."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_audio(synth_wav_media(d))
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_ms", 3).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -857,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
+        "audio_features": audio_features,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
         "distinct_customers_per_segment": distinct_customers_per_segment,
@@ -1564,4 +1589,24 @@ SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
 FROM documents
 """,
         # multimodal_decode: no oracle (numpy RNG in the fake decoder) → rows-only check
+        # audio_features: the oracle recomputes every decoded feature
+        # from the synthesis closed form s_i = (key*7919 + i*104729)
+        # % 65536 - 32768 (n = 256 + key%256 frames at 8 kHz) — the
+        # Spark side must round-trip genuine WAV bytes to match.
+        "audio_features": """
+SELECT doc_id,
+       8000::INT AS sample_rate,
+       1::INT AS n_channels,
+       (256 + doc_id % 256)::INT AS n_samples,
+       round(((256 + doc_id % 256) * 1000.0) / 8000, 3) AS duration_ms,
+       round(sqrt(
+         list_reduce(
+           list_transform(
+             list_transform(range(0, (256 + doc_id % 256)::INT),
+                            i -> ((doc_id * 7919 + i * 104729) % 65536 - 32768)::DOUBLE),
+             v -> v * v),
+           (a, b) -> a + b)
+         / (256 + doc_id % 256)), 6) AS rms
+FROM documents
+""",
     }

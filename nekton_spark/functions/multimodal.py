@@ -14,12 +14,16 @@ need — column pruning keeps metadata-only pipelines from reading
 payload bytes at all).
 
 Decode / feature-extraction run as Arrow-batched ``mapInPandas``
-operators. The image/audio codec libraries are not in this container,
-so the decode kernels are STUBS: ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (payload-hash-derived "pixels") exercises
-the full Spark plumbing — schema, batching, partitioning — which *is*
-real and tested.
+operators. Audio (WAV) decoding is REAL — stdlib ``wave`` needs no
+external codec: :func:`decode_audio` parses PCM headers and samples
+and derives sample-rate/duration/RMS features, verified bit-exactly
+against a DuckDB oracle that recomputes them from the synthesis
+closed form (:func:`synth_wav_media`). Image/video codec libraries
+are not in this container, so those decode kernels are STUBS:
+``decode_image`` raises ``NotImplementedError`` unless ``fake=True``,
+in which case a deterministic fake decoder (payload-hash-derived
+"pixels") exercises the full Spark plumbing — schema, batching,
+partitioning — which *is* real and tested.
 """
 
 from __future__ import annotations
@@ -106,6 +110,96 @@ def decode_image(
                 for m in pdf[media_col]
             ]
             yield pdf.assign(pixels=pixels, dec_height=height, dec_width=width)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _synth_samples(key: int, n: int) -> "np.ndarray":
+    """Closed-form deterministic PCM16 samples for key-derived test
+    audio: s_i = ((key*7919 + i*104729) mod 65536) - 32768. Pure
+    integer math so a SQL oracle can recompute the expected decode
+    features without ever seeing the bytes."""
+    i = np.arange(n, dtype=np.int64)
+    return ((key * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+
+
+def synth_wav_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL mono PCM16 WAV payload per row (stdlib ``wave``
+    writer): 8 kHz, 256 + key%256 frames of :func:`_synth_samples`.
+    The audio-pipeline fixture — testdata ships no audio, so the
+    payload is synthesized, but the bytes are genuine RIFF/WAVE that
+    any decoder accepts."""
+    import io
+    import wave
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            n = 256 + key % 256
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(_synth_samples(key, n).tobytes())
+            return {
+                "payload": buf.getvalue(),
+                "mime": "audio/wav",
+                "meta": {"origin": "synth"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL audio decode (stdlib ``wave`` — no external codec): parse
+    the WAV header and PCM16 samples, derive
+
+    - ``sample_rate``, ``n_channels``, ``n_samples`` (header/frames)
+    - ``duration_ms`` = n_samples * 1000 / rate
+    - ``rms`` = sqrt(mean(sample²)) over int16 samples
+
+    Arrow-batched ``mapInPandas``; rounding is left to the caller's
+    JVM-side ``F.round`` (numpy rounds half-even, Spark/DuckDB
+    half-up). Sample-square sums stay < 2^53, so the double math is
+    exact and bit-reproducible against a SQL oracle."""
+    import io
+    import wave
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("n_samples", T.IntegerType(), True),
+            T.StructField("duration_ms", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(m: dict) -> tuple:
+            with wave.open(io.BytesIO(m["payload"]), "rb") as w:
+                rate, nch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+                raw = w.readframes(n)
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            sq = int((s * s).sum())
+            rms = float(np.sqrt(sq / len(s))) if len(s) else 0.0
+            return rate, nch, n, n * 1000.0 / rate, rms
+
+        for pdf in batches:
+            cols = pdf[media_col].map(one)
+            yield pdf.assign(
+                sample_rate=cols.map(lambda t: t[0]),
+                n_channels=cols.map(lambda t: t[1]),
+                n_samples=cols.map(lambda t: t[2]),
+                duration_ms=cols.map(lambda t: t[3]),
+                rms=cols.map(lambda t: t[4]),
+            )
 
     return df.mapInPandas(run, out_schema)
 

@@ -285,6 +285,30 @@ class TestMultimodal:
         assert r.n_bytes == 4
         assert r.media_class == "image"
 
+    def test_wav_codec_round_trip(self, spark):
+        """Real WAV bytes: the payload must be a parseable RIFF/WAVE
+        file whose decoded features match the synthesis closed form."""
+        import math
+
+        from nekton_spark.functions.multimodal import (
+            _synth_samples,
+            decode_audio,
+            synth_wav_media,
+        )
+
+        df = spark.createDataFrame([(7,), (300,)], "doc_id long")
+        rows = {r.doc_id: r for r in decode_audio(synth_wav_media(df)).collect()}
+        for key in (7, 300):
+            n = 256 + key % 256
+            s = _synth_samples(key, n).astype("int64")
+            r = rows[key]
+            assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, n)
+            assert r.duration_ms == n * 1000.0 / 8000
+            assert r.rms == math.sqrt(int((s * s).sum()) / n)
+            # and the raw bytes really are a WAV file
+            assert r.media["payload"][:4] == b"RIFF"
+            assert r.media["payload"][8:12] == b"WAVE"
+
 
 class TestAsofJoin:
     def test_backward_inclusive(self, spark):
