@@ -840,6 +840,27 @@ def multimodal_decode(spark, sf):
     return dec.select("doc_id", "dec_height", "dec_width", F.size("pixels").alias("n_pixels"))
 
 
+def neardup_time_horizon(spark, sf):
+    """Batch twin of the streaming near-dup operator
+    (nekton_spark/streaming/neardup.py): identical plan — banded
+    minhash self-join bounded to a time horizon, one emission per pair
+    by the first-shared-band rule — run over documents with synthetic
+    event times (doc_id-spaced 37 s apart). The streaming path itself
+    is exercised by tests/test_streaming.py::TestStreamingNearDup
+    (watermark eviction + replay idempotence + batch equivalence)."""
+    from nekton_spark.streaming.neardup import streaming_minhash_near_dup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 37).alias("ts"),
+    )
+    out = streaming_minhash_near_dup(d, delay="60 minutes", threshold=0.1)
+    return out.select(
+        "id_a", "id_b", F.unix_timestamp("ts").alias("ts_epoch"), "jaccard"
+    )
+
+
 def audio_features(spark, sf):
     """REAL WAV codec round trip: synthesize genuine RIFF/PCM16 bytes
     (stdlib wave writer), parse them back (stdlib wave reader), derive
@@ -882,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
         "audio_features": audio_features,
+        "neardup_time_horizon": neardup_time_horizon,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
         "distinct_customers_per_segment": distinct_customers_per_segment,
@@ -1589,6 +1611,13 @@ SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
 FROM documents
 """,
         # multimodal_decode: no oracle (numpy RNG in the fake decoder) → rows-only check
+        "neardup_time_horizon": f"""
+WITH {_minhash_ctes(0.1)}
+SELECT id_a, id_b,
+       (1704067200 + greatest(id_a, id_b) * 37)::BIGINT AS ts_epoch,
+       jaccard
+FROM mpairs WHERE abs(id_a - id_b) * 37 <= 3600
+""",
         # audio_features: the oracle recomputes every decoded feature
         # from the synthesis closed form s_i = (key*7919 + i*104729)
         # % 65536 - 32768 (n = 256 + key%256 frames at 8 kHz) — the

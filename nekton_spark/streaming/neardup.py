@@ -1,0 +1,116 @@
+"""Streaming near-duplicate detection under a watermark (SURVEY §7
+hard-part 5 — the reference is stateless record-at-a-time with no
+event time at all; this is the Structured-Streaming-native design).
+
+Shape: MinHash signatures are a map-only Arrow-batched projection (no
+aggregation — streaming forbids pre-join aggregates), band keys
+explode to ``bands`` rows/doc, and candidates meet in a watermarked
+stream-stream self equi-join on (band, key) with an event-time range
+bound — Spark's state store then evicts join state older than the
+watermark horizon, which is exactly the "near-dup within a time
+horizon" semantics a 100 TB/day ingest pipeline wants. Verification
+is exact Jaccard over the carried shingle sets (codegen'd
+array_intersect — candidates only, never all pairs).
+
+A pair sharing m bands would be emitted m times; instead of a second
+stateful operator to collapse them (chaining a dedup store after a
+stream-stream join trips Spark's multiple-watermark restrictions and
+doubles the state), emission is made unique BY CONSTRUCTION: both
+signatures travel through the join and only the row whose band index
+equals the pair's first shared band survives. One output row per
+pair, zero extra state.
+
+The operator is streaming/batch-unified: on a batch frame the same
+plan runs with plain ``dropDuplicates``, which is what the
+batch-equivalence test checks against ``minhash_lsh_pairs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_K,
+    _distinct_shingles_udf,
+    _minhash_sig_udf,
+)
+from ..functions.hashing import hash60
+
+__all__ = ["streaming_minhash_near_dup"]
+
+
+def streaming_minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, ts, jaccard) among docs whose event
+    times lie within ``delay`` of each other; ``ts`` is the later of
+    the pair. Join-buffer state is bounded by the watermark; exactly
+    one row per pair is emitted (first-shared-band rule)."""
+    r = k // bands
+    sig_udf = _minhash_sig_udf(k, shingle_n)
+    sh_udf = _distinct_shingles_udf(shingle_n)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        sig_udf(F.col(text_col)).alias("sig"),
+        sh_udf(F.col(text_col)).alias("sh"),
+    ).filter(F.col("sig").isNotNull())
+    banded = base.select(
+        "id",
+        "ts",
+        "sig",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    if df.isStreaming:
+        banded = banded.withWatermark("ts", delay)
+    left, right = banded.alias("l"), banded.alias("r")
+    # the explicit two-sided time bound is what lets the stream-stream
+    # join evict buffered rows once the watermark passes the horizon
+    joined = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & (F.col("l.id") < F.col("r.id"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
+    )
+    # exactly-once emission per pair: keep only the first band whose
+    # signature slices agree (exact slice comparison, not the hash)
+    first_shared = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.slice(F.col("l.sig"), b * r + 1, r)
+            == F.slice(F.col("r.sig"), b * r + 1, r),
+        ),
+        1,
+    )
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    return (
+        joined.filter(F.col("l.band") == first_shared)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.greatest(F.col("l.ts"), F.col("r.ts")).alias("ts"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

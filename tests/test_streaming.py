@@ -144,6 +144,93 @@ output:
         assert vals == ["#one", "#two"]
 
 
+class TestStreamingNearDup:
+    DOCS = [
+        # (doc_id, ts, text): 1↔2 identical & close in time; 3 matches
+        # them but arrives beyond the horizon; 4/5 near-dups in-window;
+        # 6 unrelated
+        (1, "2024-01-01 10:00:00", "the quick brown fox jumps over the lazy dog today"),
+        (2, "2024-01-01 10:03:00", "the quick brown fox jumps over the lazy dog today"),
+        (3, "2024-01-01 11:30:00", "the quick brown fox jumps over the lazy dog today"),
+        (4, "2024-01-01 10:01:00", "pack my box with five dozen liquor jugs right now"),
+        (5, "2024-01-01 10:05:00", "pack my box with five dozen liquor jugs right here"),
+        (6, "2024-01-01 10:02:00", "completely different content with other words entirely in it"),
+    ]
+    SCHEMA = "doc_id long, ts timestamp, text string"
+
+    def _df(self, spark, rows):
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), x) for i, t, x in rows
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def _write(self, spark, d):
+        self._df(spark, self.DOCS).coalesce(1).write.mode("overwrite").parquet(d)
+
+    def test_streaming_pairs_respect_horizon_and_match_batch(self, spark, tmp_path):
+        from nekton_spark.streaming.neardup import streaming_minhash_near_dup
+
+        d = str(tmp_path / "docs")
+        self._write(spark, d)
+        stream = spark.readStream.schema(self.SCHEMA).parquet(d)
+        out = run_stream(
+            streaming_minhash_near_dup(stream, delay="10 minutes", threshold=0.3),
+            "neardup_out",
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+        # 1-2 within 3 min (identical), 4-5 within 4 min (near-dup);
+        # doc 3 is identical to 1/2 but 87+ min later -> state evicted
+        assert set(got) == {(1, 2), (4, 5)}
+        assert got[(1, 2)] == 1.0
+        assert 0.3 <= got[(4, 5)] < 1.0
+
+        # batch-equivalence: same operator on the batch frame
+        batch = streaming_minhash_near_dup(
+            spark.read.parquet(d), delay="10 minutes", threshold=0.3
+        )
+        assert {(r.id_a, r.id_b): r.jaccard for r in batch.collect()} == got
+
+    def test_replay_idempotence(self, spark, tmp_path):
+        """Restarting from the checkpoint after new data arrives must
+        not re-emit pairs already produced (exactly-once surface)."""
+        from nekton_spark.streaming.neardup import streaming_minhash_near_dup
+
+        d = str(tmp_path / "docs")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        self._write(spark, d)
+
+        def run_once():
+            stream = spark.readStream.schema(self.SCHEMA).parquet(d)
+            q = (
+                streaming_minhash_near_dup(stream, delay="10 minutes", threshold=0.3)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_once()
+        first = {(r.id_a, r.id_b) for r in spark.read.parquet(out_dir).collect()}
+        assert first == {(1, 2), (4, 5)}
+
+        # two more near-dup docs land in a new file; replay from ckpt
+        extra = [
+            (7, "2024-01-01 12:00:00", "some brand new duplicated sentence appears twice here ok"),
+            (8, "2024-01-01 12:04:00", "some brand new duplicated sentence appears twice here ok"),
+        ]
+        self._df(spark, extra).coalesce(1).write.mode("append").parquet(d)
+        run_once()
+        rows = spark.read.parquet(out_dir).collect()
+        assert len(rows) == len({(r.id_a, r.id_b) for r in rows}) == 3
+        assert {(r.id_a, r.id_b) for r in rows} == {(1, 2), (4, 5), (7, 8)}
+
+
 class TestHttpSource:
     def test_http_post_to_stream(self, spark, tmp_path):
         import random
