@@ -13,9 +13,18 @@ Reference semantics reproduced:
 - KafkaOut keys each record by message metadata ``partition_key``
   defaulting to ``"0"`` (``src/kafka.rs:133``).
 
+- ``consume_count`` (the reference's bounded-read test hook,
+  ``src/kafka.rs:87-92``) maps to ``max_offsets_per_trigger``: the
+  Structured-Streaming-native bound (records per micro-batch rather
+  than per run).
+
 The kafka connector jar (spark-sql-kafka) is not bundled in this
-image, so construction is attempted lazily and surfaces a clear error
-if the classpath lacks it; unit tests cover the option-plumbing only.
+image, so the ``"kafka"`` provider surfaces a classpath error if
+constructed here; the full source→pipeline→sink round trip (and the
+negative test) run against the ``"fakekafka"`` provider — a
+file-backed broker double with the connector's exact wire schema and
+option surface (see sources/fakekafka.py). Both providers exercise
+the SAME projection/option plumbing below.
 """
 
 from __future__ import annotations
@@ -26,11 +35,12 @@ from pyspark.sql import functions as F
 from ..registry import register_sink, register_source
 
 
-def _apply_config(reader, config: dict[str, str] | None):
+def _apply_config(reader, config: dict[str, str] | None, prefix: bool = True):
     # reference passes librdkafka config verbatim (src/kafka.rs:44-46);
-    # we pass kafka.* options verbatim to the Spark connector.
+    # we pass kafka.* options verbatim to the Spark connector. The fake
+    # provider takes its options unprefixed (broker_dir etc.).
     for k, v in (config or {}).items():
-        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        key = k if (not prefix or k.startswith("kafka.")) else f"kafka.{k}"
         reader = reader.option(key, v)
     return reader
 
@@ -42,11 +52,16 @@ def kafka_source(
     config: dict[str, str] | None = None,
     stream: bool = True,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    provider: str = "kafka",
 ) -> DataFrame:
     subscribe = ",".join(topics) if isinstance(topics, list) else topics
-    reader = (spark.readStream if stream else spark.read).format("kafka")
+    reader = (spark.readStream if stream else spark.read).format(provider)
     reader = reader.option("subscribe", subscribe).option("startingOffsets", starting_offsets)
-    reader = _apply_config(reader, config)
+    if max_offsets_per_trigger is not None:
+        # consume_count analog (src/kafka.rs:87-92): bound the read
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = _apply_config(reader, config, prefix=provider == "kafka")
     df = reader.load()
     # record payload → message value; kafka partition/offset becomes batch id
     return df.select(
@@ -63,18 +78,22 @@ def kafka_sink(
     topic: str,
     config: dict[str, str] | None = None,
     checkpoint: str | None = None,
+    provider: str = "kafka",
 ):
     """Key from metadata['partition_key'] else "0" (src/kafka.rs:133)."""
     out = df.select(
         F.coalesce(F.col("metadata").getItem("partition_key"), F.lit("0")).alias("key"),
         F.col("value").cast("string").alias("value"),
     )
+    prefix = provider == "kafka"
     if out.isStreaming:
-        writer = out.writeStream.format("kafka").option("topic", topic)
+        writer = out.writeStream.format(provider).option("topic", topic)
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
-        writer = _apply_config(writer, config)
+        writer = _apply_config(writer, config, prefix=prefix)
         return writer.start()
-    writer = _apply_config(out.write.format("kafka").option("topic", topic), config)
+    writer = _apply_config(
+        out.write.format(provider).option("topic", topic), config, prefix=prefix
+    )
     writer.save()
     return None
