@@ -72,13 +72,83 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log diameter) rounds where min-label
+    propagation needs O(diameter), so chain-shaped dup graphs (doc A ~
+    doc B ~ doc C ... without A ~ C) stop costing one shuffle round
+    per hop.
+
+    Round = two join+agg stages over the edge set only (no vertex
+    frame in the loop): large-star hangs every larger neighbor off
+    each node's minimum, small-star then flattens the remaining small
+    edges. The fixpoint is a star forest with every member pointing
+    directly at its component's minimum id. Edge state is
+    checkpointed per round (lineage would otherwise double); the
+    driver sees one convergence scalar per round.
+    """
+    u, v = F.col("u"), F.col("v")
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(u != v)
+        .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # large-star: emit (bigger-neighbor → min of closed neighborhood)
+        sym = e.union(e.select(v.alias("u"), u.alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: flatten each node's remaining neighbors (all
+        # smaller, by construction above) onto its minimum
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        flattened = (
+            large.join(m2, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(u != v)
+        )
+        hung = m2.select("u", F.col("m").alias("v"))
+        new_e = flattened.union(hung).distinct().localCheckpoint(eager=True)
+        converged = (
+            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
+        )
+        e = new_e
+        if converged:
+            break
+    ptr = e.select(u.alias("id"), v.alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(ptr, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def dedup_components(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "star",
 ) -> DataFrame:
-    """Cluster docs by near-dup pairs; (doc_id, component, is_representative)."""
-    labels = connected_components(
+    """Cluster docs by near-dup pairs; (doc_id, component,
+    is_representative). ``algorithm="star"`` (default — O(log d)
+    rounds) or ``"label"`` (min-label propagation, O(d) rounds; fine
+    when dup clusters are known to be tiny cliques)."""
+    impl = connected_components_star if algorithm == "star" else connected_components
+    labels = impl(
         df.select(id_col), pairs, id_col=id_col, src_col="id_a", dst_col="id_b"
     )
     return labels.select(

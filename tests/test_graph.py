@@ -2,15 +2,19 @@
 
 from pyspark.sql import functions as F
 
-from nekton_spark.functions.graph import connected_components, dedup_components
+from nekton_spark.functions.graph import (
+    connected_components,
+    connected_components_star,
+    dedup_components,
+)
 
 
-def cc(spark, n_vertices, edge_list):
+def cc(spark, n_vertices, edge_list, impl=connected_components):
     v = spark.createDataFrame([(i,) for i in range(n_vertices)], "id long")
     e = spark.createDataFrame(edge_list or [(0, 0)], "id_a long, id_b long")
     if not edge_list:
         e = e.filter("false")
-    out = connected_components(v, e)
+    out = impl(v, e)
     return {r.id: r.component for r in out.collect()}
 
 
@@ -32,6 +36,38 @@ class TestConnectedComponents:
         n = 12  # diameter 11 → exercises the iteration loop
         got = cc(spark, n, [(i, i + 1) for i in range(n - 1)])
         assert got == {i: 0 for i in range(n)}
+
+    def test_star_equivalent_to_label_propagation(self, spark):
+        """large/small-star must produce the identical labeling on
+        chains, cliques, merged clusters, singletons, and a
+        pseudo-random graph."""
+        cases = [
+            (5, [(0, 1), (1, 2), (2, 3)]),
+            (6, [(1, 2), (3, 4), (4, 5)]),
+            (4, []),
+            (12, [(i, i + 1) for i in range(11)]),  # diameter 11
+            (8, [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (3, 7)]),
+            # deterministic pseudo-random: edges from a hash recurrence
+            (30, [((i * 7) % 30, (i * 13 + 5) % 30) for i in range(25) if (i * 7) % 30 != (i * 13 + 5) % 30]),
+        ]
+        for n, edges in cases:
+            assert cc(spark, n, edges, impl=connected_components_star) == cc(
+                spark, n, edges
+            ), f"divergence on n={n}, edges={edges}"
+
+    def test_star_long_chain_few_rounds(self, spark):
+        """O(log d) convergence: a 40-node path must resolve within
+        the default 15-round cap (min-label would need ~39)."""
+        n = 40
+        got = cc(spark, n, [(i, i + 1) for i in range(n - 1)], impl=connected_components_star)
+        assert got == {i: 0 for i in range(n)}
+
+    def test_dedup_components_star_default_matches_label(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        pairs = spark.createDataFrame([(0, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+        star = {(r.doc_id, r.component, r.is_representative) for r in dedup_components(docs, pairs).collect()}
+        label = {(r.doc_id, r.component, r.is_representative) for r in dedup_components(docs, pairs, algorithm="label").collect()}
+        assert star == label
 
     def test_dedup_components_representatives(self, spark):
         docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
