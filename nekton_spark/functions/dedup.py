@@ -50,8 +50,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     directly; callers that need full rows join on keep_id (broadcast
     when the survivor set is small).
     """
+    from .similarity import ensure_parallelism
+
     return (
-        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        ensure_parallelism(df)
+        .select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -309,8 +312,11 @@ def simhash(col: Column, bits: int = 32) -> Column:
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group docs by identical simhash (Hamming-tolerant variant:
     :func:`simhash_near_dup_pairs`)."""
+    from .similarity import ensure_parallelism
+
     return (
-        df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
         .groupBy("sh")
         .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -341,9 +347,11 @@ def simhash_near_dup_pairs(
     population, not pair volume, is the knob. Verification is a single
     codegen'd xor/popcount per candidate, no Python anywhere.
     """
+    from .similarity import ensure_parallelism
+
     r = bits // bands
     mask = (1 << r) - 1
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
     banded = base.select(

@@ -200,6 +200,22 @@ def sketch_udf(dim: int, n_bits: int = 16):
     return _sketch
 
 
+def _fold_dots(C: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """All-pairs dot products as the exact LEFT FOLD, dimension by
+    dimension: acc_j += C[:,j] ⊗ Q[:,j] in ascending j — the identical
+    addition sequence to ``cumsum(C[:,None,:]*Q[None,:,:],axis=2)[...,-1]``
+    (and to the DuckDB oracle's fold), but with O(n·m) working memory
+    instead of O(n·m·dim). The cumsum form allocated an (n, m, 64)
+    float64 temporary — ~800 MB per 1250-row bucket, which at the sf1
+    rehearsal turned embedding_near_dup into a 163 s allocation storm.
+    A BLAS matmul would be fastest but sums pairwise — different
+    rounding order, which would break oracle bit-parity."""
+    acc = np.zeros((C.shape[0], Q.shape[0]))
+    for j in range(C.shape[1]):
+        acc += C[:, j, None] * Q[None, :, j]
+    return acc
+
+
 def cosine_udf():
     """Arrow-batched cosine with exact left-fold sums (cumsum); rounding
     stays JVM-side (F.round) because numpy rounds half-even while
@@ -269,7 +285,7 @@ def lsh_topk(
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
         C = np.asarray([np.asarray(x) for x in cdf["v"]])
         Q = np.asarray([np.asarray(x) for x in qdf["v"]])
-        dots = np.cumsum(C[:, None, :] * Q[None, :, :], axis=2)[:, :, -1]
+        dots = _fold_dots(C, Q)
         nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
         nq = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
         S = dots / (nc[:, None] * nq[None, :])
@@ -336,7 +352,7 @@ def embedding_near_dup(
             return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
         V = np.asarray([np.asarray(x) for x in pdf["v"]])
         ids = pdf["id"].to_numpy()
-        dots = np.cumsum(V[:, None, :] * V[None, :, :], axis=2)[:, :, -1]
+        dots = _fold_dots(V, V)
         nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
         S = dots / (nv[:, None] * nv[None, :])
         ai, bi = np.nonzero(ids[:, None] < ids[None, :])
