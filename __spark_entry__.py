@@ -30,6 +30,7 @@ from nekton_spark.functions.multimodal import (
     decode_image,
     media_features,
     media_from_text,
+    synth_png_media,
     synth_wav_media,
 )
 from nekton_spark.operators.timeseries import asof_join
@@ -840,6 +841,32 @@ def multimodal_decode(spark, sf):
     return dec.select("doc_id", "dec_height", "dec_width", F.size("pixels").alias("n_pixels"))
 
 
+def image_decode(spark, sf):
+    """REAL PNG codec round trip: synthesize genuine PNG bytes (stdlib
+    zlib/struct encoder, scanline filters cycling None/Sub/Up/Average/
+    Paeth), parse + unfilter them back, fold the decoded pixels into
+    order-sensitive sums. The DuckDB oracle recomputes the expected
+    pixels from the synthesis closed form p(y,x) = (key*31 + y*17 +
+    x*7) % 256 — any corruption anywhere in the filter/deflate/CRC
+    round trip breaks the hash match."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_png_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        # position-weighted fold: catches any pixel-order scramble that
+        # a plain sum would miss
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def neardup_time_horizon(spark, sf):
     """Batch twin of the streaming near-dup operator
     (nekton_spark/streaming/neardup.py): identical plan — banded
@@ -902,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": embedding_near_dup,
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
+        "image_decode": image_decode,
         "audio_features": audio_features,
         "neardup_time_horizon": neardup_time_horizon,
         "topk_customers_per_nation": topk_customers_per_nation,
@@ -1611,6 +1639,24 @@ SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
 FROM documents
 """,
         # multimodal_decode: no oracle (numpy RNG in the fake decoder) → rows-only check
+        # image_decode: the oracle recomputes every decoded pixel from
+        # the synthesis closed form p(y,x) = (key*31 + y*17 + x*7) % 256
+        # with w = 8 + key%9, h = 8 + key%7 — the Spark side must
+        # round-trip genuine PNG bytes (filters, deflate, CRCs) to match.
+        "image_decode": """
+SELECT doc_id,
+       (8 + doc_id % 7)::INT AS dec_height,
+       (8 + doc_id % 9)::INT AS dec_width,
+       list_reduce(
+         list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9)),
+           i -> (doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9)),
+           i -> (i + 1) * ((doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM documents
+""",
         "neardup_time_horizon": f"""
 WITH {_minhash_ctes(0.1)}
 SELECT id_a, id_b,

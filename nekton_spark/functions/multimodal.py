@@ -14,13 +14,23 @@ need — column pruning keeps metadata-only pipelines from reading
 payload bytes at all).
 
 Decode / feature-extraction run as Arrow-batched ``mapInPandas``
-operators. Audio (WAV) decoding is REAL — stdlib ``wave`` needs no
-external codec: :func:`decode_audio` parses PCM headers and samples
-and derives sample-rate/duration/RMS features, verified bit-exactly
-against a DuckDB oracle that recomputes them from the synthesis
-closed form (:func:`synth_wav_media`). Image/video codec libraries
-are not in this container, so those decode kernels are STUBS:
-``decode_image`` raises ``NotImplementedError`` unless ``fake=True``,
+operators. Two codecs are REAL, needing no external library:
+
+- Audio (WAV): stdlib ``wave`` — :func:`decode_audio` parses PCM
+  headers and samples and derives sample-rate/duration/RMS features,
+  verified bit-exactly against a DuckDB oracle that recomputes them
+  from the synthesis closed form (:func:`synth_wav_media`).
+- Image (PNG): stdlib ``zlib``/``struct`` — :func:`synth_png_media`
+  writes genuine PNG files (signature, IHDR/IDAT/IEND chunks with
+  CRCs, per-scanline filters cycling through all five filter types),
+  and :func:`decode_image` parses and unfilters them back to pixels.
+  The DuckDB oracle recomputes the expected pixels from the synthesis
+  closed form, so any corruption in either direction of the
+  filter/deflate/CRC round trip breaks the hash match.
+
+Other formats (JPEG, video containers) need codec libraries absent
+from this container, so those kernels remain STUBS: ``decode_image``
+on a non-PNG mime raises ``NotImplementedError`` unless ``fake=True``,
 in which case a deterministic fake decoder (payload-hash-derived
 "pixels") exercises the full Spark plumbing — schema, batching,
 partitioning — which *is* real and tested.
@@ -85,15 +95,13 @@ def decode_image(
 ) -> DataFrame:
     """media → (…, pixels: array<int>, dec_height, dec_width).
 
-    Real decoding needs an image codec library (not in this container):
-    pass fake=True for the deterministic stub. The mapInPandas plumbing
-    (Arrow batches of binary, flat pixel output) is identical for both.
+    PNG payloads (mime ``image/png``) decode for REAL via the stdlib
+    zlib/struct parser (:func:`_png_decode`); ``height``/``width`` are
+    ignored for them (dimensions come from IHDR). Other formats need
+    codec libraries this container lacks: pass fake=True for the
+    deterministic stub decoder. The mapInPandas plumbing (Arrow batches
+    of binary, flat pixel output) is identical for all paths.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "use fake=True for the deterministic stub decoder"
-        )
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -104,12 +112,181 @@ def decode_image(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(m: dict) -> tuple:
+            if not fake:
+                if m["mime"] != "image/png":
+                    raise NotImplementedError(
+                        f"no codec for {m['mime']!r} in this environment; "
+                        "use fake=True for the deterministic stub decoder"
+                    )
+                pix = _png_decode(m["payload"])
+            else:
+                pix = _fake_decode(m["payload"], height, width)
+            return pix.ravel().astype(np.int64).tolist(), pix.shape[0], pix.shape[1]
+
         for pdf in batches:
-            pixels = [
-                _fake_decode(m["payload"], height, width).ravel().tolist()
-                for m in pdf[media_col]
-            ]
-            yield pdf.assign(pixels=pixels, dec_height=height, dec_width=width)
+            cols = pdf[media_col].map(one)
+            yield pdf.assign(
+                pixels=cols.map(lambda t: t[0]),
+                dec_height=cols.map(lambda t: t[1]),
+                dec_width=cols.map(lambda t: t[2]),
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec 9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(pix: np.ndarray) -> bytes:
+    """Genuine grayscale-8 PNG bytes for an (h, w) uint8 array. Each
+    scanline y uses filter type y % 5, so a payload round trip
+    exercises None/Sub/Up/Average/Paeth encode AND decode paths."""
+    import struct
+    import zlib as _z
+
+    h, w = pix.shape
+    prev = np.zeros(w, dtype=np.int64)
+    raw = bytearray()
+    for y in range(h):
+        cur = pix[y].astype(np.int64)
+        f = y % 5
+        left = np.concatenate(([0], cur[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = cur - left
+        elif f == 2:
+            out = cur - prev
+        elif f == 3:
+            out = cur - (left + prev) // 2
+        else:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int64,
+                count=w,
+            )
+            out = cur - pred
+        raw.append(f)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Parse grayscale-8 PNG bytes back to an (h, w) uint8 array:
+    validate signature + chunk CRCs, inflate concatenated IDATs,
+    invert all five scanline filters."""
+    import struct
+    import zlib as _z
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, w = 8, bytearray(), 0
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = bytes(payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, _h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if (depth, ctype) != (8, 0):
+                raise NotImplementedError("only grayscale-8 PNGs supported")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = _z.decompress(bytes(idat))
+    stride = w + 1
+    h = len(raw) // stride
+    out = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        f, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        cur = np.zeros(w, dtype=np.int64)
+        for x in range(w):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            elif f == 4:
+                pred = _paeth(int(a), int(b), int(c))
+            else:
+                raise ValueError(f"bad filter type {f}")
+            cur[x] = (data[x] + pred) % 256
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def _synth_pixels(key: int) -> np.ndarray:
+    """Closed-form deterministic pixels for key-derived test images:
+    w = 8 + key%9, h = 8 + key%7, p(y,x) = (key*31 + y*17 + x*7) % 256.
+    Pure integer math so a SQL oracle can recompute the expected decode
+    output without ever seeing the bytes."""
+    w, h = 8 + key % 9, 8 + key % 7
+    y, x = np.mgrid[0:h, 0:w]
+    return ((key * 31 + y * 17 + x * 7) % 256).astype(np.uint8)
+
+
+def synth_png_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL grayscale PNG payload per row (stdlib zlib/struct
+    encoder, :func:`_png_encode`): genuine signature/IHDR/IDAT/IEND
+    bytes with CRCs that any PNG decoder accepts. The image-pipeline
+    fixture — testdata ships no images, so pixels come from the
+    :func:`_synth_pixels` closed form."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            return {
+                "payload": _png_encode(_synth_pixels(key)),
+                "mime": "image/png",
+                "meta": {"origin": "synth"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
 
     return df.mapInPandas(run, out_schema)
 

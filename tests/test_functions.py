@@ -262,12 +262,17 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_decode_requires_fake_flag(self, spark):
+    def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
+        """Non-PNG mimes still have no codec: the kernel raises at
+        execution (mapInPandas is lazy, so the error surfaces wrapped
+        in Spark's Python-worker exception)."""
+        from pyspark.errors import PythonException
+
         from nekton_spark.functions.multimodal import decode_image, media_from_text
 
-        media = media_from_text(docs_df(spark, ["x"]))
-        with pytest.raises(NotImplementedError):
-            decode_image(media)
+        media = media_from_text(docs_df(spark, ["x"]), mime="image/jpeg")
+        with pytest.raises(PythonException, match="no codec for 'image/jpeg'"):
+            decode_image(media).collect()
 
     def test_fake_decode_deterministic(self, spark):
         from nekton_spark.functions.multimodal import decode_image, media_from_text
@@ -308,6 +313,50 @@ class TestMultimodal:
             # and the raw bytes really are a WAV file
             assert r.media["payload"][:4] == b"RIFF"
             assert r.media["payload"][8:12] == b"WAVE"
+
+    def test_png_codec_round_trip_pure(self):
+        """Every scanline filter type (encoder cycles y % 5) must
+        invert exactly, for every w/h residue class the synth covers."""
+        from nekton_spark.functions.multimodal import (
+            _png_decode,
+            _png_encode,
+            _synth_pixels,
+        )
+
+        for key in range(70):  # covers all (key%9, key%7) shape combos + filters
+            pix = _synth_pixels(key)
+            back = _png_decode(_png_encode(pix))
+            assert back.shape == pix.shape
+            assert (back == pix).all()
+
+    def test_png_decode_rejects_corruption(self):
+        from nekton_spark.functions.multimodal import _png_decode, _png_encode, _synth_pixels
+
+        good = bytearray(_png_encode(_synth_pixels(5)))
+        good[30] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError, match="bad CRC"):
+            _png_decode(bytes(good))
+        with pytest.raises(ValueError, match="not a PNG"):
+            _png_decode(b"GIF89a....")
+
+    def test_png_codec_spark_round_trip(self, spark):
+        """Real PNG bytes through the full Spark path: synthesize,
+        decode, compare pixels to the closed form; payload must carry
+        the genuine PNG signature."""
+        from nekton_spark.functions.multimodal import (
+            _synth_pixels,
+            decode_image,
+            synth_png_media,
+        )
+
+        df = spark.createDataFrame([(3,), (40,)], "doc_id long")
+        rows = {r.doc_id: r for r in decode_image(synth_png_media(df)).collect()}
+        for key in (3, 40):
+            pix = _synth_pixels(key)
+            r = rows[key]
+            assert (r.dec_height, r.dec_width) == pix.shape
+            assert r.pixels == pix.ravel().tolist()
+            assert bytes(r.media["payload"][:8]) == b"\x89PNG\r\n\x1a\n"
 
 
 class TestAsofJoin:
