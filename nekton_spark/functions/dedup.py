@@ -238,6 +238,11 @@ def minhash_lsh_pairs(
         def band_key(b):
             return hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
 
+    # the self-join + verification would otherwise re-execute the whole
+    # signature DAG per branch; signatures are tiny (id + k longs), so
+    # materialize once (on a cluster, swap localCheckpoint for a
+    # reliable checkpoint dir)
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh"),
@@ -253,9 +258,26 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # exact-Jaccard verification only needs shingle sets for docs that
+    # survived banding — semi-join the corpus down to candidate ids
+    # BEFORE the shingle UDF runs. Candidates ≪ corpus at scale, so
+    # this turns the verify stage from O(corpus) to O(candidate docs);
+    # checkpointing the (small) result keeps the a/b branches from
+    # running the UDF twice.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
     shingle_set = _distinct_shingles_udf(shingle_n)
-    sh = df.select(F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh"))
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .join(cand_ids, "id", "left_semi")
+        .select("id", shingle_set(F.col("_txt")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     verified = (
