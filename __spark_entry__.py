@@ -642,6 +642,206 @@ def q18_large_orders(spark, sf):
     )
 
 
+def q07_volume_shipping(spark, sf):
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    ship year. Nation dims broadcast; the orders↔lineitem join is the
+    only large shuffle."""
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("sk"))
+        .join(n2, c.c_nationkey == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q08_market_share(spark, sf):
+    """TPC-H Q8 analog: NATION_3 suppliers' share of ECONOMY-part
+    revenue sold to EUROPE customers, by order year. The share is a
+    conditional-sum ratio over one aggregated frame — no second scan."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf, "nation")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    cust_region = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("snk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_region, o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q09_product_profit(spark, sf):
+    """TPC-H Q9 analog (testdata has no partsupp, so revenue stands in
+    for profit): revenue on parts named like '%red%' by supplier nation
+    and order year."""
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_profit"))
+    )
+
+
+def q12_late_shipments(spark, sf):
+    """TPC-H Q12 analog (testdata has no shipmode/commitdate): lines
+    shipped >60 days after order placement, bucketed by ship year and
+    split into urgent/non-urgent order counts."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13: distribution of customers by order count (left join
+    keeps zero-order customers; the double aggregation is two narrow
+    shuffles on already-reduced data)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
+    the revenue CTE feeds both the join and the max scalar subquery."""
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          FROM lineitem_v
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        """
+    )
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 analog: revenue from lines whose quantity is below
+    half the part's average — the correlated avg subquery becomes one
+    window over the part key (single shuffle, no self-join)."""
+    l = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    t = l.select(
+        "l_partkey", "l_quantity", "l_extendedprice", F.avg("l_quantity").over(w).alias("avg_qty")
+    )
+    return t.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q19_discounted_revenue(spark, sf):
+    """TPC-H Q19: OR-of-ANDs predicate across the part join — Catalyst
+    pushes the common part filter into the broadcast side."""
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q22_idle_customers(spark, sf):
+    """TPC-H Q22 analog: customers with above-average (positive)
+    balances and no recent orders (none since 2000-01-01 — every
+    customer has *some* order in the testdata, so the unfiltered
+    anti-join would be vacuously empty), per nation. The average
+    arrives as a broadcast scalar; the no-recent-orders test is a
+    left-anti join."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def scalar_subquery_above_avg(spark, sf):
     for t in ("orders",):
         _t(spark, sf, t).createOrReplaceTempView(f"{t}_v")
@@ -966,6 +1166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics": null_semantics,
         "events_sliding_window": events_sliding_window,
         "q18_large_orders": q18_large_orders,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q12_late_shipments": q12_late_shipments,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "scalar_subquery_above_avg": scalar_subquery_above_avg,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "events_interval_join": events_interval_join,
@@ -1481,6 +1690,101 @@ FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
       FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 270) big
 JOIN orders ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+        "q07_volume_shipping": """
+SELECT supp_nation, cust_nation, l_year, revenue FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate)::INT AS l_year,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  GROUP BY 1, 2, 3)
+""",
+        "q08_market_share": """
+SELECT year(o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+GROUP BY 1
+""",
+        "q09_product_profit": """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+        "q12_late_shipments": """
+SELECT year(l_shipdate)::INT AS ship_year,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+""",
+        "q13_customer_distribution": """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+        "q17_small_quantity_revenue": """
+WITH t AS (
+  SELECT l_quantity, l_extendedprice,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*)::BIGINT AS n_lines
+FROM t WHERE l_quantity < 0.5 * avg_qty
+""",
+        "q19_discounted_revenue": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "q22_idle_customers": """
+SELECT n_name, count(*)::BIGINT AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
 """,
         "scalar_subquery_above_avg": """
 SELECT o_orderpriority, count(*)::BIGINT AS n_above_avg
