@@ -101,6 +101,46 @@ def renumber(df: DataFrame) -> DataFrame:
     return df.withColumn("msg_idx", F.row_number().over(w).cast("long") - 1)
 
 
+BATCH_META_PREFIX = "batch."
+
+
+def with_batch_metadata(df: DataFrame, meta: dict[str, str]) -> DataFrame:
+    """Attach batch-level metadata (reference ``MessageBatch.metadata``,
+    ``src/lib.rs:33``).
+
+    The reference carries a per-batch map alongside the message vector
+    but never writes to it (SURVEY §1.1). The Spark-native encoding
+    keeps one schema for the whole pipeline: batch-scoped keys live in
+    the per-message ``metadata`` map under the reserved ``batch.``
+    prefix. Because every operator preserves ``metadata`` (1:1 ops via
+    withColumn, 1:N ops copy it to each child), batch metadata
+    survives any operator chain with no schema or operator changes —
+    and Parquet/Tungsten dictionary-encode the repeated values, so the
+    duplication is ~free at rest and cheap in flight."""
+    pairs = [p for k, v in meta.items() for p in (F.lit(BATCH_META_PREFIX + k), F.lit(v))]
+    merged = F.map_concat(F.coalesce(F.col("metadata"), F.create_map()), F.create_map(*pairs))
+    return df.withColumn("metadata", merged)
+
+
+def batch_metadata(df: DataFrame) -> DataFrame:
+    """Recover the batch-level map: one row per batch_id, with the
+    reserved prefix stripped — the read side of
+    :func:`with_batch_metadata`. ``first`` per batch is well-defined
+    because batch metadata is written batch-wide."""
+    batch_keys = F.map_filter(
+        F.coalesce(F.col("metadata"), F.create_map()),
+        lambda k, _: k.startswith(BATCH_META_PREFIX),
+    )
+    stripped = F.transform_keys(
+        batch_keys, lambda k, _: F.substring(k, len(BATCH_META_PREFIX) + 1, 2**30)
+    )
+    return (
+        df.select("batch_id", stripped.alias("batch_meta"))
+        .groupBy("batch_id")
+        .agg(F.first("batch_meta").alias("batch_meta"))
+    )
+
+
 def collect_batches(df: DataFrame) -> list[list[str]]:
     """Golden-test helper: materialize as list-of-batches of payloads."""
     rows = df.orderBy("batch_id", "msg_idx").select("batch_id", "value").collect()

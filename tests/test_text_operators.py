@@ -134,3 +134,36 @@ class TestDialectTranslation:
 
     def test_backslash(self):
         assert text.translate_replacement(r"a\b") == "a\\\\b"
+
+
+class TestBatchMetadata:
+    """Reference MessageBatch.metadata analog (src/lib.rs:33): batch-
+    scoped keys ride in the per-message map under the 'batch.' prefix
+    and survive any operator chain."""
+
+    def test_survives_fanout_chain(self, spark):
+        from nekton_spark.operators.messages import batch_metadata, with_batch_metadata
+
+        df = with_batch_metadata(
+            messages_df(spark, [["a,b", "c"], ["d,e"]]), {"origin": "test", "v": "1"}
+        )
+        out = text.replace(text.regex_split(df, re=","), to="X", **{"from": "d"})
+        # per-message rows all still carry the batch-scoped keys
+        rows = out.collect()
+        assert all(r.metadata["batch.origin"] == "test" for r in rows)
+        # and the batch-level view recovers one stripped map per batch
+        bm = {r.batch_id: r.batch_meta for r in batch_metadata(out).collect()}
+        assert bm == {0: {"origin": "test", "v": "1"}, 1: {"origin": "test", "v": "1"}}
+
+    def test_merges_with_existing_message_metadata(self, spark):
+        from pyspark.sql import functions as F
+
+        from nekton_spark.operators.messages import batch_metadata, with_batch_metadata
+
+        base = messages_df(spark, [["x"]]).withColumn(
+            "metadata", F.create_map(F.lit("partition_key"), F.lit("7"))
+        )
+        out = with_batch_metadata(base, {"job": "j1"})
+        r = out.first()
+        assert r.metadata == {"partition_key": "7", "batch.job": "j1"}
+        assert batch_metadata(out).first().batch_meta == {"job": "j1"}
