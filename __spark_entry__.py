@@ -1020,6 +1020,16 @@ def ann_topk_lsh(spark, sf):
     return similarity.lsh_topk(emb, q, k=5)
 
 
+def ann_topk_ivf(spark, sf):
+    """IVF-flat ANN: deterministic centroid sample, map-side argmax
+    assignment, n_probe-list search (similarity.ivf_topk). The oracle
+    replays the identical algorithm in SQL — same centroids, same
+    bit-exact fold cosine, same tie-breaks."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, q, k=5, centroid_stride=50, n_probe=2)
+
+
 def embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.5)
 
@@ -1126,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
@@ -1912,6 +1923,45 @@ WITH base AS (
   FROM cand
   JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) qq ON query_id = qq.vec_id
   JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) cc ON neighbor_id = cc.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+        # ann_topk_ivf: SQL replay of the exact IVF algorithm —
+        # deterministic centroid sample (id % 50 = 0), argmax
+        # assignment by the same left-fold cosine, top-2 probed lists,
+        # exact re-score within them
+        "ann_topk_ivf": f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT id AS cid, v AS cv FROM base WHERE id % 50 = 0
+), asg AS (
+  SELECT id, v AS nv, cid FROM (
+    SELECT b.id, b.v, c.cid,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY ({_unrolled_dot('v', 'cv')})
+                      / (sqrt({_unrolled_dot('v', 'v')}) * sqrt({_unrolled_dot('cv', 'cv')}))
+                      DESC, c.cid) AS rn
+    FROM base b, cent c) WHERE rn = 1
+), probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT b.id AS query_id, b.v AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY b.id
+             ORDER BY ({_unrolled_dot('v', 'cv')})
+                      / (sqrt({_unrolled_dot('v', 'v')}) * sqrt({_unrolled_dot('cv', 'cv')}))
+                      DESC, c.cid) AS rn
+    FROM base b, cent c WHERE b.id < 10) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, a.id AS neighbor_id,
+         round(({_unrolled_dot('qv', 'nv')})
+               / (sqrt({_unrolled_dot('qv', 'qv')}) * sqrt({_unrolled_dot('nv', 'nv')})), 6)
+           AS score
+  FROM probe p JOIN asg a ON p.cid = a.cid
+  WHERE p.query_id != a.id
 )
 SELECT query_id, neighbor_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank

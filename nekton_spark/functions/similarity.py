@@ -312,6 +312,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int = 50,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    centroid-owned lists, search only the ``n_probe`` lists nearest to
+    each query.
+
+    Stages, sized for the 100 TB shape:
+
+    1. **Centroids**: the deterministic sample ``id % centroid_stride
+       == 0`` (≈ n/stride centroids — IVF's usual √n-ish regime when
+       stride tracks √n). No k-means iterations: a fixed pseudo-random
+       sample is the textbook "IVF-flat with random seeds" baseline,
+       and determinism is what lets a SQL oracle replay the exact
+       algorithm. The centroid set is broadcast (small).
+    2. **Assignment** (the n×C dot products every IVF build pays):
+       broadcast join + Arrow-batched exact-fold cosine, then
+       ``max_by`` argmax — partial aggregation runs map-side, so the
+       shuffle carries ONE row per corpus vector, not n×C rows.
+    3. **Probe + search**: queries score the broadcast centroids the
+       same way, keep ``n_probe`` lists, and join assignments on the
+       centroid id — the only corpus-sized shuffle keys on centroid id
+       with list-sized fan-out. Exact cosine re-scores candidates;
+       top-k by (rounded score desc, neighbor id).
+
+    Approximation contract: identical to the oracle's SQL replay of the
+    same algorithm (assignment argmax uses the bit-exact left-fold
+    cosine on both engines), NOT to brute force — recall vs brute
+    force is a quality property tested separately."""
+    base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    base = ensure_parallelism(base)
+    cents = base.filter(F.col("id") % centroid_stride == 0).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    cos = cosine_udf()
+    assigned = (
+        base.join(F.broadcast(cents))
+        .select("id", "v", "cid", cos(F.col("v"), F.col("cv")).alias("asim"))
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("asim"), (-F.col("cid")).alias("nc"))).alias("cid"),
+            F.first("v").alias("v"),
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cid"))
+    probed = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qv", "cid", cos(F.col("qv"), F.col("cv")).alias("psim"))
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        probed.join(assigned, "cid")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cos(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

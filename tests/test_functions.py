@@ -260,6 +260,32 @@ class TestSimilarity:
             if (r.query_id, r.neighbor_id) in bf:
                 assert abs(bf[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
 
+    def test_ivf_topk_recall_and_score_parity(self, spark, tables):
+        """IVF is approximate by list pruning, but every pair it does
+        return must carry the exact brute-force cosine, ranks must be
+        dense per query, and recall@5 vs brute force should clear a
+        sanity floor on the test corpus."""
+        from nekton_spark.functions.similarity import brute_force_topk, ivf_topk
+
+        emb = tables["embeddings"]
+        q = emb.filter(F.col("vec_id") < 3)
+        bf_all = {
+            (r.query_id, r.neighbor_id): r.score
+            for r in brute_force_topk(emb, q, k=500).collect()
+        }
+        bf_top5 = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        ivf = ivf_topk(emb, q, k=5, centroid_stride=20, n_probe=4).collect()
+        assert len(ivf) == 15
+        for qid in (0, 1, 2):
+            assert sorted(r.rank for r in ivf if r.query_id == qid) == [1, 2, 3, 4, 5]
+        for r in ivf:
+            assert abs(bf_all[(r.query_id, r.neighbor_id)] - r.score) < 1e-9
+        hits = sum((r.query_id, r.neighbor_id) in bf_top5 for r in ivf)
+        assert hits >= 5, f"recall@5 too low: {hits}/15"
+
 
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
