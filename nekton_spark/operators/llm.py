@@ -108,8 +108,23 @@ def ann_topk_processor(
     **kw,
 ) -> DataFrame:
     q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
-    fn = sim.brute_force_topk if method == "brute" else sim.lsh_topk
+    fn = {"brute": sim.brute_force_topk, "lsh": sim.lsh_topk, "ivf": sim.ivf_topk}.get(method)
+    if fn is None:
+        raise ValueError(f"unknown ann method: {method!r} (brute|lsh|ivf)")
     return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
+
+
+@register_processor("decode_media")
+def decode_media_processor(df: DataFrame, kind: str = "image", **kw) -> DataFrame:
+    """Real codecs where the container has them (PNG via zlib, WAV via
+    wave); see functions/multimodal.py."""
+    from ..functions import multimodal as mm
+
+    if kind == "image":
+        return mm.decode_image(df, **kw)
+    if kind == "audio":
+        return mm.decode_audio(df, **kw)
+    raise ValueError(f"unknown media kind: {kind!r} (image|audio)")
 
 
 @register_processor("embedding_near_dup")

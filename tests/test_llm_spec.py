@@ -77,6 +77,57 @@ output:
         assert len(rows) == 6
         assert {r.query_id for r in rows} == {0, 1}
 
+    def test_ann_topk_ivf_spec(self, spark, sf_dir):
+        df = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: embeddings
+pipeline:
+  processors:
+    - type: ann_topk
+      method: ivf
+      query_ids: [0, 1]
+      k: 3
+      centroid_stride: 20
+      n_probe: 3
+output:
+  type: memory
+""",
+        )
+        rows = df.collect()
+        assert len(rows) == 6
+        assert {r.query_id for r in rows} == {0, 1}
+        assert all(r.rank <= 3 for r in rows)
+
+    def test_decode_media_spec(self, spark, sf_dir):
+        """PNG synth + real decode through the YAML surface."""
+        from nekton_spark.functions.multimodal import synth_png_media
+
+        base = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: documents
+pipeline:
+  processors:
+    - type: filter
+      predicate: doc_id < 5
+output:
+  type: memory
+""",
+        )
+        media = synth_png_media(base.select("doc_id"))
+        from nekton_spark.operators.llm import decode_media_processor
+
+        out = decode_media_processor(media, kind="image").collect()
+        assert len(out) == 5
+        assert all(len(r.pixels) == r.dec_height * r.dec_width for r in out)
+
     def test_asof_join_spec(self, spark, sf_dir):
         df = compile_df(
             spark,
