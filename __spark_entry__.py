@@ -1077,6 +1077,35 @@ def image_decode(spark, sf):
     )
 
 
+def decontamination_check(spark, sf):
+    """Train/eval n-gram contamination (functions/decontaminate.py):
+    eval set = every 97th doc, train = the rest; a shared distinct
+    4-gram flags the pair. The broadcast side is the (small) eval
+    shingle set; the only shuffle aggregates matching pairs."""
+    from nekton_spark.functions.decontaminate import contamination_pairs
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_pairs(tr, ev, n=4)
+
+
+def pack_sequences_check(spark, sf):
+    """GPT-style sequence packing (functions/packing.py): shard-
+    parallel concatenation chunking; every doc reports its context
+    window, offset, and straddle count."""
+    from nekton_spark.functions.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), budget=512, n_shards=8)
+
+
+def vocab_top_tokens(spark, sf):
+    """Vocabulary head: top-50 tokens by count, deterministic ties."""
+    from nekton_spark.functions.text_analysis import top_tokens
+
+    return top_tokens(_t(spark, sf, "documents"), k=50)
+
+
 def neardup_time_horizon(spark, sf):
     """Batch twin of the streaming near-dup operator
     (nekton_spark/streaming/neardup.py): identical plan — banded
@@ -1141,6 +1170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
+        "decontamination_check": decontamination_check,
+        "pack_sequences_check": pack_sequences_check,
+        "vocab_top_tokens": vocab_top_tokens,
         "audio_features": audio_features,
         "neardup_time_horizon": neardup_time_horizon,
         "topk_customers_per_nation": topk_customers_per_nation,
@@ -2010,6 +2042,43 @@ SELECT doc_id,
            i -> (i + 1) * ((doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
+""",
+        "decontamination_check": f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 4 THEN []::VARCHAR[] ELSE
+      list_transform(range(0, len(toks) - 3), i -> array_to_string(toks[i+1:i+4], ' '))
+    END)) AS s
+  FROM docs),
+tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 != 0),
+ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0)
+SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (s) GROUP BY 1, 2
+""",
+        "pack_sequences_check": f"""
+WITH base AS (
+  SELECT doc_id AS id, doc_id % 8 AS shard,
+         (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT id, shard, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY id) - n_tokens)::BIGINT AS start_offset
+  FROM base)
+SELECT id, shard, n_tokens, start_offset,
+       (shard * 1099511627776 + start_offset // 512)::BIGINT AS pack_id,
+       (start_offset % 512)::BIGINT AS pack_pos,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+        END)::BIGINT AS n_packs
+FROM cum
+""",
+        "vocab_top_tokens": f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, count(*)::BIGINT AS n FROM toks WHERE len(token) > 0 GROUP BY token)
+SELECT token, n, rank FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts)
+WHERE rank <= 50
 """,
         "neardup_time_horizon": f"""
 WITH {_minhash_ctes(0.1)}

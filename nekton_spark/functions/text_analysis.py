@@ -160,3 +160,27 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_guess"),
         fingerprint(c).alias("fp"),
     )
+
+
+def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: (token, n, rank), top-k by count with
+    deterministic ties (count desc, token asc).
+
+    The explode is map-only; the count aggregates map-side first, so
+    the shuffle carries one row per distinct token per partition —
+    bounded by vocabulary, not corpus, size. The final top-k sorts the
+    aggregated vocabulary only (single-reducer sort over |V| rows; for
+    a 100 TB corpus |V| is millions, still trivially sortable)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -41,3 +41,64 @@ class TestSplit:
         out = stratified_hash_sample(d, "doc_id", "lang", {"en": 1.0, "de": 0.0})
         langs = {r.lang for r in out.select("lang").distinct().collect()}
         assert langs == {"en"}  # de rate 0, other strata dropped
+
+
+class TestDecontaminate:
+    def test_flags_and_removes_overlapping_docs(self, spark):
+        from nekton_spark.functions.decontaminate import contamination_pairs, decontaminate
+
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "one two three four five six seven"),
+                (2, "totally unrelated training content here"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "xx alpha beta gamma delta yy")], "doc_id long, text string"
+        )
+        pairs = contamination_pairs(train, ev, n=4).collect()
+        assert [(p.train_id, p.eval_id, p.n_shared) for p in pairs] == [(0, 100, 1)]
+        kept = sorted(r.doc_id for r in decontaminate(train, ev, n=4).collect())
+        assert kept == [1, 2]
+
+    def test_short_docs_cannot_collide(self, spark):
+        from nekton_spark.functions.decontaminate import contamination_pairs
+
+        train = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+        ev = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+        assert contamination_pairs(train, ev, n=4).count() == 0
+
+
+class TestPackSequences:
+    def test_offsets_and_straddles(self, spark):
+        from nekton_spark.functions.packing import PACK_STRIDE, pack_sequences
+
+        # one shard (n_shards=1): docs of 3, 4, 2 tokens, budget 5:
+        # offsets 0, 3, 7; doc 1 straddles windows 0 and 1
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "d e f g"), (2, "h i")], "doc_id long, text string"
+        )
+        rows = {r.id: r for r in pack_sequences(df, budget=5, n_shards=1).collect()}
+        assert [rows[i].start_offset for i in (0, 1, 2)] == [0, 3, 7]
+        assert rows[0].n_packs == 1 and rows[1].n_packs == 2 and rows[2].n_packs == 1
+        assert rows[1].pack_id == 0 and rows[2].pack_id == 1
+        assert rows[2].pack_pos == 2
+
+    def test_shards_pack_independently(self, spark):
+        from nekton_spark.functions.packing import PACK_STRIDE, pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "w " * (i + 1)) for i in range(6)], "doc_id long, text string"
+        )
+        rows = pack_sequences(df, budget=4, n_shards=2).collect()
+        # per-shard offsets restart at zero
+        for shard in (0, 1):
+            offs = sorted(r.start_offset for r in rows if r.shard == shard)
+            assert offs[0] == 0
+        # pack ids are disjoint across shards
+        ids0 = {r.pack_id for r in rows if r.shard == 0}
+        ids1 = {r.pack_id for r in rows if r.shard == 1}
+        assert not ids0 & ids1
+        assert all(r.pack_id >= PACK_STRIDE for r in rows if r.shard == 1)
