@@ -46,6 +46,22 @@ class TestJoinStrategy:
     def test_ann_broadcasts_queries(self, spark):
         assert plans.has_broadcast_join(em.ann_topk_bruteforce(spark, SF))
 
+    def test_q07_broadcasts_nations(self, spark):
+        assert plans.has_broadcast_join(em.q07_volume_shipping(spark, SF))
+
+    def test_q19_broadcasts_part_and_pushes_common_filter(self, spark):
+        df = em.q19_discounted_revenue(spark, SF)
+        assert plans.has_broadcast_join(df)
+        # the brand disjunction's common part predicate must reach the scan
+        pushed = " ".join(plans.pushed_filters(df))
+        assert "p_brand" in pushed
+
+    def test_ivf_broadcasts_centroids(self, spark):
+        assert plans.has_broadcast_join(em.ann_topk_ivf(spark, SF))
+
+    def test_decontamination_broadcasts_eval_shingles(self, spark):
+        assert plans.has_broadcast_join(em.decontamination_check(spark, SF))
+
 
 class TestShuffleBudget:
     """Each operator's shuffle count is part of its contract — a
@@ -61,6 +77,8 @@ class TestShuffleBudget:
             (em.events_asof_join, 1),        # one (key,ts) sort shuffle
             (em.text_stats, 0),              # map-only text analysis
             (em.dedup_exact, 1),             # one agg shuffle on fingerprint
+            (em.pack_sequences_check, 1),    # one per-shard sort shuffle
+            (em.q13_customer_distribution, 3),  # join + two narrow aggs
         ],
     )
     def test_exchange_budget(self, spark, fn, max_exchanges):
