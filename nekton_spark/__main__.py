@@ -21,6 +21,12 @@ def main(argv: list[str] | None = None) -> int:
         default=os.environ.get("CONFIG_FILE", "nekton.yml"),
         help="pipeline spec YAML (env: CONFIG_FILE; default: nekton.yml)",
     )
+    parser.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the optimized physical plan for the spec and exit "
+        "(no execution; shows pushdown/broadcast/exchange decisions)",
+    )
     args = parser.parse_args(argv)
 
     from .session import get_spark
@@ -35,8 +41,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: invalid spec {args.config_file}: {e}", file=sys.stderr)
         return 1
 
+    from pyspark.sql import SparkSession
+
+    # embedded callers (tests, notebooks) own their session — only stop
+    # what this entry point itself created
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark("nekton_spark_cli")
     try:
+        if args.explain:
+            from .plans import formatted_plan
+            from .spec import compile_spec
+
+            df, _ = compile_spec(spark, spec)
+            print(formatted_plan(df))
+            return 0
         result = run_spec(spark, spec)
         if result is not None and hasattr(result, "awaitTermination"):
             result.awaitTermination()
@@ -45,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -122,3 +122,32 @@ output:
         )
         vals = sorted(r.value for r in spark.read.parquet(str(out_dir)).collect())
         assert vals == ["alpha", "beta"]
+
+
+class TestExplainFlag:
+    def test_explain_prints_plan_without_executing(self, spark, capsys, tmp_path):
+        """--explain compiles the spec and prints the formatted physical
+        plan (pushdown/exchanges visible) without running the sink."""
+        from nekton_spark.__main__ import main
+
+        spec = tmp_path / "p.yml"
+        spec.write_text(
+            """
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: lineitem
+pipeline:
+  processors:
+    - type: filter
+      predicate: l_quantity > 45
+output:
+  type: memory
+"""
+        )
+        rc = main(["-c", str(spec), "--explain"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Physical Plan" in out
+        assert "PushedFilters" in out
+        assert "GreaterThan(l_quantity,45" in out
