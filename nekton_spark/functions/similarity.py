@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .hashing import hash60_py
 
@@ -353,15 +354,43 @@ def ivf_topk(
         F.col("id").alias("cid"), F.col("v").alias("cv")
     )
     cos = cosine_udf()
-    assigned = (
-        base.join(F.broadcast(cents))
-        .select("id", "v", "cid", cos(F.col("v"), F.col("cv")).alias("asim"))
-        .groupBy("id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("asim"), (-F.col("cid")).alias("nc"))).alias("cid"),
-            F.first("v").alias("v"),
-        )
+    # Assignment pays the n×C dot products every IVF build pays, but a
+    # broadcast JOIN would ship both 64-dim vectors through Arrow for
+    # all n×C rows (measured 10× slower at a 10× rehearsal). Instead
+    # the centroid MATRIX — O(C) driver data, same status as the
+    # literal hyperplanes in sketch_bits — rides the task closure, and
+    # each corpus batch scores all centroids in one exact-fold kernel:
+    # every vector crosses to Python exactly once. argmax over the
+    # cid-sorted matrix picks the smallest cid on ties — identical to
+    # ORDER BY sim DESC, cid ASC.
+    cent_rows = cents.orderBy("cid").collect()
+    c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.asarray([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cid", T.LongType()),
+        ]
     )
+
+    def assign(batches: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "v": [], "cid": []})
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            dots = _fold_dots(V, c_mat)
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            S = dots / (nv[:, None] * c_norm[None, :])
+            best = S.argmax(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "v": pdf["v"], "cid": c_ids[best]}
+            )
+
+    assigned = base.mapInPandas(assign, assign_schema)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     wp = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.asc("cid"))
     probed = (
