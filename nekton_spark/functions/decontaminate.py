@@ -29,7 +29,16 @@ from pyspark.sql import functions as F
 from .text_analysis import ngrams
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int, alias: str) -> DataFrame:
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, alias: str, fan_out: bool = False
+) -> DataFrame:
+    if fan_out:
+        # small parquet inputs read as 1-2 splits; the explode+join
+        # would run on one task (see similarity.ensure_parallelism —
+        # no-op at real scale)
+        from .similarity import ensure_parallelism
+
+        df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col).alias(alias),
@@ -48,7 +57,7 @@ def contamination_pairs(
     """(train_id, eval_id, n_shared): distinct word n-grams shared by a
     train/eval document pair. Docs shorter than ``n`` tokens yield no
     shingles and cannot collide."""
-    tr = _doc_shingles(train, id_col, text_col, n, "train_id")
+    tr = _doc_shingles(train, id_col, text_col, n, "train_id", fan_out=True)
     ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id")
     return (
         tr.join(F.broadcast(ev), "s")

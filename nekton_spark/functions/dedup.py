@@ -376,6 +376,9 @@ def simhash_near_dup_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
+    # the self-join would re-evaluate the (interpreted-fold) simhash
+    # per branch; the (id, hash) frame is tiny — materialize once
+    base = base.localCheckpoint(eager=True)
     banded = base.select(
         "id",
         "sh",

@@ -81,6 +81,11 @@ def streaming_minhash_near_dup(
     )
     if df.isStreaming:
         banded = banded.withWatermark("ts", delay)
+    else:
+        # batch twin: the self-join would re-run both Arrow UDFs (sig +
+        # shingle set) per branch — materialize once. Streaming frames
+        # cannot checkpoint; their branches share the exchange instead.
+        banded = banded.localCheckpoint(eager=True)
     left, right = banded.alias("l"), banded.alias("r")
     # the explicit two-sided time bound is what lets the stream-stream
     # join evict buffered rows once the watermark passes the horizon
