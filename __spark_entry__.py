@@ -1077,6 +1077,28 @@ def image_decode(spark, sf):
     )
 
 
+def events_tier_rollup(spark, sf):
+    """Hypertable-style continuous-aggregate pyramid (functions/
+    timetiers.py): minute tier scans raw events once; hour and day
+    tiers re-aggregate the tier below via composable partials
+    (sum-of-sums, min-of-mins). The oracle computes every tier
+    DIRECTLY from raw events, so the hash match proves re-aggregation
+    is exact, not just plausible."""
+    from nekton_spark.functions.timetiers import time_tier_rollup
+
+    ev = _t(spark, sf, "events").select("ts", "event_type", "value")
+    out = time_tier_rollup(ev, ["1 minute", "1 hour", "1 day"], keys=["event_type"])
+    return out.select(
+        "tier",
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
 def decontamination_check(spark, sf):
     """Train/eval n-gram contamination (functions/decontaminate.py):
     eval set = every 97th doc, train = the rest; a shared distinct
@@ -1170,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
+        "events_tier_rollup": events_tier_rollup,
         "decontamination_check": decontamination_check,
         "pack_sequences_check": pack_sequences_check,
         "vocab_top_tokens": vocab_top_tokens,
@@ -2042,6 +2065,23 @@ SELECT doc_id,
            i -> (i + 1) * ((doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
+""",
+        # events_tier_rollup: each tier computed directly from raw
+        # events — matching proves the Spark side's tier-from-tier
+        # re-aggregation is exact
+        "events_tier_rollup": """
+WITH raw AS (SELECT (epoch_us(ts) // 1000000)::BIGINT AS es, event_type, value FROM events),
+t AS (
+  SELECT unnest(['1 minute', '1 hour', '1 day']) AS tier,
+         unnest([60, 3600, 86400]) AS s
+)
+SELECT tier, (es // s) * s AS bucket_start, event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM raw, t
+GROUP BY 1, 2, 3
 """,
         "decontamination_check": f"""
 WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -422,3 +422,50 @@ class TestAsofJoin:
         assert r.ts_right == 5
         assert r.price == 2.0
         assert r.label is None
+
+
+class TestTimeTierRollup:
+    def test_reaggregation_equals_direct(self, spark):
+        """Hour tier built from the minute tier must equal an hour
+        aggregation computed directly from raw rows."""
+        from nekton_spark.functions.timetiers import time_tier_rollup
+
+        rows = [
+            (i, "a" if i % 3 else "b", float(i % 7) + 0.25, 1704067200 + i * 47)
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "id long, k string, value double, es long").select(
+            "k", "value", F.timestamp_seconds("es").alias("ts")
+        )
+        out = time_tier_rollup(df, ["1 minute", "1 hour"], keys=["k"])
+        hour = {
+            (r.bucket_start, r.k): (r.n, r.total, r.vmin, r.vmax)
+            for r in out.filter(F.col("tier") == "1 hour").collect()
+        }
+        direct = {
+            (r.bucket_start, r.k): (r.n, r.total, r.vmin, r.vmax)
+            for r in df.groupBy(
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("bucket_start"), "k"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+            .collect()
+        }
+        assert set(hour) == set(direct)
+        for key in direct:
+            assert hour[key][0] == direct[key][0]
+            assert abs(hour[key][1] - direct[key][1]) < 1e-9
+            assert hour[key][2:] == direct[key][2:]
+
+    def test_non_nesting_tiers_rejected(self, spark):
+        from nekton_spark.functions.timetiers import time_tier_rollup
+
+        df = spark.range(1).select(
+            F.lit(1.0).alias("value"), F.timestamp_seconds(F.lit(0)).alias("ts")
+        )
+        with pytest.raises(ValueError, match="must nest"):
+            time_tier_rollup(df, ["7 seconds", "60 seconds"])
