@@ -1077,6 +1077,61 @@ def image_decode(spark, sf):
     )
 
 
+def data_validation_report(spark, sf):
+    """One-pass constraint report (functions/validation.py): row-local
+    checks fold into a single aggregate over lineitem; referential
+    integrity (l_orderkey → orders) is one broadcast anti-join count.
+    k checks ≠ k scans."""
+    from nekton_spark.functions import validation as V
+
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    rep = V.check_report(
+        l,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_qty": F.round(V.null_fraction("l_quantity"), 6),
+            "qty_in_range": F.round(V.in_range_fraction("l_quantity", 1, 50), 6),
+            "disc_in_range": F.round(V.in_range_fraction("l_discount", 0.0, 0.1), 6),
+            "line_unique": F.round(
+                F.count_distinct(F.concat_ws("#", "l_orderkey", "l_linenumber"))
+                / F.count(F.lit(1)),
+                6,
+            ),
+        },
+        fk=("l_orderkey", o, "o_orderkey"),
+    )
+    return rep.select(
+        "n_rows", "null_qty", "qty_in_range", "disc_in_range", "line_unique", "fk_violations"
+    )
+
+
+def latest_event_per_user(spark, sf):
+    """CDC/upsert staple: the latest record per key by (ts, event_id)
+    — max_by over a struct ordering, one partial-aggregated shuffle
+    (no window sort over the full table)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                    F.col("value").alias("value"),
+                ),
+                F.struct(F.col("ts"), F.col("event_id")),
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.event_type").alias("event_type"),
+            F.round(F.col("last.value"), 6).alias("value"),
+        )
+    )
+
+
 def events_tier_rollup(spark, sf):
     """Hypertable-style continuous-aggregate pyramid (functions/
     timetiers.py): minute tier scans raw events once; hour and day
@@ -1193,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
         "events_tier_rollup": events_tier_rollup,
+        "data_validation_report": data_validation_report,
+        "latest_event_per_user": latest_event_per_user,
         "decontamination_check": decontamination_check,
         "pack_sequences_check": pack_sequences_check,
         "vocab_top_tokens": vocab_top_tokens,
@@ -2065,6 +2122,31 @@ SELECT doc_id,
            i -> (i + 1) * ((doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
+""",
+        "data_validation_report": """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         round((count(*) - count(l_quantity)) / count(*)::DOUBLE, 6) AS null_qty,
+         round(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+           AS qty_in_range,
+         round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+           AS disc_in_range,
+         round(count(DISTINCT l_orderkey || '#' || l_linenumber) / count(*)::DOUBLE, 6)
+           AS line_unique
+  FROM lineitem),
+fk AS (
+  SELECT count(*)::BIGINT AS fk_violations
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+SELECT * FROM agg, fk
+""",
+        # latest_event_per_user: DuckDB lacks max_by over a struct
+        # ordering — the window row_number form is the replay
+        "latest_event_per_user": """
+SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
 """,
         # events_tier_rollup: each tier computed directly from raw
         # events — matching proves the Spark side's tier-from-tier
