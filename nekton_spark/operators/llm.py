@@ -130,3 +130,56 @@ def decode_media_processor(df: DataFrame, kind: str = "image", **kw) -> DataFram
 @register_processor("embedding_near_dup")
 def embedding_near_dup_processor(df: DataFrame, threshold: float = 0.95, **kw) -> DataFrame:
     return sim.embedding_near_dup(df, threshold=threshold, **kw)
+
+
+@register_processor("decontaminate")
+def decontaminate_processor(
+    df: DataFrame,
+    eval_path: str,
+    eval_name: str = "documents",
+    eval_filter: str | None = None,
+    n: int = 8,
+    min_shared: int = 1,
+    **kw,
+) -> DataFrame:
+    """Drop rows sharing a distinct word n-gram with an eval table
+    (functions/decontaminate.py); ``eval_filter`` is a SQL predicate
+    selecting the eval subset."""
+    from ..functions.decontaminate import decontaminate as _dec
+
+    spark = df.sparkSession
+    ev = spark.read.parquet(f"{eval_path}/{eval_name}.parquet")
+    if eval_filter:
+        ev = ev.filter(eval_filter)
+    return _dec(df, ev, n=n, min_shared=min_shared, **kw)
+
+
+@register_processor("pack_sequences")
+def pack_sequences_processor(df: DataFrame, budget: int = 2048, n_shards: int = 32, **kw) -> DataFrame:
+    from ..functions.packing import pack_sequences as _pack
+
+    return _pack(df, budget=budget, n_shards=n_shards, **kw)
+
+
+@register_processor("top_tokens")
+def top_tokens_processor(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    return ta.top_tokens(df, k=k, text_col=text_col)
+
+
+@register_processor("tier_rollup")
+def tier_rollup_processor(df: DataFrame, tiers: list[str], **kw) -> DataFrame:
+    from ..functions.timetiers import time_tier_rollup
+
+    return time_tier_rollup(df, tiers, **kw)
+
+
+@register_processor("latest_by_key")
+def latest_by_key_processor(
+    df: DataFrame, key: str, order_by: list[str], carry: list[str]
+) -> DataFrame:
+    """Latest record per key by the (codegen'd) struct ordering —
+    the CDC/upsert staple as a spec tag."""
+    ordering = F.struct(*[F.col(c) for c in order_by])
+    payload = F.struct(*[F.col(c).alias(c) for c in carry])
+    out = df.groupBy(key).agg(F.max_by(payload, ordering).alias("_last"))
+    return out.select(key, *[F.col(f"_last.{c}").alias(c) for c in carry])

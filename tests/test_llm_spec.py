@@ -160,3 +160,73 @@ output:
         )
         assert df.count() > 0
         assert "click_id" in df.columns
+
+    def test_training_pipeline_spec(self, spark, sf_dir):
+        """Full training-data prep as ONE spec: quality filter →
+        decontaminate vs an eval slice → pack into context windows."""
+        df = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: documents
+pipeline:
+  processors:
+    - type: quality_filter
+      min_quality: 0.2
+    - type: decontaminate
+      eval_path: {sf_dir}
+      eval_name: documents
+      eval_filter: doc_id % 97 = 0
+      n: 4
+    - type: pack_sequences
+      budget: 256
+      n_shards: 4
+output:
+  type: memory
+""",
+        )
+        rows = df.collect()
+        assert 0 < len(rows) <= 500
+        assert all(r.pack_pos < 256 for r in rows)
+        # eval docs themselves were part of train input → each shares
+        # all its 4-grams with itself in eval, so none survive
+        assert all(r.id % 97 != 0 for r in rows)
+
+    def test_latest_by_key_and_tier_rollup_specs(self, spark, sf_dir):
+        latest = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: events
+pipeline:
+  processors:
+    - type: latest_by_key
+      key: user_id
+      order_by: [ts, event_id]
+      carry: [event_id, event_type]
+output:
+  type: memory
+""",
+        )
+        assert latest.count() == latest.select("user_id").distinct().count()
+        tiers = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: events
+pipeline:
+  processors:
+    - type: tier_rollup
+      tiers: ["1 minute", "1 hour"]
+output:
+  type: memory
+""",
+        )
+        got = {r.tier for r in tiers.select("tier").distinct().collect()}
+        assert got == {"1 minute", "1 hour"}
