@@ -74,3 +74,15 @@ def codegen_stage_count(df: DataFrame) -> int:
 
     m = re.match(r"Found (\d+) WholeStageCodegen", _explain(df, "codegen"))
     return int(m.group(1)) if m else 0
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates at the scan (only partition
+    directories matching these are listed/read — the layout win of
+    a partitioned write)."""
+    out = []
+    for line in formatted_plan(df).splitlines():
+        s = line.strip()
+        if s.startswith("PartitionFilters:"):
+            out.append(s.removeprefix("PartitionFilters:").strip())
+    return out

@@ -56,6 +56,8 @@ def file_sink(
 ):
     if df.isStreaming:
         writer = df.writeStream.format(format).option("path", path)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         for k, v in options.items():

@@ -101,3 +101,27 @@ class TestCodegen:
             assert n2 >= 1
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestPartitionedLayout:
+    def test_partitioned_write_prunes_on_read(self, spark, tmp_path):
+        """A hive-partitioned write must produce partition-pruned scans:
+        the filter appears as a PartitionFilter and unneeded partition
+        directories are never read."""
+        from pyspark.sql import functions as F
+
+        from nekton_spark.registry import SINKS
+
+        df = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+            "etype", F.col("event_type")
+        )
+        SINKS["file"](df, str(tmp_path / "part_events"), partition_by=["etype"])
+        back = spark.read.parquet(str(tmp_path / "part_events")).filter(
+            F.col("etype") == "click"
+        )
+        pf = " ".join(plans.partition_filters(back))
+        assert "etype" in pf
+        # and the non-matching partition dirs exist but aren't scanned
+        dirs = {p.name for p in (tmp_path / "part_events").iterdir() if p.is_dir()}
+        assert len(dirs) > 1
+        assert back.count() > 0
