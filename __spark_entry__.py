@@ -1077,6 +1077,28 @@ def image_decode(spark, sf):
     )
 
 
+def image_resize(spark, sf):
+    """Decode→resize chain, both REAL: PNG parse then nearest-neighbor
+    4×4 downsample (pure integer index math). Oracle recomputes the
+    sampled pixels from the synthesis closed form — decode corruption
+    OR wrong resize indexing breaks the hash."""
+    from nekton_spark.functions.multimodal import resize_image
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_png_media(d))
+    rs = resize_image(dec, out_h=4, out_w=4)
+    return rs.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.expr("aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)").alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def data_validation_report(spark, sf):
     """One-pass constraint report (functions/validation.py): row-local
     checks fold into a single aggregate over lineitem; referential
@@ -1248,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
         "events_tier_rollup": events_tier_rollup,
+        "image_resize": image_resize,
         "data_validation_report": data_validation_report,
         "latest_event_per_user": latest_event_per_user,
         "decontamination_check": decontamination_check,
@@ -2120,6 +2143,24 @@ SELECT doc_id,
        list_reduce(
          list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9)),
            i -> (i + 1) * ((doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM documents
+""",
+        # image_resize: nearest-neighbor sample of the closed-form
+        # pixels — out[y][x] = p(y*h//4, x*w//4)
+        "image_resize": """
+SELECT doc_id, 4::INT AS dec_height, 4::INT AS dec_width,
+       list_reduce(
+         list_transform(range(0, 16),
+           i -> (doc_id * 31
+                 + ((i // 4) * (8 + doc_id % 7) // 4) * 17
+                 + ((i % 4) * (8 + doc_id % 9) // 4) * 7) % 256),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 16),
+           i -> (i + 1) * ((doc_id * 31
+                 + ((i // 4) * (8 + doc_id % 7) // 4) * 17
+                 + ((i % 4) * (8 + doc_id % 9) // 4) * 7) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
 """,

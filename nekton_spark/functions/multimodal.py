@@ -381,6 +381,46 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    pixels_col: str = "pixels",
+    h_col: str = "dec_height",
+    w_col: str = "dec_width",
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel rows → (…, pixels,
+    dec_height, dec_width replaced by the resized grid).
+
+    REAL and dependency-free: out[y][x] = in[y*h//out_h][x*w//out_w] —
+    pure integer index math (the standard nearest-neighbor with
+    floor), so a SQL oracle can replay it exactly. Arrow-batched
+    mapInPandas; map-only, no shuffle."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in (pixels_col, h_col, w_col)]
+        + [
+            T.StructField(pixels_col, T.ArrayType(T.IntegerType()), True),
+            T.StructField(h_col, T.IntegerType(), True),
+            T.StructField(w_col, T.IntegerType(), True),
+        ]
+    )
+    ys = np.arange(out_h)
+    xs = np.arange(out_w)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(row) -> list:
+                h, w = row[h_col], row[w_col]
+                px = np.asarray(row[pixels_col], dtype=np.int64).reshape(h, w)
+                return px[np.ix_(ys * h // out_h, xs * w // out_w)].ravel().tolist()
+
+            resized = pdf.apply(one, axis=1)
+            out = pdf.drop(columns=[pixels_col, h_col, w_col])
+            yield out.assign(**{pixels_col: resized, h_col: out_h, w_col: out_w})
+
+    return df.mapInPandas(run, out_schema)
+
+
 def media_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Cheap metadata-level features — pure expressions, payload never
     leaves the JVM: byte size, mime class, payload md5."""

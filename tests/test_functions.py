@@ -469,3 +469,28 @@ class TestTimeTierRollup:
         )
         with pytest.raises(ValueError, match="must nest"):
             time_tier_rollup(df, ["7 seconds", "60 seconds"])
+
+
+class TestResizeImage:
+    def test_nearest_neighbor_identity_and_downsample(self, spark):
+        from nekton_spark.functions.multimodal import (
+            _synth_pixels,
+            decode_image,
+            resize_image,
+            synth_png_media,
+        )
+
+        df = spark.createDataFrame([(9,)], "doc_id long")
+        dec = decode_image(synth_png_media(df))
+        # same-size resize is the identity
+        pix = _synth_pixels(9)
+        h, w = pix.shape
+        same = resize_image(dec, out_h=h, out_w=w).first()
+        assert same.pixels == pix.ravel().tolist()
+        # 2x2: corners of the index grid
+        import numpy as np
+
+        small = resize_image(dec, out_h=2, out_w=2).first()
+        ys, xs = [0, h // 2], [0, w // 2]
+        assert small.pixels == pix[np.ix_(ys, xs)].ravel().tolist()
+        assert (small.dec_height, small.dec_width) == (2, 2)
