@@ -1077,6 +1077,32 @@ def image_decode(spark, sf):
     )
 
 
+def dedup_incremental(spark, sf):
+    """Incremental-ingest dedup (functions/dedup.py): docs ≥ 250 are
+    the new batch, the rest are history represented only by their
+    fingerprint index; drop new docs seen in history, then first-id
+    wins within the batch."""
+    from nekton_spark.functions.dedup import incremental_dedup
+    from nekton_spark.functions.text_analysis import fingerprint as fp
+
+    d = _t(spark, sf, "documents")
+    # the synthetic corpus has no exact dups, so simulate a re-crawl:
+    # the new batch = fresh docs (id >= 250) + re-ingested history
+    # copies (ids 0-9, re-keyed +100000) + an intra-batch double of
+    # doc 250 (re-keyed +200000). Both classes must be dropped.
+    fresh = d.filter(F.col("doc_id") >= 250)
+    recrawl = d.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    double = d.filter(F.col("doc_id") == 250).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    new = fresh.unionByName(recrawl).unionByName(double)
+    known = d.filter(F.col("doc_id") < 250).select(fp(F.col("text")).alias("fp"))
+    out = incremental_dedup(new, known)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def image_resize(spark, sf):
     """Decode→resize chain, both REAL: PNG parse then nearest-neighbor
     4×4 downsample (pure integer index math). Oracle recomputes the
@@ -1257,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline set early in iteration order: round-1 driver gate
         # exhausted its budget before reaching these when they sat last
         "dedup_exact": dedup_exact,
+        "dedup_incremental": dedup_incremental,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_minhash_xxh": dedup_minhash_xxh,
         "dedup_simhash": dedup_simhash,
@@ -2025,6 +2052,24 @@ FROM m JOIN b ON m.doc_id = b.doc_id
 SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY fp
+""",
+        "dedup_incremental": r"""
+WITH fp AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+newb AS (
+  SELECT * FROM fp WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 100000, lang, source, n_chars, fp FROM fp WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 200000, lang, source, n_chars, fp FROM fp WHERE doc_id = 250),
+known AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+fresh AS (
+  SELECT * FROM newb WHERE fp NOT IN (SELECT fp FROM known)),
+keep AS (SELECT fp, min(doc_id) AS keep_id FROM fresh GROUP BY fp)
+SELECT doc_id, lang, source, n_chars
+FROM fresh JOIN keep USING (fp) WHERE doc_id = keep_id
 """,
         "dedup_minhash_lsh": _minhash_sql(threshold=0.1),
         "dedup_simhash": _simhash_sql(),

@@ -165,6 +165,44 @@ def _minhash_sigs_jvm(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    known: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    known_fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an existing corpus index —
+    the daily-pipeline shape where history is orders of magnitude
+    larger than the increment.
+
+    ``known`` is a fingerprint index (one 128-bit ``fp`` per historical
+    doc — what :func:`exact_dedup` retains), NOT the historical text:
+    at 100 TB of history the index is ~32 bytes/doc and the join is
+    new-batch-sized. Two stages, both bounded by the increment:
+
+    1. drop new docs whose fingerprint already exists in history
+       (join on fp — with history bucketed/partitioned by fp this is
+       shuffle-free on the history side);
+    2. exact-dedup the survivors among themselves (first occurrence by
+       id wins, same rule as :func:`exact_dedup`).
+
+    Returns the surviving new rows."""
+    from .similarity import ensure_parallelism
+
+    fresh = (
+        ensure_parallelism(new_df)
+        .withColumn("_fp", fingerprint(F.col(text_col)))
+        .join(known.select(F.col(known_fp_col).alias("_fp")).distinct(), "_fp", "left_anti")
+    )
+    first = fresh.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    return (
+        fresh.join(first, "_fp")
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
