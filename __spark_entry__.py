@@ -17,6 +17,39 @@ determinism rules used throughout:
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# Arrow/pandas UDF closures reference nekton_spark by module, so Spark's
+# Python workers must be able to import it regardless of the driver's
+# cwd or the JVM's PYTHONPATH snapshot. The robust mechanism that works
+# on a session created before this import is sc.addPyFile with a
+# package zip — shipped once per session, on the import path of every
+# future task (and of real executors on a cluster).
+_repo = _os.path.dirname(_os.path.abspath(__file__))
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+_shipped_to: set[str] = set()
+
+
+def _ship_package(spark: "SparkSession") -> None:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped_to:
+        return
+    _shipped_to.add(app_id)
+    import tempfile
+    import zipfile
+
+    zpath = _os.path.join(tempfile.mkdtemp(prefix="nekton_pkg_"), "nekton_spark.zip")
+    pkg = _os.path.join(_repo, "nekton_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in _os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = _os.path.join(root, f)
+                    z.write(full, _os.path.relpath(full, _repo))
+    spark.sparkContext.addPyFile(zpath)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -41,6 +74,7 @@ SF0001 = "/root/testdata/sf0.001"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from nekton_spark.sources.files import table_source
 
+    _ship_package(spark)
     return table_source(spark, sf_dir, name)
 
 
