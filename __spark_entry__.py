@@ -761,6 +761,99 @@ def q09_product_profit(spark, sf):
     )
 
 
+def q11_important_suppliers(spark, sf):
+    """TPC-H Q11 analog (no partsupp: revenue concentration stands in
+    for stock value): suppliers whose lineitem revenue exceeds 0.1% of
+    total revenue. The scalar threshold comes from a second aggregate
+    over the same reduced per-supplier frame, not a second raw scan."""
+    l = _t(spark, sf, "lineitem")
+    per_supp = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    ).localCheckpoint(eager=True)
+    thresh = per_supp.agg((F.sum("rev") * 0.001).alias("t"))
+    return (
+        per_supp.join(F.broadcast(thresh))
+        .filter(F.col("rev") > F.col("t"))
+        .select("l_suppkey", F.round("rev", 2).alias("supp_revenue"))
+    )
+
+
+def q16_part_supplier_counts(spark, sf):
+    """TPC-H Q16 analog (no partsupp: supplier relationships come from
+    lineitem): distinct suppliers per (brand, type, size) for
+    non-PROMO brands outside a size set."""
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_type") != "PROMO") & ~F.col("p_size").isin(11, 22, 33)
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_suppliers(spark, sf):
+    """TPC-H Q20 analog (no partsupp availqty: a supplier 'has excess'
+    of a part when it shipped more than half that part's total 1997
+    volume): names of suppliers with excess on any 'red' part."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf, "supplier")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    per_ps = red.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    per_p = red.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") * 0.5).alias("half_total")
+    )
+    excess = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(F.col("sq") > F.col("half_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey)
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q21_waiting_orders(spark, sf):
+    """TPC-H Q21 analog (no commit/receipt dates: 'late' = shipped >90
+    days after order): suppliers who were the ONLY late shipper on a
+    multi-supplier order — count per supplier. Exists/not-exists pair
+    becomes two aggregated joins on the order key."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    culprit = (
+        lo.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q12_late_shipments(spark, sf):
     """TPC-H Q12 analog (testdata has no shipmode/commitdate): lines
     shipped >60 days after order placement, bucketed by ship year and
@@ -1376,7 +1469,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_volume_shipping": q07_volume_shipping,
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
+        "q11_important_suppliers": q11_important_suppliers,
         "q12_late_shipments": q12_late_shipments,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_orders": q21_waiting_orders,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1940,6 +2037,53 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
 WHERE p_name LIKE '%red%'
 GROUP BY 1, 2
+""",
+        "q11_important_suppliers": """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey, round(rev, 2) AS supp_revenue
+FROM per_supp WHERE rev > (SELECT sum(rev) * 0.001 FROM per_supp)
+""",
+        "q16_part_supplier_counts": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type != 'PROMO' AND p_size NOT IN (11, 22, 33)
+GROUP BY 1, 2, 3
+""",
+        "q20_excess_suppliers": """
+WITH red AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq FROM red GROUP BY 1, 2),
+per_p AS (
+  SELECT l_partkey, sum(l_quantity) * 0.5 AS half_total FROM red GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name
+FROM per_ps
+JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sq > half_total
+""",
+        "q21_waiting_orders": """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey),
+culprit AS (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order USING (l_orderkey)
+  WHERE lo.late AND n_supp > 1 AND n_late_supp = 1)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM culprit JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
 """,
         "q12_late_shipments": """
 SELECT year(l_shipdate)::INT AS ship_year,
