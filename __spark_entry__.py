@@ -763,15 +763,17 @@ def q09_product_profit(spark, sf):
 
 def q11_important_suppliers(spark, sf):
     """TPC-H Q11 analog (no partsupp: revenue concentration stands in
-    for stock value): suppliers whose lineitem revenue exceeds 0.1% of
-    total revenue. The scalar threshold comes from a second aggregate
-    over the same reduced per-supplier frame, not a second raw scan."""
+    for stock value): suppliers with revenue > 1.05x the mean supplier
+    revenue — a scale-free threshold (the classic fraction-of-total
+    cut is vacuous once supplier count passes 1/fraction). The scalar
+    comes from a second aggregate over the same reduced per-supplier
+    frame, not a second raw scan."""
     l = _t(spark, sf, "lineitem")
     per_supp = (
         l.groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
     ).localCheckpoint(eager=True)
-    thresh = per_supp.agg((F.sum("rev") * 0.001).alias("t"))
+    thresh = per_supp.agg((F.avg("rev") * 1.05).alias("t"))
     return (
         per_supp.join(F.broadcast(thresh))
         .filter(F.col("rev") > F.col("t"))
@@ -2043,7 +2045,7 @@ WITH per_supp AS (
   SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
   FROM lineitem GROUP BY l_suppkey)
 SELECT l_suppkey, round(rev, 2) AS supp_revenue
-FROM per_supp WHERE rev > (SELECT sum(rev) * 0.001 FROM per_supp)
+FROM per_supp WHERE rev > (SELECT avg(rev) * 1.05 FROM per_supp)
 """,
         "q16_part_supplier_counts": """
 SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
