@@ -51,25 +51,42 @@ def streaming_minhash_near_dup(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    verify: str = "exact",
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, ts, jaccard) among docs whose event
     times lie within ``delay`` of each other; ``ts`` is the later of
     the pair. Join-buffer state is bounded by the watermark; exactly
-    one row per pair is emitted (first-shared-band rule)."""
+    one row per pair is emitted (first-shared-band rule).
+
+    ``verify`` trades join-state width for score exactness:
+
+    - ``"exact"`` — carry each doc's distinct shingle set through the
+      join and score true Jaccard (array_intersect/union). State per
+      banded row is shingle-set-sized (~doc-length strings).
+    - ``"estimate"`` — carry only the k-long signature and score the
+      standard MinHash estimator (fraction of agreeing components,
+      unbiased for Jaccard with stderr ≈ sqrt(J(1-J)/k)). State per
+      banded row shrinks to k longs — ~10× narrower on typical docs,
+      which is what a 100 TB/day stream's state store wants. Near the
+      threshold the estimator can admit/drop pairs exact scoring
+      wouldn't; run the exact batch audit offline where it matters.
+    """
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"unknown verify mode: {verify!r} (exact|estimate)")
     r = k // bands
     sig_udf = _minhash_sig_udf(k, shingle_n)
-    sh_udf = _distinct_shingles_udf(shingle_n)
-    base = df.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),
         sig_udf(F.col(text_col)).alias("sig"),
-        sh_udf(F.col(text_col)).alias("sh"),
-    ).filter(F.col("sig").isNotNull())
+    ]
+    if verify == "exact":
+        sh_udf = _distinct_shingles_udf(shingle_n)
+        cols.append(sh_udf(F.col(text_col)).alias("sh"))
+    base = df.select(*cols).filter(F.col("sig").isNotNull())
+    carried = ["id", "ts", "sig"] + (["sh"] if verify == "exact" else [])
     banded = base.select(
-        "id",
-        "ts",
-        "sig",
-        "sh",
+        *carried,
         F.posexplode(
             F.array(
                 *[
@@ -107,15 +124,31 @@ def streaming_minhash_near_dup(
         ),
         1,
     )
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
-    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    if verify == "exact":
+        inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
+        union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+        score = inter / union
+    else:
+        # MinHash estimator: fraction of agreeing signature components
+        score = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("l.sig"),
+                    F.col("r.sig"),
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / k
+        )
     return (
         joined.filter(F.col("l.band") == first_shared)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.greatest(F.col("l.ts"), F.col("r.ts")).alias("ts"),
-            (inter / union).alias("jaccard"),
+            score.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

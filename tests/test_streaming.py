@@ -397,3 +397,48 @@ class TestStreamingTierRollup:
                 assert g.vmin == w.vmin and g.vmax == w.vmax
         complete = sum(1 for k in got if got[k].n == want[k].n)
         assert complete >= len(got) - 2 * len({k[1] for k in got})
+
+
+class TestEstimateVerifyNearDup:
+    def test_estimator_tracks_exact_on_batch_twin(self, spark):
+        """verify='estimate' carries only the k-long signature (the
+        state-width win); its candidate set is identical to exact mode
+        (same banding), and on clear duplicates the estimator must
+        agree with exact Jaccard within the k=16 stderr."""
+        from nekton_spark.streaming.neardup import streaming_minhash_near_dup
+
+        texts = (
+            ["the quick brown fox jumps over the lazy dog again today ok"] * 3
+            + ["pack my box with five dozen liquor jugs right now please"] * 2
+            + ["some entirely different text about various unrelated topics here"]
+        )
+        df = spark.createDataFrame(
+            [(i, t, 1704067200 + i) for i, t in enumerate(texts)],
+            "doc_id long, text string, es long",
+        ).select("doc_id", "text", F.timestamp_seconds("es").alias("ts"))
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in streaming_minhash_near_dup(df, delay="1 hour", threshold=0.5).collect()
+        }
+        est = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in streaming_minhash_near_dup(
+                df, delay="1 hour", threshold=0.5, verify="estimate"
+            ).collect()
+        }
+        # identical duplicates: estimator is exactly 1.0, same pairs
+        assert set(exact) == {(0, 1), (0, 2), (1, 2), (3, 4)}
+        assert set(est) == set(exact)
+        for pair, j in est.items():
+            assert j == 1.0 and exact[pair] == 1.0
+
+    def test_estimate_mode_rejects_bad_verify(self, spark):
+        from nekton_spark.streaming.neardup import streaming_minhash_near_dup
+
+        df = spark.createDataFrame([(0, "a b c", 0)], "doc_id long, text string, es long").select(
+            "doc_id", "text", F.timestamp_seconds("es").alias("ts")
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown verify mode"):
+            streaming_minhash_near_dup(df, verify="maybe")
