@@ -1403,14 +1403,56 @@ def audio_features(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Iteration order IS the driver's CORRECTNESS budget order (first 50
+    # checked per round). Round-3 rotation: the 36 queries without an r2
+    # driver row — above all the 13 TPC-H analogs that have never had one
+    # in any round — go FIRST; the 50 queries green in CORRECTNESS_r02
+    # go last. New r3 queries join the front block.
     return {
+        # --- TPC-H analogs never driver-checked (r2 additions) ---
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_suppliers": q11_important_suppliers,
+        "q12_late_shipments": q12_late_shipments,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_orders": q21_waiting_orders,
+        "q22_idle_customers": q22_idle_customers,
+        # --- r1-verified queries that fell outside the r2 window ---
+        "approx_quantile_check": approx_quantile_check,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionization": events_sessionization,
+        "events_topk_users": events_topk_users,
+        "events_json_extract": events_json_extract,
+        "q04_order_priority": q04_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q02_min_cost_part": q02_min_cost_part,
+        "events_lead_lag": events_lead_lag,
+        "null_semantics": null_semantics,
+        "events_sliding_window": events_sliding_window,
+        "q18_large_orders": q18_large_orders,
+        "scalar_subquery_above_avg": scalar_subquery_above_avg,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "events_interval_join": events_interval_join,
+        "events_asof_join": events_asof_join,
+        "pipe_replace": pipe_replace,
+        "pipe_regex_replace": pipe_regex_replace,
+        "pipe_regex_split": pipe_regex_split,
+        "pipe_regex_select": pipe_regex_select,
+        "pipeline_chain": pipeline_chain,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        # --- green in CORRECTNESS_r02 (driver-checked last round) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "q10_returned_items": q10_returned_items,
-        # LLM-pipeline set early in iteration order: round-1 driver gate
-        # exhausted its budget before reaching these when they sat last
         "dedup_exact": dedup_exact,
         "dedup_incremental": dedup_incremental,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1456,42 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_10pct": sample_hash_10pct,
         "train_val_test_split": train_val_test_split,
         "approx_distinct_check": approx_distinct_check,
-        "approx_quantile_check": approx_quantile_check,
-        "events_tumbling_window": events_tumbling_window,
-        "events_sessionization": events_sessionization,
-        "events_topk_users": events_topk_users,
-        "events_json_extract": events_json_extract,
-        "q04_order_priority": q04_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q02_min_cost_part": q02_min_cost_part,
-        "events_lead_lag": events_lead_lag,
-        "null_semantics": null_semantics,
-        "events_sliding_window": events_sliding_window,
-        "q18_large_orders": q18_large_orders,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q11_important_suppliers": q11_important_suppliers,
-        "q12_late_shipments": q12_late_shipments,
-        "q16_part_supplier_counts": q16_part_supplier_counts,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_orders": q21_waiting_orders,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q22_idle_customers": q22_idle_customers,
-        "scalar_subquery_above_avg": scalar_subquery_above_avg,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        "events_interval_join": events_interval_join,
-        "events_asof_join": events_asof_join,
-        "pipe_replace": pipe_replace,
-        "pipe_regex_replace": pipe_regex_replace,
-        "pipe_regex_split": pipe_regex_split,
-        "pipe_regex_select": pipe_regex_select,
-        "pipeline_chain": pipeline_chain,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
     }
 
 
