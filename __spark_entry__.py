@@ -1279,7 +1279,8 @@ def data_validation_report(spark, sf):
         fk=("l_orderkey", o, "o_orderkey"),
     )
     return rep.select(
-        "n_rows", "null_qty", "qty_in_range", "disc_in_range", "line_unique", "fk_violations"
+        "n_rows", "null_qty", "qty_in_range", "disc_in_range", "line_unique",
+        "fk_nulls", "fk_violations",
     )
 
 
@@ -2404,7 +2405,8 @@ WITH agg AS (
          round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
            AS disc_in_range,
          round(count(DISTINCT l_orderkey || '#' || l_linenumber) / count(*)::DOUBLE, 6)
-           AS line_unique
+           AS line_unique,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS fk_nulls
   FROM lineitem),
 fk AS (
   SELECT count(*)::BIGINT AS fk_violations

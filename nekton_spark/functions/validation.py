@@ -48,12 +48,25 @@ def check_report(
     """One-row report: every named check expression evaluated in a
     single aggregate pass. ``fk=(col, dim_df, dim_col)`` adds a
     referential-integrity violation count via one broadcast anti-join
-    (its own job over the same scan, still no second shuffle of df)."""
-    report = df.agg(*[c.alias(name) for name, c in checks.items()])
+    (its own job over the same scan, still no second shuffle of df).
+
+    NULL foreign keys are NOT violations — SQL ``NOT IN`` semantics
+    drop them (NULL NOT IN ... is NULL), so the anti-join filters them
+    first; they surface instead as ``fk_nulls``, folded into the main
+    row-local aggregate pass (no extra scan)."""
+    agg_cols = [c.alias(name) for name, c in checks.items()]
+    if fk is not None:
+        agg_cols.append(
+            F.sum(F.when(F.col(fk[0]).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("fk_nulls")
+        )
+    report = df.agg(*agg_cols)
     if fk is not None:
         col, dim, dim_col = fk
         violations = (
             df.select(F.col(col))
+            .where(F.col(col).isNotNull())
             .join(F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct()), col, "left_anti")
             .agg(F.count(F.lit(1)).alias("fk_violations"))
         )

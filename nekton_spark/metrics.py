@@ -92,6 +92,17 @@ class MetricsListener(StreamingQueryListener):
         with self._lock:
             return {k: dict(v) for k, v in self._queries.items()}
 
+    @staticmethod
+    def _esc(label_value: str) -> str:
+        """Escape a label value per the exposition format: backslash,
+        double quote, and newline must be backslash-escaped."""
+        return (
+            str(label_value)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+        )
+
     def prometheus_text(self) -> str:
         """Prometheus text exposition format 0.0.4."""
         snap = self.snapshot()
@@ -100,27 +111,27 @@ class MetricsListener(StreamingQueryListener):
             "# TYPE nekton_input_rows_total counter",
         ]
         for q in snap.values():
-            out.append(f'nekton_input_rows_total{{query="{q["name"]}"}} {q["rows"]}')
+            out.append(f'nekton_input_rows_total{{query="{self._esc(q["name"])}"}} {q["rows"]}')
         out += [
             "# HELP nekton_batches_total Micro-batches completed per query",
             "# TYPE nekton_batches_total counter",
         ]
         for q in snap.values():
-            out.append(f'nekton_batches_total{{query="{q["name"]}"}} {q["batches"]}')
+            out.append(f'nekton_batches_total{{query="{self._esc(q["name"])}"}} {q["batches"]}')
         out += [
             "# HELP nekton_input_rows_per_second Latest input rate",
             "# TYPE nekton_input_rows_per_second gauge",
         ]
         for q in snap.values():
             out.append(
-                f'nekton_input_rows_per_second{{query="{q["name"]}"}} {q["input_rps"]}'
+                f'nekton_input_rows_per_second{{query="{self._esc(q["name"])}"}} {q["input_rps"]}'
             )
         out += [
             "# HELP nekton_state_rows Current stateful-operator row count",
             "# TYPE nekton_state_rows gauge",
         ]
         for q in snap.values():
-            out.append(f'nekton_state_rows{{query="{q["name"]}"}} {q["state_rows"]}')
+            out.append(f'nekton_state_rows{{query="{self._esc(q["name"])}"}} {q["state_rows"]}')
         return "\n".join(out) + "\n"
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import struct
+import tempfile
 import time
 import zlib
 
@@ -95,15 +96,25 @@ class FakeBroker:
         d = self._pdir(topic, part)
         os.makedirs(d, exist_ok=True)
         blob = self._encode(key, value, int(time.time() * 1000))
-        offset = self.next_offset(topic, part)
-        while True:
-            try:
-                fd = os.open(os.path.join(d, f"{offset:020d}"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                offset += 1
-        with os.fdopen(fd, "wb") as f:
-            f.write(blob)
+        # Write the full record to a hidden temp file first, then claim
+        # the offset atomically with os.link — a record file is only
+        # ever visible with its complete bytes, so a concurrent reader
+        # polling mid-write can never see a partial frame, and a
+        # producer crash leaves only an invisible ".tmp-*" orphan
+        # (hidden names are excluded from next_offset's isdigit scan).
+        tmp = tempfile.NamedTemporaryFile(dir=d, prefix=".tmp-", delete=False)
+        try:
+            tmp.write(blob)
+            tmp.close()
+            offset = self.next_offset(topic, part)
+            while True:
+                try:
+                    os.link(tmp.name, os.path.join(d, f"{offset:020d}"))
+                    break
+                except FileExistsError:
+                    offset += 1
+        finally:
+            os.unlink(tmp.name)
         return part, offset
 
     # -- consumer --------------------------------------------------------
@@ -150,7 +161,10 @@ def _row(topic, part, off, key, value, ts_ms):
         topic,
         part,
         off,
-        dt.datetime.fromtimestamp(ts_ms / 1000.0),
+        # tz-aware so the wire timestamp is the same instant regardless
+        # of OS tz vs spark.sql.session.timeZone (naive local datetimes
+        # shift whenever the two disagree)
+        dt.datetime.fromtimestamp(ts_ms / 1000.0, tz=dt.timezone.utc),
         0,  # CREATE_TIME, like the connector reports for produced records
     )
 

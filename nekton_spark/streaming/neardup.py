@@ -20,9 +20,12 @@ signatures travel through the join and only the row whose band index
 equals the pair's first shared band survives. One output row per
 pair, zero extra state.
 
-The operator is streaming/batch-unified: on a batch frame the same
-plan runs with plain ``dropDuplicates``, which is what the
-batch-equivalence test checks against ``minhash_lsh_pairs``.
+The operator is streaming/batch-unified: on a batch frame the very
+same plan runs unchanged — the first-shared-band filter provides the
+per-pair uniqueness on both paths (no separate batch dedup step), and
+``localCheckpoint`` pins the signature frame so the self-join's two
+branches agree. The batch-equivalence test checks this against
+``minhash_lsh_pairs``.
 """
 
 from __future__ import annotations
