@@ -541,10 +541,16 @@ def events_sessionization(spark, sf):
 
 
 def events_topk_users(spark, sf):
+    """Top spenders: the k-selection is orderBy().limit(k), which
+    compiles to TakeOrderedAndProject (per-partition partial top-k,
+    no single-task sort of all users); the rank window then runs over
+    only the k surviving rows, so its single partition is bounded by
+    k, not user cardinality."""
     e = _t(spark, sf, "events")
     totals = e.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total_value"))
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return totals.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    order = [F.desc("total_value"), F.asc("user_id")]
+    topk = totals.orderBy(*order).limit(10)
+    return topk.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def events_json_extract(spark, sf):

@@ -168,9 +168,11 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
 
     The explode is map-only; the count aggregates map-side first, so
     the shuffle carries one row per distinct token per partition —
-    bounded by vocabulary, not corpus, size. The final top-k sorts the
-    aggregated vocabulary only (single-reducer sort over |V| rows; for
-    a 100 TB corpus |V| is millions, still trivially sortable)."""
+    bounded by vocabulary, not corpus, size. The k-selection is
+    orderBy().limit(k) — TakeOrderedAndProject, i.e. per-partition
+    partial top-k merged on one task, never a full single-reducer sort
+    of the vocabulary — and the rank window afterwards sees only the k
+    surviving rows, so its single partition is bounded by k."""
     from pyspark.sql import Window
 
     counts = (
@@ -179,8 +181,9 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    order = [F.desc("n"), F.asc("token")]
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )

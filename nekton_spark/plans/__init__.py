@@ -66,6 +66,21 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
 
 
+def single_partition_exchanges(df: DataFrame) -> int:
+    """Count of Exchange SinglePartition nodes — a global sort/window
+    funneling ALL rows through one task. Zero is the target for any
+    operator that must scale; top-k should compile to
+    TakeOrderedAndProject (per-partition partial top-k) instead."""
+    return simple_plan(df).count("Exchange SinglePartition")
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """True when the k-selection compiles to TakeOrderedAndProject —
+    per-partition partial top-k with a bounded merge, never a full
+    global sort."""
+    return "TakeOrderedAndProject" in simple_plan(df)
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of whole-stage-codegen'd subtrees. Uses the codegen
     explain mode: with AQE on, the pre-execution formatted plan hides

@@ -49,6 +49,12 @@ class TestJoinStrategy:
     def test_q07_broadcasts_nations(self, spark):
         assert plans.has_broadcast_join(em.q07_volume_shipping(spark, SF))
 
+    def test_q08_broadcasts_dimensions(self, spark):
+        assert plans.has_broadcast_join(em.q08_market_share(spark, SF))
+
+    def test_q09_broadcasts_dimensions(self, spark):
+        assert plans.has_broadcast_join(em.q09_product_profit(spark, SF))
+
     def test_q19_broadcasts_part_and_pushes_common_filter(self, spark):
         df = em.q19_discounted_revenue(spark, SF)
         assert plans.has_broadcast_join(df)
@@ -90,6 +96,18 @@ class TestShuffleBudget:
         assert plan.count("HashAggregate") >= 2
 
 
+class TestTopK:
+    """Global top-k must be TakeOrderedAndProject (partial per-partition
+    top-k), never a single-partition window sort over the whole frame;
+    the rank window may only ever see the k surviving rows."""
+
+    @pytest.mark.parametrize("fn", [em.events_topk_users, em.vocab_top_tokens])
+    def test_topk_partial_not_global_sort(self, spark, fn):
+        df = fn(spark, SF)
+        assert plans.has_take_ordered(df)
+        assert plans.single_partition_exchanges(df) == 0
+
+
 class TestCodegen:
     def test_whole_stage_codegen_applies(self, spark):
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -101,6 +119,21 @@ class TestCodegen:
             assert n2 >= 1
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestNoCartesian:
+    def test_no_cartesian_product_across_all_queries(self, spark):
+        """Sweep the full driver contract: no query may compile to a
+        CartesianProduct. Theta/range joins must ride a broadcast
+        (BroadcastNestedLoopJoin over a bounded side) or an equi-join
+        on derived keys — an unbounded NxM cross is a 100 TB
+        non-starter regardless of correctness."""
+        offenders = []
+        for name, fn in em.queries().items():
+            plan = plans.simple_plan(fn(spark, SF))
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+        assert offenders == []
 
 
 class TestPartitionedLayout:
