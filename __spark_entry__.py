@@ -1156,13 +1156,15 @@ def ann_topk_lsh(spark, sf):
 
 
 def ann_topk_ivf(spark, sf):
-    """IVF-flat ANN: deterministic centroid sample, map-side argmax
-    assignment, n_probe-list search (similarity.ivf_topk). The oracle
-    replays the identical algorithm in SQL — same centroids, same
-    bit-exact fold cosine, same tie-breaks."""
+    """IVF-flat ANN: deterministic centroid sample at the auto √n
+    stride (driver-side centroid matrix stays O(√n) as the corpus
+    grows), map-side argmax assignment, n_probe-list search
+    (similarity.ivf_topk). The oracle replays the identical algorithm
+    in SQL — same floor(sqrt(count)) stride, same bit-exact fold
+    cosine, same tie-breaks."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, q, k=5, centroid_stride=50, n_probe=2)
+    return similarity.ivf_topk(emb, q, k=5, n_probe=2)
 
 
 def embedding_near_dup(spark, sf):
@@ -2302,14 +2304,16 @@ SELECT query_id, neighbor_id, score, rank FROM (
   FROM scored) WHERE rank <= 5
 """,
         # ann_topk_ivf: SQL replay of the exact IVF algorithm —
-        # deterministic centroid sample (id % 50 = 0), argmax
-        # assignment by the same left-fold cosine, top-2 probed lists,
-        # exact re-score within them
+        # deterministic centroid sample at the auto stride
+        # floor(sqrt(n)) (≡ math.isqrt for these n), argmax assignment
+        # by the same left-fold cosine, top-2 probed lists, exact
+        # re-score within them
         "ann_topk_ivf": f"""
 WITH base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ), cent AS (
-  SELECT id AS cid, v AS cv FROM base WHERE id % 50 = 0
+  SELECT id AS cid, v AS cv FROM base
+  WHERE id % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM base) = 0
 ), asg AS (
   SELECT id, v AS nv, cid FROM (
     SELECT b.id, b.v, c.cid,

@@ -23,6 +23,7 @@ shipping a random matrix.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -317,10 +318,11 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    centroid_stride: int = 50,
+    centroid_stride: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_centroids: int = 1 << 16,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     centroid-owned lists, search only the ``n_probe`` lists nearest to
@@ -329,11 +331,16 @@ def ivf_topk(
     Stages, sized for the 100 TB shape:
 
     1. **Centroids**: the deterministic sample ``id % centroid_stride
-       == 0`` (≈ n/stride centroids — IVF's usual √n-ish regime when
-       stride tracks √n). No k-means iterations: a fixed pseudo-random
-       sample is the textbook "IVF-flat with random seeds" baseline,
-       and determinism is what lets a SQL oracle replay the exact
-       algorithm. The centroid set is broadcast (small).
+       == 0``. The default stride is ``floor(sqrt(n))`` — IVF's usual
+       √n regime — so the centroid count (and with it the driver-side
+       matrix and the per-task closure) stays O(√n) as the corpus
+       grows: 10⁹ vectors → ~3.2e4 centroids, never the O(n/constant)
+       a fixed stride degrades to. ``max_centroids`` additionally caps
+       the auto mode (stride is raised until C fits). An explicit
+       stride is honored verbatim — that is what lets a SQL oracle
+       replay the exact centroid set. No k-means iterations: a fixed
+       pseudo-random sample is the textbook "IVF-flat with random
+       seeds" baseline. The centroid set is broadcast (small).
     2. **Assignment** (the n×C dot products every IVF build pays):
        broadcast join + Arrow-batched exact-fold cosine, then
        ``max_by`` argmax — partial aggregation runs map-side, so the
@@ -350,6 +357,11 @@ def ivf_topk(
     force is a quality property tested separately."""
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
+    if centroid_stride is None:
+        # one metadata-cheap count job buys the √n stride; ceil-raise
+        # it until the centroid count fits max_centroids
+        n = base.count()
+        centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
     cents = base.filter(F.col("id") % centroid_stride == 0).select(
         F.col("id").alias("cid"), F.col("v").alias("cv")
     )
