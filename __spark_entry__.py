@@ -1390,6 +1390,30 @@ def neardup_time_horizon(spark, sf):
     )
 
 
+def neardup_estimate(spark, sf):
+    """Batch twin of the streaming near-dup ESTIMATOR path
+    (verify='estimate', nekton_spark/streaming/neardup.py): identical
+    banded self-join, but the score is the MinHash estimator — the
+    fraction of agreeing signature components — so join state carries
+    only the k-long signature, never the shingle sets (~10× narrower
+    state, the width a 100 TB/day stream needs). The oracle recomputes
+    the same estimator over the same candidates in SQL; k=16 is a
+    power of two, so agreement/k is exact in both engines."""
+    from nekton_spark.streaming.neardup import streaming_minhash_near_dup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 37).alias("ts"),
+    )
+    out = streaming_minhash_near_dup(
+        d, delay="60 minutes", threshold=0.25, verify="estimate"
+    )
+    return out.select(
+        "id_a", "id_b", F.unix_timestamp("ts").alias("ts_epoch"), "jaccard"
+    )
+
+
 def audio_features(spark, sf):
     """REAL WAV codec round trip: synthesize genuine RIFF/PCM16 bytes
     (stdlib wave writer), parse them back (stdlib wave reader), derive
@@ -1456,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chain": pipeline_chain,
         "text_stats": text_stats,
         "text_quality": text_quality,
+        # --- new in r3 ---
+        "neardup_estimate": neardup_estimate,
         # --- green in CORRECTNESS_r02 (driver-checked last round) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -2492,6 +2518,22 @@ SELECT id_a, id_b,
        (1704067200 + greatest(id_a, id_b) * 37)::BIGINT AS ts_epoch,
        jaccard
 FROM mpairs WHERE abs(id_a - id_b) * 37 <= 3600
+""",
+        # neardup_estimate: same banded candidates (cand/sigs CTEs; the
+        # unused mpairs CTE is never evaluated), scored by the MinHash
+        # estimator — agreeing components / k. k=16 keeps the division
+        # exact in binary floating point on both engines.
+        "neardup_estimate": f"""
+WITH {_minhash_ctes(0.0)},
+est AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(0, 16), i -> a.sig[i + 1] = b.sig[i + 1]))::DOUBLE / 16
+           AS jaccard
+  FROM cand JOIN sigs a ON cand.id_a = a.doc_id JOIN sigs b ON cand.id_b = b.doc_id)
+SELECT id_a, id_b,
+       (1704067200 + greatest(id_a, id_b) * 37)::BIGINT AS ts_epoch,
+       jaccard
+FROM est WHERE jaccard >= 0.25 AND abs(id_a - id_b) * 37 <= 3600
 """,
         # audio_features: the oracle recomputes every decoded feature
         # from the synthesis closed form s_i = (key*7919 + i*104729)
