@@ -427,6 +427,21 @@ def dedup_ngram_dfcut(spark, sf):
     )
 
 
+def dedup_ngram_sampled(spark, sf):
+    """Sampled exhaustive audit: a deterministic hash-sample keeps half
+    the docs (content-addressed — stable across engines/partitionings)
+    BEFORE the inverted-index join, scaling pair volume by ~rate² while
+    per-pair scores stay exact. Bounds the O(Σ df²) audit plan when
+    even the df-cut leaves it too hot."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"),
+        threshold=0.15,
+        max_doc_freq=50,
+        candidates="all",
+        audit_sample=0.5,
+    )
+
+
 def pipe_subprocess(spark, sf):
     """Reference `process` operator over documents (rows-only check:
     subprocess output not SQL-expressible)."""
@@ -1482,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         # --- new in r3 ---
         "neardup_estimate": neardup_estimate,
+        "dedup_ngram_sampled": dedup_ngram_sampled,
         # --- green in CORRECTNESS_r02 (driver-checked last round) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -1886,6 +1902,36 @@ GROUP BY band_id
 WITH base AS (
   SELECT doc_id, list_distinct({_SHINGLES}) AS sh
   FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+), nonempty AS (
+  SELECT doc_id, sh FROM base WHERE len(sh) > 0
+), inv0 AS (
+  SELECT doc_id, unnest(list_transform(sh, g -> {_H('g', '0')})) AS g FROM nonempty
+), cut AS (
+  SELECT g FROM inv0 GROUP BY g HAVING count(*) > 50
+), inv AS (
+  SELECT doc_id, g FROM inv0 ANTI JOIN cut USING (g)
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM inv GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+FROM shared JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
+""",
+        # dedup_ngram_sampled: the dfcut audit over the deterministic
+        # half-sample (hash60(42:doc_id) % 1e6 < 5e5 — same predicate
+        # as sample_hash_10pct at rate 0.5)
+        "dedup_ngram_sampled": f"""
+WITH sampled AS (
+  SELECT doc_id, text FROM documents
+  WHERE (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+        < 500000
+), base AS (
+  SELECT doc_id, list_distinct({_SHINGLES}) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM sampled)
 ), nonempty AS (
   SELECT doc_id, sh FROM base WHERE len(sh) > 0
 ), inv0 AS (

@@ -466,6 +466,8 @@ def ngram_jaccard_pairs(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     hash: str = "md5",
+    audit_sample: float | None = None,
+    audit_seed: int = 42,
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs, exact-scored.
 
@@ -484,16 +486,30 @@ def ngram_jaccard_pairs(
       use ``max_doc_freq`` (df-cut: drop shingles shared by more than
       that many docs) to bound the hottest join key. The
       exact-verification stage for audits, not the 100 TB default.
+
+    ``audit_sample`` (candidates='all' only) bounds the exhaustive plan
+    for corpora where even the df-cut leaves Σ df² too hot: a
+    content-addressed hash-sample of DOCS (stable across runs/engines/
+    partitionings) is taken before shingling, which scales every
+    shingle's doc-frequency by ~rate and the pair volume by ~rate² in
+    expectation. The audit stays honest — it is the full exhaustive
+    plan over a reproducible subset, with per-pair scores exact.
     """
     if candidates == "lsh":
         if max_doc_freq is not None:
             raise ValueError("max_doc_freq applies to candidates='all' only")
+        if audit_sample is not None:
+            raise ValueError("audit_sample applies to candidates='all' only")
         return minhash_lsh_pairs(
             df, text_col, id_col, k=k, bands=bands, shingle_n=n,
             threshold=threshold, hash=hash,
         )
     if candidates != "all":
         raise ValueError(f"unknown candidates plan: {candidates!r}")
+    if audit_sample is not None:
+        from .sampling import hash_sample
+
+        df = hash_sample(df, id_col, audit_sample, seed=audit_seed)
     shingle_set = _distinct_shingles_udf(n)
     base = df.select(
         F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh")
