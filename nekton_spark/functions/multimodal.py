@@ -28,9 +28,18 @@ operators. Two codecs are REAL, needing no external library:
   closed form, so any corruption in either direction of the
   filter/deflate/CRC round trip breaks the hash match.
 
-Other formats (JPEG, video containers) need codec libraries absent
-from this container, so those kernels remain STUBS: ``decode_image``
-on a non-PNG mime raises ``NotImplementedError`` unless ``fake=True``,
+- Image (JPEG): :mod:`.jpeg` implements baseline JPEG (ITU-T T.81)
+  from the public spec — :func:`synth_jpeg_media` writes genuine JFIF
+  bytes (Annex K Huffman tables, entropy-coded scan, byte stuffing)
+  and :func:`decode_image` runs the real marker/Huffman/IDCT decoder
+  on them. The synthesis restricts itself to DC-only blocks so the
+  decoded pixels have an integer closed form a SQL oracle can replay;
+  the decoder itself handles general single-component baseline
+  streams.
+
+Video containers still need codec libraries absent from this
+container, so those kernels remain STUBS: ``decode_image`` on an
+unsupported mime raises ``NotImplementedError`` unless ``fake=True``,
 in which case a deterministic fake decoder (payload-hash-derived
 "pixels") exercises the full Spark plumbing — schema, batching,
 partitioning — which *is* real and tested.
@@ -96,9 +105,11 @@ def decode_image(
     """media → (…, pixels: array<int>, dec_height, dec_width).
 
     PNG payloads (mime ``image/png``) decode for REAL via the stdlib
-    zlib/struct parser (:func:`_png_decode`); ``height``/``width`` are
-    ignored for them (dimensions come from IHDR). Other formats need
-    codec libraries this container lacks: pass fake=True for the
+    zlib/struct parser (:func:`_png_decode`); JPEG payloads (mime
+    ``image/jpeg``) via the pure-numpy baseline decoder
+    (:func:`.jpeg.jpeg_decode`). ``height``/``width`` are ignored for
+    both (dimensions come from the headers). Other formats need codec
+    libraries this container lacks: pass fake=True for the
     deterministic stub decoder. The mapInPandas plumbing (Arrow batches
     of binary, flat pixel output) is identical for all paths.
     """
@@ -114,12 +125,17 @@ def decode_image(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(m: dict) -> tuple:
             if not fake:
-                if m["mime"] != "image/png":
+                if m["mime"] == "image/png":
+                    pix = _png_decode(m["payload"])
+                elif m["mime"] == "image/jpeg":
+                    from .jpeg import jpeg_decode
+
+                    pix = jpeg_decode(m["payload"])
+                else:
                     raise NotImplementedError(
                         f"no codec for {m['mime']!r} in this environment; "
                         "use fake=True for the deterministic stub decoder"
                     )
-                pix = _png_decode(m["payload"])
             else:
                 pix = _fake_decode(m["payload"], height, width)
             return pix.ravel().astype(np.int64).tolist(), pix.shape[0], pix.shape[1]
@@ -282,6 +298,31 @@ def synth_png_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
             return {
                 "payload": _png_encode(_synth_pixels(key)),
                 "mime": "image/png",
+                "meta": {"origin": "synth"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_jpeg_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL grayscale baseline-JPEG payload per row
+    (:func:`.jpeg.jpeg_encode_blocks` — genuine JFIF any baseline
+    decoder accepts). Pixels follow the :func:`.jpeg.synth_block_values`
+    closed form: DC-only 8×8 blocks, so block b of image ``key`` decodes
+    to the constant (key*31 + b*17) % 256 exactly."""
+    from .jpeg import jpeg_encode_blocks, synth_block_values
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            dcs, bx, w, h = synth_block_values(key)
+            return {
+                "payload": jpeg_encode_blocks(dcs, bx, w, h),
+                "mime": "image/jpeg",
                 "meta": {"origin": "synth"},
             }
 

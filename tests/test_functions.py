@@ -289,15 +289,16 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
-        """Non-PNG mimes still have no codec: the kernel raises at
-        execution (mapInPandas is lazy, so the error surfaces wrapped
-        in Spark's Python-worker exception)."""
+        """Mimes without a codec (PNG and baseline JPEG are real now;
+        GIF etc. are not): the kernel raises at execution (mapInPandas
+        is lazy, so the error surfaces wrapped in Spark's Python-worker
+        exception)."""
         from pyspark.errors import PythonException
 
         from nekton_spark.functions.multimodal import decode_image, media_from_text
 
-        media = media_from_text(docs_df(spark, ["x"]), mime="image/jpeg")
-        with pytest.raises(PythonException, match="no codec for 'image/jpeg'"):
+        media = media_from_text(docs_df(spark, ["x"]), mime="image/gif")
+        with pytest.raises(PythonException, match="no codec for 'image/gif'"):
             decode_image(media).collect()
 
     def test_fake_decode_deterministic(self, spark):
@@ -383,6 +384,124 @@ class TestMultimodal:
             assert (r.dec_height, r.dec_width) == pix.shape
             assert r.pixels == pix.ravel().tolist()
             assert bytes(r.media["payload"][:8]) == b"\x89PNG\r\n\x1a\n"
+
+
+class TestJpegCodec:
+    def test_round_trip_exact_closed_form(self):
+        """Every (key%3, key%2) geometry and a wide range of DC values:
+        decode(encode(blocks)) must equal the integer closed form."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+            synth_block_values,
+        )
+
+        for key in range(0, 120, 1):
+            dcs, bx, w, h = synth_block_values(key)
+            pix = jpeg_decode(jpeg_encode_blocks(dcs, bx, w, h))
+            assert pix.shape == (h, w)
+            for b, dc in enumerate(dcs):
+                yb, xb = divmod(b, bx)
+                blk = pix[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                assert (blk == (key * 31 + b * 17) % 256).all()
+
+    def test_ac_coefficients_decode_like_reference_idct(self):
+        """Decoder generality beyond the DC-only fixture: hand-build an
+        entropy-coded scan with AC coefficients (run-lengths, ZRL, EOB)
+        and compare against a straight numpy IDCT of the same
+        dequantized coefficient block."""
+        import numpy as np
+
+        from nekton_spark.functions import jpeg as J
+
+        # coefficients in zigzag scan order: DC, a few ACs, a long zero
+        # run forcing ZRL, then a tail coefficient
+        coeffs = {0: 13, 1: -7, 5: 3, 28: -2, 50: 1}
+        dc_codes = J._canonical_codes(J.DC_BITS, J.DC_VALS)
+        ac_codes = J._canonical_codes(J.AC_BITS, J.AC_VALS)
+        w = J._BitWriter()
+        s = J._category(coeffs[0])
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        w.write(coeffs[0] if coeffs[0] >= 0 else coeffs[0] + (1 << s) - 1, s)
+        k = 1
+        ac_keys = sorted(kk for kk in coeffs if kk > 0)
+        for kk in ac_keys:
+            run = kk - k
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            v = coeffs[kk]
+            size = J._category(v)
+            code, ln = ac_codes[(run << 4) | size]
+            w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << size) - 1, size)
+            k = kk + 1
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+        scan = w.flush()
+
+        dqt = bytes([0x00]) + bytes(J.Q_TABLE[J.ZIGZAG[i]] for i in range(64))
+        sof0 = __import__("struct").pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        dht = (
+            bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS)
+            + bytes([0x10]) + bytes(J.AC_BITS) + bytes(J.AC_VALS)
+        )
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        payload = (
+            b"\xff\xd8"
+            + J._marker(0xFFDB, dqt)
+            + J._marker(0xFFC0, sof0)
+            + J._marker(0xFFC4, dht)
+            + J._marker(0xFFDA, sos)
+            + scan
+            + b"\xff\xd9"
+        )
+        got = J.jpeg_decode(payload)
+
+        fq = np.zeros(64)
+        for kk, v in coeffs.items():
+            fq[J.ZIGZAG[kk]] = v * J.Q_TABLE[J.ZIGZAG[kk]]
+        ref = np.clip(np.round(J._A.T @ fq.reshape(8, 8) @ J._A + 128.0), 0, 255)
+        assert (got == ref.astype(np.uint8)).all()
+
+    def test_rejects_unsupported_streams(self):
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+        )
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            jpeg_decode(b"\x89PNG\r\n\x1a\n")
+        good = bytearray(jpeg_encode_blocks([5], 1, 8, 8))
+        sof = good.index(b"\xff\xc0")
+        good[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="baseline"):
+            jpeg_decode(bytes(good))
+
+    def test_jpeg_spark_round_trip(self, spark):
+        """Real JFIF bytes through the full Spark path: mime dispatch in
+        decode_image, dimensions from SOF0, pixels from the scan."""
+        from nekton_spark.functions.jpeg import synth_block_values
+        from nekton_spark.functions.multimodal import decode_image, synth_jpeg_media
+
+        df = spark.createDataFrame([(4,), (17,)], "doc_id long")
+        rows = {r.doc_id: r for r in decode_image(synth_jpeg_media(df)).collect()}
+        for key in (4, 17):
+            dcs, bx, w, h = synth_block_values(key)
+            r = rows[key]
+            assert (r.dec_height, r.dec_width) == (h, w)
+            assert bytes(r.media["payload"][:3]) == b"\xff\xd8\xff"
+            grid = [r.pixels[i * w : (i + 1) * w] for i in range(h)]
+            for b, dc in enumerate(dcs):
+                yb, xb = divmod(b, bx)
+                expect = (key * 31 + b * 17) % 256
+                assert all(
+                    grid[yb * 8 + y][xb * 8 + x] == expect
+                    for y in range(8)
+                    for x in range(8)
+                )
 
 
 class TestAsofJoin:
