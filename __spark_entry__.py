@@ -848,8 +848,14 @@ def q20_excess_suppliers(spark, sf):
 def q21_waiting_orders(spark, sf):
     """TPC-H Q21 analog (no commit/receipt dates: 'late' = shipped >90
     days after order): suppliers who were the ONLY late shipper on a
-    multi-supplier order — count per supplier. Exists/not-exists pair
-    becomes two aggregated joins on the order key."""
+    multi-supplier order — count per supplier.
+
+    The exists/not-exists pair is a WINDOW over the joined frame, not
+    a groupBy re-joined back: the r2 shape executed the lineitem⋈orders
+    join twice (once per branch — Spark can't reuse the exchange when
+    the branches diverge, 8.2 s at sf1). One join + one per-order
+    window shuffle now; order fan-in is bounded (lines per order), so
+    the window partition is never skew-hot."""
     o = _t(spark, sf, "orders")
     l = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
@@ -858,15 +864,19 @@ def q21_waiting_orders(spark, sf):
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    annotated = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     culprit = (
-        lo.filter(F.col("late"))
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
+        annotated.filter(
+            F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()
@@ -1117,6 +1127,91 @@ def text_quality(spark, sf):
     d = _t(spark, sf, "documents")
     c = F.col("text")
     return d.select("doc_id", ta.quality_score(c).alias("quality"), ta.lang_id(c).alias("lang_guess"))
+
+
+def pii_redaction(spark, sf):
+    """PII scrub pass (functions/text_analysis.py PII family): the
+    corpus has no PII, so deterministic email/phone/IPv4 strings are
+    injected by doc_id residue, then counted and redacted. Pure
+    codegen regexp chain, map-only; the oracle replays injection,
+    counts, and the redacted-text fingerprint in RE2."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            )
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+                F.lit(" up"),
+            )
+        ),
+    )
+    t2 = d.select("doc_id", injected.alias("t2"))
+    return t2.select(
+        "doc_id",
+        ta.pii_count(F.col("t2"), "email").alias("n_email"),
+        ta.pii_count(F.col("t2"), "phone").alias("n_phone"),
+        ta.pii_count(F.col("t2"), "ipv4").alias("n_ip"),
+        F.md5(ta.redact_pii(F.col("t2"))).alias("redacted_fp"),
+    )
+
+
+def doc_repetition(spark, sf):
+    """Intra-document repetition profile: fraction of word 3-grams
+    that are repeats (Gopher 'duplicate n-grams' rule). Map-only pure
+    expressions."""
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    g = ta.ngrams(c, 3)
+    return d.select(
+        "doc_id",
+        F.size(g).alias("n_ngrams"),
+        F.round(ta.dup_ngram_fraction(c, 3), 6).alias("dup3_frac"),
+    )
+
+
+def corpus_quality_gate(spark, sf):
+    """Corpus-level quality gate: per-rule pass fractions + the count
+    of docs passing ALL rules, folded into ONE aggregate pass (k rules
+    ≠ k scans — same discipline as data_validation_report). Rules are
+    the Gopher/C4-style battery over pure codegen expressions."""
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    ntok = ta.token_count(c)
+    mwl = ta.mean_word_len(c)
+    rules = {
+        "tok_ok": ntok.between(10, 10000),
+        "mwl_ok": (mwl >= 2) & (mwl <= 12),
+        "punct_ok": ta.punct_ratio(c) <= 0.2,
+        "rep_ok": ta.repetition_ratio(c) <= 0.9,
+        "dup3_ok": ta.dup_ngram_fraction(c, 3) <= 0.5,
+    }
+    keep = None
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.round(F.avg(F.when(cond, 1).otherwise(0)), 6).alias(f"frac_{name}")
+        )
+        keep = cond if keep is None else (keep & cond)
+    aggs.append(F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"))
+    return d.agg(*aggs)
 
 
 # ------------------------------------------------------------------- dedup
@@ -1527,6 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_estimate": neardup_estimate,
         "dedup_ngram_sampled": dedup_ngram_sampled,
         "jpeg_decode": jpeg_decode_check,
+        "pii_redaction": pii_redaction,
+        "doc_repetition": doc_repetition,
+        "corpus_quality_gate": corpus_quality_gate,
         # --- green in CORRECTNESS_r02 (driver-checked last round) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -2343,6 +2441,66 @@ FROM t
 SELECT m.doc_id, {_QUALITY_EXPR} AS quality,
        CASE {" ".join(f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(ta.LANG_PROFILES))} ELSE 'und' END AS lang_guess
 FROM m JOIN b ON m.doc_id = b.doc_id
+""",
+        # pii_redaction: same deterministic injection by doc_id residue,
+        # same RE2-compatible patterns, same md5 of the redacted text
+        "pii_redaction": r"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+           WHEN doc_id % 3 = 1 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                                 || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+           ELSE ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR || ' up'
+         END AS t2
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+       len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::INT AS n_phone,
+       len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::INT AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t2,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g')) AS redacted_fp
+FROM t
+""",
+        "doc_repetition": f"""
+WITH t AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+)
+SELECT doc_id, len(sh)::INT AS n_ngrams,
+       round(CASE WHEN len(sh) <= 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END, 6) AS dup3_frac
+FROM t
+""",
+        "corpus_quality_gate": f"""
+WITH m AS (
+  SELECT (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
+         END AS punct_r,
+         CASE WHEN len(toksl) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(toksl))::DOUBLE / len(toksl) END AS rep_r,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                   / len(toks) END AS mwl,
+         CASE WHEN len(sh) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(sh))::DOUBLE / len(sh) END AS dup3
+  FROM (SELECT text, toks, toksl, {_SHINGLES} AS sh
+        FROM (SELECT text, {_TOKS} AS toks, {_TOKS_LOWER} AS toksl FROM documents))
+)
+SELECT count(*)::BIGINT AS n_docs,
+       round(avg(CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1 ELSE 0 END), 6) AS frac_tok_ok,
+       round(avg(CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1 ELSE 0 END), 6) AS frac_mwl_ok,
+       round(avg(CASE WHEN punct_r <= 0.2 THEN 1 ELSE 0 END), 6) AS frac_punct_ok,
+       round(avg(CASE WHEN rep_r <= 0.9 THEN 1 ELSE 0 END), 6) AS frac_rep_ok,
+       round(avg(CASE WHEN dup3 <= 0.5 THEN 1 ELSE 0 END), 6) AS frac_dup3_ok,
+       sum(CASE WHEN n_tok BETWEEN 10 AND 10000 AND mwl >= 2 AND mwl <= 12
+                AND punct_r <= 0.2 AND rep_r <= 0.9 AND dup3 <= 0.5
+                THEN 1 ELSE 0 END)::BIGINT AS n_keep
+FROM m
 """,
         "dedup_exact": r"""
 SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -147,6 +147,42 @@ def lang_id(col: Column) -> Column:
     return result
 
 
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): explicit classes, bounded
+# quantifiers, no lookaround. Order matters: emails are redacted
+# before phones/IPs so their digit runs can't be double-matched.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (before redaction)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its <KIND> token, in PII_PATTERNS
+    order. Pure codegen regexp_replace chain — map-only, the standard
+    pre-training scrub pass."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats within the document
+    (1 - distinct/total) — the Gopher-style intra-doc repetition
+    signal ('duplicate 3-grams' family). 0 when fewer than n tokens."""
+    g = ngrams(col, n)
+    return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

@@ -161,6 +161,26 @@ def pack_sequences_processor(df: DataFrame, budget: int = 2048, n_shards: int = 
     return _pack(df, budget=budget, n_shards=n_shards, **kw)
 
 
+@register_processor("redact_pii")
+def redact_pii_processor(df: DataFrame, text_col: str = "text", counts: bool = False) -> DataFrame:
+    """Scrub emails/phones/IPv4s in place (<EMAIL>/<PHONE>/<IPV4>
+    tokens); counts=True adds per-kind pre-redaction match counts."""
+    out = df
+    if counts:
+        for kind in ta.PII_PATTERNS:
+            out = out.withColumn(f"n_{kind}", ta.pii_count(F.col(text_col), kind))
+    return out.withColumn(text_col, ta.redact_pii(F.col(text_col)))
+
+
+@register_processor("repetition_filter")
+def repetition_filter_processor(
+    df: DataFrame, text_col: str = "text", n: int = 3, max_dup_fraction: float = 0.5
+) -> DataFrame:
+    """Drop docs whose duplicate-n-gram fraction exceeds the bound
+    (Gopher-style intra-doc repetition rule)."""
+    return df.filter(ta.dup_ngram_fraction(F.col(text_col), n) <= max_dup_fraction)
+
+
 @register_processor("top_tokens")
 def top_tokens_processor(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     return ta.top_tokens(df, k=k, text_col=text_col)

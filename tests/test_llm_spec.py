@@ -230,3 +230,36 @@ output:
         )
         got = {r.tier for r in tiers.select("tier").distinct().collect()}
         assert got == {"1 minute", "1 hour"}
+
+    def test_redact_pii_and_repetition_filter_specs(self, spark):
+        rows = [
+            (0, "reach me at alice@example.com or 555-123-4567 from 10.0.0.1"),
+            (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+            (2, "a perfectly ordinary sentence with no contact details at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("pii_docs")
+        out = compile_df(
+            spark,
+            """
+input:
+  type: sql
+  query: SELECT * FROM pii_docs
+pipeline:
+  processors:
+    - type: redact_pii
+      counts: true
+    - type: repetition_filter
+      max_dup_fraction: 0.5
+output:
+  type: memory
+""",
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        # doc 1 is pure repetition (dup 3-gram fraction ~0.8) → dropped
+        assert set(got) == {0, 2}
+        r0 = got[0]
+        assert r0.n_email == 1 and r0.n_phone == 1 and r0.n_ipv4 == 1
+        assert "<EMAIL>" in r0.text and "<PHONE>" in r0.text and "<IPV4>" in r0.text
+        assert "alice" not in r0.text and "4567" not in r0.text
+        assert got[2].text == rows[2][1]
