@@ -474,6 +474,25 @@ def train_val_test_split(spark, sf):
     )
 
 
+def stratified_sample(spark, sf):
+    """Language-rebalancing sample (the mixture-weight knob every
+    training-data pipeline has): per-stratum content-addressed rates —
+    keep all minority-language docs, downsample the majority to 30%.
+    Map-only, stable across engines/partitionings; summarized per lang
+    so the oracle checks both membership and the per-stratum count."""
+    from nekton_spark.functions.sampling import stratified_hash_sample
+
+    d = _t(spark, sf, "documents")
+    out = stratified_hash_sample(
+        d, "doc_id", "lang",
+        {"en": 0.3, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def approx_distinct_check(spark, sf):
     """HLL sketch surface: approx_count_distinct vs exact, verified
     in-plan. The oracle checks the exact count and that the sketch met
@@ -1625,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "doc_repetition": doc_repetition,
         "corpus_quality_gate": corpus_quality_gate,
+        "stratified_sample": stratified_sample,
         # --- green in CORRECTNESS_r02 (driver-checked last round) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -2095,6 +2115,14 @@ FROM (
         "sample_hash_10pct": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 100000
+""",
+        "stratified_sample": """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS id_sum
+FROM documents
+WHERE (lang = 'en' AND (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 300000)
+   OR (lang IN ('de', 'es', 'fr', 'zh')
+       AND (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 1000000)
+GROUP BY lang
 """,
         "train_val_test_split": """
 SELECT CASE WHEN (('0x' || substr(md5('42' || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 800000 THEN 'train'

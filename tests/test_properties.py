@@ -96,3 +96,41 @@ class TestPackingMath:
                 assert first * budget <= start < (first + 1) * budget
             assert pack_id >= 0
             start += n
+
+
+class TestJpegProperties:
+    @given(
+        bx=st.integers(min_value=1, max_value=4),
+        by=st.integers(min_value=1, max_value=4),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_dc_blocks_round_trip_any_values(self, bx, by, seed):
+        """Arbitrary DC values in the full category range must survive
+        the Huffman/bitstream/IDCT round trip exactly (the DC-only
+        closed form: pixel = dc + 128)."""
+        from nekton_spark.functions.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        rng = np.random.default_rng(seed)
+        dcs = rng.integers(-128, 128, size=bx * by).tolist()
+        pix = jpeg_decode(jpeg_encode_blocks(dcs, bx, bx * 8, by * 8))
+        assert pix.shape == (by * 8, bx * 8)
+        for b, dc in enumerate(dcs):
+            yb, xb = divmod(b, bx)
+            assert (pix[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] == dc + 128).all()
+
+    @given(
+        crop_w=st.integers(min_value=1, max_value=16),
+        crop_h=st.integers(min_value=1, max_value=16),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_non_multiple_of_8_dimensions_crop(self, crop_w, crop_h):
+        """SOF0 dimensions that aren't block multiples: the decoder must
+        pad the MCU grid internally and crop the output exactly."""
+        from nekton_spark.functions.jpeg import jpeg_decode, jpeg_encode_blocks
+
+        bx, by = (crop_w + 7) // 8, (crop_h + 7) // 8
+        dcs = [(7 * b) % 200 - 100 for b in range(bx * by)]
+        pix = jpeg_decode(jpeg_encode_blocks(dcs, bx, crop_w, crop_h))
+        assert pix.shape == (crop_h, crop_w)
+        assert (pix[0, 0] == dcs[0] + 128).all()
