@@ -1301,6 +1301,72 @@ def embedding_near_dup(spark, sf):
     return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.5)
 
 
+def embedding_quant_dedup(spark, sf):
+    """Grid-quantized exact embedding dedup (similarity.quantized_dedup):
+    the corpus has no duplicate embeddings, so a re-encode drift is
+    simulated — vec_id<20 re-keyed +100000 and perturbed by 2^-10
+    (below the 1/4 lattice step, so most copies land in the original's
+    cell; components near a cell boundary legitimately cross, and the
+    oracle replays the same IEEE arithmetic). One map pass + one
+    uniform-key shuffle — the O(n) first-line dedup."""
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select("vec_id", F.col("embedding"))
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            similarity.as_double(F.col("embedding")), lambda x: x + F.lit(1.0 / 1024)
+        ).alias("embedding"),
+    )
+    allv = base.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("embedding")
+    ).unionByName(copies)
+    out = similarity.quantized_dedup(allv, scale=4.0)
+    return out.select("qkey", "keep_id", "n_members")
+
+
+def vocab_coverage(spark, sf):
+    """Per-doc vocabulary coverage / OOV rate: fraction of token
+    occurrences inside the top-20 corpus vocabulary. The vocabulary is
+    a derived aggregate broadcast back over the corpus (the canonical
+    two-pass shape: vocab is tiny, the corpus-side explode never
+    shuffles more than one row per doc after the map-side count)."""
+    from nekton_spark.functions.text_analysis import top_tokens, tokenize
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    ).filter(F.length("token") > 0)
+    vocab = top_tokens(d, k=20).select("token", F.lit(1).alias("in_v"))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("in_v"), F.lit(0))).alias("in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "in_vocab",
+            F.round(F.col("in_vocab") / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )
+
+
+def source_quality_rollup(spark, sf):
+    """Per-provenance curation metrics: docs, mean quality score, mean
+    length, total tokens by source — the table a data-mixture decision
+    reads. One partial-aggregated shuffle on the (tiny) source key."""
+    d = _t(spark, sf, "documents")
+    c = F.col("text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(ta.quality_score(c)), 4).alias("avg_quality"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(ta.token_count(c)).alias("total_tokens"),
+    )
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -1645,6 +1711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "corpus_quality_gate": corpus_quality_gate,
         "stratified_sample": stratified_sample,
+        "embedding_quant_dedup": embedding_quant_dedup,
+        "vocab_coverage": vocab_coverage,
+        "source_quality_rollup": source_quality_rollup,
         # --- green in CORRECTNESS_r02 (driver-checked last round) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -2650,6 +2719,59 @@ SELECT id_a, id_b, score FROM (
   JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) qq ON id_a = qq.vec_id
   JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) cc ON id_b = cc.vec_id
 ) WHERE score >= 0.5
+""",
+        # embedding_quant_dedup: identical injection (+2^-10 on
+        # vec_id<20 re-keyed +100000), identical power-of-two lattice
+        # floors — IEEE doubles make both engines agree bit-for-bit
+        "embedding_quant_dedup": """
+WITH allv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x + 1.0/1024) AS v
+  FROM embeddings WHERE vec_id < 20
+)
+SELECT md5(array_to_string(list_transform(v, x -> (floor(x * 4.0))::BIGINT::VARCHAR), ',')) AS qkey,
+       min(vec_id) AS keep_id, count(*)::BIGINT AS n_members
+FROM allv GROUP BY 1
+""",
+        "vocab_coverage": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), toks1 AS (
+  SELECT doc_id, token FROM toks WHERE len(token) > 0
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rank
+    FROM toks1 GROUP BY token) WHERE rank <= 20
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS in_vocab,
+       round(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS coverage
+FROM toks1 t LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
+""",
+        "source_quality_rollup": f"""
+WITH m AS (
+  SELECT source, n_chars,
+         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
+         END AS punct_r,
+         CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct({_TOKS_LOWER}))::DOUBLE / len({_TOKS_LOWER})
+         END AS rep_r,
+         CASE WHEN len({_TOKS}) = 0 THEN 0.0
+              ELSE list_reduce(list_transform({_TOKS}, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                   / len({_TOKS}) END AS mwl
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg({_QUALITY_EXPR}), 4) AS avg_quality,
+       round(avg(n_chars), 2) AS avg_chars,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM m GROUP BY source
 """,
         "multimodal_features": """
 SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,

@@ -483,3 +483,35 @@ def embedding_near_dup(
         .filter(F.col("score") >= threshold)
     )
     return pairs
+
+
+def quantized_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 4.0,
+) -> DataFrame:
+    """Grid-quantized exact embedding dedup: floor every component to
+    a 1/scale lattice, group on the md5 of the quantized vector.
+    Returns (qkey, keep_id, n_members).
+
+    The O(n) complement to the banded cosine path: one map pass + one
+    uniform-key shuffle, no pairs, no verification stage — the cheap
+    first-line dedup for re-encoded/re-crawled embeddings whose drift
+    is below the lattice step. Deterministic integer-boundary floors
+    (use a power-of-two scale: x*scale is then exact in binary
+    floating point), so a SQL oracle replays membership exactly."""
+    key = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                as_double(F.col(vec_col)),
+                lambda x: F.floor(x * scale).cast("long").cast("string"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("qkey"))
+        .groupBy("qkey")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_members"))
+    )

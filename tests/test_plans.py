@@ -68,6 +68,9 @@ class TestJoinStrategy:
     def test_decontamination_broadcasts_eval_shingles(self, spark):
         assert plans.has_broadcast_join(em.decontamination_check(spark, SF))
 
+    def test_vocab_coverage_broadcasts_vocabulary(self, spark):
+        assert plans.has_broadcast_join(em.vocab_coverage(spark, SF))
+
 
 class TestShuffleBudget:
     """Each operator's shuffle count is part of its contract — a
