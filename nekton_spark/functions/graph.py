@@ -103,6 +103,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = e.count()  # cheap: frame is checkpointed
     for _ in range(max_iterations):
         # large-star: emit (bigger-neighbor → min of closed neighborhood)
         sym = e.union(e.select(v.alias("u"), u.alias("v")))
@@ -123,10 +124,12 @@ def connected_components_star(
         )
         hung = m2.select("u", F.col("m").alias("v"))
         new_e = flattened.union(hung).distinct().localCheckpoint(eager=True)
-        converged = (
-            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
-        )
-        e = new_e
+        # set equality as |new| == |old| plus new ⊆ old (both frames are
+        # distinct, so one exceptAll direction suffices — the symmetric
+        # check paid a second shuffle per round for nothing)
+        n_new = new_e.count()
+        converged = n_new == n_edges and new_e.exceptAll(e).isEmpty()
+        e, n_edges = new_e, n_new
         if converged:
             break
     ptr = e.select(u.alias("id"), v.alias("component"))
