@@ -1298,7 +1298,13 @@ def ann_topk_ivf(spark, sf):
 
 
 def embedding_near_dup(spark, sf):
-    return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.5)
+    """Explicit n_bits=16 pins the bucket structure the SQL oracle
+    replays (4 bands × 4-bit keys); the library default auto-scales
+    bits-per-band with log2(n) so buckets stay ~target_bucket-sized
+    at any corpus size."""
+    return similarity.embedding_near_dup(
+        _t(spark, sf, "embeddings"), threshold=0.5, n_bits=16
+    )
 
 
 def embedding_quant_dedup(spark, sf):

@@ -286,6 +286,39 @@ class TestSimilarity:
         hits = sum((r.query_id, r.neighbor_id) in bf_top5 for r in ivf)
         assert hits >= 5, f"recall@5 too low: {hits}/15"
 
+    def test_embedding_near_dup_auto_width_matches_explicit(self, spark, tables):
+        """The auto sketch width must equal the documented formula
+        (bands * ceil(log2(n/target_bucket))) — same pairs as passing
+        that width explicitly — and near-identical vectors must always
+        collide regardless of width (every sign bit agrees)."""
+        import math
+
+        from nekton_spark.functions.similarity import embedding_near_dup
+
+        emb = tables["embeddings"]
+        n = emb.count()
+        r_auto = max(2, math.ceil(math.log2(n / 64)))
+        auto = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup(emb, threshold=0.5).collect()
+        }
+        explicit = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup(emb, threshold=0.5, n_bits=4 * r_auto).collect()
+        }
+        assert auto == explicit
+        # exact duplicates sketch identically at any width → always found
+        dup = emb.limit(1).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+        )
+        withdup = emb.unionByName(dup)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup(withdup, threshold=0.99).collect()
+        }
+        first = emb.limit(1).collect()[0].vec_id
+        assert (first, first + 10_000) in pairs
+
 
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
