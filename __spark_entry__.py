@@ -1666,65 +1666,18 @@ def audio_features(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Iteration order IS the driver's CORRECTNESS budget order (first 50
-    # checked per round). Round-3 rotation: the 36 queries without an r2
-    # driver row — above all the 13 TPC-H analogs that have never had one
-    # in any round — go FIRST; the 50 queries green in CORRECTNESS_r02
-    # go last. New r3 queries join the front block.
+    # checked per round). Round-4 rotation is staleness-keyed: queries
+    # whose code changed since their last driver row lead (ann_topk_ivf /
+    # vocab_top_tokens were rewritten in r3 after their last row;
+    # data_validation_report gained fk_nulls), then the 43 others without
+    # an r03 row; the 50 queries green in CORRECTNESS_r03 go last. New
+    # r4 queries join the very front as they land.
     return {
-        # --- TPC-H analogs never driver-checked (r2 additions) ---
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q11_important_suppliers": q11_important_suppliers,
-        "q12_late_shipments": q12_late_shipments,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_part_supplier_counts": q16_part_supplier_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_orders": q21_waiting_orders,
-        "q22_idle_customers": q22_idle_customers,
-        # --- r1-verified queries that fell outside the r2 window ---
-        "approx_quantile_check": approx_quantile_check,
-        "events_tumbling_window": events_tumbling_window,
-        "events_sessionization": events_sessionization,
-        "events_topk_users": events_topk_users,
-        "events_json_extract": events_json_extract,
-        "q04_order_priority": q04_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q02_min_cost_part": q02_min_cost_part,
-        "events_lead_lag": events_lead_lag,
-        "null_semantics": null_semantics,
-        "events_sliding_window": events_sliding_window,
-        "q18_large_orders": q18_large_orders,
-        "scalar_subquery_above_avg": scalar_subquery_above_avg,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        "events_interval_join": events_interval_join,
-        "events_asof_join": events_asof_join,
-        "pipe_replace": pipe_replace,
-        "pipe_regex_replace": pipe_regex_replace,
-        "pipe_regex_split": pipe_regex_split,
-        "pipe_regex_select": pipe_regex_select,
-        "pipeline_chain": pipeline_chain,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
-        # --- new in r3 ---
-        "neardup_estimate": neardup_estimate,
-        "dedup_ngram_sampled": dedup_ngram_sampled,
-        "jpeg_decode": jpeg_decode_check,
-        "pii_redaction": pii_redaction,
-        "doc_repetition": doc_repetition,
-        "corpus_quality_gate": corpus_quality_gate,
-        "stratified_sample": stratified_sample,
-        "embedding_quant_dedup": embedding_quant_dedup,
-        "vocab_coverage": vocab_coverage,
-        "source_quality_rollup": source_quality_rollup,
-        # --- green in CORRECTNESS_r02 (driver-checked last round) ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
+        # --- r4 front block: code changed since last driver row ---
+        "ann_topk_ivf": ann_topk_ivf,
+        "vocab_top_tokens": vocab_top_tokens,
+        "data_validation_report": data_validation_report,
+        # --- no CORRECTNESS_r03 row (last row r02 or earlier) ---
         "q10_returned_items": q10_returned_items,
         "dedup_exact": dedup_exact,
         "dedup_incremental": dedup_incremental,
@@ -1735,18 +1688,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
-        "ann_topk_ivf": ann_topk_ivf,
         "embedding_near_dup": embedding_near_dup,
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
         "events_tier_rollup": events_tier_rollup,
         "image_resize": image_resize,
-        "data_validation_report": data_validation_report,
         "latest_event_per_user": latest_event_per_user,
         "decontamination_check": decontamination_check,
         "pack_sequences_check": pack_sequences_check,
-        "vocab_top_tokens": vocab_top_tokens,
         "audio_features": audio_features,
         "neardup_time_horizon": neardup_time_horizon,
         "topk_customers_per_nation": topk_customers_per_nation,
@@ -1771,6 +1721,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_10pct": sample_hash_10pct,
         "train_val_test_split": train_val_test_split,
         "approx_distinct_check": approx_distinct_check,
+        # --- green in CORRECTNESS_r03 (driver-checked last round) ---
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q11_important_suppliers": q11_important_suppliers,
+        "q12_late_shipments": q12_late_shipments,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_orders": q21_waiting_orders,
+        "q22_idle_customers": q22_idle_customers,
+        "approx_quantile_check": approx_quantile_check,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionization": events_sessionization,
+        "events_topk_users": events_topk_users,
+        "events_json_extract": events_json_extract,
+        "q04_order_priority": q04_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q02_min_cost_part": q02_min_cost_part,
+        "events_lead_lag": events_lead_lag,
+        "null_semantics": null_semantics,
+        "events_sliding_window": events_sliding_window,
+        "q18_large_orders": q18_large_orders,
+        "scalar_subquery_above_avg": scalar_subquery_above_avg,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "events_interval_join": events_interval_join,
+        "events_asof_join": events_asof_join,
+        "pipe_replace": pipe_replace,
+        "pipe_regex_replace": pipe_regex_replace,
+        "pipe_regex_split": pipe_regex_split,
+        "pipe_regex_select": pipe_regex_select,
+        "pipeline_chain": pipeline_chain,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "neardup_estimate": neardup_estimate,
+        "dedup_ngram_sampled": dedup_ngram_sampled,
+        "jpeg_decode": jpeg_decode_check,
+        "pii_redaction": pii_redaction,
+        "doc_repetition": doc_repetition,
+        "corpus_quality_gate": corpus_quality_gate,
+        "stratified_sample": stratified_sample,
+        "embedding_quant_dedup": embedding_quant_dedup,
+        "vocab_coverage": vocab_coverage,
+        "source_quality_rollup": source_quality_rollup,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
     }
 
 

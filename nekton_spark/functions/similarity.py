@@ -189,6 +189,10 @@ def sketch_udf(dim: int, n_bits: int = 16):
     products use ``cumsum`` along the last axis, whose final element is
     by definition the left-to-right fold — bit-identical to the
     expression form and to the DuckDB oracle's ``list_reduce``."""
+    if not 0 < n_bits <= 62:
+        # bit 63 is the long's sign bit and numpy's 1<<63 wraps to
+        # INT64_MIN (and 1<<64 to 0) — a silent wrong sketch, so refuse
+        raise ValueError(f"n_bits must be in 1..62, got {n_bits}")
     H = np.array([hyperplane_values(7000 + i, dim) for i in range(n_bits)])  # (bits, dim)
     powers = (1 << np.arange(n_bits)).astype(np.int64)
 
@@ -449,17 +453,25 @@ def embedding_near_dup(
     stays O(n · target_bucket) total. A fixed width is quadratic —
     the 30× rehearsal measured 16 bits at 60k vectors: ~3.7k-row
     buckets, 331 s (vs 12.8 s at 20k) — exactly the bucket-growth
-    blowup this formula removes. Bits-per-band caps at 14 (the packed
-    long holds bands*14 ≤ 56 bits); past ~target_bucket·2^14 vectors
-    raise ``bands`` (cost grows linearly with bands) rather than the
-    cap. Wider bands lower per-band recall ((1-θ/π)^r); compensate
-    with more bands when the threshold is loose. An explicit
-    ``n_bits`` is honored verbatim — that is what lets the SQL oracle
-    replay the exact bucket structure."""
+    blowup this formula removes. Bits-per-band caps at
+    ``min(14, 62 // bands)`` so the packed long never exceeds 62 bits
+    (bit 63 is the sign; shifting into it flips the packed value
+    negative and wider shifts wrap to 0 — silent wrong sketches).
+    Raising ``bands`` therefore NARROWS each band past 4 bands rather
+    than widening the total; per-band recall is (1-θ/π)^r, so more
+    bands at fixed total width trades precision for recall — the
+    right direction for loose thresholds. An explicit ``n_bits`` is
+    honored verbatim (but validated ≤ 62) — that is what lets the SQL
+    oracle replay the exact bucket structure."""
     if n_bits is None:
         n = df.count()
         r_auto = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
-        n_bits = bands * min(r_auto, 14)
+        n_bits = bands * min(r_auto, 14, 62 // bands)
+    if n_bits > 62:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds 62: the sketch packs into one signed "
+            "long; use more bands at <=62 total bits instead"
+        )
     r = n_bits // bands
     mask = (1 << r) - 1
     sketch = sketch_udf(dim, n_bits)

@@ -73,8 +73,10 @@ def interval_join(
     """
     by = [by] if isinstance(by, str) else list(by or [])
     if watermark:
-        left = left.withWatermark(on, watermark)
-        right = right.withWatermark(on, watermark)
+        from ..streaming.windows import ensure_event_time
+
+        left = ensure_event_time(left, on).withWatermark(on, watermark)
+        right = ensure_event_time(right, on).withWatermark(on, watermark)
     r = right
     for c in r.columns:
         if c not in by:

@@ -100,7 +100,9 @@ def streaming_minhash_near_dup(
         ).alias("band", "bh"),
     )
     if df.isStreaming:
-        banded = banded.withWatermark("ts", delay)
+        from .windows import ensure_event_time
+
+        banded = ensure_event_time(banded, "ts").withWatermark("ts", delay)
     else:
         # batch twin: the self-join would re-run both Arrow UDFs (sig +
         # shingle set) per branch — materialize once. Streaming frames

@@ -17,13 +17,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from ..registry import register_processor
 
 
+def ensure_event_time(df: DataFrame, column: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz); parquet written with
+    naive ``timestamp[us]`` reads back as TIMESTAMP_NTZ under Spark 4's
+    default ``inferTimestampNTZ``, which ``withWatermark`` rejects.
+    Cast transparently — wall-clock values are unchanged (NTZ→TZ cast
+    reinterprets in the session tz, and every consumer of these
+    operators compares within one session)."""
+    try:
+        field = df.schema[column]
+    except KeyError:
+        return df
+    if isinstance(field.dataType, TimestampNTZType):
+        return df.withColumn(column, F.col(column).cast("timestamp"))
+    return df
+
+
 @register_processor("watermark")
 def with_watermark(df: DataFrame, column: str = "ts", delay: str = "10 minutes") -> DataFrame:
-    return df.withWatermark(column, delay)
+    return ensure_event_time(df, column).withWatermark(column, delay)
 
 
 @register_processor("tumbling_window")
@@ -36,7 +53,7 @@ def tumbling_window(
     watermark: str | None = None,
 ) -> DataFrame:
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = [F.window(ts_col, duration).alias("window"), *(group_by or [])]
     exprs = [F.expr(a) for a in (aggs or ["count(*) as n"])]
     return df.groupBy(*keys).agg(*exprs)
@@ -53,7 +70,7 @@ def sliding_window(
     watermark: str | None = None,
 ) -> DataFrame:
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = [F.window(ts_col, duration, slide).alias("window"), *(group_by or [])]
     exprs = [F.expr(a) for a in (aggs or ["count(*) as n"])]
     return df.groupBy(*keys).agg(*exprs)
@@ -71,7 +88,7 @@ def session_window(
     """Native session windows (dynamic gap-based). In batch mode this
     matches the lag+cumsum sessionization oracle."""
     if watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = ensure_event_time(df, ts_col).withWatermark(ts_col, watermark)
     keys = [F.session_window(ts_col, gap).alias("session"), *(group_by or [])]
     exprs = [F.expr(a) for a in (aggs or ["count(*) as n"])]
     return df.groupBy(*keys).agg(*exprs)
@@ -83,5 +100,9 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Streaming exact dedup with bounded state."""
     if df.isStreaming:
-        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(columns)
+        return (
+            ensure_event_time(df, ts_col)
+            .withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(columns)
+        )
     return df.dropDuplicates(columns)
