@@ -463,14 +463,23 @@ def embedding_near_dup(
     right direction for loose thresholds. An explicit ``n_bits`` is
     honored verbatim (but validated ≤ 62) — that is what lets the SQL
     oracle replay the exact bucket structure."""
+    if not 1 <= bands <= 62:
+        raise ValueError(f"bands must be in 1..62, got {bands}: each band needs >=1 bit of a 62-bit sketch")
     if n_bits is None:
         n = df.count()
         r_auto = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
-        n_bits = bands * min(r_auto, 14, 62 // bands)
+        n_bits = bands * max(1, min(r_auto, 14, 62 // bands))
     if n_bits > 62:
         raise ValueError(
             f"n_bits={n_bits} exceeds 62: the sketch packs into one signed "
             "long; use more bands at <=62 total bits instead"
+        )
+    if n_bits < bands:
+        # r = n_bits // bands would be 0 → mask 0 → every row in one bucket
+        # per band: a silent all-pairs quadratic blowup, refuse instead
+        raise ValueError(
+            f"n_bits={n_bits} < bands={bands}: each band needs >=1 bit "
+            "(n_bits // bands >= 1); lower bands or raise n_bits"
         )
     r = n_bits // bands
     mask = (1 << r) - 1

@@ -60,7 +60,22 @@ def _convert_ns_cols(df: DataFrame, name: str) -> DataFrame:
             # integer division ns→us: int64 ns (~1.7e18) exceeds double's
             # 53-bit mantissa, so a float path would corrupt timestamps
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
-    return df
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Parquet naive ``timestamp[us]`` reads back as TIMESTAMP_NTZ under
+    Spark 4's default ``inferTimestampNTZ``; the whole engine (watermarks,
+    ``unix_micros``, interval joins) speaks TIMESTAMP. With the session tz
+    pinned UTC the cast preserves wall-clock exactly, so DuckDB-oracle
+    string comparisons are unchanged. Done once at the scan, not per
+    operator — one projection, stays inside whole-stage codegen."""
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 @register_source("table")
@@ -71,6 +86,9 @@ def table_source(spark: SparkSession, path: str, name: str | None = None) -> Dat
         # runtime-settable SQL conf; needed even when the caller built the
         # session (the driver's harness does)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TZ cast semantics (and DuckDB-oracle parity) assume UTC even
+    # when the caller built the session; runtime-settable, idempotent
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _convert_ns_cols(spark.read.parquet(full), tbl)
 
 

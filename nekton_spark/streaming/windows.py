@@ -26,9 +26,13 @@ def ensure_event_time(df: DataFrame, column: str) -> DataFrame:
     """Watermarks require TIMESTAMP (with local tz); parquet written with
     naive ``timestamp[us]`` reads back as TIMESTAMP_NTZ under Spark 4's
     default ``inferTimestampNTZ``, which ``withWatermark`` rejects.
-    Cast transparently — wall-clock values are unchanged (NTZ→TZ cast
-    reinterprets in the session tz, and every consumer of these
-    operators compares within one session)."""
+    Cast transparently — wall-clock values are unchanged for fixed-offset
+    session timezones (the cast reinterprets in the session tz, and every
+    consumer of these operators compares within one session). Under a
+    DST-observing session tz, nonexistent/ambiguous local times near a
+    transition shift, which can perturb window boundaries and interval-join
+    matches — pin ``spark.sql.session.timeZone`` to UTC (the engine's
+    session factory does) for exact wall-clock preservation."""
     try:
         field = df.schema[column]
     except KeyError:
@@ -105,4 +109,6 @@ def dedup_within_watermark(
             .withWatermark(ts_col, delay)
             .dropDuplicatesWithinWatermark(columns)
         )
-    return df.dropDuplicates(columns)
+    # batch twin: same NTZ→TIMESTAMP normalization so both modes emit
+    # identical schemas (a sink or union downstream sees one type)
+    return ensure_event_time(df, ts_col).dropDuplicates(columns)

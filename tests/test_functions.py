@@ -319,6 +319,23 @@ class TestSimilarity:
         first = emb.limit(1).collect()[0].vec_id
         assert (first, first + 10_000) in pairs
 
+    def test_embedding_near_dup_rejects_degenerate_band_widths(self, spark, tables):
+        """n_bits < bands would give r = n_bits // bands = 0 → mask 0 →
+        every row in ONE bucket per band: a silent all-pairs quadratic
+        blowup. Must refuse, as must bands outside 1..62 (auto n_bits
+        would otherwise come out 0 for bands > 62)."""
+        import pytest
+
+        from nekton_spark.functions.similarity import embedding_near_dup
+
+        emb = tables["embeddings"]
+        with pytest.raises(ValueError, match="n_bits=3 < bands=4"):
+            embedding_near_dup(emb, threshold=0.5, n_bits=3, bands=4)
+        with pytest.raises(ValueError, match="bands must be in 1..62"):
+            embedding_near_dup(emb, threshold=0.5, bands=63)
+        with pytest.raises(ValueError, match="bands must be in 1..62"):
+            embedding_near_dup(emb, threshold=0.5, bands=0)
+
 
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):

@@ -84,6 +84,23 @@ class TestWindowedStreams:
         assert n_users <= got.count() <= spark.read.parquet(events_stream_dir).count()
         assert got.count() < spark.read.parquet(events_stream_dir).count()
 
+    def test_dedup_within_watermark_batch_twin_schema_parity(self, spark, events_stream_dir):
+        """Batch and streaming modes of the same spec must emit identical
+        schemas: the NTZ→TIMESTAMP normalization applies on BOTH branches,
+        so a downstream sink/union sees one timestamp type."""
+        from nekton_spark.streaming.windows import dedup_within_watermark
+
+        batch = spark.read.parquet(events_stream_dir)
+        stream = read_events_stream(spark, events_stream_dir)
+        b = dedup_within_watermark(batch, ["user_id"], delay="10 minutes")
+        s = dedup_within_watermark(stream, ["user_id"], delay="10 minutes")
+        # withWatermark stamps eventTime metadata on the field, so compare
+        # the (name, type) signature, which is what a sink/union checks
+        assert [(f.name, f.dataType) for f in b.schema.fields] == [
+            (f.name, f.dataType) for f in s.schema.fields
+        ]
+        assert str(b.schema["ts"].dataType) == "TimestampType()"
+
 
 class TestStatefulStream:
     def test_running_counters_final_state_matches_batch(self, spark, events_stream_dir):
