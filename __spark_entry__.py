@@ -1666,18 +1666,66 @@ def audio_features(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Iteration order IS the driver's CORRECTNESS budget order (first 50
-    # checked per round). Round-4 rotation is staleness-keyed: queries
-    # whose code changed since their last driver row lead (ann_topk_ivf /
-    # vocab_top_tokens were rewritten in r3 after their last row;
-    # data_validation_report gained fk_nulls), then the 43 others without
-    # an r03 row; the 50 queries green in CORRECTNESS_r03 go last. New
-    # r4 queries join the very front as they land.
+    # checked per round). Round-5 rotation is staleness-keyed: the loader
+    # now normalizes TIMESTAMP_NTZ→TIMESTAMP (sources/files.py), so the
+    # timestamp-consuming queries without a CORRECTNESS_r04 row lead
+    # (their input representation changed since their last driver row),
+    # then the other 40-odd queries whose last row is r03; the 50 queries
+    # green in CORRECTNESS_r04 go last. New r5 queries join the very
+    # front as they land.
     return {
-        # --- r4 front block: code changed since last driver row ---
+        # --- r5 front: timestamp queries on the normalized loader ---
+        "events_sessionization": events_sessionization,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sliding_window": events_sliding_window,
+        "events_interval_join": events_interval_join,
+        "events_asof_join": events_asof_join,
+        "events_lead_lag": events_lead_lag,
+        "events_topk_users": events_topk_users,
+        "approx_quantile_check": approx_quantile_check,
+        "events_json_extract": events_json_extract,
+        # --- last driver row r03, unchecked in r04 ---
+        "q12_late_shipments": q12_late_shipments,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_orders": q21_waiting_orders,
+        "q22_idle_customers": q22_idle_customers,
+        "q04_order_priority": q04_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q02_min_cost_part": q02_min_cost_part,
+        "null_semantics": null_semantics,
+        "q18_large_orders": q18_large_orders,
+        "scalar_subquery_above_avg": scalar_subquery_above_avg,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "pipe_replace": pipe_replace,
+        "pipe_regex_replace": pipe_regex_replace,
+        "pipe_regex_split": pipe_regex_split,
+        "pipe_regex_select": pipe_regex_select,
+        "pipeline_chain": pipeline_chain,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "neardup_estimate": neardup_estimate,
+        "dedup_ngram_sampled": dedup_ngram_sampled,
+        "jpeg_decode": jpeg_decode_check,
+        "pii_redaction": pii_redaction,
+        "doc_repetition": doc_repetition,
+        "corpus_quality_gate": corpus_quality_gate,
+        "stratified_sample": stratified_sample,
+        "embedding_quant_dedup": embedding_quant_dedup,
+        "vocab_coverage": vocab_coverage,
+        "source_quality_rollup": source_quality_rollup,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        # --- green in CORRECTNESS_r04 (driver-checked last round) ---
         "ann_topk_ivf": ann_topk_ivf,
         "vocab_top_tokens": vocab_top_tokens,
         "data_validation_report": data_validation_report,
-        # --- no CORRECTNESS_r03 row (last row r02 or earlier) ---
         "q10_returned_items": q10_returned_items,
         "dedup_exact": dedup_exact,
         "dedup_incremental": dedup_incremental,
@@ -1721,57 +1769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_10pct": sample_hash_10pct,
         "train_val_test_split": train_val_test_split,
         "approx_distinct_check": approx_distinct_check,
-        # --- green in CORRECTNESS_r03 (driver-checked last round) ---
         "q07_volume_shipping": q07_volume_shipping,
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
         "q11_important_suppliers": q11_important_suppliers,
-        "q12_late_shipments": q12_late_shipments,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_part_supplier_counts": q16_part_supplier_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_orders": q21_waiting_orders,
-        "q22_idle_customers": q22_idle_customers,
-        "approx_quantile_check": approx_quantile_check,
-        "events_tumbling_window": events_tumbling_window,
-        "events_sessionization": events_sessionization,
-        "events_topk_users": events_topk_users,
-        "events_json_extract": events_json_extract,
-        "q04_order_priority": q04_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q02_min_cost_part": q02_min_cost_part,
-        "events_lead_lag": events_lead_lag,
-        "null_semantics": null_semantics,
-        "events_sliding_window": events_sliding_window,
-        "q18_large_orders": q18_large_orders,
-        "scalar_subquery_above_avg": scalar_subquery_above_avg,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        "events_interval_join": events_interval_join,
-        "events_asof_join": events_asof_join,
-        "pipe_replace": pipe_replace,
-        "pipe_regex_replace": pipe_regex_replace,
-        "pipe_regex_split": pipe_regex_split,
-        "pipe_regex_select": pipe_regex_select,
-        "pipeline_chain": pipeline_chain,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
-        "neardup_estimate": neardup_estimate,
-        "dedup_ngram_sampled": dedup_ngram_sampled,
-        "jpeg_decode": jpeg_decode_check,
-        "pii_redaction": pii_redaction,
-        "doc_repetition": doc_repetition,
-        "corpus_quality_gate": corpus_quality_gate,
-        "stratified_sample": stratified_sample,
-        "embedding_quant_dedup": embedding_quant_dedup,
-        "vocab_coverage": vocab_coverage,
-        "source_quality_rollup": source_quality_rollup,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
     }
 
 
