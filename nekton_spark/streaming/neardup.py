@@ -103,22 +103,55 @@ def streaming_minhash_near_dup(
         from .windows import ensure_event_time
 
         banded = ensure_event_time(banded, "ts").withWatermark("ts", delay)
+        left, right = banded.alias("l"), banded.alias("r")
+        # the explicit two-sided time bound is what lets the stream-stream
+        # join evict buffered rows once the watermark passes the horizon
+        joined = left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
+        )
     else:
         # batch twin: the self-join would re-run both Arrow UDFs (sig +
         # shingle set) per branch — materialize once. Streaming frames
         # cannot checkpoint; their branches share the exchange instead.
-        banded = banded.localCheckpoint(eager=True)
-    left, right = banded.alias("l"), banded.alias("r")
-    # the explicit two-sided time bound is what lets the stream-stream
-    # join evict buffered rows once the watermark passes the horizon
-    joined = left.join(
-        right,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bh") == F.col("r.bh"))
-        & (F.col("l.id") < F.col("r.id"))
-        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
-        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
-    )
+        #
+        # Streaming gets time-pruning for free (the state store evicts
+        # past-watermark rows), but a batch equi-join on (band, bh)
+        # alone buckets EVERY row of a hot band key together and only
+        # then applies the horizon filter — a boilerplate near-dup
+        # clique of c docs builds O(c²) wide intermediate rows per
+        # shared band (skew rehearsal: 487-doc clique → 7.5× wall
+        # time). Make the horizon part of the join key: bucket ts into
+        # horizon-width cells and have the smaller-id side probe its
+        # own cell ±1 (|Δts| ≤ h ⇒ |Δcell| ≤ 1), so a hot band key is
+        # subdivided by time and the join builds only pairs that can
+        # pass the horizon filter. Same output — the exact two-sided
+        # time bound below still decides membership.
+        h_us = F.unix_micros(
+            F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {delay}")
+        )
+        cell = F.floor(F.unix_micros(F.col("ts")) / h_us)
+        banded = banded.withColumn("_cell", cell).localCheckpoint(eager=True)
+        left = banded.select(
+            *banded.columns,
+            F.explode(
+                F.array(F.col("_cell") - 1, F.col("_cell"), F.col("_cell") + 1)
+            ).alias("_probe"),
+        ).alias("l")
+        right = banded.alias("r")
+        joined = left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l._probe") == F.col("r._cell"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
+        )
     # exactly-once emission per pair: keep only the first band whose
     # signature slices agree (exact slice comparison, not the hash)
     first_shared = F.element_at(
