@@ -29,6 +29,7 @@ raise ``NotImplementedError`` explicitly rather than mis-decoding.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -96,8 +97,21 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
 
 
 def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the reader side."""
-    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+    """(length, code) -> symbol, for the reader side. Cached: an Arrow
+    batch of documents typically shares a handful of Huffman tables
+    (libjpeg's defaults, or one synthesizer's), and rebuilding the dict
+    per doc was ~30% of decode wall time."""
+    return _decode_table_cached(tuple(bits), tuple(vals))
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in _canonical_codes(list(bits), list(vals)).items()
+    }
 
 
 class _BitWriter:
@@ -297,16 +311,21 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             td, ta = body[2] >> 4, body[2] & 0x0F
             reader = _BitReader(data, pos)
             bx, by = (width + 7) // 8, (height + 7) // 8
+            nb = bx * by
             q = np.array(qtables[tq], dtype=np.float64)
             dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
-            out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+            # pass 1: sequential entropy decode (the bit stream forbids
+            # parallelism) into one (nb, 64) zigzag-order coefficient
+            # matrix — accumulated as plain Python lists (scalar numpy
+            # writes in this loop measured 1.6× slower)
+            rows: list[list[int]] = []
             prev = 0
-            for b in range(bx * by):
-                coeffs = np.zeros(64, dtype=np.float64)
+            for _b in range(nb):
+                row = [0] * 64
                 s = reader.read_symbol(dc_tab)
                 diff = _extend(reader.read(s), s) if s else 0
                 prev += diff
-                coeffs[0] = prev
+                row[0] = prev
                 k = 1
                 while k < 64:
                     sym = reader.read_symbol(ac_tab)
@@ -319,14 +338,22 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                     k += run
                     if k >= 64:
                         raise ValueError("AC run past end of block")
-                    coeffs[k] = _extend(reader.read(size), size)
+                    row[k] = _extend(reader.read(size), size)
                     k += 1
-                fq = np.zeros(64, dtype=np.float64)
-                fq[ZIGZAG] = coeffs * q[ZIGZAG]
-                block = _A.T @ fq.reshape(8, 8) @ _A
-                pix = np.clip(np.round(block + 128.0), 0, 255).astype(np.uint8)
-                yb, xb = divmod(b, bx)
-                out[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = pix
+                rows.append(row)
+            # pass 2: dequant + de-zigzag + IDCT batched across ALL
+            # blocks — one scatter and one broadcast matmul chain
+            # (block = Aᵀ F A) instead of nb separate 8×8 matmuls
+            coeffs = np.array(rows, dtype=np.float64)
+            fq = np.zeros((nb, 64), dtype=np.float64)
+            fq[:, ZIGZAG] = coeffs * q[ZIGZAG]
+            blocks = _A.T @ fq.reshape(nb, 8, 8) @ _A
+            pix = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+            out = (
+                pix.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)
+            )
             return out[:height, :width]
     raise ValueError("no SOS marker found")
 

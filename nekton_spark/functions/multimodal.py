@@ -141,12 +141,13 @@ def decode_image(
             return pix.ravel().astype(np.int64).tolist(), pix.shape[0], pix.shape[1]
 
         for pdf in batches:
-            cols = pdf[media_col].map(one)
-            yield pdf.assign(
-                pixels=cols.map(lambda t: t[0]),
-                dec_height=cols.map(lambda t: t[1]),
-                dec_width=cols.map(lambda t: t[2]),
-            )
+            px, hh, ww = [], [], []
+            for m in pdf[media_col]:
+                p, a, b = one(m)
+                px.append(p)
+                hh.append(a)
+                ww.append(b)
+            yield pdf.assign(pixels=px, dec_height=hh, dec_width=ww)
 
     return df.mapInPandas(run, out_schema)
 
@@ -200,10 +201,12 @@ def _png_encode(pix: np.ndarray) -> bytes:
         elif f == 3:
             out = cur - (left + prev) // 2
         else:
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)),
-                dtype=np.int64,
-                count=w,
+            # encoder-side Paeth predicts from ORIGINAL neighbors (no
+            # reconstruction recurrence), so it vectorizes exactly
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
             )
             out = cur - pred
         raw.append(f)
@@ -251,25 +254,37 @@ def _png_decode(payload: bytes) -> np.ndarray:
     prev = np.zeros(w, dtype=np.int64)
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
-        f, data = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
-        cur = np.zeros(w, dtype=np.int64)
-        for x in range(w):
-            a = cur[x - 1] if x else 0
-            b = prev[x]
-            c = prev[x - 1] if x else 0
-            if f == 0:
-                pred = 0
-            elif f == 1:
-                pred = a
-            elif f == 2:
-                pred = b
-            elif f == 3:
-                pred = (a + b) // 2
-            elif f == 4:
-                pred = _paeth(int(a), int(b), int(c))
-            else:
-                raise ValueError(f"bad filter type {f}")
-            cur[x] = (data[x] + pred) % 256
+        f = line[0]
+        data = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        # None/Up are pure element-wise; Sub's left-neighbor recurrence
+        # cur[x] = (data[x] + cur[x-1]) % 256 is a running sum, so all
+        # three unfilter as single vector ops. Average and Paeth depend
+        # on the just-computed left pixel → inherently sequential; run
+        # those (and only those) through a plain-int Python loop.
+        if f == 0:
+            cur = data
+        elif f == 1:
+            cur = np.cumsum(data) % 256
+        elif f == 2:
+            cur = (data + prev) % 256
+        elif f == 3:
+            dl, pl, c_list = data.tolist(), prev.tolist(), []
+            a = 0
+            for x in range(w):
+                a = (dl[x] + (a + pl[x]) // 2) % 256
+                c_list.append(a)
+            cur = np.array(c_list, dtype=np.int64)
+        elif f == 4:
+            dl, pl, c_list = data.tolist(), prev.tolist(), []
+            a = 0
+            for x in range(w):
+                b = pl[x]
+                c = pl[x - 1] if x else 0
+                a = (dl[x] + _paeth(a, b, c)) % 256
+                c_list.append(a)
+            cur = np.array(c_list, dtype=np.int64)
+        else:
+            raise ValueError(f"bad filter type {f}")
         out[y] = cur
         prev = cur
     return out.astype(np.uint8)
