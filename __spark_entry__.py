@@ -1181,13 +1181,31 @@ def pii_redaction(spark, sf):
                 F.lit(" up"),
             )
         ),
+        # international phone and IBAN land on independent residues so
+        # some docs carry several PII kinds at once
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" tel +41"), F.lpad((did % 100000000).cast("string"), 8, "0"), F.lit(" ok")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" pay DE"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("BANK"),
+                F.lpad((did % 10000000000).cast("string"), 10, "0"),
+                F.lit(" end"),
+            ),
+        ).otherwise(F.lit("")),
     )
     t2 = d.select("doc_id", injected.alias("t2"))
     return t2.select(
         "doc_id",
         ta.pii_count(F.col("t2"), "email").alias("n_email"),
         ta.pii_count(F.col("t2"), "phone").alias("n_phone"),
+        ta.pii_count(F.col("t2"), "e164").alias("n_e164"),
         ta.pii_count(F.col("t2"), "ipv4").alias("n_ip"),
+        ta.pii_count(F.col("t2"), "iban").alias("n_iban"),
         F.md5(ta.redact_pii(F.col("t2"))).alias("redacted_fp"),
     )
 
@@ -2557,17 +2575,28 @@ WITH t AS (
            WHEN doc_id % 3 = 1 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
                                  || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
            ELSE ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR || ' up'
-         END AS t2
+         END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' tel +41' || lpad((doc_id % 100000000)::VARCHAR, 8, '0') || ' ok'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' pay DE' || lpad((doc_id % 100)::VARCHAR, 2, '0') || 'BANK'
+                      || lpad((doc_id % 10000000000)::VARCHAR, 10, '0') || ' end'
+                 ELSE '' END AS t2
   FROM documents
 )
 SELECT doc_id,
        len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
        len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::INT AS n_phone,
+       len(regexp_extract_all(t2, '\+[1-9][0-9]{6,14}'))::INT AS n_e164,
        len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::INT AS n_ip,
-       md5(regexp_replace(regexp_replace(regexp_replace(t2,
+       len(regexp_extract_all(t2, '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}'))::INT AS n_iban,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g')) AS redacted_fp
+           '\+[1-9][0-9]{6,14}', '<E164>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
+           '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}', '<IBAN>', 'g')) AS redacted_fp
 FROM t
 """,
         "doc_repetition": f"""

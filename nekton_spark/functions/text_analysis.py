@@ -154,7 +154,13 @@ def lang_id(col: Column) -> Column:
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    # E.164-ish international number: '+' then 7-15 digits, first
+    # nonzero (bounded form — no separators, no lookaround)
+    "e164": r"\+[1-9][0-9]{6,14}",
     "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # IBAN shape: country code + 2 check digits + 11-30 alphanumerics
+    # (ISO 13616 length envelope 15-34); uppercase only, as printed
+    "iban": r"[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}",
 }
 
 

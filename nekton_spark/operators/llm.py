@@ -163,7 +163,8 @@ def pack_sequences_processor(df: DataFrame, budget: int = 2048, n_shards: int = 
 
 @register_processor("redact_pii")
 def redact_pii_processor(df: DataFrame, text_col: str = "text", counts: bool = False) -> DataFrame:
-    """Scrub emails/phones/IPv4s in place (<EMAIL>/<PHONE>/<IPV4>
+    """Scrub emails / NANP phones / E.164 international numbers /
+    IPv4s / IBANs in place (<EMAIL>/<PHONE>/<E164>/<IPV4>/<IBAN>
     tokens); counts=True adds per-kind pre-redaction match counts."""
     out = df
     if counts:

@@ -263,3 +263,42 @@ output:
         assert "<EMAIL>" in r0.text and "<PHONE>" in r0.text and "<IPV4>" in r0.text
         assert "alice" not in r0.text and "4567" not in r0.text
         assert got[2].text == rows[2][1]
+
+    def test_redact_pii_e164_and_iban_injection(self, spark):
+        """Per-pattern injection + near-miss negatives for the
+        international patterns: E.164 must require '+' and a nonzero
+        lead digit; IBAN must require CC + check digits + >=11
+        alphanumerics; neither may fire on the other kinds' tokens."""
+        rows = [
+            (0, "wire to DE44500105175407324931 today"),          # real IBAN shape
+            (1, "call +41446681800 now"),                          # E.164
+            (2, "+0446681800 is not E.164 (zero lead)"),           # negative
+            (3, "DE44SHORT1 is too short for an IBAN"),            # negative
+            (4, "ticket ABCD-1234 and version 1.2.3 stay"),        # negative
+            (5, "both +919876543210 and GB29NWBK60161331926819"),  # two kinds
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.createOrReplaceTempView("pii_docs_intl")
+        out = compile_df(
+            spark,
+            """
+input:
+  type: sql
+  query: SELECT * FROM pii_docs_intl
+pipeline:
+  processors:
+    - type: redact_pii
+      counts: true
+output:
+  type: memory
+""",
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[0].n_iban == 1 and "<IBAN>" in got[0].text and "5407" not in got[0].text
+        assert got[1].n_e164 == 1 and "<E164>" in got[1].text and "6681800" not in got[1].text
+        assert got[2].n_e164 == 0 and "+0446681800" in got[2].text
+        assert got[3].n_iban == 0 and "DE44SHORT1" in got[3].text
+        assert got[4].n_e164 == got[4].n_iban == got[4].n_ipv4 == 0
+        assert got[4].text == rows[4][1]
+        assert got[5].n_e164 == 1 and got[5].n_iban == 1
+        assert "<E164>" in got[5].text and "<IBAN>" in got[5].text
