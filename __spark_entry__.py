@@ -63,6 +63,7 @@ from nekton_spark.functions.multimodal import (
     decode_image,
     media_features,
     media_from_text,
+    synth_jpeg_color_media,
     synth_jpeg_media,
     synth_png_media,
     synth_wav_media,
@@ -1461,6 +1462,30 @@ def jpeg_decode_check(spark, sf):
     )
 
 
+def jpeg_color_decode_check(spark, sf):
+    """COLOR baseline-JPEG round trip (functions/jpeg.py): genuine
+    3-component 4:4:4 JFIF bytes — interleaved (Y, Cb, Cr) MCUs,
+    per-component DC prediction — through the full decoder plus the
+    JFIF YCbCr→RGB conversion. The DC-only synthesis keeps every
+    component's samples in closed form and the conversion uses half-up
+    rounding, so the DuckDB oracle replays the exact flat RGB array."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_jpeg_color_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def dedup_incremental(spark, sf):
     """Incremental-ingest dedup (functions/dedup.py): docs ≥ 250 are
     the new batch, the rest are history represented only by their
@@ -1692,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green in CORRECTNESS_r04 go last. New r5 queries join the very
     # front as they land.
     return {
+        # --- new in r5 ---
+        "jpeg_color_decode": jpeg_color_decode_check,
         # --- r5 front: timestamp queries on the normalized loader ---
         "events_sessionization": events_sessionization,
         "events_tumbling_window": events_tumbling_window,
@@ -2854,6 +2881,43 @@ SELECT doc_id,
                     + (i % (8 * (1 + doc_id % 3))) // 8) * 17) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
+""",
+        # jpeg_color_decode: replay the flat RGB array in closed form —
+        # per flat index i: pixel p = i//3, channel c = i%3, block from
+        # (y, x); component samples are the synthesis constants and the
+        # YCbCr→RGB conversion is floor(x + 0.5) with clamp, exactly as
+        # the decoder computes it (same float64 ops, same order)
+        "jpeg_color_decode": """
+WITH t AS (
+  SELECT doc_id, 8 * (1 + doc_id % 2) AS h, 8 * (1 + doc_id % 3) AS w,
+         (1 + doc_id % 3) AS bx
+  FROM documents
+), px AS (
+  SELECT doc_id, h, w,
+    list_transform(range(0, h * w * 3), i ->
+      CASE i % 3
+        WHEN 0 THEN least(255, greatest(0, floor(
+          ((doc_id * 31 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 17) % 256)
+          + 1.402::DOUBLE * (((doc_id * 13 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 5) % 256) - 128)
+          + 0.5::DOUBLE)::BIGINT))
+        WHEN 1 THEN least(255, greatest(0, floor(
+          ((doc_id * 31 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 17) % 256)
+          - 0.344136::DOUBLE * (((doc_id * 7 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 11) % 256) - 128)
+          - 0.714136::DOUBLE * (((doc_id * 13 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 5) % 256) - 128)
+          + 0.5::DOUBLE)::BIGINT))
+        ELSE least(255, greatest(0, floor(
+          ((doc_id * 31 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 17) % 256)
+          + 1.772::DOUBLE * (((doc_id * 7 + (((i // 3) // w // 8) * bx + ((i // 3) % w // 8)) * 11) % 256) - 128)
+          + 0.5::DOUBLE)::BIGINT))
+      END) AS vals
+  FROM t
+)
+SELECT doc_id, h::INT AS dec_height, w::INT AS dec_width,
+       len(vals)::INT AS n_values,
+       list_reduce(vals, (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(list_transform(range(0, len(vals)), i -> (i + 1) * vals[i + 1]),
+                   (a, b) -> a + b)::BIGINT AS px_weighted
+FROM px
 """,
         # image_resize: nearest-neighbor sample of the closed-form
         # pixels — out[y][x] = p(y*h//4, x*w//4)

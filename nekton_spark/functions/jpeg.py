@@ -23,8 +23,16 @@ exactly dc + 128 — integer math a SQL oracle can replay. The decoder
 itself is general (AC coefficients, any 8-bit quant table); only the
 *test fixture* restricts itself to the exactly-representable subset.
 
-Restart intervals (DRI), progressive (SOF2), and multi-component scans
-raise ``NotImplementedError`` explicitly rather than mis-decoding.
+Color: 3-component SOF0 with no chroma subsampling (4:4:4 — every
+component 1×1 sampling) decodes for real: interleaved MCU entropy
+decode with per-component DC predictors and quant tables, then JFIF
+YCbCr→RGB (half-up rounding, so a SQL oracle replays it with
+``floor(x + 0.5)``). :func:`jpeg_encode_blocks_color` writes matching
+3-component JFIF bytes for the DC-only synthetic fixture.
+
+Restart intervals (DRI), progressive (SOF2), and SUBSAMPLED scans
+(4:2:0/4:2:2) raise ``NotImplementedError`` explicitly rather than
+mis-decoding.
 """
 
 from __future__ import annotations
@@ -34,7 +42,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["jpeg_encode_blocks", "jpeg_decode", "synth_block_values"]
+__all__ = [
+    "jpeg_encode_blocks",
+    "jpeg_encode_blocks_color",
+    "jpeg_decode",
+    "synth_block_values",
+    "synth_color_block_values",
+]
 
 # zigzag scan order: ZIGZAG[k] = flat index (row*8+col) of the k-th
 # coefficient in scan order (T.81 figure A.6)
@@ -240,6 +254,60 @@ def jpeg_encode_blocks(dc_values: list[int], blocks_x: int, width: int, height: 
     )
 
 
+def jpeg_encode_blocks_color(
+    dc_y: list[int],
+    dc_cb: list[int],
+    dc_cr: list[int],
+    blocks_x: int,
+    width: int,
+    height: int,
+) -> bytes:
+    """Genuine 3-component 4:4:4 baseline JFIF bytes for an image of
+    DC-only 8×8 blocks: per-component quantized DCs in raster block
+    order. All components share quant table 0 and the Annex K Huffman
+    tables (Td=Ta=0 — legal per T.81); MCUs interleave (Y, Cb, Cr) one
+    block each, with independent DC predictors."""
+    if not len(dc_y) == len(dc_cb) == len(dc_cr):
+        raise ValueError("component DC lists must have equal length")
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prevs = [0, 0, 0]
+    for b in range(len(dc_y)):
+        for ci, dcs in enumerate((dc_y, dc_cb, dc_cr)):
+            diff = dcs[b] - prevs[ci]
+            prevs[ci] = dcs[b]
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            w.write(code, ln)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            eob, eln = ac_codes[0x00]
+            w.write(eob, eln)
+    scan = w.flush()
+
+    dqt = bytes([0x00]) + bytes(Q_TABLE[ZIGZAG[k]] for k in range(64))
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    return (
+        b"\xff\xd8"
+        + _marker(0xFFE0, app0)
+        + _marker(0xFFDB, dqt)
+        + _marker(0xFFC0, sof0)
+        + _marker(0xFFC4, dht)
+        + _marker(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
 # IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); block = Aᵀ F A
 _A = np.array(
     [
@@ -253,10 +321,12 @@ _A = np.array(
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode 8-bit single-component baseline JPEG bytes to an (h, w)
-    uint8 array. General within that envelope: arbitrary Huffman and
-    quant tables are read from the stream, AC run-length/EOB/ZRL are
-    honored, FF00 stuffing removed, partial edge blocks cropped."""
+    """Decode 8-bit baseline JPEG bytes: single-component → (h, w)
+    uint8; 3-component 4:4:4 → (h, w, 3) uint8 RGB (JFIF YCbCr→RGB,
+    half-up rounding). General within that envelope: arbitrary Huffman
+    and quant tables are read from the stream, AC run-length/EOB/ZRL
+    are honored, FF00 stuffing removed, partial edge blocks cropped.
+    Subsampled chroma (any Hi/Vi ≠ 1) refuses rather than mis-decodes."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -264,7 +334,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
-    tq = td = ta = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
@@ -297,64 +367,103 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif tag == 0xC0:  # SOF0 baseline
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if ncomp != 1:
-                raise NotImplementedError("only single-component (grayscale) JPEGs")
-            tq = body[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEGs not supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tqi = body[6 + 3 * ci : 9 + 3 * ci]
+                if ncomp > 1 and hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (4:2:0/4:2:2) not supported — only 4:4:4"
+                    )
+                comps.append((cid, tqi))
         elif tag in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEGs supported")
         elif tag == 0xDD:
             raise NotImplementedError("restart intervals (DRI) not supported")
         elif tag == 0xDA:  # SOS — entropy data follows the header
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scans not supported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps):
+                raise NotImplementedError("scan must cover all frame components")
+            # per-component entropy tables, in scan order
+            sel: list[tuple[dict, dict, np.ndarray]] = []
+            for ci in range(ns):
+                cs, tda = body[1 + 2 * ci], body[2 + 2 * ci]
+                tqi = dict(comps)[cs]
+                sel.append(
+                    (
+                        htables[(0, tda >> 4)],
+                        htables[(1, tda & 0x0F)],
+                        np.array(qtables[tqi], dtype=np.float64),
+                    )
+                )
             reader = _BitReader(data, pos)
             bx, by = (width + 7) // 8, (height + 7) // 8
             nb = bx * by
-            q = np.array(qtables[tq], dtype=np.float64)
-            dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
             # pass 1: sequential entropy decode (the bit stream forbids
             # parallelism) into one (nb, 64) zigzag-order coefficient
-            # matrix — accumulated as plain Python lists (scalar numpy
-            # writes in this loop measured 1.6× slower)
-            rows: list[list[int]] = []
-            prev = 0
+            # matrix per component — interleaved MCU order for 4:4:4 is
+            # simply (Y, Cb, Cr) per block position. Accumulated as
+            # plain Python lists (scalar numpy writes in this loop
+            # measured 1.6× slower).
+            rows: list[list[list[int]]] = [[] for _ in range(ns)]
+            prevs = [0] * ns
             for _b in range(nb):
-                row = [0] * 64
-                s = reader.read_symbol(dc_tab)
-                diff = _extend(reader.read(s), s) if s else 0
-                prev += diff
-                row[0] = prev
-                k = 1
-                while k < 64:
-                    sym = reader.read_symbol(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k >= 64:
-                        raise ValueError("AC run past end of block")
-                    row[k] = _extend(reader.read(size), size)
-                    k += 1
-                rows.append(row)
+                for ci in range(ns):
+                    dc_tab, ac_tab, _q = sel[ci]
+                    row = [0] * 64
+                    s = reader.read_symbol(dc_tab)
+                    diff = _extend(reader.read(s), s) if s else 0
+                    prevs[ci] += diff
+                    row[0] = prevs[ci]
+                    k = 1
+                    while k < 64:
+                        sym = reader.read_symbol(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        k += run
+                        if k >= 64:
+                            raise ValueError("AC run past end of block")
+                        row[k] = _extend(reader.read(size), size)
+                        k += 1
+                    rows[ci].append(row)
             # pass 2: dequant + de-zigzag + IDCT batched across ALL
-            # blocks — one scatter and one broadcast matmul chain
-            # (block = Aᵀ F A) instead of nb separate 8×8 matmuls
-            coeffs = np.array(rows, dtype=np.float64)
-            fq = np.zeros((nb, 64), dtype=np.float64)
-            fq[:, ZIGZAG] = coeffs * q[ZIGZAG]
-            blocks = _A.T @ fq.reshape(nb, 8, 8) @ _A
-            pix = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
-            out = (
-                pix.reshape(by, bx, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(by * 8, bx * 8)
+            # blocks of each component — one scatter and one broadcast
+            # matmul chain (block = Aᵀ F A) instead of per-block matmuls
+            planes = []
+            for ci in range(ns):
+                _dc, _ac, q = sel[ci]
+                coeffs = np.array(rows[ci], dtype=np.float64)
+                fq = np.zeros((nb, 64), dtype=np.float64)
+                fq[:, ZIGZAG] = coeffs * q[ZIGZAG]
+                blocks = _A.T @ fq.reshape(nb, 8, 8) @ _A
+                pix = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+                planes.append(
+                    pix.reshape(by, bx, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(by * 8, bx * 8)[:height, :width]
+                )
+            if ns == 1:
+                return planes[0]
+            # JFIF YCbCr→RGB on the level-shifted integer samples;
+            # half-up rounding (floor(x + 0.5)) so a SQL oracle can
+            # replay the conversion exactly in closed form
+            y = planes[0].astype(np.float64)
+            cb = planes[1].astype(np.float64)
+            cr = planes[2].astype(np.float64)
+            rgb = np.stack(
+                [
+                    np.floor(y + 1.402 * (cr - 128.0) + 0.5),
+                    np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5),
+                    np.floor(y + 1.772 * (cb - 128.0) + 0.5),
+                ],
+                axis=-1,
             )
-            return out[:height, :width]
+            return np.clip(rgb, 0, 255).astype(np.uint8)
     raise ValueError("no SOS marker found")
 
 
@@ -366,3 +475,17 @@ def synth_block_values(key: int) -> tuple[list[int], int, int, int]:
     bx, by = 1 + key % 3, 1 + key % 2
     dcs = [((key * 31 + b * 17) % 256) - 128 for b in range(bx * by)]
     return dcs, bx, bx * 8, by * 8
+
+
+def synth_color_block_values(key: int) -> tuple[list[int], list[int], list[int], int, int, int]:
+    """Closed-form COLOR fixture: same dims as :func:`synth_block_values`;
+    block b carries per-component quantized DCs so its level-shifted
+    samples are y = (key*31 + b*17) % 256, cb = (key*7 + b*11) % 256,
+    cr = (key*13 + b*5) % 256 — pure integer math; the RGB conversion
+    (floor(x + 0.5), clamp) is then replayable in SQL."""
+    bx, by = 1 + key % 3, 1 + key % 2
+    nb = bx * by
+    dc_y = [((key * 31 + b * 17) % 256) - 128 for b in range(nb)]
+    dc_cb = [((key * 7 + b * 11) % 256) - 128 for b in range(nb)]
+    dc_cr = [((key * 13 + b * 5) % 256) - 128 for b in range(nb)]
+    return dc_y, dc_cb, dc_cr, bx, bx * 8, by * 8

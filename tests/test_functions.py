@@ -530,6 +530,55 @@ class TestJpegCodec:
         with pytest.raises(NotImplementedError, match="baseline"):
             jpeg_decode(bytes(good))
 
+    def test_color_round_trip_exact_closed_form(self):
+        """3-component 4:4:4 round trip: interleaved MCU decode with
+        per-component DC predictors, then the half-up YCbCr→RGB
+        conversion — must equal the integer closed form at every
+        pixel for every geometry."""
+        import math
+
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_color,
+            synth_color_block_values,
+        )
+
+        for key in range(0, 60):
+            dc_y, dc_cb, dc_cr, bx, w, h = synth_color_block_values(key)
+            rgb = jpeg_decode(jpeg_encode_blocks_color(dc_y, dc_cb, dc_cr, bx, w, h))
+            assert rgb.shape == (h, w, 3)
+            for b in range(len(dc_y)):
+                yb, xb = divmod(b, bx)
+                y = (key * 31 + b * 17) % 256
+                cb = (key * 7 + b * 11) % 256
+                cr = (key * 13 + b * 5) % 256
+                exp = [
+                    min(255, max(0, math.floor(y + 1.402 * (cr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(y + 1.772 * (cb - 128.0) + 0.5))),
+                ]
+                blk = rgb[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                assert (blk == exp).all(), (key, b)
+
+    def test_color_refusal_narrowed_to_subsampled(self):
+        """4:4:4 decodes; flipping one component's sampling factors to
+        2×2 (4:2:0) must refuse rather than mis-decode."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_color,
+            synth_color_block_values,
+        )
+
+        dc_y, dc_cb, dc_cr, bx, w, h = synth_color_block_values(5)
+        payload = bytearray(jpeg_encode_blocks_color(dc_y, dc_cb, dc_cr, bx, w, h))
+        jpeg_decode(bytes(payload))  # 4:4:4 accepted
+        sof = payload.index(b"\xff\xc0")
+        # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) then (id, HV, Tq)*
+        payload[sof + 11] = 0x22  # Y component sampling -> 2x2
+        with pytest.raises(NotImplementedError, match="subsampled"):
+            jpeg_decode(bytes(payload))
+
     def test_jpeg_spark_round_trip(self, spark):
         """Real JFIF bytes through the full Spark path: mime dispatch in
         decode_image, dimensions from SOF0, pixels from the scan."""
