@@ -34,7 +34,7 @@ import yaml
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import operators, sinks, sources  # noqa: F401  (populate registries)
+from . import operators, sinks, sources, streaming  # noqa: F401  (populate registries)
 from .registry import PROCESSORS, SINKS, SOURCES, lookup
 
 

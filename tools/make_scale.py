@@ -88,10 +88,20 @@ def main() -> int:
 FROM {t('documents')}, {R}""",
         "documents",
     )
+    # rotation must wrap modulo the embedding dim (64): a raw rotation by
+    # r >= 64 degenerates to the identity, silently making replicas 64+
+    # EXACT copies of replica 0 (measured: a 37-way duplicate cluster per
+    # base vector at reps=100 — a pathological pair blowup the scale-up
+    # must not fabricate). Wrap cycles flip sign instead (cosine -1:
+    # norms and within-replica structure preserved, replicas decorrelated;
+    # distinct for reps < 128).
     copy(
         f"""SELECT vec_id + r*100000 AS vec_id,
        CASE WHEN r = 0 THEN embedding
-            ELSE list_concat(embedding[(r+1):], embedding[1:r])::FLOAT[] END AS embedding,
+            ELSE list_transform(
+                   list_concat(embedding[((r % 64)+1):], embedding[1:(r % 64)]),
+                   x -> x * (CASE WHEN (r // 64) % 2 = 1 THEN -1 ELSE 1 END))::FLOAT[]
+            END AS embedding,
        label
 FROM {t('embeddings')}, {R}""",
         "embeddings",
