@@ -502,18 +502,58 @@ def embedding_near_dup(
         )
     )
 
-    # all pairs within a bucket via one exact-fold bucket matmul (see
-    # lsh_topk.score_bucket): vectors shuffled once per band, not per pair
+    # All pairs within a bucket via exact-fold bucket matmuls (see
+    # lsh_topk.score_bucket): vectors shuffled once per band, not per
+    # pair. TILED + pre-filtered: the sketch cannot split a tight
+    # cosine CLUSTER (every member lands on the same side of every
+    # hyperplane, so more bits never separate them) — a label cluster
+    # of c vectors is one c-row bucket no matter the width. The sf10
+    # rehearsal hit c ≈ 20k: a dense c×c score matrix is 3.2 GB and
+    # emitting all c² pre-threshold rows OOM-killed the JVM (measured:
+    # 29 workers × 3-4 GB). Tiles bound worker memory at O(TILE²) and
+    # the threshold prunes inside the UDF (with a margin wider than
+    # the round-half-up boundary, so the JVM-side exact filter still
+    # decides membership bit-identically). Tiling preserves oracle
+    # float parity: each pair's dot is still the same per-dimension
+    # left fold regardless of tile shape.
+    tile = 2048
+
     def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
         V = np.asarray([np.asarray(x) for x in pdf["v"]])
         ids = pdf["id"].to_numpy()
-        dots = _fold_dots(V, V)
+        order = np.argsort(ids, kind="stable")
+        V, ids = V[order], ids[order]
         nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        S = dots / (nv[:, None] * nv[None, :])
-        ai, bi = np.nonzero(ids[:, None] < ids[None, :])
-        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "score": S[ai, bi]})
+        m = len(ids)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for i0 in range(0, m, tile):
+            i1 = min(i0 + tile, m)
+            for j0 in range(i0, m, tile):  # ids sorted → j tiles ≥ i tiles
+                j1 = min(j0 + tile, m)
+                S = _fold_dots(V[i0:i1], V[j0:j1]) / (
+                    nv[i0:i1, None] * nv[None, j0:j1]
+                )
+                keep = (ids[i0:i1, None] < ids[None, j0:j1]) & (
+                    S >= threshold - 1e-6
+                )
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    out_a.append(ids[i0:i1][ai])
+                    out_b.append(ids[j0:j1][bi])
+                    out_s.append(S[ai, bi])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
+        )
 
     pairs = (
         base.groupBy("band", "key")
