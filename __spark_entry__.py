@@ -1486,6 +1486,19 @@ def jpeg_color_decode_check(spark, sf):
     )
 
 
+def common_passages_check(spark, sf):
+    """Cross-document repeated-passage mining
+    (functions/text_analysis.py:common_passages): word 3-grams shared
+    by ≥3 distinct docs, capped at the top 200 by (df desc, passage) —
+    the boilerplate/contamination audit. One map-side explode (intra-doc
+    repeats collapsed BEFORE the shuffle), one partial-agg'd groupBy,
+    TakeOrderedAndProject for the cap."""
+    from nekton_spark.functions.text_analysis import common_passages
+
+    d = _t(spark, sf, "documents")
+    return common_passages(d, n=3, min_docs=3, max_passages=200)
+
+
 def dedup_incremental(spark, sf):
     """Incremental-ingest dedup (functions/dedup.py): docs ≥ 250 are
     the new batch, the rest are history represented only by their
@@ -1719,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r5 ---
         "jpeg_color_decode": jpeg_color_decode_check,
+        "common_passages": common_passages_check,
         # --- r5 front: timestamp queries on the normalized loader ---
         "events_sessionization": events_sessionization,
         "events_tumbling_window": events_tumbling_window,
@@ -2625,6 +2639,23 @@ SELECT doc_id,
            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g'),
            '[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}', '<IBAN>', 'g')) AS redacted_fp
 FROM t
+""",
+        # common_passages: same tokenizer / 3-gram construction as the
+        # Spark side; intra-doc repeats collapsed (list_distinct) before
+        # counting, deterministic (n_docs desc, passage) cap
+        "common_passages": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+           ELSE list_transform(range(0, len(toks) - 2),
+                               i -> array_to_string(toks[i+1:i+3], ' ')) END)) AS passage
+  FROM t
+)
+SELECT passage, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS example_doc
+FROM g GROUP BY passage HAVING count(*) >= 3
+ORDER BY n_docs DESC, passage LIMIT 200
 """,
         "doc_repetition": f"""
 WITH t AS (

@@ -189,6 +189,46 @@ def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
     )
 
 
+def common_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 5,
+    max_passages: int | None = 1000,
+) -> DataFrame:
+    """Cross-document repeated passages: word n-grams appearing in at
+    least ``min_docs`` DISTINCT documents — the boilerplate /
+    contamination-passage audit (the cross-doc cousin of the intra-doc
+    ``dup_ngram_fraction``; cf. the exact-substring dedup literature).
+
+    Returns (passage, n_docs, example_doc) ordered by (n_docs desc,
+    passage) with an optional ``max_passages`` cap.
+
+    Scale: explode is map-side (tokens × docs rows, no state);
+    ``array_distinct`` BEFORE the explode collapses intra-doc repeats
+    so a pathological doc contributes each passage once; the single
+    shuffle keys on the passage text (content-uniform except for true
+    boilerplate — exactly the rows we want to surface, and a count
+    aggregate over a hot key is partial-agg-absorbed, unlike a join).
+    The cap compiles to TakeOrderedAndProject, not a global sort.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("passage"),
+    )
+    agg = (
+        exploded.groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),  # distinct by construction
+            F.min("_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    ordered = agg.orderBy(F.desc("n_docs"), F.asc("passage"))
+    return ordered.limit(max_passages) if max_passages else ordered
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

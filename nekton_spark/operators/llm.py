@@ -173,6 +173,19 @@ def redact_pii_processor(df: DataFrame, text_col: str = "text", counts: bool = F
     return out.withColumn(text_col, ta.redact_pii(F.col(text_col)))
 
 
+@register_processor("common_passages")
+def common_passages_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 5,
+    max_passages: int = 1000,
+) -> DataFrame:
+    """Cross-doc repeated-passage audit (boilerplate / contamination)."""
+    return ta.common_passages(df, text_col, id_col, n, min_docs, max_passages)
+
+
 @register_processor("repetition_filter")
 def repetition_filter_processor(
     df: DataFrame, text_col: str = "text", n: int = 3, max_dup_fraction: float = 0.5

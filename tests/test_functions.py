@@ -30,6 +30,27 @@ class TestTextAnalysis:
         # hello | , | world | 42 | !
         assert n == 5
 
+    def test_common_passages(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        df = docs_df(
+            spark,
+            [
+                "the quick brown fox jumps",       # shares "the quick brown" ×3
+                "see the quick brown fox run",
+                "the quick brown dog sleeps",
+                "the quick brown the quick brown",  # intra-doc repeat counts ONCE
+                "something entirely different here",
+            ],
+        )
+        got = {
+            r.passage: (r.n_docs, r.example_doc)
+            for r in ta.common_passages(df, n=3, min_docs=3).collect()
+        }
+        assert got["the quick brown"] == (4, 0)
+        # "quick brown fox" appears in docs 0 and 1 only → below min_docs
+        assert "quick brown fox" not in got
+
     def test_fingerprint_normalization(self, spark):
         from nekton_spark.functions import text_analysis as ta
 
