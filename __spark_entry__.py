@@ -1499,6 +1499,32 @@ def common_passages_check(spark, sf):
     return common_passages(d, n=3, min_docs=3, max_passages=200)
 
 
+def video_frame_sample_check(spark, sf):
+    """REAL video path (functions/video.py + multimodal.frame_sample):
+    genuine MJPEG AVI payloads (RIFF container written from the public
+    AVI spec, one baseline JPEG per frame) → container walk → every
+    2nd frame entropy-decoded. The DC-only synthesis keeps each
+    sampled frame's pixels in closed form, so the oracle replays
+    frame membership, dims, and both pixel checksums exactly."""
+    from nekton_spark.functions.multimodal import frame_sample, synth_avi_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    fr = frame_sample(synth_avi_media(d), every=2)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        "dec_height",
+        "dec_width",
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def dedup_incremental(spark, sf):
     """Incremental-ingest dedup (functions/dedup.py): docs ≥ 250 are
     the new batch, the rest are history represented only by their
@@ -1733,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "jpeg_color_decode": jpeg_color_decode_check,
         "common_passages": common_passages_check,
+        "video_frame_sample": video_frame_sample_check,
         # --- r5 front: timestamp queries on the normalized loader ---
         "events_sessionization": events_sessionization,
         "events_tumbling_window": events_tumbling_window,
@@ -2949,6 +2976,29 @@ SELECT doc_id, h::INT AS dec_height, w::INT AS dec_width,
        list_reduce(list_transform(range(0, len(vals)), i -> (i + 1) * vals[i + 1]),
                    (a, b) -> a + b)::BIGINT AS px_weighted
 FROM px
+""",
+        # video_frame_sample: every-2nd-frame sample of the MJPEG AVI
+        # synthesis — frame f of video d has 2 + d%3 frames total and
+        # block b decodes to the constant (d*31 + f*19 + b*17) % 256
+        "video_frame_sample": """
+WITH t AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bx, 1 + doc_id % 2 AS by, 2 + doc_id % 3 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, bx, by, unnest(range(0, nf, 2)) AS f FROM t
+)
+SELECT doc_id, f::INT AS frame_idx,
+       (by * 8)::INT AS dec_height, (bx * 8)::INT AS dec_width,
+       list_reduce(
+         list_transform(range(0, bx * by),
+           b -> 64 * ((doc_id * 31 + f * 19 + b * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 64 * bx * by),
+           i -> (i + 1) * ((doc_id * 31 + f * 19
+                 + ((i // (64 * bx)) * bx + (i % (8 * bx)) // 8) * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM fr
 """,
         # image_resize: nearest-neighbor sample of the closed-form
         # pixels — out[y][x] = p(y*h//4, x*w//4)

@@ -37,12 +37,20 @@ operators. Two codecs are REAL, needing no external library:
   the decoder itself handles general single-component baseline
   streams.
 
-Video containers still need codec libraries absent from this
-container, so those kernels remain STUBS: ``decode_image`` on an
-unsupported mime raises ``NotImplementedError`` unless ``fake=True``,
-in which case a deterministic fake decoder (payload-hash-derived
-"pixels") exercises the full Spark plumbing — schema, batching,
-partitioning — which *is* real and tested.
+- Image (color JPEG): 3-component SOF0 4:4:4 decodes for real too
+  (interleaved MCUs, per-component DC prediction, JFIF YCbCr→RGB with
+  SQL-replayable half-up rounding).
+- Video (MJPEG AVI): :mod:`.video` writes and walks the RIFF/AVI
+  container from the public spec; :func:`frame_sample` decodes only
+  the sampled frames through the JPEG decoder — the standard
+  frame-sampling shape for video corpora.
+
+Inter-frame video codecs (H.26x/VP9/AV1) are not implementable from
+scratch, so on those mimes the kernels refuse with
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (payload-hash-derived "pixels") exercises
+the full Spark plumbing — schema, batching, partitioning — which *is*
+real and tested.
 """
 
 from __future__ import annotations
@@ -513,33 +521,110 @@ def media_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def synth_avi_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL MJPEG AVI payload per row (:mod:`.video` RIFF
+    writer over :func:`.jpeg.jpeg_encode_blocks` frames). Closed form:
+    video ``key`` has 2 + key%3 frames of the key's block geometry;
+    frame f, block b decodes to the constant pixel
+    (key*31 + f*19 + b*17) % 256 — SQL-replayable end to end."""
+    from .jpeg import jpeg_encode_blocks
+    from .video import AVI_MIME, avi_encode_mjpeg
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            bx, by = 1 + key % 3, 1 + key % 2
+            w, h = bx * 8, by * 8
+            frames = []
+            for f in range(2 + key % 3):
+                dcs = [((key * 31 + f * 19 + b * 17) % 256) - 128 for b in range(bx * by)]
+                frames.append(jpeg_encode_blocks(dcs, bx, w, h))
+            return {
+                "payload": avi_encode_mjpeg(frames, w, h),
+                "mime": AVI_MIME,
+                "meta": {"origin": "synth-video"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     media_col: str = "media",
     n_frames: int = 4,
+    every: int = 1,
     fake: bool = False,
 ) -> DataFrame:
-    """Video → sampled frames (one row per frame). Stubbed like decode."""
-    if not fake:
-        raise NotImplementedError(
-            "video codecs are not available in this environment; use fake=True"
+    """Video → sampled decoded frames (one row per sampled frame).
+
+    REAL for MJPEG AVI (``video/x-msvideo``): the RIFF container walk
+    finds the per-frame JPEG chunks and only every ``every``-th frame
+    is entropy-decoded (:func:`.jpeg.jpeg_decode`) — skipped frames
+    cost nothing beyond the chunk walk, which is the point of frame
+    sampling at corpus scale. Output rows carry (frame_idx, pixels,
+    dec_height, dec_width). Inter-frame codecs (H.26x/VP9/AV1) still
+    raise — not implementable from scratch; ``fake=True`` keeps the
+    deterministic stub (frame_idx + md5) for them."""
+    if fake:
+        out_schema = T.StructType(
+            df.schema.fields
+            + [T.StructField("frame_idx", T.IntegerType(), True),
+               T.StructField("frame_md5", T.StringType(), True)]
         )
+
+        def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    payload = row[media_col]["payload"] or b""
+                    for i in range(n_frames):
+                        r = dict(row)
+                        r["frame_idx"] = i
+                        r["frame_md5"] = hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+                        rows.append(r)
+                yield pd.DataFrame(rows, columns=[*pdf.columns, "frame_idx", "frame_md5"])
+
+        return df.mapInPandas(run_fake, out_schema)
+
+    from .jpeg import jpeg_decode
+    from .video import AVI_MIME, avi_decode_frames
+
     out_schema = T.StructType(
         df.schema.fields
-        + [T.StructField("frame_idx", T.IntegerType(), True),
-           T.StructField("frame_md5", T.StringType(), True)]
+        + [
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("pixels", T.ArrayType(T.IntegerType()), True),
+            T.StructField("dec_height", T.IntegerType(), True),
+            T.StructField("dec_width", T.IntegerType(), True),
+        ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                payload = row[media_col]["payload"] or b""
-                for i in range(n_frames):
+                m = row[media_col]
+                if m["mime"] != AVI_MIME:
+                    raise NotImplementedError(
+                        f"no video codec for {m['mime']!r} (MJPEG AVI only); "
+                        "use fake=True for the stub sampler"
+                    )
+                frames = avi_decode_frames(m["payload"])
+                for idx in range(0, len(frames), every):
+                    pix = jpeg_decode(frames[idx])
                     r = dict(row)
-                    r["frame_idx"] = i
-                    r["frame_md5"] = hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+                    r["frame_idx"] = idx
+                    r["pixels"] = pix.ravel().astype(np.int64).tolist()
+                    r["dec_height"] = pix.shape[0]
+                    r["dec_width"] = pix.shape[1]
                     rows.append(r)
-            yield pd.DataFrame(rows, columns=[*pdf.columns, "frame_idx", "frame_md5"])
+            yield pd.DataFrame(
+                rows,
+                columns=[*pdf.columns, "frame_idx", "pixels", "dec_height", "dec_width"],
+            )
 
     return df.mapInPandas(run, out_schema)

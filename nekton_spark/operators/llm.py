@@ -116,15 +116,19 @@ def ann_topk_processor(
 
 @register_processor("decode_media")
 def decode_media_processor(df: DataFrame, kind: str = "image", **kw) -> DataFrame:
-    """Real codecs where the container has them (PNG via zlib, WAV via
-    wave); see functions/multimodal.py."""
+    """Real codecs, all from public specs with no codec library: PNG
+    (zlib), baseline JPEG incl. 4:4:4 color (T.81), WAV (wave), MJPEG
+    AVI video (RIFF walk + per-frame JPEG); see
+    functions/multimodal.py and functions/video.py."""
     from ..functions import multimodal as mm
 
     if kind == "image":
         return mm.decode_image(df, **kw)
     if kind == "audio":
         return mm.decode_audio(df, **kw)
-    raise ValueError(f"unknown media kind: {kind!r} (image|audio)")
+    if kind == "video":
+        return mm.frame_sample(df, **kw)
+    raise ValueError(f"unknown media kind: {kind!r} (image|audio|video)")
 
 
 @register_processor("embedding_near_dup")

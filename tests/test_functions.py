@@ -372,6 +372,44 @@ class TestMultimodal:
         with pytest.raises(PythonException, match="no codec for 'image/gif'"):
             decode_image(media).collect()
 
+    def test_video_frame_sample_real_mjpeg_avi(self, spark):
+        """REAL video path: MJPEG AVI container round trip through the
+        full Spark plan — every-2nd-frame sampling, closed-form pixels,
+        skipped frames absent."""
+        from nekton_spark.functions.multimodal import frame_sample, synth_avi_media
+
+        df = spark.createDataFrame([(4,), (11,)], "doc_id long")
+        rows = [
+            (r.doc_id, r.frame_idx, r.dec_height, r.dec_width, r.pixels)
+            for r in frame_sample(synth_avi_media(df), every=2).collect()
+        ]
+        got = {(d, f) for d, f, *_ in rows}
+        # key 4: 2+4%3=3 frames → sampled {0, 2}; key 11: 4 frames → {0, 2}
+        assert got == {(4, 0), (4, 2), (11, 0), (11, 2)}
+        for d, f, h, w, pixels in rows:
+            bx, by = 1 + d % 3, 1 + d % 2
+            assert (h, w) == (by * 8, bx * 8)
+            grid = [pixels[i * w : (i + 1) * w] for i in range(h)]
+            for b in range(bx * by):
+                yb, xb = divmod(b, bx)
+                expect = (d * 31 + f * 19 + b * 17) % 256
+                assert all(
+                    grid[yb * 8 + y][xb * 8 + x] == expect
+                    for y in range(8)
+                    for x in range(8)
+                )
+
+    def test_video_non_avi_still_refuses(self, spark):
+        """Inter-frame codecs stay refused: a non-AVI payload with a
+        video mime raises rather than mis-parsing."""
+        from pyspark.errors import PythonException
+
+        from nekton_spark.functions.multimodal import frame_sample, media_from_text
+
+        media = media_from_text(docs_df(spark, ["x"]), mime="video/mp4")
+        with pytest.raises(PythonException, match="no video codec for 'video/mp4'"):
+            frame_sample(media).collect()
+
     def test_fake_decode_deterministic(self, spark):
         from nekton_spark.functions.multimodal import decode_image, media_from_text
 
