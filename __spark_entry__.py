@@ -1299,9 +1299,14 @@ def ann_topk_bruteforce(spark, sf):
 
 
 def ann_topk_lsh(spark, sf):
+    """Banded-sketch ANN top-k. n_bits pinned to 16 so the oracle's
+    literal hyperplane constants and band masks replay the exact
+    bucket structure; the ENGINE default (n_bits=None) auto-scales
+    width with the corpus (similarity._resolve_band_width) so buckets
+    stay ~target_bucket rows at any n."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, q, k=5)
+    return similarity.lsh_topk(emb, q, k=5, n_bits=16)
 
 
 def ann_topk_ivf(spark, sf):

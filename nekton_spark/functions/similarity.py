@@ -238,6 +238,40 @@ def cosine_udf():
     return _cos
 
 
+def _resolve_band_width(
+    df: DataFrame, n_bits: int | None, bands: int, target_bucket: int
+) -> int:
+    """Shared banded-sketch width policy: auto width scales bits with
+    the corpus (bits-per-band = ceil(log2(n / target_bucket)) clamped
+    to [2, min(14, 62 // bands)]) so bucket sizes stay ~target_bucket
+    as n grows — a FIXED width degenerates toward brute force (bucket
+    size n / 2^r; the sf10 rehearsal measured a fixed 16-bit top-k at
+    4.6× per data decade for exactly this reason). Explicit n_bits is
+    honored verbatim after validation — that is what lets a SQL oracle
+    replay the exact bucket structure."""
+    if not 1 <= bands <= 62:
+        raise ValueError(
+            f"bands must be in 1..62, got {bands}: each band needs >=1 bit of a 62-bit sketch"
+        )
+    if n_bits is None:
+        n = df.count()
+        r_auto = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        n_bits = bands * max(1, min(r_auto, 14, 62 // bands))
+    if n_bits > 62:
+        raise ValueError(
+            f"n_bits={n_bits} exceeds 62: the sketch packs into one signed "
+            "long; use more bands at <=62 total bits instead"
+        )
+    if n_bits < bands:
+        # r = n_bits // bands would be 0 → mask 0 → every row in one bucket
+        # per band: a silent all-pairs quadratic blowup, refuse instead
+        raise ValueError(
+            f"n_bits={n_bits} < bands={bands}: each band needs >=1 bit "
+            "(n_bits // bands >= 1); lower bands or raise n_bits"
+        )
+    return n_bits
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -245,15 +279,21 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_bits: int = 16,
+    n_bits: int | None = None,
     bands: int = 4,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Approximate top-k: band the sign sketch into ``bands`` sub-keys;
     candidates share ≥1 band with the query; exact cosine re-rank.
 
     Recall is tuned by bands/n_bits (more bands = higher recall, more
-    candidates). Returns the same schema as brute_force_topk.
+    candidates). The default width scales with the corpus (see
+    :func:`_resolve_band_width`) so per-band buckets stay
+    ~``target_bucket`` rows as n grows; a fixed width makes the bucket
+    scoring degenerate toward brute force. Returns the same schema as
+    brute_force_topk.
     """
+    n_bits = _resolve_band_width(corpus, n_bits, bands, target_bucket)
     r = n_bits // bands
     mask = (1 << r) - 1
 
@@ -463,24 +503,7 @@ def embedding_near_dup(
     right direction for loose thresholds. An explicit ``n_bits`` is
     honored verbatim (but validated ≤ 62) — that is what lets the SQL
     oracle replay the exact bucket structure."""
-    if not 1 <= bands <= 62:
-        raise ValueError(f"bands must be in 1..62, got {bands}: each band needs >=1 bit of a 62-bit sketch")
-    if n_bits is None:
-        n = df.count()
-        r_auto = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
-        n_bits = bands * max(1, min(r_auto, 14, 62 // bands))
-    if n_bits > 62:
-        raise ValueError(
-            f"n_bits={n_bits} exceeds 62: the sketch packs into one signed "
-            "long; use more bands at <=62 total bits instead"
-        )
-    if n_bits < bands:
-        # r = n_bits // bands would be 0 → mask 0 → every row in one bucket
-        # per band: a silent all-pairs quadratic blowup, refuse instead
-        raise ValueError(
-            f"n_bits={n_bits} < bands={bands}: each band needs >=1 bit "
-            "(n_bits // bands >= 1); lower bands or raise n_bits"
-        )
+    n_bits = _resolve_band_width(df, n_bits, bands, target_bucket)
     r = n_bits // bands
     mask = (1 << r) - 1
     sketch = sketch_udf(dim, n_bits)
