@@ -126,11 +126,14 @@ def streaming_minhash_near_dup(
         # clique of c docs builds O(c²) wide intermediate rows per
         # shared band (skew rehearsal: 487-doc clique → 7.5× wall
         # time). Make the horizon part of the join key: bucket ts into
-        # horizon-width cells and have the smaller-id side probe its
-        # own cell ±1 (|Δts| ≤ h ⇒ |Δcell| ≤ 1), so a hot band key is
-        # subdivided by time and the join builds only pairs that can
-        # pass the horizon filter. Same output — the exact two-sided
-        # time bound below still decides membership.
+        # horizon-width cells, orient each pair EARLIER→LATER by
+        # (ts, id), and have the earlier side probe its own cell and
+        # the next (0 ≤ Δts ≤ h ⇒ Δcell ∈ {0, 1} — two probe rows per
+        # banded row, not three as an id-oriented probe would need).
+        # A hot band key is thus subdivided by time and the join
+        # builds only pairs that can pass the horizon filter. Same
+        # output — the exact time bound below still decides
+        # membership, and ids are re-ordered in the final select.
         h_us = F.unix_micros(
             F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {delay}")
         )
@@ -138,9 +141,7 @@ def streaming_minhash_near_dup(
         banded = banded.withColumn("_cell", cell).localCheckpoint(eager=True)
         left = banded.select(
             *banded.columns,
-            F.explode(
-                F.array(F.col("_cell") - 1, F.col("_cell"), F.col("_cell") + 1)
-            ).alias("_probe"),
+            F.explode(F.array(F.col("_cell"), F.col("_cell") + 1)).alias("_probe"),
         ).alias("l")
         right = banded.alias("r")
         joined = left.join(
@@ -148,8 +149,10 @@ def streaming_minhash_near_dup(
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l._probe") == F.col("r._cell"))
-            & (F.col("l.id") < F.col("r.id"))
-            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
+            & (
+                (F.col("l.ts") < F.col("r.ts"))
+                | ((F.col("l.ts") == F.col("r.ts")) & (F.col("l.id") < F.col("r.id")))
+            )
             & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
         )
     # exactly-once emission per pair: keep only the first band whose
@@ -180,11 +183,13 @@ def streaming_minhash_near_dup(
             ).cast("double")
             / k
         )
+    # least/greatest: the batch join orients pairs by (ts, id), not id
+    # (streaming keeps l.id < r.id, where least/greatest is a no-op)
     return (
         joined.filter(F.col("l.band") == first_shared)
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
             F.greatest(F.col("l.ts"), F.col("r.ts")).alias("ts"),
             score.alias("jaccard"),
         )
