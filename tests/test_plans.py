@@ -104,7 +104,9 @@ class TestTopK:
     top-k), never a single-partition window sort over the whole frame;
     the rank window may only ever see the k surviving rows."""
 
-    @pytest.mark.parametrize("fn", [em.events_topk_users, em.vocab_top_tokens])
+    @pytest.mark.parametrize(
+        "fn", [em.events_topk_users, em.vocab_top_tokens, em.common_passages_check]
+    )
     def test_topk_partial_not_global_sort(self, spark, fn):
         df = fn(spark, SF)
         assert plans.has_take_ordered(df)

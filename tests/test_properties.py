@@ -134,3 +134,38 @@ class TestJpegProperties:
         pix = jpeg_decode(jpeg_encode_blocks(dcs, bx, crop_w, crop_h))
         assert pix.shape == (crop_h, crop_w)
         assert (pix[0, 0] == dcs[0] + 128).all()
+
+
+class TestAviProperties:
+    @given(
+        n_frames=st.integers(min_value=1, max_value=12),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+        fps=st.integers(min_value=1, max_value=60),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_container_round_trips_arbitrary_frame_bytes(self, n_frames, seed, fps):
+        """The RIFF/AVI container must return frame payloads verbatim
+        for any frame count, size mix (odd lengths exercise the even-
+        padding rule), and fps."""
+        from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
+
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=int(rng.integers(1, 400)), dtype=np.uint8).tobytes()
+            for _ in range(n_frames)
+        ]
+        avi = avi_encode_mjpeg(frames, width=16, height=8, fps=fps)
+        assert avi_decode_frames(avi) == frames
+
+    @given(cut=st.integers(min_value=13, max_value=60))
+    @settings(max_examples=20, deadline=None)
+    def test_truncated_container_refuses(self, cut):
+        """Any truncation inside the chunk tree must raise, never
+        silently return partial frames."""
+        import pytest as _pytest
+
+        from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
+
+        avi = avi_encode_mjpeg([b"x" * 100], width=8, height=8)
+        with _pytest.raises(ValueError):
+            avi_decode_frames(avi[:cut])
