@@ -238,6 +238,38 @@ def cosine_udf():
     return _cos
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Row count for the width policy WITHOUT an eager Spark job when
+    the frame is file-backed: parquet footers carry exact row counts,
+    so summing them driver-side is a metadata read (the same trick
+    :func:`ensure_parallelism` uses for byte sizes). Exact for
+    scan-shaped inputs — the only shape the auto-width driver queries
+    use — and equal to the ``count(*)`` a SQL oracle computes over the
+    same table. An upstream filter would make this an upper bound,
+    which is a fine width heuristic but would diverge from a
+    count-based oracle: pass an explicit ``n_bits`` there. Falls back
+    to ``df.count()`` (non-parquet / in-memory frames); streaming
+    frames must pass ``n_bits`` explicitly."""
+    files = df.inputFiles()
+    local = [f for f in files if f.startswith("file:")]
+    if files and len(local) == len(files):
+        from urllib.parse import unquote, urlparse
+
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in local:
+                path = unquote(urlparse(f).path)
+                if not path.endswith(".parquet"):
+                    return df.count()
+                total += pq.ParquetFile(path).metadata.num_rows
+            return total
+        except Exception:
+            pass
+    return df.count()
+
+
 def _resolve_band_width(
     df: DataFrame, n_bits: int | None, bands: int, target_bucket: int
 ) -> int:
@@ -248,14 +280,21 @@ def _resolve_band_width(
     size n / 2^r; the sf10 rehearsal measured a fixed 16-bit top-k at
     4.6× per data decade for exactly this reason). Explicit n_bits is
     honored verbatim after validation — that is what lets a SQL oracle
-    replay the exact bucket structure."""
+    replay the exact bucket structure; the auto width is ALSO
+    oracle-replayable because the arithmetic is integer-exact:
+    bits-per-band = ceil(log2(ceil(n / target_bucket))) computed via
+    ``int.bit_length`` here and ``ceil(log2(m))`` over the integer m
+    in SQL — equal for all m (ceil∘log2 commutes with the inner ceil
+    on integer thresholds, and log2 of a power of two is exact in
+    IEEE double on both engines)."""
     if not 1 <= bands <= 62:
         raise ValueError(
             f"bands must be in 1..62, got {bands}: each band needs >=1 bit of a 62-bit sketch"
         )
     if n_bits is None:
-        n = df.count()
-        r_auto = max(2, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        n = _estimate_rows(df)
+        m = max(1, -(-n // target_bucket))  # ceil(n / target_bucket)
+        r_auto = max(2, (m - 1).bit_length())  # == ceil(log2(m)), exactly
         n_bits = bands * max(1, min(r_auto, 14, 62 // bands))
     if n_bits > 62:
         raise ValueError(
@@ -321,11 +360,44 @@ def lsh_topk(
     cb = banded(ensure_parallelism(corpus), id_col, vec_col)
     qb = banded(queries, id_col, vec_col)
 
-    # Score per LSH bucket with a cogrouped applyInPandas: each vector
-    # crosses the wire once per band (~bands·n rows) instead of once per
-    # candidate pair (~n²/buckets rows of ~1 KB). Inside a bucket one
-    # exact-fold (cumsum) "matmul" scores all pairs — BLAS-class speed,
-    # bit-identical sums.
+    # Salt oversized corpus buckets into ~tile-row subgroups (same
+    # hazard as embedding_near_dup: a sketch bucket is otherwise ONE
+    # cogroup = one task, so a hot bucket — e.g. a tight cosine
+    # cluster the hyperplanes cannot split — serializes its whole
+    # candidate scoring on one core). Corpus rows get a deterministic
+    # tile ct = pmod(xxhash64(id), n_tiles); query rows are replicated
+    # to every tile of their bucket (queries are the small side by
+    # contract), so each (query, candidate) pair meets exactly once.
+    tile = 2048
+    big = (
+        cb.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > tile)
+    )
+    nt = F.ceil(F.coalesce(F.col("bucket_n"), F.lit(1)) / tile).cast("int")
+    cbs = (
+        cb.join(big, ["band", "key"], "left")
+        .withColumn("ct", F.pmod(F.xxhash64("id"), nt).cast("int"))
+        .select("id", "v", "band", "key", "ct")
+    )
+    qbs = (
+        qb.join(big, ["band", "key"], "left")
+        .withColumn("nt", nt)
+        .select(
+            "id",
+            "v",
+            "band",
+            "key",
+            F.explode(F.sequence(F.lit(0), F.col("nt") - 1)).alias("ct"),
+        )
+    )
+
+    # Score per (salted) LSH bucket with a cogrouped applyInPandas:
+    # each vector crosses the wire once per band (~bands·n rows)
+    # instead of once per candidate pair (~n²/buckets rows of ~1 KB).
+    # Inside a bucket one exact-fold (cumsum) "matmul" scores all
+    # pairs — BLAS-class speed, bit-identical sums (tile membership
+    # does not change any pair's fold order).
     def score_bucket(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if cdf.empty or qdf.empty:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
@@ -343,8 +415,13 @@ def lsh_topk(
         )
 
     scored_raw = (
-        cb.groupBy("band", "key")
-        .cogroup(qb.groupBy("band", "key"))
+        # explicit repartition on the full salted key — a shuffle join
+        # above would leave (band, key) partitioning, which already
+        # satisfies the cogroup's clustering requirement, putting every
+        # subgroup of a hot bucket back into one task
+        cbs.repartition("band", "key", "ct")
+        .groupBy("band", "key", "ct")
+        .cogroup(qbs.repartition("band", "key", "ct").groupBy("band", "key", "ct"))
         .applyInPandas(score_bucket, "query_id long, neighbor_id long, score double")
     )
     scored = scored_raw.select(
@@ -527,49 +604,127 @@ def embedding_near_dup(
 
     # All pairs within a bucket via exact-fold bucket matmuls (see
     # lsh_topk.score_bucket): vectors shuffled once per band, not per
-    # pair. TILED + pre-filtered: the sketch cannot split a tight
-    # cosine CLUSTER (every member lands on the same side of every
-    # hyperplane, so more bits never separate them) — a label cluster
-    # of c vectors is one c-row bucket no matter the width. The sf10
-    # rehearsal hit c ≈ 20k: a dense c×c score matrix is 3.2 GB and
-    # emitting all c² pre-threshold rows OOM-killed the JVM (measured:
-    # 29 workers × 3-4 GB). Tiles bound worker memory at O(TILE²) and
-    # the threshold prunes inside the UDF (with a margin wider than
-    # the round-half-up boundary, so the JVM-side exact filter still
-    # decides membership bit-identically). Tiling preserves oracle
-    # float parity: each pair's dot is still the same per-dimension
-    # left fold regardless of tile shape.
+    # pair. TILED + pre-filtered + SALTED: the sketch cannot split a
+    # tight cosine CLUSTER (every member lands on the same side of
+    # every hyperplane, so more bits never separate them) — a label
+    # cluster of c vectors is one c-row bucket no matter the width.
+    # The sf10 rehearsal hit c ≈ 20k: a dense c×c score matrix is
+    # 3.2 GB and emitting all c² pre-threshold rows OOM-killed the
+    # JVM. Tiles bound worker memory at O(TILE²) and the threshold
+    # prunes inside the UDF (with a margin wider than the
+    # round-half-up boundary, so the JVM-side exact filter still
+    # decides membership bit-identically). The salt then spreads the
+    # O(c²/TILE²) tile-pair units across the CLUSTER: without it an
+    # oversized bucket is one applyInPandas group = one task, and at
+    # sf10 embedding_near_dup spent most of its wall in a few
+    # hot-bucket stragglers while 29 cores idled. Each row gets a
+    # deterministic tile t = pmod(xxhash64(id), n_tiles) and is
+    # replicated once per tile u; the subgroup key (band, key,
+    # least(t,u), greatest(t,u)) is a SEPARATE group, so every
+    # unordered row pair meets in exactly one subgroup and a c-row
+    # cluster becomes ~(c/TILE)²/2 independent tasks. Replication
+    # cost is n_tiles× rows for oversized buckets only — the same
+    # O(c²/TILE) volume their pair mining already pays. Normal
+    # buckets (≤ TILE rows, the overwhelming mass under the
+    # auto-width policy) take the nt=1 fast path: one subgroup, no
+    # replication. Salting never changes the output: per-pair scores
+    # are the same per-dimension left fold regardless of tile shape,
+    # so oracle float parity is preserved.
     tile = 2048
 
-    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    big = (
+        base.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > tile)
+    )
+    # oversized buckets are ≤ n/TILE and empty in the healthy regime —
+    # AQE sees the tiny agg output at the stage boundary and broadcasts
+    salted = (
+        base.join(big, ["band", "key"], "left")
+        .withColumn(
+            "nt", F.ceil(F.coalesce(F.col("bucket_n"), F.lit(1)) / tile).cast("int")
+        )
+        .withColumn("t", F.pmod(F.xxhash64("id"), F.col("nt")).cast("int"))
+        .select(
+            "id",
+            "v",
+            "band",
+            "key",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.col("nt") - 1)).alias("u"),
+        )
+        .select(
+            "id",
+            "v",
+            "band",
+            "key",
+            "t",
+            F.least("t", "u").alias("ti"),
+            F.greatest("t", "u").alias("tj"),
+        )
+    )
+
+    def pairs_in_subgroup(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
-        V = np.asarray([np.asarray(x) for x in pdf["v"]])
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        V, ids = V[order], ids[order]
-        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        m = len(ids)
+            return empty
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
-        for i0 in range(0, m, tile):
-            i1 = min(i0 + tile, m)
-            for j0 in range(i0, m, tile):  # ids sorted → j tiles ≥ i tiles
-                j1 = min(j0 + tile, m)
-                S = _fold_dots(V[i0:i1], V[j0:j1]) / (
-                    nv[i0:i1, None] * nv[None, j0:j1]
-                )
-                keep = (ids[i0:i1, None] < ids[None, j0:j1]) & (
-                    S >= threshold - 1e-6
-                )
-                ai, bi = np.nonzero(keep)
-                if len(ai):
-                    out_a.append(ids[i0:i1][ai])
-                    out_b.append(ids[j0:j1][bi])
-                    out_s.append(S[ai, bi])
+        if ti == tj:
+            # diagonal subgroup: upper triangle over id-sorted rows
+            V = np.asarray([np.asarray(x) for x in pdf["v"]])
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            V, ids = V[order], ids[order]
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            m = len(ids)
+            for i0 in range(0, m, tile):
+                i1 = min(i0 + tile, m)
+                for j0 in range(i0, m, tile):  # ids sorted → j tiles ≥ i tiles
+                    j1 = min(j0 + tile, m)
+                    S = _fold_dots(V[i0:i1], V[j0:j1]) / (
+                        nv[i0:i1, None] * nv[None, j0:j1]
+                    )
+                    keep = (ids[i0:i1, None] < ids[None, j0:j1]) & (
+                        S >= threshold - 1e-6
+                    )
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        out_a.append(ids[i0:i1][ai])
+                        out_b.append(ids[j0:j1][bi])
+                        out_s.append(S[ai, bi])
+        else:
+            # off-diagonal: full cross of the two tiles' rows; hashed
+            # tiles are unordered, so orient each pair by id here
+            a = pdf[pdf["t"] == ti]
+            b = pdf[pdf["t"] == tj]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            A = np.asarray([np.asarray(x) for x in a["v"]])
+            B = np.asarray([np.asarray(x) for x in b["v"]])
+            aids = a["id"].to_numpy()
+            bids = b["id"].to_numpy()
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            for i0 in range(0, len(aids), tile):  # hash imbalance guard
+                i1 = min(i0 + tile, len(aids))
+                for j0 in range(0, len(bids), tile):
+                    j1 = min(j0 + tile, len(bids))
+                    S = _fold_dots(A[i0:i1], B[j0:j1]) / (
+                        na[i0:i1, None] * nb[None, j0:j1]
+                    )
+                    keep = S >= threshold - 1e-6
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        x = aids[i0:i1][ai]
+                        y = bids[j0:j1][bi]
+                        out_a.append(np.minimum(x, y))
+                        out_b.append(np.maximum(x, y))
+                        out_s.append(S[ai, bi])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+            return empty
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -579,8 +734,14 @@ def embedding_near_dup(
         )
 
     pairs = (
-        base.groupBy("band", "key")
-        .applyInPandas(pairs_in_bucket, "id_a long, id_b long, score double")
+        # explicit repartition on the FULL salted key: a shuffle join
+        # above would leave (band, key) partitioning, which satisfies
+        # the groupBy's clustering requirement — Spark would add no
+        # exchange and every subgroup of a hot bucket would land in
+        # the SAME task, defeating the salt
+        salted.repartition("band", "key", "ti", "tj")
+        .groupBy("band", "key", "ti", "tj")
+        .applyInPandas(pairs_in_subgroup, "id_a long, id_b long, score double")
         .select("id_a", "id_b", F.round("score", 6).alias("score"))
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("score") >= threshold)
