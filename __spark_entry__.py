@@ -1299,14 +1299,18 @@ def ann_topk_bruteforce(spark, sf):
 
 
 def ann_topk_lsh(spark, sf):
-    """Banded-sketch ANN top-k. n_bits pinned to 16 so the oracle's
-    literal hyperplane constants and band masks replay the exact
-    bucket structure; the ENGINE default (n_bits=None) auto-scales
-    width with the corpus (similarity._resolve_band_width) so buckets
-    stay ~target_bucket rows at any n."""
+    """Banded-sketch ANN top-k at the ENGINE DEFAULT auto width
+    (n_bits=None): similarity._resolve_band_width scales bits-per-band
+    with ceil(log2(ceil(n/target_bucket))) so buckets stay
+    ~target_bucket rows at any corpus size — the scale-safe plan (the
+    sf10 rehearsal measured 2.2×/decade vs 4.6× at a pinned 16-bit
+    width). The oracle replays the SAME width from count(*) with
+    integer-exact arithmetic and masks the matching lower bits of a
+    max-width (56-bit) literal-hyperplane sketch, so the exact bucket
+    structure is reproduced without pinning."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, q, k=5, n_bits=16)
+    return similarity.lsh_topk(emb, q, k=5)
 
 
 def ann_topk_ivf(spark, sf):
@@ -1322,13 +1326,11 @@ def ann_topk_ivf(spark, sf):
 
 
 def embedding_near_dup(spark, sf):
-    """Explicit n_bits=16 pins the bucket structure the SQL oracle
-    replays (4 bands × 4-bit keys); the library default auto-scales
-    bits-per-band with log2(n) so buckets stay ~target_bucket-sized
-    at any corpus size."""
-    return similarity.embedding_near_dup(
-        _t(spark, sf, "embeddings"), threshold=0.5, n_bits=16
-    )
+    """Cosine-threshold near-dup pairs at the ENGINE DEFAULT auto
+    width (n_bits=None) — same auto-width policy and SQL replay as
+    ann_topk_lsh, so the driver-checked plan is the one whose buckets
+    stay ~target_bucket-sized at any corpus size."""
+    return similarity.embedding_near_dup(_t(spark, sf, "embeddings"), threshold=0.5)
 
 
 def embedding_quant_dedup(spark, sf):
@@ -2043,7 +2045,20 @@ def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 6
 
 
 def oracle_sql() -> dict[str, str]:
-    sketch = _sketch_sql("v")
+    # Auto-width replay (similarity._resolve_band_width with bands=4,
+    # target_bucket=64): the sketch is generated at the maximum width
+    # the policy can pick (4 bands × 14 bits = 56) and the band masks
+    # below select only the lower 4r bits — bit i is the same
+    # hyperplane on both engines, so masking the wide sketch equals
+    # sketching at the narrow width. r itself is integer-exact:
+    # ceil(log2(m)) over the integer m = ceil(n/64) (bit_length in
+    # Python; ceil(log2(m)) is safe in SQL because for integer m the
+    # only near-integer log2 values are exact powers of two, where
+    # IEEE log2 is exact).
+    sketch56 = _sketch_sql("v", n_bits=56)
+    autowidth = """
+nn AS (SELECT count(*) AS n FROM embeddings),
+pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS BIGINT)), 14) AS r FROM nn)"""
     lang_cte = _lang_sql()
     return {
         "q01_pricing_summary": """
@@ -2764,14 +2779,14 @@ SELECT query_id, neighbor_id, score, rank FROM (
   FROM s) WHERE rank <= 5
 """,
         "ann_topk_lsh": f"""
-WITH base AS (
+WITH {autowidth},
+base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ), sk AS (
-  SELECT id, v, ({sketch}) AS sk FROM base
+  SELECT id, v, ({sketch56}) AS sk FROM base
 ), banded AS (
-  SELECT id, v, unnest([0, 1, 2, 3]) AS band,
-         unnest([(sk >> 0) & 15, (sk >> 4) & 15, (sk >> 8) & 15, (sk >> 12) & 15]) AS key
-  FROM sk
+  SELECT id, v, b.band, (sk >> (b.band * p.r)) & ((1::BIGINT << p.r) - 1) AS key
+  FROM sk, pp p, (SELECT unnest([0, 1, 2, 3]) AS band) b
 ), cand AS (
   SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
   FROM banded c JOIN banded q ON c.band = q.band AND c.key = q.key
@@ -2828,14 +2843,14 @@ SELECT query_id, neighbor_id, score, rank FROM (
   FROM scored) WHERE rank <= 5
 """,
         "embedding_near_dup": f"""
-WITH base AS (
+WITH {autowidth},
+base AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ), sk AS (
-  SELECT id, v, ({sketch}) AS sk FROM base
+  SELECT id, v, ({sketch56}) AS sk FROM base
 ), banded AS (
-  SELECT id, v, unnest([0, 1, 2, 3]) AS band,
-         unnest([(sk >> 0) & 15, (sk >> 4) & 15, (sk >> 8) & 15, (sk >> 12) & 15]) AS key
-  FROM sk
+  SELECT id, v, b.band, (sk >> (b.band * p.r)) & ((1::BIGINT << p.r) - 1) AS key
+  FROM sk, pp p, (SELECT unnest([0, 1, 2, 3]) AS band) b
 ), pairs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
