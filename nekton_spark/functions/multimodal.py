@@ -555,7 +555,7 @@ def synth_avi_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
 def frame_sample(
     df: DataFrame,
     media_col: str = "media",
-    n_frames: int = 4,
+    n_frames: int | None = 4,
     every: int = 1,
     fake: bool = False,
 ) -> DataFrame:
@@ -565,10 +565,14 @@ def frame_sample(
     finds the per-frame JPEG chunks and only every ``every``-th frame
     is entropy-decoded (:func:`.jpeg.jpeg_decode`) — skipped frames
     cost nothing beyond the chunk walk, which is the point of frame
-    sampling at corpus scale. Output rows carry (frame_idx, pixels,
-    dec_height, dec_width). Inter-frame codecs (H.26x/VP9/AV1) still
-    raise — not implementable from scratch; ``fake=True`` keeps the
-    deterministic stub (frame_idx + md5) for them."""
+    sampling at corpus scale. ``n_frames`` caps the number of SAMPLED
+    frames per video on both paths (``None`` = no cap); the fake stub
+    emits exactly ``n_frames`` rows. Output rows carry (frame_idx,
+    pixels, dec_height, dec_width). A null media struct or payload
+    raises a clear error instead of a TypeError deep in the decoder.
+    Inter-frame codecs (H.26x/VP9/AV1) still raise — not
+    implementable from scratch; ``fake=True`` keeps the deterministic
+    stub (frame_idx + md5) for them."""
     if fake:
         out_schema = T.StructType(
             df.schema.fields
@@ -580,8 +584,9 @@ def frame_sample(
             for pdf in batches:
                 rows = []
                 for _, row in pdf.iterrows():
-                    payload = row[media_col]["payload"] or b""
-                    for i in range(n_frames):
+                    m = row[media_col]
+                    payload = (m["payload"] if m is not None else None) or b""
+                    for i in range(n_frames if n_frames is not None else 4):
                         r = dict(row)
                         r["frame_idx"] = i
                         r["frame_md5"] = hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
@@ -608,13 +613,21 @@ def frame_sample(
             rows = []
             for _, row in pdf.iterrows():
                 m = row[media_col]
+                if m is None or m.get("payload") is None:
+                    raise ValueError(
+                        f"null media struct/payload in column {media_col!r}: "
+                        "filter null rows out (or fill a payload) before frame_sample"
+                    )
                 if m["mime"] != AVI_MIME:
                     raise NotImplementedError(
                         f"no video codec for {m['mime']!r} (MJPEG AVI only); "
                         "use fake=True for the stub sampler"
                     )
                 frames = avi_decode_frames(m["payload"])
-                for idx in range(0, len(frames), every):
+                sampled = range(0, len(frames), every)
+                if n_frames is not None:
+                    sampled = list(sampled)[:n_frames]
+                for idx in sampled:
                     pix = jpeg_decode(frames[idx])
                     r = dict(row)
                     r["frame_idx"] = idx

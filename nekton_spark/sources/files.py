@@ -37,7 +37,11 @@ def file_source(
         reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    df = reader.load(path)
+    # same NTZ→TIMESTAMP normalization as table_source: a parquet file
+    # with naive-µs timestamps read through `type: file` must enter the
+    # engine with the same column types as through `type: table`, or
+    # every downstream timestamp consumer needs its own guard
+    df = _normalize_ntz(reader.load(path))
     if not as_messages:
         return df
     if stream:
@@ -87,8 +91,20 @@ def table_source(spark: SparkSession, path: str, name: str | None = None) -> Dat
         # session (the driver's harness does)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # NTZ→TZ cast semantics (and DuckDB-oracle parity) assume UTC even
-    # when the caller built the session; runtime-settable, idempotent
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # when the caller built the session; runtime-settable, idempotent.
+    # This DOES mutate session state for subsequent queries — warn
+    # (once per process) if the caller had pinned something else, so
+    # the override is never silent.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        import warnings
+
+        warnings.warn(
+            "table_source pins spark.sql.session.timeZone=UTC for "
+            "timestamp parity with the parquet tables' naive-UTC "
+            "wall-clocks; the previous session timezone is overridden",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _convert_ns_cols(spark.read.parquet(full), tbl)
 
 

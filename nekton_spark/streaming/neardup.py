@@ -134,6 +134,13 @@ def streaming_minhash_near_dup(
         # builds only pairs that can pass the horizon filter. Same
         # output — the exact time bound below still decides
         # membership, and ids are re-ordered in the final select.
+        # same NTZ normalization the streaming branch gets: a
+        # TIMESTAMP_NTZ batch input would fail the unix_micros/interval
+        # arithmetic below (and emit a ts type mismatching the
+        # streaming twin)
+        from .windows import ensure_event_time
+
+        banded = ensure_event_time(banded, "ts")
         h_us = F.unix_micros(
             F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {delay}")
         )

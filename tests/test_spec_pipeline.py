@@ -123,6 +123,40 @@ output:
         vals = sorted(r.value for r in spark.read.parquet(str(out_dir)).collect())
         assert vals == ["alpha", "beta"]
 
+    def test_naive_parquet_is_timestamp_at_the_file_source(self, spark, tmp_path):
+        """NTZ parity at EVERY source: a parquet file with naive-µs
+        timestamps read through ``type: file`` must enter the engine as
+        TIMESTAMP (like ``type: table`` does), so watermark operators
+        never depend on their own ensure_event_time guard."""
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        from nekton_spark.sources.files import file_source
+        from nekton_spark.streaming.windows import tumbling_window
+
+        src = tmp_path / "naive.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(
+                        [datetime(2024, 1, 1, 0, m) for m in (1, 2, 11)],
+                        type=pa.timestamp("us"),  # naive → NTZ on read
+                    ),
+                    "v": pa.array([1, 2, 3], type=pa.int64()),
+                }
+            ),
+            src,
+        )
+        df = file_source(spark, str(src), format="parquet", as_messages=False)
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        agg = tumbling_window(
+            df, duration="10 minutes", aggs=["sum(v) as sv"], watermark="1 minute"
+        ).collect()
+        assert sorted(r.sv for r in agg) == [3, 3]
+
 
 class TestExplainFlag:
     def test_explain_prints_plan_without_executing(self, spark, capsys, tmp_path):
