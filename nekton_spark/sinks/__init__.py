@@ -19,10 +19,22 @@ from pyspark.sql import DataFrame
 from ..registry import register_sink
 
 
+# Bounded by default: ``toLocalIterator`` streams rather than
+# collecting, but an unbounded batch print of a 100 TB frame is still a
+# driver firehose. The default cap mirrors the console sink's numRows
+# convention (scaled for CLI use); ``limit: null`` in the spec (or
+# ``limit=None``) opts out explicitly for unix-filter-style pipes, and
+# a hit cap says so on stderr — never a silent truncation.
+_DEFAULT_STDOUT_LIMIT = 1000
+
+
 @register_sink("stdout")
-def stdout_sink(df: DataFrame, limit: int | None = None, file=None):
+def stdout_sink(df: DataFrame, limit: int | None = ..., file=None):
     if df.isStreaming:
         return df.writeStream.format("console").option("truncate", "false").start()
+    defaulted = limit is ...
+    if defaulted:
+        limit = _DEFAULT_STDOUT_LIMIT
     out = file or sys.stdout
     cols = set(df.columns)
     if {"batch_id", "msg_idx", "value"} <= cols:
@@ -40,6 +52,12 @@ def stdout_sink(df: DataFrame, limit: int | None = None, file=None):
         print(row.value, file=out)
         n += 1
         if limit is not None and n >= limit:
+            if defaulted and next(iter(it), None) is not None:
+                print(
+                    f"nekton_spark: stdout sink stopped at the default "
+                    f"limit of {limit} rows; set 'limit: null' to print all",
+                    file=sys.stderr,
+                )
             break
     return None
 

@@ -136,6 +136,79 @@ class TestJpegProperties:
         assert (pix[0, 0] == dcs[0] + 128).all()
 
 
+class TestJpegColorProperties:
+    @given(
+        bx=st.integers(min_value=1, max_value=3),
+        by=st.integers(min_value=1, max_value=3),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_color_dc_blocks_round_trip_any_values(self, bx, by, seed):
+        """Arbitrary per-component DC values through encode → decode →
+        YCbCr→RGB: each block's RGB must equal the closed form
+        floor(f(dc+128) + 0.5) clamped to [0, 255] — the same half-up
+        rounding the SQL oracle replays."""
+        from nekton_spark.functions.jpeg import jpeg_decode, jpeg_encode_blocks_color
+
+        rng = np.random.default_rng(seed)
+        dcs = [rng.integers(-128, 128, size=bx * by).tolist() for _ in range(3)]
+        pix = jpeg_decode(jpeg_encode_blocks_color(*dcs, bx, bx * 8, by * 8))
+        assert pix.shape == (by * 8, bx * 8, 3)
+        for b in range(bx * by):
+            y, cb, cr = (float(dcs[c][b] + 128) for c in range(3))
+            exp = np.clip(
+                np.floor(
+                    np.array(
+                        [
+                            y + 1.402 * (cr - 128.0),
+                            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                            y + 1.772 * (cb - 128.0),
+                        ]
+                    )
+                    + 0.5
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            yb, xb = divmod(b, bx)
+            block = pix[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8, :]
+            assert (block == exp).all()
+
+    @given(
+        crop_w=st.integers(min_value=1, max_value=16),
+        crop_h=st.integers(min_value=1, max_value=16),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_color_non_multiple_of_8_dimensions_crop(self, crop_w, crop_h, seed):
+        """Non-block-multiple SOF0 dimensions: the interleaved-MCU grid
+        pads internally and the decoder crops to exactly (h, w, 3),
+        with the top-left block still matching the closed form."""
+        from nekton_spark.functions.jpeg import jpeg_decode, jpeg_encode_blocks_color
+
+        bx, by = (crop_w + 7) // 8, (crop_h + 7) // 8
+        rng = np.random.default_rng(seed)
+        dcs = [rng.integers(-128, 128, size=bx * by).tolist() for _ in range(3)]
+        pix = jpeg_decode(jpeg_encode_blocks_color(*dcs, bx, crop_w, crop_h))
+        assert pix.shape == (crop_h, crop_w, 3)
+        y, cb, cr = (float(dcs[c][0] + 128) for c in range(3))
+        exp = np.clip(
+            np.floor(
+                np.array(
+                    [
+                        y + 1.402 * (cr - 128.0),
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                        y + 1.772 * (cb - 128.0),
+                    ]
+                )
+                + 0.5
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert (pix[0, 0, :] == exp).all()
+
+
 class TestAviProperties:
     @given(
         n_frames=st.integers(min_value=1, max_value=12),

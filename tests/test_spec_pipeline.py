@@ -15,6 +15,28 @@ def run_to_lines(spark, yaml_text: str) -> list[str]:
     return buf.getvalue().splitlines()
 
 
+class TestStdoutSinkBounded:
+    def test_default_limit_caps_and_opt_out_prints_all(self, spark, capsys):
+        from nekton_spark.sinks import _DEFAULT_STDOUT_LIMIT
+
+        n = _DEFAULT_STDOUT_LIMIT + 500
+        df = spark.range(n).selectExpr("cast(id as string) as value")
+        buf = io.StringIO()
+        stdout_sink(df, file=buf)
+        assert len(buf.getvalue().splitlines()) == _DEFAULT_STDOUT_LIMIT
+        assert "limit" in capsys.readouterr().err  # truncation is loud
+        buf = io.StringIO()
+        stdout_sink(df, limit=None, file=buf)  # explicit opt-out
+        assert len(buf.getvalue().splitlines()) == n
+
+    def test_no_notice_when_under_the_default_limit(self, spark, capsys):
+        df = spark.range(3).selectExpr("cast(id as string) as value")
+        buf = io.StringIO()
+        stdout_sink(df, file=buf)
+        assert len(buf.getvalue().splitlines()) == 3
+        assert capsys.readouterr().err == ""
+
+
 class TestStdYml:
     def test_reference_std_yml_semantics(self, spark):
         # config_examples/std.yml: echo 'cheese,goat' → replace → awk-split → stdout
