@@ -84,10 +84,24 @@ def main() -> int:
 FROM {t('documents')}""",
         "documents",
     )
+    # - ~10% of the corpus collapses onto one constant vector (hot
+    #   sketch bucket / hot IVF list, quadratic true pair set);
+    # - ALL ANN query vectors (vec_id < 10, the driver queries' probe
+    #   set) become near-copies of that same vector (+2^-12 * (vec_id+1)
+    #   on component 1 keeps them distinct but cosine ≈ 1), so every
+    #   query probes the SAME LSH bucket / IVF centroid list — the
+    #   hot-probe pathology the round-5 skew rehearsal did not cover.
     copy(
-        f"""SELECT vec_id,
-       CASE WHEN hash(vec_id) % 10 = 0
-            THEN (SELECT embedding FROM {t('embeddings')} ORDER BY vec_id LIMIT 1)
+        f"""WITH hot AS (SELECT embedding AS hv FROM {t('embeddings')} ORDER BY vec_id LIMIT 1)
+SELECT vec_id,
+       CASE WHEN vec_id < 10
+            THEN list_transform(
+                   (SELECT hv FROM hot),
+                   (x, i) -> CASE WHEN i = 1
+                             THEN x + (vec_id + 1) * 0.000244140625
+                             ELSE x END)
+            WHEN hash(vec_id) % 10 = 0
+            THEN (SELECT hv FROM hot)
             ELSE embedding END AS embedding,
        label
 FROM {t('embeddings')}""",
