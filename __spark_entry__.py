@@ -1750,73 +1750,63 @@ def audio_features(spark, sf):
     )
 
 
+def tfidf_top_terms_check(spark, sf):
+    """Per-document top-3 TF-IDF terms (text_analysis.tfidf_top_terms):
+    add-one-smoothed idf = ln((N+1)/(df+1)), deterministic ties. All
+    codegen — explode + two partial-aggregated shuffles + a per-doc
+    rank window; N enters via a broadcast 1-row aggregate, not a
+    driver action."""
+    from nekton_spark.functions.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+def weighted_sample_docs(spark, sf):
+    """Weighted sampling without replacement (sampling.weighted_sample):
+    Efraimidis–Spirakis exponential keys -ln(u)/w with content-addressed
+    u = (hash60(doc_id)+1)/2^60, weights = n_chars. Map +
+    TakeOrderedAndProject — per-partition partial top-k, no global
+    sort; the oracle replays membership exactly."""
+    from nekton_spark.functions.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    return weighted_sample(d, key_col="doc_id", weight_col="n_chars", k=50)
+
+
+def quota_sample_sources(spark, sf):
+    """Per-group quota cap (sampling.quota_sample): at most 3 docs per
+    source, longest-first with deterministic ties — the per-source
+    share bound every curation pipeline needs. One shuffle on the
+    group key; rank-window state is one counter per group."""
+    from nekton_spark.functions.sampling import quota_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return quota_sample(d, group_cols=["source"], k=3, order_col="n_chars", key_col="doc_id")
+
+
 # ---------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Iteration order IS the driver's CORRECTNESS budget order (first 50
-    # checked per round). Round-5 rotation is staleness-keyed: the loader
-    # now normalizes TIMESTAMP_NTZ→TIMESTAMP (sources/files.py), so the
-    # timestamp-consuming queries without a CORRECTNESS_r04 row lead
-    # (their input representation changed since their last driver row),
-    # then the other 40-odd queries whose last row is r03; the 50 queries
-    # green in CORRECTNESS_r04 go last. New r5 queries join the very
-    # front as they land.
+    # checked per round). Round-6 rotation is staleness-keyed: new r6
+    # queries lead, then queries whose CODE changed this round (auto-width
+    # LSH plans + bucket salting, the streaming-near-dup batch-branch NTZ
+    # guard, the frame_sample n_frames cap), then the 49 queries without a
+    # CORRECTNESS_r05 row (judge-rerun-only last round: q07-q11, dedup/ANN
+    # family, multimodal, relational batteries); the r05-green set trails.
     return {
-        # --- new in r5 ---
-        "jpeg_color_decode": jpeg_color_decode_check,
-        "common_passages": common_passages_check,
+        # --- new in r6 ---
+        "tfidf_top_terms": tfidf_top_terms_check,
+        "weighted_sample_docs": weighted_sample_docs,
+        "quota_sample_sources": quota_sample_sources,
+        # --- code changed in r6 ---
+        "ann_topk_lsh": ann_topk_lsh,
+        "embedding_near_dup": embedding_near_dup,
         "video_frame_sample": video_frame_sample_check,
-        # --- r5 front: timestamp queries on the normalized loader ---
-        "events_sessionization": events_sessionization,
-        "events_tumbling_window": events_tumbling_window,
-        "events_sliding_window": events_sliding_window,
-        "events_interval_join": events_interval_join,
-        "events_asof_join": events_asof_join,
-        "events_lead_lag": events_lead_lag,
-        "events_topk_users": events_topk_users,
-        "approx_quantile_check": approx_quantile_check,
-        "events_json_extract": events_json_extract,
-        # --- last driver row r03, unchecked in r04 ---
-        "q12_late_shipments": q12_late_shipments,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_part_supplier_counts": q16_part_supplier_counts,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_orders": q21_waiting_orders,
-        "q22_idle_customers": q22_idle_customers,
-        "q04_order_priority": q04_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q02_min_cost_part": q02_min_cost_part,
-        "null_semantics": null_semantics,
-        "q18_large_orders": q18_large_orders,
-        "scalar_subquery_above_avg": scalar_subquery_above_avg,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        "pipe_replace": pipe_replace,
-        "pipe_regex_replace": pipe_regex_replace,
-        "pipe_regex_split": pipe_regex_split,
-        "pipe_regex_select": pipe_regex_select,
-        "pipeline_chain": pipeline_chain,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
+        "neardup_time_horizon": neardup_time_horizon,
         "neardup_estimate": neardup_estimate,
-        "dedup_ngram_sampled": dedup_ngram_sampled,
-        "jpeg_decode": jpeg_decode_check,
-        "pii_redaction": pii_redaction,
-        "doc_repetition": doc_repetition,
-        "corpus_quality_gate": corpus_quality_gate,
-        "stratified_sample": stratified_sample,
-        "embedding_quant_dedup": embedding_quant_dedup,
-        "vocab_coverage": vocab_coverage,
-        "source_quality_rollup": source_quality_rollup,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        # --- green in CORRECTNESS_r04 (driver-checked last round) ---
-        "ann_topk_ivf": ann_topk_ivf,
+        # --- no CORRECTNESS_r05 row (stale since r03/r04) ---
         "vocab_top_tokens": vocab_top_tokens,
         "data_validation_report": data_validation_report,
         "q10_returned_items": q10_returned_items,
@@ -1828,8 +1818,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_hamming": dedup_simhash_hamming,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ann_topk_bruteforce": ann_topk_bruteforce,
-        "ann_topk_lsh": ann_topk_lsh,
-        "embedding_near_dup": embedding_near_dup,
         "multimodal_features": multimodal_features,
         "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
@@ -1839,7 +1827,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_check": decontamination_check,
         "pack_sequences_check": pack_sequences_check,
         "audio_features": audio_features,
-        "neardup_time_horizon": neardup_time_horizon,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
         "distinct_customers_per_segment": distinct_customers_per_segment,
@@ -1866,6 +1853,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
         "q11_important_suppliers": q11_important_suppliers,
+        # --- green in CORRECTNESS_r05 (driver-checked last round) ---
+        "jpeg_color_decode": jpeg_color_decode_check,
+        "common_passages": common_passages_check,
+        "events_sessionization": events_sessionization,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sliding_window": events_sliding_window,
+        "events_interval_join": events_interval_join,
+        "events_asof_join": events_asof_join,
+        "events_lead_lag": events_lead_lag,
+        "events_topk_users": events_topk_users,
+        "approx_quantile_check": approx_quantile_check,
+        "events_json_extract": events_json_extract,
+        "q12_late_shipments": q12_late_shipments,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_part_supplier_counts": q16_part_supplier_counts,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_orders": q21_waiting_orders,
+        "q22_idle_customers": q22_idle_customers,
+        "q04_order_priority": q04_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q02_min_cost_part": q02_min_cost_part,
+        "null_semantics": null_semantics,
+        "q18_large_orders": q18_large_orders,
+        "scalar_subquery_above_avg": scalar_subquery_above_avg,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "pipe_replace": pipe_replace,
+        "pipe_regex_replace": pipe_regex_replace,
+        "pipe_regex_split": pipe_regex_split,
+        "pipe_regex_select": pipe_regex_select,
+        "pipeline_chain": pipeline_chain,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+        "dedup_ngram_sampled": dedup_ngram_sampled,
+        "jpeg_decode": jpeg_decode_check,
+        "pii_redaction": pii_redaction,
+        "doc_repetition": doc_repetition,
+        "corpus_quality_gate": corpus_quality_gate,
+        "stratified_sample": stratified_sample,
+        "embedding_quant_dedup": embedding_quant_dedup,
+        "vocab_coverage": vocab_coverage,
+        "source_quality_rollup": source_quality_rollup,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "ann_topk_ivf": ann_topk_ivf,
     }
 
 
@@ -2876,6 +2912,49 @@ WITH allv AS (
 SELECT md5(array_to_string(list_transform(v, x -> (floor(x * 4.0))::BIGINT::VARCHAR), ',')) AS qkey,
        min(vec_id) AS keep_id, count(*)::BIGINT AS n_members
 FROM allv GROUP BY 1
+""",
+        # tfidf_top_terms: same whitespace tokenizer as vocab_coverage;
+        # idf = ln((N+1)/(df+1)) — integer-ratio argument, natural log in
+        # both engines, round 6
+        "tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), t1 AS (
+  SELECT doc_id, token FROM toks WHERE len(token) > 0
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM t1 GROUP BY 1, 2
+), dfq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), nn AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfq USING (token), nn
+)
+SELECT doc_id, token, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+        # weighted_sample_docs: Efraimidis–Spirakis keys with the
+        # portable hash60-derived u — membership replays exactly
+        # (2^60 = 1152921504606846976; int64→double is correctly
+        # rounded in both engines)
+        "weighted_sample_docs": f"""
+WITH w AS (
+  SELECT doc_id, lang, source, n_chars,
+         round(-ln(({_H('doc_id', '42')} + 1.0) / 1152921504606846976.0)
+               / n_chars::DOUBLE, 10) AS sample_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, source, n_chars, sample_key, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY sample_key, doc_id) AS rank FROM w
+) WHERE rank <= 50
+""",
+        "quota_sample_sources": """
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents) WHERE rank <= 3
 """,
         "vocab_coverage": f"""
 WITH toks AS (

@@ -70,3 +70,70 @@ def stratified_hash_sample(
     for stratum, rate in rates.items():
         cond = cond | ((F.col(stratum_col) == stratum) & (b < int(rate * BUCKETS)))
     return df.filter(cond)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows, weight-
+    proportional per the Efraimidis–Spirakis exponential-key scheme:
+    each row draws u ∈ (0, 1] and is ranked by -ln(u) / w ascending —
+    the classic one-pass distributed reservoir (quality-weighted
+    corpus subsetting, importance-sampled eval sets).
+
+    Content-addressed like every sampler here: u = (hash60(key)+1)/2^60
+    (exact power-of-two division), so the sample is stable across
+    runs, engines and partitionings, and the DuckDB oracle replays
+    membership exactly. Rows with weight ≤ 0 or NULL are excluded
+    (they have zero selection probability; -ln(u)/w would be a NaN/∞
+    trap, not a sample key). The plan is map + TakeOrderedAndProject:
+    per-partition partial top-k merged on one task — never a global
+    sort — and the rank window afterwards sees only the k survivors.
+    Output adds ``sample_key`` (rounded) and ``rank``."""
+    from pyspark.sql import Window
+
+    u = (hash60(F.col(key_col), seed) + F.lit(1).cast("double")) / F.lit(
+        float(1 << 60)
+    )
+    skey = -F.log(u) / F.col(weight_col).cast("double")
+    order = [F.asc("sample_key"), F.asc(key_col)]
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("sample_key", F.round(skey, 10))
+        .orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_col: str,
+    key_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """At most ``k`` rows per group, best-first by ``order_col`` with
+    deterministic ties on ``key_col`` — the per-source / per-language
+    cap every curation pipeline needs (bound any one source's share
+    while keeping its best documents).
+
+    One shuffle on the group key; the rank window scans each group
+    once. Group skew note: a hot group's window partition cannot be
+    split, but the window only *counts* to k per group — state is one
+    row — so a hot group costs a scan, not memory; at 100 TB a
+    pre-filter on a per-group threshold (computed from a sampled
+    quantile) would trim the scan if groups are pathological."""
+    from pyspark.sql import Window
+
+    direction = F.desc(order_col) if descending else F.asc(order_col)
+    w = Window.partitionBy(*group_cols).orderBy(direction, F.asc(key_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

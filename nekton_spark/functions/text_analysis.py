@@ -276,3 +276,54 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
         .limit(k)
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (doc_id, token, tf, df, tfidf,
+    rank), with idf = ln((N + 1) / (df + 1)) (add-one smoothed, N =
+    corpus document count) and deterministic ties (tfidf desc, token
+    asc). The relevance-weighting primitive for keyword extraction /
+    quality features over the documents table.
+
+    100 TB shape (all codegen, no Python): the explode is map-only;
+    per-(doc, token) counts partial-aggregate map-side (shuffle 1 is
+    bounded by distinct doc-term pairs); document frequency reuses
+    that output, shuffling one row per distinct doc-term pair down to
+    one per term (shuffle 2, vocabulary-sized); N comes from a 1-row
+    aggregate cross-joined in (broadcast, no driver action, no
+    collect); the df join keys on term (AQE broadcasts the vocabulary
+    side when it fits, shuffle otherwise); the final per-doc top-k is
+    a rank window partitioned by doc — thousands of rows per
+    partition at most, never a global sort."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )

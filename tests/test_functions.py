@@ -771,3 +771,36 @@ class TestResizeImage:
         ys, xs = [0, h // 2], [0, w // 2]
         assert small.pixels == pix[np.ix_(ys, xs)].ravel().tolist()
         assert (small.dec_height, small.dec_width) == (2, 2)
+
+
+class TestTfidf:
+    def test_hand_computed_example(self, spark):
+        """3 docs: 'a' in all (idf ln(4/4)=0), 'b' in two, 'c' in one."""
+        import math
+
+        from nekton_spark.functions.text_analysis import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(0, "a b c c"), (1, "a b"), (2, "a")], "doc_id long, text string"
+        )
+        rows = {(r.doc_id, r.token): r for r in tfidf_top_terms(df, k=3).collect()}
+        r = rows[(0, "c")]
+        assert r.tf == 2 and r.df == 1
+        assert r.tfidf == round(2 * math.log(4 / 2), 6)
+        assert r.rank == 1  # highest tfidf in doc 0
+        assert rows[(0, "a")].tfidf == 0.0  # ln(4/4) = 0
+        assert rows[(1, "b")].rank == 1
+
+    def test_per_doc_cap_and_tie_order(self, spark):
+        from nekton_spark.functions.text_analysis import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(0, "x y z w v"), (1, "q")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(df, k=2).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r.doc_id, []).append(r.token)
+        assert len(per[0]) == 2
+        # equal tfidf -> token asc tie-break
+        assert per[0] == sorted(per[0])

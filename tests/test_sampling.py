@@ -102,3 +102,67 @@ class TestPackSequences:
         ids1 = {r.pack_id for r in rows if r.shard == 1}
         assert not ids0 & ids1
         assert all(r.pack_id >= PACK_STRIDE for r in rows if r.shard == 1)
+
+
+class TestWeightedSample:
+    def test_deterministic_across_partitioning(self, spark):
+        from nekton_spark.functions.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, (i % 7) + 1) for i in range(500)], "id long, w long"
+        )
+        a = [r.id for r in weighted_sample(df, "id", "w", k=20).collect()]
+        b = [
+            r.id
+            for r in weighted_sample(df.repartition(13), "id", "w", k=20).collect()
+        ]
+        assert a == b and len(a) == 20
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from nekton_spark.functions.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -1), (4, None), (5, 2)], "id long, w int"
+        )
+        ids = {r.id for r in weighted_sample(df, "id", "w", k=10).collect()}
+        assert ids == {1, 5}
+
+    def test_weight_proportional_tendency(self, spark):
+        """A 100x-weighted row set should dominate the sample (E-S keys:
+        -ln(u)/w shrinks with w)."""
+        from nekton_spark.functions.sampling import weighted_sample
+
+        rows = [(i, 100 if i < 50 else 1) for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        heavy = sum(
+            1 for r in weighted_sample(df, "id", "w", k=50).collect() if r.id < 50
+        )
+        # E-S keys: heavy ~ Exp(1/100), light ~ Exp(1); ≈1% of the 950
+        # light rows draw a key below the heavy range, so expect ≈40
+        # heavy of 50 (measured 37 with this fixed hash — deterministic)
+        assert heavy >= 30
+
+    def test_plan_is_take_ordered(self, spark):
+        from nekton_spark.functions.sampling import weighted_sample
+
+        df = spark.createDataFrame([(i, 1) for i in range(100)], "id long, w long")
+        plan = weighted_sample(df, "id", "w", k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestQuotaSample:
+    def test_cap_and_best_first(self, spark):
+        from nekton_spark.functions.sampling import quota_sample
+
+        df = spark.createDataFrame(
+            [(i, "s" + str(i % 3), i) for i in range(30)],
+            "id long, src string, score long",
+        )
+        out = quota_sample(df, ["src"], k=2, order_col="score", key_col="id").collect()
+        assert len(out) == 6
+        per = {}
+        for r in out:
+            per.setdefault(r.src, []).append(r.score)
+        # best-first: the two highest scores of each group
+        assert sorted(per["s0"]) == [24, 27]
+        assert all(len(v) == 2 for v in per.values())
