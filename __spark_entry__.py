@@ -1773,6 +1773,23 @@ def weighted_sample_docs(spark, sf):
     return weighted_sample(d, key_col="doc_id", weight_col="n_chars", k=50)
 
 
+def bloom_decontamination(spark, sf):
+    """Bloom-gated contamination flags (decontaminate.bloom_contaminated_ids):
+    the SCALE path of decontamination — the broadcast side is the
+    filter's set-bit relation (≤ m_bits int rows, bounded by
+    construction whatever the eval size), not eval shingle strings.
+    Membership = all k hash60 probes land on set bits; fully codegen
+    (explode + broadcast join + two partial aggregations), replayed
+    bit-for-bit by the oracle. Same eval split as
+    decontamination_check (every 97th doc), 4-grams, m=2^16, k=4."""
+    from nekton_spark.functions.decontaminate import bloom_contaminated_ids
+
+    d = _t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    return bloom_contaminated_ids(tr, ev, n=4, m_bits=None, k_hashes=4)
+
+
 def quota_sample_sources(spark, sf):
     """Per-group quota cap (sampling.quota_sample): at most 3 docs per
     source, longest-first with deterministic ties — the per-source
@@ -1800,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms_check,
         "weighted_sample_docs": weighted_sample_docs,
         "quota_sample_sources": quota_sample_sources,
+        "bloom_decontamination": bloom_decontamination,
         # --- code changed in r6 ---
         "ann_topk_lsh": ann_topk_lsh,
         "embedding_near_dup": embedding_near_dup,
@@ -2955,6 +2973,41 @@ SELECT doc_id, source, n_chars, rank FROM (
   SELECT doc_id, source, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
   FROM documents) WHERE rank <= 3
+""",
+        # bloom_decontamination: the filter is pure integer arithmetic
+        # (hash60 % m, k=4 probes, seeds 1300..1303) and m auto-sizes
+        # from the eval shingle count with the same integer-exact
+        # formula as resolve_bloom_bits (m = 2^clamp(ceil(log2(16s)),
+        # 16, 27)), so the set-bit relation and the all-probes-match
+        # rule replay exactly at any eval size
+        "bloom_decontamination": f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 4 THEN []::VARCHAR[] ELSE
+      list_transform(range(0, len(toks) - 3), i -> array_to_string(toks[i+1:i+4], ' '))
+    END)) AS s
+  FROM docs),
+tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 97 != 0),
+ev AS (SELECT s FROM sh WHERE doc_id % 97 = 0),
+pp AS (
+  SELECT (1::BIGINT << least(27, greatest(16,
+            CAST(ceil(log2(greatest(16 * s, 1))) AS BIGINT)))) AS m
+  FROM (SELECT count(DISTINCT s) AS s FROM ev)),
+bits AS (
+  SELECT DISTINCT unnest([
+    {_H('s', '1300')} % m, {_H('s', '1301')} % m,
+    {_H('s', '1302')} % m, {_H('s', '1303')} % m]) AS pos
+  FROM ev, pp),
+probes AS (
+  SELECT train_id, s, unnest([
+    {_H('s', '1300')} % m, {_H('s', '1301')} % m,
+    {_H('s', '1302')} % m, {_H('s', '1303')} % m]) AS pos
+  FROM tr, pp),
+hits AS (
+  SELECT train_id, s FROM probes JOIN bits USING (pos)
+  GROUP BY train_id, s HAVING count(*) = 4)
+SELECT train_id, count(*)::BIGINT AS n_hit_shingles FROM hits GROUP BY 1
 """,
         "vocab_coverage": f"""
 WITH toks AS (

@@ -83,3 +83,131 @@ def decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+BLOOM_SEED_BASE = 1300
+
+
+def _bloom_positions(s, m_bits: int, k_hashes: int):
+    from .hashing import hash60
+
+    return F.array(
+        *[hash60(s, BLOOM_SEED_BASE + i) % m_bits for i in range(k_hashes)]
+    )
+
+
+def resolve_bloom_bits(eval_shingles: DataFrame, m_bits: int | None) -> int:
+    """Auto-size the filter: m = 2^ceil(log2(16·s)) clamped to
+    [2^16, 2^27] for s distinct eval shingles — ~16 bits per element,
+    fpr ≈ (1-e^{-k·s/m})^k ≈ 2e-4 at k=4 whatever the eval size. A
+    FIXED m saturates as the eval suite grows (the sf10 rehearsal
+    measured m=2^16 at 300k shingles: ~every bit set, every train
+    shingle 'matching' — the same degenerate-toward-scan failure the
+    fixed LSH width had). The count job runs on the EVAL side only —
+    small by the operator's contract — and the arithmetic is
+    integer-exact (bit_length here = ceil(log2(16s)) = what a SQL
+    oracle computes from its own count), so auto-m replays exactly.
+    Explicit m_bits is honored verbatim (power of two required: the
+    probe arithmetic and the oracle replay depend on it)."""
+    if m_bits is None:
+        s = eval_shingles.select("s").distinct().count()
+        m_bits = 1 << min(27, max(16, (max(16 * s, 1) - 1).bit_length()))
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return m_bits
+
+
+def bloom_bits(
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int | None = None,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SET-BIT RELATION of a Bloom filter over the eval set's
+    distinct n-gram shingles: one int row per set position (≤ m_bits
+    rows regardless of eval size). Deterministic (hash60 probes), so a
+    SQL oracle replays it bit for bit."""
+    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id")
+    m_bits = resolve_bloom_bits(ev, m_bits)
+    return (
+        ev.select(F.explode(_bloom_positions(F.col("s"), m_bits, k_hashes)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int | None = None,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(train_id, n_hit_shingles): training docs with ≥1 shingle whose
+    k Bloom probes ALL land on set bits — "possibly contaminated", a
+    strict superset of the exact overlap (false-positive rate ≈
+    (1 - e^{-k·s/m})^k for s distinct eval shingles; ~2e-5 at the
+    defaults with 10⁵ shingles). The SCALE path of decontamination:
+    the exact plan broadcasts eval shingle *strings* (unbounded — a
+    10⁷-doc eval suite at ~1 KB of shingles each would be gigabytes);
+    the Bloom plan broadcasts ≤ m_bits int rows (~8 MB at 2²⁰)
+    **bounded by construction, whatever the eval size**, then routes
+    only possibly-contaminated docs into the exact verifier. Fully
+    relational and codegen (explode + broadcast join + two partial
+    aggregations): membership = all-k-probes-match, counted per
+    (train_id, shingle) against the distinct set-bit relation — the
+    same arithmetic a DuckDB oracle replays exactly. No Python
+    workers, no driver-side bitset."""
+    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id")
+    m_bits = resolve_bloom_bits(ev, m_bits)
+    tr = _doc_shingles(train, id_col, text_col, n, "train_id", fan_out=True)
+    probes = tr.select(
+        "train_id",
+        "s",
+        F.explode(_bloom_positions(F.col("s"), m_bits, k_hashes)).alias("pos"),
+    )
+    bits = ev.select(
+        F.explode(_bloom_positions(F.col("s"), m_bits, k_hashes)).alias("pos")
+    ).distinct()
+    per_shingle = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("train_id", "s")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .filter(F.col("n_match") == k_hashes)
+    )
+    return per_shingle.groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_hit_shingles")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int | None = None,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Bloom-gated decontamination: drop training docs the Bloom filter
+    flags — after (default) exact verification of ONLY the flagged
+    docs, so false positives survive and the result equals the exact
+    path's, at the Bloom plan's broadcast cost. ``verify_exact=False``
+    accepts the filter's false-positive rate and skips the second
+    pass (the cheapest corpus-wide gate)."""
+    flagged = bloom_contaminated_ids(
+        train, eval_df, n, m_bits, k_hashes, id_col, text_col
+    ).select(F.col("train_id").alias(id_col))
+    if not verify_exact:
+        return train.join(F.broadcast(flagged), id_col, "left_anti")
+    suspects = train.join(F.broadcast(flagged), id_col, "left_semi")
+    confirmed = (
+        contamination_pairs(suspects, eval_df, n, id_col, text_col)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(confirmed), id_col, "left_anti")

@@ -105,12 +105,30 @@ class TestTopK:
     the rank window may only ever see the k surviving rows."""
 
     @pytest.mark.parametrize(
-        "fn", [em.events_topk_users, em.vocab_top_tokens, em.common_passages_check]
+        "fn",
+        [
+            em.events_topk_users,
+            em.vocab_top_tokens,
+            em.common_passages_check,
+            em.weighted_sample_docs,
+        ],
     )
     def test_topk_partial_not_global_sort(self, spark, fn):
         df = fn(spark, SF)
         assert plans.has_take_ordered(df)
         assert plans.single_partition_exchanges(df) == 0
+
+    def test_tfidf_partial_agg_and_broadcast_count(self, spark):
+        """tfidf: both count shuffles partial-aggregate map-side and the
+        1-row corpus count enters via broadcast, never a driver action."""
+        df = em.tfidf_top_terms_check(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the only single-partition exchange allowed is the 1-row
+        # corpus-count aggregate (its input is already map-side
+        # partial-aggregated to one row per task)
+        assert plans.single_partition_exchanges(df) <= 1
 
 
 class TestCodegen:

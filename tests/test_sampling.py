@@ -71,6 +71,78 @@ class TestDecontaminate:
         assert contamination_pairs(train, ev, n=4).count() == 0
 
 
+class TestBloomDecontaminate:
+    def _frames(self, spark):
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "one two three four five six seven"),
+                (2, "totally unrelated training content here"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "xx alpha beta gamma delta yy")], "doc_id long, text string"
+        )
+        return train, ev
+
+    def test_flags_are_a_superset_of_exact(self, spark):
+        from nekton_spark.functions.decontaminate import (
+            bloom_contaminated_ids,
+            contamination_pairs,
+        )
+
+        train, ev = self._frames(spark)
+        exact = {r.train_id for r in contamination_pairs(train, ev, n=4).collect()}
+        bloom = {r.train_id for r in bloom_contaminated_ids(train, ev, n=4).collect()}
+        assert exact <= bloom
+
+    def test_verified_removal_equals_exact_path(self, spark):
+        from nekton_spark.functions.decontaminate import (
+            bloom_decontaminate,
+            decontaminate,
+        )
+
+        train, ev = self._frames(spark)
+        exact = sorted(r.doc_id for r in decontaminate(train, ev, n=4).collect())
+        via_bloom = sorted(
+            r.doc_id for r in bloom_decontaminate(train, ev, n=4).collect()
+        )
+        assert via_bloom == exact == [1, 2]
+
+    def test_unverified_mode_never_keeps_contaminated(self, spark):
+        from nekton_spark.functions.decontaminate import bloom_decontaminate
+
+        train, ev = self._frames(spark)
+        kept = {
+            r.doc_id
+            for r in bloom_decontaminate(train, ev, n=4, verify_exact=False).collect()
+        }
+        assert 0 not in kept  # truly contaminated can never survive
+
+    def test_tiny_filter_forces_false_positives_verify_restores(self, spark):
+        """m_bits=2 saturates the filter: every shingle 'matches', so
+        unverified mode drops everything with >= 4-gram docs, while
+        verified mode still returns the exact answer."""
+        from nekton_spark.functions.decontaminate import bloom_decontaminate
+
+        train, ev = self._frames(spark)
+        unverified = sorted(
+            r.doc_id
+            for r in bloom_decontaminate(
+                train, ev, n=4, m_bits=2, k_hashes=2, verify_exact=False
+            ).collect()
+        )
+        assert unverified == []  # all false-positive-flagged
+        verified = sorted(
+            r.doc_id
+            for r in bloom_decontaminate(
+                train, ev, n=4, m_bits=2, k_hashes=2, verify_exact=True
+            ).collect()
+        )
+        assert verified == [1, 2]
+
+
 class TestPackSequences:
     def test_offsets_and_straddles(self, spark):
         from nekton_spark.functions.packing import PACK_STRIDE, pack_sequences
