@@ -1773,6 +1773,28 @@ def weighted_sample_docs(spark, sf):
     return weighted_sample(d, key_col="doc_id", weight_col="n_chars", k=50)
 
 
+def chunk_documents_check(spark, sf):
+    """RAG sliding-window chunking (text_analysis.chunk_documents):
+    32-token windows, 8-token overlap (stride 24), shorter tail kept,
+    empty docs yield nothing. Map-only — zero shuffles; every chunk
+    boundary is integer arithmetic the oracle replays."""
+    from nekton_spark.functions.text_analysis import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def unigram_logprob_check(spark, sf):
+    """Per-doc mean unigram log-likelihood under the corpus's own
+    unigram distribution (text_analysis.unigram_logprob) — the cheap
+    LM-quality proxy. Two partial-aggregated shuffles + a broadcast
+    1-row total; no driver action."""
+    from nekton_spark.functions.text_analysis import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
 def bloom_decontamination(spark, sf):
     """Bloom-gated contamination flags (decontaminate.bloom_contaminated_ids):
     the SCALE path of decontamination — the broadcast side is the
@@ -1818,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "quota_sample_sources": quota_sample_sources,
         "bloom_decontamination": bloom_decontamination,
+        "chunk_documents": chunk_documents_check,
+        "unigram_logprob": unigram_logprob_check,
         # --- code changed in r6 ---
         "ann_topk_lsh": ann_topk_lsh,
         "embedding_near_dup": embedding_near_dup,
@@ -2973,6 +2997,43 @@ SELECT doc_id, source, n_chars, rank FROM (
   SELECT doc_id, source, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
   FROM documents) WHERE rank <= 3
+""",
+        # chunk_documents: 32-token windows, stride 24; list slices
+        # truncate at the end identically in both engines; empty docs
+        # (token_count 0) yield no chunks
+        "chunk_documents": f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END) AS n
+  FROM documents),
+base AS (
+  SELECT doc_id, toks,
+         (CASE WHEN n <= 0 THEN 0
+               ELSE 1 + (greatest(n - 32, 0) + 23) // 24 END)::BIGINT AS n_chunks
+  FROM docs),
+chunks AS (
+  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, n_chunks, toks
+  FROM base WHERE n_chunks > 0)
+SELECT doc_id, chunk_idx, n_chunks,
+       len(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32])::BIGINT AS chunk_n_tokens,
+       array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+FROM chunks
+""",
+        # unigram_logprob: ln of an integer ratio, 6-dp round; the
+        # per-doc avg is over ~dozens of terms so float-order drift is
+        # far below the rounding grain
+        "unigram_logprob": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), t1 AS (
+  SELECT doc_id, token FROM toks WHERE len(token) > 0
+), freq AS (
+  SELECT token, count(*)::BIGINT AS n_tok FROM t1 GROUP BY 1
+), tot AS (SELECT sum(n_tok) AS total FROM freq)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(n_tok / total)), 6) AS mean_logprob
+FROM t1 JOIN freq USING (token), tot
+GROUP BY doc_id
 """,
         # bloom_decontamination: the filter is pure integer arithmetic
         # (hash60 % m, k=4 probes, seeds 1300..1303) and m auto-sizes

@@ -278,6 +278,98 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking for RAG/embedding prep: one row per
+    chunk of ``chunk_tokens`` whitespace tokens, consecutive chunks
+    overlapping by ``overlap`` (stride = chunk_tokens - overlap).
+    Chunks start at offsets 0, stride, 2·stride, …; the last window is
+    the first to reach the end of the doc (shorter tail kept, not
+    padded); empty docs yield no chunks. Returns (doc_id, chunk_idx,
+    n_chunks, chunk_n_tokens, chunk_text).
+
+    Map-only — tokenize, a per-row ``sequence`` explode, and a slice
+    per chunk; zero shuffles, trivially 100 TB-safe, and every
+    boundary is integer arithmetic a SQL oracle replays exactly."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be < chunk_tokens={chunk_tokens}: "
+            "stride would be <= 0 and chunking would never advance"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = token_count(F.col(text_col))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1)) / stride
+        ).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n_chunks.cast("long").alias("n_chunks"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    # n_chunks = 0 must be filtered BEFORE the explode: Spark's
+    # sequence(0, -1) is a DESCENDING [0, -1], not empty — an empty doc
+    # would silently emit two bogus chunks
+    base = base.filter(F.col("n_chunks") > 0)
+    return (
+        base.select(
+            "doc_id",
+            "_toks",
+            "n_chunks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunks",
+            F.size(chunk).cast("long").alias("chunk_n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's OWN
+    unigram distribution: avg over tokens of ln(count(token)/total) —
+    the classic cheap LM-quality proxy (gibberish and rare-token docs
+    score low; boilerplate scores high). Returns (doc_id, n_tokens,
+    mean_logprob); empty docs are excluded (no tokens, no likelihood).
+
+    100 TB shape: token explode is map-only; the frequency table
+    partial-aggregates to vocabulary size (shuffle 1); the total is a
+    broadcast 1-row aggregate (no driver action); the frequency join
+    keys on token (AQE broadcasts when the vocabulary fits); the
+    per-doc mean partial-aggregates on doc_id (shuffle 2)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n_tok") / F.col("total"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

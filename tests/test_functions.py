@@ -804,3 +804,58 @@ class TestTfidf:
         assert len(per[0]) == 2
         # equal tfidf -> token asc tie-break
         assert per[0] == sorted(per[0])
+
+
+class TestChunkDocuments:
+    def test_boundaries_and_tail(self, spark):
+        from nekton_spark.functions.text_analysis import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(11))  # 11 tokens
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # stride 3: starts 0,3,6,9 -> n_chunks 4; tail keeps 2 tokens
+        assert [r.n_chunks for r in rows] == [4, 4, 4, 4]
+        assert [r.chunk_n_tokens for r in rows] == [4, 4, 4, 2]
+        assert rows[0].chunk_text == "t0 t1 t2 t3"
+        assert rows[1].chunk_text == "t3 t4 t5 t6"
+        assert rows[3].chunk_text == "t9 t10"
+
+    def test_empty_docs_yield_no_chunks(self, spark):
+        from nekton_spark.functions.text_analysis import chunk_documents
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "   "), (2, "a b")], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+        assert {r.doc_id for r in rows} == {2}
+        assert rows[0].chunk_text == "a b" and rows[0].n_chunks == 1
+
+    def test_degenerate_overlap_refused(self, spark):
+        import pytest as _pytest
+
+        from nekton_spark.functions.text_analysis import chunk_documents
+
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="stride"):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from nekton_spark.functions.text_analysis import unigram_logprob
+
+        # corpus: a a a b -> p(a)=3/4, p(b)=1/4
+        df = spark.createDataFrame(
+            [(0, "a a a"), (1, "b")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in unigram_logprob(df).collect()}
+        assert rows[0].n_tokens == 3 and rows[1].n_tokens == 1
+        assert rows[0].mean_logprob == round(math.log(3 / 4), 6)
+        assert rows[1].mean_logprob == round(math.log(1 / 4), 6)
+        # rare-token doc scores lower
+        assert rows[1].mean_logprob < rows[0].mean_logprob
