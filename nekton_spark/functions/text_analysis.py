@@ -370,6 +370,149 @@ def unigram_logprob(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus: for each query,
+    the k best documents by sum over the query's DISTINCT terms of
+
+        idf(t) * tf(t,d) * (k1+1) / (tf(t,d) + k1*(1 - b + b*dl/avgdl))
+
+    with the Lucene-style non-negative idf = ln(1 + (N - df + 0.5) /
+    (df + 0.5)). Returns (query_id, doc_id, score, rank), ties broken
+    deterministically (score desc, doc_id asc); scores rounded to 6 dp.
+    This is the retrieval primitive for RAG corpus curation (find the
+    passages a query set would surface) and for contamination triage.
+
+    100 TB shape (all codegen, no Python): doc-side statistics are the
+    same two partial-aggregated shuffles as TF-IDF — (doc, term) tf
+    bounded by distinct pairs, then term df bounded by vocabulary; N
+    and avgdl enter as a broadcast 1-row aggregate (no driver action).
+    The query set is small by construction (it's a query WORKLOAD, not
+    a table), so the term match is a broadcast join — the scored frame
+    is bounded by (matching postings x queries), partial-aggregated on
+    (query, doc) before the final per-query top-k rank window, which
+    never globally sorts."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = (
+        queries_df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokenize(F.col(query_text_col))).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    add-one-smoothed bigram model: avg over a doc's bigrams of
+    ln((C(w1,w2) + 1) / (C1(w1) + V)), where C1 counts w1 as a bigram
+    PREFIX (so the conditional sums to 1) and V is the vocabulary
+    size. The step up from `unigram_logprob` as an LM-quality proxy:
+    shuffled-token gibberish scores low even when its unigram
+    distribution is corpus-typical. Docs with < 2 tokens are excluded
+    (no bigrams). Returns (doc_id, n_bigrams, mean_logprob), 6 dp.
+
+    100 TB shape: bigrams come from zipping the token array with its
+    own tail — map-only, no self-join; bigram counts partial-aggregate
+    to distinct-bigram size (shuffle 1); prefix counts reuse the token
+    explode (shuffle 2, vocabulary-sized); V is a broadcast 1-row
+    aggregate; the count joins key on the bigram/prefix (AQE
+    broadcasts the vocabulary side when it fits); the per-doc mean
+    partial-aggregates on doc_id (shuffle 3)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    bg_counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    prefix = bigrams.select(
+        F.substring_index(F.col("bigram"), " ", 1).alias("w1")
+    )
+    p_counts = prefix.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    return (
+        bigrams.join(bg_counts, "bigram")
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .join(p_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

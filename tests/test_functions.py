@@ -859,3 +859,78 @@ class TestUnigramLogprob:
         assert rows[1].mean_logprob == round(math.log(1 / 4), 6)
         # rare-token doc scores lower
         assert rows[1].mean_logprob < rows[0].mean_logprob
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from nekton_spark.functions.text_analysis import bigram_logprob
+
+        # bigrams: doc0 = (a b), (b a); doc1 = (a b). V = 2.
+        # C(a b)=2, C(b a)=1; prefix counts: C1(a)=2, C1(b)=1
+        df = spark.createDataFrame(
+            [(0, "a b a"), (1, "a b"), (2, "c")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+        assert 2 not in rows  # single-token doc: no bigrams
+        assert rows[0].n_bigrams == 2 and rows[1].n_bigrams == 1
+        v = 3  # vocabulary is a, b, c
+        p_ab = (2 + 1) / (2 + v)
+        p_ba = (1 + 1) / (1 + v)
+        assert rows[0].mean_logprob == round(
+            (math.log(p_ab) + math.log(p_ba)) / 2, 6
+        )
+        assert rows[1].mean_logprob == round(math.log(p_ab), 6)
+
+    def test_gibberish_vs_repetition(self, spark):
+        from nekton_spark.functions.text_analysis import bigram_logprob
+
+        # repeated bigram scores higher than never-repeated bigrams
+        df = spark.createDataFrame(
+            [(0, "x y x y x y x y"), (1, "p q r s t u v w")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+        assert rows[0].mean_logprob > rows[1].mean_logprob
+
+
+class TestBm25:
+    def _run(self, spark, docs, queries, **kw):
+        from nekton_spark.functions.text_analysis import bm25_topk
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(queries, "query_id long, query_text string")
+        return bm25_topk(d, q, **kw).collect()
+
+    def test_hand_computed_single_term(self, spark):
+        import math
+
+        # 3 docs of equal length (avgdl = dl): the dl normalization
+        # factor is exactly 1, so score = idf * tf*(k1+1)/(tf+k1)
+        rows = self._run(
+            spark,
+            [(0, "a a b"), (1, "a c c"), (2, "c b b")],
+            [(100, "a")],
+        )
+        got = {r.doc_id: r for r in rows}
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        assert got[0].score == round(idf * 2 * 2.2 / (2 + 1.2), 6)
+        assert got[1].score == round(idf * 1 * 2.2 / (1 + 1.2), 6)
+        assert 2 not in got  # no match, no row
+        assert got[0].rank == 1 and got[1].rank == 2
+
+    def test_k_cap_and_tie_order(self, spark):
+        rows = self._run(
+            spark,
+            [(i, "a b") for i in range(5)],
+            [(0, "a")],
+            k=3,
+        )
+        # identical docs: identical scores, ties broken by doc_id asc
+        assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [0, 1, 2]
+
+    def test_duplicate_query_terms_count_once(self, spark):
+        one = self._run(spark, [(0, "a b")], [(0, "a")])
+        twice = self._run(spark, [(0, "a b")], [(0, "a a a")])
+        assert one[0].score == twice[0].score
