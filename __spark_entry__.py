@@ -1149,6 +1149,17 @@ def text_quality(spark, sf):
     return d.select("doc_id", ta.quality_score(c).alias("quality"), ta.lang_id(c).alias("lang_guess"))
 
 
+def gopher_quality_rules(spark, sf):
+    """Gopher rule-battery filter (text_analysis.gopher_rules): the
+    published Rae-et-al. quality rules — word-count and mean-word-length
+    bounds, symbol-to-word ratio, bullet/ellipsis line ratios,
+    alpha-word ratio, required-stopword hits — per-rule measurements
+    plus the conjunction verdict. Map-only codegen, no shuffle; the
+    reference (a stream text engine) has no quality filtering — this is
+    the §2.5 LLM-pipeline layer."""
+    return ta.gopher_rules(_t(spark, sf, "documents"))
+
+
 def pii_redaction(spark, sf):
     """PII scrub pass (functions/text_analysis.py PII family): the
     corpus has no PII, so deterministic email/phone/IPv4 strings are
@@ -1962,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chain": pipeline_chain,
         "text_stats": text_stats,
         "text_quality": text_quality,
+        "gopher_quality_rules": gopher_quality_rules,
         "dedup_ngram_sampled": dedup_ngram_sampled,
         "jpeg_decode": jpeg_decode_check,
         "pii_redaction": pii_redaction,
@@ -2762,6 +2774,41 @@ FROM t
 SELECT m.doc_id, {_QUALITY_EXPR} AS quality,
        CASE {" ".join(f"WHEN s_{c} = best AND best > 0 THEN '{c}'" for c in sorted(ta.LANG_PROFILES))} ELSE 'und' END AS lang_guess
 FROM m JOIN b ON m.doc_id = b.doc_id
+""",
+        "gopher_quality_rules": f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks, {_TOKS_LOWER} AS toksl,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_words,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::DOUBLE
+              / len(toks) END AS mwl,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols,
+    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+    len(list_intersect(toksl, ['the','be','to','of','and','that','have','with']))::INT AS stop_hits,
+    len(lines)::DOUBLE AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullets,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS ells
+  FROM t
+), r AS (
+  SELECT doc_id, n_words, mwl,
+    CASE WHEN n_words = 0 THEN 0.0 ELSE symbols / n_words::DOUBLE END AS symbol_ratio,
+    CASE WHEN n_words = 0 THEN 0.0 ELSE alpha / n_words::DOUBLE END AS alpha_ratio,
+    stop_hits, bullets / n_lines AS bullet_ratio, ells / n_lines AS ellipsis_ratio
+  FROM m
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio, round(alpha_ratio, 6) AS alpha_ratio,
+       stop_hits, round(bullet_ratio, 6) AS bullet_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_ratio,
+       (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        AND stop_hits >= 2)::INT AS passes
+FROM r
 """,
         # pii_redaction: same deterministic injection by doc_id residue,
         # same RE2-compatible patterns, same md5 of the redacted text

@@ -236,6 +236,79 @@ def common_passages(
     return ordered.limit(max_passages) if max_passages else ordered
 
 
+# Gopher rule-filter stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", appendix A1.1 — public paper; reference repo has
+# no quality filtering, this is the §2.5 LLM-pipeline layer)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rule filter: the published rule battery
+    (word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    bullet/ellipsis line ratios, alpha-word ratio, required-stopword
+    hits) with per-rule measurements plus the conjunction verdict.
+
+    Pure Catalyst expressions — map-only, whole-stage codegen, no
+    shuffle; scales embarrassingly at 100 TB. All ratios are exact
+    int/int double divisions, identical in the DuckDB oracle, so the
+    pass verdict is engine-stable without rounding games.
+    """
+    c = F.col(text_col)
+    toks = tokenize(c)
+    n_words = token_count(c)
+    nw = n_words.cast("double")
+    mwl = mean_word_len(c)
+    # Gopher counts '#' and ellipsis as "symbols"; both regexes are
+    # non-overlapping leftmost matches in Java and RE2 alike
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    symbol_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(symbols / nw)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha / nw)
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    stop_hits = F.size(F.array_intersect(tokenize(F.lower(c)), stops))
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))) / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines
+    )
+    passes = (
+        n_words.between(min_words, max_words)
+        & mwl.between(min_mwl, max_mwl)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        passes.cast("int").alias("passes"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

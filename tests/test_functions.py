@@ -80,6 +80,24 @@ class TestTextAnalysis:
         rows = df.select(F.round(ta.repetition_ratio(F.col("text")), 4).alias("r")).collect()
         assert [r.r for r in rows] == [0.75, 0.0]
 
+    def test_gopher_rules(self, spark):
+        from nekton_spark.functions import text_analysis as ta
+
+        good = "the quick brown fox and the lazy dog have fun with " + " ".join(
+            f"word{i}" for i in range(45)
+        )
+        bullets = "- one\n- two\n* three\n…so it ends..."
+        symbols = "the ### fox ... jumps # with ellipsis … of doom"
+        df = docs_df(spark, [good, bullets, symbols, ""])
+        rows = ta.gopher_rules(df).orderBy("doc_id").collect()
+        g, b, s, e = rows
+        assert g.n_words == 56 and g.passes == 1
+        assert b.bullet_ratio == 0.75 and b.ellipsis_ratio == 0.25 and b.passes == 0
+        # '###' = 3 hash matches, '...' once, lone '#' once, '…' once → 6 / 11 words
+        assert s.n_words == 11 and s.symbol_ratio == round(6 / 11, 6) and s.passes == 0
+        assert e.n_words == 0 and e.alpha_ratio == 0.0 and e.passes == 0
+        assert g.stop_hits >= 2 and g.alpha_ratio == 1.0
+
     def test_ngrams(self, spark):
         from nekton_spark.functions import text_analysis as ta
 
