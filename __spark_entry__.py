@@ -1336,6 +1336,33 @@ def ann_topk_ivf(spark, sf):
     return similarity.ivf_topk(emb, q, k=5, n_probe=2)
 
 
+def kmeans_clusters(spark, sf):
+    """Deterministic k-means over the embedding corpus
+    (clustering.kmeans): seeds = k smallest-id vectors, 2 assignment
+    passes with a rounded centroid recompute between them. Assignment
+    is map-only expression argmin (zero shuffle); the update is one
+    partial-aggregated k·dim-cell shuffle + O(k·dim) driver collect.
+    The oracle unrolls both iterations as CTEs with the identical
+    left-associated double arithmetic."""
+    from nekton_spark.functions.clustering import kmeans
+
+    return kmeans(_t(spark, sf, "embeddings"), k=8, iters=2)
+
+
+def semdedup_prune(spark, sf):
+    """SemDeDup (Abbas et al. 2023): semantic dedup bounded by k-means
+    partitions — within each final cluster, a vector is a duplicate
+    when a lower-id clustermate has cosine ≥ 0.9. One shuffle on the
+    cluster id; pair scan never leaves the cluster. Oracle replays
+    clustering + within-cluster pair scan with fold-exact cosines.
+    tau=0.35 here (not the 0.9 library default) because the synthetic
+    corpus is random-normal — max within-cluster cosine ≈ 0.51 — so
+    this threshold actually exercises the dup-marking branch."""
+    from nekton_spark.functions.clustering import semdedup
+
+    return semdedup(_t(spark, sf, "embeddings"), k=8, iters=2, tau=0.35)
+
+
 def embedding_near_dup(spark, sf):
     """Cosine-threshold near-dup pairs at the ENGINE DEFAULT auto
     width (n_bits=None) — same auto-width policy and SQL replay as
@@ -1988,6 +2015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "ann_topk_ivf": ann_topk_ivf,
+        "kmeans_clusters": kmeans_clusters,
+        "semdedup_prune": semdedup_prune,
     }
 
 
@@ -2142,6 +2171,40 @@ _COS = (
     f" / (sqrt({_unrolled_dot('qv', 'qv')})"
     f" * sqrt({_unrolled_dot('cv', 'cv')})), 6)"
 )
+
+
+def _unrolled_dist2(a: str, b: str, dim: int = 64) -> str:
+    """Left-associated squared-L2 sum — same fold order as Spark's
+    aggregate(zip_with(v, c, (x,y) -> (x-y)²), 0.0, +)."""
+    return " + ".join(
+        f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])" for j in range(1, dim + 1)
+    )
+
+
+# Deterministic k-means (clustering.kmeans, k=8, iters=2) unrolled as
+# CTEs: seed = 8 smallest-id vectors, assign (ties → smaller cluster),
+# recompute centroids rounded to 1e-6 (empty clusters keep their seed),
+# assign again. Shared by kmeans_clusters and semdedup_prune.
+_KMEANS_CTES = f"""
+pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cluster, v AS c
+  FROM (SELECT id, v FROM pts ORDER BY id LIMIT 8)
+),
+d1 AS (SELECT p.id, s.cluster, {_unrolled_dist2('p.v', 's.c')} AS d FROM pts p, seeds s),
+a1 AS (SELECT id, cluster FROM (
+  SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+  FROM d1) WHERE rn = 1),
+e1 AS (SELECT a1.cluster, unnest(range(1, len(p.v) + 1)) AS pos, p.v AS v
+       FROM a1 JOIN pts p USING (id)),
+m1 AS (SELECT cluster, pos, round(avg(v[pos]), 6) AS val FROM e1 GROUP BY cluster, pos),
+c1 AS (SELECT cluster, list(val ORDER BY pos) AS c FROM m1 GROUP BY cluster),
+cen AS (SELECT s.cluster, coalesce(c1.c, s.c) AS c FROM seeds s LEFT JOIN c1 USING (cluster)),
+d2 AS (SELECT p.id, n.cluster, {_unrolled_dist2('p.v', 'n.c')} AS d FROM pts p, cen n),
+a2 AS (SELECT id, cluster FROM (
+  SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+  FROM d2) WHERE rn = 1)
+"""
 
 
 def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 64) -> str:
@@ -2934,6 +2997,24 @@ s AS (SELECT query_id, neighbor_id, {_COS} AS score FROM q, c WHERE query_id != 
 SELECT query_id, neighbor_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= 5
+""",
+        "kmeans_clusters": f"""
+WITH {_KMEANS_CTES}
+SELECT id AS vec_id, cluster FROM a2
+""",
+        "semdedup_prune": f"""
+WITH {_KMEANS_CTES},
+pv AS (SELECT a2.id, a2.cluster, p.v FROM a2 JOIN pts p USING (id)),
+dup AS (
+  SELECT DISTINCT b.id
+  FROM (SELECT id, cluster, v AS qv FROM pv) a
+  JOIN (SELECT id, cluster, v AS cv FROM pv) b
+    ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {_COS} >= 0.35
+)
+SELECT pv.id AS vec_id, pv.cluster,
+       (CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END)::INT AS is_dup
+FROM pv LEFT JOIN dup ON pv.id = dup.id
 """,
         "ann_topk_lsh": f"""
 WITH {autowidth},

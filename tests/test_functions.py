@@ -376,6 +376,60 @@ class TestSimilarity:
             embedding_near_dup(emb, threshold=0.5, bands=0)
 
 
+class TestClustering:
+    def _emb_df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_kmeans_separates_planted_clusters(self, spark):
+        from nekton_spark.functions.clustering import kmeans
+
+        # two tight blobs far apart; seeds (ids 0,1) land one per blob
+        blob_a = [[10.0 + 0.01 * i, 0.0] for i in range(5)]
+        blob_b = [[-10.0 - 0.01 * i, 0.0] for i in range(5)]
+        vecs = [blob_a[0], blob_b[0]] + blob_a[1:] + blob_b[1:]
+        df = self._emb_df(spark, vecs)
+        rows = kmeans(df, k=2, iters=2).orderBy("vec_id").collect()
+        by_id = {r.vec_id: r.cluster for r in rows}
+        a_ids = [0] + list(range(2, 6))
+        b_ids = [1] + list(range(6, 10))
+        assert len({by_id[i] for i in a_ids}) == 1
+        assert len({by_id[i] for i in b_ids}) == 1
+        assert by_id[0] != by_id[1]
+
+    def test_kmeans_deterministic(self, spark):
+        from nekton_spark.functions.clustering import kmeans
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+        df = self._emb_df(spark, vecs)
+        r1 = sorted((r.vec_id, r.cluster) for r in kmeans(df, k=4, iters=3).collect())
+        r2 = sorted((r.vec_id, r.cluster) for r in kmeans(df, k=4, iters=3).collect())
+        assert r1 == r2
+
+    def test_semdedup_marks_planted_duplicate(self, spark):
+        from nekton_spark.functions.clustering import semdedup
+
+        # id 3 is a near-copy of id 0 (same direction, scaled); id 4 is
+        # orthogonal so it must survive even in the same cluster
+        vecs = [
+            [1.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0],
+            [0.99, 0.01, 0.0],
+            [2.0, 0.001, 0.0],
+            [0.0, 0.0, 5.0],
+        ]
+        df = self._emb_df(spark, vecs)
+        rows = semdedup(df, k=2, iters=2, tau=0.95).orderBy("vec_id").collect()
+        by_id = {r.vec_id: r.is_dup for r in rows}
+        assert by_id[2] == 1 and by_id[3] == 1  # dups of id 0
+        assert by_id[0] == 0 and by_id[1] == 0 and by_id[4] == 0
+
+
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
         """Mimes without a codec (PNG and baseline JPEG are real now;
