@@ -1160,6 +1160,16 @@ def gopher_quality_rules(spark, sf):
     return ta.gopher_rules(_t(spark, sf, "documents"))
 
 
+def compression_quality(spark, sf):
+    """zlib compression-ratio quality proxy
+    (text_analysis.compression_ratio): Arrow-batched pandas UDF,
+    map-only. ROWS-ONLY by design — DuckDB has no DEFLATE, so the
+    contract is pinned by fixed-vector unit tests instead of an SQL
+    oracle (same posture as dedup_minhash_xxh / multimodal_decode)."""
+    _ship_package(spark)
+    return ta.compression_ratio(_t(spark, sf, "documents"))
+
+
 def pii_redaction(spark, sf):
     """PII scrub pass (functions/text_analysis.py PII family): the
     corpus has no PII, so deterministic email/phone/IPv4 strings are
@@ -2001,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "text_quality": text_quality,
         "gopher_quality_rules": gopher_quality_rules,
+        "compression_quality": compression_quality,
         "dedup_ngram_sampled": dedup_ngram_sampled,
         "jpeg_decode": jpeg_decode_check,
         "pii_redaction": pii_redaction,

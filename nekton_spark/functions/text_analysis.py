@@ -17,6 +17,7 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for Arrow-batched UDFs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -306,6 +307,53 @@ def gopher_rules(
         F.round(bullet_ratio, 6).alias("bullet_ratio"),
         F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
         passes.cast("int").alias("passes"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    min_ratio: float = 0.30,
+    max_ratio: float = 0.95,
+) -> DataFrame:
+    """zlib compression-ratio quality signal: compressed_bytes /
+    utf8_bytes per document. Highly repetitive / templated text
+    compresses far below ~0.3; random or binary-ish text sits near or
+    above 1.0 — both are flagged, the standard cheap proxy used
+    alongside perplexity filters in web-corpus curation (CCNet /
+    MassiveText lineage).
+
+    The only Python in this family: an Arrow-batched pandas UDF (zlib
+    is a C extension, so the per-row cost is the DEFLATE pass itself).
+    Map-only, no shuffle, linear — scales embarrassingly. Rows-only in
+    the driver gate: DuckDB has no DEFLATE, so there is no SQL oracle;
+    fixed-vector unit tests pin the contract instead.
+    """
+    # only the DEFLATE length crosses into Python; byte count, ratio,
+    # and the flag stay JVM-side codegen
+    @F.pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return s.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), level)) if t else 0)
+
+    n = F.octet_length(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("zlib_bytes"),
+    )
+    r = F.when(F.col("n_bytes") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("zlib_bytes") / F.col("n_bytes"), 6)
+    )
+    out = out.withColumn("ratio", r)
+    return out.withColumn(
+        "flagged",
+        F.when(F.col("n_bytes") == 0, F.lit(0)).otherwise(
+            ((F.col("ratio") < min_ratio) | (F.col("ratio") > max_ratio)).cast("int")
+        ),
     )
 
 

@@ -98,6 +98,23 @@ class TestTextAnalysis:
         assert e.n_words == 0 and e.alpha_ratio == 0.0 and e.passes == 0
         assert g.stop_hits >= 2 and g.alpha_ratio == 1.0
 
+    def test_compression_ratio(self, spark):
+        import zlib
+
+        from nekton_spark.functions import text_analysis as ta
+
+        rep = "spam " * 200
+        mixed = "the quick brown fox jumps over the lazy dog " * 3
+        df = docs_df(spark, [rep, mixed, ""])
+        rows = ta.compression_ratio(df).orderBy("doc_id").collect()
+        r_rep, r_mix, r_empty = rows
+        # exact: python zlib is the same C library in driver and worker
+        assert r_rep.zlib_bytes == len(zlib.compress(rep.encode(), 6))
+        assert r_rep.ratio == round(r_rep.zlib_bytes / 1000, 6)
+        assert r_rep.flagged == 1 and r_rep.ratio < 0.1  # templated text
+        assert r_mix.flagged == 0 and 0.30 <= r_mix.ratio <= 0.95
+        assert r_empty.n_bytes == 0 and r_empty.ratio == 0.0 and r_empty.flagged == 0
+
     def test_ngrams(self, spark):
         from nekton_spark.functions import text_analysis as ta
 
