@@ -1348,15 +1348,20 @@ def ann_topk_ivf(spark, sf):
 
 def kmeans_clusters(spark, sf):
     """Deterministic k-means over the embedding corpus
-    (clustering.kmeans): seeds = k smallest-id vectors, 2 assignment
-    passes with a rounded centroid recompute between them. Assignment
-    is map-only expression argmin (zero shuffle); the update is one
-    partial-aggregated k·dim-cell shuffle + O(k·dim) driver collect.
-    The oracle unrolls both iterations as CTEs with the identical
-    left-associated double arithmetic."""
+    (clustering.kmeans) at the ENGINE DEFAULT auto-k — cluster size
+    pinned at ~TARGET_CLUSTER rows as the corpus grows, k replayed
+    from count(*) in the oracle (the LSH auto-width posture, so the
+    driver-checked plan is the scale-safe one). Seeds = k smallest-id
+    vectors, 2 assignment passes with a rounded centroid recompute
+    between them; assignment is map-only (codegen argmin ≤ 32
+    clusters, Arrow matrix path beyond — tested equal); the update is
+    one partial-aggregated k·dim-cell shuffle + O(k·dim) driver
+    collect. The oracle unrolls both iterations as CTEs with the
+    identical left-associated double arithmetic."""
     from nekton_spark.functions.clustering import kmeans
 
-    return kmeans(_t(spark, sf, "embeddings"), k=8, iters=2)
+    _ship_package(spark)  # matrix-path UDF engages beyond 32 clusters
+    return kmeans(_t(spark, sf, "embeddings"), iters=2)
 
 
 def semdedup_prune(spark, sf):
@@ -1370,7 +1375,8 @@ def semdedup_prune(spark, sf):
     this threshold actually exercises the dup-marking branch."""
     from nekton_spark.functions.clustering import semdedup
 
-    return semdedup(_t(spark, sf, "embeddings"), k=8, iters=2, tau=0.35)
+    _ship_package(spark)
+    return semdedup(_t(spark, sf, "embeddings"), iters=2, tau=0.35)
 
 
 def embedding_near_dup(spark, sf):
@@ -2192,15 +2198,19 @@ def _unrolled_dist2(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-# Deterministic k-means (clustering.kmeans, k=8, iters=2) unrolled as
-# CTEs: seed = 8 smallest-id vectors, assign (ties → smaller cluster),
-# recompute centroids rounded to 1e-6 (empty clusters keep their seed),
-# assign again. Shared by kmeans_clusters and semdedup_prune.
+# Deterministic k-means (clustering.kmeans, auto-k, iters=2) unrolled
+# as CTEs: k = max(8, ceil(n / TARGET_CLUSTER)) replayed from count(*)
+# (same auto-policy replay as the LSH width), seed = k smallest-id
+# vectors, assign (ties → smaller cluster), recompute centroids
+# rounded to 1e-6 (empty clusters keep their seed), assign again.
+# Shared by kmeans_clusters and semdedup_prune.
 _KMEANS_CTES = f"""
 pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+kk AS (SELECT greatest(8, ceil(count(*) / 500.0)::INT) AS k FROM pts),
 seeds AS (
-  SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cluster, v AS c
-  FROM (SELECT id, v FROM pts ORDER BY id LIMIT 8)
+  SELECT (rn - 1)::INT AS cluster, v AS c
+  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM pts)
+  WHERE rn <= (SELECT k FROM kk)
 ),
 d1 AS (SELECT p.id, s.cluster, {_unrolled_dist2('p.v', 's.c')} AS d FROM pts p, seeds s),
 a1 AS (SELECT id, cluster FROM (

@@ -33,8 +33,27 @@ is the §2.5 LLM-pipeline extension surface.
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for Arrow-batched UDFs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+# auto-k policy: clusters sized ~TARGET_CLUSTER rows, floor 8 — the
+# SemDeDup operating point (cluster size constant as the corpus grows,
+# so the within-cluster pair scan stays O(n · cluster) not O(n²/k)).
+# Same engine-default-with-SQL-replay posture as the LSH auto width
+# (similarity._resolve_band_width): the oracle recomputes k from
+# count(*), so the driver-checked plan IS the scale-safe one.
+TARGET_CLUSTER = 500
+
+
+def _resolve_k(df: DataFrame, k: int | None) -> int:
+    if k is not None:
+        return k
+    from .similarity import _estimate_rows
+
+    n = _estimate_rows(df)
+    return max(8, -(-n // TARGET_CLUSTER))
 
 
 def _dist2(vec: Column, centroid: list[float]) -> Column:
@@ -60,22 +79,80 @@ def _argmin_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     return assign.cast("int")
 
 
+# above this k the chained-when argmin expression tree stops fitting
+# whole-stage codegen; the Arrow matrix path takes over
+_EXPR_K_MAX = 32
+
+
+def _matrix_assigner(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid UDF for large k: numpy matrix
+    distances chunked to bound memory (rows × cids × dim ≤ ~64 MB per
+    block), with EXACT left-fold accumulation (cumsum) and first-index
+    tie-breaks — the same semantics as the expression path, asserted
+    equal by tests/test_functions.py::test_kmeans_paths_agree."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        k, dim = C.shape
+        row_chunk = 1024
+        cid_chunk = max(1, (64 << 20) // (8 * row_chunk * dim))
+        out = np.empty(len(vs), dtype=np.int32)
+        P = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        for r0 in range(0, len(P), row_chunk):
+            p = P[r0 : r0 + row_chunk]
+            best_d = np.full(len(p), np.inf)
+            best_c = np.zeros(len(p), dtype=np.int32)
+            for c0 in range(0, k, cid_chunk):
+                c = C[c0 : c0 + cid_chunk]
+                diff = p[:, None, :] - c[None, :, :]
+                # cumsum = exact left-fold order (engine-parity contract)
+                d = np.cumsum(diff * diff, axis=-1)[:, :, -1]
+                cand = d.argmin(axis=1)  # first index on ties
+                cand_d = d[np.arange(len(p)), cand]
+                upd = cand_d < best_d  # strict: earlier cid chunk keeps ties
+                best_d[upd] = cand_d[upd]
+                best_c[upd] = cand[upd] + c0
+            out[r0 : r0 + len(p)] = best_c
+        return pd.Series(out)
+
+    return _assign
+
+
+def _assign_col(vec: Column, centroids: list[list[float]], mode: str | None = None) -> Column:
+    use_expr = len(centroids) <= _EXPR_K_MAX if mode is None else mode == "expr"
+    if use_expr:
+        return _argmin_cluster(vec, centroids)
+    return _matrix_assigner(centroids)(vec)
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
+    assign_mode: str | None = None,
 ) -> DataFrame:
     """Deterministic k-means: seeds = the k smallest-id vectors (cluster
     j = rank of its seed id), ``iters`` assignment passes with
     ``iters - 1`` centroid recomputes in between. Returns
     (id_col, cluster).
 
+    ``k=None`` (the engine default) resolves to the auto policy —
+    ceil(n / TARGET_CLUSTER) clusters, floor 8, from parquet-footer
+    metadata — so cluster SIZE stays constant as the corpus grows.
+    Assignment is the codegen expression argmin for k ≤ 32 and the
+    Arrow matrix path beyond (identical semantics, tested equal).
     Centroid recompute is posexplode → partial-agg avg per
     (cluster, dim) → O(k·dim) driver collect, rounded to 1e-6 for
     engine-stable replay. Empty clusters keep their previous centroid.
     """
+    k = _resolve_k(df, k)
     pts = df.select(
         F.col(id_col).alias("_kid"),
         F.col(vec_col).cast("array<double>").alias("_kv"),
@@ -84,7 +161,7 @@ def kmeans(
     centroids = [list(r._kv) for r in seed_rows]
     dim = len(centroids[0])
     for _ in range(max(0, iters - 1)):
-        assigned = pts.withColumn("cluster", _argmin_cluster(F.col("_kv"), centroids))
+        assigned = pts.withColumn("cluster", _assign_col(F.col("_kv"), centroids, assign_mode))
         cells = (
             assigned.select("cluster", F.posexplode("_kv").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -99,7 +176,7 @@ def kmeans(
                 centroids[c] = [new[c][p] for p in range(dim)]
     return pts.select(
         F.col("_kid").alias(id_col),
-        _argmin_cluster(F.col("_kv"), centroids).alias("cluster"),
+        _assign_col(F.col("_kv"), centroids, assign_mode).alias("cluster"),
     )
 
 
@@ -107,7 +184,7 @@ def semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 8,
+    k: int | None = None,
     iters: int = 2,
     tau: float = 0.9,
     assignment: DataFrame | None = None,

@@ -428,6 +428,34 @@ class TestClustering:
         r2 = sorted((r.vec_id, r.cluster) for r in kmeans(df, k=4, iters=3).collect())
         assert r1 == r2
 
+    def test_kmeans_paths_agree(self, spark):
+        """The Arrow matrix assigner must be semantically identical to
+        the codegen expression argmin — same left-fold distance
+        arithmetic, same first-index tie-break."""
+        from nekton_spark.functions.clustering import kmeans
+
+        import random
+
+        rng = random.Random(11)
+        vecs = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(60)]
+        df = self._emb_df(spark, vecs)
+        expr = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans(df, k=12, iters=3, assign_mode="expr").collect()
+        )
+        mat = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans(df, k=12, iters=3, assign_mode="matrix").collect()
+        )
+        assert expr == mat
+
+    def test_kmeans_auto_k_floor(self, spark):
+        from nekton_spark.functions.clustering import _resolve_k
+
+        df = self._emb_df(spark, [[0.0, 1.0]] * 10)
+        assert _resolve_k(df, None) == 8  # floor
+        assert _resolve_k(df, 3) == 3  # explicit k wins
+
     def test_semdedup_marks_planted_duplicate(self, spark):
         from nekton_spark.functions.clustering import semdedup
 
