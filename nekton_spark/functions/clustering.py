@@ -16,15 +16,24 @@ unrolled arithmetic — see similarity.dot), and recomputed centroids
 are rounded to 1e-6 so partial-aggregation summation order can't leak
 into assignments.
 
-Scale (100 TB): assignment is map-only (k × dim fused expressions per
-row, whole-stage friendly, zero shuffle); the centroid update is one
+Scale (100 TB): assignment is map-only (zero shuffle — codegen argmin
+for k ≤ 32, Arrow matrix path beyond); the centroid update is one
 partial-aggregated shuffle of k·dim cells and an O(k·dim) driver
 collect (k=50k, dim=1k → 50M cells ≈ 400 MB — cap k accordingly or
 tree-aggregate); iterations are a small constant. SemDeDup's pair scan
-shuffles once on the cluster id; oversized clusters should be salted
-into tile-pair subgroups exactly like similarity.embedding_near_dup's
-sign-sketch buckets (same triangular-pairing pattern) — at the paper's
-operating point clusters are sized ~n/k ≈ 10⁴, which one task absorbs.
+shuffles once on the cluster id and stays O(n · cluster_size) under
+the auto-k policy (cluster size pinned at ~TARGET_CLUSTER).
+
+The honest cost bound: EXACT flat k-means assignment is O(n·k·d), and
+with k ∝ n (fixed cluster size) that is O(n²·d / TARGET) — measured
+31×/decade at the sf1→sf10 rehearsal (1.7 s @ 20k × k=40 → 51 s @
+200k × k=400, local[32]). That is the algorithm, not the plan: the
+paper's own implementation carries the same product on GPUs. At scales
+where n·k compute is the wall, route the SemDeDup partition to the
+O(n) lattice quantizer (similarity.quantized_dedup cells) or
+sign-sketch buckets (embedding_near_dup) — both shipped and oracled —
+or interpose a two-level tree (coarse √k then per-cell fine) to cut
+per-point candidates to O(√k).
 
 Reference parity: the reference engine (a 1-record-in-flight text
 pipeline, /root/reference/src/lib.rs:84-93) has no vector layer; this
