@@ -1906,6 +1906,44 @@ def bigram_logprob_check(spark, sf):
     return bigram_logprob(_t(spark, sf, "documents"))
 
 
+def boilerplate_removal_check(spark, sf):
+    """Line-level boilerplate removal
+    (text_analysis.remove_boilerplate_lines): the synthetic corpus has
+    no newlines, so lines are synthesized as non-overlapping 5-token
+    windows (the oracle builds the identical view); lines whose
+    normalized form appears in >= 3 distinct docs are stripped. One
+    content-keyed mining shuffle + broadcast flagged set + map-only
+    rewrite preserving line order; cleaned text compared by md5."""
+    from nekton_spark.functions.text_analysis import (
+        remove_boilerplate_lines,
+        tokenize,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize(F.col("text"))
+    nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)),
+    )
+    lined = d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+    out = remove_boilerplate_lines(lined, min_docs=3)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text").alias("clean_fp")
+    )
+
+
+def classifier_score_check(spark, sf):
+    """Linear quality-classifier serving path
+    (text_analysis.classifier_score, placeholder hash weights):
+    integer milli-weight sum per doc (long arithmetic — no float
+    accumulation order), one division at the end. Map-only codegen,
+    zero shuffles."""
+    from nekton_spark.functions.text_analysis import classifier_score
+
+    return classifier_score(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1918,6 +1956,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05 row (judge-rerun-only last round: q07-q11, dedup/ANN
     # family, multimodal, relational batteries); the r05-green set trails.
     return {
+        # --- new in r6 (third session): never driver-checked, lead ---
+        "boilerplate_removal": boilerplate_removal_check,
+        "classifier_score_docs": classifier_score_check,
+        "kmeans_clusters": kmeans_clusters,
+        "semdedup_prune": semdedup_prune,
+        "gopher_quality_rules": gopher_quality_rules,
+        "compression_quality": compression_quality,
         # --- new in r6 (second session) ---
         "bm25_search": bm25_search,
         "bigram_logprob": bigram_logprob_check,
@@ -2016,8 +2061,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_chain": pipeline_chain,
         "text_stats": text_stats,
         "text_quality": text_quality,
-        "gopher_quality_rules": gopher_quality_rules,
-        "compression_quality": compression_quality,
         "dedup_ngram_sampled": dedup_ngram_sampled,
         "jpeg_decode": jpeg_decode_check,
         "pii_redaction": pii_redaction,
@@ -2032,8 +2075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "ann_topk_ivf": ann_topk_ivf,
-        "kmeans_clusters": kmeans_clusters,
-        "semdedup_prune": semdedup_prune,
     }
 
 
@@ -2267,6 +2308,49 @@ nn AS (SELECT count(*) AS n FROM embeddings),
 pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS BIGINT)), 14) AS r FROM nn)"""
     lang_cte = _lang_sql()
     return {
+        # boilerplate_removal: identical 5-token line view, identical
+        # normalize (lower + \s+ collapse + trim) key, >=3-distinct-doc
+        # mining (list_distinct first so intra-doc repeats vote once),
+        # flagged set applied as a pure list_filter rewrite
+        "boilerplate_removal": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id,
+             list_transform(range(0, (len(toks) + 4) // 5),
+                            i -> array_to_string(toks[i*5+1:i*5+5], ' ')) AS ls
+      FROM t),
+l AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(ls,
+               x -> trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))))) AS k
+      FROM d),
+f AS (SELECT k FROM l WHERE k <> '' GROUP BY k HAVING count(*) >= 3),
+b AS (SELECT coalesce(list(k), []::VARCHAR[]) AS bl FROM f)
+SELECT doc_id::BIGINT AS doc_id,
+       len(ls)::INT AS n_lines,
+       (len(ls) - len(kept))::INT AS n_removed,
+       md5(array_to_string(kept, chr(10))) AS clean_fp
+FROM (SELECT doc_id, ls,
+             list_filter(ls, x -> NOT list_contains(b.bl,
+               trim(regexp_replace(lower(x), '\\s+', ' ', 'g')))) AS kept
+      FROM d, b)
+""",
+        # classifier_score_docs: integer milli-weight sum (hash60 mod
+        # 2001 - 1000 per token) as BIGINT, one division at the end —
+        # no float accumulation order to disagree on
+        "classifier_score_docs": f"""
+WITH t AS (SELECT doc_id, list_filter({_TOKS}, x -> length(x) > 0) AS tk
+           FROM documents),
+a AS (SELECT doc_id, count(*)::INT AS n_tokens,
+             sum(({_H('tok', '4100')} % 2001 - 1000))::BIGINT AS ws
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(a.n_tokens, 0)::INT AS n_tokens,
+       (CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+             ELSE a.ws::DOUBLE / (1000.0 * a.n_tokens) END) AS clf_score,
+       (CASE WHEN coalesce(a.n_tokens, 0) > 0
+             AND a.ws::DOUBLE / (1000.0 * a.n_tokens) > 0
+             THEN 1 ELSE 0 END)::INT AS clf_label
+FROM t LEFT JOIN a USING (doc_id)
+""",
         "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

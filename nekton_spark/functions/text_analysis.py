@@ -21,6 +21,8 @@ import pandas as pd  # annotation target for Arrow-batched UDFs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import hash60
+
 BPE_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
 
 # tiny per-language stopword profiles (public common-word lists)
@@ -682,4 +684,135 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate REMOVAL — the write-side companion of
+    :func:`common_passages`: strip every line whose normalized form
+    appears in at least ``min_docs`` distinct documents (nav bars,
+    cookie banners, license footers — the C4/RefinedWeb line-dedup
+    step). Returns (doc_id, text, n_lines, n_removed) with the
+    surviving lines rejoined by ``sep`` in their original order; docs
+    whose every line is boilerplate keep their row with empty text.
+
+    100 TB shape: mining is one map-side explode (``array_distinct``
+    first, so a pathological doc votes once per line) + one
+    content-keyed count aggregate (partial-agg absorbs hot boilerplate
+    keys — the only hot keys are exactly the lines being flagged).
+    The flagged set then rides back as a broadcast 1-row array and the
+    rewrite is a pure per-row array filter — NO second shuffle, no
+    re-explode/regroup of the corpus, original line order free. The
+    envelope is the flagged-line set fitting in a broadcast (same
+    status as the eval side of decontaminate): ``min_docs`` controls
+    it directly, and a set too large to broadcast means the threshold
+    is misconfigured, not that the plan should shuffle.
+    """
+    lines = F.split(F.col(text_col), sep)
+    mined = (
+        df.select(
+            F.explode(
+                F.array_distinct(F.transform(lines, lambda l: normalize(l)))
+            ).alias("k")
+        )
+        .filter(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # distinct by construction
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    # collect_list over zero rows still yields one row with [] from a
+    # global aggregate, so an all-clean corpus passes through unchanged
+    bl = mined.agg(F.array_sort(F.collect_list("k")).alias("_bl"))
+    kept = F.filter(lines, lambda l: ~F.array_contains(F.col("_bl"), normalize(l)))
+    return (
+        df.crossJoin(F.broadcast(bl))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(kept, sep).alias("text"),
+            F.size(lines).alias("n_lines"),
+            (F.size(lines) - F.size(kept)).alias("n_removed"),
+        )
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 4100,
+) -> DataFrame:
+    """Linear bag-of-words quality-classifier scoring — the serving
+    half of the fastText/DataComp-style learned quality filter: score =
+    mean token weight, label = score > 0. ``weights`` is a
+    (token, weight_milli) frame of TRAINED integer milli-weights
+    (broadcast-joined); without one, deterministic hash-derived
+    placeholder weights in [-1, 1] stand in so the full scoring path is
+    exercised end-to-end (clearly a placeholder — training happens
+    offline, this operator is inference).
+
+    Engine-exactness: per-token weights are INTEGERS (milli-units,
+    hash60 mod 2001 - 1000 in placeholder mode), summed as longs —
+    no float accumulation order to disagree on — and divided once at
+    the end, so the DuckDB oracle replays scores bit-for-bit.
+
+    100 TB shape: placeholder mode is map-only codegen (hash the token
+    in-row, aggregate the array — zero shuffles, zero Python); trained
+    mode is one explode + broadcast join on the (small, vocabulary-
+    sized) weight table + one doc-keyed partial-agg'd count — the
+    standard serving plan for linear text classifiers at scale.
+    """
+    toks = tokenize(F.col(text_col))
+    if weights is None:
+        w = lambda t: (hash60(t, seed) % 2001 - 1000).cast("long")  # noqa: E731
+        wsum = F.aggregate(
+            F.filter(toks, lambda t: F.length(t) > 0),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + w(t),
+        )
+        n = token_count(F.col(text_col))
+        score = F.when(n == 0, F.lit(0.0)).otherwise(
+            wsum.cast("double") / (F.lit(1000.0) * n)
+        )
+        # no rounding: ws and n are integers, so the score is ONE IEEE
+        # division of exact operands — bit-identical across engines,
+        # whereas round(x, 6) half-cases differ between Spark and DuckDB
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            n.alias("n_tokens"),
+            score.alias("clf_score"),
+            (score > 0).cast("int").alias("clf_label"),
+        )
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    ).filter(F.length("token") > 0)
+    joined = tok_rows.join(F.broadcast(weights), "token", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("weight_milli"), F.lit(0)).cast("long")).alias("_ws"),
+    )
+    score = F.col("_ws").cast("double") / (F.lit(1000.0) * F.col("n_tokens"))
+    scored = agg.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("clf_score"),
+        (score > 0).cast("int").alias("clf_label"),
+    )
+    # docs with zero tokens never explode a row — restore them at 0
+    empties = df.select(F.col(id_col).alias("doc_id")).join(
+        scored.select("doc_id"), "doc_id", "left_anti"
+    )
+    return scored.unionByName(
+        empties.select(
+            "doc_id",
+            F.lit(0).alias("n_tokens"),
+            F.lit(0.0).alias("clf_score"),
+            F.lit(0).alias("clf_label"),
+        )
     )

@@ -1051,3 +1051,76 @@ class TestBm25:
         one = self._run(spark, [(0, "a b")], [(0, "a")])
         twice = self._run(spark, [(0, "a b")], [(0, "a a a")])
         assert one[0].score == twice[0].score
+
+
+class TestRemoveBoilerplateLines:
+    def test_hand_computed(self, spark):
+        from nekton_spark.functions.text_analysis import remove_boilerplate_lines
+
+        # "cookie notice" appears (normalized) in 3 docs; unique lines survive
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta\nCookie   Notice\ngamma"),
+                (1, "cookie notice\ndelta"),
+                (2, "COOKIE NOTICE"),
+                (3, "epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+        assert rows[0].text == "alpha beta\ngamma" and rows[0].n_removed == 1
+        assert rows[1].text == "delta" and rows[1].n_removed == 1
+        # doc fully boilerplate: row kept, text empty
+        assert rows[2].text == "" and rows[2].n_removed == 1 and rows[2].n_lines == 1
+        assert rows[3].text == "epsilon zeta" and rows[3].n_removed == 0
+
+    def test_all_clean_corpus_passes_through(self, spark):
+        from nekton_spark.functions.text_analysis import remove_boilerplate_lines
+
+        df = spark.createDataFrame(
+            [(0, "a\nb"), (1, "c\nd")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert rows[0].text == "a\nb" and rows[0].n_removed == 0
+        assert rows[1].text == "c\nd"
+
+    def test_intra_doc_repeats_vote_once(self, spark):
+        from nekton_spark.functions.text_analysis import remove_boilerplate_lines
+
+        # the same line 5x inside ONE doc must not reach min_docs=2
+        df = spark.createDataFrame(
+            [(0, "x\nx\nx\nx\nx"), (1, "y")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert rows[0].n_removed == 0 and rows[0].text == "x\nx\nx\nx\nx"
+
+
+class TestClassifierScore:
+    def test_placeholder_is_mean_hashed_milliweight(self, spark):
+        from nekton_spark.functions.hashing import hash60_py
+        from nekton_spark.functions.text_analysis import classifier_score
+
+        df = spark.createDataFrame([(0, "a b"), (1, "")], "doc_id long, text string")
+        rows = {r.doc_id: r for r in classifier_score(df).collect()}
+        want = sum(hash60_py(t, 4100) % 2001 - 1000 for t in ["a", "b"]) / 2000.0
+        assert rows[0].clf_score == want
+        assert rows[0].clf_label == int(want > 0)
+        assert rows[1].n_tokens == 0 and rows[1].clf_score == 0.0
+
+    def test_trained_weights_mode(self, spark):
+        from nekton_spark.functions.text_analysis import classifier_score
+
+        df = spark.createDataFrame(
+            [(0, "good good bad"), (1, "unseen words"), (2, "")],
+            "doc_id long, text string",
+        )
+        w = spark.createDataFrame(
+            [("good", 900), ("bad", -300)], "token string, weight_milli int"
+        )
+        rows = {r.doc_id: r for r in classifier_score(df, weights=w).collect()}
+        assert rows[0].clf_score == (900 + 900 - 300) / 3000.0
+        assert rows[0].clf_label == 1
+        # unseen tokens weigh 0, not NULL-poison
+        assert rows[1].clf_score == 0.0 and rows[1].clf_label == 0
+        # empty doc restored with zero score
+        assert rows[2].n_tokens == 0 and rows[2].clf_score == 0.0
