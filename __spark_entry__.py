@@ -1906,6 +1906,28 @@ def bigram_logprob_check(spark, sf):
     return bigram_logprob(_t(spark, sf, "documents"))
 
 
+def fuzzy_decontamination_check(spark, sf):
+    """Near-duplicate train/eval contamination
+    (decontaminate.fuzzy_contamination_pairs): eval = every 97th doc;
+    the train side is the rest PLUS paraphrased eval copies (first two
+    tokens dropped, re-keyed +500000) — lightly-reworded leakage the
+    exact n-gram rule can miss. Banded MinHash across the two frames:
+    eval bands broadcast (no corpus shuffle), exact Jaccard verify on
+    candidates only."""
+    from nekton_spark.functions.decontaminate import fuzzy_contamination_pairs
+    from nekton_spark.functions.text_analysis import tokenize
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize(F.col("text"))
+    ev = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    para = d.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 3, F.size(toks) - 2)).alias("text"),
+    )
+    tr = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").unionByName(para)
+    return fuzzy_contamination_pairs(tr, ev, threshold=0.5)
+
+
 def boilerplate_removal_check(spark, sf):
     """Line-level boilerplate removal
     (text_analysis.remove_boilerplate_lines): the synthetic corpus has
@@ -1957,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, multimodal, relational batteries); the r05-green set trails.
     return {
         # --- new in r6 (third session): never driver-checked, lead ---
+        "fuzzy_decontamination": fuzzy_decontamination_check,
         "boilerplate_removal": boilerplate_removal_check,
         "classifier_score_docs": classifier_score_check,
         "kmeans_clusters": kmeans_clusters,
@@ -2143,6 +2166,66 @@ def _minhash_sql(threshold: float = 0.1, k: int = 16, bands: int = 8) -> str:
     return f"WITH {_minhash_ctes(threshold, k, bands)}\nSELECT id_a, id_b, jaccard FROM mpairs"
 
 
+def _fuzzy_decon_sql(threshold: float = 0.5, k: int = 16, bands: int = 8) -> str:
+    """Two-frame (train × eval) banded-MinHash contamination replay:
+    same signature family / band keys / exact-Jaccard verify as
+    _minhash_ctes, but candidates come from a train-band × eval-band
+    join instead of a self-join. The train side is the non-%97 corpus
+    plus paraphrased eval copies (first two tokens dropped, re-keyed
+    +500000) — the injected leakage the driver query constructs."""
+    from nekton_spark.functions.hashing import H0_MOD, REHASH_MASK, affine_consts
+
+    r = k // bands
+    a_c, b_c = affine_consts(k)
+    a_l = "[" + ", ".join(str(c) for c in a_c) + "]"
+    b_l = "[" + ", ".join(str(c) for c in b_c) + "]"
+    h0 = f"({_H('g', '0')} % {H0_MOD})"
+    sig = (
+        f"list_transform(range(0, {k}), s -> "
+        f"list_min(list_transform(sh, g -> ({a_l}[s + 1] * {h0} + {b_l}[s + 1]) & {REHASH_MASK})))"
+    )
+    band_exprs = ", ".join(
+        "STRUCT_PACK(band := {b}, bh := {h})".format(
+            b=b,
+            h=_H(f"array_to_string(sig[{b * r + 1}:{b * r + r}], ',')", str(1000 + b)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id,
+         array_to_string(({_TOKS})[3:len({_TOKS})], ' ') AS text
+  FROM documents WHERE doc_id % 97 = 0
+), ev AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+), tsh AS (
+  SELECT doc_id, sh FROM (SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_TOKS} AS toks, text FROM corpus)) WHERE len(sh) > 0
+), esh AS (
+  SELECT doc_id, sh FROM (SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_TOKS} AS toks, text FROM ev)) WHERE len(sh) > 0
+), tsig AS (SELECT doc_id, {sig} AS sig FROM tsh),
+esig AS (SELECT doc_id, {sig} AS sig FROM esh),
+tb AS (SELECT doc_id, unnest([{band_exprs}], recursive := true) FROM tsig),
+eb AS (SELECT doc_id, unnest([{band_exprs}], recursive := true) FROM esig),
+cand AS (
+  SELECT DISTINCT tb.doc_id AS train_id, eb.doc_id AS eval_id
+  FROM tb JOIN eb ON tb.band = eb.band AND tb.bh = eb.bh
+  WHERE tb.doc_id <> eb.doc_id
+), td AS (SELECT doc_id, list_distinct(sh) AS sh FROM tsh),
+ed AS (SELECT doc_id, list_distinct(sh) AS sh FROM esh)
+SELECT * FROM (
+  SELECT train_id, eval_id,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM cand JOIN td a ON cand.train_id = a.doc_id
+            JOIN ed b ON cand.eval_id = b.doc_id
+) WHERE jaccard >= {threshold}
+"""
+
+
 def _simhash_ctes(bits: int) -> str:
     """CTE chain ending in ``sh_t(doc_id, sh)`` — the packed simhash."""
     h_tok = _H("t", "0")
@@ -2308,6 +2391,7 @@ nn AS (SELECT count(*) AS n FROM embeddings),
 pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS BIGINT)), 14) AS r FROM nn)"""
     lang_cte = _lang_sql()
     return {
+        "fuzzy_decontamination": _fuzzy_decon_sql(threshold=0.5),
         # boilerplate_removal: identical 5-token line view, identical
         # normalize (lower + \s+ collapse + trim) key, >=3-distinct-doc
         # mining (list_distinct first so intra-doc repeats vote once),

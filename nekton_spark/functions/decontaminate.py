@@ -211,3 +211,111 @@ def bloom_decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(confirmed), id_col, "left_anti")
+
+
+def fuzzy_contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash: str = "md5",
+) -> DataFrame:
+    """NEAR-duplicate contamination: (train_id, eval_id, jaccard) for
+    training docs whose shingle-set Jaccard with an eval doc reaches
+    ``threshold`` — catches lightly paraphrased / reformatted benchmark
+    leakage that the exact n-gram rule (:func:`contamination_pairs`)
+    misses. Same banded-MinHash machinery as dedup (signatures →
+    band-key match → exact verify on candidates only), but ACROSS two
+    frames instead of a self-join.
+
+    100 TB shape: both sides are signed map-only; the eval side
+    (benchmarks — thousands of docs) is broadcast at band granularity,
+    so the candidate match is a broadcast join with NO shuffle of the
+    training corpus; exact verification semi-joins the training side
+    down to candidates before the shingle UDF runs. ``hash`` chooses
+    md5 (oracle-parity) or xxhash64 (pure-JVM production) exactly as
+    in minhash_lsh_pairs.
+    """
+    from .dedup import _distinct_shingles_udf, minhash_signatures
+    from .hashing import hash60
+
+    r = k // bands
+    tsig = minhash_signatures(train, text_col, id_col, k, shingle_n, hash=hash)
+    esig = minhash_signatures(eval_df, text_col, id_col, k, shingle_n, hash=hash)
+    if hash == "xxhash64":
+        def band_key(b):
+            return F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r)), F.lit(b))
+    else:
+        def band_key(b):
+            return hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            "id",
+            F.posexplode(
+                F.array(*[band_key(b) for b in range(bands)])
+            ).alias("band", "bh"),
+        )
+
+    cand = (
+        banded(tsig)
+        .join(
+            F.broadcast(banded(esig).withColumnRenamed("id", "eval_id")),
+            ["band", "bh"],
+        )
+        .filter(F.col("id") != F.col("eval_id"))  # shared-corpus harness use
+        .select(F.col("id").alias("train_id"), "eval_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # verify branches reuse, not re-derive
+    )
+    sh_udf = _distinct_shingles_udf(shingle_n)
+    t_ids = cand.select(F.col("train_id").alias("id")).distinct()
+    tsh = (
+        train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("_t"))
+        .join(t_ids.withColumnRenamed("id", "train_id"), "train_id", "left_semi")
+        .select("train_id", sh_udf(F.col("_t")).alias("tsh"))
+    )
+    esh = eval_df.select(
+        F.col(id_col).alias("eval_id"), sh_udf(F.col(text_col)).alias("esh")
+    )
+    inter = F.size(F.array_intersect("tsh", "esh"))
+    return (
+        cand.join(tsh, "train_id")
+        .join(F.broadcast(esh), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            (
+                inter.cast("double")
+                / (F.size("tsh") + F.size("esh") - inter)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash: str = "md5",
+) -> DataFrame:
+    """Training rows with no near-duplicate eval overlap — the
+    write-side of the fuzzy contamination check."""
+    flagged = (
+        fuzzy_contamination_pairs(
+            train, eval_df, k, bands, shingle_n, threshold, id_col, text_col, hash
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(flagged), id_col, "left_anti")

@@ -1124,3 +1124,57 @@ class TestClassifierScore:
         assert rows[1].clf_score == 0.0 and rows[1].clf_label == 0
         # empty doc restored with zero score
         assert rows[2].n_tokens == 0 and rows[2].clf_score == 0.0
+
+
+class TestFuzzyDecontamination:
+    def _jaccard(self, a, b, n=3):
+        sa = {" ".join(a.split()[i : i + n]) for i in range(len(a.split()) - n + 1)}
+        sb = {" ".join(b.split()[i : i + n]) for i in range(len(b.split()) - n + 1)}
+        return len(sa & sb) / len(sa | sb)
+
+    def test_paraphrase_flagged_exact_jaccard(self, spark):
+        from nekton_spark.functions.decontaminate import fuzzy_contamination_pairs
+
+        ev_text = "the quick brown fox jumps over the lazy dog today"
+        near = "quick brown fox jumps over the lazy dog today"  # 1st token dropped
+        far = "completely unrelated words about spark shuffles and joins"
+        tr = spark.createDataFrame(
+            [(1, near), (2, far)], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+        rows = fuzzy_contamination_pairs(tr, ev, threshold=0.5).collect()
+        assert [(r.train_id, r.eval_id) for r in rows] == [(1, 100)]
+        assert rows[0].jaccard == self._jaccard(near, ev_text)
+
+    def test_threshold_excludes(self, spark):
+        from nekton_spark.functions.decontaminate import fuzzy_contamination_pairs
+
+        ev_text = "the quick brown fox jumps over the lazy dog today"
+        near = "quick brown fox jumps over the lazy dog today"
+        tr = spark.createDataFrame([(1, near)], "doc_id long, text string")
+        ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+        j = self._jaccard(near, ev_text)
+        assert fuzzy_contamination_pairs(tr, ev, threshold=j + 0.01).count() == 0
+
+    def test_decontaminate_drops_only_flagged(self, spark):
+        from nekton_spark.functions.decontaminate import fuzzy_decontaminate
+
+        ev_text = "the quick brown fox jumps over the lazy dog today"
+        near = "quick brown fox jumps over the lazy dog today"
+        far = "completely unrelated words about spark shuffles and joins"
+        tr = spark.createDataFrame(
+            [(1, near), (2, far)], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+        kept = [r.doc_id for r in fuzzy_decontaminate(tr, ev, threshold=0.5).collect()]
+        assert kept == [2]
+
+    def test_xxhash_variant_runs(self, spark):
+        from nekton_spark.functions.decontaminate import fuzzy_contamination_pairs
+
+        ev_text = "the quick brown fox jumps over the lazy dog today"
+        near = "quick brown fox jumps over the lazy dog today"
+        tr = spark.createDataFrame([(1, near)], "doc_id long, text string")
+        ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+        rows = fuzzy_contamination_pairs(tr, ev, threshold=0.5, hash="xxhash64").collect()
+        assert [(r.train_id, r.eval_id) for r in rows] == [(1, 100)]
