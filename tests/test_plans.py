@@ -181,3 +181,30 @@ class TestPartitionedLayout:
         dirs = {p.name for p in (tmp_path / "part_events").iterdir() if p.is_dir()}
         assert len(dirs) > 1
         assert back.count() > 0
+
+
+class TestR6ThirdSessionPlans:
+    def test_classifier_score_map_only(self, spark):
+        """Placeholder-mode classifier scoring is pure codegen: zero
+        shuffles, zero Python."""
+        df = em.classifier_score_check(spark, SF)
+        assert plans.count_exchanges(df) == 0
+        assert "pythonUDF" not in plans.simple_plan(df).lower()
+
+    def test_boilerplate_rewrite_has_no_second_corpus_shuffle(self, spark):
+        """Mining = one content-keyed agg (partial+final exchanges, plus
+        the 1-row flagged-set aggregate); the rewrite itself is a
+        broadcast back onto an unshuffled corpus scan."""
+        df = em.boilerplate_removal_check(spark, SF)
+        plan = plans.simple_plan(df)
+        assert "BroadcastNestedLoopJoin" in plan
+        # corpus-sized exchanges: only the two mining-agg exchanges and
+        # the 1-row collect_list exchange — 3 total, none keyed on doc_id
+        assert plans.count_exchanges(df) <= 3
+        assert "hashpartitioning(doc_id" not in plan
+
+    def test_fuzzy_decontamination_broadcasts_eval(self, spark):
+        """The eval side enters band matching AND verification as a
+        broadcast — the training corpus is never shuffled on a key."""
+        df = em.fuzzy_decontamination_check(spark, SF)
+        assert plans.has_broadcast_join(df)
