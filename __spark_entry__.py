@@ -1906,6 +1906,17 @@ def bigram_logprob_check(spark, sf):
     return bigram_logprob(_t(spark, sf, "documents"))
 
 
+def token_length_histogram_check(spark, sf):
+    """Dataset-card token-length histogram
+    (text_analysis.token_length_histogram): one map-side token count,
+    one tiny bin-keyed partial-agg'd shuffle, corpus total via a
+    broadcast 1-row aggregate; frac is one exact long/long division
+    (engine-stable without rounding)."""
+    from nekton_spark.functions.text_analysis import token_length_histogram
+
+    return token_length_histogram(_t(spark, sf, "documents"), bin_width=50)
+
+
 def fuzzy_decontamination_check(spark, sf):
     """Near-duplicate train/eval contamination
     (decontaminate.fuzzy_contamination_pairs): eval = every 97th doc;
@@ -1979,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, multimodal, relational batteries); the r05-green set trails.
     return {
         # --- new in r6 (third session): never driver-checked, lead ---
+        "token_length_histogram": token_length_histogram_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
         "boilerplate_removal": boilerplate_removal_check,
         "classifier_score_docs": classifier_score_check,
@@ -2391,6 +2403,15 @@ nn AS (SELECT count(*) AS n FROM embeddings),
 pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS BIGINT)), 14) AS r FROM nn)"""
     lang_cte = _lang_sql()
     return {
+        "token_length_histogram": f"""
+WITH t AS (SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len({_TOKS}) END) // 50 AS bin FROM documents),
+a AS (SELECT bin, count(*)::BIGINT AS n_docs FROM t GROUP BY bin),
+tot AS (SELECT count(*)::BIGINT AS total FROM t)
+SELECT (bin * 50)::BIGINT AS bin_lo, (bin * 50 + 49)::BIGINT AS bin_hi,
+       n_docs, n_docs::DOUBLE / total AS frac
+FROM a, tot ORDER BY bin_lo
+""",
         "fuzzy_decontamination": _fuzzy_decon_sql(threshold=0.5),
         # boilerplate_removal: identical 5-token line view, identical
         # normalize (lower + \s+ collapse + trim) key, >=3-distinct-doc

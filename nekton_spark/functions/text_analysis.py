@@ -816,3 +816,36 @@ def classifier_score(
             F.lit(0).alias("clf_label"),
         )
     )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    bin_width: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-length distribution: (bin_lo, bin_hi, n_docs, frac) with
+    fixed-width bins — the dataset-card statistic every corpus release
+    publishes, and the input to sequence-length-aware packing/batching
+    decisions. frac is n_docs over the corpus total.
+
+    100 TB shape: one map-side token count per doc (codegen), one
+    partial-aggregated shuffle on the (tiny, bounded) bin key, and the
+    corpus total enters as a broadcast 1-row aggregate — no driver
+    action, no second pass. frac is one IEEE division of two exact
+    longs, engine-stable without rounding."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    n = token_count(F.col(text_col))
+    binned = df.select((F.floor(n / bin_width)).cast("long").alias("bin"))
+    agg = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = binned.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            (F.col("bin") * bin_width).alias("bin_lo"),
+            (F.col("bin") * bin_width + bin_width - 1).alias("bin_hi"),
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("_total")).alias("frac"),
+        )
+        .orderBy("bin_lo")
+    )

@@ -1178,3 +1178,26 @@ class TestFuzzyDecontamination:
         ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
         rows = fuzzy_contamination_pairs(tr, ev, threshold=0.5, hash="xxhash64").collect()
         assert [(r.train_id, r.eval_id) for r in rows] == [(1, 100)]
+
+
+class TestTokenLengthHistogram:
+    def test_hand_computed(self, spark):
+        from nekton_spark.functions.text_analysis import token_length_histogram
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b"), (2, "a b c d e"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {r.bin_lo: r for r in token_length_histogram(df, bin_width=4).collect()}
+        # lengths: 3, 2, 5, 0 -> bins [0,3]: 3 docs, [4,7]: 1 doc
+        assert rows[0].n_docs == 3 and rows[0].bin_hi == 3 and rows[0].frac == 0.75
+        assert rows[4].n_docs == 1 and rows[4].frac == 0.25
+
+    def test_invalid_width_refused(self, spark):
+        import pytest as _pytest
+
+        from nekton_spark.functions.text_analysis import token_length_histogram
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="bin_width"):
+            token_length_histogram(df, bin_width=0)
