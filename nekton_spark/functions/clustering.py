@@ -162,7 +162,11 @@ def kmeans(
     engine-stable replay. Empty clusters keep their previous centroid.
     """
     k = _resolve_k(df, k)
-    pts = df.select(
+    from .similarity import ensure_parallelism
+
+    # small corpora read as 1-2 parquet splits would run every n·k
+    # assignment pass on 1-2 tasks; no-op at real scale
+    pts = ensure_parallelism(df).select(
         F.col(id_col).alias("_kid"),
         F.col(vec_col).cast("array<double>").alias("_kv"),
     )
@@ -208,15 +212,22 @@ def semdedup(
     algorithm's point — bounded by the partition, never all-pairs.
     Cosines compare at round(·, 6) so the verdict is engine-stable.
     """
-    from .similarity import cosine
+    from .similarity import cosine, ensure_parallelism
 
     assign = assignment if assignment is not None else kmeans(df, vec_col, id_col, k, iters)
     pts = (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         .join(assign.withColumnRenamed(id_col, "id"), "id")
+        # the assignment DAG (scan + argmin over every centroid) is the
+        # expensive stage; without a materialization the a/b sides of
+        # the pair self-join and the final keeper join would each
+        # re-execute it — 3× the n·k assignment cost at 100 TB. On a
+        # cluster swap for a reliable checkpoint dir.
+        .localCheckpoint(eager=True)
     )
     a = pts.alias("a")
     b = pts.alias("b")
