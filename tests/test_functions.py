@@ -1095,6 +1095,30 @@ class TestRemoveBoilerplateLines:
         assert rows[0].n_removed == 0 and rows[0].text == "x\nx\nx\nx\nx"
 
 
+    def test_join_path_equals_array_path(self, spark):
+        from nekton_spark.functions.text_analysis import remove_boilerplate_lines
+
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta\nCookie   Notice\ngamma"),
+                (1, "cookie notice\ndelta"),
+                (2, "COOKIE NOTICE"),
+                (3, "epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        )
+        a = {
+            r.doc_id: (r.text, r.n_lines, r.n_removed)
+            for r in remove_boilerplate_lines(df, min_docs=3).collect()
+        }
+        # small_set_max=0 forces the broadcast-hash-join rewrite
+        b = {
+            r.doc_id: (r.text, r.n_lines, r.n_removed)
+            for r in remove_boilerplate_lines(df, min_docs=3, small_set_max=0).collect()
+        }
+        assert a == b
+
+
 class TestClassifierScore:
     def test_placeholder_is_mean_hashed_milliweight(self, spark):
         from nekton_spark.functions.hashing import hash60_py
