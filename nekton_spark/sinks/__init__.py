@@ -98,3 +98,51 @@ def memory_sink(df: DataFrame, name: str = "out"):
     return df.writeStream.format("memory").queryName(name).outputMode("append").start()
 
 from . import exactly_once  # noqa: F401, E402  (register type tag)
+
+
+@register_sink("shards")
+def shard_sink(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    target_rows: int | None = None,
+    key_col: str = "doc_id",
+    format: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+):
+    """Deterministic training-shard writer: every row lands in shard
+    ``pmod(hash60(key), n_shards)`` and rows inside a shard are sorted
+    by key — so the shard LAYOUT (membership and order, hence bytes)
+    is a pure function of the data, independent of input partitioning,
+    task scheduling, or cluster size. That reproducibility is what a
+    training pipeline needs to resume/diff/audit its shards across
+    re-runs; Spark's default writer gives neither (file split = input
+    partitioning, order = arrival).
+
+    ``n_shards`` may be derived from ``target_rows`` via parquet-footer
+    row counts (metadata only, no job — same trick as the LSH auto
+    width). One shuffle on the shard key (uniform by construction);
+    each shard value is one write task → exactly one file per shard
+    under ``_shard=<k>/`` directories, and downstream readers prune on
+    the shard column like any partition column.
+    """
+    from ..functions.hashing import hash60
+    from pyspark.sql import functions as F
+
+    if (n_shards is None) == (target_rows is None):
+        raise ValueError("pass exactly one of n_shards / target_rows")
+    if n_shards is None:
+        from ..functions.similarity import _estimate_rows
+
+        n_shards = max(1, -(-_estimate_rows(df) // target_rows))
+    sharded = (
+        df.withColumn("_shard", F.pmod(hash60(F.col(key_col)), F.lit(n_shards)))
+        .repartition(n_shards, F.col("_shard"))
+        .sortWithinPartitions("_shard", key_col)
+    )
+    writer = sharded.write.format(format).mode(mode).partitionBy("_shard")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    return None

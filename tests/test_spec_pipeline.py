@@ -207,3 +207,74 @@ output:
         assert "Physical Plan" in out
         assert "PushedFilters" in out
         assert "GreaterThan(l_quantity,45" in out
+
+
+class TestShardSink:
+    def test_layout_is_partitioning_independent(self, spark, tmp_path):
+        """Shard membership and in-shard order are a pure function of
+        the data: the same rows written through different input
+        partitionings produce identical per-shard contents."""
+        from nekton_spark.sinks import shard_sink
+
+        rows = [(i, f"doc {i}") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def read_layout(p):
+            out = spark.read.parquet(str(p)).collect()
+            by_shard = {}
+            for r in out:
+                by_shard.setdefault(r._shard, []).append(r.doc_id)
+            return {k: v for k, v in by_shard.items()}
+
+        shard_sink(df.repartition(7), str(tmp_path / "a"), n_shards=4)
+        shard_sink(df.repartition(3), str(tmp_path / "b"), n_shards=4)
+        a, b = read_layout(tmp_path / "a"), read_layout(tmp_path / "b")
+        assert a == b and len(a) == 4
+        assert sorted(x for v in a.values() for x in v) == list(range(100))
+        # one file per shard: the shard value is the repartition key
+        import glob
+
+        for k in a:
+            files = glob.glob(str(tmp_path / "a" / f"_shard={k}" / "*.parquet"))
+            assert len(files) == 1
+
+    def test_target_rows_derives_shard_count(self, spark, tmp_path):
+        from nekton_spark.sinks import shard_sink
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(100)], "doc_id long, text string"
+        )
+        # in-memory frame: _estimate_rows falls back to count() = 100
+        shard_sink(df, str(tmp_path / "c"), target_rows=25)
+        out = spark.read.parquet(str(tmp_path / "c"))
+        assert out.select("_shard").distinct().count() == 4
+
+    def test_exactly_one_of_the_sizing_params(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from nekton_spark.sinks import shard_sink
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="exactly one"):
+            shard_sink(df, str(tmp_path / "d"))
+
+    def test_shards_sink_reachable_from_spec(self, spark, tmp_path):
+        from nekton_spark.spec import Spec, compile_spec
+
+        raw = f"""
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: documents
+pipeline:
+  processors: []
+output:
+  type: shards
+  path: {tmp_path}/out
+  n_shards: 3
+  key_col: doc_id
+"""
+        _, run_sink = compile_spec(spark, Spec.from_yaml(raw))
+        run_sink()
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert out.select("_shard").distinct().count() == 3
