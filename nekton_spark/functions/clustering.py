@@ -146,6 +146,7 @@ def kmeans(
     k: int | None = None,
     iters: int = 2,
     assign_mode: str | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Deterministic k-means: seeds = the k smallest-id vectors (cluster
     j = rank of its seed id), ``iters`` assignment passes with
@@ -187,10 +188,64 @@ def kmeans(
         for c in range(len(centroids)):
             if c in new:
                 centroids[c] = [new[c][p] for p in range(dim)]
+    cols = [F.col("_kid").alias(id_col)]
+    if keep_vec:
+        # consumers that need (id, vec, cluster) together — SemDeDup's
+        # pair scan — get the vector for free from the same projection
+        # instead of re-joining the corpus on id (two shuffles + sort
+        # of every vector at 100 TB)
+        cols.append(F.col("_kv").alias(vec_col))
     return pts.select(
-        F.col("_kid").alias(id_col),
+        *cols,
         _assign_col(F.col("_kv"), centroids, assign_mode).alias("cluster"),
     )
+
+
+def _cluster_pairs_fn(tau: float, tile: int = 2048):
+    """Per-cluster upper-triangle pair scorer: id-sorted tiles, exact
+    left-fold dots (see similarity._fold_dots), margin pre-filter
+    ``>= tau - 1e-6`` so the JVM's round(·, 6) filter decides the
+    boundary — identical verdicts to a per-pair expression cosine."""
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .similarity import _fold_dots
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        if len(pdf) < 2:
+            return empty
+        V = np.asarray([np.asarray(x) for x in pdf["v"]])
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        V, ids = V[order], ids[order]
+        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        out_a, out_b, out_s = [], [], []
+        m = len(ids)
+        for i0 in range(0, m, tile):
+            i1 = min(i0 + tile, m)
+            for j0 in range(i0, m, tile):
+                j1 = min(j0 + tile, m)
+                S = _fold_dots(V[i0:i1], V[j0:j1]) / (
+                    nv[i0:i1, None] * nv[None, j0:j1]
+                )
+                keep = (ids[i0:i1, None] < ids[None, j0:j1]) & (S >= tau - 1e-6)
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    out_a.append(ids[i0:i1][ai])
+                    out_b.append(ids[j0:j1][bi])
+                    out_s.append(S[ai, bi])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    return pairs
 
 
 def semdedup(
@@ -211,31 +266,54 @@ def semdedup(
     One shuffle on the cluster id; the within-cluster pair scan is the
     algorithm's point — bounded by the partition, never all-pairs.
     Cosines compare at round(·, 6) so the verdict is engine-stable.
-    """
-    from .similarity import cosine, ensure_parallelism
 
-    assign = assignment if assignment is not None else kmeans(df, vec_col, id_col, k, iters)
-    pts = (
-        ensure_parallelism(df)
-        .select(
+    The pair scan runs as ONE tiled exact-fold "matmul" per cluster
+    (applyInPandas — the same kernel contract as embedding_near_dup:
+    cumsum left-fold dots, O(tile²) memory, an in-UDF margin pre-filter
+    wider than the rounding boundary with the JVM-side rounded filter
+    deciding membership bit-identically) instead of a pair-row
+    self-join evaluating an interpreted HOF cosine per pair — each
+    vector crosses the wire once per cluster, not once per candidate
+    pair. Cluster size is pinned ~TARGET_CLUSTER by the auto-k policy;
+    the degenerate case (a giant identical-vector cluster) is the
+    pathology the docs route to quantized_dedup first.
+    """
+    from .similarity import ensure_parallelism
+
+    if assignment is None:
+        # keep_vec: (id, v, cluster) from one projection — no corpus
+        # re-join on id (that join cost two shuffles + a sort of every
+        # vector, measured ~20 s of the sf10 wall)
+        pts = kmeans(df, vec_col, id_col, k, iters, keep_vec=True).select(
             F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(vec_col).alias("v"),
+            "cluster",
         )
-        .join(assign.withColumnRenamed(id_col, "id"), "id")
-        # the assignment DAG (scan + argmin over every centroid) is the
-        # expensive stage; without a materialization the a/b sides of
-        # the pair self-join and the final keeper join would each
-        # re-execute it — 3× the n·k assignment cost at 100 TB. On a
-        # cluster swap for a reliable checkpoint dir.
-        .localCheckpoint(eager=True)
+    else:
+        pts = (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .join(assignment.withColumnRenamed(id_col, "id"), "id")
+        )
+    # the assignment DAG (scan + argmin over every centroid) is the
+    # expensive stage; without a materialization the pair scan and
+    # the final keeper join would each re-execute it — 3× the n·k
+    # assignment cost at 100 TB. On a cluster swap for a reliable
+    # checkpoint dir.
+    pts = pts.localCheckpoint(eager=True)
+    pairs = (
+        # explicit repartition: pts is id-keyed after the join; the
+        # groupBy must spread clusters across tasks
+        pts.repartition("cluster")
+        .groupBy("cluster")
+        .applyInPandas(_cluster_pairs_fn(tau), "id_a long, id_b long, score double")
     )
-    a = pts.alias("a")
-    b = pts.alias("b")
     dups = (
-        a.join(b, on="cluster")
-        .where(F.col("a.id") < F.col("b.id"))
-        .where(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= F.lit(tau))
-        .select(F.col("b.id").alias("id"))
+        pairs.filter(F.round("score", 6) >= F.lit(tau))
+        .select(F.col("id_b").alias("id"))
         .distinct()
     )
     return (
