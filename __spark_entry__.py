@@ -1911,6 +1911,33 @@ def bigram_logprob_check(spark, sf):
     return bigram_logprob(_t(spark, sf, "documents"))
 
 
+def classifier_trained_check(spark, sf):
+    """Trained-weights classifier serving
+    (text_analysis.classifier_score, weights mode): the weight table is
+    a deterministic stand-in vocabulary — distinct tokens of every 10th
+    doc, integer milli-weights from hash60(token, 4200) — exercising
+    the REAL serving plan: explode → broadcast join on the vocabulary →
+    doc-keyed partial-agg'd count/sum → anti-join restore of token-less
+    docs. Unseen tokens weigh 0 (coalesce, not NULL-poison)."""
+    from nekton_spark.functions.hashing import hash60
+    from nekton_spark.functions.text_analysis import classifier_score, tokenize
+
+    d = _t(spark, sf, "documents")
+    w = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+        .select(
+            "token",
+            (hash60(F.col("token"), 4200) % 2001 - 1000)
+            .cast("int")
+            .alias("weight_milli"),
+        )
+    )
+    return classifier_score(d, weights=w)
+
+
 def token_length_histogram_check(spark, sf):
     """Dataset-card token-length histogram
     (text_analysis.token_length_histogram): one map-side token count,
@@ -1995,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, multimodal, relational batteries); the r05-green set trails.
     return {
         # --- new in r6 (third session): never driver-checked, lead ---
+        "classifier_trained": classifier_trained_check,
         "token_length_histogram": token_length_histogram_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
         "boilerplate_removal": boilerplate_removal_check,
@@ -2408,6 +2436,31 @@ nn AS (SELECT count(*) AS n FROM embeddings),
 pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS BIGINT)), 14) AS r FROM nn)"""
     lang_cte = _lang_sql()
     return {
+        # classifier_trained: vocabulary = distinct tokens of every
+        # 10th doc with integer milli-weights; unseen tokens weigh 0;
+        # token-less docs restored at score 0. Same exact-integer-sum /
+        # single-division contract as classifier_score_docs.
+        "classifier_trained": f"""
+WITH w AS (
+  SELECT token, ({_H('token', '4200')} % 2001 - 1000)::INT AS weight_milli
+  FROM (SELECT DISTINCT tok AS token FROM (
+          SELECT unnest({_TOKS}) AS tok FROM documents WHERE doc_id % 10 = 0)
+        WHERE length(tok) > 0)
+), t AS (SELECT doc_id, list_filter({_TOKS}, x -> length(x) > 0) AS tk
+         FROM documents),
+a AS (SELECT doc_id, count(*)::INT AS n_tokens,
+             sum(coalesce(w.weight_milli, 0))::BIGINT AS ws
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+      LEFT JOIN w ON tok = w.token GROUP BY doc_id)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(a.n_tokens, 0)::INT AS n_tokens,
+       (CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+             ELSE a.ws::DOUBLE / (1000.0 * a.n_tokens) END) AS clf_score,
+       (CASE WHEN coalesce(a.n_tokens, 0) > 0
+             AND a.ws::DOUBLE / (1000.0 * a.n_tokens) > 0
+             THEN 1 ELSE 0 END)::INT AS clf_label
+FROM t LEFT JOIN a USING (doc_id)
+""",
         "token_length_histogram": f"""
 WITH t AS (SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len({_TOKS}) END) // 50 AS bin FROM documents),
