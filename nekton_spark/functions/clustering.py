@@ -109,7 +109,14 @@ def _matrix_assigner(centroids: list[list[float]]):
 
         k, dim = C.shape
         row_chunk = 1024
-        cid_chunk = max(1, (64 << 20) // (8 * row_chunk * dim))
+        # bound the (rows, cids) accumulator to ~32 MB. The distance is
+        # accumulated dimension by dimension (acc += dcol²) — the exact
+        # left-fold order (identical to cumsum(..., axis=-1)[..., -1],
+        # the engine-parity contract) — with per-step temporaries of
+        # rows × cids × 8 B instead of a rows × cids × dim 'diff' cube:
+        # the 64-128 MB cube allocations per block measured as
+        # minute-scale memory-compaction stalls on a loaded host.
+        cid_chunk = max(1, (32 << 20) // (8 * row_chunk))
         out = np.empty(len(vs), dtype=np.int32)
         P = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
         for r0 in range(0, len(P), row_chunk):
@@ -118,9 +125,10 @@ def _matrix_assigner(centroids: list[list[float]]):
             best_c = np.zeros(len(p), dtype=np.int32)
             for c0 in range(0, k, cid_chunk):
                 c = C[c0 : c0 + cid_chunk]
-                diff = p[:, None, :] - c[None, :, :]
-                # cumsum = exact left-fold order (engine-parity contract)
-                d = np.cumsum(diff * diff, axis=-1)[:, :, -1]
+                d = np.zeros((len(p), len(c)))
+                for j in range(dim):  # exact left fold over dimensions
+                    dcol = p[:, j, None] - c[None, :, j]
+                    d += dcol * dcol
                 cand = d.argmin(axis=1)  # first index on ties
                 cand_d = d[np.arange(len(p)), cand]
                 upd = cand_d < best_d  # strict: earlier cid chunk keeps ties
@@ -201,51 +209,83 @@ def kmeans(
     )
 
 
-def _cluster_pairs_fn(tau: float, tile: int = 2048):
-    """Per-cluster upper-triangle pair scorer: id-sorted tiles, exact
-    left-fold dots (see similarity._fold_dots), margin pre-filter
-    ``>= tau - 1e-6`` so the JVM's round(·, 6) filter decides the
-    boundary — identical verdicts to a per-pair expression cosine."""
+def _cluster_dup_fn(tau: float, tile: int = 2048):
+    """Per-subgroup duplicate-evidence scorer: for every row, the MAX
+    exact-fold cosine over LOWER-id partners in the subgroup (rows with
+    no qualifying partner above the ``tau - 1e-6`` margin emit
+    nothing). round(·, 6) is monotone, so ``round(max) >= tau`` iff
+    some partner's rounded cosine clears tau — the JVM-side rounded
+    filter still decides the boundary bit-identically, but the UDF
+    output is O(rows), not O(pairs): a c-member identical-vector clique
+    emits c rows instead of C(c, 2) ≈ c²/2 (2×10⁸ at the 20k skew
+    rehearsal). Subgroups are the salted (cluster, ti, tj) tile pairs
+    of :func:`semdedup`: a diagonal subgroup scores its id-sorted upper
+    triangle; an off-diagonal one crosses its two tiles both ways."""
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def dup_evidence(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         from .similarity import _fold_dots
 
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        empty = pd.DataFrame({"id": [], "score": []})
         if len(pdf) < 2:
             return empty
-        V = np.asarray([np.asarray(x) for x in pdf["v"]])
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        V, ids = V[order], ids[order]
-        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        out_a, out_b, out_s = [], [], []
-        m = len(ids)
-        for i0 in range(0, m, tile):
-            i1 = min(i0 + tile, m)
-            for j0 in range(i0, m, tile):
-                j1 = min(j0 + tile, m)
-                S = _fold_dots(V[i0:i1], V[j0:j1]) / (
-                    nv[i0:i1, None] * nv[None, j0:j1]
-                )
-                keep = (ids[i0:i1, None] < ids[None, j0:j1]) & (S >= tau - 1e-6)
-                ai, bi = np.nonzero(keep)
-                if len(ai):
-                    out_a.append(ids[i0:i1][ai])
-                    out_b.append(ids[j0:j1][bi])
-                    out_s.append(S[ai, bi])
-        if not out_a:
+        ti, tj = int(pdf["ti"].iat[0]), int(pdf["tj"].iat[0])
+        out_i, out_s = [], []
+
+        def emit(ids_side, S, mask):
+            # per-column max over qualifying lower-id partners
+            masked = np.where(mask, S, -np.inf)
+            best = masked.max(axis=0)
+            ok = best >= tau - 1e-6
+            if ok.any():
+                out_i.append(ids_side[ok])
+                out_s.append(best[ok])
+
+        if ti == tj:
+            V = np.asarray([np.asarray(x) for x in pdf["v"]])
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            V, ids = V[order], ids[order]
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            m = len(ids)
+            for i0 in range(0, m, tile):
+                i1 = min(i0 + tile, m)
+                for j0 in range(i0, m, tile):
+                    j1 = min(j0 + tile, m)
+                    S = _fold_dots(V[i0:i1], V[j0:j1]) / (
+                        nv[i0:i1, None] * nv[None, j0:j1]
+                    )
+                    emit(ids[j0:j1], S, ids[i0:i1, None] < ids[None, j0:j1])
+        else:
+            a = pdf[pdf["t"] == ti]
+            b = pdf[pdf["t"] == tj]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            A = np.asarray([np.asarray(x) for x in a["v"]])
+            B = np.asarray([np.asarray(x) for x in b["v"]])
+            aids = a["id"].to_numpy()
+            bids = b["id"].to_numpy()
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            for i0 in range(0, len(aids), tile):  # hash imbalance guard
+                i1 = min(i0 + tile, len(aids))
+                for j0 in range(0, len(bids), tile):
+                    j1 = min(j0 + tile, len(bids))
+                    S = _fold_dots(A[i0:i1], B[j0:j1]) / (
+                        na[i0:i1, None] * nb[None, j0:j1]
+                    )
+                    # b-side rows with a lower-id a partner…
+                    emit(bids[j0:j1], S, aids[i0:i1, None] < bids[None, j0:j1])
+                    # …and a-side rows with a lower-id b partner
+                    emit(aids[i0:i1], S.T, bids[j0:j1, None] < aids[None, i0:i1])
+        if not out_i:
             return empty
         return pd.DataFrame(
-            {
-                "id_a": np.concatenate(out_a),
-                "id_b": np.concatenate(out_b),
-                "score": np.concatenate(out_s),
-            }
+            {"id": np.concatenate(out_i), "score": np.concatenate(out_s)}
         )
 
-    return pairs
+    return dup_evidence
 
 
 def semdedup(
@@ -304,16 +344,59 @@ def semdedup(
     # assignment cost at 100 TB. On a cluster swap for a reliable
     # checkpoint dir.
     pts = pts.localCheckpoint(eager=True)
-    pairs = (
-        # explicit repartition: pts is id-keyed after the join; the
-        # groupBy must spread clusters across tasks
-        pts.repartition("cluster")
-        .groupBy("cluster")
-        .applyInPandas(_cluster_pairs_fn(tau), "id_a long, id_b long, score double")
+    # Salt oversized clusters into tile-pair subgroups (the
+    # embedding_near_dup pattern): the auto-k policy pins cluster size
+    # ~TARGET_CLUSTER, but a degenerate corpus (one tight semantic
+    # clique — e.g. a boilerplate asset re-encoded 20k times) collapses
+    # into ONE cluster that k-means cannot split, and an unsalted
+    # groupBy would run its whole O(c²) pair scan as one task. Each row
+    # gets a deterministic tile t = pmod(xxhash64(id), n_tiles) and is
+    # replicated once per tile u; the subgroup key (cluster, least(t,u),
+    # greatest(t,u)) is a SEPARATE applyInPandas group, so every
+    # unordered pair meets in exactly one subgroup and the hot cluster
+    # spreads over ~(c/tile)²/2 tasks. Normal clusters (≤ tile rows)
+    # take the nt=1 fast path: one subgroup, no replication. Per-pair
+    # folds are tile-shape-independent, so the oracle is unchanged.
+    tile = 2048
+    big = (
+        pts.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_n"))
+        .filter(F.col("cluster_n") > tile)
+    )
+    salted = (
+        pts.join(big, ["cluster"], "left")
+        .withColumn(
+            "nt", F.ceil(F.coalesce(F.col("cluster_n"), F.lit(1)) / tile).cast("int")
+        )
+        .withColumn("t", F.pmod(F.xxhash64("id"), F.col("nt")).cast("int"))
+        .select(
+            "id",
+            "v",
+            "cluster",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.col("nt") - 1)).alias("u"),
+        )
+        .select(
+            "id",
+            "v",
+            "cluster",
+            "t",
+            F.least("t", "u").alias("ti"),
+            F.greatest("t", "u").alias("tj"),
+        )
+    )
+    evidence = (
+        # explicit repartition on the FULL salted key: a (cluster)-
+        # partitioned child would satisfy the groupBy's clustering
+        # requirement and re-serialize every subgroup of a hot cluster
+        # into one task, defeating the salt
+        salted.repartition("cluster", "ti", "tj")
+        .groupBy("cluster", "ti", "tj")
+        .applyInPandas(_cluster_dup_fn(tau), "id long, score double")
     )
     dups = (
-        pairs.filter(F.round("score", 6) >= F.lit(tau))
-        .select(F.col("id_b").alias("id"))
+        evidence.filter(F.round("score", 6) >= F.lit(tau))
+        .select("id")
         .distinct()
     )
     return (
