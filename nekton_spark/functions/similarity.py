@@ -199,8 +199,15 @@ def sketch_udf(dim: int, n_bits: int = 16):
     @F.pandas_udf("long")
     def _sketch(v: pd.Series) -> pd.Series:
         M = np.asarray([np.asarray(x, dtype=np.float64) for x in v])  # (n, dim)
-        P = M[:, None, :] * H[None, :, :]  # (n, bits, dim)
-        dots = np.cumsum(P, axis=2)[:, :, -1]  # exact left fold
+        # exact left fold over dimensions, accumulated column-by-column:
+        # identical addition order to cumsum(M[:,None,:]*H, axis=2)[..,-1]
+        # but with (n, bits) temporaries instead of an (n, bits, dim)
+        # cube — the ~300 MB/batch cube allocations measured as
+        # memory-compaction stalls on a loaded host (see clustering
+        # _matrix_assigner for the same fix)
+        dots = np.zeros((len(M), H.shape[0]))
+        for j in range(H.shape[1]):
+            dots += M[:, j, None] * H[None, :, j]
         return pd.Series(((dots >= 0) * powers).sum(axis=1).astype(np.int64))
 
     return _sketch
