@@ -517,15 +517,23 @@ def ivf_topk(
     )
 
     def assign(batches: "pd.DataFrame") -> "pd.DataFrame":
+        # chunk rows so the (rows, centroids) score matrix stays ~32 MB:
+        # a 10k-row Arrow batch against the 65536-centroid cap would
+        # otherwise allocate a 5 GB matrix per batch (see the
+        # memory-compaction findings on _matrix_assigner/sketch_udf)
+        row_chunk = max(1, (32 << 20) // (8 * max(1, len(c_ids))))
         for pdf in batches:
             if len(pdf) == 0:
                 yield pd.DataFrame({"id": [], "v": [], "cid": []})
                 continue
             V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            dots = _fold_dots(V, c_mat)
             nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-            S = dots / (nv[:, None] * c_norm[None, :])
-            best = S.argmax(axis=1)
+            best = np.empty(len(V), dtype=np.int64)
+            for r0 in range(0, len(V), row_chunk):
+                r1 = min(r0 + row_chunk, len(V))
+                dots = _fold_dots(V[r0:r1], c_mat)
+                S = dots / (nv[r0:r1, None] * c_norm[None, :])
+                best[r0:r1] = S.argmax(axis=1)
             yield pd.DataFrame(
                 {"id": pdf["id"].to_numpy(), "v": pdf["v"], "cid": c_ids[best]}
             )
