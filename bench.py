@@ -54,10 +54,13 @@ def main() -> int:
 
     from nekton_spark.session import get_spark
 
-    # local mode: driver heap is the only memory pool; a small heap causes
-    # full-GC stalls (observed 10-25 s outliers) once many stages of
-    # shuffle/broadcast state accumulate
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # local mode: driver heap is the only memory pool. 24g, not 48g:
+    # an oversized heap measured WORSE on a long-lived host (same
+    # bench, same hour: 41.1 s at 48g vs 23.8 s at 24g) - huge-page
+    # compaction stalls on a fragmented host dwarf the GC headroom it
+    # buys, and the round-6 ledger's host-envelope finding (48g + 32
+    # Arrow workers exceeding the 128 GB host) points the same way
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("nekton-bench")
     qs = entrymod.queries()
 

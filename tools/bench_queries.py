@@ -24,7 +24,7 @@ def main() -> int:
 
     from nekton_spark.session import get_spark
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("nekton-bench-queries")
     qs = entrymod.queries()
     qs["q01_pricing_summary"](spark, sf_dir).count()  # warm JVM
