@@ -242,3 +242,38 @@ class TestAviProperties:
         avi = avi_encode_mjpeg([b"x" * 100], width=8, height=8)
         with _pytest.raises(ValueError):
             avi_decode_frames(avi[:cut])
+
+
+class TestFoldKernelEquality:
+    """The allocation-stall kernel rewrites must preserve the exact
+    left-fold addition order — each fold form is compared against the
+    cumsum reference it replaced, element-for-element (== on float64,
+    no tolerance)."""
+
+    def test_assignment_distance_fold_equals_cumsum(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        P = rng.randn(37, 64)
+        C = rng.randn(9, 64)
+        diff = P[:, None, :] - C[None, :, :]
+        ref = np.cumsum(diff * diff, axis=-1)[:, :, -1]
+        acc = np.zeros((len(P), len(C)))
+        for j in range(P.shape[1]):
+            dcol = P[:, j, None] - C[None, :, j]
+            acc += dcol * dcol
+        assert np.array_equal(acc, ref)
+
+    def test_sketch_dot_fold_equals_cumsum(self):
+        import numpy as np
+
+        from nekton_spark.functions.similarity import hyperplane_values
+
+        rng = np.random.RandomState(11)
+        M = rng.randn(23, 64)
+        H = np.array([hyperplane_values(7000 + i, 64) for i in range(56)])
+        ref = np.cumsum(M[:, None, :] * H[None, :, :], axis=2)[:, :, -1]
+        dots = np.zeros((len(M), H.shape[0]))
+        for j in range(H.shape[1]):
+            dots += M[:, j, None] * H[None, :, j]
+        assert np.array_equal(dots, ref)
