@@ -221,3 +221,78 @@ def latest_by_key_processor(
     payload = F.struct(*[F.col(c).alias(c) for c in carry])
     out = df.groupBy(key).agg(F.max_by(payload, ordering).alias("_last"))
     return out.select(key, *[F.col(f"_last.{c}").alias(c) for c in carry])
+
+
+@register_processor("remove_boilerplate")
+def remove_boilerplate_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip lines appearing in >= min_docs distinct docs (C4/RefinedWeb
+    line dedup) — the write-side of the common_passages audit."""
+    return ta.remove_boilerplate_lines(df, text_col, id_col, min_docs, sep)
+
+
+@register_processor("classifier_score")
+def classifier_score_processor(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 4100
+) -> DataFrame:
+    """Linear bag-of-words quality-classifier scoring (placeholder hash
+    weights from the spec path; trained weights are a Python-API
+    concern — they need a weights DataFrame)."""
+    return ta.classifier_score(df, None, text_col, id_col, seed)
+
+
+@register_processor("fuzzy_decontaminate")
+def fuzzy_decontaminate_processor(
+    df: DataFrame,
+    eval_path: str,
+    eval_table: str = "documents",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Drop training docs near-duplicating any eval doc (banded MinHash
+    across frames; eval side read from eval_path/eval_table). The spec
+    default is the pure-JVM xxhash64 engine."""
+    from ..functions.decontaminate import fuzzy_decontaminate
+    from ..sources.files import table_source
+
+    ev = table_source(df.sparkSession, eval_path, eval_table)
+    return fuzzy_decontaminate(
+        df, ev, k, bands, shingle_n, threshold, id_col, text_col, hash
+    )
+
+
+@register_processor("length_histogram")
+def length_histogram_processor(
+    df: DataFrame, bin_width: int = 50, text_col: str = "text"
+) -> DataFrame:
+    return ta.token_length_histogram(df, bin_width, text_col)
+
+
+@register_processor("semdedup")
+def semdedup_processor(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    tau: float = 0.9,
+    drop: bool = False,
+) -> DataFrame:
+    """SemDeDup semantic dedup over an embedding column; drop=True
+    anti-joins the duplicates away instead of flagging them."""
+    from ..functions.clustering import semdedup as _sd
+
+    flags = _sd(df, vec_col, id_col, k=k, tau=tau)
+    if not drop:
+        return flags
+    keep = flags.filter(F.col("is_dup") == 0).select(id_col)
+    return df.join(keep, id_col, "left_semi")

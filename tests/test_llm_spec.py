@@ -302,3 +302,51 @@ output:
         assert got[4].text == rows[4][1]
         assert got[5].n_e164 == 1 and got[5].n_iban == 1
         assert "<E164>" in got[5].text and "<IBAN>" in got[5].text
+
+
+class TestThirdSessionSpecTags:
+    BASE = """
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: {table}
+pipeline:
+  processors:
+  - type: {proc}
+output: {{type: memory}}
+"""
+
+    def _run(self, spark, proc, table="documents"):
+        from nekton_spark.spec import Spec, compile_spec
+
+        raw = self.BASE.format(proc=proc, table=table)
+        df, _ = compile_spec(spark, Spec.from_yaml(raw))
+        return df
+
+    def test_remove_boilerplate_tag(self, spark):
+        df = self._run(spark, "remove_boilerplate\n    min_docs: 3")
+        assert df.count() == 500 and "n_removed" in df.columns
+
+    def test_classifier_score_tag(self, spark):
+        df = self._run(spark, "classifier_score")
+        assert df.count() == 500 and "clf_score" in df.columns
+
+    def test_length_histogram_tag(self, spark):
+        df = self._run(spark, "length_histogram")
+        assert df.count() >= 1 and "bin_lo" in df.columns
+
+    def test_semdedup_tag(self, spark):
+        df = self._run(spark, "semdedup\n    tau: 0.35", table="embeddings")
+        assert df.count() == 500 and "is_dup" in df.columns
+
+    def test_fuzzy_decontaminate_tag_drops_self_dups(self, spark):
+        # eval = the same corpus at threshold ~1: every train doc has an
+        # identical eval twin EXCEPT itself (id != id filter), so docs
+        # with an exact same-text sibling are dropped; the synthetic
+        # corpus has none, so all 500 survive — the tag must still
+        # resolve, read the eval side, and run the full pipeline
+        df = self._run(
+            spark,
+            "fuzzy_decontaminate\n    eval_path: /root/testdata/sf0.001\n    threshold: 0.99",
+        )
+        assert df.count() == 500
