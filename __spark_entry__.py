@@ -1911,6 +1911,27 @@ def bigram_logprob_check(spark, sf):
     return bigram_logprob(_t(spark, sf, "documents"))
 
 
+def bpe_merge_candidates_check(spark, sf):
+    """First-round BPE merge candidates
+    (text_analysis.bpe_merge_candidates): top-50 adjacent character
+    pairs over all word occurrences — two map-side explodes, one
+    partial-agg'd count on the (tiny) pair alphabet,
+    TakeOrderedAndProject cap."""
+    from nekton_spark.functions.text_analysis import bpe_merge_candidates
+
+    return bpe_merge_candidates(_t(spark, sf, "documents"), k=50)
+
+
+def curriculum_buckets_check(spark, sf):
+    """Quality-curriculum ntile assignment
+    (text_analysis.curriculum_buckets): composite quality score,
+    best-first deterministic order, 4 ntile buckets — a 16-byte-per-doc
+    range sort, single-pass window."""
+    from nekton_spark.functions.text_analysis import curriculum_buckets
+
+    return curriculum_buckets(_t(spark, sf, "documents"), n_buckets=4)
+
+
 def classifier_trained_check(spark, sf):
     """Trained-weights classifier serving
     (text_analysis.classifier_score, weights mode): the weight table is
@@ -2022,6 +2043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family, multimodal, relational batteries); the r05-green set trails.
     return {
         # --- new in r6 (third session): never driver-checked, lead ---
+        "bpe_merge_candidates": bpe_merge_candidates_check,
+        "curriculum_buckets": curriculum_buckets_check,
         "classifier_trained": classifier_trained_check,
         "token_length_histogram": token_length_histogram_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
@@ -2436,6 +2459,40 @@ nn AS (SELECT count(*) AS n FROM embeddings),
 pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS BIGINT)), 14) AS r FROM nn)"""
     lang_cte = _lang_sql()
     return {
+        # bpe_merge_candidates: adjacent char pairs over all word
+        # occurrences; 1-based substr windows identical in both engines
+        "bpe_merge_candidates": f"""
+WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+      FROM w WHERE length(w) >= 2),
+a AS (SELECT pair, count(*)::BIGINT AS n_occurrences FROM p GROUP BY pair)
+SELECT pair, n_occurrences,
+       row_number() OVER (ORDER BY n_occurrences DESC, pair)::INT AS rank
+FROM a ORDER BY n_occurrences DESC, pair LIMIT 50
+""",
+        # curriculum_buckets: the text_quality score feeding a standard
+        # ntile(4) with deterministic (score desc, id) order
+        "curriculum_buckets": f"""
+WITH m AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
+         END AS punct_r,
+         CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct({_TOKS_LOWER}))::DOUBLE / len({_TOKS_LOWER})
+         END AS rep_r,
+         CASE WHEN len({_TOKS}) = 0 THEN 0.0
+              ELSE list_reduce(list_transform({_TOKS}, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                   / len({_TOKS})
+         END AS mwl
+  FROM documents
+), q AS (SELECT doc_id, {_QUALITY_EXPR} AS score FROM m)
+SELECT doc_id::BIGINT AS doc_id, score,
+       ntile(4) OVER (ORDER BY score DESC, doc_id)::INT AS bucket
+FROM q
+""",
         # classifier_trained: vocabulary = distinct tokens of every
         # 10th doc with integer milli-weights; unseen tokens weigh 0;
         # token-less docs restored at score 0. Same exact-integer-sum /

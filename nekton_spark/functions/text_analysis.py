@@ -890,3 +890,68 @@ def token_length_histogram(
         )
         .orderBy("bin_lo")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-round BPE merge candidates: the k most frequent ADJACENT
+    CHARACTER pairs across all word occurrences (every occurrence
+    counts — BPE weights merges by corpus frequency, not document
+    frequency). Returns (pair, n_occurrences, rank) with deterministic
+    ties (count desc, pair asc). This is step 1 of tokenizer training —
+    the full iterative trainer re-runs this count after each merge;
+    one round is the corpus-wide statistic worth a distributed pass.
+
+    100 TB shape: two map-side explodes (words, then in-word adjacent
+    pairs via substring indexing — no Python), one content-keyed count
+    aggregate that partial-aggregates map-side (the pair alphabet is
+    tiny, so the shuffle carries ~|alphabet|² rows per task), and a
+    TakeOrderedAndProject cap — never a global sort."""
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, 2),
+            )
+        ).alias("pair")
+    )
+    agg = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = agg.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-curriculum assignment: rank docs by the composite
+    quality score (best first, deterministic ties by id) and split
+    into ``n_buckets`` ntile groups — bucket 1 = highest quality, the
+    standard curriculum / data-mixing preparation. Returns
+    (doc_id, score, bucket).
+
+    Note the global ORDER is inherent to ntile semantics: one
+    range-partitioned sort of (score, id) pairs — narrow rows, not
+    documents — so the shuffle carries ~16 bytes/doc. ntile itself is
+    a single-pass window over the sorted frame."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        quality_score(F.col(text_col)).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))

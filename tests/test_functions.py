@@ -1225,3 +1225,48 @@ class TestTokenLengthHistogram:
         df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="bin_width"):
             token_length_histogram(df, bin_width=0)
+
+
+class TestBpeMergeCandidates:
+    def test_hand_computed(self, spark):
+        from nekton_spark.functions.text_analysis import bpe_merge_candidates
+
+        # words: "abab" (pairs ab, ba, ab), "ab" (ab), "x" (too short)
+        df = spark.createDataFrame(
+            [(0, "abab ab x"), (1, "abab")], "doc_id long, text string"
+        )
+        rows = {r.pair: r for r in bpe_merge_candidates(df, k=10).collect()}
+        # abab occurs twice (docs 0 and 1): 2*(ab,ba,ab) + 1*ab = ab:5, ba:2
+        assert rows["ab"].n_occurrences == 5 and rows["ab"].rank == 1
+        assert rows["ba"].n_occurrences == 2 and rows["ba"].rank == 2
+
+    def test_k_cap_and_tie_order(self, spark):
+        from nekton_spark.functions.text_analysis import bpe_merge_candidates
+
+        df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
+        rows = bpe_merge_candidates(df, k=2).collect()
+        # all count 1: ties break pair-ascending
+        assert [r.pair for r in sorted(rows, key=lambda r: r.rank)] == ["ab", "cd"]
+
+
+class TestCurriculumBuckets:
+    def test_best_quality_in_bucket_one(self, spark):
+        from nekton_spark.functions.text_analysis import curriculum_buckets
+
+        good = " ".join(f"word{i}" for i in range(60))
+        bad = "x! x! x! x!"
+        df = spark.createDataFrame(
+            [(0, good), (1, bad), (2, good), (3, bad)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in curriculum_buckets(df, n_buckets=2).collect()}
+        assert rows[0].bucket == 1 and rows[2].bucket == 1
+        assert rows[1].bucket == 2 and rows[3].bucket == 2
+
+    def test_invalid_buckets_refused(self, spark):
+        import pytest as _pytest
+
+        from nekton_spark.functions.text_analysis import curriculum_buckets
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="n_buckets"):
+            curriculum_buckets(df, n_buckets=0)
