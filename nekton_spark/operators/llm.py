@@ -296,3 +296,11 @@ def semdedup_processor(
         return flags
     keep = flags.filter(F.col("is_dup") == 0).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+@register_processor("curriculum")
+def curriculum_processor(
+    df: DataFrame, n_buckets: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-curriculum ntile assignment (bucket 1 = best)."""
+    return ta.curriculum_buckets(df, n_buckets, id_col, text_col)
