@@ -812,12 +812,17 @@ def classifier_score(
     toks = tokenize(F.col(text_col))
     if weights is None:
         w = lambda t: (hash60(t, seed) % 2001 - 1000).cast("long")  # noqa: E731
+        nonempty = F.filter(toks, lambda t: F.length(t) > 0)
         wsum = F.aggregate(
-            F.filter(toks, lambda t: F.length(t) > 0),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + w(t),
+            nonempty, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
         )
-        n = token_count(F.col(text_col))
+        # the denominator counts the SAME token set the sum runs over
+        # (empties filtered): a bare token_count also counts the
+        # empty-string artifact a space-only trim leaves before a
+        # leading newline, silently skewing the mean — caught by the
+        # randomized-corpus oracle harness, invisible on the driver
+        # corpus (no leading whitespace there)
+        n = F.size(nonempty)
         score = F.when(n == 0, F.lit(0.0)).otherwise(
             wsum.cast("double") / (F.lit(1000.0) * n)
         )

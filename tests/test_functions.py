@@ -1270,3 +1270,99 @@ class TestCurriculumBuckets:
         df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="n_buckets"):
             curriculum_buckets(df, n_buckets=0)
+
+
+class TestRandomizedReferenceEquivalence:
+    """Seeded random corpora checked against pure-Python references —
+    broad-input coverage at one Spark job per operator (a hypothesis
+    per-example Spark call would cost minutes)."""
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(4242)
+        vocab = ["alpha", "Beta", "GAMMA", "x", "punct!", "a-b", ""]
+        docs = []
+        for i in range(120):
+            n_lines = rng.randint(1, 6)
+            lines = []
+            for _ in range(n_lines):
+                k = rng.randint(0, 5)
+                sep = "  " if rng.random() < 0.3 else " "
+                lines.append(sep.join(rng.choice(vocab) for _ in range(k)))
+            docs.append((i, "\n".join(lines)))
+        return docs
+
+    def test_remove_boilerplate_matches_python_reference(self, spark):
+        import re
+
+        from nekton_spark.functions.text_analysis import remove_boilerplate_lines
+
+        docs = self._corpus()
+        norm = lambda s: re.sub(r"\s+", " ", s.lower()).strip()  # noqa: E731
+        from collections import Counter
+
+        freq = Counter()
+        for _, text in docs:
+            freq.update({k for k in (norm(l) for l in text.split("\n")) if k})
+        flagged = {k for k, c in freq.items() if c >= 3}
+        expect = {}
+        for i, text in docs:
+            lines = text.split("\n")
+            kept = [l for l in lines if norm(l) not in flagged]
+            expect[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for ssm in (10**6, 0):  # both rewrite paths
+            got = {
+                r.doc_id: (r.text, r.n_lines, r.n_removed)
+                for r in remove_boilerplate_lines(
+                    df, min_docs=3, small_set_max=ssm
+                ).collect()
+            }
+            assert got == expect, f"path small_set_max={ssm}"
+
+    def _oracle_on(self, docs, sql):
+        """Run a driver oracle against the random corpus as the
+        `documents` table — the check_oracle contract extended to
+        arbitrary input (a plain-python reference would be a THIRD
+        tokenizer semantic: Spark trim and DuckDB trim both strip
+        spaces only, so a leading newline yields a counted empty token
+        in both engines but not in str.split())."""
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(docs, columns=["doc_id", "text"]),
+        )
+        return con.execute(sql).df()
+
+    def test_histogram_matches_duckdb_oracle(self, spark):
+        import __spark_entry__ as em
+
+        from nekton_spark.functions.text_analysis import token_length_histogram
+
+        docs = self._corpus()
+        ref = self._oracle_on(docs, em.oracle_sql()["token_length_histogram"])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = token_length_histogram(df, bin_width=50).collect()
+        got = {r.bin_lo: (r.n_docs, r.frac) for r in rows}
+        want = {int(r.bin_lo): (int(r.n_docs), float(r.frac)) for _, r in ref.iterrows()}
+        assert got == want
+
+    def test_classifier_matches_duckdb_oracle(self, spark):
+        import __spark_entry__ as em
+
+        from nekton_spark.functions.text_analysis import classifier_score
+
+        docs = self._corpus()
+        ref = self._oracle_on(docs, em.oracle_sql()["classifier_score_docs"])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.clf_score, r.clf_label) for r in classifier_score(df).collect()}
+        want = {
+            int(r.doc_id): (int(r.n_tokens), float(r.clf_score), int(r.clf_label))
+            for _, r in ref.iterrows()
+        }
+        assert got == want
