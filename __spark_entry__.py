@@ -2547,7 +2547,7 @@ b AS (SELECT coalesce(list(k), []::VARCHAR[]) AS bl FROM f)
 SELECT doc_id::BIGINT AS doc_id,
        len(ls)::INT AS n_lines,
        (len(ls) - len(kept))::INT AS n_removed,
-       md5(array_to_string(kept, chr(10))) AS clean_fp
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_fp
 FROM (SELECT doc_id, ls,
              list_filter(ls, x -> NOT list_contains(b.bl,
                trim(regexp_replace(lower(x), '\\s+', ' ', 'g')))) AS kept

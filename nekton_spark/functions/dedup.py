@@ -65,11 +65,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def _shingles_py(text: str, n: int) -> list[str]:
     """Word n-grams, semantics matching text_analysis.ngrams: ASCII \\s+
-    split of the trimmed text (re.ASCII pins Python's \\s to the same
-    ASCII class Java and RE2 use)."""
+    split of the SPACE-trimmed text (re.ASCII pins Python's \\s to the
+    same ASCII class Java and RE2 use). The trim is ``strip(' ')``, not
+    ``strip()``: Spark's trim and DuckDB's trim remove spaces only, so
+    a leading/trailing newline leaves an empty token in BOTH engines
+    ('\\nx' → ['', 'x']) — a full python strip() silently dropped it
+    and made the UDF shingle sets diverge from the oracle's (caught by
+    tools/fuzz_oracle.py on whitespace-edged corpora)."""
     import re as _re
 
-    toks = _re.split(r"\s+", text.strip(), flags=_re.ASCII) if text.strip() else []
+    t = (text or "").strip(" ")
+    toks = _re.split(r"\s+", t, flags=_re.ASCII) if t else []
     if len(toks) < n:
         return []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
