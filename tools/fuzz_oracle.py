@@ -45,6 +45,12 @@ EMB_QUERIES = [
     "embedding_near_dup", "embedding_quant_dedup", "kmeans_clusters",
     "semdedup_prune",
 ]
+EVENT_QUERIES = [
+    "events_sessionization", "events_tumbling_window",
+    "events_sliding_window", "events_interval_join", "events_asof_join",
+    "events_lead_lag", "events_topk_users", "events_json_extract",
+    "latest_event_per_user", "events_tier_rollup",
+]
 
 VOCAB = [
     "alpha", "Beta", "GAMMA", "delta", "x", "punct!", "a-b", "the", "and",
@@ -108,6 +114,52 @@ def gen_embeddings(rng: random.Random, n: int = 300, dim: int = 64) -> pd.DataFr
     )
 
 
+def gen_events(rng: random.Random, n: int = 2000) -> pd.DataFrame:
+    """Timestamp torture shapes: duplicate ts per user (window-order
+    ties), burst clusters inside one session gap, exact
+    window-boundary instants (:00 minutes), microsecond-adjacent
+    pairs, idle users, one hot user."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    ts_prev = base
+    for i in range(n):
+        r = rng.random()
+        if r < 0.3:
+            ts = ts_prev + dt.timedelta(seconds=rng.randint(0, 90))  # burst
+        elif r < 0.35:
+            ts = ts_prev  # exact duplicate instant
+        elif r < 0.45:
+            # exact 5-minute boundary (tumbling/sliding edge)
+            ts = base + dt.timedelta(minutes=5 * rng.randint(0, 8000))
+        elif r < 0.5:
+            ts = ts_prev + dt.timedelta(microseconds=1)
+        else:
+            ts = base + dt.timedelta(seconds=rng.randint(0, 30 * 86400))
+        ts_prev = ts
+        user = 0 if rng.random() < 0.25 else rng.randint(1, 12)  # hot user 0
+        rows.append(
+            (
+                i,
+                ts,
+                user,
+                rng.choice(["click", "view", "purchase", "signup", "error"]),
+                # INTEGER-valued doubles: group sums are then exact in
+                # ANY accumulation order, so a mismatch means a logic
+                # bug, not the inherent Spark-vs-DuckDB float-sum order
+                # difference (an inexact 2-decimal value column showed
+                # round(sum, 2) off by 0.01 on large fuzz groups — and
+                # the fixed testdata carries the same latent hazard)
+                float(rng.randint(0, 100)),
+                '{"k": %d}' % rng.randint(0, 99),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
 def write_sf_dir(seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -125,6 +177,18 @@ def write_sf_dir(seed: int) -> str:
         }
     )
     pq.write_table(emb_tbl, f"{out}/embeddings.parquet")
+    ev = gen_events(rng)
+    ev_tbl = pa.table(
+        {
+            "event_id": pa.array(ev["event_id"], pa.int64()),
+            "ts": pa.array(ev["ts"], pa.timestamp("us")),
+            "user_id": pa.array(ev["user_id"], pa.int64()),
+            "event_type": pa.array(ev["event_type"], pa.string()),
+            "value": pa.array(ev["value"], pa.float64()),
+            "props": pa.array(ev["props"], pa.string()),
+        }
+    )
+    pq.write_table(ev_tbl, f"{out}/events.parquet")
     return out
 
 
@@ -133,7 +197,7 @@ def main() -> int:
     seed = int(args[0]) if args and args[0].isdigit() else 0
     names = args[1:] if args and args[0].isdigit() else args
     if not names:
-        names = DOC_QUERIES + EMB_QUERIES
+        names = DOC_QUERIES + EMB_QUERIES + EVENT_QUERIES
 
     import duckdb
 
@@ -146,7 +210,7 @@ def main() -> int:
     spark = get_spark("fuzz-oracle")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
