@@ -39,6 +39,13 @@ DOC_QUERIES = [
     "boilerplate_removal", "fuzzy_decontamination", "curriculum_buckets",
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
     "dedup_incremental", "pack_sequences_check",
+    # message-pipeline + codec families (documents-driven too: the
+    # pipes transform text; the codecs synthesize payloads from doc_id)
+    "pipe_replace", "pipe_regex_replace", "pipe_regex_split",
+    "pipe_regex_select", "pipeline_chain", "pipe_subprocess",
+    "jpeg_decode", "jpeg_color_decode", "image_decode", "image_resize",
+    "audio_features", "video_frame_sample", "multimodal_features",
+    "multimodal_decode", "text_stats",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
