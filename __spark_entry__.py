@@ -1986,7 +1986,12 @@ def fuzzy_decontamination_check(spark, sf):
     ev = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     para = d.filter(F.col("doc_id") % 97 == 0).select(
         (F.col("doc_id") + 500000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 3, F.size(toks) - 2)).alias("text"),
+        # length clamped to >= 0: a 1-token doc would make size-2
+        # negative and slice() throws INVALID_PARAMETER_VALUE.LENGTH on
+        # Spark 4, while the oracle's toks[3:len] yields [] gracefully
+        F.concat_ws(
+            " ", F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
     )
     tr = d.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").unionByName(para)
     return fuzzy_contamination_pairs(tr, ev, threshold=0.5)
@@ -2281,7 +2286,6 @@ eb AS (SELECT doc_id, unnest([{band_exprs}], recursive := true) FROM esig),
 cand AS (
   SELECT DISTINCT tb.doc_id AS train_id, eb.doc_id AS eval_id
   FROM tb JOIN eb ON tb.band = eb.band AND tb.bh = eb.bh
-  WHERE tb.doc_id <> eb.doc_id
 ), td AS (SELECT doc_id, list_distinct(sh) AS sh FROM tsh),
 ed AS (SELECT doc_id, list_distinct(sh) AS sh FROM esh)
 SELECT * FROM (

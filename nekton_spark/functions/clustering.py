@@ -242,12 +242,23 @@ def _cluster_dup_fn(tau: float, tile: int = 2048):
                 out_i.append(ids_side[ok])
                 out_s.append(best[ok])
 
+        def safe_norm(M):
+            # a zero-norm vector would make its cosine 0/0 = NaN, and the
+            # per-COLUMN max below propagates NaN over every partner the
+            # zero row masks — suppressing genuine dup evidence in the
+            # whole tile block (the per-pair JVM predicate this kernel
+            # replaced was immune: NaN >= tau is just False). Substitute
+            # norm 1.0: the dots with a zero vector are already 0, so its
+            # cosines become 0 (never >= tau) and other rows are exact.
+            n = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+            return np.where(n == 0, 1.0, n)
+
         if ti == tj:
             V = np.asarray([np.asarray(x) for x in pdf["v"]])
             ids = pdf["id"].to_numpy()
             order = np.argsort(ids, kind="stable")
             V, ids = V[order], ids[order]
-            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            nv = safe_norm(V)
             m = len(ids)
             for i0 in range(0, m, tile):
                 i1 = min(i0 + tile, m)
@@ -266,8 +277,8 @@ def _cluster_dup_fn(tau: float, tile: int = 2048):
             B = np.asarray([np.asarray(x) for x in b["v"]])
             aids = a["id"].to_numpy()
             bids = b["id"].to_numpy()
-            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
-            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            na = safe_norm(A)
+            nb = safe_norm(B)
             for i0 in range(0, len(aids), tile):  # hash imbalance guard
                 i1 = min(i0 + tile, len(aids))
                 for j0 in range(0, len(bids), tile):

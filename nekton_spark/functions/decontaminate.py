@@ -223,6 +223,7 @@ def fuzzy_contamination_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash: str = "md5",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate contamination: (train_id, eval_id, jaccard) for
     training docs whose shingle-set Jaccard with an eval doc reaches
@@ -261,14 +262,19 @@ def fuzzy_contamination_pairs(
             ).alias("band", "bh"),
         )
 
+    cand = banded(tsig).join(
+        F.broadcast(banded(esig).withColumnRenamed("id", "eval_id")),
+        ["band", "bh"],
+    )
+    if exclude_same_id:
+        # OPT-IN shared-corpus harness mode only: when train and eval are
+        # carved from ONE id space, a row paired with itself is not
+        # leakage. In production the two id spaces are unrelated — a
+        # coincidental id collision must NOT suppress a real
+        # contamination pair, so the default keeps every pair.
+        cand = cand.filter(F.col("id") != F.col("eval_id"))
     cand = (
-        banded(tsig)
-        .join(
-            F.broadcast(banded(esig).withColumnRenamed("id", "eval_id")),
-            ["band", "bh"],
-        )
-        .filter(F.col("id") != F.col("eval_id"))  # shared-corpus harness use
-        .select(F.col("id").alias("train_id"), "eval_id")
+        cand.select(F.col("id").alias("train_id"), "eval_id")
         .distinct()
         .localCheckpoint(eager=True)  # verify branches reuse, not re-derive
     )
@@ -308,12 +314,14 @@ def fuzzy_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash: str = "md5",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Training rows with no near-duplicate eval overlap — the
     write-side of the fuzzy contamination check."""
     flagged = (
         fuzzy_contamination_pairs(
-            train, eval_df, k, bands, shingle_n, threshold, id_col, text_col, hash
+            train, eval_df, k, bands, shingle_n, threshold, id_col, text_col,
+            hash, exclude_same_id,
         )
         .select(F.col("train_id").alias(id_col))
         .distinct()

@@ -944,19 +944,75 @@ def curriculum_buckets(
     quality score (best first, deterministic ties by id) and split
     into ``n_buckets`` ntile groups — bucket 1 = highest quality, the
     standard curriculum / data-mixing preparation. Returns
-    (doc_id, score, bucket).
+    (doc_id, score, bucket), bit-identical to
+    ``ntile(n) OVER (ORDER BY score DESC, doc_id)``.
 
-    Note the global ORDER is inherent to ntile semantics: one
-    range-partitioned sort of (score, id) pairs — narrow rows, not
-    documents — so the shuffle carries ~16 bytes/doc. ntile itself is
-    a single-pass window over the sorted frame."""
+    Scale: a bare global-ORDER window would pull the whole corpus into
+    ONE partition for the ntile (Spark's no-partitionBy window) — a
+    single-task bottleneck/OOM at 100 TB. Instead the bucket is derived
+    from the exact global rank computed distributively: range-sort the
+    narrow (score, id) pairs (~16 B/doc through the exchange),
+    localCheckpoint to pin the partition layout, collect the tiny
+    per-partition count vector (one row per shuffle partition), and let
+    each partition stamp rank = its offset + local position — then the
+    bucket is pure arithmetic on (rank, total) replicating SQL ntile
+    (first ``total % n`` buckets get ``total // n + 1`` rows). No
+    single-partition stage anywhere; driver state is O(#partitions)."""
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    from pyspark.sql import Window
+    import pandas as pd
 
     scored = df.select(
         F.col(id_col).alias("doc_id"),
         quality_score(F.col(text_col)).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    ranged = (
+        scored.repartitionByRange(F.desc("score"), F.asc("doc_id"))
+        .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
+        # pin boundaries + partition indices so the count pass and the
+        # rank pass see the identical layout (range sampling re-runs
+        # per job otherwise); on a cluster swap for checkpoint()
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # one row per shuffle partition — O(200), not O(n)
+    )
+    sizes = {r.pid: r.n for r in counts}
+    total = sum(sizes.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    big, rem = divmod(total, n_buckets)
+    cut = rem * (big + 1)  # ranks below this land in the big buckets
+
+    def stamp(it):
+        import numpy as np
+
+        base = None
+        seen = 0
+        for pdf in it:
+            if base is None:
+                base = offsets[int(pdf["pid"].iat[0])] if len(pdf) else 0
+            r0 = np.arange(seen, seen + len(pdf)) + base  # 0-based rank
+            seen += len(pdf)
+            bucket = np.where(
+                r0 < cut,
+                r0 // (big + 1) + 1,
+                # big >= 1 whenever any rank reaches this branch
+                rem + (r0 - cut) // max(big, 1) + 1,
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "score": pdf["score"],
+                    "bucket": bucket.astype("int32"),
+                }
+            )
+
+    return ranged.withColumn("pid", F.spark_partition_id()).mapInPandas(
+        stamp, "doc_id long, score double, bucket int"
+    )

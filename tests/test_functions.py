@@ -474,6 +474,27 @@ class TestClustering:
         assert by_id[2] == 1 and by_id[3] == 1  # dups of id 0
         assert by_id[0] == 0 and by_id[1] == 0 and by_id[4] == 0
 
+    def test_semdedup_zero_norm_vector_does_not_suppress_dups(self, spark):
+        """A zero vector in a cluster yields 0/0 = NaN cosines; the
+        column-max kernel must not let that NaN swallow the tile's
+        genuine duplicate evidence (r6 ADVICE). The zero vector itself
+        is never a dup (cosine defined 0 against everything)."""
+        from nekton_spark.functions.clustering import semdedup
+
+        vecs = [
+            [1.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0],  # zero-norm: NaN hazard, must stay is_dup=0
+            [1.0, 1e-4, 0.0],  # genuine near-copy of id 0
+            [0.98, 0.02, 0.0],  # and another
+        ]
+        df = self._emb_df(spark, vecs)
+        by_id = {
+            r.vec_id: r.is_dup
+            for r in semdedup(df, k=1, iters=1, tau=0.95).collect()
+        }
+        assert by_id[2] == 1 and by_id[3] == 1
+        assert by_id[0] == 0 and by_id[1] == 0
+
 
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
@@ -1203,6 +1224,31 @@ class TestFuzzyDecontamination:
         rows = fuzzy_contamination_pairs(tr, ev, threshold=0.5, hash="xxhash64").collect()
         assert [(r.train_id, r.eval_id) for r in rows] == [(1, 100)]
 
+    def test_coincidental_same_id_flagged_by_default(self, spark):
+        """Unrelated id spaces can collide: a contaminated train doc
+        whose id equals the eval doc's id must still be flagged (r6
+        ADVICE — the old unconditional self-pair filter silently kept
+        leaked data). The shared-corpus exclusion is opt-in."""
+        from nekton_spark.functions.decontaminate import (
+            fuzzy_contamination_pairs,
+            fuzzy_decontaminate,
+        )
+
+        ev_text = "the quick brown fox jumps over the lazy dog today"
+        near = "quick brown fox jumps over the lazy dog today"
+        tr = spark.createDataFrame([(100, near)], "doc_id long, text string")
+        ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+        rows = fuzzy_contamination_pairs(tr, ev, threshold=0.5).collect()
+        assert [(r.train_id, r.eval_id) for r in rows] == [(100, 100)]
+        assert fuzzy_decontaminate(tr, ev, threshold=0.5).count() == 0
+        # opt-in harness mode restores the old behavior
+        assert (
+            fuzzy_contamination_pairs(
+                tr, ev, threshold=0.5, exclude_same_id=True
+            ).count()
+            == 0
+        )
+
 
 class TestTokenLengthHistogram:
     def test_hand_computed(self, spark):
@@ -1270,6 +1316,50 @@ class TestCurriculumBuckets:
         df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="n_buckets"):
             curriculum_buckets(df, n_buckets=0)
+
+    def test_matches_sql_ntile_uneven(self, spark):
+        """The distributed rank+arithmetic path must be bit-identical to
+        ntile() OVER (ORDER BY score DESC, doc_id) — including the
+        uneven case (total % n != 0: the first rem buckets take one
+        extra row) and across many partitions."""
+        import random
+
+        from pyspark.sql import Window
+
+        from nekton_spark.functions.text_analysis import (
+            curriculum_buckets,
+            quality_score,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i, " ".join(rng.choice(["aa", "bb!", "cc", "d", "ee ee"]) for _ in range(rng.randint(1, 30))))
+            for i in range(203)  # 203 % 7 = 0? 203 = 7*29; use n=4 → rem 3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(9)
+        got = {r.doc_id: r.bucket for r in curriculum_buckets(df, n_buckets=4).collect()}
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        want = {
+            r.doc_id: r.bucket
+            for r in df.select(
+                "doc_id", quality_score(F.col("text")).alias("score")
+            )
+            .withColumn("bucket", F.ntile(4).over(w))
+            .collect()
+        }
+        assert got == want
+
+    def test_more_buckets_than_rows(self, spark):
+        from nekton_spark.functions.text_analysis import curriculum_buckets
+
+        df = spark.createDataFrame(
+            [(0, "plain words here"), (1, "x!")], "doc_id long, text string"
+        )
+        rows = sorted(
+            curriculum_buckets(df, n_buckets=5).collect(), key=lambda r: r.bucket
+        )
+        # ntile with n > N: each row gets its own bucket 1..N
+        assert [r.bucket for r in rows] == [1, 2]
 
 
 class TestRandomizedReferenceEquivalence:
