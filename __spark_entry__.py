@@ -1353,14 +1353,15 @@ def kmeans_clusters(spark, sf):
     from count(*) in the oracle (the LSH auto-width posture, so the
     driver-checked plan is the scale-safe one). Seeds = k smallest-id
     vectors, 2 assignment passes with a rounded centroid recompute
-    between them; assignment is map-only (codegen argmin ≤ 32
-    clusters, Arrow matrix path beyond — tested equal); the update is
+    between them; assignment is map-only (Arrow matrix fold at every
+    k; expression argmin kept as the tested-equal parity witness); the
+    update is
     one partial-aggregated k·dim-cell shuffle + O(k·dim) driver
     collect. The oracle unrolls both iterations as CTEs with the
     identical left-associated double arithmetic."""
     from nekton_spark.functions.clustering import kmeans
 
-    _ship_package(spark)  # matrix-path UDF engages beyond 32 clusters
+    _ship_package(spark)  # assignment runs the matrix-path Arrow UDF
     return kmeans(_t(spark, sf, "embeddings"), iters=2)
 
 
@@ -1377,6 +1378,27 @@ def semdedup_prune(spark, sf):
 
     _ship_package(spark)
     return semdedup(_t(spark, sf, "embeddings"), iters=2, tau=0.35)
+
+
+def kmeans_tiered(spark, sf):
+    """TWO-LEVEL k-means — the capped-k scale path (clustering.kmeans
+    with k > max_k): coarse k-means at clamp(ceil(sqrt(k)), 8, max_k)
+    centroids, then per-coarse-cell LOCAL refinement (fine seeds = the
+    k_f = ceil(cell/target) smallest-id members, same iters/rounded
+    recompute/left-fold distance/first-index ties as the flat plan) so
+    leaf sizes return to ~target without any k ∝ n broadcast or
+    driver state. Cluster ids are packed longs
+    ((coarse·2^21 + tile)·2^21 + fine). Params force the tier at
+    sf0.01 (k=40 > max_k=16 → coarse_k=8, target=25 → k_f≈3 per
+    cell); the oracle replays BOTH levels as CTEs — the flat replay at
+    the literal coarse k, then window-ranked fine seeds and the same
+    fold arithmetic partitioned by coarse cell."""
+    from nekton_spark.functions.clustering import kmeans
+
+    _ship_package(spark)
+    return kmeans(
+        _t(spark, sf, "embeddings"), k=40, iters=2, max_k=16, target_cluster=25
+    )
 
 
 def embedding_near_dup(spark, sf):
@@ -2040,68 +2062,21 @@ def classifier_score_check(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Iteration order IS the driver's CORRECTNESS budget order (first 50
-    # checked per round). Round-6 rotation is staleness-keyed: new r6
-    # queries lead, then queries whose CODE changed this round (auto-width
-    # LSH plans + bucket salting, the streaming-near-dup batch-branch NTZ
-    # guard, the frame_sample n_frames cap), then the 49 queries without a
-    # CORRECTNESS_r05 row (judge-rerun-only last round: q07-q11, dedup/ANN
-    # family, multimodal, relational batteries); the r05-green set trails.
+    # checked per round). Round-7 rotation is staleness-keyed per the r6
+    # verdict: new r7 queries lead, then the queries whose CODE changed
+    # this round (curriculum ntile rewrite, fuzzy-decon self-pair
+    # default, clustering NaN guard + max_k dispatch), then the 20 rows
+    # whose last DRIVER check is CORRECTNESS_r04, then the r05-green
+    # block (two rounds old); the 50 CORRECTNESS_r06-green rows trail.
     return {
-        # --- new in r6 (third session): never driver-checked, lead ---
-        "bpe_merge_candidates": bpe_merge_candidates_check,
+        # --- new in r7: never driver-checked ---
+        "kmeans_tiered": kmeans_tiered,
+        # --- code changed in r7 ---
         "curriculum_buckets": curriculum_buckets_check,
-        "classifier_trained": classifier_trained_check,
-        "token_length_histogram": token_length_histogram_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
-        "boilerplate_removal": boilerplate_removal_check,
-        "classifier_score_docs": classifier_score_check,
         "kmeans_clusters": kmeans_clusters,
         "semdedup_prune": semdedup_prune,
-        "gopher_quality_rules": gopher_quality_rules,
-        "compression_quality": compression_quality,
-        # --- new in r6 (second session) ---
-        "bm25_search": bm25_search,
-        "bigram_logprob": bigram_logprob_check,
-        # --- new in r6 ---
-        "tfidf_top_terms": tfidf_top_terms_check,
-        "weighted_sample_docs": weighted_sample_docs,
-        "quota_sample_sources": quota_sample_sources,
-        "bloom_decontamination": bloom_decontamination,
-        "chunk_documents": chunk_documents_check,
-        "unigram_logprob": unigram_logprob_check,
-        # --- code changed in r6 ---
-        "ann_topk_lsh": ann_topk_lsh,
-        "embedding_near_dup": embedding_near_dup,
-        "video_frame_sample": video_frame_sample_check,
-        "neardup_time_horizon": neardup_time_horizon,
-        "neardup_estimate": neardup_estimate,
-        # --- no CORRECTNESS_r05 row (stale since r03/r04) ---
-        "vocab_top_tokens": vocab_top_tokens,
-        "data_validation_report": data_validation_report,
-        "q10_returned_items": q10_returned_items,
-        "dedup_exact": dedup_exact,
-        "dedup_incremental": dedup_incremental,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_minhash_xxh": dedup_minhash_xxh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_hamming": dedup_simhash_hamming,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
-        "multimodal_features": multimodal_features,
-        "multimodal_decode": multimodal_decode,
-        "image_decode": image_decode,
-        "events_tier_rollup": events_tier_rollup,
-        "image_resize": image_resize,
-        "latest_event_per_user": latest_event_per_user,
-        "decontamination_check": decontamination_check,
-        "pack_sequences_check": pack_sequences_check,
-        "audio_features": audio_features,
-        "topk_customers_per_nation": topk_customers_per_nation,
-        "rollup_orders": rollup_orders,
-        "distinct_customers_per_segment": distinct_customers_per_segment,
-        "customers_without_orders": customers_without_orders,
-        "set_ops_customers": set_ops_customers,
-        "scalar_functions": scalar_functions,
+        # --- last driver row is CORRECTNESS_r04 (three rounds old) ---
         "pivot_order_status": pivot_order_status,
         "grouping_sets_orders": grouping_sets_orders,
         "exists_subquery": exists_subquery,
@@ -2122,7 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
         "q11_important_suppliers": q11_important_suppliers,
-        # --- green in CORRECTNESS_r05 (driver-checked last round) ---
+        # --- last driver row is CORRECTNESS_r05 (two rounds old) ---
         "jpeg_color_decode": jpeg_color_decode_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -2171,6 +2146,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_region_revenue": q05_region_revenue,
         "q06_forecast_revenue": q06_forecast_revenue,
         "ann_topk_ivf": ann_topk_ivf,
+        # --- green in CORRECTNESS_r06 (driver-checked last round) ---
+        "bpe_merge_candidates": bpe_merge_candidates_check,
+        "classifier_trained": classifier_trained_check,
+        "token_length_histogram": token_length_histogram_check,
+        "boilerplate_removal": boilerplate_removal_check,
+        "classifier_score_docs": classifier_score_check,
+        "gopher_quality_rules": gopher_quality_rules,
+        "compression_quality": compression_quality,
+        "bm25_search": bm25_search,
+        "bigram_logprob": bigram_logprob_check,
+        "tfidf_top_terms": tfidf_top_terms_check,
+        "weighted_sample_docs": weighted_sample_docs,
+        "quota_sample_sources": quota_sample_sources,
+        "bloom_decontamination": bloom_decontamination,
+        "chunk_documents": chunk_documents_check,
+        "unigram_logprob": unigram_logprob_check,
+        "ann_topk_lsh": ann_topk_lsh,
+        "embedding_near_dup": embedding_near_dup,
+        "video_frame_sample": video_frame_sample_check,
+        "neardup_time_horizon": neardup_time_horizon,
+        "neardup_estimate": neardup_estimate,
+        "vocab_top_tokens": vocab_top_tokens,
+        "data_validation_report": data_validation_report,
+        "q10_returned_items": q10_returned_items,
+        "dedup_exact": dedup_exact,
+        "dedup_incremental": dedup_incremental,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_xxh": dedup_minhash_xxh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_hamming": dedup_simhash_hamming,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "multimodal_features": multimodal_features,
+        "multimodal_decode": multimodal_decode,
+        "image_decode": image_decode,
+        "events_tier_rollup": events_tier_rollup,
+        "image_resize": image_resize,
+        "latest_event_per_user": latest_event_per_user,
+        "decontamination_check": decontamination_check,
+        "pack_sequences_check": pack_sequences_check,
+        "audio_features": audio_features,
+        "topk_customers_per_nation": topk_customers_per_nation,
+        "rollup_orders": rollup_orders,
+        "distinct_customers_per_segment": distinct_customers_per_segment,
+        "customers_without_orders": customers_without_orders,
+        "set_ops_customers": set_ops_customers,
+        "scalar_functions": scalar_functions,
     }
 
 
@@ -2394,15 +2416,16 @@ def _unrolled_dist2(a: str, b: str, dim: int = 64) -> str:
     )
 
 
-# Deterministic k-means (clustering.kmeans, auto-k, iters=2) unrolled
-# as CTEs: k = max(8, ceil(n / TARGET_CLUSTER)) replayed from count(*)
-# (same auto-policy replay as the LSH width), seed = k smallest-id
-# vectors, assign (ties → smaller cluster), recompute centroids
-# rounded to 1e-6 (empty clusters keep their seed), assign again.
-# Shared by kmeans_clusters and semdedup_prune.
-_KMEANS_CTES = f"""
+# Deterministic k-means (clustering.kmeans, iters=2) unrolled as CTEs:
+# seed = k smallest-id vectors, assign (ties → smaller cluster),
+# recompute centroids rounded to 1e-6 (empty clusters keep their
+# seed), assign again. ``k_sql`` parameterizes the k policy: the auto
+# replay max(8, ceil(n/500)) for kmeans_clusters/semdedup_prune, a
+# literal coarse k for the tiered replay.
+def _kmeans_ctes(k_sql: str) -> str:
+    return f"""
 pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-kk AS (SELECT greatest(8, ceil(count(*) / 500.0)::INT) AS k FROM pts),
+kk AS (SELECT {k_sql} AS k FROM pts),
 seeds AS (
   SELECT (rn - 1)::INT AS cluster, v AS c
   FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM pts)
@@ -2421,6 +2444,44 @@ d2 AS (SELECT p.id, n.cluster, {_unrolled_dist2('p.v', 'n.c')} AS d FROM pts p, 
 a2 AS (SELECT id, cluster FROM (
   SELECT id, cluster, row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
   FROM d2) WHERE rn = 1)
+"""
+
+
+_KMEANS_CTES = _kmeans_ctes("greatest(8, ceil(count(*) / 500.0)::INT)")
+
+# Two-level replay (kmeans_tiered: k=40 > max_k=16 → coarse_k =
+# clamp(ceil(sqrt(40)), 8, 16) = 8, target_cluster=25, no tiling at
+# this size so tile = 0): coarse = the flat CTEs at literal k=8, then
+# per-coarse-cell fine k-means — k_f = ceil(cell/25) window-ranked
+# smallest-id seeds, one rounded-mean recompute (empty fine clusters
+# keep their seed), final assignment by the same left-fold distance
+# with ties to the smaller fine index. cluster = (coarse·2^21 + 0)·2^21
+# + fine, the engine's packed-long id.
+_KMEANS_TIERED_SQL = f"""
+WITH {_kmeans_ctes('8')},
+p2 AS (SELECT p.id, p.v, a2.cluster AS coarse FROM pts p JOIN a2 USING (id)),
+fkk AS (SELECT coarse, greatest(1, ceil(count(*) / 25.0)::INT) AS kf FROM p2 GROUP BY coarse),
+fr AS (SELECT id, v, coarse, row_number() OVER (PARTITION BY coarse ORDER BY id) AS rn FROM p2),
+fs AS (SELECT fr.coarse, (fr.rn - 1)::INT AS fine, fr.v AS c
+       FROM fr JOIN fkk USING (coarse) WHERE fr.rn <= fkk.kf),
+fd1 AS (SELECT p.id, p.coarse, s.fine, {_unrolled_dist2('p.v', 's.c')} AS d
+        FROM p2 p JOIN fs s USING (coarse)),
+fa1 AS (SELECT id, coarse, fine FROM (
+  SELECT id, coarse, fine, row_number() OVER (PARTITION BY id ORDER BY d, fine) AS rn
+  FROM fd1) WHERE rn = 1),
+fe1 AS (SELECT a.coarse, a.fine, unnest(range(1, len(p.v) + 1)) AS pos, p.v AS v
+        FROM fa1 a JOIN pts p USING (id)),
+fm1 AS (SELECT coarse, fine, pos, round(avg(v[pos]), 6) AS val
+        FROM fe1 GROUP BY coarse, fine, pos),
+fc1 AS (SELECT coarse, fine, list(val ORDER BY pos) AS c FROM fm1 GROUP BY coarse, fine),
+fcen AS (SELECT s.coarse, s.fine, coalesce(c1.c, s.c) AS c
+         FROM fs s LEFT JOIN fc1 c1 USING (coarse, fine)),
+fd2 AS (SELECT p.id, n.coarse, n.fine, {_unrolled_dist2('p.v', 'n.c')} AS d
+        FROM p2 p JOIN fcen n ON p.coarse = n.coarse),
+fa2 AS (SELECT id, coarse, fine FROM (
+  SELECT id, coarse, fine, row_number() OVER (PARTITION BY id ORDER BY d, fine) AS rn
+  FROM fd2) WHERE rn = 1)
+SELECT id AS vec_id, (coarse::BIGINT * 2097152 + 0) * 2097152 + fine AS cluster FROM fa2
 """
 
 
@@ -3331,6 +3392,7 @@ SELECT query_id, neighbor_id, score, rank FROM (
 WITH {_KMEANS_CTES}
 SELECT id AS vec_id, cluster FROM a2
 """,
+        "kmeans_tiered": _KMEANS_TIERED_SQL,
         "semdedup_prune": f"""
 WITH {_KMEANS_CTES},
 pv AS (SELECT a2.id, a2.cluster, p.v FROM a2 JOIN pts p USING (id)),

@@ -16,8 +16,9 @@ unrolled arithmetic — see similarity.dot), and recomputed centroids
 are rounded to 1e-6 so partial-aggregation summation order can't leak
 into assignments.
 
-Scale (100 TB): assignment is map-only (zero shuffle — codegen argmin
-for k ≤ 32, Arrow matrix path beyond); the centroid update is one
+Scale (100 TB): assignment is map-only (zero shuffle — Arrow matrix
+fold by default, expression argmin as the parity witness); the
+centroid update is one
 partial-aggregated shuffle of k·dim cells and an O(k·dim) driver
 collect (k=50k, dim=1k → 50M cells ≈ 400 MB — cap k accordingly or
 tree-aggregate); iterations are a small constant. SemDeDup's pair scan
@@ -55,14 +56,32 @@ from pyspark.sql import functions as F
 # count(*), so the driver-checked plan IS the scale-safe one.
 TARGET_CLUSTER = 500
 
+# flat k-means is refused beyond this k (mirrors IVF's max_centroids):
+# the flat plan's centroid matrix is broadcast to every task (k·dim·8 B)
+# and the seed/update collects pull k·dim cells through the driver —
+# both linear in k, and with the auto policy k ∝ n, a 100 TB corpus
+# (~10^10 vectors) would mean k ≈ 2×10^7: a ~10 GB broadcast and an
+# O(n·k) flat assignment. Above the cap the TWO-LEVEL plan takes over:
+# coarse k-means at ~sqrt(k) centroids (so coarse state is O(sqrt k)),
+# then per-coarse-cell local refinement that re-pins leaf size at
+# ~target_cluster. k=4096 × dim 64 ≈ 2 MB broadcast at the cap.
+DEFAULT_MAX_K = 4096
 
-def _resolve_k(df: DataFrame, k: int | None) -> int:
+# a coarse cell is refined as ONE Arrow group; cells above this row
+# count are first split into deterministic hash tiles (hash60 — the
+# cross-engine content hash, so the oracle replays the same split) and
+# each tile refined independently. Bounds per-group memory at
+# cell_cap·dim·8 B (≈ 51 MB at dim 64) however degenerate the corpus.
+CELL_CAP = 100_000
+
+
+def _resolve_k(df: DataFrame, k: int | None, target: int = TARGET_CLUSTER) -> int:
     if k is not None:
         return k
     from .similarity import _estimate_rows
 
     n = _estimate_rows(df)
-    return max(8, -(-n // TARGET_CLUSTER))
+    return max(8, -(-n // target))
 
 
 def _dist2(vec: Column, centroid: list[float]) -> Column:
@@ -86,11 +105,6 @@ def _argmin_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     for j in reversed(range(len(centroids) - 1)):
         assign = F.when(dists[j] == best, F.lit(j)).otherwise(assign)
     return assign.cast("int")
-
-
-# above this k the chained-when argmin expression tree stops fitting
-# whole-stage codegen; the Arrow matrix path takes over
-_EXPR_K_MAX = 32
 
 
 def _matrix_assigner(centroids: list[list[float]]):
@@ -141,8 +155,14 @@ def _matrix_assigner(centroids: list[list[float]]):
 
 
 def _assign_col(vec: Column, centroids: list[list[float]], mode: str | None = None) -> Column:
-    use_expr = len(centroids) <= _EXPR_K_MAX if mode is None else mode == "expr"
-    if use_expr:
+    # Default is the Arrow matrix path at EVERY k: the expression argmin
+    # builds k dim-term zip_with/aggregate folds that Catalyst evaluates
+    # as interpreted HOFs per row (they never enter whole-stage
+    # codegen), measured at sf10/dim-64: k=20 expr 37.6 s vs matrix
+    # 11.1 s, k=8 expr 17.1 s vs matrix 11.5 s. The expression path
+    # stays available (mode="expr") as the zero-Python parity witness —
+    # asserted bit-equal by test_kmeans_paths_agree.
+    if mode == "expr":
         return _argmin_cluster(vec, centroids)
     return _matrix_assigner(centroids)(vec)
 
@@ -155,6 +175,9 @@ def kmeans(
     iters: int = 2,
     assign_mode: str | None = None,
     keep_vec: bool = False,
+    max_k: int = DEFAULT_MAX_K,
+    target_cluster: int = TARGET_CLUSTER,
+    cell_cap: int = CELL_CAP,
 ) -> DataFrame:
     """Deterministic k-means: seeds = the k smallest-id vectors (cluster
     j = rank of its seed id), ``iters`` assignment passes with
@@ -162,15 +185,30 @@ def kmeans(
     (id_col, cluster).
 
     ``k=None`` (the engine default) resolves to the auto policy —
-    ceil(n / TARGET_CLUSTER) clusters, floor 8, from parquet-footer
+    ceil(n / target_cluster) clusters, floor 8, from parquet-footer
     metadata — so cluster SIZE stays constant as the corpus grows.
-    Assignment is the codegen expression argmin for k ≤ 32 and the
-    Arrow matrix path beyond (identical semantics, tested equal).
+    Assignment defaults to the Arrow matrix path at every k (the
+    interpreted-HOF expression argmin is slower at any measured k·dim;
+    identical semantics, tested equal — see _assign_col).
     Centroid recompute is posexplode → partial-agg avg per
     (cluster, dim) → O(k·dim) driver collect, rounded to 1e-6 for
     engine-stable replay. Empty clusters keep their previous centroid.
+
+    Above ``max_k`` the FLAT plan is never executed (its broadcast and
+    driver state grow with k, and with the auto policy k ∝ n): the
+    two-level plan of :func:`_tiered_kmeans` runs instead — coarse
+    k-means at ceil(sqrt(k)) centroids, then per-coarse-cell local
+    refinement that restores ~``target_cluster`` leaf sizes. The
+    tiered path returns cluster ids as packed longs
+    ((coarse · 2^21 + tile) · 2^21 + fine — each component bounded
+    well below 2^21 by the caps); the flat path keeps dense ints.
     """
-    k = _resolve_k(df, k)
+    k = _resolve_k(df, k, target_cluster)
+    if k > max_k:
+        return _tiered_kmeans(
+            df, vec_col, id_col, k, iters, assign_mode, keep_vec,
+            max_k, target_cluster, cell_cap,
+        )
     from .similarity import ensure_parallelism
 
     # small corpora read as 1-2 parquet splits would run every n·k
@@ -207,6 +245,161 @@ def kmeans(
         *cols,
         _assign_col(F.col("_kv"), centroids, assign_mode).alias("cluster"),
     )
+
+
+def _local_assign(P, C):
+    """Nearest-centroid assignment inside one refinement group: the
+    same exact left-fold distance (d accumulated dimension by
+    dimension) and first-index tie-break as the distributed paths,
+    with row chunking to bound the (rows × k_f) accumulator."""
+    import numpy as np
+
+    out = np.empty(len(P), dtype=np.int32)
+    dim = P.shape[1]
+    for r0 in range(0, len(P), 1024):
+        p = P[r0 : r0 + 1024]
+        d = np.zeros((len(p), len(C)))
+        for j in range(dim):  # exact left fold over dimensions
+            dcol = p[:, j, None] - C[None, :, j]
+            d += dcol * dcol
+        out[r0 : r0 + len(p)] = d.argmin(axis=1)  # first index on ties
+    return out
+
+
+def _tiered_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    assign_mode: str | None,
+    keep_vec: bool,
+    max_k: int,
+    target_cluster: int,
+    cell_cap: int,
+) -> DataFrame:
+    """Two-level k-means for k > max_k (the 100 TB regime, where the
+    flat plan's k·dim broadcast and O(n·k) assignment are the
+    scale-killers). Returns (id_col[, vec_col], cluster: long).
+
+    Level 1: flat deterministic k-means at coarse_k =
+    clamp(ceil(sqrt(k)), 8, max_k) — coarse state is O(sqrt k), the
+    per-point assignment O(coarse_k·dim), the broadcast ~sqrt(k)·dim·8 B.
+
+    Level 2: each coarse cell is refined LOCALLY (one Arrow group per
+    (coarse, tile)): fine k_f = ceil(cell_rows / target_cluster), fine
+    seeds = the k_f smallest-id members, the same ``iters`` passes /
+    ``iters - 1`` rounded-mean recomputes / left-fold distances /
+    first-index ties as the flat plan — so leaf sizes return to
+    ~target_cluster without any k ∝ n driver or broadcast state.
+    Cells larger than ``cell_cap`` rows (a degenerate semantic clique
+    coarse k-means cannot split) are first split by the deterministic
+    content hash tile = hash60(id) mod ceil(cell/cell_cap) — the
+    cross-engine hash, so an external oracle replays the identical
+    split — bounding every group at cell_cap·dim·8 B. The tile split
+    partitions the cell (it is NOT a pair-preserving salt): members of
+    an oversized cell hashing to different tiles end in different leaf
+    clusters, so a SemDeDup scan over the leaves will not compare them
+    — the documented recall boundary of the degenerate-clique cap.
+    True identical-clique dedup belongs to quantized_dedup /
+    embedding_near_dup, whose salting IS pair-preserving.
+
+    Everything is oracle-replayable: coarse = the flat CTE replay at
+    coarse_k; tiles/fine = window rank + the same fold arithmetic
+    partitioned by (coarse, tile). Cluster id packs (coarse, tile,
+    fine) into one long: coarse ≤ max_k < 2^21, tile < n/cell_cap
+    < 2^21 for any feasible n, fine < cell_cap/1 ≤ 2^21.
+    """
+    import numpy as np
+
+    from .hashing import hash60
+
+    coarse_k = min(max(8, _ceil_sqrt(k)), max_k)
+    coarse = kmeans(
+        df, vec_col, id_col, k=coarse_k, iters=iters,
+        assign_mode=assign_mode, keep_vec=True,
+        max_k=max_k, target_cluster=target_cluster, cell_cap=cell_cap,
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("cluster").alias("coarse"),
+    )
+    # the coarse assignment DAG (scan + argmin over coarse_k centroids)
+    # feeds the cell-count aggregate AND the refinement — materialize
+    # once; on a real cluster swap for checkpoint()
+    coarse = coarse.localCheckpoint(eager=True)
+    cells = coarse.groupBy("coarse").agg(F.count(F.lit(1)).alias("cell_n"))
+    tiled = (
+        coarse.join(F.broadcast(cells), "coarse")
+        .withColumn(
+            "nt", F.ceil(F.col("cell_n") / cell_cap).cast("int")
+        )
+        .withColumn(
+            "tile",
+            F.when(F.col("nt") <= 1, F.lit(0)).otherwise(
+                (hash60(F.col("id").cast("string"), 4100) % F.col("nt")).cast("int")
+            ),
+        )
+        .select("id", "v", "coarse", "tile")
+    )
+    target = target_cluster
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        P = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        n = len(P)
+        k_f = max(1, -(-n // target))
+        if k_f == 1 or n <= 1:
+            fine = np.zeros(n, dtype=np.int32)
+        else:
+            C = P[:k_f].copy()  # seeds: k_f smallest ids, id-sorted
+            for _ in range(max(0, iters - 1)):
+                a = _local_assign(P, C)
+                for c in range(k_f):
+                    m = a == c
+                    if m.any():
+                        # sequential sum in id order, rounded like the
+                        # distributed avg — engine-stable replay
+                        C[c] = np.round(
+                            np.add.reduce(P[m], axis=0) / m.sum(), 6
+                        )
+            fine = _local_assign(P, C)
+        out = {"id": pdf["id"].to_numpy()}
+        if keep_vec:
+            out["v"] = pdf["v"]
+        out["coarse"] = pdf["coarse"].to_numpy()
+        out["tile"] = pdf["tile"].to_numpy()
+        out["fine"] = fine
+        return pd.DataFrame(out)
+
+    schema = "id long, " + ("v array<double>, " if keep_vec else "") + (
+        "coarse int, tile int, fine int"
+    )
+    refined = (
+        # explicit repartition on the full group key (same reasoning as
+        # the salted pair scan: don't let a coarse-partitioned child
+        # re-serialize a hot cell's tiles into one task)
+        tiled.repartition("coarse", "tile")
+        .groupBy("coarse", "tile")
+        .applyInPandas(refine, schema)
+    )
+    packed = (
+        (F.col("coarse").cast("long") * F.lit(1 << 21) + F.col("tile"))
+        * F.lit(1 << 21)
+        + F.col("fine")
+    ).alias("cluster")
+    cols = [F.col("id").alias(id_col)]
+    if keep_vec:
+        cols.append(F.col("v").alias(vec_col))
+    return refined.select(*cols, packed)
+
+
+def _ceil_sqrt(k: int) -> int:
+    import math
+
+    r = math.isqrt(k)
+    return r if r * r == k else r + 1
 
 
 def _cluster_dup_fn(tau: float, tile: int = 2048):
@@ -307,6 +500,9 @@ def semdedup(
     iters: int = 2,
     tau: float = 0.9,
     assignment: DataFrame | None = None,
+    max_k: int = DEFAULT_MAX_K,
+    target_cluster: int = TARGET_CLUSTER,
+    cell_cap: int = CELL_CAP,
 ) -> DataFrame:
     """SemDeDup: within each k-means cluster, mark a vector as a
     duplicate when some LOWER-id vector in the same cluster has
@@ -335,7 +531,10 @@ def semdedup(
         # keep_vec: (id, v, cluster) from one projection — no corpus
         # re-join on id (that join cost two shuffles + a sort of every
         # vector, measured ~20 s of the sf10 wall)
-        pts = kmeans(df, vec_col, id_col, k, iters, keep_vec=True).select(
+        pts = kmeans(
+            df, vec_col, id_col, k, iters, keep_vec=True,
+            max_k=max_k, target_cluster=target_cluster, cell_cap=cell_cap,
+        ).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             "cluster",

@@ -456,6 +456,123 @@ class TestClustering:
         assert _resolve_k(df, None) == 8  # floor
         assert _resolve_k(df, 3) == 3  # explicit k wins
 
+    def test_tiered_kmeans_matches_local_reference(self, spark):
+        """k > max_k routes to the two-level plan. Cross-check against
+        an independent local reference: the (trusted, oracle-checked)
+        flat engine result at coarse_k, refined per cell in pure numpy
+        with the same spec (k_f smallest-id seeds, iters-1 rounded-mean
+        recomputes, left-fold distances, first-index ties)."""
+        import random
+
+        import numpy as np
+
+        from nekton_spark.functions.clustering import _ceil_sqrt, kmeans
+
+        rng = random.Random(23)
+        vecs = [[rng.gauss(0, 1) for _ in range(6)] for _ in range(120)]
+        df = self._emb_df(spark, vecs)
+        k, max_k, target, iters = 24, 16, 10, 2
+        got = {
+            r.vec_id: r.cluster
+            for r in kmeans(
+                df, k=k, iters=iters, max_k=max_k, target_cluster=target
+            ).collect()
+        }
+        # local reference
+        coarse_k = min(max(8, _ceil_sqrt(k)), max_k)
+        coarse = {
+            r.vec_id: r.cluster
+            for r in kmeans(df, k=coarse_k, iters=iters).collect()
+        }
+        want = {}
+        for c in sorted(set(coarse.values())):
+            ids = sorted(i for i, cc in coarse.items() if cc == c)
+            P = np.asarray([vecs[i] for i in ids], dtype=np.float64)
+            k_f = max(1, -(-len(ids) // target))
+            if k_f == 1:
+                fine = np.zeros(len(ids), dtype=int)
+            else:
+                C = P[:k_f].copy()
+
+                def assign(P, C):
+                    d = np.zeros((len(P), len(C)))
+                    for j in range(P.shape[1]):
+                        dc = P[:, j, None] - C[None, :, j]
+                        d += dc * dc
+                    return d.argmin(axis=1)
+
+                for _ in range(iters - 1):
+                    a = assign(P, C)
+                    for f in range(k_f):
+                        m = a == f
+                        if m.any():
+                            C[f] = np.round(
+                                np.add.reduce(P[m], axis=0) / m.sum(), 6
+                            )
+                fine = assign(P, C)
+            for i, f in zip(ids, fine):
+                want[i] = (c * (1 << 21) + 0) * (1 << 21) + int(f)
+        assert got == want
+        # leaf sizes are re-pinned near target (the point of the tier)
+        from collections import Counter
+
+        sizes = Counter(got.values())
+        assert max(sizes.values()) <= 2 * target
+
+    def test_tiered_kmeans_cell_cap_tiling(self, spark):
+        """Cells above cell_cap split into deterministic hash tiles;
+        every row keeps exactly one leaf assignment and the run is
+        reproducible."""
+        import random
+
+        from nekton_spark.functions.clustering import kmeans
+
+        rng = random.Random(5)
+        # one tight clique so coarse k-means piles everything into few
+        # cells, guaranteeing the cap trips
+        vecs = [[1.0 + rng.gauss(0, 1e-3) for _ in range(4)] for _ in range(60)]
+        df = self._emb_df(spark, vecs)
+        out1 = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans(
+                df, k=30, max_k=8, target_cluster=5, cell_cap=12
+            ).collect()
+        )
+        out2 = sorted(
+            (r.vec_id, r.cluster)
+            for r in kmeans(
+                df, k=30, max_k=8, target_cluster=5, cell_cap=12
+            ).collect()
+        )
+        assert out1 == out2
+        assert len(out1) == 60 and len({i for i, _ in out1}) == 60
+        # the clique cell (>12 rows) actually tiled: some tile bits set
+        tiles = {(c >> 21) & ((1 << 21) - 1) for _, c in out1}
+        assert len(tiles) > 1
+
+    def test_semdedup_through_tiered_path(self, spark):
+        """semdedup forwards the cap: with max_k forced below k the
+        clusters are packed longs and a planted near-copy pair that
+        shares a leaf is still flagged."""
+        from nekton_spark.functions.clustering import semdedup
+
+        # 30 spread points + a planted near-dup pair (ids 100, 101)
+        import random
+
+        rng = random.Random(3)
+        vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(30)]
+        base = [10.0, 0.0, 0.0, 0.0]
+        vecs += [(100, base), (101, [10.0, 1e-4, 0.0, 0.0])]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        rows = semdedup(
+            df, k=12, max_k=8, target_cluster=10, tau=0.95, iters=2
+        ).collect()
+        by_id = {r.vec_id: r for r in rows}
+        assert len(by_id) == 32
+        same_leaf = by_id[100].cluster == by_id[101].cluster
+        if same_leaf:
+            assert by_id[100].is_dup == 0 and by_id[101].is_dup == 1
+
     def test_semdedup_marks_planted_duplicate(self, spark):
         from nekton_spark.functions.clustering import semdedup
 
