@@ -351,10 +351,22 @@ def percentiles_by_segment(spark, sf):
 
 
 def min_max_by_nation(spark, sf):
+    """min_by/max_by with EXPLICIT NULL semantics: a NULL balance never
+    wins either extreme (Spark's bare struct ordering ranks a NULL
+    field SMALLEST, so a NULL-balance customer would silently win
+    min_by while the SQL oracle's default NULLS LAST picks the real
+    minimum — caught by the r7 relational fuzzer). The leading
+    is-null/is-not-null flag pushes NULL rows behind every non-NULL
+    row for both extremes; an all-NULL group falls back to custkey
+    order deterministically."""
     c = _t(spark, sf, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.expr("min_by(c_name, struct(c_acctbal, c_custkey))").alias("poorest"),
-        F.expr("max_by(c_name, struct(c_acctbal, c_custkey))").alias("richest"),
+        F.expr(
+            "min_by(c_name, struct(c_acctbal IS NULL, c_acctbal, c_custkey))"
+        ).alias("poorest"),
+        F.expr(
+            "max_by(c_name, struct(c_acctbal IS NOT NULL, c_acctbal, c_custkey))"
+        ).alias("richest"),
     )
 
 
@@ -2763,9 +2775,9 @@ SELECT c_nationkey,
 FROM (
   SELECT c_nationkey, c_name,
          row_number() OVER (PARTITION BY c_nationkey
-                            ORDER BY c_acctbal, c_custkey) AS rn_asc,
+                            ORDER BY c_acctbal ASC NULLS LAST, c_custkey) AS rn_asc,
          row_number() OVER (PARTITION BY c_nationkey
-                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc
+                            ORDER BY c_acctbal DESC NULLS LAST, c_custkey DESC) AS rn_desc
   FROM customer)
 GROUP BY c_nationkey
 """,

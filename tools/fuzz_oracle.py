@@ -58,6 +58,27 @@ EVENT_QUERIES = [
     "events_lead_lag", "events_topk_users", "events_json_extract",
     "latest_event_per_user", "events_tier_rollup",
 ]
+# TPC-H-analog + relational batteries (r7: the r6 verdict asked for the
+# same hostile treatment the event family got — NULL FKs, dangling FKs,
+# hot customers, empty groups, boundary dates)
+REL_QUERIES = [
+    "q01_pricing_summary", "q02_min_cost_part", "q03_shipping_priority",
+    "q04_order_priority", "q05_region_revenue", "q06_forecast_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q11_important_suppliers", "q12_late_shipments",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_discounted_revenue", "q20_excess_suppliers",
+    "q21_waiting_orders", "q22_idle_customers",
+    "topk_customers_per_nation", "rollup_orders", "grouping_sets_orders",
+    "pivot_order_status", "distinct_customers_per_segment",
+    "customers_without_orders", "set_ops_customers", "scalar_functions",
+    "exists_subquery", "running_revenue_window", "percentiles_by_segment",
+    "min_max_by_nation", "conditional_aggregation", "date_arithmetic",
+    "string_functions", "range_join_value_bands", "null_semantics",
+    "scalar_subquery_above_avg", "unpivot_lineitem_metrics",
+    "approx_distinct_check", "approx_quantile_check",
+]
 
 VOCAB = [
     "alpha", "Beta", "GAMMA", "delta", "x", "punct!", "a-b", "the", "and",
@@ -167,6 +188,189 @@ def gen_events(rng: random.Random, n: int = 2000) -> pd.DataFrame:
     )
 
 
+# All money/quantity doubles in the fuzz corpus are DYADIC rationals
+# (multiples of 2^-5 or coarser): products like extprice·(1-disc)·(1+tax)
+# and every group sum are then EXACT in IEEE double in any accumulation
+# order, so a Spark-vs-DuckDB mismatch is a logic bug, never the
+# inherent float-sum order difference (the same posture as the event
+# family's integer-valued doubles). Discount 0.0625 sits inside the
+# queries' [0.05, 0.07] band predicates.
+_DISCOUNTS = [0.0, 0.03125, 0.0625, 0.09375, 0.25]
+_TAXES = [0.0, 0.0625, 0.125]
+_SEGMENTS = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE"]  # HOUSEHOLD: empty group
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PTYPES = ["PROMO", "ECONOMY", "MEDIUM", "SMALL", "STANDARD", "LARGE"]
+
+
+def _q4(rng: random.Random, lo: float, hi: float) -> float:
+    """Uniform multiple of 0.25 in [lo, hi] — exactly representable."""
+    return rng.randint(int(lo * 4), int(hi * 4)) / 4.0
+
+
+def gen_relational(rng: random.Random):
+    """Adversarial TPC-H-shaped tables: a hot customer takes ~25% of
+    orders, one hot order carries 40 lineitems, one hot part appears in
+    ~10% of lineitems; ~1% NULL and ~1% dangling o_custkey; key spaces
+    have gaps; nation 23 has no customers and no suppliers; segment
+    HOUSEHOLD exists in no customer; orderdates pile on exact year /
+    quarter boundaries and the corpus min/max."""
+    import datetime as dt
+
+    region = pd.DataFrame(
+        {
+            "r_regionkey": pd.array(range(5), dtype="int32"),
+            "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": pd.array(range(25), dtype="int32"),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pd.array([i % 5 for i in range(25)], dtype="int32"),
+        }
+    )
+    # customers: gappy keys (every 3rd id skipped), hot nation 7
+    cust_keys = [i for i in range(600) if i % 3 != 2][:400]
+    customer = pd.DataFrame(
+        {
+            "c_custkey": pd.array(cust_keys, dtype="int64"),
+            "c_name": [f"Customer#{k:09d}" for k in cust_keys],
+            "c_nationkey": pd.array(
+                [
+                    7 if rng.random() < 0.3 else rng.choice(
+                        [n for n in range(25) if n != 23]
+                    )
+                    for _ in cust_keys
+                ],
+                dtype="int32",
+            ),
+            "c_acctbal": [
+                None if rng.random() < 0.02 else _q4(rng, -999, 9999)
+                for _ in cust_keys
+            ],
+            "c_mktsegment": [rng.choice(_SEGMENTS) for _ in cust_keys],
+        }
+    )
+    supp_keys = list(range(1, 41))
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": pd.array(supp_keys, dtype="int64"),
+            "s_name": [f"Supplier#{k:09d}" for k in supp_keys],
+            "s_nationkey": pd.array(
+                [rng.choice([n for n in range(25) if n != 23]) for _ in supp_keys],
+                dtype="int32",
+            ),
+            "s_acctbal": [_q4(rng, -999, 9999) for _ in supp_keys],
+        }
+    )
+    part_keys = list(range(1, 151))
+    part = pd.DataFrame(
+        {
+            "p_partkey": pd.array(part_keys, dtype="int64"),
+            "p_name": [
+                f"part {rng.choice(['green', 'red', 'ivory', 'navy'])} {k}"
+                for k in part_keys
+            ],
+            "p_brand": [f"Brand#{rng.randint(1, 25)}" for _ in part_keys],
+            "p_type": [rng.choice(_PTYPES) for _ in part_keys],
+            "p_size": pd.array([rng.randint(1, 50) for _ in part_keys], dtype="int32"),
+            "p_retailprice": [_q4(rng, 900, 1000) for _ in part_keys],
+        }
+    )
+    base = dt.datetime(1995, 1, 1)
+    last = dt.datetime(2001, 8, 1)
+    hot_cust = cust_keys[0]
+
+    def orderdate():
+        r = rng.random()
+        if r < 0.1:
+            return dt.datetime(rng.randint(1995, 2001), 1, 1)  # year starts
+        if r < 0.18:
+            return dt.datetime(rng.randint(1995, 2000), rng.choice([1, 4, 7, 10]), 1)
+        if r < 0.2:
+            return rng.choice([base, last])  # corpus extremes
+        return base + dt.timedelta(days=rng.randint(0, (last - base).days))
+
+    n_orders = 3000
+    okeys = [i * 2 + rng.randint(0, 1) for i in range(n_orders)]  # gappy
+    o_rows = []
+    for ok in okeys:
+        r = rng.random()
+        if r < 0.01:
+            ck = None  # NULL FK
+        elif r < 0.02:
+            ck = 999_999  # dangling FK
+        elif r < 0.25:
+            ck = hot_cust
+        else:
+            ck = rng.choice(cust_keys)
+        o_rows.append(
+            (
+                ok,
+                ck,
+                rng.choices(["O", "F", "P"], weights=[48, 48, 4])[0],
+                _q4(rng, 100, 400000),
+                orderdate(),
+                rng.choice(_PRIORITIES),
+            )
+        )
+    orders = pd.DataFrame(
+        o_rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    orders["o_orderkey"] = orders["o_orderkey"].astype("int64")
+    orders["o_custkey"] = orders["o_custkey"].astype("Int64")
+    odate = {r[0]: r[4] for r in o_rows}
+    hot_order = okeys[1]
+    hot_part = part_keys[0]
+    l_rows = []
+    # ~10% of orders get no lineitems (empty-group / anti-join fodder)
+    lined = [ok for ok in okeys if rng.random() > 0.1]
+    for ok in lined:
+        n_li = 40 if ok == hot_order else rng.randint(1, 7)
+        for ln in range(1, n_li + 1):
+            pk = hot_part if rng.random() < 0.1 else rng.choice(part_keys)
+            if rng.random() < 0.01:
+                pk = 999_999  # dangling part
+            ship = odate[ok] + dt.timedelta(days=rng.randint(0, 120))
+            if rng.random() < 0.05:
+                ship = odate[ok]  # same-instant edge
+            l_rows.append(
+                (
+                    ok,
+                    pk,
+                    rng.choice(supp_keys),
+                    ln,
+                    float(rng.randint(1, 50)),
+                    _q4(rng, 100, 100000),
+                    rng.choice(_DISCOUNTS),
+                    rng.choice(_TAXES),
+                    rng.choice(["A", "N", "R"]),
+                    rng.choice(["O", "F"]),
+                    ship,
+                )
+            )
+    lineitem = pd.DataFrame(
+        l_rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    for c, t in [("l_orderkey", "int64"), ("l_partkey", "int64"),
+                 ("l_suppkey", "int64"), ("l_linenumber", "int32")]:
+        lineitem[c] = lineitem[c].astype(t)
+    return {
+        "region": region, "nation": nation, "customer": customer,
+        "supplier": supplier, "part": part, "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
 def write_sf_dir(seed: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -196,6 +400,52 @@ def write_sf_dir(seed: int) -> str:
         }
     )
     pq.write_table(ev_tbl, f"{out}/events.parquet")
+    rel = gen_relational(rng)
+    # pin the exact driver-testdata physical types (int32 nation/region
+    # keys, naive µs timestamps) so schema comparison stays apples-to-
+    # apples with the fixed corpus
+    rel_schemas = {
+        "region": pa.schema(
+            [("r_regionkey", pa.int32()), ("r_name", pa.string())]
+        ),
+        "nation": pa.schema(
+            [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+             ("n_regionkey", pa.int32())]
+        ),
+        "customer": pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()),
+             ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+             ("c_mktsegment", pa.string())]
+        ),
+        "supplier": pa.schema(
+            [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+             ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]
+        ),
+        "part": pa.schema(
+            [("p_partkey", pa.int64()), ("p_name", pa.string()),
+             ("p_brand", pa.string()), ("p_type", pa.string()),
+             ("p_size", pa.int32()), ("p_retailprice", pa.float64())]
+        ),
+        "orders": pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+             ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+             ("o_orderdate", pa.timestamp("us")),
+             ("o_orderpriority", pa.string())]
+        ),
+        "lineitem": pa.schema(
+            [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+             ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+             ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+             ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+             ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+             ("l_shipdate", pa.timestamp("us"))]
+        ),
+    }
+    for name, pdf in rel.items():
+        tbl = pa.Table.from_pandas(
+            pdf, schema=rel_schemas[name], preserve_index=False
+        )
+        pq.write_table(tbl, f"{out}/{name}.parquet")
     return out
 
 
@@ -204,7 +454,7 @@ def main() -> int:
     seed = int(args[0]) if args and args[0].isdigit() else 0
     names = args[1:] if args and args[0].isdigit() else args
     if not names:
-        names = DOC_QUERIES + EMB_QUERIES + EVENT_QUERIES
+        names = DOC_QUERIES + EMB_QUERIES + EVENT_QUERIES + REL_QUERIES
 
     import duckdb
 
@@ -217,7 +467,10 @@ def main() -> int:
     spark = get_spark("fuzz-oracle")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in (
+        "documents", "embeddings", "events", "region", "nation",
+        "customer", "supplier", "part", "orders", "lineitem",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
