@@ -258,16 +258,21 @@ def fuzzy_decontaminate_processor(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash: str = "xxhash64",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Drop training docs near-duplicating any eval doc (banded MinHash
     across frames; eval side read from eval_path/eval_table). The spec
-    default is the pure-JVM xxhash64 engine."""
+    default is the pure-JVM xxhash64 engine. ``exclude_same_id: true``
+    is the shared-corpus harness mode (train and eval carved from one
+    id space — a row is not its own leak); leave it false when the id
+    spaces are unrelated."""
     from ..functions.decontaminate import fuzzy_decontaminate
     from ..sources.files import table_source
 
     ev = table_source(df.sparkSession, eval_path, eval_table)
     return fuzzy_decontaminate(
-        df, ev, k, bands, shingle_n, threshold, id_col, text_col, hash
+        df, ev, k, bands, shingle_n, threshold, id_col, text_col, hash,
+        exclude_same_id,
     )
 
 
@@ -304,3 +309,125 @@ def curriculum_processor(
 ) -> DataFrame:
     """Quality-curriculum ntile assignment (bucket 1 = best)."""
     return ta.curriculum_buckets(df, n_buckets, id_col, text_col)
+
+
+@register_processor("tfidf_top_terms")
+def tfidf_top_terms_processor(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (add-one-smoothed ln idf)."""
+    return ta.tfidf_top_terms(df, k, id_col, text_col)
+
+
+@register_processor("bm25")
+def bm25_processor(
+    df: DataFrame,
+    queries: dict[int, str] | None = None,
+    queries_path: str | None = None,
+    queries_table: str = "queries",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval. Queries come inline from the spec
+    (``queries: {1: "alpha beta", ...}``) or from a parquet table at
+    ``queries_path`` with (query_id, query_text) columns."""
+    if queries:
+        qdf = df.sparkSession.createDataFrame(
+            [(int(i), q) for i, q in queries.items()],
+            "query_id long, query_text string",
+        )
+    elif queries_path:
+        from ..sources.files import table_source
+
+        qdf = table_source(df.sparkSession, queries_path, queries_table)
+    else:
+        raise ValueError("bm25 needs either `queries` or `queries_path`")
+    return ta.bm25_topk(df, qdf, k, k1, b, id_col, text_col)
+
+
+@register_processor("chunk")
+def chunk_processor(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG sliding-window chunking: one output row per token window."""
+    return ta.chunk_documents(df, chunk_tokens, overlap, id_col, text_col)
+
+
+@register_processor("bpe_merges")
+def bpe_merges_processor(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """First-round BPE merge candidates (top-k adjacent char pairs)."""
+    return ta.bpe_merge_candidates(df, k, text_col)
+
+
+@register_processor("bloom_decontaminate")
+def bloom_decontaminate_processor(
+    df: DataFrame,
+    eval_path: str,
+    eval_table: str = "documents",
+    n: int = 8,
+    m_bits: int | None = None,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Bloom-gated exact-n-gram decontamination: drop training docs
+    sharing an n-gram with the eval corpus at ``eval_path`` (the
+    broadcast side is the filter's set-bit relation — bounded at any
+    eval size)."""
+    from ..functions.decontaminate import bloom_decontaminate
+    from ..sources.files import table_source
+
+    ev = table_source(df.sparkSession, eval_path, eval_table)
+    return bloom_decontaminate(
+        df, ev, n, m_bits, k_hashes, id_col, text_col, verify_exact
+    )
+
+
+@register_processor("weighted_sample")
+def weighted_sample_processor(
+    df: DataFrame, key_col: str, weight_col: str, k: int, seed: int = 42
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    content-addressed keys; plan is map + TakeOrderedAndProject)."""
+    from ..functions.sampling import weighted_sample
+
+    return weighted_sample(df, key_col, weight_col, k, seed)
+
+
+@register_processor("quota_sample")
+def quota_sample_processor(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_col: str,
+    key_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """At most k rows per group, best-first with deterministic ties —
+    the per-source share cap."""
+    from ..functions.sampling import quota_sample
+
+    return quota_sample(df, group_cols, k, order_col, key_col, descending)
+
+
+@register_processor("stratified_sample")
+def stratified_sample_processor(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic hash rates (language rebalancing);
+    strata absent from ``rates`` are dropped."""
+    from ..functions.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(df, key_col, stratum_col, rates, seed)

@@ -340,13 +340,104 @@ output: {{type: memory}}
         assert df.count() == 500 and "is_dup" in df.columns
 
     def test_fuzzy_decontaminate_tag_drops_self_dups(self, spark):
-        # eval = the same corpus at threshold ~1: every train doc has an
-        # identical eval twin EXCEPT itself (id != id filter), so docs
-        # with an exact same-text sibling are dropped; the synthetic
-        # corpus has none, so all 500 survive — the tag must still
-        # resolve, read the eval side, and run the full pipeline
-        df = self._run(
+        # eval = the same corpus at threshold ~1. In the default mode
+        # (unrelated id spaces) every doc matches its own identical
+        # eval twin, so everything is dropped; with the opt-in
+        # shared-corpus mode (exclude_same_id) a doc is not its own
+        # leak and only docs with a same-text SIBLING are dropped —
+        # the synthetic corpus has none, so all 500 survive
+        dropped = self._run(
             spark,
             "fuzzy_decontaminate\n    eval_path: /root/testdata/sf0.001\n    threshold: 0.99",
         )
-        assert df.count() == 500
+        assert dropped.count() == 0
+        kept = self._run(
+            spark,
+            "fuzzy_decontaminate\n    eval_path: /root/testdata/sf0.001\n"
+            "    threshold: 0.99\n    exclude_same_id: true",
+        )
+        assert kept.count() == 500
+
+
+class TestRound7SpecTags:
+    """r6 verdict #6: the operators that were functions-only get YAML
+    spec tags — each must resolve, compile, and run end-to-end from a
+    spec (the reference's product surface, /root/reference/src/lib.rs:67-72)."""
+
+    BASE = """
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: {table}
+pipeline:
+  processors:
+  - type: {proc}
+output: {{type: memory}}
+"""
+
+    def _run(self, spark, proc, table="documents"):
+        from nekton_spark.spec import Spec, compile_spec
+
+        raw = self.BASE.format(proc=proc, table=table)
+        df, _ = compile_spec(spark, Spec.from_yaml(raw))
+        return df
+
+    def test_tfidf_tag(self, spark):
+        df = self._run(spark, "tfidf_top_terms\n    k: 2")
+        assert df.count() == 1000 and "tfidf" in df.columns
+
+    def test_bm25_inline_queries_tag(self, spark):
+        df = self._run(spark, 'bm25\n    k: 3\n    queries:\n      1: "hash join"')
+        rows = df.collect()
+        assert 0 < len(rows) <= 3 and {r.query_id for r in rows} == {1}
+
+    def test_bm25_requires_queries(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="queries"):
+            self._run(spark, "bm25").collect()
+
+    def test_chunk_tag(self, spark):
+        df = self._run(spark, "chunk\n    chunk_tokens: 16\n    overlap: 4")
+        assert df.count() > 500 and "chunk_idx" in df.columns
+
+    def test_bpe_merges_tag(self, spark):
+        df = self._run(spark, "bpe_merges\n    k: 10")
+        assert df.count() == 10 and "pair" in df.columns
+
+    def test_bloom_decontaminate_tag(self, spark):
+        # eval = same corpus: every doc shares its own 8-grams, so the
+        # whole corpus is flagged and dropped — exercises filter build,
+        # broadcast set-bit relation, and exact verification
+        df = self._run(
+            spark,
+            "bloom_decontaminate\n    eval_path: /root/testdata/sf0.001",
+        )
+        assert df.count() == 0
+
+    def test_weighted_sample_tag(self, spark):
+        df = self._run(
+            spark,
+            "weighted_sample\n    key_col: doc_id\n    weight_col: n_chars\n    k: 25",
+        )
+        assert df.count() == 25
+
+    def test_quota_sample_tag(self, spark):
+        df = self._run(
+            spark,
+            "quota_sample\n    group_cols: [source]\n    k: 5\n"
+            "    order_col: n_chars\n    key_col: doc_id",
+        )
+        from pyspark.sql import functions as F
+
+        per = df.groupBy("source").count().agg(F.max("count")).first()[0]
+        assert per <= 5
+
+    def test_stratified_sample_tag(self, spark):
+        df = self._run(
+            spark,
+            "stratified_sample\n    key_col: doc_id\n    stratum_col: lang\n"
+            "    rates:\n      en: 1.0\n      fr: 0.0",
+        )
+        langs = {r.lang for r in df.select("lang").distinct().collect()}
+        assert "fr" not in langs
