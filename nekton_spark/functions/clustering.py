@@ -503,6 +503,7 @@ def semdedup(
     max_k: int = DEFAULT_MAX_K,
     target_cluster: int = TARGET_CLUSTER,
     cell_cap: int = CELL_CAP,
+    salt_tile: int = 2048,
 ) -> DataFrame:
     """SemDeDup: within each k-means cluster, mark a vector as a
     duplicate when some LOWER-id vector in the same cluster has
@@ -566,8 +567,10 @@ def semdedup(
     # unordered pair meets in exactly one subgroup and the hot cluster
     # spreads over ~(c/tile)²/2 tasks. Normal clusters (≤ tile rows)
     # take the nt=1 fast path: one subgroup, no replication. Per-pair
-    # folds are tile-shape-independent, so the oracle is unchanged.
-    tile = 2048
+    # folds are tile-shape-independent, so the oracle is unchanged
+    # (property-tested: tests/test_properties.py forces salt_tile
+    # ∈ {1, 2, 7} and asserts evidence-set equality vs unsalted).
+    tile = salt_tile
     big = (
         pts.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("cluster_n"))

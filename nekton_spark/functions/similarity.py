@@ -574,6 +574,7 @@ def embedding_near_dup(
     n_bits: int | None = None,
     bands: int = 4,
     target_bucket: int = 64,
+    salt_tile: int = 2048,
 ) -> DataFrame:
     """Cosine-threshold near-duplicate pairs via the banded sketch:
     pairs must share a band, then exact cosine ≥ threshold.
@@ -644,8 +645,10 @@ def embedding_near_dup(
     # auto-width policy) take the nt=1 fast path: one subgroup, no
     # replication. Salting never changes the output: per-pair scores
     # are the same per-dimension left fold regardless of tile shape,
-    # so oracle float parity is preserved.
-    tile = 2048
+    # so oracle float parity is preserved (property-tested directly:
+    # tests/test_properties.py forces salt_tile ∈ {1, 2, 7} and
+    # asserts pair-set equality against the unsalted run).
+    tile = salt_tile
 
     big = (
         base.groupBy("band", "key")

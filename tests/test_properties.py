@@ -277,3 +277,66 @@ class TestFoldKernelEquality:
         for j in range(H.shape[1]):
             dots += M[:, j, None] * H[None, :, j]
         assert np.array_equal(dots, ref)
+
+
+class TestSaltedPairMiningInvariant:
+    """r6 verdict #8: the 'every unordered pair meets in exactly one
+    subgroup' salting argument, asserted DIRECTLY — for random corpora
+    with planted cliques and forced tiny tile sizes {1, 2, 7} (heavy
+    salting: every bucket/cluster above the tile splits), the salted
+    and unsalted runs must emit IDENTICAL pair/evidence sets, scores
+    bit-equal (per-pair folds are tile-shape-independent)."""
+
+    def _corpus(self, spark, seed, n=36, dim=8):
+        rng = np.random.default_rng(seed)
+        V = rng.normal(size=(n, dim))
+        # plant a tight clique of 10 near-copies (hot bucket/cluster)
+        base = rng.normal(size=dim)
+        for i in range(0, 10):
+            V[i] = base + rng.normal(size=dim) * 1e-3
+        rows = [(int(i), [float(x) for x in V[i]]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    @given(
+        seed=st.integers(min_value=0, max_value=10**6),
+        tile=st.sampled_from([1, 2, 7]),
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_embedding_near_dup_pairs_identical_under_salt(self, spark, seed, tile):
+        from nekton_spark.functions.similarity import embedding_near_dup
+
+        df = self._corpus(spark, seed)
+        kw = dict(threshold=0.5, dim=8, n_bits=8, bands=4)
+        unsalted = sorted(
+            (r.id_a, r.id_b, r.score)
+            for r in embedding_near_dup(df, salt_tile=2048, **kw).collect()
+        )
+        salted = sorted(
+            (r.id_a, r.id_b, r.score)
+            for r in embedding_near_dup(df, salt_tile=tile, **kw).collect()
+        )
+        assert len(unsalted) >= 9  # the planted clique must be found
+        assert salted == unsalted  # scores bit-equal, sets identical
+
+    @given(
+        seed=st.integers(min_value=0, max_value=10**6),
+        tile=st.sampled_from([1, 2, 7]),
+    )
+    @settings(max_examples=6, deadline=None)
+    def test_semdedup_evidence_identical_under_salt(self, spark, seed, tile):
+        from nekton_spark.functions.clustering import semdedup
+
+        df = self._corpus(spark, seed)
+        kw = dict(k=3, iters=2, tau=0.9)
+        unsalted = sorted(
+            (r.vec_id, r.cluster, r.is_dup)
+            for r in semdedup(df, salt_tile=2048, **kw).collect()
+        )
+        salted = sorted(
+            (r.vec_id, r.cluster, r.is_dup)
+            for r in semdedup(df, salt_tile=tile, **kw).collect()
+        )
+        assert sum(d for *_, d in unsalted) >= 9  # clique marked
+        assert salted == unsalted
