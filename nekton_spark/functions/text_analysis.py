@@ -966,6 +966,13 @@ def curriculum_buckets(
         F.col(id_col).alias("doc_id"),
         quality_score(F.col(text_col)).alias("score"),
     )
+    # materialize the narrow (id, score) pairs BEFORE the range sort:
+    # the range sampler, the exchange's partitioner, and the sort each
+    # re-evaluate their ordering expressions, and quality_score is an
+    # interpreted regex/HOF chain — sorting the live DAG measured 69 s
+    # at sf10 vs 0.5 s sorting the checkpointed 16-byte rows. The score
+    # is computed exactly once here.
+    scored = scored.localCheckpoint(eager=True)
     ranged = (
         scored.repartitionByRange(F.desc("score"), F.asc("doc_id"))
         .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
