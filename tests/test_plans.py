@@ -208,3 +208,21 @@ class TestR6ThirdSessionPlans:
         broadcast — the training corpus is never shuffled on a key."""
         df = em.fuzzy_decontamination_check(spark, SF)
         assert plans.has_broadcast_join(df)
+
+
+class TestR7Plans:
+    def test_curriculum_no_single_partition_stage(self, spark):
+        """The ntile rewrite: no stage may collapse to one partition
+        (the old global-ORDER window did; at 100 TB that is an OOM)."""
+        df = em.curriculum_buckets_check(spark, SF)
+        assert plans.single_partition_exchanges(df) == 0
+        # and no window operator is left in the plan at all
+        assert "Window" not in plans.simple_plan(df)
+
+    def test_tiered_kmeans_no_cartesian_and_bounded_exchanges(self, spark):
+        """Two-level k-means: coarse assignment map-only, refinement one
+        grouped exchange — no cartesian anywhere, no single-task stage."""
+        df = em.kmeans_tiered(spark, SF)
+        plan = plans.simple_plan(df)
+        assert "CartesianProduct" not in plan
+        assert plans.single_partition_exchanges(df) == 0
