@@ -1413,6 +1413,26 @@ def kmeans_tiered(spark, sf):
     )
 
 
+def ann_topk_pq(spark, sf):
+    """Product-quantization compressed top-k (similarity.pq_topk): the
+    MEMORY scale path — 64-dim vectors stored as 8 one-byte codes
+    (512 B → 8 B, a 64× smaller scan at 10^10 vectors). Per-subspace
+    deterministic k-means codebooks (train_centroids over the
+    stride-sampled training set, stride = ceil(n/65536) replayed from
+    count(*)), exact-fold argmin encoding, and an ADC scan that is a
+    pure-codegen chain of LUT lookups — the compressed scan never
+    touches a vector. The oracle replays training, encoding, and the
+    LUT arithmetic per subspace as generated CTEs — exact hash-match
+    of the approximate result; recall vs brute force is a separate
+    unit-tested property."""
+    from nekton_spark.functions.similarity import pq_topk
+
+    _ship_package(spark)
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, q, k=5)
+
+
 def embedding_near_dup(spark, sf):
     """Cosine-threshold near-dup pairs at the ENGINE DEFAULT auto
     width (n_bits=None) — same auto-width policy and SQL replay as
@@ -2083,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r7: never driver-checked ---
         "kmeans_tiered": kmeans_tiered,
+        "ann_topk_pq": ann_topk_pq,
         # --- code changed in r7 ---
         "curriculum_buckets": curriculum_buckets_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
@@ -2495,6 +2516,69 @@ fa2 AS (SELECT id, coarse, fine FROM (
   FROM fd2) WHERE rn = 1)
 SELECT id AS vec_id, (coarse::BIGINT * 2097152 + 0) * 2097152 + fine AS cluster FROM fa2
 """
+
+
+def _pq_sql(k: int = 5, m_sub: int = 8, ksub: int = 16, d0: int = 8, train_cap: int = 1 << 16) -> str:
+    """Full SQL replay of similarity.pq_topk: per-subspace codebook
+    training (the kmeans CTE structure at dim d0 / k ksub over the
+    stride-sampled training set), exact-fold argmin encoding of every
+    corpus row, and the ADC inner-product scan — each subspace dot
+    parenthesized so the score's addition order matches the engine's
+    (per-subspace LUT fold, then a left-associated sum over
+    subspaces)."""
+
+    def dist(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])" for j in range(1, d0 + 1)
+        )
+
+    parts = [
+        f"""pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+nn AS (SELECT count(*) AS n FROM pts),
+tr AS (SELECT id, v FROM pts
+       WHERE id % (SELECT greatest(1, ceil(n / {train_cap}.0)::BIGINT) FROM nn) = 0)"""
+    ]
+    for s in range(m_sub):
+        lo, hi = s * d0 + 1, s * d0 + d0
+        parts.append(f"""t{s} AS (SELECT id, v[{lo}:{hi}] AS sv FROM tr),
+p{s} AS (SELECT id, v[{lo}:{hi}] AS sv FROM pts),
+s{s}seed AS (SELECT (rn - 1)::INT AS c, sv AS cv FROM (
+  SELECT id, sv, row_number() OVER (ORDER BY id) AS rn FROM t{s}) WHERE rn <= {ksub}),
+s{s}d1 AS (SELECT t.id, s.c, {dist('t.sv', 's.cv')} AS d FROM t{s} t, s{s}seed s),
+s{s}a1 AS (SELECT id, c FROM (
+  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn FROM s{s}d1) WHERE rn = 1),
+s{s}e1 AS (SELECT a.c, unnest(range(1, {d0 + 1})) AS pos, t.sv AS sv
+           FROM s{s}a1 a JOIN t{s} t USING (id)),
+s{s}m1 AS (SELECT c, pos, round(avg(sv[pos]), 6) AS val FROM s{s}e1 GROUP BY c, pos),
+s{s}c1 AS (SELECT c, list(val ORDER BY pos) AS cv FROM s{s}m1 GROUP BY c),
+s{s}cen AS (SELECT s.c, coalesce(c1.cv, s.cv) AS cv FROM s{s}seed s LEFT JOIN s{s}c1 c1 USING (c)),
+s{s}dall AS (SELECT p.id, n.c, {dist('p.sv', 'n.cv')} AS d FROM p{s} p, s{s}cen n),
+s{s}code AS (SELECT id, c FROM (
+  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn FROM s{s}dall) WHERE rn = 1)""")
+    enc_joins = " ".join(
+        f"JOIN s{s}code k{s} ON p.id = k{s}.id JOIN s{s}cen c{s} ON k{s}.c = c{s}.c"
+        for s in range(m_sub)
+    )
+    enc_cols = ", ".join(f"c{s}.cv AS r{s}" for s in range(m_sub))
+    score = " + ".join(
+        "("
+        + " + ".join(f"q.qv[{s * d0 + j}] * e.r{s}[{j}]" for j in range(1, d0 + 1))
+        + ")"
+        for s in range(m_sub)
+    )
+    parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),
+q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 10),
+sc AS (SELECT q.query_id, e.id AS neighbor_id, round({score}, 6) AS score
+       FROM q, enc e WHERE e.id <> q.query_id)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM sc) WHERE rank <= {k}
+"""
+    )
 
 
 def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 64) -> str:
@@ -3405,6 +3489,7 @@ WITH {_KMEANS_CTES}
 SELECT id AS vec_id, cluster FROM a2
 """,
         "kmeans_tiered": _KMEANS_TIERED_SQL,
+        "ann_topk_pq": _pq_sql(),
         "semdedup_prune": f"""
 WITH {_KMEANS_CTES},
 pv AS (SELECT a2.id, a2.cluster, p.v FROM a2 JOIN pts p USING (id)),

@@ -217,6 +217,29 @@ def kmeans(
         F.col(id_col).alias("_kid"),
         F.col(vec_col).cast("array<double>").alias("_kv"),
     )
+    centroids = train_centroids(pts, k, iters, assign_mode)
+    cols = [F.col("_kid").alias(id_col)]
+    if keep_vec:
+        # consumers that need (id, vec, cluster) together — SemDeDup's
+        # pair scan — get the vector for free from the same projection
+        # instead of re-joining the corpus on id (two shuffles + sort
+        # of every vector at 100 TB)
+        cols.append(F.col("_kv").alias(vec_col))
+    return pts.select(
+        *cols,
+        _assign_col(F.col("_kv"), centroids, assign_mode).alias("cluster"),
+    )
+
+
+def train_centroids(
+    pts: DataFrame, k: int, iters: int, assign_mode: str | None = None
+) -> list[list[float]]:
+    """The deterministic training loop shared by kmeans and the PQ
+    codebooks (similarity.pq_topk): seeds = the k smallest-id vectors
+    of ``pts`` (columns ``_kid``, ``_kv``), ``iters - 1`` rounded-mean
+    recomputes (round(avg, 6); empty clusters keep their previous
+    centroid). Returns the final centroid list — O(k·dim) driver
+    state."""
     seed_rows = pts.orderBy("_kid").limit(k).collect()  # O(k·dim), bounded
     centroids = [list(r._kv) for r in seed_rows]
     dim = len(centroids[0])
@@ -234,17 +257,7 @@ def kmeans(
         for c in range(len(centroids)):
             if c in new:
                 centroids[c] = [new[c][p] for p in range(dim)]
-    cols = [F.col("_kid").alias(id_col)]
-    if keep_vec:
-        # consumers that need (id, vec, cluster) together — SemDeDup's
-        # pair scan — get the vector for free from the same projection
-        # instead of re-joining the corpus on id (two shuffles + sort
-        # of every vector at 100 TB)
-        cols.append(F.col("_kv").alias(vec_col))
-    return pts.select(
-        *cols,
-        _assign_col(F.col("_kv"), centroids, assign_mode).alias("cluster"),
-    )
+    return centroids
 
 
 def _local_assign(P, C):

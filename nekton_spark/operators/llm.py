@@ -108,9 +108,14 @@ def ann_topk_processor(
     **kw,
 ) -> DataFrame:
     q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
-    fn = {"brute": sim.brute_force_topk, "lsh": sim.lsh_topk, "ivf": sim.ivf_topk}.get(method)
+    fn = {
+        "brute": sim.brute_force_topk,
+        "lsh": sim.lsh_topk,
+        "ivf": sim.ivf_topk,
+        "pq": sim.pq_topk,
+    }.get(method)
     if fn is None:
-        raise ValueError(f"unknown ann method: {method!r} (brute|lsh|ivf)")
+        raise ValueError(f"unknown ann method: {method!r} (brute|lsh|ivf|pq)")
     return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
 
 

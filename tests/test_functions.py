@@ -342,6 +342,49 @@ class TestSimilarity:
         hits = sum((r.query_id, r.neighbor_id) in bf_top5 for r in ivf)
         assert hits >= 5, f"recall@5 too low: {hits}/15"
 
+    def test_pq_topk_planted_twin_recall_and_determinism(self, spark):
+        """PQ is a lossy quantization, but a planted near-copy must
+        quantize to its twin's codes and surface at rank 1; and the
+        whole pipeline (training, encoding, ADC) must be run-to-run
+        deterministic."""
+        import random
+
+        from nekton_spark.functions.similarity import pq_topk
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(120):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+        # queries 200..202 are near-copies of corpus ids 50..52
+        for j, src in enumerate((50, 51, 52)):
+            rows.append(
+                (200 + j, [x + rng.gauss(0, 1e-4) for x in rows[src][1]])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") >= 200)
+        out1 = sorted(
+            (r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in pq_topk(df, q, k=3).collect()
+        )
+        out2 = sorted(
+            (r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in pq_topk(df, q, k=3).collect()
+        )
+        assert out1 == out2
+        top1 = {
+            qid: nid for qid, nid, _, rank in out1 if rank == 1
+        }
+        assert top1 == {200: 50, 201: 51, 202: 52}
+
+    def test_pq_topk_rejects_indivisible_dim(self, spark):
+        from nekton_spark.functions.similarity import pq_topk
+
+        df = spark.createDataFrame(
+            [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            pq_topk(df, df, m_sub=7)
+
     def test_embedding_near_dup_auto_width_matches_explicit(self, spark, tables):
         """The auto sketch width must equal the documented formula
         (bands * ceil(log2(n/target_bucket))) — same pairs as passing

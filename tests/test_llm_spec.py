@@ -441,3 +441,12 @@ output: {{type: memory}}
         )
         langs = {r.lang for r in df.select("lang").distinct().collect()}
         assert "fr" not in langs
+
+    def test_ann_topk_pq_method(self, spark):
+        df = self._run(
+            spark,
+            "ann_topk\n    method: pq\n    query_ids: [0, 1]\n    k: 3",
+            table="embeddings",
+        )
+        rows = df.collect()
+        assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}

@@ -48,9 +48,9 @@ DOC_QUERIES = [
     "multimodal_decode", "text_stats",
 ]
 EMB_QUERIES = [
-    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf",
+    "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
     "embedding_near_dup", "embedding_quant_dedup", "kmeans_clusters",
-    "semdedup_prune",
+    "semdedup_prune", "kmeans_tiered",
 ]
 EVENT_QUERIES = [
     "events_sessionization", "events_tumbling_window",
