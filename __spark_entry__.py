@@ -1413,6 +1413,25 @@ def kmeans_tiered(spark, sf):
     )
 
 
+def normalize_text_check(spark, sf):
+    """Unicode NFC normalization + lowercase + whitespace collapse
+    (text_analysis.normalize_text) — the canonical-composition prep
+    every hash/shingle operator needs (decomposed and precomposed
+    accents hash differently without it). NFC is the one Arrow stage
+    (no Unicode normalizer in Spark SQL); unicodedata.normalize and
+    DuckDB's nfc_normalize both implement UAX#15, so the oracle
+    replays the full chain. Compared by md5 + codepoint length."""
+    from nekton_spark.functions.text_analysis import normalize_text
+
+    d = _t(spark, sf, "documents")
+    out = normalize_text(d)
+    return out.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_fp"),
+        F.length("norm_text").alias("norm_len"),
+    )
+
+
 def ann_topk_pq(spark, sf):
     """Product-quantization compressed top-k (similarity.pq_topk): the
     MEMORY scale path — 64-dim vectors stored as 8 one-byte codes
@@ -2104,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r7: never driver-checked ---
         "kmeans_tiered": kmeans_tiered,
         "ann_topk_pq": ann_topk_pq,
+        "normalize_text": normalize_text_check,
         # --- code changed in r7 ---
         "curriculum_buckets": curriculum_buckets_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
@@ -3490,6 +3510,12 @@ SELECT id AS vec_id, cluster FROM a2
 """,
         "kmeans_tiered": _KMEANS_TIERED_SQL,
         "ann_topk_pq": _pq_sql(),
+        "normalize_text": r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS norm_fp,
+       length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))::INT AS norm_len
+FROM documents
+""",
         "semdedup_prune": f"""
 WITH {_KMEANS_CTES},
 pv AS (SELECT a2.id, a2.cluster, p.v FROM a2 JOIN pts p USING (id)),

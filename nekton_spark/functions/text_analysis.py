@@ -359,6 +359,50 @@ def compression_ratio(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode-normalize a text column for dedup/matching prep: NFC
+    canonical composition (a decomposed ``nai + combining-diaeresis +
+    ve`` and the precomposed ``naïve`` become byte-identical — without
+    it every hash/shingle/fingerprint operator treats them as
+    different documents), then optional lowercase and whitespace
+    collapse (``\\s+`` → one space, ends trimmed).
+
+    The NFC step is the one Arrow-batched Python stage (Spark SQL has
+    no Unicode normalizer built in; ``unicodedata.normalize`` and
+    DuckDB's ``nfc_normalize`` both implement UAX#15 canonical
+    composition, so the oracle replays it exactly); lowercase and the
+    whitespace collapse stay JVM-side. Map-only, zero shuffles.
+    Only ``form="NFC"`` is supported — it is the one form the SQL
+    oracle can replay (DuckDB ships no NFKC/NFD), and the compatibility
+    forms are lossy normalizations a curation pipeline should opt into
+    deliberately, not silently.
+    """
+    if form != "NFC":
+        raise ValueError(f"only NFC is supported, got {form!r}")
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    col = _nfc(F.col(text_col))
+    if lowercase:
+        col = F.lower(col)
+    if collapse_ws:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col, col)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

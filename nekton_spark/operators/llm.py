@@ -316,6 +316,18 @@ def curriculum_processor(
     return ta.curriculum_buckets(df, n_buckets, id_col, text_col)
 
 
+@register_processor("normalize_text")
+def normalize_text_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode NFC + lowercase + whitespace collapse — dedup prep."""
+    return ta.normalize_text(df, text_col, out_col, "NFC", lowercase, collapse_ws)
+
+
 @register_processor("tfidf_top_terms")
 def tfidf_top_terms_processor(
     df: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"

@@ -1616,3 +1616,31 @@ class TestRandomizedReferenceEquivalence:
             for _, r in ref.iterrows()
         }
         assert got == want
+
+
+class TestNormalizeText:
+    def test_nfc_composes_and_chain_applies(self, spark):
+        from nekton_spark.functions.text_analysis import normalize_text
+
+        decomposed = "nai\u0308ve  WORLD\tx"  # i + combining diaeresis
+        df = spark.createDataFrame(
+            [(0, decomposed), (1, None)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r.norm_text for r in normalize_text(df).collect()}
+        assert rows[0] == "na\u00efve world x"  # precomposed
+        assert "\u0308" not in rows[0]  # no combining mark survives
+        assert rows[1] is None
+
+    def test_only_nfc_supported(self, spark):
+        from nekton_spark.functions.text_analysis import normalize_text
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="NFC"):
+            normalize_text(df, form="NFKC")
+
+    def test_flags_off_preserve_case_and_ws(self, spark):
+        from nekton_spark.functions.text_analysis import normalize_text
+
+        df = spark.createDataFrame([(0, "A  B")], "doc_id long, text string")
+        r = normalize_text(df, lowercase=False, collapse_ws=False).first()
+        assert r.norm_text == "A  B"

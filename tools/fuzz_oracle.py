@@ -37,6 +37,7 @@ DOC_QUERIES = [
     "weighted_sample_docs", "quota_sample_sources", "source_quality_rollup",
     "classifier_score_docs", "classifier_trained", "token_length_histogram",
     "boilerplate_removal", "fuzzy_decontamination", "curriculum_buckets",
+    "normalize_text",
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
     "dedup_incremental", "pack_sequences_check",
     # message-pipeline + codec families (documents-driven too: the
@@ -83,6 +84,7 @@ REL_QUERIES = [
 VOCAB = [
     "alpha", "Beta", "GAMMA", "delta", "x", "punct!", "a-b", "the", "and",
     "of", "naïve", "Ω", "mail@example.com", "192.168.0.1", "...", "#",
+    "nai\u0308ve",  # DECOMPOSED form of naïve — NFC-normalization fodder
 ]
 
 
