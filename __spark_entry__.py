@@ -1102,18 +1102,28 @@ def events_asof_join(spark, sf):
 
 def pipe_replace(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", F.replace("text", F.lit("data"), F.lit("DATA")).alias("value"))
+    # coalesce: the message layer's NULL-payload-is-empty contract
+    return d.select(
+        "doc_id",
+        F.replace(F.coalesce("text", F.lit("")), F.lit("data"), F.lit("DATA")).alias("value"),
+    )
 
 
 def pipe_regex_replace(spark, sf):
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", F.regexp_replace("text", "[aeiou]", "_").alias("value"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.coalesce("text", F.lit("")), "[aeiou]", "_").alias("value"),
+    )
 
 
 def pipe_regex_split(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
-        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "token")
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce("text", F.lit("")), " ", -1)
+        ).alias("pos", "token"),
     )
 
 
@@ -2253,8 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _H = hash60_sql  # (expr, seed) -> DuckDB fragment
 
-_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
-_TOKS_LOWER = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+# coalesce: the engine-wide NULL-text contract (NULL = empty document)
+_TOKS = r"regexp_split_to_array(trim(coalesce(text, '')), '\s+')"
+_TOKS_LOWER = r"regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')"
 
 _SHINGLES = (
     "CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE "
@@ -2656,9 +2667,9 @@ FROM a ORDER BY n_occurrences DESC, pair LIMIT 50
         "curriculum_buckets": f"""
 WITH m AS (
   SELECT doc_id,
-         (CASE WHEN length(trim(text)) = 0 THEN 0
+         (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
                ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
-         CASE WHEN length(text) = 0 THEN 0.0
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
               ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
          END AS punct_r,
          CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
@@ -2700,7 +2711,7 @@ SELECT t.doc_id::BIGINT AS doc_id,
 FROM t LEFT JOIN a USING (doc_id)
 """,
         "token_length_histogram": f"""
-WITH t AS (SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+WITH t AS (SELECT (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
                    ELSE len({_TOKS}) END) // 50 AS bin FROM documents),
 a AS (SELECT bin, count(*)::BIGINT AS n_docs FROM t GROUP BY bin),
 tot AS (SELECT count(*)::BIGINT AS total FROM t)
@@ -2982,7 +2993,7 @@ WHERE shared::DOUBLE / (sa.sz + sb.sz - shared) >= 0.15
 SELECT doc_id::BIGINT AS batch_id,
        len(regexp_extract_all(line, '[^ \t]+'))::VARCHAR AS n_fields
 FROM (
-  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
   FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
 )
 """,
@@ -3286,23 +3297,23 @@ ASOF LEFT JOIN (SELECT event_id AS click_id, user_id, ts FROM events WHERE event
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
         "pipe_replace": """
-SELECT doc_id, replace(text, 'data', 'DATA') AS value FROM documents
+SELECT doc_id, replace(coalesce(text, ''), 'data', 'DATA') AS value FROM documents
 """,
         "pipe_regex_replace": """
-SELECT doc_id, regexp_replace(text, '[aeiou]', '_', 'g') AS value FROM documents
+SELECT doc_id, regexp_replace(coalesce(text, ''), '[aeiou]', '_', 'g') AS value FROM documents
 """,
         "pipe_regex_split": """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+WITH t AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS parts FROM documents),
 u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
 SELECT doc_id, (i - 1)::INT AS pos, parts[i] AS token FROM u
 """,
         "pipe_regex_select": r"""
-WITH t AS (SELECT doc_id, regexp_extract_all(text, '\b[bs][a-z]*') AS parts FROM documents),
+WITH t AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\b[bs][a-z]*') AS parts FROM documents),
 u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
 SELECT doc_id, (i - 1)::INT AS pos, parts[i] AS token FROM u
 """,
         "pipeline_chain": """
-WITH t AS (SELECT doc_id, string_split(replace(text, 'table', 'TBL'), ' ') AS parts
+WITH t AS (SELECT doc_id, string_split(replace(coalesce(text, ''), 'table', 'TBL'), ' ') AS parts
            FROM documents),
 u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
 SELECT doc_id AS batch_id, (i - 1)::BIGINT AS pos, parts[i] AS token FROM u
@@ -3312,8 +3323,8 @@ WITH t AS (
   SELECT doc_id, text, {_TOKS} AS toks, {_TOKS_LOWER} AS toksl FROM documents
 )
 SELECT doc_id,
-       (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_tokens,
-       len(regexp_extract_all(text, '{_BPE_RE}'))::INT AS n_bpe_tokens,
+       (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(toks) END)::INT AS n_tokens,
+       len(regexp_extract_all(coalesce(text, ''), '{_BPE_RE}'))::INT AS n_bpe_tokens,
        round(CASE WHEN len(toksl) <= 0 THEN 0.0
              ELSE 1.0 - len(list_distinct(toksl))::DOUBLE / len(toksl) END, 6) AS repetition_ratio,
        round(CASE WHEN len(toks) = 0 THEN 0.0
@@ -3326,9 +3337,9 @@ FROM t
         + f"""
 , m AS (
   SELECT doc_id,
-         (CASE WHEN length(trim(text)) = 0 THEN 0
+         (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
                ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
-         CASE WHEN length(text) = 0 THEN 0.0
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
               ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
          END AS punct_r,
          CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
@@ -3351,7 +3362,7 @@ WITH t AS (
   FROM documents
 ), m AS (
   SELECT doc_id,
-    (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::INT AS n_words,
+    (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(toks) END)::INT AS n_words,
     CASE WHEN len(toks) = 0 THEN 0.0
          ELSE list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::DOUBLE
               / len(toks) END AS mwl,
@@ -3442,8 +3453,8 @@ FROM t
 """,
         "corpus_quality_gate": f"""
 WITH m AS (
-  SELECT (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS n_tok,
-         CASE WHEN length(text) = 0 THEN 0.0
+  SELECT (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len(toks) END) AS n_tok,
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
               ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
          END AS punct_r,
          CASE WHEN len(toksl) <= 0 THEN 0.0
@@ -3676,7 +3687,7 @@ SELECT query_id, doc_id, score, rank FROM (
         "bigram_logprob": f"""
 WITH docs AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
-  WHERE length(trim(text)) > 0 AND len({_TOKS}) >= 2
+  WHERE length(trim(coalesce(text, ''))) > 0 AND len({_TOKS}) >= 2
 ), bg AS (
   SELECT doc_id,
          unnest(list_transform(range(0, len(toks) - 1),
@@ -3744,7 +3755,7 @@ SELECT doc_id, source, n_chars, rank FROM (
         "chunk_documents": f"""
 WITH docs AS (
   SELECT doc_id, {_TOKS} AS toks,
-         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END) AS n
+         (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len({_TOKS}) END) AS n
   FROM documents),
 base AS (
   SELECT doc_id, toks,
@@ -3830,8 +3841,8 @@ GROUP BY doc_id
         "source_quality_rollup": f"""
 WITH m AS (
   SELECT source, n_chars,
-         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
-         CASE WHEN length(text) = 0 THEN 0.0
+         (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
               ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
          END AS punct_r,
          CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
@@ -4030,7 +4041,7 @@ FROM tr JOIN ev USING (s) GROUP BY 1, 2
         "pack_sequences_check": f"""
 WITH base AS (
   SELECT doc_id AS id, doc_id % 8 AS shard,
-         (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT AS n_tokens
+         (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len({_TOKS}) END)::BIGINT AS n_tokens
   FROM documents),
 cum AS (
   SELECT id, shard, n_tokens,

@@ -352,7 +352,8 @@ def simhash(col: Column, bits: int = 32) -> Column:
     intermediates stay in int64.
     """
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
-    toks = F.split(F.trim(col), r"\s+")
+    # NULL text = empty document (the engine-wide NULL-text contract)
+    toks = F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
     hashes = F.transform(toks, lambda t: hash60(t, 0))
     votes = F.aggregate(
         hashes,

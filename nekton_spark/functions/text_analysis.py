@@ -41,18 +41,30 @@ def normalize(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+# NULL-text contract (engine-wide, r7): every text-consuming operator
+# treats a NULL document as the EMPTY document — same token list, same
+# scores, same chunk/line behavior. Without the coalesce, NULL
+# propagates through split/aggregate/size differently in Spark (ANSI
+# size(NULL) = NULL) than through the oracle's DuckDB chain, and a
+# production corpus WILL contain NULLs. Exposed by the NULL-text fuzz
+# leg (tools/fuzz_oracle.py null_text_rate).
 def tokenize(col: Column) -> Column:
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
 
 
 def token_count(col: Column) -> Column:
-    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
-        F.size(tokenize(col))
+    c = F.coalesce(col, F.lit(""))
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokenize(c))
     )
 
 
 def bpe_token_count(col: Column) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(col, F.lit("")), F.lit(BPE_PATTERN), F.lit(0)
+        )
+    )
 
 
 def ngrams(col: Column, n: int = 3) -> Column:
@@ -77,14 +89,16 @@ PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
 
 
 def punct_ratio(col: Column) -> Column:
-    n = F.length(col)
-    punct = F.length(F.regexp_replace(col, f"[^{PUNCT_CLASS[1:-1]}]", ""))
+    c = F.coalesce(col, F.lit(""))  # NULL text = empty document
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, f"[^{PUNCT_CLASS[1:-1]}]", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
 
 
 def upper_ratio(col: Column) -> Column:
-    n = F.length(col)
-    upper = F.length(F.regexp_replace(col, r"[^\p{Lu}]", ""))
+    c = F.coalesce(col, F.lit(""))
+    n = F.length(c)
+    upper = F.length(F.regexp_replace(c, r"[^\p{Lu}]", ""))
     return F.when(n == 0, F.lit(0.0)).otherwise(upper.cast("double") / n)
 
 
@@ -774,7 +788,9 @@ def remove_boilerplate_lines(
     Both paths produce identical output; ``min_docs`` still bounds the
     broadcast either way.
     """
-    lines = F.split(F.col(text_col), sep)
+    # NULL text = empty document (engine-wide contract): one empty
+    # line, never flagged, rejoined to '' — the row survives
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
     mined = (
         df.select(
             F.explode(

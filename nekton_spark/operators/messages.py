@@ -80,7 +80,11 @@ def from_column(df: DataFrame, value_col: str, batch_col: str | None = None) -> 
     return df.select(
         bid.alias("batch_id"),
         F.lit(0).cast("long").alias("msg_idx"),
-        F.col(value_col).cast("string").alias("value"),
+        # NULL payloads become the empty message: the reference's
+        # Message.data is Vec<u8> (src/lib.rs:38) with no NULL notion,
+        # and downstream processors (subprocess framing, regex ops)
+        # assume a concrete string
+        F.coalesce(F.col(value_col).cast("string"), F.lit("")).alias("value"),
         F.lit(None).cast("map<string,string>").alias("metadata"),
     )
 

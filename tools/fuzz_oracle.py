@@ -88,16 +88,26 @@ VOCAB = [
 ]
 
 
-def gen_documents(rng: random.Random, n: int = 240) -> pd.DataFrame:
+def gen_documents(
+    rng: random.Random, n: int = 240, null_text_rate: float = 0.03
+) -> pd.DataFrame:
+    """null_text_rate (default 3%): real corpora carry NULL text, and
+    the engine-wide contract (NULL = empty document) was defined and
+    fixed against exactly this leg — it caught 9 divergent pairs on
+    first run (r7)."""
     rows = []
     for i in range(n):
         kind = rng.random()
+        if rng.random() < null_text_rate:
+            rows.append((i, None))
+            continue
+        nonnull = [r for r in rows if r[1] is not None]
         if kind < 0.05:
             # exact duplicate of an earlier doc (dedup_exact fodder)
-            text = rows[rng.randrange(len(rows))][1] if rows else "x y z"
-        elif kind < 0.12 and rows:
+            text = nonnull[rng.randrange(len(nonnull))][1] if nonnull else "x y z"
+        elif kind < 0.12 and nonnull:
             # near-dup: clone + drop one token
-            base = rows[rng.randrange(len(rows))][1].split()
+            base = nonnull[rng.randrange(len(nonnull))][1].split()
             if len(base) > 3:
                 del base[rng.randrange(len(base))]
             text = " ".join(base)
@@ -121,7 +131,7 @@ def gen_documents(rng: random.Random, n: int = 240) -> pd.DataFrame:
             "text": [r[1] for r in rows],
             "lang": [rng.choice(["en", "es", "fr", "de", "zh"]) for _ in rows],
             "source": [rng.choice([f"s{j}" for j in range(6)]) for _ in rows],
-            "n_chars": [len(r[1]) for r in rows],
+            "n_chars": [len(r[1]) if r[1] is not None else 0 for r in rows],
         }
     )
 
