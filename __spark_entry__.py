@@ -1898,6 +1898,24 @@ def tfidf_top_terms_check(spark, sf):
     return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
 
+def mixture_sample_check(spark, sf):
+    """Token-proportional source mixing (sampling.mixture_sample, the
+    DoReMi-style data-mixing prep): per-source rates =
+    min(1, budget·target/tokens) from one tiny partial-agg'd total,
+    broadcast back, membership content-addressed (hash60 bucket).
+    src0's target exceeds its corpus → rate caps at 1 (taken whole,
+    never re-normalized silently). The oracle replays the token
+    totals, the one-multiply-one-divide rate, and the bucket
+    membership bit-for-bit."""
+    from nekton_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    out = mixture_sample(
+        d, {"src0": 0.7, "src1": 0.2, "src2": 0.1}, budget_tokens=3000
+    )
+    return out.select("doc_id", "source")
+
+
 def weighted_sample_docs(spark, sf):
     """Weighted sampling without replacement (sampling.weighted_sample):
     Efraimidis–Spirakis exponential keys -ln(u)/w with content-addressed
@@ -2134,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_tiered": kmeans_tiered,
         "ann_topk_pq": ann_topk_pq,
         "normalize_text": normalize_text_check,
+        "mixture_sample": mixture_sample_check,
         # --- code changed in r7 ---
         "curriculum_buckets": curriculum_buckets_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
@@ -3521,6 +3540,23 @@ SELECT id AS vec_id, cluster FROM a2
 """,
         "kmeans_tiered": _KMEANS_TIERED_SQL,
         "ann_topk_pq": _pq_sql(),
+        "mixture_sample": f"""
+WITH tot AS (
+  SELECT source,
+         sum(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                  ELSE len({_TOKS}) END)::BIGINT AS tokens
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source,
+         least(1.0, 3000.0 * (CASE source WHEN 'src0' THEN 0.7
+                                          WHEN 'src1' THEN 0.2
+                                          WHEN 'src2' THEN 0.1 END) / tokens) AS rate
+  FROM tot WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ({_H('doc_id', '42')} % 1000000) < floor(rate * 1000000)
+""",
         "normalize_text": r"""
 SELECT doc_id,
        md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS norm_fp,

@@ -137,3 +137,70 @@ def quota_sample(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-proportional source mixing (the DoReMi / data-mixing prep
+    step): sample each source at the rate that makes its share of the
+    output approach ``targets[source]`` of ``budget_tokens`` —
+    rate_s = min(1, budget·target_s / tokens_s). A source whose
+    corpus cannot fill its target share is taken whole (rate capped at
+    1 — the shortfall is reported, not silently re-normalized);
+    sources absent from ``targets`` are dropped. Membership is
+    content-addressed (hash60 bucket < floor(rate·BUCKETS)) — the same
+    reproducibility contract as every sampler here.
+
+    100 TB shape: one partial-aggregated shuffle of per-source token
+    totals (|sources| rows), rates broadcast-joined back, then a
+    map-only filter. The rate arithmetic is one multiply + one divide
+    + one floor of exact integer operands, so an external SQL oracle
+    replays membership bit-for-bit.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from .text_analysis import token_count
+
+    tok = token_count(F.col(text_col))
+    totals = (
+        df.select(F.col(source_col).alias("_src"), tok.alias("_tok"))
+        .groupBy("_src")
+        .agg(F.sum("_tok").cast("long").alias("_tokens"))
+    )
+    tmap = F.create_map(
+        *[x for sname, share in sorted(targets.items()) for x in (F.lit(sname), F.lit(float(share)))]
+    )
+    rates = (
+        totals.select(
+            "_src",
+            "_tokens",
+            # share first, NULL-filtered BEFORE least(): Spark's least()
+            # IGNORES NULL operands, so least(1.0, NULL) is 1.0 and an
+            # un-targeted source would silently sample whole
+            tmap[F.col("_src")].alias("_share"),
+        )
+        .filter(F.col("_share").isNotNull())
+        .select(
+            "_src",
+            "_tokens",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) * F.col("_share") / F.col("_tokens"),
+            ).alias("_rate"),
+        )
+    )
+    b = _bucket(F.col(id_col), seed)
+    return (
+        df.join(
+            F.broadcast(rates), df[source_col] == rates["_src"], "inner"
+        )
+        .filter(b < F.floor(F.col("_rate") * BUCKETS))
+        .drop("_src", "_tokens", "_rate")
+    )

@@ -435,6 +435,25 @@ def quota_sample_processor(
     return quota_sample(df, group_cols, k, order_col, key_col, descending)
 
 
+@register_processor("mixture_sample")
+def mixture_sample_processor(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-proportional source mixing: sample each source toward
+    targets[source] share of budget_tokens (rate caps at 1)."""
+    from ..functions.sampling import mixture_sample
+
+    return mixture_sample(
+        df, targets, budget_tokens, source_col, id_col, text_col, seed
+    )
+
+
 @register_processor("stratified_sample")
 def stratified_sample_processor(
     df: DataFrame,

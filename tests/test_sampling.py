@@ -238,3 +238,55 @@ class TestQuotaSample:
         # best-first: the two highest scores of each group
         assert sorted(per["s0"]) == [24, 27]
         assert all(len(v) == 2 for v in per.values())
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        rows = []
+        i = 0
+        for src, n_docs, toks in [("a", 40, 10), ("b", 40, 10), ("c", 10, 10)]:
+            for _ in range(n_docs):
+                rows.append((i, src, " ".join(f"w{j}" for j in range(toks))))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_rates_track_targets_and_cap(self, spark):
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.sampling import mixture_sample
+        from nekton_spark.functions.text_analysis import token_count
+
+        df = self._docs(spark)
+        # budget 200 tokens: a target 0.5 → 100 of a's 400 (rate .25),
+        # c target 0.5 → 100 of c's 100 → rate caps at 1 (all of c),
+        # b untargeted → dropped entirely
+        out = mixture_sample(df, {"a": 0.5, "c": 0.5}, budget_tokens=200)
+        got = {
+            r.source: (r.n, r.toks)
+            for r in out.groupBy("source")
+            .agg(F.count("*").alias("n"), F.sum(token_count(F.col("text"))).alias("toks"))
+            .collect()
+        }
+        assert set(got) == {"a", "c"}
+        assert got["c"] == (10, 100)  # capped source taken whole
+        # hash sampling variance: a's 100-token target hit within 2x
+        assert 40 <= got["a"][1] <= 200
+
+    def test_deterministic_across_repartition(self, spark):
+        from nekton_spark.functions.sampling import mixture_sample
+
+        df = self._docs(spark)
+        a = sorted(r.doc_id for r in mixture_sample(df, {"a": 1.0}, 150).collect())
+        b = sorted(
+            r.doc_id
+            for r in mixture_sample(df.repartition(13), {"a": 1.0}, 150).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_invalid_budget_refused(self, spark):
+        import pytest as _pytest
+
+        from nekton_spark.functions.sampling import mixture_sample
+
+        with _pytest.raises(ValueError, match="budget_tokens"):
+            mixture_sample(self._docs(spark), {"a": 1.0}, 0)

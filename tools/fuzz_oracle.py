@@ -35,6 +35,7 @@ DOC_QUERIES = [
     "bm25_search", "chunk_documents", "vocab_top_tokens", "vocab_coverage",
     "sample_hash_10pct", "train_val_test_split", "stratified_sample",
     "weighted_sample_docs", "quota_sample_sources", "source_quality_rollup",
+    "mixture_sample",
     "classifier_score_docs", "classifier_trained", "token_length_histogram",
     "boilerplate_removal", "fuzzy_decontamination", "curriculum_buckets",
     "normalize_text",
@@ -130,7 +131,9 @@ def gen_documents(
             "doc_id": [r[0] for r in rows],
             "text": [r[1] for r in rows],
             "lang": [rng.choice(["en", "es", "fr", "de", "zh"]) for _ in rows],
-            "source": [rng.choice([f"s{j}" for j in range(6)]) for _ in rows],
+            # src<j>: the fixed corpus's naming, so source-targeted queries
+            # (mixture_sample) run non-vacuously on fuzz corpora too
+            "source": [rng.choice([f"src{j}" for j in range(6)]) for _ in rows],
             "n_chars": [len(r[1]) if r[1] is not None else 0 for r in rows],
         }
     )
