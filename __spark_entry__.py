@@ -1898,6 +1898,35 @@ def tfidf_top_terms_check(spark, sf):
     return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
 
 
+def dataset_drift_check(spark, sf):
+    """Numeric snapshot drift (validation.drift_report): old = even
+    doc_ids, new = odd — PSI over 10 equal-width n_chars bins anchored
+    on the old snapshot's [min, max], Laplace-smoothed, plus
+    count/null/min/max per side. Two single-aggregate passes + a
+    1-row×1-row join; the oracle replays edges, bin counts, and the
+    left-associated PSI chain."""
+    from nekton_spark.functions.validation import drift_report
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return drift_report(old, new, ["n_chars"])
+
+
+def category_drift_check(spark, sf):
+    """Categorical drift (validation.category_drift) on lang between
+    the even/odd snapshots: exact per-value counts + shares, full
+    outer so appearing/vanishing categories surface as zeros."""
+    from nekton_spark.functions.validation import category_drift
+
+    d = _t(spark, sf, "documents")
+    return category_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
 def mixture_sample_check(spark, sf):
     """Token-proportional source mixing (sampling.mixture_sample, the
     DoReMi-style data-mixing prep): per-source rates =
@@ -2153,6 +2182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": ann_topk_pq,
         "normalize_text": normalize_text_check,
         "mixture_sample": mixture_sample_check,
+        "dataset_drift": dataset_drift_check,
+        "category_drift": category_drift_check,
         # --- code changed in r7 ---
         "curriculum_buckets": curriculum_buckets_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
@@ -2565,6 +2596,43 @@ fa2 AS (SELECT id, coarse, fine FROM (
   SELECT id, coarse, fine, row_number() OVER (PARTITION BY id ORDER BY d, fine) AS rn
   FROM fd2) WHERE rn = 1)
 SELECT id AS vec_id, (coarse::BIGINT * 2097152 + 0) * 2097152 + fine AS cluster FROM fa2
+"""
+
+
+def _drift_sql(bins: int = 10) -> str:
+    """Replay of validation.drift_report on n_chars (old = even ids,
+    new = odd): edges from the old snapshot, equal-width clamped bins,
+    Laplace-smoothed PSI as the same left-associated term chain."""
+    def bin_expr(i: int) -> str:
+        return (
+            "sum(CASE WHEN v IS NOT NULL AND "
+            f"least({bins - 1}, greatest(0, floor((v - w.lo) / w.width)::INT)) = {i} "
+            "THEN 1 ELSE 0 END)"
+        )
+
+    ob_cols = ", ".join(f"{bin_expr(i)} AS b{i}_old" for i in range(bins))
+    nb_cols = ", ".join(f"{bin_expr(i)} AS b{i}_new" for i in range(bins))
+    psi = " + ".join(
+        f"(((b{i}_new + 1)::DOUBLE / ((n_new - nulls_new) + {bins}))"
+        f" - ((b{i}_old + 1)::DOUBLE / ((n_old - nulls_old) + {bins})))"
+        f" * ln(((b{i}_new + 1)::DOUBLE / ((n_new - nulls_new) + {bins}))"
+        f" / ((b{i}_old + 1)::DOUBLE / ((n_old - nulls_old) + {bins})))"
+        for i in range(bins)
+    )
+    return f"""
+WITH oldd AS (SELECT n_chars::DOUBLE AS v FROM documents WHERE doc_id % 2 = 0),
+newd AS (SELECT n_chars::DOUBLE AS v FROM documents WHERE doc_id % 2 = 1),
+e AS (SELECT min(v) AS lo, max(v) AS hi FROM oldd),
+w AS (SELECT lo, (CASE WHEN hi > lo THEN (hi - lo) / {bins} ELSE 1.0 END) AS width FROM e),
+ob AS (SELECT count(*)::BIGINT AS n_old, (count(*) - count(v))::BIGINT AS nulls_old,
+              min(v) AS min_old, max(v) AS max_old, {ob_cols}
+       FROM oldd, w),
+nb AS (SELECT count(*)::BIGINT AS n_new, (count(*) - count(v))::BIGINT AS nulls_new,
+              min(v) AS min_new, max(v) AS max_new, {nb_cols}
+       FROM newd, w)
+SELECT 'n_chars' AS "column", n_old, n_new, nulls_old, nulls_new,
+       min_old, max_old, min_new, max_new, round({psi}, 6) AS psi
+FROM ob, nb
 """
 
 
@@ -3540,6 +3608,19 @@ SELECT id AS vec_id, cluster FROM a2
 """,
         "kmeans_tiered": _KMEANS_TIERED_SQL,
         "ann_topk_pq": _pq_sql(),
+        "dataset_drift": _drift_sql(),
+        "category_drift": """
+WITH oldd AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+newd AS (SELECT lang FROM documents WHERE doc_id % 2 = 1),
+o AS (SELECT lang AS value, count(*)::BIGINT AS n_old FROM oldd GROUP BY lang),
+n AS (SELECT lang AS value, count(*)::BIGINT AS n_new FROM newd GROUP BY lang)
+SELECT coalesce(o.value, n.value) AS value,
+       coalesce(n_old, 0)::BIGINT AS n_old,
+       coalesce(n_new, 0)::BIGINT AS n_new,
+       coalesce(n_old, 0)::DOUBLE / (SELECT count(*) FROM oldd) AS frac_old,
+       coalesce(n_new, 0)::DOUBLE / (SELECT count(*) FROM newd) AS frac_new
+FROM o FULL OUTER JOIN n ON o.value = n.value
+""",
         "mixture_sample": f"""
 WITH tot AS (
   SELECT source,

@@ -72,3 +72,112 @@ def check_report(
         )
         report = report.join(violations)
     return report
+
+
+def drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Snapshot-to-snapshot drift for numeric columns — the ingest
+    audit that catches a broken upstream before training compute is
+    spent. One row per column: counts, null counts, min/max of both
+    snapshots, and the Population Stability Index over ``bins``
+    equal-width bins anchored on the OLD snapshot's [min, max]
+    (out-of-range new values clamp into the edge bins, so a shifted
+    distribution shows up as edge-bin mass, not silent loss).
+
+    PSI = Σ_b (p_new - p_old)·ln(p_new/p_old), probabilities
+    Laplace-smoothed ((cnt+1)/(n+bins)) so empty bins never divide by
+    zero. Conventional read: <0.1 stable, 0.1-0.25 moderate, >0.25
+    action.
+
+    Exactness: bin counts are conditional sums (exact longs); the PSI
+    is a fixed left-associated chain over ``bins`` terms of exact-
+    operand divisions — the only libm call is ln, which matched the
+    oracle bit-for-bit across this repo's LM-scoring operators —
+    rounded to 1e-6. Cost: one min/max pass over OLD for the edges
+    (2 doubles to the driver), then one single-aggregate pass per
+    snapshot; the final join is 1-row × 1-row.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    rows = []
+    for c in numeric_cols:
+        edge = old.select(
+            F.min(F.col(c).cast("double")).alias("lo"),
+            F.max(F.col(c).cast("double")).alias("hi"),
+        ).first()
+        lo, hi = float(edge.lo), float(edge.hi)
+        width = (hi - lo) / bins if hi > lo else 1.0
+
+        def binned_counts(df: DataFrame, tag: str) -> DataFrame:
+            v = F.col(c).cast("double")
+            b = F.least(
+                F.lit(bins - 1),
+                F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+            )
+            aggs = [
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{tag}"),
+                F.min(v).alias(f"min_{tag}"),
+                F.max(v).alias(f"max_{tag}"),
+            ] + [
+                F.sum(
+                    F.when(v.isNotNull() & (b == i), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"b{i}_{tag}")
+                for i in range(bins)
+            ]
+            return df.agg(*aggs)
+
+        o, n = binned_counts(old, "old"), binned_counts(new, "new")
+        joined = o.crossJoin(n)
+        no = F.col("n_old") - F.col("nulls_old")
+        nn = F.col("n_new") - F.col("nulls_new")
+        psi = None
+        for i in range(bins):
+            po = (F.col(f"b{i}_old") + 1).cast("double") / (no + bins)
+            pn = (F.col(f"b{i}_new") + 1).cast("double") / (nn + bins)
+            term = (pn - po) * F.log(pn / po)
+            psi = term if psi is None else psi + term
+        rows.append(
+            joined.select(
+                F.lit(c).alias("column"),
+                "n_old", "n_new", "nulls_old", "nulls_new",
+                "min_old", "max_old", "min_new", "max_new",
+                F.round(psi, 6).alias("psi"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def category_drift(
+    old: DataFrame, new: DataFrame, col: str
+) -> DataFrame:
+    """Categorical drift: per value, counts and exact frequency shares
+    in both snapshots (full outer on the value set, so a category that
+    appears or vanishes shows 0 on one side instead of dropping out).
+    All longs + exact-operand divisions — bit-replayable. One
+    partial-agg'd shuffle per snapshot on the (small) category key."""
+    def counted(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col(col).alias("value")).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    o, n = counted(old, "old"), counted(new, "new")
+    t_old = old.count()
+    t_new = new.count()
+    return (
+        o.join(n, "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.coalesce("n_old", F.lit(0)).cast("double") / F.lit(float(t_old))).alias("frac_old"),
+            (F.coalesce("n_new", F.lit(0)).cast("double") / F.lit(float(t_new))).alias("frac_new"),
+        )
+    )

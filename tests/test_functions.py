@@ -1644,3 +1644,61 @@ class TestNormalizeText:
         df = spark.createDataFrame([(0, "A  B")], "doc_id long, text string")
         r = normalize_text(df, lowercase=False, collapse_ws=False).first()
         assert r.norm_text == "A  B"
+
+
+class TestDriftReport:
+    def test_identical_snapshots_zero_psi(self, spark):
+        from nekton_spark.functions.validation import drift_report
+
+        df = spark.createDataFrame(
+            [(i, float(i % 50)) for i in range(200)], "id long, x double"
+        )
+        r = drift_report(df, df, ["x"]).first()
+        assert r.psi == 0.0
+        assert r.n_old == r.n_new == 200 and r.min_old == r.min_new == 0.0
+
+    def test_shifted_distribution_flags(self, spark):
+        from nekton_spark.functions.validation import drift_report
+
+        old = spark.createDataFrame(
+            [(i, float(i % 50)) for i in range(200)], "id long, x double"
+        )
+        new = spark.createDataFrame(
+            [(i, float(i % 50) + 200.0) for i in range(200)], "id long, x double"
+        )
+        r = drift_report(old, new, ["x"]).first()
+        # every new value clamps into the top edge bin → massive PSI
+        assert r.psi > 0.25
+        assert r.max_new == 249.0
+
+    def test_nulls_counted_not_binned(self, spark):
+        from nekton_spark.functions.validation import drift_report
+
+        old = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (2, None)], "id long, x double"
+        )
+        r = drift_report(old, old, ["x"]).first()
+        assert r.nulls_old == 1 and r.psi == 0.0
+
+    def test_bins_validated(self, spark):
+        from nekton_spark.functions.validation import drift_report
+
+        df = spark.createDataFrame([(0, 1.0)], "id long, x double")
+        with pytest.raises(ValueError, match="bins"):
+            drift_report(df, df, ["x"], bins=1)
+
+
+class TestCategoryDrift:
+    def test_appearing_and_vanishing_categories(self, spark):
+        from nekton_spark.functions.validation import category_drift
+
+        old = spark.createDataFrame(
+            [(0, "en"), (1, "en"), (2, "fr")], "id long, lang string"
+        )
+        new = spark.createDataFrame(
+            [(0, "en"), (1, "de")], "id long, lang string"
+        )
+        rows = {r.value: r for r in category_drift(old, new, "lang").collect()}
+        assert rows["fr"].n_new == 0 and rows["fr"].frac_new == 0.0
+        assert rows["de"].n_old == 0
+        assert rows["en"].frac_old == 2 / 3 and rows["en"].frac_new == 0.5

@@ -35,7 +35,7 @@ DOC_QUERIES = [
     "bm25_search", "chunk_documents", "vocab_top_tokens", "vocab_coverage",
     "sample_hash_10pct", "train_val_test_split", "stratified_sample",
     "weighted_sample_docs", "quota_sample_sources", "source_quality_rollup",
-    "mixture_sample",
+    "mixture_sample", "dataset_drift", "category_drift",
     "classifier_score_docs", "classifier_trained", "token_length_histogram",
     "boilerplate_removal", "fuzzy_decontamination", "curriculum_buckets",
     "normalize_text",
