@@ -3147,8 +3147,14 @@ SELECT user_id, total_value, rank FROM (
   FROM (SELECT user_id, round(sum(value), 2) AS total_value FROM events GROUP BY user_id))
 WHERE rank <= 10
 """,
+        # real JSON semantics, not a digit-regex shortcut: NULL and
+        # malformed props must yield NULL like Spark's get_json_object
+        # (the fuzzer's malformed-props leg crashed the old regex form
+        # on ''::INT)
         "events_json_extract": r"""
-SELECT regexp_extract(props, '(\d+)', 1)::INT AS k, count(*)::BIGINT AS n
+SELECT (CASE WHEN props IS NOT NULL AND json_valid(props)
+             THEN json_extract_string(props, '$.k')::INT END) AS k,
+       count(*)::BIGINT AS n
 FROM events GROUP BY k
 """,
         "q04_order_priority": """

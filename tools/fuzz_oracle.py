@@ -182,12 +182,25 @@ def gen_events(rng: random.Random, n: int = 2000) -> pd.DataFrame:
             ts = base + dt.timedelta(seconds=rng.randint(0, 30 * 86400))
         ts_prev = ts
         user = 0 if rng.random() < 0.25 else rng.randint(1, 12)  # hot user 0
+        pr = rng.random()
+        if pr < 0.02:
+            props = None          # NULL props (json extract must not crash)
+        elif pr < 0.04:
+            props = '{"k": '      # malformed JSON (extract yields NULL)
+        elif pr < 0.05:
+            props = "not json"
+        else:
+            props = '{"k": %d}' % rng.randint(0, 99)
+        etype = (
+            None if rng.random() < 0.01  # NULL event_type: a real group key
+            else rng.choice(["click", "view", "purchase", "signup", "error"])
+        )
         rows.append(
             (
                 i,
                 ts,
                 user,
-                rng.choice(["click", "view", "purchase", "signup", "error"]),
+                etype,
                 # INTEGER-valued doubles: group sums are then exact in
                 # ANY accumulation order, so a mismatch means a logic
                 # bug, not the inherent Spark-vs-DuckDB float-sum order
@@ -195,7 +208,7 @@ def gen_events(rng: random.Random, n: int = 2000) -> pd.DataFrame:
                 # round(sum, 2) off by 0.01 on large fuzz groups — and
                 # the fixed testdata carries the same latent hazard)
                 float(rng.randint(0, 100)),
-                '{"k": %d}' % rng.randint(0, 99),
+                props,
             )
         )
     return pd.DataFrame(
