@@ -226,3 +226,23 @@ class TestR7Plans:
         plan = plans.simple_plan(df)
         assert "CartesianProduct" not in plan
         assert plans.single_partition_exchanges(df) == 0
+
+    def test_mixture_sample_one_shuffle_and_broadcast_rates(self, spark):
+        """Totals = one partial-agg'd shuffle; the rate table rides back
+        as a broadcast; the corpus filter is map-only."""
+        df = em.mixture_sample_check(spark, SF)
+        assert plans.count_exchanges(df) == 1
+        assert plans.has_broadcast_join(df)
+        assert "CartesianProduct" not in plans.simple_plan(df)
+
+    def test_normalize_text_map_only(self, spark):
+        df = em.normalize_text_check(spark, SF)
+        assert plans.count_exchanges(df) == 0
+
+    def test_pq_scan_no_cartesian_one_exchange(self, spark):
+        """PQ: encode is map-only; the only exchange is the per-query
+        rank window over the scored rows."""
+        df = em.ann_topk_pq(spark, SF)
+        p = plans.simple_plan(df)
+        assert "CartesianProduct" not in p
+        assert plans.count_exchanges(df) == 1
