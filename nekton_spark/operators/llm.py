@@ -435,6 +435,29 @@ def quota_sample_processor(
     return quota_sample(df, group_cols, k, order_col, key_col, descending)
 
 
+@register_processor("drift")
+def drift_processor(
+    df: DataFrame,
+    other: dict,
+    numeric_cols: list[str] | None = None,
+    category_col: str | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Snapshot drift report: df = the OLD snapshot, ``other`` (the
+    nested input/processors block, same shape as asof_join's) = the
+    NEW one. ``numeric_cols`` → PSI report rows; ``category_col`` →
+    per-value share rows (exactly one of the two)."""
+    from ..functions.validation import category_drift, drift_report
+    from .relational import _resolve_other
+
+    new = _resolve_other(df, other)
+    if (numeric_cols is None) == (category_col is None):
+        raise ValueError("pass exactly one of numeric_cols / category_col")
+    if numeric_cols:
+        return drift_report(df, new, numeric_cols, bins)
+    return category_drift(df, new, category_col)
+
+
 @register_processor("mixture_sample")
 def mixture_sample_processor(
     df: DataFrame,

@@ -450,3 +450,40 @@ output: {{type: memory}}
         )
         rows = df.collect()
         assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}
+
+    def test_drift_tag_numeric_and_categorical(self, spark):
+        from nekton_spark.spec import Spec, compile_spec
+
+        raw = """
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: documents
+pipeline:
+  processors:
+  - type: filter
+    predicate: doc_id % 2 = 0
+  - type: drift
+    numeric_cols: [n_chars]
+    other:
+      input:
+        type: table
+        path: /root/testdata/sf0.001
+        name: documents
+      processors:
+      - type: filter
+        predicate: doc_id % 2 = 1
+output: {type: memory}
+"""
+        df, _ = compile_spec(spark, Spec.from_yaml(raw))
+        r = df.first()
+        assert r.column == "n_chars" and r.psi is not None
+
+    def test_mixture_sample_tag(self, spark):
+        df = self._run(
+            spark,
+            "mixture_sample\n    budget_tokens: 2000\n    targets:\n"
+            "      src0: 0.5\n      src1: 0.5",
+        )
+        srcs = {r.source for r in df.select("source").distinct().collect()}
+        assert srcs <= {"src0", "src1"} and df.count() > 0
