@@ -1442,6 +1442,21 @@ def normalize_text_check(spark, sf):
     )
 
 
+def repeated_span_removal_check(spark, sf):
+    """Cross-document exact-substring span removal
+    (text_analysis.remove_repeated_spans) — the Lee et al. 2021
+    exact-dedup step as a fixed-window n-gram variant: an 8-token
+    window seen in >= 3 distinct docs is boilerplate; the smallest
+    doc_id keeps it, every other doc loses all its occurrences
+    (overlapping windows union, so longer repeats strip whole).
+    Mining is one content-keyed partial-agg'd count; the hit join is
+    1-row-per-gram (no blowup, AQE-skew-splittable); coverage is one
+    doc-keyed regroup of hit positions only."""
+    from nekton_spark.functions.text_analysis import remove_repeated_spans
+
+    return remove_repeated_spans(_t(spark, sf, "documents"), n=8, min_docs=3)
+
+
 def ann_topk_pq(spark, sf):
     """Product-quantization compressed top-k (similarity.pq_topk): the
     MEMORY scale path — 64-dim vectors stored as 8 one-byte codes
@@ -2178,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block (two rounds old); the 50 CORRECTNESS_r06-green rows trail.
     return {
         # --- new in r7: never driver-checked ---
+        "repeated_span_removal": repeated_span_removal_check,
         "kmeans_tiered": kmeans_tiered,
         "ann_topk_pq": ann_topk_pq,
         "normalize_text": normalize_text_check,
@@ -3643,6 +3659,39 @@ WITH tot AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN r USING (source)
 WHERE ({_H('doc_id', '42')} % 1000000) < floor(rate * 1000000)
+""",
+        # repeated_span_removal: 8-token windows in >= 3 distinct docs;
+        # keeper = min doc_id keeps all occurrences, everyone else loses
+        # theirs; overlapping windows union into one covered region.
+        # DuckDB's array_to_string returns NULL on an empty list where
+        # Spark's concat_ws returns '' — hence the outer coalesce.
+        "repeated_span_removal": f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0 ELSE len({_TOKS}) END) AS n
+  FROM documents),
+mine AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(0, n - 7), i -> array_to_string(toks[i+1:i+8], ' ')))) AS gram
+  FROM docs WHERE n >= 8),
+flagged AS (
+  SELECT gram, min(doc_id) AS keeper FROM mine GROUP BY gram HAVING count(*) >= 3),
+pos AS (
+  SELECT doc_id, unnest(range(0, n - 7)) AS p, toks FROM docs WHERE n >= 8),
+hits AS (
+  SELECT p.doc_id, p.p FROM pos p
+  JOIN flagged f ON array_to_string(p.toks[p.p+1:p.p+8], ' ') = f.gram
+  WHERE p.doc_id != f.keeper),
+covered AS (
+  SELECT doc_id, list_distinct(flatten(list(range(p, p + 8)))) AS cov
+  FROM hits GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(array_to_string(list_transform(
+    list_filter(range(0, d.n), i -> NOT list_contains(coalesce(c.cov, []::BIGINT[]), i)),
+    i -> d.toks[i+1]), ' '), '') AS clean_text,
+  d.n::BIGINT AS n_tokens,
+  coalesce(len(c.cov), 0)::BIGINT AS n_removed
+FROM docs d LEFT JOIN covered c USING (doc_id)
 """,
         "normalize_text": r"""
 SELECT doc_id,

@@ -842,6 +842,96 @@ def remove_boilerplate_lines(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring SPAN removal — the write-side
+    companion of :func:`common_passages` at the token-window grain
+    (the exact-substring dedup of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — public paper; the
+    suffix-array formulation there finds maximal repeats, this is the
+    fixed-window n-gram variant that distributes as joins).
+
+    A word ``n``-gram occurring in at least ``min_docs`` DISTINCT
+    documents is a repeated span; the document with the SMALLEST id
+    containing it is its keeper (the dedup family's keeper rule) and
+    keeps every occurrence; every other document has all its
+    occurrences removed. Overlapping flagged windows union into one
+    covered region, so runs of boilerplate longer than ``n`` tokens
+    are removed whole. Returns (doc_id, clean_text, n_tokens,
+    n_removed) — clean_text is the surviving tokens rejoined by a
+    single space IN ORDER (whitespace is normalized as a side effect,
+    the same contract as the tokenize-rebuild operators); every doc
+    keeps its row, empty/NULL docs pass through as ''.
+
+    100 TB shape: the corpus is scanned twice map-side (mining and
+    position streams — both token-window explodes, no cached
+    token-array materialization since re-tokenizing is cheaper than
+    persisting a tokens column at this scale). Mining is one
+    content-keyed count aggregate (``array_distinct`` first: one vote
+    per doc, partial-agg absorbs hot boilerplate keys). The hit join
+    keys on the gram text against a 1-row-per-gram flagged relation —
+    no multiplicity blowup, and a globally-hot gram is an AQE
+    skew-split candidate (plain join, no order dependence). Coverage
+    is one doc-keyed regroup (uniform keys) whose state is the hit
+    positions only, O(hits·n) ints, not the text. The final left join
+    re-keys on doc_id. Nothing is all-pairs and no driver state
+    exists at any corpus size.
+    """
+    from .similarity import ensure_parallelism
+
+    docs = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+    )
+    flagged = (
+        docs.filter(F.col("n_tokens") >= n)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram", "keeper")
+    )
+    pos = (
+        docs.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(grams).alias("pos", "gram"),
+        )
+    )
+    covered = (
+        pos.join(flagged, "gram")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.sequence(F.col("pos"), F.col("pos") + (n - 1)))
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    cov = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept = F.filter("toks", lambda x, i: ~F.array_contains(cov, i))
+    return docs.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(cov).cast("long").alias("n_removed"),
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: DataFrame | None = None,

@@ -241,6 +241,21 @@ def remove_boilerplate_processor(
     return ta.remove_boilerplate_lines(df, text_col, id_col, min_docs, sep)
 
 
+@register_processor("remove_repeated_spans")
+def remove_repeated_spans_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-doc exact-substring span removal (Lee et al. 2021 as a
+    fixed-window n-gram variant): an n-token window in >= min_docs
+    distinct docs is stripped everywhere except the smallest-id doc;
+    overlapping windows union so longer repeats strip whole."""
+    return ta.remove_repeated_spans(df, text_col, id_col, n, min_docs)
+
+
 @register_processor("classifier_score")
 def classifier_score_processor(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 4100

@@ -1702,3 +1702,76 @@ class TestCategoryDrift:
         assert rows["fr"].n_new == 0 and rows["fr"].frac_new == 0.0
         assert rows["de"].n_old == 0
         assert rows["en"].frac_old == 2 / 3 and rows["en"].frac_new == 0.5
+
+
+class TestRemoveRepeatedSpans:
+    def _run(self, spark, docs, n=4, min_docs=2):
+        from nekton_spark.functions.text_analysis import remove_repeated_spans
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+            for r in remove_repeated_spans(df, n=n, min_docs=min_docs).collect()
+        }
+
+    def test_keeper_keeps_others_lose(self, spark):
+        p = "alpha beta gamma delta"  # the repeated 4-gram
+        # tails chosen so NO window other than p itself is shared
+        # across docs (e.g. a common last token would make
+        # "beta gamma delta <tok>" a second flagged gram)
+        docs = [
+            (1, f"{p} tail one"),
+            (2, f"head {p} end"),
+            (3, "nothing shared here at all"),
+            (4, f"{p}"),
+        ]
+        got = self._run(spark, docs)
+        # doc 1 is the keeper (min id): untouched (modulo ws-normalize)
+        assert got[1] == (f"{p} tail one", 6, 0)
+        # docs 2 and 4 lose the span, surrounding tokens survive in order
+        assert got[2] == ("head end", 6, 4)
+        assert got[4] == ("", 4, 4)
+        assert got[3] == ("nothing shared here at all", 5, 0)
+
+    def test_overlapping_windows_union(self, spark):
+        # a 6-token repeated run: its three 4-gram windows all repeat,
+        # and their covered sets union to the whole run
+        run = "a b c d e f"
+        docs = [(1, f"{run} x"), (2, f"y {run} z")]
+        got = self._run(spark, docs)
+        assert got[1] == (f"{run} x", 7, 0)  # keeper
+        assert got[2] == ("y z", 8, 6)
+
+    def test_keeper_repeated_occurrences_survive(self, spark):
+        # the keeper doc contains the span twice — BOTH survive (the
+        # keeper rule is per-doc, not per-occurrence)
+        p = "p q r s"
+        docs = [(1, f"{p} mid {p}"), (2, f"{p} other")]
+        got = self._run(spark, docs)
+        assert got[1] == (f"{p} mid {p}", 9, 0)
+        assert got[2] == ("other", 5, 4)
+
+    def test_null_and_empty_docs_pass_through(self, spark):
+        docs = [(1, None), (2, ""), (3, "   "), (4, "w x y z"), (5, "w x y z")]
+        got = self._run(spark, docs)
+        assert got[1] == ("", 0, 0)
+        assert got[2] == ("", 0, 0)
+        assert got[3] == ("", 0, 0)
+        assert got[4] == ("w x y z", 4, 0)  # keeper
+        assert got[5] == ("", 4, 4)
+
+    def test_no_repeats_identity_modulo_ws(self, spark):
+        docs = [(1, "one  two\tthree four five"), (2, "six seven eight nine")]
+        got = self._run(spark, docs)
+        assert got[1] == ("one two three four five", 5, 0)
+        assert got[2] == ("six seven eight nine", 4, 0)
+
+    def test_min_docs_threshold(self, spark):
+        p = "m n o p"
+        docs = [(1, f"{p} a"), (2, f"{p} b"), (3, f"{p} c")]
+        # at min_docs=4 nothing is flagged
+        got = self._run(spark, docs, min_docs=4)
+        assert all(v[2] == 0 for v in got.values())
+        # at min_docs=3 docs 2,3 lose the span
+        got = self._run(spark, docs, min_docs=3)
+        assert got[1][2] == 0 and got[2] == ("b", 5, 4) and got[3] == ("c", 5, 4)

@@ -327,6 +327,10 @@ output: {{type: memory}}
         df = self._run(spark, "remove_boilerplate\n    min_docs: 3")
         assert df.count() == 500 and "n_removed" in df.columns
 
+    def test_remove_repeated_spans_tag(self, spark):
+        df = self._run(spark, "remove_repeated_spans\n    n: 8\n    min_docs: 3")
+        assert df.count() == 500 and "clean_text" in df.columns
+
     def test_classifier_score_tag(self, spark):
         df = self._run(spark, "classifier_score")
         assert df.count() == 500 and "clf_score" in df.columns

@@ -38,7 +38,7 @@ DOC_QUERIES = [
     "mixture_sample", "dataset_drift", "category_drift",
     "classifier_score_docs", "classifier_trained", "token_length_histogram",
     "boilerplate_removal", "fuzzy_decontamination", "curriculum_buckets",
-    "normalize_text",
+    "normalize_text", "repeated_span_removal",
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
     "dedup_incremental", "pack_sequences_check",
     # message-pipeline + codec families (documents-driven too: the
