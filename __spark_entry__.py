@@ -3166,10 +3166,12 @@ WHERE rank <= 10
         # real JSON semantics, not a digit-regex shortcut: NULL and
         # malformed props must yield NULL like Spark's get_json_object
         # (the fuzzer's malformed-props leg crashed the old regex form
-        # on ''::INT)
+        # on ''::INT). TRY_CAST, not ::INT: valid JSON with a
+        # non-numeric k ('{"k": "x"}') is NULL under Spark's cast, and
+        # a strict cast would crash the oracle instead (r7 ADVICE).
         "events_json_extract": r"""
 SELECT (CASE WHEN props IS NOT NULL AND json_valid(props)
-             THEN json_extract_string(props, '$.k')::INT END) AS k,
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END) AS k,
        count(*)::BIGINT AS n
 FROM events GROUP BY k
 """,
@@ -4234,12 +4236,25 @@ SELECT token, n, rank FROM (
   SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts)
 WHERE rank <= 50
 """,
+        # neardup_time_horizon: the exact batch twin dictionary-encodes
+        # its carried shingle sets to hash60 longs (r8 — the join-state
+        # width fix), so the oracle scores Jaccard over the SAME hashed
+        # sets: bit-for-bit including any hash collision. The unused
+        # mpairs CTE is never evaluated.
         "neardup_time_horizon": f"""
-WITH {_minhash_ctes(0.1)}
+WITH {_minhash_ctes(0.1)},
+hsh AS (
+  SELECT doc_id, list_distinct(list_transform(sh, g -> {_H('g', '0')})) AS hs
+  FROM nonempty),
+hpairs AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.hs, b.hs))::DOUBLE
+           / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+  FROM cand JOIN hsh a ON cand.id_a = a.doc_id JOIN hsh b ON cand.id_b = b.doc_id)
 SELECT id_a, id_b,
        (1704067200 + greatest(id_a, id_b) * 37)::BIGINT AS ts_epoch,
        jaccard
-FROM mpairs WHERE abs(id_a - id_b) * 37 <= 3600
+FROM hpairs WHERE jaccard >= 0.1 AND abs(id_a - id_b) * 37 <= 3600
 """,
         # neardup_estimate: same banded candidates (cand/sigs CTEs; the
         # unused mpairs CTE is never evaluated), scored by the MinHash

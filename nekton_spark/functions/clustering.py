@@ -373,9 +373,16 @@ def _tiered_kmeans(
                     m = a == c
                     if m.any():
                         # sequential sum in id order, rounded like the
-                        # distributed avg — engine-stable replay
-                        C[c] = np.round(
-                            np.add.reduce(P[m], axis=0) / m.sum(), 6
+                        # distributed avg — engine-stable replay.
+                        # HALF_UP (away from zero), matching F.round /
+                        # the DuckDB oracle on exact .5 boundaries at
+                        # 1e-6; np.round is IEEE half-to-even and
+                        # would diverge there (r7 ADVICE).
+                        mean = np.add.reduce(P[m], axis=0) / m.sum()
+                        C[c] = (
+                            np.sign(mean)
+                            * np.floor(np.abs(mean) * 1e6 + 0.5)
+                            / 1e6
                         )
             fine = _local_assign(P, C)
         out = {"id": pdf["id"].to_numpy()}

@@ -1152,8 +1152,13 @@ def curriculum_buckets(
         base = None
         seen = 0
         for pdf in it:
+            if len(pdf) == 0:
+                # don't anchor base on an empty batch: it carries no
+                # pid, and defaulting to 0 would mis-rank the whole
+                # partition if a later batch is non-empty (r7 ADVICE)
+                continue
             if base is None:
-                base = offsets[int(pdf["pid"].iat[0])] if len(pdf) else 0
+                base = offsets[int(pdf["pid"].iat[0])]
             r0 = np.arange(seen, seen + len(pdf)) + base  # 0-based rank
             seen += len(pdf)
             bucket = np.where(

@@ -109,6 +109,11 @@ def drift_report(
             F.min(F.col(c).cast("double")).alias("lo"),
             F.max(F.col(c).cast("double")).alias("hi"),
         ).first()
+        if edge.lo is None or edge.hi is None:
+            raise ValueError(
+                f"old snapshot has no non-null values for column {c!r}; "
+                "PSI bin edges are anchored on the old snapshot's [min, max]"
+            )
         lo, hi = float(edge.lo), float(edge.hi)
         width = (hi - lo) / bins if hi > lo else 1.0
 

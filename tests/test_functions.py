@@ -1687,6 +1687,20 @@ class TestDriftReport:
         with pytest.raises(ValueError, match="bins"):
             drift_report(df, df, ["x"], bins=1)
 
+    def test_empty_or_all_null_old_snapshot_raises_clearly(self, spark):
+        """An empty (or all-NULL-column) old snapshot has no [min, max]
+        to anchor the PSI bins on — must be a clear ValueError naming
+        the column, not an opaque float(None) TypeError."""
+        from nekton_spark.functions.validation import drift_report
+
+        new = spark.createDataFrame([(0, 1.0)], "id long, x double")
+        empty = new.where(F.lit(False))
+        with pytest.raises(ValueError, match="no non-null values for column 'x'"):
+            drift_report(empty, new, ["x"])
+        allnull = spark.createDataFrame([(0, None)], "id long, x double")
+        with pytest.raises(ValueError, match="no non-null values for column 'x'"):
+            drift_report(allnull, new, ["x"])
+
 
 class TestCategoryDrift:
     def test_appearing_and_vanishing_categories(self, spark):
