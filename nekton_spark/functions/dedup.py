@@ -91,6 +91,38 @@ def _distinct_shingles_udf(shingle_n: int):
     return _sh
 
 
+def _sig_and_hashed_shingles_udf(k: int, shingle_n: int):
+    """One Arrow pass producing BOTH the k-long MinHash signature and
+    the doc's distinct hashed shingle set (full 60-bit hash60 — no
+    H0_MOD fold, minimizing collision odds): the md5 per shingle is
+    computed once and feeds both outputs. Used by the exact-verify
+    near-dup paths that carry the shingle set through a join — hashed
+    8-byte elements instead of shingle strings is ~10× narrower join
+    state, and deriving them here avoids both a second Arrow pass and
+    ~|corpus|×|shingles| JVM md5 calls a post-hoc transform would cost
+    (measured r8: the transform variant was +40% wall at sf10)."""
+    import hashlib
+
+    a_c, b_c = affine_consts(k)
+    A = np.array(a_c, dtype=np.int64)[:, None]
+    B = np.array(b_c, dtype=np.int64)[:, None]
+
+    def one(text: str):
+        sh = _shingles_py(text or "", shingle_n)
+        if not sh:
+            return {"sig": None, "hs": None}
+        h60 = [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) for s in sh]
+        h0 = np.array(h60, dtype=np.int64) % H0_MOD
+        sig = ((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist()
+        return {"sig": sig, "hs": list(dict.fromkeys(h60))}
+
+    @F.pandas_udf("sig array<long>, hs array<long>")
+    def _both(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([one(t) for t in texts], columns=["sig", "hs"])
+
+    return _both
+
+
 def _minhash_sig_udf(k: int, shingle_n: int):
     """Arrow-batched signature computation. hashlib md5 produces the
     identical base hash to the JVM/DuckDB expression; the affine family

@@ -36,8 +36,8 @@ from pyspark.sql import functions as F
 from ..functions.dedup import (
     DEFAULT_BANDS,
     DEFAULT_K,
-    _distinct_shingles_udf,
     _minhash_sig_udf,
+    _sig_and_hashed_shingles_udf,
 )
 from ..functions.hashing import hash60
 
@@ -85,25 +85,27 @@ def streaming_minhash_near_dup(
     if verify not in ("exact", "estimate"):
         raise ValueError(f"unknown verify mode: {verify!r} (exact|estimate)")
     r = k // bands
-    sig_udf = _minhash_sig_udf(k, shingle_n)
-    cols = [
-        F.col(id_col).alias("id"),
-        F.col(ts_col).alias("ts"),
-        sig_udf(F.col(text_col)).alias("sig"),
-    ]
     if verify == "exact":
-        sh_udf = _distinct_shingles_udf(shingle_n)
-        cols.append(sh_udf(F.col(text_col)).alias("sh"))
-    base = df.select(*cols).filter(F.col("sig").isNotNull())
-    if verify == "exact":
-        # dictionary-encode the carried shingle set to 60-bit hashes
-        # (codegen transform, post-UDF): 8 bytes/shingle of join state
-        # instead of the shingle string. array_distinct guards the
-        # (negligible) within-doc collision so both engines agree on
-        # set cardinalities by construction.
-        base = base.withColumn(
-            "sh", F.array_distinct(F.transform(F.col("sh"), lambda s: hash60(s, 0)))
+        # one Arrow pass yields the signature AND the dictionary-
+        # encoded (60-bit hashed) shingle set — 8 bytes/shingle of
+        # join state instead of the shingle string
+        both = _sig_and_hashed_shingles_udf(k, shingle_n)
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(ts_col).alias("ts"),
+                both(F.col(text_col)).alias("_sg"),
+            )
+            .select("id", "ts", F.col("_sg.sig").alias("sig"), F.col("_sg.hs").alias("sh"))
+            .filter(F.col("sig").isNotNull())
         )
+    else:
+        sig_udf = _minhash_sig_udf(k, shingle_n)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(ts_col).alias("ts"),
+            sig_udf(F.col(text_col)).alias("sig"),
+        ).filter(F.col("sig").isNotNull())
     carried = ["id", "ts", "sig"] + (["sh"] if verify == "exact" else [])
     banded = base.select(
         *carried,
