@@ -708,6 +708,81 @@ def pq_topk(
     )
 
 
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    c_mult: int = 4,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    train_cap: int = PQ_TRAIN_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ scan + exact re-rank: the ADC compressed scan nominates the
+    top ``c = c_mult·k`` candidates per query, then ONLY those rows'
+    true vectors are fetched and scored with exact cosine (the same
+    scoring as brute_force_topk, so recall is measured against the
+    ground-truth ranking it approximates). This recovers most of the
+    recall ADC quantization loses — r7 measured pq_topk at ~0.3
+    recall@5 on isotropic Gaussians (the documented worst case); the
+    re-rank lifts the planted-twin fixture to ≥0.9 recall@10
+    (tests/test_functions.py) — while preserving the memory story:
+
+    - The compressed scan still never touches a vector (the 64×
+      smaller read is unchanged).
+    - The candidate relation is |queries|·c rows — broadcast onto a
+      second corpus scan that reads only (id, vector) for the matched
+      rows (broadcast hash semi-join shape: no corpus shuffle, no new
+      scale risk; at 10^10 vectors the scan is column-pruned to the
+      id+vector columns and the join output is |queries|·c rows).
+    - The final rank window is over |queries|·c rows — driver-scale.
+
+    Exactness: candidates come from pq_topk (oracle-replayed ADC), and
+    the re-rank cosine is the same exact left-fold the brute-force
+    oracle replays — the whole operator is SQL-expressible.
+    """
+    c = max(k, c_mult * k)
+    cand = pq_topk(
+        corpus,
+        queries,
+        k=c,
+        m_sub=m_sub,
+        ksub=ksub,
+        iters=iters,
+        train_cap=train_cap,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).select("query_id", "neighbor_id")
+    cvec = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cos = cosine_udf()
+    scored = (
+        cvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,
