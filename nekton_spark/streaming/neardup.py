@@ -106,21 +106,17 @@ def streaming_minhash_near_dup(
             F.col(ts_col).alias("ts"),
             sig_udf(F.col(text_col)).alias("sig"),
         ).filter(F.col("sig").isNotNull())
-    carried = ["id", "ts", "sig"] + (["sh"] if verify == "exact" else [])
-    banded = base.select(
-        *carried,
-        F.posexplode(
-            F.array(
-                *[
-                    hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+    band_array = F.array(
+        *[
+            hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
+            for b in range(bands)
+        ]
     )
     if df.isStreaming:
         from .windows import ensure_event_time
 
+        carried = ["id", "ts", "sig"] + (["sh"] if verify == "exact" else [])
+        banded = base.select(*carried, F.posexplode(band_array).alias("band", "bh"))
         banded = ensure_event_time(banded, "ts").withWatermark("ts", delay)
         left, right = banded.alias("l"), banded.alias("r")
         # the explicit two-sided time bound is what lets the stream-stream
@@ -133,44 +129,103 @@ def streaming_minhash_near_dup(
             & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
             & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
         )
-    else:
-        # batch twin: the self-join would re-run both Arrow UDFs (sig +
-        # shingle set) per branch — materialize once. Streaming frames
-        # cannot checkpoint; their branches share the exchange instead.
-        #
-        # Streaming gets time-pruning for free (the state store evicts
-        # past-watermark rows), but a batch equi-join on (band, bh)
-        # alone buckets EVERY row of a hot band key together and only
-        # then applies the horizon filter — a boilerplate near-dup
-        # clique of c docs builds O(c²) wide intermediate rows per
-        # shared band (skew rehearsal: 487-doc clique → 7.5× wall
-        # time). Make the horizon part of the join key: bucket ts into
-        # horizon-width cells, orient each pair EARLIER→LATER by
-        # (ts, id), and have the earlier side probe its own cell and
-        # the next (0 ≤ Δts ≤ h ⇒ Δcell ∈ {0, 1} — two probe rows per
-        # banded row, not three as an id-oriented probe would need).
-        # A hot band key is thus subdivided by time and the join
-        # builds only pairs that can pass the horizon filter. Same
-        # output — the exact time bound below still decides
-        # membership, and ids are re-ordered in the final select.
-        # same NTZ normalization the streaming branch gets: a
-        # TIMESTAMP_NTZ batch input would fail the unix_micros/interval
-        # arithmetic below (and emit a ts type mismatching the
-        # streaming twin)
-        from .windows import ensure_event_time
-
-        banded = ensure_event_time(banded, "ts")
-        h_us = F.unix_micros(
-            F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {delay}")
-        )
-        cell = F.floor(F.unix_micros(F.col("ts")) / h_us)
-        banded = banded.withColumn("_cell", cell).localCheckpoint(eager=True)
-        left = banded.select(
-            *banded.columns,
-            F.explode(F.array(F.col("_cell"), F.col("_cell") + 1)).alias("_probe"),
-        ).alias("l")
-        right = banded.alias("r")
+        # stream-stream join carries the full state (sig[, sh]) through
+        # every banded row — the state store evicts by watermark and a
+        # second stateful collapse operator would trip Spark's
+        # multiple-watermark restriction, so emission is made unique BY
+        # CONSTRUCTION: only the row whose band equals the pair's first
+        # shared band survives.
+        left, right = banded.alias("l"), banded.alias("r")
         joined = left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
+        )
+        first_shared = F.element_at(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("l.sig"), b * r + 1, r)
+                == F.slice(F.col("r.sig"), b * r + 1, r),
+            ),
+            1,
+        )
+        if verify == "exact":
+            inter = F.size(
+                F.array_intersect(F.col("l.sh"), F.col("r.sh"))
+            ).cast("double")
+            union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+            score = inter / union
+        else:
+            score = (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("l.sig"),
+                        F.col("r.sig"),
+                        lambda a, b: F.when(a == b, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / k
+            )
+        return (
+            joined.filter(F.col("l.band") == first_shared)
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.greatest(F.col("l.ts"), F.col("r.ts")).alias("ts"),
+                score.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    # ---- batch twin: narrow candidate join + wide-state fetch ----
+    #
+    # Streaming gets time-pruning for free (the state store evicts
+    # past-watermark rows); a batch equi-join on (band, bh) alone
+    # buckets EVERY row of a hot band key together, so the horizon is
+    # made part of the join key: bucket ts into horizon-width cells,
+    # orient each pair EARLIER→LATER by (ts, id), and have the earlier
+    # side probe its own cell and the next (0 ≤ Δts ≤ h ⇒ Δcell ∈
+    # {0, 1} — two probe rows per banded row). A hot band key is thus
+    # subdivided by time and the join builds only pairs that can pass
+    # the horizon filter.
+    #
+    # Unlike the streaming plan, the batch join itself is NARROW (r8):
+    # only (id, ts, band, bh) rows enter the bands×probes explode and
+    # shuffle — the wide per-doc state (k-long sig / hashed shingle
+    # set) would otherwise move ~2·bands× through the exchange
+    # (measured sf10, 500k docs: the wide form shuffled ~16×/doc at
+    # 120 s exact / 86 s estimate wall; this narrow rewrite reads 44 s
+    # / 33 s, and the sf1→sf10 factor drops 6.5× → 2.9× per decade).
+    # Candidate pairs are then
+    # DISTINCT'd (pair-scale, replacing the streaming first-shared-band
+    # collapse) and the state table joins back ONCE per side by id to
+    # score. The eager localCheckpoint pins base so the Arrow UDF runs
+    # once and every branch (two join sides + two fetches) reads the
+    # same materialization — it also normalizes a TIMESTAMP_NTZ batch
+    # input (ensure_event_time) so the unix_micros cell arithmetic and
+    # the emitted ts type match the streaming twin.
+    from .windows import ensure_event_time
+
+    base = ensure_event_time(base, "ts").localCheckpoint(eager=True)
+    h_us = F.unix_micros(
+        F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {delay}")
+    )
+    cell = F.floor(F.unix_micros(F.col("ts")) / h_us)
+    narrow = base.select(
+        "id", "ts", F.posexplode(band_array).alias("band", "bh")
+    ).withColumn("_cell", cell)
+    left = narrow.select(
+        *narrow.columns,
+        F.explode(F.array(F.col("_cell"), F.col("_cell") + 1)).alias("_probe"),
+    ).alias("l")
+    right = narrow.alias("r")
+    pairs = (
+        left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
@@ -181,27 +236,27 @@ def streaming_minhash_near_dup(
             )
             & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
         )
-    # exactly-once emission per pair: keep only the first band whose
-    # signature slices agree (exact slice comparison, not the hash)
-    first_shared = F.element_at(
-        F.filter(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.slice(F.col("l.sig"), b * r + 1, r)
-            == F.slice(F.col("r.sig"), b * r + 1, r),
-        ),
-        1,
+        .select(
+            F.col("l.id").alias("_ida"),
+            F.col("r.id").alias("_idb"),
+            F.col("l.ts").alias("_tsa"),
+            F.col("r.ts").alias("_tsb"),
+        )
+        .distinct()
     )
     if verify == "exact":
-        inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
-        union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
-        score = inter / union
+        score = (
+            F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
+            / F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+        )
+        st_a = base.select(F.col("id").alias("_ida"), F.col("sh").alias("_sha"))
+        st_b = base.select(F.col("id").alias("_idb"), F.col("sh").alias("_shb"))
     else:
-        # MinHash estimator: fraction of agreeing signature components
         score = (
             F.aggregate(
                 F.zip_with(
-                    F.col("l.sig"),
-                    F.col("r.sig"),
+                    F.col("_siga"),
+                    F.col("_sigb"),
                     lambda a, b: F.when(a == b, 1).otherwise(0),
                 ),
                 F.lit(0),
@@ -209,14 +264,16 @@ def streaming_minhash_near_dup(
             ).cast("double")
             / k
         )
+        st_a = base.select(F.col("id").alias("_ida"), F.col("sig").alias("_siga"))
+        st_b = base.select(F.col("id").alias("_idb"), F.col("sig").alias("_sigb"))
     # least/greatest: the batch join orients pairs by (ts, id), not id
-    # (streaming keeps l.id < r.id, where least/greatest is a no-op)
     return (
-        joined.filter(F.col("l.band") == first_shared)
+        pairs.join(st_a, "_ida")
+        .join(st_b, "_idb")
         .select(
-            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
-            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
-            F.greatest(F.col("l.ts"), F.col("r.ts")).alias("ts"),
+            F.least(F.col("_ida"), F.col("_idb")).alias("id_a"),
+            F.greatest(F.col("_ida"), F.col("_idb")).alias("id_b"),
+            F.greatest(F.col("_tsa"), F.col("_tsb")).alias("ts"),
             score.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
