@@ -112,6 +112,124 @@ def _canary_times(spark) -> dict[str, float]:
     return out
 
 
+def _streaming_bench(spark) -> dict:
+    """Micro-batch throughput legs (r7 verdict #6 — the streaming layer
+    had correctness evidence but no recorded throughput).
+
+    Two legs, each a real ``writeStream`` driven to completion with
+    ``processAllAvailable`` over file-stream micro-batches built from
+    the bench SF dir (inputs are staged untimed; the timed window is
+    start → all batches committed, so per-query stream-init cost is
+    included — a real always-on stream amortizes it, so treat these as
+    LOWER bounds on steady-state rows/sec):
+
+    - ``curation``: the e2e doc chain (redact_pii → repetition_filter →
+      quality_filter → fingerprint → dedup_within_watermark) over the
+      documents table in 4 micro-batches, exactly-once epoch file sink —
+      the Arrow-UDF + stateful-dedup path.
+    - ``events_window``: watermarked 5-minute tumbling aggregation over
+      the events table in 4 micro-batches, update mode to the noop sink —
+      the pure-JVM stateful-agg path.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nekton_spark.spec import Spec, run_spec
+
+    out: dict[str, dict] = {}
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # ---- leg 1: curation chain over documents ----
+        docs_src = os.path.join(work, "docs_src")
+        docs = (
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select(
+                "doc_id",
+                F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+                "text",
+            )
+        )
+        n_docs = docs.count()
+        docs.repartition(32).write.mode("overwrite").parquet(docs_src)
+        spec = f"""
+input:
+  type: file
+  path: {docs_src}
+  format: parquet
+  stream: true
+  as_messages: false
+  schema: "doc_id long, ts timestamp, text string"
+  maxFilesPerTrigger: "8"
+pipeline:
+  processors:
+    - type: redact_pii
+      counts: true
+    - type: repetition_filter
+      max_dup_fraction: 0.5
+    - type: quality_filter
+      min_quality: 0.2
+    - type: fingerprint
+    - type: dedup_within_watermark
+      columns: [fp]
+      ts_col: ts
+      delay: 60 minutes
+output:
+  type: file_exactly_once
+  path: {os.path.join(work, "docs_out")}
+  checkpoint: {os.path.join(work, "docs_ckpt")}
+"""
+        t0 = time.time()
+        q = run_spec(spark, Spec.from_yaml(spec))
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        out["curation"] = {
+            "rows": n_docs,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_docs / wall),
+        }
+
+        # ---- leg 2: watermarked tumbling agg over events ----
+        ev_src = os.path.join(work, "ev_src")
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        n_ev = ev.count()
+        ev.repartition(32).write.mode("overwrite").parquet(ev_src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "8")
+            .parquet(ev_src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+        t0 = time.time()
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ev_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        wall = time.time() - t0
+        out["events_window"] = {
+            "rows": n_ev,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(n_ev / wall),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -199,6 +317,10 @@ def main() -> int:
         "queries_evaluated": times_eval,
         "value_evaluated": round(sum(times_eval.values()), 3),
     }
+    try:
+        out["streaming"] = _streaming_bench(spark)
+    except Exception as e:  # the batch headline must survive a streaming failure
+        out["streaming"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
     return 0
 
