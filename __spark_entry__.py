@@ -2203,29 +2203,80 @@ def classifier_score_check(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Iteration order IS the driver's CORRECTNESS budget order (first 50
-    # checked per round). Round-7 rotation is staleness-keyed per the r6
-    # verdict: new r7 queries lead, then the queries whose CODE changed
-    # this round (curriculum ntile rewrite, fuzzy-decon self-pair
-    # default, clustering NaN guard + max_k dispatch), then the 20 rows
-    # whose last DRIVER check is CORRECTNESS_r04, then the r05-green
-    # block (two rounds old); the 50 CORRECTNESS_r06-green rows trail.
+    # checked per round). Round-8 rotation per the r7 verdict: the new
+    # r8 query leads, then queries whose code or oracle changed this
+    # round, then the ENTIRE 29-row CORRECTNESS_r05 staleness tail
+    # (pipe_* reference surface, r1-era relational rows, text_stats/
+    # text_quality/jpeg_decode/ann_topk_ivf/dedup_ngram_sampled), then
+    # the rows-only trio, then r06 rows to fill the 50-row window —
+    # after this round no query's oracle evidence is older than two
+    # rounds.
     return {
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
-        # --- new in r7: never driver-checked ---
-        "repeated_span_removal": repeated_span_removal_check,
+        # --- code (or oracle) changed in r8: neardup narrow-join rewrite,
+        #     tiered-rounding/curriculum/drift ADVICE fixes, TRY_CAST oracle ---
+        "neardup_time_horizon": neardup_time_horizon,
+        "neardup_estimate": neardup_estimate,
         "kmeans_tiered": kmeans_tiered,
+        "curriculum_buckets": curriculum_buckets_check,
+        "dataset_drift": dataset_drift_check,
+        "category_drift": category_drift_check,
+        "events_json_extract": events_json_extract,
+        # --- last driver row is CORRECTNESS_r05 (three rounds old):
+        #     flush the whole staleness tail this round (r7 verdict #1) ---
+        "ann_topk_ivf": ann_topk_ivf,
+        "corpus_quality_gate": corpus_quality_gate,
+        "dedup_ngram_sampled": dedup_ngram_sampled,
+        "doc_repetition": doc_repetition,
+        "embedding_quant_dedup": embedding_quant_dedup,
+        "jpeg_decode": jpeg_decode_check,
+        "null_semantics": null_semantics,
+        "pii_redaction": pii_redaction,
+        "pipe_regex_replace": pipe_regex_replace,
+        "pipe_regex_select": pipe_regex_select,
+        "pipe_regex_split": pipe_regex_split,
+        "pipe_replace": pipe_replace,
+        "pipeline_chain": pipeline_chain,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_min_cost_part": q02_min_cost_part,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q04_order_priority": q04_order_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q22_idle_customers": q22_idle_customers,
+        "scalar_subquery_above_avg": scalar_subquery_above_avg,
+        "source_quality_rollup": source_quality_rollup,
+        "stratified_sample": stratified_sample,
+        "text_quality": text_quality,
+        "text_stats": text_stats,
+        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
+        "vocab_coverage": vocab_coverage,
+        # --- rows-only trio (no_oracle by design) — keep visibly cycling ---
+        "compression_quality": compression_quality,
+        "dedup_minhash_xxh": dedup_minhash_xxh,
+        "multimodal_decode": multimodal_decode,
+        # --- CORRECTNESS_r06 rows, oldest-evidence families first ---
+        "dedup_simhash": dedup_simhash,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash_hamming": dedup_simhash_hamming,
+        "dedup_incremental": dedup_incremental,
+        "ann_topk_bruteforce": ann_topk_bruteforce,
+        "ann_topk_lsh": ann_topk_lsh,
+        "embedding_near_dup": embedding_near_dup,
+        "bloom_decontamination": bloom_decontamination,
+        # --- below the 50-row driver window: r06/r07-green rows ---
+        "repeated_span_removal": repeated_span_removal_check,
         "ann_topk_pq": ann_topk_pq,
         "normalize_text": normalize_text_check,
         "mixture_sample": mixture_sample_check,
-        "dataset_drift": dataset_drift_check,
-        "category_drift": category_drift_check,
-        # --- code changed in r7 ---
-        "curriculum_buckets": curriculum_buckets_check,
         "fuzzy_decontamination": fuzzy_decontamination_check,
         "kmeans_clusters": kmeans_clusters,
         "semdedup_prune": semdedup_prune,
-        # --- last driver row is CORRECTNESS_r04 (three rounds old) ---
         "pivot_order_status": pivot_order_status,
         "grouping_sets_orders": grouping_sets_orders,
         "exists_subquery": exists_subquery,
@@ -2246,7 +2297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
         "q11_important_suppliers": q11_important_suppliers,
-        # --- last driver row is CORRECTNESS_r05 (two rounds old) ---
         "jpeg_color_decode": jpeg_color_decode_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -2257,7 +2307,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lead_lag": events_lead_lag,
         "events_topk_users": events_topk_users,
         "approx_quantile_check": approx_quantile_check,
-        "events_json_extract": events_json_extract,
         "q12_late_shipments": q12_late_shipments,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
@@ -2266,69 +2315,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_orders": q21_waiting_orders,
-        "q22_idle_customers": q22_idle_customers,
-        "q04_order_priority": q04_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q02_min_cost_part": q02_min_cost_part,
-        "null_semantics": null_semantics,
-        "q18_large_orders": q18_large_orders,
-        "scalar_subquery_above_avg": scalar_subquery_above_avg,
-        "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
-        "pipe_replace": pipe_replace,
-        "pipe_regex_replace": pipe_regex_replace,
-        "pipe_regex_split": pipe_regex_split,
-        "pipe_regex_select": pipe_regex_select,
-        "pipeline_chain": pipeline_chain,
-        "text_stats": text_stats,
-        "text_quality": text_quality,
-        "dedup_ngram_sampled": dedup_ngram_sampled,
-        "jpeg_decode": jpeg_decode_check,
-        "pii_redaction": pii_redaction,
-        "doc_repetition": doc_repetition,
-        "corpus_quality_gate": corpus_quality_gate,
-        "stratified_sample": stratified_sample,
-        "embedding_quant_dedup": embedding_quant_dedup,
-        "vocab_coverage": vocab_coverage,
-        "source_quality_rollup": source_quality_rollup,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q06_forecast_revenue": q06_forecast_revenue,
-        "ann_topk_ivf": ann_topk_ivf,
-        # --- green in CORRECTNESS_r06 (driver-checked last round) ---
         "bpe_merge_candidates": bpe_merge_candidates_check,
         "classifier_trained": classifier_trained_check,
         "token_length_histogram": token_length_histogram_check,
         "boilerplate_removal": boilerplate_removal_check,
         "classifier_score_docs": classifier_score_check,
         "gopher_quality_rules": gopher_quality_rules,
-        "compression_quality": compression_quality,
         "bm25_search": bm25_search,
         "bigram_logprob": bigram_logprob_check,
         "tfidf_top_terms": tfidf_top_terms_check,
         "weighted_sample_docs": weighted_sample_docs,
         "quota_sample_sources": quota_sample_sources,
-        "bloom_decontamination": bloom_decontamination,
         "chunk_documents": chunk_documents_check,
         "unigram_logprob": unigram_logprob_check,
-        "ann_topk_lsh": ann_topk_lsh,
-        "embedding_near_dup": embedding_near_dup,
         "video_frame_sample": video_frame_sample_check,
-        "neardup_time_horizon": neardup_time_horizon,
-        "neardup_estimate": neardup_estimate,
         "vocab_top_tokens": vocab_top_tokens,
         "data_validation_report": data_validation_report,
         "q10_returned_items": q10_returned_items,
-        "dedup_exact": dedup_exact,
-        "dedup_incremental": dedup_incremental,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_minhash_xxh": dedup_minhash_xxh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_hamming": dedup_simhash_hamming,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "ann_topk_bruteforce": ann_topk_bruteforce,
         "multimodal_features": multimodal_features,
-        "multimodal_decode": multimodal_decode,
         "image_decode": image_decode,
         "events_tier_rollup": events_tier_rollup,
         "image_resize": image_resize,
