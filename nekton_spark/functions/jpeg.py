@@ -166,8 +166,14 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # refuse-don't-misparse: truncation inside the entropy
+            # stream must be a clean ValueError (r8 media fuzz)
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed data byte
@@ -338,15 +344,23 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: lone 0xFF at end of payload")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG: incomplete segment header")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("truncated JPEG: segment body exceeds payload")
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if tag == 0xDB:  # DQT — possibly several tables per segment
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 pq, t = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables not supported")
@@ -359,16 +373,28 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif tag == 0xC4:  # DHT — possibly several tables per segment
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment values")
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
         elif tag == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG: short SOF0 segment")
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if width == 0 or height == 0:
+                raise ValueError(
+                    f"zero-dimension JPEG ({width}x{height}) refused"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEGs not supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tqi = body[6 + 3 * ci : 9 + 3 * ci]
@@ -382,14 +408,28 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
         elif tag == 0xDD:
             raise NotImplementedError("restart intervals (DRI) not supported")
         elif tag == 0xDA:  # SOS — entropy data follows the header
+            if not body:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             if ns != len(comps):
                 raise NotImplementedError("scan must cover all frame components")
-            # per-component entropy tables, in scan order
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
+            # per-component entropy tables, in scan order — every
+            # reference must resolve (a flipped header bit can point a
+            # scan at a component or table that was never defined;
+            # refuse, don't KeyError — r8 media fuzz)
             sel: list[tuple[dict, dict, np.ndarray]] = []
+            cmap = dict(comps)
             for ci in range(ns):
                 cs, tda = body[1 + 2 * ci], body[2 + 2 * ci]
-                tqi = dict(comps)[cs]
+                if cs not in cmap:
+                    raise ValueError(f"SOS references undefined component {cs}")
+                tqi = cmap[cs]
+                if (0, tda >> 4) not in htables or (1, tda & 0x0F) not in htables:
+                    raise ValueError("SOS references undefined Huffman table")
+                if tqi not in qtables:
+                    raise ValueError("SOS references undefined quant table")
                 sel.append(
                     (
                         htables[(0, tda >> 4)],

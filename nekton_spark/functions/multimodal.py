@@ -56,6 +56,7 @@ real and tested.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -238,16 +239,25 @@ def _png_decode(payload: bytes) -> np.ndarray:
 
     if bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, w = 8, bytearray(), 0
+    pos, idat, w, ihdr_h, saw_ihdr = 8, bytearray(), 0, 0, False
     while pos < len(payload):
+        # refuse-don't-misparse: every truncation must surface as a
+        # clean ValueError, never a struct/zlib internal (r8 media fuzz)
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG: incomplete chunk header")
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG: chunk body exceeds payload")
         tag = bytes(payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
         if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
-            w, _h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if length < 13:
+                raise ValueError("truncated PNG: short IHDR")
+            w, ihdr_h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            saw_ihdr = True
             if (depth, ctype) != (8, 0):
                 raise NotImplementedError("only grayscale-8 PNGs supported")
         elif tag == b"IDAT":
@@ -255,9 +265,19 @@ def _png_decode(payload: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    raw = _z.decompress(bytes(idat))
+    if not saw_ihdr:
+        raise ValueError("truncated PNG: no IHDR chunk")
+    try:
+        raw = _z.decompress(bytes(idat))
+    except _z.error as e:
+        raise ValueError(f"corrupt or truncated PNG IDAT stream: {e}") from None
     stride = w + 1
     h = len(raw) // stride
+    if len(raw) != stride * ihdr_h:
+        raise ValueError(
+            f"PNG pixel data inconsistent with IHDR: {len(raw)} bytes "
+            f"for {ihdr_h} rows of stride {stride}"
+        )
     out = np.zeros((h, w), dtype=np.int64)
     prev = np.zeros(w, dtype=np.int64)
     for y in range(h):
@@ -448,9 +468,33 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(m: dict) -> tuple:
-            with wave.open(io.BytesIO(m["payload"]), "rb") as w:
-                rate, nch, n = w.getframerate(), w.getnchannels(), w.getnframes()
-                raw = w.readframes(n)
+            try:
+                with wave.open(io.BytesIO(m["payload"]), "rb") as w:
+                    rate, nch, n = (
+                        w.getframerate(),
+                        w.getnchannels(),
+                        w.getnframes(),
+                    )
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError(
+                            "only PCM16 WAV supported"
+                        )
+                    raw = w.readframes(n)
+            except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+                # refuse-don't-misparse: stdlib wave's internals
+                # (wave.Error, bare EOFError on an empty payload, a
+                # bare RuntimeError on a header with a displaced fmt
+                # chunk — found by the r8 media fuzz at seed 32) must
+                # surface as clean ValueErrors
+                raise ValueError(f"not a decodable WAV payload: {e}") from None
+            if len(raw) != n * nch * 2:
+                # header promised more frames than the data section
+                # carries — a silently-shortened read would report an
+                # rms/duration inconsistent with n_samples
+                raise ValueError(
+                    f"truncated WAV: header declares {n} frames, "
+                    f"data section carries {len(raw) // (nch * 2)}"
+                )
             s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
             sq = int((s * s).sum())
             rms = float(np.sqrt(sq / len(s))) if len(s) else 0.0

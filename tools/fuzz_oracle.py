@@ -81,6 +81,9 @@ REL_QUERIES = [
     "scalar_subquery_above_avg", "unpivot_lineitem_metrics",
     "approx_distinct_check", "approx_quantile_check",
 ]
+# r8: adversarial-media property gate (r7 verdict #8) — not a
+# query-vs-oracle compare; see run_media_fuzz
+MEDIA_QUERIES = ["media_adversarial"]
 
 VOCAB = [
     "alpha", "Beta", "GAMMA", "delta", "x", "punct!", "a-b", "the", "and",
@@ -477,12 +480,185 @@ def write_sf_dir(seed: int) -> str:
     return out
 
 
+def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
+    """Adversarial-media gate: refuse-or-decode-exactly.
+
+    Seeded corruptions of VALID payloads from the repo's own from-spec
+    encoders (grayscale PNG, baseline gray + color JPEG, PCM16 WAV,
+    MJPEG AVI): truncations at random offsets, single-bit flips, stray
+    marker bytes, zero-dimension headers, empty payloads, garbage. The
+    contract, per payload×codec:
+
+    - an UNTOUCHED valid payload must decode EXACTLY (pixel/sample
+      equality against the synthesis ground truth);
+    - any corrupted payload must either refuse with ValueError /
+      NotImplementedError or return a WELL-FORMED result (uint8 array /
+      frame list) — a format with no integrity check (JPEG entropy
+      bits) may legally decode flipped bits to different pixels, but
+      it must never leak an internal error (IndexError, struct.error,
+      zlib.error, EOFError) or hang.
+
+    A second leg drives the Spark operators (decode_image over a mixed
+    PNG/JPEG frame, decode_audio over WAV media) to assert the
+    mapInPandas plumbing surfaces the same decodes, and that an
+    unsupported mime refuses through the operator path too.
+    """
+    import io
+    import struct
+    import wave
+
+    from nekton_spark.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode_blocks,
+        jpeg_encode_blocks_color,
+    )
+    from nekton_spark.functions.multimodal import (
+        _png_decode,
+        _png_encode,
+        _synth_pixels,
+        _synth_samples,
+    )
+    from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
+
+    rng = random.Random(seed * 7919 + 11)
+    problems: list[str] = []
+    checked = 0
+
+    def make_wav(key: int) -> bytes:
+        n = 256 + key % 256
+        s = _synth_samples(key, n)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(s.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    def corruptions(p: bytes):
+        n = len(p)
+        yield "trunc_head", p[: rng.randrange(0, min(16, n))]
+        yield "trunc_mid", p[: rng.randrange(n // 4, max(n // 4 + 1, 3 * n // 4))]
+        yield "trunc_tail", p[: n - rng.randrange(1, min(8, n))]
+        i = rng.randrange(n)
+        yield "bitflip", p[:i] + bytes([p[i] ^ (1 << rng.randrange(8))]) + p[i + 1 :]
+        i = rng.randrange(n)
+        yield "stray_marker", p[:i] + bytes([0xFF, rng.randrange(256)]) + p[i:]
+        yield "empty", b""
+        yield "garbage", bytes(rng.randrange(256) for _ in range(64))
+        yield "doubled", p + p
+
+    def probe(tag, fn, expect=None):
+        nonlocal checked
+        checked += 1
+        try:
+            r = fn()
+        except (ValueError, NotImplementedError):
+            if expect is not None:
+                problems.append(f"{tag}: refused a VALID payload")
+            return
+        except Exception as exc:  # noqa: BLE001 — the gate's whole point
+            problems.append(f"{tag}: leaked {type(exc).__name__}: {exc}")
+            return
+        if expect is not None and not np.array_equal(r, expect):
+            problems.append(f"{tag}: decode != ground truth")
+        elif expect is None and hasattr(r, "dtype") and r.dtype not in (
+            np.uint8,
+            np.dtype("<i2"),  # WAV samples are int16 by format
+        ):
+            problems.append(f"{tag}: malformed decode dtype {r.dtype}")
+
+    for key in [rng.randrange(1, 1 << 30) for _ in range(6)]:
+        pix = _synth_pixels(key)
+        bases = [
+            ("png", _png_encode(pix), _png_decode, pix),
+            (
+                "jpeg",
+                jpeg_encode_blocks(
+                    [rng.randrange(-64, 64) for _ in range(4)], 2, 16, 16
+                ),
+                jpeg_decode,
+                None,  # gray ground truth needs the DC layout; exactness
+                # is oracled by jpeg_decode queries — here assert decode
+                # well-formedness + refusal hygiene
+            ),
+            ("wav", make_wav(key), None,
+             _synth_samples(key, 256 + key % 256).astype("<i2")),
+        ]
+        for name, payload, dec, truth in bases:
+            if name == "wav":
+
+                def dec(p):  # noqa: PLW0127 — per-base decoder
+                    with wave.open(io.BytesIO(p), "rb") as w:
+                        raise_on = w.getnframes()
+                        raw = w.readframes(raise_on)
+                    if len(raw) != raise_on * w.getnchannels() * 2:
+                        raise ValueError("short")
+                    return np.frombuffer(raw, dtype="<i2")
+
+                # route stdlib wave errors the way decode_audio does
+                real_dec = dec
+
+                def dec(p, _rd=real_dec):
+                    try:
+                        return _rd(p)
+                    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+                        raise ValueError(str(e)) from None
+
+            probe(f"{name}:valid", lambda d=dec, p=payload: d(p), expect=truth)
+            for ctag, cp in corruptions(payload):
+                probe(f"{name}:{ctag}", lambda d=dec, p=cp: d(p))
+
+    # AVI container: valid round-trip + corruptions
+    sub = jpeg_encode_blocks([3, -1], 2, 16, 8)
+    avi = avi_encode_mjpeg([sub, sub, sub], 16, 8)
+    probe("avi:valid_framecount", lambda: np.array(len(avi_decode_frames(avi))), expect=np.array(3))
+    for ctag, cp in corruptions(avi):
+        probe(f"avi:{ctag}", lambda p=cp: [np.frombuffer(f, dtype=np.uint8) for f in avi_decode_frames(p)] and np.zeros(0, np.uint8))
+
+    # ---- Spark operator leg ----
+    from pyspark.sql import functions as F
+
+    from nekton_spark.functions.multimodal import (
+        decode_audio,
+        decode_image,
+        synth_jpeg_media,
+        synth_png_media,
+        synth_wav_media,
+    )
+
+    ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    n_png = decode_image(synth_png_media(ids)).count()
+    n_jpg = decode_image(synth_jpeg_media(ids)).count()
+    n_wav = decode_audio(synth_wav_media(ids)).count()
+    if not (n_png == n_jpg == n_wav == 20):
+        problems.append(f"spark leg counts png={n_png} jpg={n_jpg} wav={n_wav}")
+    checked += 3
+    # unsupported mime must refuse through the operator path
+    from nekton_spark.functions.multimodal import media_from_text
+
+    bad = media_from_text(
+        ids.select("doc_id", F.lit("x").alias("text")), mime="video/h264"
+    )
+    try:
+        decode_image(bad).count()
+        problems.append("spark leg: unsupported mime did NOT refuse")
+    except Exception as exc:
+        if "NotImplementedError" not in str(type(exc)) and "no codec" not in str(exc):
+            problems.append(f"spark leg: unsupported mime leaked {type(exc).__name__}")
+    checked += 1
+
+    if problems:
+        return False, f"{len(problems)}/{checked} probes failed: " + "; ".join(problems[:4])
+    return True, f"{checked} probes: refuse-or-decode-exactly holds"
+
+
 def main() -> int:
     args = sys.argv[1:]
     seed = int(args[0]) if args and args[0].isdigit() else 0
     names = args[1:] if args and args[0].isdigit() else args
     if not names:
-        names = DOC_QUERIES + EMB_QUERIES + EVENT_QUERIES + REL_QUERIES
+        names = DOC_QUERIES + EMB_QUERIES + EVENT_QUERIES + REL_QUERIES + MEDIA_QUERIES
 
     import duckdb
 
@@ -504,6 +680,16 @@ def main() -> int:
         )
     failures = []
     for name in names:
+        if name in MEDIA_QUERIES:
+            try:
+                ok, msg = run_media_fuzz(spark, seed)
+            except Exception as exc:  # noqa: BLE001
+                ok, msg = False, f"error: {type(exc).__name__}: {exc}"
+            status = "PASS " if ok else "FAIL "
+            print(f"{status} {name}: {msg}"[:300], file=sys.stderr)
+            if not ok:
+                failures.append(name)
+            continue
         if name not in qs:
             print(f"skip  {name}: unknown query", file=sys.stderr)
             continue
