@@ -199,7 +199,42 @@ def redact_pii(col: Column) -> Column:
 def dup_ngram_fraction(col: Column, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats within the document
     (1 - distinct/total) — the Gopher-style intra-doc repetition
-    signal ('duplicate 3-grams' family). 0 when fewer than n tokens."""
+    signal ('duplicate 3-grams' family). 0 when fewer than n tokens.
+
+    Arrow-batched one-pass (r8): the expression form
+    (:func:`dup_ngram_fraction_expr`) references the interpreted
+    ngram-HOF three times (size, array_distinct, size) and Catalyst's
+    project-collapse re-inlines — re-executes — it per reference;
+    measured 7.1 s vs 0.6 s for this UDF over 5k sf0.1 docs (the
+    r1 md5-re-inline failure mode again). The UDF replicates the JVM
+    chain's semantics exactly: space-only strip (Spark/DuckDB trim),
+    ASCII ``\\s+`` split keeping leading/trailing empty tokens
+    (F.split limit -1 == re.split), NULL = empty document, and the
+    1 - distinct/total double division over identical integer
+    operands — bit-equal to the oracle (parity property-tested
+    against the expression form in tests/test_text_operators.py)."""
+    import re as _re
+
+    def one(t: str | None) -> float:
+        t = (t or "").strip(" ")
+        toks = _re.split(r"\s+", t, flags=_re.ASCII) if t else [""]
+        m = len(toks) - n + 1
+        if m <= 0:
+            return 0.0
+        distinct = len({tuple(toks[i : i + n]) for i in range(m)})
+        return 1.0 - distinct / m
+
+    @F.pandas_udf("double")
+    def _dup(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return _dup(col)
+
+
+def dup_ngram_fraction_expr(col: Column, n: int = 3) -> Column:
+    """Pure-JVM expression form of :func:`dup_ngram_fraction` — kept
+    as the tested-equal parity witness (and for expression-only
+    contexts); ~12× slower on wide scans due to HOF re-inlining."""
     g = ngrams(col, n)
     return F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g)

@@ -167,3 +167,35 @@ class TestBatchMetadata:
         r = out.first()
         assert r.metadata == {"partition_key": "7", "batch.job": "j1"}
         assert batch_metadata(out).first().batch_meta == {"job": "j1"}
+
+
+class TestDupNgramFractionParity:
+    def test_arrow_path_bit_equal_to_expression_witness(self, spark):
+        """The r8 Arrow one-pass dup_ngram_fraction must be bit-equal
+        to the pure-JVM expression form on every whitespace/NULL edge
+        the tokenizer contract defines (space-only trim, ASCII \\s+
+        split keeping leading/trailing empties, NULL = empty doc)."""
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.text_analysis import (
+            dup_ngram_fraction,
+            dup_ngram_fraction_expr,
+        )
+
+        texts = [
+            None, "", "   ", "\n", "a", "a b", "a b c", "a b c a b c",
+            "a a a a a a", "\nx y z x y z", "x y z  \n", "x\ty z x y z",
+            "a b c d e f g h", "one two three one two three one two three",
+            " nbsp stays one token maybe", "a  b   c a  b",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        for n in (2, 3, 5):
+            rows = df.select(
+                "id",
+                dup_ngram_fraction(F.col("text"), n).alias("arrow"),
+                dup_ngram_fraction_expr(F.col("text"), n).alias("expr"),
+            ).collect()
+            for r in rows:
+                assert r.arrow == r.expr, (n, texts[r.id], r.arrow, r.expr)
