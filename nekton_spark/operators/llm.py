@@ -113,9 +113,12 @@ def ann_topk_processor(
         "lsh": sim.lsh_topk,
         "ivf": sim.ivf_topk,
         "pq": sim.pq_topk,
+        "pq_rerank": sim.pq_topk_rerank,
     }.get(method)
     if fn is None:
-        raise ValueError(f"unknown ann method: {method!r} (brute|lsh|ivf|pq)")
+        raise ValueError(
+            f"unknown ann method: {method!r} (brute|lsh|ivf|pq|pq_rerank)"
+        )
     return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
 
 

@@ -455,6 +455,18 @@ output: {{type: memory}}
         rows = df.collect()
         assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}
 
+    def test_ann_topk_pq_rerank_method(self, spark):
+        """pq_rerank spec tag: ADC candidates re-scored with exact
+        cosine — scores are cosines (≤ 1), not raw inner products."""
+        df = self._run(
+            spark,
+            "ann_topk\n    method: pq_rerank\n    query_ids: [0, 1]\n    k: 3",
+            table="embeddings",
+        )
+        rows = df.collect()
+        assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}
+        assert all(r.score <= 1.0 for r in rows)
+
     def test_drift_tag_numeric_and_categorical(self, spark):
         from nekton_spark.spec import Spec, compile_spec
 
