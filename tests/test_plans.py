@@ -266,6 +266,17 @@ class TestR8Plans:
         assert "pythonUDF" not in plan.lower()
         assert "CartesianProduct" not in plan
 
+    def test_pq_rerank_broadcast_no_cartesian_two_exchanges(self, spark):
+        """pq_topk_rerank: candidates reach the true-vector fetch as a
+        broadcast (semi-join shape — the corpus is never shuffled);
+        the only exchanges are the two rank windows (ADC candidate
+        ranking + final re-rank over |queries|·c rows)."""
+        df = em.ann_topk_pq_rerank(spark, SF)
+        p = plans.simple_plan(df)
+        assert plans.has_broadcast_join(df)
+        assert "CartesianProduct" not in p
+        assert plans.count_exchanges(df) <= 2
+
     def test_neardup_exact_single_arrow_pass(self, spark):
         """The fused sig+hashed-shingles UDF: exactly ONE Arrow batch
         eval in the exact-verify near-dup plan (two passes — or a
