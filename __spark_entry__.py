@@ -1612,6 +1612,33 @@ def image_decode(spark, sf):
     )
 
 
+def png_color_decode(spark, sf):
+    """COLOR (truecolor-8 RGB) PNG round trip (r8 — the PNG half of
+    the codec envelope's color story, alongside jpeg_color_decode):
+    genuine 3-byte-per-pixel PNG scanlines cycling all five filters
+    (per-BYTE filtering with the left neighbor bpp=3 back, spec 9.2),
+    decoded by the generalized parser. The DuckDB oracle replays the
+    synthesis closed form p(y,x,ch) = (key*31 + y*17 + x*7 + ch*11)
+    % 256 over the flat RGB array."""
+    from nekton_spark.functions.multimodal import synth_png_color_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_png_color_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def jpeg_decode_check(spark, sf):
     """REAL baseline-JPEG codec round trip (functions/jpeg.py — pure
     stdlib/numpy, implemented from the public ITU-T T.81 spec):
@@ -2214,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
+        "png_color_decode": png_color_decode,
         # --- code (or oracle) changed in r8: neardup narrow-join rewrite,
         #     tiered-rounding/curriculum/drift ADVICE fixes, TRY_CAST oracle ---
         "neardup_time_horizon": neardup_time_horizon,
@@ -4106,6 +4134,25 @@ SELECT doc_id,
        list_reduce(
          list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9)),
            i -> (i + 1) * ((doc_id * 31 + (i // (8 + doc_id % 9)) * 17 + (i % (8 + doc_id % 9)) * 7) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM documents
+""",
+        # png_color_decode: flat RGB array in closed form — per flat
+        # index i: pixel p = i//3 (row p//w, col p%w), channel i%3
+        "png_color_decode": """
+SELECT doc_id,
+       (8 + doc_id % 7)::INT AS dec_height,
+       (8 + doc_id % 9)::INT AS dec_width,
+       ((8 + doc_id % 7) * (8 + doc_id % 9) * 3)::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9) * 3),
+           i -> (doc_id * 31 + ((i // 3) // (8 + doc_id % 9)) * 17
+                 + ((i // 3) % (8 + doc_id % 9)) * 7 + (i % 3) * 11) % 256),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9) * 3),
+           i -> (i + 1) * ((doc_id * 31 + ((i // 3) // (8 + doc_id % 9)) * 17
+                 + ((i // 3) % (8 + doc_id % 9)) * 7 + (i % 3) * 11) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
 """,

@@ -187,20 +187,31 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def _png_encode(pix: np.ndarray) -> bytes:
-    """Genuine grayscale-8 PNG bytes for an (h, w) uint8 array. Each
-    scanline y uses filter type y % 5, so a payload round trip
-    exercises None/Sub/Up/Average/Paeth encode AND decode paths."""
+    """Genuine PNG bytes for an (h, w) uint8 grayscale-8 array or an
+    (h, w, 3) uint8 truecolor-8 (RGB) array. Each scanline y uses
+    filter type y % 5, so a payload round trip exercises
+    None/Sub/Up/Average/Paeth encode AND decode paths. PNG filters
+    operate per BYTE with the left neighbor ``bpp`` bytes back (spec
+    9.2), so the same vectorized forms serve both color types."""
     import struct
     import zlib as _z
 
-    h, w = pix.shape
-    prev = np.zeros(w, dtype=np.int64)
+    if pix.ndim == 2:
+        h, w = pix.shape
+        bpp, ctype = 1, 0
+    else:
+        h, w, nc = pix.shape
+        if nc != 3:
+            raise ValueError(f"PNG encoder supports 1 or 3 channels, got {nc}")
+        bpp, ctype = 3, 2
+    rowbytes = w * bpp
+    prev = np.zeros(rowbytes, dtype=np.int64)
     raw = bytearray()
     for y in range(h):
-        cur = pix[y].astype(np.int64)
+        cur = pix[y].reshape(rowbytes).astype(np.int64)
         f = y % 5
-        left = np.concatenate(([0], cur[:-1]))
-        upleft = np.concatenate(([0], prev[:-1]))
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), cur[:-bpp]))
+        upleft = np.concatenate((np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
         if f == 0:
             out = cur
         elif f == 1:
@@ -221,7 +232,7 @@ def _png_encode(pix: np.ndarray) -> bytes:
         raw.append(f)
         raw.extend((out % 256).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -231,9 +242,11 @@ def _png_encode(pix: np.ndarray) -> bytes:
 
 
 def _png_decode(payload: bytes) -> np.ndarray:
-    """Parse grayscale-8 PNG bytes back to an (h, w) uint8 array:
-    validate signature + chunk CRCs, inflate concatenated IDATs,
-    invert all five scanline filters."""
+    """Parse PNG bytes back to pixels — grayscale-8 → (h, w) uint8,
+    truecolor-8 (RGB) → (h, w, 3) uint8: validate signature + chunk
+    CRCs, inflate concatenated IDATs, invert all five scanline
+    filters (per BYTE, left neighbor ``bpp`` back — spec 9.2). Other
+    color types / bit depths refuse explicitly."""
     import struct
     import zlib as _z
 
@@ -258,8 +271,11 @@ def _png_decode(payload: bytes) -> np.ndarray:
                 raise ValueError("truncated PNG: short IHDR")
             w, ihdr_h, depth, ctype = struct.unpack(">IIBB", body[:10])
             saw_ihdr = True
-            if (depth, ctype) != (8, 0):
-                raise NotImplementedError("only grayscale-8 PNGs supported")
+            if depth != 8 or ctype not in (0, 2):
+                raise NotImplementedError(
+                    "only grayscale-8 and truecolor-8 PNGs supported"
+                )
+            bpp = 3 if ctype == 2 else 1
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -271,15 +287,16 @@ def _png_decode(payload: bytes) -> np.ndarray:
         raw = _z.decompress(bytes(idat))
     except _z.error as e:
         raise ValueError(f"corrupt or truncated PNG IDAT stream: {e}") from None
-    stride = w + 1
+    rowbytes = w * bpp
+    stride = rowbytes + 1
     h = len(raw) // stride
     if len(raw) != stride * ihdr_h:
         raise ValueError(
             f"PNG pixel data inconsistent with IHDR: {len(raw)} bytes "
             f"for {ihdr_h} rows of stride {stride}"
         )
-    out = np.zeros((h, w), dtype=np.int64)
-    prev = np.zeros(w, dtype=np.int64)
+    out = np.zeros((h, rowbytes), dtype=np.int64)
+    prev = np.zeros(rowbytes, dtype=np.int64)
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
         f = line[0]
@@ -292,30 +309,31 @@ def _png_decode(payload: bytes) -> np.ndarray:
         if f == 0:
             cur = data
         elif f == 1:
-            cur = np.cumsum(data) % 256
+            # Sub's recurrence cur[x] = (data[x] + cur[x-bpp]) % 256 is
+            # bpp independent interleaved running sums
+            cur = np.cumsum(data.reshape(-1, bpp), axis=0).reshape(-1) % 256
         elif f == 2:
             cur = (data + prev) % 256
         elif f == 3:
             dl, pl, c_list = data.tolist(), prev.tolist(), []
-            a = 0
-            for x in range(w):
-                a = (dl[x] + (a + pl[x]) // 2) % 256
-                c_list.append(a)
+            for x in range(rowbytes):
+                a = c_list[x - bpp] if x >= bpp else 0
+                c_list.append((dl[x] + (a + pl[x]) // 2) % 256)
             cur = np.array(c_list, dtype=np.int64)
         elif f == 4:
             dl, pl, c_list = data.tolist(), prev.tolist(), []
-            a = 0
-            for x in range(w):
+            for x in range(rowbytes):
+                a = c_list[x - bpp] if x >= bpp else 0
                 b = pl[x]
-                c = pl[x - 1] if x else 0
-                a = (dl[x] + _paeth(a, b, c)) % 256
-                c_list.append(a)
+                c = pl[x - bpp] if x >= bpp else 0
+                c_list.append((dl[x] + _paeth(a, b, c)) % 256)
             cur = np.array(c_list, dtype=np.int64)
         else:
             raise ValueError(f"bad filter type {f}")
         out[y] = cur
         prev = cur
-    return out.astype(np.uint8)
+    u8 = out.astype(np.uint8)
+    return u8 if bpp == 1 else u8.reshape(h, w, 3)
 
 
 def _synth_pixels(key: int) -> np.ndarray:
@@ -342,6 +360,37 @@ def synth_png_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 "payload": _png_encode(_synth_pixels(key)),
                 "mime": "image/png",
                 "meta": {"origin": "synth"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _synth_pixels_color(key: int) -> np.ndarray:
+    """Closed-form deterministic RGB pixels: same dims as
+    :func:`_synth_pixels` (w = 8 + key%9, h = 8 + key%7),
+    p(y, x, ch) = (key*31 + y*17 + x*7 + ch*11) % 256 — pure integer
+    math a SQL oracle replays without seeing the bytes."""
+    w, h = 8 + key % 9, 8 + key % 7
+    y, x, ch = np.mgrid[0:h, 0:w, 0:3]
+    return ((key * 31 + y * 17 + x * 7 + ch * 11) % 256).astype(np.uint8)
+
+
+def synth_png_color_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL truecolor-8 (RGB) PNG payload per row — the color
+    twin of :func:`synth_png_media` (r8): same genuine chunk/CRC/filter
+    structure, 3 bytes per pixel, pixels from the
+    :func:`_synth_pixels_color` closed form."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            return {
+                "payload": _png_encode(_synth_pixels_color(key)),
+                "mime": "image/png",
+                "meta": {"origin": "synth", "channels": "3"},
             }
 
         for pdf in batches:

@@ -802,6 +802,29 @@ class TestMultimodal:
             assert back.shape == pix.shape
             assert (back == pix).all()
 
+    def test_png_color_codec_round_trip_pure(self):
+        """Truecolor-8 (RGB) PNG round trip (r8): per-BYTE filtering
+        with the left neighbor bpp=3 back must invert exactly across
+        every filter type and synth shape — plus random pixels, which
+        exercise filter deltas the closed form never produces."""
+        import numpy as np
+
+        from nekton_spark.functions.multimodal import (
+            _png_decode,
+            _png_encode,
+            _synth_pixels_color,
+        )
+
+        for key in range(70):
+            pix = _synth_pixels_color(key)
+            back = _png_decode(_png_encode(pix))
+            assert back.shape == pix.shape == (8 + key % 7, 8 + key % 9, 3)
+            assert (back == pix).all()
+        rng = np.random.default_rng(9)
+        for h, w in [(1, 1), (5, 2), (11, 13)]:
+            pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (_png_decode(_png_encode(pix)) == pix).all()
+
     def test_png_decode_rejects_corruption(self):
         from nekton_spark.functions.multimodal import _png_decode, _png_encode, _synth_pixels
 

@@ -45,7 +45,8 @@ DOC_QUERIES = [
     # pipes transform text; the codecs synthesize payloads from doc_id)
     "pipe_replace", "pipe_regex_replace", "pipe_regex_split",
     "pipe_regex_select", "pipeline_chain", "pipe_subprocess",
-    "jpeg_decode", "jpeg_color_decode", "image_decode", "image_resize",
+    "jpeg_decode", "jpeg_color_decode", "png_color_decode",
+    "image_decode", "image_resize",
     "audio_features", "video_frame_sample", "multimodal_features",
     "multimodal_decode", "text_stats",
 ]
@@ -516,6 +517,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         _png_decode,
         _png_encode,
         _synth_pixels,
+        _synth_pixels_color,
         _synth_samples,
     )
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
@@ -570,8 +572,10 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
 
     for key in [rng.randrange(1, 1 << 30) for _ in range(6)]:
         pix = _synth_pixels(key)
+        cpix = _synth_pixels_color(key)
         bases = [
             ("png", _png_encode(pix), _png_decode, pix),
+            ("png_color", _png_encode(cpix), _png_decode, cpix),
             (
                 "jpeg",
                 jpeg_encode_blocks(
