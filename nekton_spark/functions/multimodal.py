@@ -40,6 +40,11 @@ operators. Two codecs are REAL, needing no external library:
 - Image (color JPEG): 3-component SOF0 4:4:4 decodes for real too
   (interleaved MCUs, per-component DC prediction, JFIF YCbCr→RGB with
   SQL-replayable half-up rounding).
+- Image (color PNG, r8): truecolor-8 (RGB) scanlines — PNG filters
+  operate per byte with the left neighbor bpp=3 back (spec 9.2), so
+  the same five-filter machinery encodes and decodes 3-channel rows
+  (:func:`synth_png_color_media` / the generalized
+  :func:`_png_decode`).
 - Video (MJPEG AVI): :mod:`.video` writes and walks the RIFF/AVI
   container from the public spec; :func:`frame_sample` decodes only
   the sampled frames through the JPEG decoder — the standard
