@@ -597,7 +597,17 @@ def resize_image(
         for pdf in batches:
             def one(row) -> list:
                 h, w = row[h_col], row[w_col]
-                px = np.asarray(row[pixels_col], dtype=np.int64).reshape(h, w)
+                flat = np.asarray(row[pixels_col], dtype=np.int64)
+                # channel count from the flat length: 1 (gray) or 3
+                # (RGB — the r8 color decoders emit h*w*3 values);
+                # rows resize per pixel, channels ride along
+                nc, rem = divmod(len(flat), h * w)
+                if rem != 0 or nc not in (1, 3):
+                    raise ValueError(
+                        f"pixel array of {len(flat)} values does not "
+                        f"factor as {h}x{w} gray or RGB"
+                    )
+                px = flat.reshape(h, w, nc)
                 return px[np.ix_(ys * h // out_h, xs * w // out_w)].ravel().tolist()
 
             resized = pdf.apply(one, axis=1)
