@@ -1495,6 +1495,23 @@ def ann_topk_pq_rerank(spark, sf):
     return pq_topk_rerank(emb, q, k=10, c_mult=4)
 
 
+def ann_topk_ivfpq(spark, sf):
+    """IVF + PQ composition (similarity.ivfpq_topk): √n coarse
+    inverted lists AND 8-byte PQ codes — queries ADC-scan only their
+    n_probe=2 probed lists, so the compressed scan shrinks another
+    ~√n/n_probe× beyond pq_topk (at 10^10 vectors: ~2·10^5× fewer
+    codes read per query). Build is ONE fused Arrow pass (coarse
+    cosine argmax + per-subspace code argmin), no shuffle. The oracle
+    composes the ann_topk_ivf coarse/probe CTEs with the ann_topk_pq
+    training/encode/ADC CTEs, joined on the probed cells."""
+    from nekton_spark.functions.similarity import ivfpq_topk
+
+    _ship_package(spark)
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, q, k=5)
+
+
 def embedding_near_dup(spark, sf):
     """Cosine-threshold near-dup pairs at the ENGINE DEFAULT auto
     width (n_bits=None) — same auto-width policy and SQL replay as
@@ -2242,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
+        "ann_topk_ivfpq": ann_topk_ivfpq,
         # --- code (or oracle) changed in r8: neardup narrow-join rewrite,
         #     tiered-rounding/curriculum/drift ADVICE fixes, TRY_CAST oracle ---
         "neardup_time_horizon": neardup_time_horizon,
@@ -2711,6 +2729,7 @@ def _pq_sql(
     d0: int = 8,
     train_cap: int = 1 << 16,
     rerank_from: int | None = None,
+    ivf_probe: int | None = None,
 ) -> str:
     """Full SQL replay of similarity.pq_topk: per-subspace codebook
     training (the kmeans CTE structure at dim d0 / k ksub over the
@@ -2721,7 +2740,11 @@ def _pq_sql(
     subspaces). With ``rerank_from=c`` (similarity.pq_topk_rerank) the
     ADC scan nominates the top-c candidates per query and the final
     top-k is the exact-cosine re-rank of those rows' TRUE vectors —
-    the same _COS fold the brute-force oracle uses."""
+    the same _COS fold the brute-force oracle uses. With
+    ``ivf_probe=p`` (similarity.ivfpq_topk) the corpus additionally
+    gets the IVF coarse assignment (√n deterministic centroids, exact
+    cosine argmax — the ann_topk_ivf oracle's CTEs) and the ADC scan
+    is restricted to each query's p probed lists."""
 
     def dist(a: str, b: str) -> str:
         return " + ".join(
@@ -2762,10 +2785,39 @@ s{s}code AS (SELECT id, c FROM (
         + ")"
         for s in range(m_sub)
     )
-    parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),
+    if ivf_probe is None:
+        parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),
 q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 10),
 sc AS (SELECT q.query_id, e.id AS neighbor_id, round({score}, 6) AS score
        FROM q, enc e WHERE e.id <> q.query_id)""")
+    else:
+        cosql = (
+            f"({_unrolled_dot('v', 'cv')})"
+            f" / (sqrt({_unrolled_dot('v', 'v')})"
+            f" * sqrt({_unrolled_dot('cv', 'cv')}))"
+        )
+        parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),
+q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 10),
+cent AS (
+  SELECT id AS cid, v AS cv FROM pts
+  WHERE id % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM pts) = 0
+), casg AS (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (PARTITION BY b.id ORDER BY {cosql} DESC, c.cid) AS rn
+    FROM pts b, cent c) WHERE rn = 1
+), probe AS (
+  SELECT query_id, cid FROM (
+    SELECT b.id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY b.id ORDER BY {cosql} DESC, c.cid) AS rn
+    FROM pts b, cent c WHERE b.id < 10) WHERE rn <= {ivf_probe}
+), sc AS (
+  SELECT q.query_id, e.id AS neighbor_id, round({score}, 6) AS score
+  FROM probe p
+  JOIN casg a ON p.cid = a.cid
+  JOIN enc e ON e.id = a.id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.id <> q.query_id)""")
     if rerank_from is None:
         return (
             "WITH "
@@ -3712,6 +3764,7 @@ SELECT id AS vec_id, cluster FROM a2
         "kmeans_tiered": _KMEANS_TIERED_SQL,
         "ann_topk_pq": _pq_sql(),
         "ann_topk_pq_rerank": _pq_sql(k=10, rerank_from=40),
+        "ann_topk_ivfpq": _pq_sql(k=5, ivf_probe=2),
         "dataset_drift": _drift_sql(),
         "category_drift": """
 WITH oldd AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),

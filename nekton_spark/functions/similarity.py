@@ -708,6 +708,178 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_stride: int | None = None,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    train_cap: int = PQ_TRAIN_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_centroids: int = 1 << 16,
+) -> DataFrame:
+    """IVF + PQ composition (the classic coarse-quantizer + product-
+    quantizer index): the corpus is partitioned into √n inverted lists
+    (ivf_topk's deterministic coarse centroids and exact-fold cosine
+    argmax) AND stored as m_sub one-byte PQ codes (pq_topk's global
+    codebooks) — queries ADC-scan ONLY the ``n_probe`` probed lists.
+
+    This is the scale composition neither parent achieves alone:
+
+    - vs pq_topk: the compressed scan shrinks from n rows to
+      ~n·n_probe/√n rows (probed lists only) — at 10^10 vectors and
+      n_probe=2 the per-query scan reads ~2·10^5× fewer codes.
+    - vs ivf_topk: probed lists are scored from 8-byte codes via
+      pure-codegen LUT lookups instead of re-scoring true vectors
+      through an Arrow cosine — the 64× memory win rides along.
+
+    Build cost: ONE fused Arrow pass computes both the coarse
+    assignment (chunked exact-fold cosine argmax vs the O(√n)
+    broadcast-by-closure centroid matrix) and the PQ codes (exact
+    left-fold squared-L2 argmin per subspace) — each corpus vector
+    crosses to Python exactly once, the build shuffles nothing.
+    Probing is driver-side (queries are the bounded small side by
+    contract; centroids are already driver-resident): same fold, same
+    (sim desc, cid asc) tie order as ivf_topk's window. The per-query
+    probed-cell guard wraps the LUT score in a WHEN, so unprobed rows
+    never evaluate the chain.
+
+    Exactness: the oracle replays coarse centroids + assignment +
+    probing (ivf CTEs) and PQ training + encoding + ADC (pq CTEs)
+    joined on the probed cells — exact hash-match; recall vs brute
+    force is a separate quality property (global codebooks, no
+    residual encoding — the residual variant trades oracle
+    replayability for recall and is out of scope)."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d0 = dim // m_sub
+    from .clustering import train_centroids
+
+    base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    base = ensure_parallelism(base)
+    n = _estimate_rows(base)
+    if centroid_stride is None:
+        centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
+    cent_rows = (
+        base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
+    )
+    c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+
+    pq_stride = max(1, -(-n // train_cap))
+    tr = base.filter(F.col("id") % pq_stride == 0)
+    cbs: list[list[list[float]]] = []
+    for s in range(m_sub):
+        sub = tr.select(
+            F.col("id").alias("_kid"), F.slice("v", s * d0 + 1, d0).alias("_kv")
+        )
+        cbs.append(train_centroids(sub, ksub, iters))
+    C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+
+    build_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cid", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def build(batches):
+        row_chunk = max(1, (32 << 20) // (8 * max(1, len(c_ids))))
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "cid": [], "codes": []})
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            best = np.empty(len(V), dtype=np.int64)
+            for r0 in range(0, len(V), row_chunk):
+                r1 = min(r0 + row_chunk, len(V))
+                dots = _fold_dots(V[r0:r1], c_mat)
+                S = dots / (nv[r0:r1, None] * c_norm[None, :])
+                best[r0:r1] = S.argmax(axis=1)  # ties → smallest cid
+            codes = np.empty((len(V), m_sub), dtype=np.int32)
+            for s in range(m_sub):
+                P = V[:, s * d0 : (s + 1) * d0]
+                d = np.zeros((len(P), len(C[s])))
+                for j in range(d0):  # exact left fold over dimensions
+                    dcol = P[:, j, None] - C[s][None, :, j]
+                    d += dcol * dcol
+                codes[:, s] = d.argmin(axis=1)  # first index on ties
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cid": c_ids[best],
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = base.mapInPandas(build, build_schema)
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+        .orderBy("qid")
+        .collect()
+    )
+
+    def lut_for(qv: list[float], s: int) -> list[float]:
+        out = []
+        for c in range(ksub):
+            acc = 0.0
+            for j in range(d0):
+                acc += qv[s * d0 + j] * cbs[s][c][j]
+            out.append(acc)
+        return out
+
+    structs = []
+    for r in q_rows:
+        qv = np.asarray(list(r.qv), dtype=np.float64)
+        qn = np.sqrt(np.cumsum(qv * qv)[-1])
+        dots = _fold_dots(qv[None, :], c_mat)[0]
+        sims = dots / (qn * c_norm)
+        probed = sorted(range(len(c_ids)), key=lambda j: (-sims[j], c_ids[j]))
+        cells = [int(c_ids[j]) for j in probed[:n_probe]]
+        luts = [lut_for(list(r.qv), s) for s in range(m_sub)]
+        score = None
+        for s in range(m_sub):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in luts[s]]),
+                F.element_at("codes", s + 1) + F.lit(1),
+            )
+            score = term if score is None else score + term
+        structs.append(
+            F.struct(
+                F.lit(int(r.qid)).cast("long").alias("query_id"),
+                # probed-cell guard OUTSIDE the LUT chain: unprobed
+                # rows short-circuit to NULL without evaluating it
+                F.when(
+                    F.col("cid").isin(*cells), F.round(score, 6)
+                ).alias("score"),
+            )
+        )
+    scored = (
+        encoded.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("cid"),
+            F.explode(F.array(*structs)).alias("qs"),
+        )
+        .select("qs.query_id", "neighbor_id", "qs.score")
+        .filter(F.col("score").isNotNull() & (F.col("query_id") != F.col("neighbor_id")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def pq_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,

@@ -114,10 +114,11 @@ def ann_topk_processor(
         "ivf": sim.ivf_topk,
         "pq": sim.pq_topk,
         "pq_rerank": sim.pq_topk_rerank,
+        "ivfpq": sim.ivfpq_topk,
     }.get(method)
     if fn is None:
         raise ValueError(
-            f"unknown ann method: {method!r} (brute|lsh|ivf|pq|pq_rerank)"
+            f"unknown ann method: {method!r} (brute|lsh|ivf|pq|pq_rerank|ivfpq)"
         )
     return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
 

@@ -415,6 +415,37 @@ class TestSimilarity:
             if r.rank == 1:
                 assert r.score > 0.999
 
+    def test_ivfpq_planted_twin_rank1_and_determinism(self, spark):
+        """IVF+PQ composition: a planted near-copy must land in its
+        twin's probed list AND quantize to its codes — rank 1 — and
+        the whole build (coarse assign, codebooks, encode, probe) must
+        be run-to-run deterministic."""
+        import random
+
+        from nekton_spark.functions.similarity import ivfpq_topk
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(120):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+        for j, src in enumerate((50, 51, 52)):
+            rows.append(
+                (200 + j, [x + rng.gauss(0, 1e-4) for x in rows[src][1]])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") >= 200)
+        out1 = sorted(
+            (r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in ivfpq_topk(df, q, k=3, n_probe=2).collect()
+        )
+        out2 = sorted(
+            (r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in ivfpq_topk(df, q, k=3, n_probe=2).collect()
+        )
+        assert out1 == out2
+        top1 = {qid: nid for qid, nid, _, rank in out1 if rank == 1}
+        assert top1 == {200: 50, 201: 51, 202: 52}
+
     def test_pq_topk_rejects_indivisible_dim(self, spark):
         from nekton_spark.functions.similarity import pq_topk
 
