@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from nekton_spark.functions import dedup, similarity
 from nekton_spark.functions import text_analysis as ta
+from nekton_spark.functions.clustering import SEED_ORDER_SALT
 from nekton_spark.functions.hashing import hash60_sql
 from nekton_spark.functions.multimodal import (
     decode_audio,
@@ -1171,6 +1172,26 @@ def text_quality(spark, sf):
     return d.select("doc_id", ta.quality_score(c).alias("quality"), ta.lang_id(c).alias("lang_guess"))
 
 
+def lang_id_trained(spark, sf):
+    """TRAINED language id (functions/langid_model.py — r8 verdict #7,
+    replacing the stopword-profile placeholder as the quality path):
+    multinomial Naive Bayes over character trigrams, integer
+    milli-log-prob weights trained deterministically at import from
+    the module's embedded original corpus and broadcast as a (gram,
+    lang, wm) table — the classifier_score serving mechanism. Score_L
+    = Σ matched weights + (n_grams − matched_L)·oov_L in pure long
+    arithmetic; argmax with ties → smaller code; <3-char docs → 'und'.
+    Plan: codegen trigram explode → broadcast join → ONE partial-agg'd
+    pivot shuffle over the 5 literal codes → expression argmax. The
+    oracle embeds the identical trained VALUES table. The profile
+    heuristic stays as text_quality's lang_guess fallback;
+    tests/test_text_operators.py pins a held-out accuracy floor of the
+    trained model at/above the heuristic."""
+    from nekton_spark.functions.langid_model import lang_id_trained as _lit
+
+    return _lit(_t(spark, sf, "documents"))
+
+
 def gopher_quality_rules(spark, sf):
     """Gopher rule-battery filter (text_analysis.gopher_rules): the
     published Rae-et-al. quality rules — word-count and mean-word-length
@@ -1373,8 +1394,10 @@ def kmeans_clusters(spark, sf):
     (clustering.kmeans) at the ENGINE DEFAULT auto-k — cluster size
     pinned at ~TARGET_CLUSTER rows as the corpus grows, k replayed
     from count(*) in the oracle (the LSH auto-width posture, so the
-    driver-checked plan is the scale-safe one). Seeds = k smallest-id
-    vectors, 2 assignment passes with a rounded centroid recompute
+    driver-checked plan is the scale-safe one). Seeds = the k vectors
+    with the smallest hash60(id, SEED_ORDER_SALT) (ties → smaller id —
+    decorrelated from id adjacency; see clustering.SEED_ORDER_SALT),
+    2 assignment passes with a rounded centroid recompute
     between them; assignment is map-only (Arrow matrix fold at every
     k; expression argmin kept as the tested-equal parity witness); the
     update is
@@ -1406,7 +1429,8 @@ def kmeans_tiered(spark, sf):
     """TWO-LEVEL k-means — the capped-k scale path (clustering.kmeans
     with k > max_k): coarse k-means at clamp(ceil(sqrt(k)), 8, max_k)
     centroids, then per-coarse-cell LOCAL refinement (fine seeds = the
-    k_f = ceil(cell/target) smallest-id members, same iters/rounded
+    k_f = ceil(cell/target) smallest-hash60(id, SEED_ORDER_SALT)
+    members, same iters/rounded
     recompute/left-fold distance/first-index ties as the flat plan) so
     leaf sizes return to ~target without any k ∝ n broadcast or
     driver state. Cluster ids are packed longs
@@ -1903,9 +1927,13 @@ def vocab_top_tokens(spark, sf):
 
 def neardup_time_horizon(spark, sf):
     """Batch twin of the streaming near-dup operator
-    (nekton_spark/streaming/neardup.py): identical plan — banded
-    minhash self-join bounded to a time horizon, one emission per pair
-    by the first-shared-band rule — run over documents with synthetic
+    (nekton_spark/streaming/neardup.py): same semantics, batch-shaped
+    plan — a NARROW (id, ts, band, bh) banded self-join bounded to a
+    time horizon, candidate pairs DISTINCT'd and re-checked against an
+    exact shared signature band slice after the per-id state fetch
+    (so emission matches the stream's first-shared-band admission
+    exactly, including under 60-bit band-hash collisions) — run over
+    documents with synthetic
     event times (doc_id-spaced 37 s apart). The streaming path itself
     is exercised by tests/test_streaming.py::TestStreamingNearDup
     (watermark eviction + replay idempotence + batch equivalence)."""
@@ -2297,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_rollup": source_quality_rollup,
         "stratified_sample": stratified_sample,
         "text_quality": text_quality,
+        "lang_id_trained": lang_id_trained,
         "text_stats": text_stats,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "vocab_coverage": vocab_coverage,
@@ -2617,18 +2646,24 @@ def _unrolled_dist2(a: str, b: str, dim: int = 64) -> str:
 
 
 # Deterministic k-means (clustering.kmeans, iters=2) unrolled as CTEs:
-# seed = k smallest-id vectors, assign (ties → smaller cluster),
-# recompute centroids rounded to 1e-6 (empty clusters keep their
-# seed), assign again. ``k_sql`` parameterizes the k policy: the auto
-# replay max(8, ceil(n/500)) for kmeans_clusters/semdedup_prune, a
-# literal coarse k for the tiered replay.
+# seed = the k vectors with the smallest hash60(id, SEED_ORDER_SALT)
+# (ties → smaller id; cluster j = rank in that order — the
+# decorrelated rule of clustering.train_centroids), assign (ties →
+# smaller cluster), recompute centroids rounded to 1e-6 (empty
+# clusters keep their seed), assign again. ``k_sql`` parameterizes the
+# k policy: the auto replay max(8, ceil(n/500)) for
+# kmeans_clusters/semdedup_prune, a literal coarse k for the tiered
+# replay.
+_SEED_ORD = f"{hash60_sql('id', str(SEED_ORDER_SALT))}, id"
+
+
 def _kmeans_ctes(k_sql: str) -> str:
     return f"""
 pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 kk AS (SELECT {k_sql} AS k FROM pts),
 seeds AS (
   SELECT (rn - 1)::INT AS cluster, v AS c
-  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM pts)
+  FROM (SELECT id, v, row_number() OVER (ORDER BY {_SEED_ORD}) AS rn FROM pts)
   WHERE rn <= (SELECT k FROM kk)
 ),
 d1 AS (SELECT p.id, s.cluster, {_unrolled_dist2('p.v', 's.c')} AS d FROM pts p, seeds s),
@@ -2653,7 +2688,7 @@ _KMEANS_CTES = _kmeans_ctes("greatest(8, ceil(count(*) / 500.0)::INT)")
 # clamp(ceil(sqrt(40)), 8, 16) = 8, target_cluster=25, no tiling at
 # this size so tile = 0): coarse = the flat CTEs at literal k=8, then
 # per-coarse-cell fine k-means — k_f = ceil(cell/25) window-ranked
-# smallest-id seeds, one rounded-mean recompute (empty fine clusters
+# smallest-hash60(id) seeds, one rounded-mean recompute (empty fine clusters
 # keep their seed), final assignment by the same left-fold distance
 # with ties to the smaller fine index. cluster = (coarse·2^21 + 0)·2^21
 # + fine, the engine's packed-long id.
@@ -2661,7 +2696,7 @@ _KMEANS_TIERED_SQL = f"""
 WITH {_kmeans_ctes('8')},
 p2 AS (SELECT p.id, p.v, a2.cluster AS coarse FROM pts p JOIN a2 USING (id)),
 fkk AS (SELECT coarse, greatest(1, ceil(count(*) / 25.0)::INT) AS kf FROM p2 GROUP BY coarse),
-fr AS (SELECT id, v, coarse, row_number() OVER (PARTITION BY coarse ORDER BY id) AS rn FROM p2),
+fr AS (SELECT id, v, coarse, row_number() OVER (PARTITION BY coarse ORDER BY {_SEED_ORD}) AS rn FROM p2),
 fs AS (SELECT fr.coarse, (fr.rn - 1)::INT AS fine, fr.v AS c
        FROM fr JOIN fkk USING (coarse) WHERE fr.rn <= fkk.kf),
 fd1 AS (SELECT p.id, p.coarse, s.fine, {_unrolled_dist2('p.v', 's.c')} AS d
@@ -2682,6 +2717,47 @@ fa2 AS (SELECT id, coarse, fine FROM (
   SELECT id, coarse, fine, row_number() OVER (PARTITION BY id ORDER BY d, fine) AS rn
   FROM fd2) WHERE rn = 1)
 SELECT id AS vec_id, (coarse::BIGINT * 2097152 + 0) * 2097152 + fine AS cluster FROM fa2
+"""
+
+
+def _langid_trained_sql() -> str:
+    """Replay of functions/langid_model.lang_id_trained: the SAME
+    trained (gram, lang, wm) table as a VALUES literal, occurrence
+    counts via the identical trigram extraction, long-integer scores
+    score_L = ws_L + (n − cnt_L)·oov_L, argmax with ties to the
+    lexicographically smaller code, n = 0 → 'und'."""
+    from nekton_spark.functions.langid_model import (
+        LANGS,
+        langid_oov_sql,
+        langid_weight_values_sql,
+    )
+
+    oov = langid_oov_sql()
+    score_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN lang = '{l}' THEN ws END), 0)"
+        f" + (any_value(n) - coalesce(max(CASE WHEN lang = '{l}' THEN cnt END), 0))"
+        f" * ({oov[l]}) AS s_{l}"
+        for l in LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in LANGS) + ")"
+    pick = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in LANGS)
+    return f"""
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+nn AS (SELECT doc_id, greatest(length(t) - 2, 0)::BIGINT AS n, t FROM d),
+u AS (SELECT doc_id, t, unnest(range(1, n + 1)) AS i FROM nn WHERE n > 0),
+g AS (SELECT doc_id, substr(t, i::INT, 3) AS gram FROM u),
+m AS (SELECT doc_id, lang, count(*)::BIGINT AS cnt, sum(wm)::BIGINT AS ws
+      FROM g JOIN {langid_weight_values_sql()} USING (gram)
+      GROUP BY doc_id, lang),
+s AS (SELECT nn.doc_id, any_value(nn.n) AS n,
+         {score_cols}
+      FROM nn LEFT JOIN m USING (doc_id)
+      GROUP BY nn.doc_id),
+b AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, n AS n_grams,
+       CASE WHEN n = 0 THEN 'und' {pick} END AS lang,
+       CASE WHEN n = 0 THEN 0 ELSE best END AS best_milli
+FROM b
 """
 
 
@@ -2762,7 +2838,7 @@ tr AS (SELECT id, v FROM pts
         parts.append(f"""t{s} AS (SELECT id, v[{lo}:{hi}] AS sv FROM tr),
 p{s} AS (SELECT id, v[{lo}:{hi}] AS sv FROM pts),
 s{s}seed AS (SELECT (rn - 1)::INT AS c, sv AS cv FROM (
-  SELECT id, sv, row_number() OVER (ORDER BY id) AS rn FROM t{s}) WHERE rn <= {ksub}),
+  SELECT id, sv, row_number() OVER (ORDER BY {_SEED_ORD}) AS rn FROM t{s}) WHERE rn <= {ksub}),
 s{s}d1 AS (SELECT t.id, s.c, {dist('t.sv', 's.cv')} AS d FROM t{s} t, s{s}seed s),
 s{s}a1 AS (SELECT id, c FROM (
   SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn FROM s{s}d1) WHERE rn = 1),
@@ -3575,6 +3651,7 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM t
 """,
+        "lang_id_trained": _langid_trained_sql(),
         "text_quality": lang_cte
         + f"""
 , m AS (

@@ -230,6 +230,49 @@ output:
     return out
 
 
+def _ann_recall_bench(spark) -> dict:
+    """Per-method recall@10 vs brute-force cosine at the bench SF
+    (r8 verdict #5 — recall was previously asserted only on planted
+    tiny fixtures, so a recall regression was invisible between
+    rounds). 20 fixed queries (vec_id < 20) against the full bench
+    embedding corpus; each method runs at its engine-default knobs and
+    reports mean recall@10 plus its wall (build + search,
+    min-of-1 — this leg is about recall; wall is informational)."""
+    from pyspark.sql import functions as F
+
+    from nekton_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 20)
+    k = 10
+
+    def topk_sets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = topk_sets(sim.brute_force_topk(emb, q, k=k))
+    methods = {
+        "lsh": lambda: sim.lsh_topk(emb, q, k=k),
+        "ivf": lambda: sim.ivf_topk(emb, q, k=k),
+        "pq": lambda: sim.pq_topk(emb, q, k=k),
+        "pq_rerank": lambda: sim.pq_topk_rerank(emb, q, k=k),
+        "ivfpq": lambda: sim.ivfpq_topk(emb, q, k=k),
+    }
+    out: dict[str, dict] = {}
+    for name, fn in methods.items():
+        t0 = time.time()
+        got = topk_sets(fn())
+        wall = time.time() - t0
+        recall = sum(
+            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+        ) / len(truth)
+        out[name] = {"recall_at_10": round(recall, 3), "wall_sec": round(wall, 3)}
+        print(f"# ann_recall {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -321,6 +364,10 @@ def main() -> int:
         out["streaming"] = _streaming_bench(spark)
     except Exception as e:  # the batch headline must survive a streaming failure
         out["streaming"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        out["ann_recall"] = _ann_recall_bench(spark)
+    except Exception as e:
+        out["ann_recall"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
     return 0
 

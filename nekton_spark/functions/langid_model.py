@@ -1,0 +1,271 @@
+"""Trained character-trigram language identifier.
+
+The stopword-profile heuristic (:func:`text_analysis.lang_id`) was the
+one LLM-pipeline operator still at placeholder quality (r8 verdict
+#7): distinct-stopword voting breaks on short texts, misses languages
+whose function words collide (es/fr share ``de``, ``la``, ``un``) and
+cannot see unsegmented scripts at all (zh has no whitespace tokens).
+This module ships the TRAINED upgrade with the same mechanism the
+engine already uses for learned weights (classifier_score's broadcast
+integer-milli table):
+
+- **Model**: multinomial Naive Bayes over character trigrams —
+  the classic public-domain approach (Cavnar & Trenkle 1994,
+  "N-Gram-Based Text Categorization"). Per (gram, lang) weight =
+  round(1000·ln((count+1)/(N_lang+V))); per-lang OOV weight =
+  round(1000·ln(1/(N_lang+V))). Integer milli-log-probs summed as
+  longs → zero float-accumulation-order ambiguity, so a DuckDB
+  oracle replays scores bit-for-bit.
+- **Training data**: a small embedded corpus of original sentences in
+  the 5 LANG_PROFILES languages, authored for this module from common
+  public knowledge of each language (no external dataset shipped).
+  Training runs deterministically at import from these literals — the
+  model IS the source, no binary blob.
+- **Serving plan (100 TB shape)**: lower + trigram explode (map-only
+  codegen) → broadcast join on the vocabulary-sized weight table →
+  ONE partial-agg'd shuffle on doc_id (pivot over the 5 known
+  language codes, so no second exchange for an argmax window) →
+  pure-expression argmax with ties to the lexicographically smaller
+  code. Docs shorter than 3 chars → ``'und'``.
+
+Reference parity: the reference engine has no text-analysis layer at
+all (SURVEY §2.4); this extends the §2.5 LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Original training sentences per language (authored for this module;
+# everyday common-knowledge phrasing, lowercase-insensitive — training
+# lowers). Kept to letters/spaces/commas/periods so the SQL-embedded
+# weight literals never need quote escaping beyond the apostrophes
+# handled in langid_weight_values_sql.
+TRAIN_CORPUS: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank.",
+        "she said that it would be better to wait for the morning train.",
+        "most people think the weather has been unusually warm this year.",
+        "the children were playing in the garden behind the old house.",
+        "he could not remember where he had left the keys to the car.",
+        "this is one of the best books i have read in a long time.",
+        "they decided to walk home because the bus was running late.",
+        "there is nothing more important than the health of your family.",
+        "the government announced a new plan to improve public schools.",
+        "we should always try to learn something new every single day.",
+        "after dinner they watched a film and talked about their plans.",
+        "the museum opens early in the morning and closes after sunset.",
+        "many students find it difficult to concentrate during summer.",
+        "a little knowledge about history can change how you see the world.",
+    ],
+    "es": [
+        "el perro corre por el parque mientras los ninos juegan en la arena.",
+        "ella dijo que seria mejor esperar hasta la manana siguiente.",
+        "la mayoria de la gente piensa que el tiempo ha sido muy caluroso.",
+        "los ninos estaban jugando en el jardin detras de la casa vieja.",
+        "no podia recordar donde habia dejado las llaves del coche.",
+        "este es uno de los mejores libros que he leido en mucho tiempo.",
+        "decidieron caminar a casa porque el autobus llegaba tarde.",
+        "no hay nada mas importante que la salud de tu familia.",
+        "el gobierno anuncio un nuevo plan para mejorar las escuelas.",
+        "siempre debemos intentar aprender algo nuevo cada dia.",
+        "despues de cenar vieron una pelicula y hablaron de sus planes.",
+        "el museo abre temprano por la manana y cierra al atardecer.",
+        "muchos estudiantes tienen dificultades para concentrarse en verano.",
+        "un poco de conocimiento de la historia puede cambiar tu vision del mundo.",
+    ],
+    "fr": [
+        "le chien court dans le parc pendant que les enfants jouent dehors.",
+        "elle a dit qu il vaudrait mieux attendre le train du matin.",
+        "la plupart des gens pensent que le temps a ete tres chaud cette annee.",
+        "les enfants jouaient dans le jardin derriere la vieille maison.",
+        "il ne se souvenait plus ou il avait laisse les cles de la voiture.",
+        "c est un des meilleurs livres que j ai lus depuis longtemps.",
+        "ils ont decide de rentrer a pied parce que le bus etait en retard.",
+        "il n y a rien de plus important que la sante de votre famille.",
+        "le gouvernement a annonce un nouveau plan pour les ecoles publiques.",
+        "nous devrions toujours essayer d apprendre quelque chose de nouveau.",
+        "apres le diner ils ont regarde un film et parle de leurs projets.",
+        "le musee ouvre tot le matin et ferme apres le coucher du soleil.",
+        "beaucoup d etudiants ont du mal a se concentrer pendant l ete.",
+        "un peu de connaissance de l histoire peut changer votre vision du monde.",
+    ],
+    "de": [
+        "der hund lauft durch den park wahrend die kinder im sand spielen.",
+        "sie sagte dass es besser ware auf den zug am morgen zu warten.",
+        "die meisten leute denken dass das wetter dieses jahr sehr warm war.",
+        "die kinder spielten im garten hinter dem alten haus.",
+        "er konnte sich nicht erinnern wo er die schlussel gelassen hatte.",
+        "das ist eines der besten bucher die ich seit langem gelesen habe.",
+        "sie beschlossen zu fuss nach hause zu gehen weil der bus zu spat kam.",
+        "es gibt nichts wichtigeres als die gesundheit deiner familie.",
+        "die regierung kundigte einen neuen plan fur die schulen an.",
+        "wir sollten immer versuchen jeden tag etwas neues zu lernen.",
+        "nach dem abendessen sahen sie einen film und sprachen uber ihre plane.",
+        "das museum offnet fruh am morgen und schliesst nach sonnenuntergang.",
+        "viele studenten finden es schwer sich im sommer zu konzentrieren.",
+        "ein wenig wissen uber geschichte kann deine sicht auf die welt andern.",
+    ],
+    "zh": [
+        "狗在公园里跑，孩子们在沙地上玩耍。",
+        "她说最好等到明天早上再出发。",
+        "大多数人认为今年的天气特别热。",
+        "孩子们在老房子后面的花园里玩。",
+        "他不记得把车钥匙放在哪里了。",
+        "这是我很久以来读过的最好的书之一。",
+        "他们决定走路回家，因为公共汽车来晚了。",
+        "没有什么比家人的健康更重要。",
+        "政府宣布了一项改善公立学校的新计划。",
+        "我们应该每天都努力学习新的东西。",
+        "晚饭后他们看了一部电影，谈论了他们的计划。",
+        "博物馆早上很早开门，日落后关门。",
+        "很多学生觉得夏天很难集中注意力。",
+        "一点历史知识可以改变你看世界的方式。",
+    ],
+}
+
+LANGS = sorted(TRAIN_CORPUS)  # de, en, es, fr, zh
+
+# cap the shipped vocabulary per language (top-N trigrams by count,
+# ties → lexicographically smaller gram) so the broadcast table and
+# the oracle's VALUES literal stay bounded whatever the corpus grows to
+TOP_PER_LANG = 400
+
+
+def _grams(s: str) -> list[str]:
+    s = s.lower()
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+@lru_cache(maxsize=1)
+def train_trigram_weights(
+    top_per_lang: int = TOP_PER_LANG,
+) -> tuple[tuple[tuple[str, str, int], ...], tuple[tuple[str, int], ...]]:
+    """Deterministic training: returns (weights, oov) where weights =
+    ((gram, lang, w_milli), ...) sorted by (lang, gram) and oov =
+    ((lang, oov_milli), ...). w_milli = round(1000·ln((c+1)/(N+V))),
+    oov_milli = round(1000·ln(1/(N+V))) with N = the language's kept
+    gram mass and V = the shipped table's distinct gram count (the
+    Laplace vocabulary)."""
+    counts: dict[str, Counter] = {}
+    for lang, sents in TRAIN_CORPUS.items():
+        c: Counter = Counter()
+        for s in sents:
+            c.update(_grams(s))
+        counts[lang] = c
+    kept: dict[str, list[tuple[str, int]]] = {
+        lang: sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_per_lang]
+        for lang, c in counts.items()
+    }
+    vocab = {g for rows in kept.values() for g, _ in rows}
+    v = len(vocab)
+    weights: list[tuple[str, str, int]] = []
+    oov: list[tuple[str, int]] = []
+    for lang in LANGS:
+        n = sum(cnt for _, cnt in kept[lang])
+        denom = n + v
+        for g, cnt in sorted(kept[lang]):
+            weights.append((g, lang, round(1000 * math.log((cnt + 1) / denom))))
+        oov.append((lang, round(1000 * math.log(1 / denom))))
+    return tuple(weights), tuple(oov)
+
+
+def langid_weights_df(spark: SparkSession) -> DataFrame:
+    w, _ = train_trigram_weights()
+    return spark.createDataFrame(list(w), "gram string, lang string, wm long")
+
+
+def _trigrams_col(c: Column) -> Column:
+    n = F.length(c) - 2
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # returning empty, so sub-3-char docs would grow phantom grams
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, 3))
+    )
+
+
+def lang_id_trained(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, lang, n_grams, best_milli): trained trigram-NB language
+    id. Per-doc score for language L = Σ matched-gram weights +
+    (n_grams − matched_L)·oov_L, all long arithmetic; lang = argmax,
+    ties → lexicographically smaller code; n_grams = 0 → 'und' with
+    best_milli 0.
+
+    Plan: codegen trigram explode → broadcast join on the ≤|LANGS|·400
+    row weight table → ONE shuffle (partial-agg'd pivot over the 5
+    literal language codes, grouped by doc) → expression argmax. The
+    left join keeps unmatched gram rows so a doc matching nothing
+    still scores n·oov_L per language (pivot groups carry it)."""
+    spark = df.sparkSession
+    weights, oov = train_trigram_weights()
+    wdf = F.broadcast(langid_weights_df(spark))
+    c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.length(c) - 2, F.lit(0)).cast("long").alias("_n"),
+        _trigrams_col(c).alias("_grams"),
+    )
+    exploded = base.select(
+        "doc_id", "_n", F.explode("_grams").alias("gram")
+    ).join(wdf, "gram", "left")
+    pivoted = (
+        exploded.groupBy("doc_id", "_n")
+        .pivot("lang", LANGS)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("wm").alias("ws"),
+        )
+    )
+    oov_m = dict(oov)
+    scores = {
+        lang: (
+            F.coalesce(F.col(f"{lang}_ws"), F.lit(0)).cast("long")
+            + (F.col("_n") - F.coalesce(F.col(f"{lang}_cnt"), F.lit(0)))
+            * F.lit(oov_m[lang])
+        )
+        for lang in LANGS
+    }
+    best = F.greatest(*scores.values())
+    pick = F.lit("und")
+    for lang in reversed(LANGS):  # earlier codes win ties
+        pick = F.when(scores[lang] == best, F.lit(lang)).otherwise(pick)
+    # docs with no trigrams never explode a row — restore them as 'und'
+    scored = pivoted.select(
+        "doc_id",
+        F.col("_n").alias("n_grams"),
+        pick.alias("lang"),
+        best.alias("best_milli"),
+    )
+    missing = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit("und").alias("lang"),
+            F.lit(0).cast("long").alias("best_milli"),
+        )
+    )
+    return scored.unionByName(missing)
+
+
+def langid_weight_values_sql() -> str:
+    """The trained table as a DuckDB VALUES literal (gram, lang, wm) —
+    the oracle embeds the SAME model the engine broadcasts."""
+    w, _ = train_trigram_weights()
+    rows = ", ".join(
+        "('" + g.replace("'", "''") + f"', '{lang}', {wm})" for g, lang, wm in w
+    )
+    return f"(VALUES {rows}) AS w(gram, lang, wm)"
+
+
+def langid_oov_sql() -> dict[str, int]:
+    _, oov = train_trigram_weights()
+    return dict(oov)

@@ -281,6 +281,17 @@ def _png_decode(payload: bytes) -> np.ndarray:
                     "only grayscale-8 and truecolor-8 PNGs supported"
                 )
             bpp = 3 if ctype == 2 else 1
+            if w == 0 or ihdr_h == 0:
+                raise ValueError("zero-dimension PNG refused")
+            # hard pixel-count cap: the inflate guard below bounds
+            # output at the IHDR-declared size, so a forged IHDR
+            # declaring e.g. 2^31×2^31 would otherwise still license
+            # a huge allocation. Per-row batch media at this layer is
+            # bounded well under this.
+            if w * ihdr_h > 1 << 26:
+                raise ValueError(
+                    f"PNG dimensions {w}x{ihdr_h} exceed decode cap"
+                )
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -288,18 +299,26 @@ def _png_decode(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if not saw_ihdr:
         raise ValueError("truncated PNG: no IHDR chunk")
-    try:
-        raw = _z.decompress(bytes(idat))
-    except _z.error as e:
-        raise ValueError(f"corrupt or truncated PNG IDAT stream: {e}") from None
     rowbytes = w * bpp
     stride = rowbytes + 1
-    h = len(raw) // stride
-    if len(raw) != stride * ihdr_h:
+    # decompression-bomb guard (r8 ADVICE): cap inflate output at the
+    # IHDR-declared size + 1 BEFORE the consistency check — a small
+    # CRC-valid payload declaring huge dimensions must refuse, not
+    # inflate unbounded. The +1 byte distinguishes "exactly expected"
+    # from "stream continues past expected" (refused below either way:
+    # the != check fails on the overshoot byte).
+    expected = stride * ihdr_h
+    try:
+        dec = _z.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except _z.error as e:
+        raise ValueError(f"corrupt or truncated PNG IDAT stream: {e}") from None
+    if dec.unconsumed_tail or len(raw) != expected:
         raise ValueError(
             f"PNG pixel data inconsistent with IHDR: {len(raw)} bytes "
             f"for {ihdr_h} rows of stride {stride}"
         )
+    h = ihdr_h
     out = np.zeros((h, rowbytes), dtype=np.int64)
     prev = np.zeros(rowbytes, dtype=np.int64)
     for y in range(h):

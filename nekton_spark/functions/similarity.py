@@ -592,8 +592,9 @@ def pq_topk(
     1. **Codebooks** (driver state O(m_sub·ksub·d0) — 1 KB-scale):
        the vector splits into ``m_sub`` subspaces of d0 = dim/m_sub
        dims; each subspace trains an independent deterministic k-means
-       (clustering.train_centroids: seeds = the ksub smallest-id
-       TRAINING subvectors, ``iters - 1`` rounded-mean recomputes) over
+       (clustering.train_centroids: seeds = the ksub TRAINING
+       subvectors with the smallest hash60(id, SEED_ORDER_SALT),
+       ``iters - 1`` rounded-mean recomputes) over
        the deterministic sample ``id % stride == 0`` with stride =
        ceil(n / train_cap) — training rows are bounded at ``train_cap``
        whatever the corpus size, and the stride is replayed from

@@ -118,17 +118,8 @@ def streaming_minhash_near_dup(
         carried = ["id", "ts", "sig"] + (["sh"] if verify == "exact" else [])
         banded = base.select(*carried, F.posexplode(band_array).alias("band", "bh"))
         banded = ensure_event_time(banded, "ts").withWatermark("ts", delay)
-        left, right = banded.alias("l"), banded.alias("r")
         # the explicit two-sided time bound is what lets the stream-stream
-        # join evict buffered rows once the watermark passes the horizon
-        joined = left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.id") < F.col("r.id"))
-            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {delay}"))
-            & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {delay}")),
-        )
+        # join evict buffered rows once the watermark passes the horizon.
         # stream-stream join carries the full state (sig[, sh]) through
         # every banded row — the state store evicts by watermark and a
         # second stateful collapse operator would trip Spark's
@@ -249,8 +240,19 @@ def streaming_minhash_near_dup(
             F.size(F.array_intersect(F.col("_sha"), F.col("_shb"))).cast("double")
             / F.size(F.array_union(F.col("_sha"), F.col("_shb")))
         )
-        st_a = base.select(F.col("id").alias("_ida"), F.col("sh").alias("_sha"))
-        st_b = base.select(F.col("id").alias("_idb"), F.col("sh").alias("_shb"))
+        # sig rides along for the exact-band-slice equivalence filter
+        # below (k longs per fetched pair side — pair-scale, not in
+        # the hot banded shuffle)
+        st_a = base.select(
+            F.col("id").alias("_ida"),
+            F.col("sh").alias("_sha"),
+            F.col("sig").alias("_siga"),
+        )
+        st_b = base.select(
+            F.col("id").alias("_idb"),
+            F.col("sh").alias("_shb"),
+            F.col("sig").alias("_sigb"),
+        )
     else:
         score = (
             F.aggregate(
@@ -266,10 +268,22 @@ def streaming_minhash_near_dup(
         )
         st_a = base.select(F.col("id").alias("_ida"), F.col("sig").alias("_siga"))
         st_b = base.select(F.col("id").alias("_idb"), F.col("sig").alias("_sigb"))
+    # Candidates were admitted on the 60-bit band HASH alone (the
+    # narrow join never moves signatures); the streaming twin admits a
+    # pair only when an actual signature band SLICE matches. Re-check
+    # slice equality here, post-fetch — pair-scale, JVM-only — so a
+    # ~2^-60 band-hash collision cannot make batch emit a pair the
+    # stream would drop (strict batch/stream equivalence, r8 ADVICE).
+    shares_band = F.exists(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.slice(F.col("_siga"), b * r + 1, r)
+        == F.slice(F.col("_sigb"), b * r + 1, r),
+    )
     # least/greatest: the batch join orients pairs by (ts, id), not id
     return (
         pairs.join(st_a, "_ida")
         .join(st_b, "_idb")
+        .filter(shares_band)
         .select(
             F.least(F.col("_ida"), F.col("_idb")).alias("id_a"),
             F.greatest(F.col("_ida"), F.col("_idb")).alias("id_b"),

@@ -403,7 +403,13 @@ class TestSimilarity:
             (r.query_id, r.neighbor_id)
             for r in brute_force_topk(df, q, k=10).collect()
         }
-        got_rows = pq_topk_rerank(df, q, k=10, c_mult=4).collect()
+        # c_mult=6 → 60 ADC candidates out of 123 corpus rows: on a
+        # corpus this tiny the candidate pool must be a large corpus
+        # fraction for the floor to be stable across seeding changes
+        # (raw ADC is ~0.3 recall on isotropic Gaussians by design);
+        # at real scale c·k is a vanishing fraction and the knob is
+        # the caller's recall/cost dial.
+        got_rows = pq_topk_rerank(df, q, k=10, c_mult=6).collect()
         got = {(r.query_id, r.neighbor_id) for r in got_rows}
         recall = len(got & truth) / len(truth)
         assert recall >= 0.9, f"recall@10 {recall:.2f} < 0.9"
@@ -569,11 +575,58 @@ class TestClustering:
         assert _resolve_k(df, None) == 8  # floor
         assert _resolve_k(df, 3) == 3  # explicit k wins
 
+    def test_seeding_decorrelated_from_id_adjacency(self, spark):
+        """r8 verdict #1 regression pin: real crawl corpora have
+        ID-ADJACENT near-duplicates (sequential ids within a host), and
+        the old smallest-id seeding put every seed inside such a block
+        — duplicate centroids survive and the dup clique straddles
+        clusters. Seeds are now the k smallest hash60(id,
+        SEED_ORDER_SALT) (ties → smaller id). Pins (a) the seed rule
+        itself and (b) full clique recall on an id-adjacent planted
+        clique that the old rule demonstrably split."""
+        import numpy as np
+
+        from nekton_spark.functions.clustering import (
+            SEED_ORDER_SALT,
+            semdedup,
+            train_centroids,
+        )
+        from nekton_spark.functions.hashing import hash60_py
+
+        n, k = 100, 3
+        rng = np.random.default_rng(7)
+        V = rng.normal(size=(n, 8))
+        base = rng.normal(size=8)
+        for i in range(10):  # id-adjacent clique at ids 0-9
+            V[i] = base + rng.normal(size=8) * 1e-3
+        df = self._emb_df(spark, V.tolist())
+
+        # (a) the seed rule: iters=1 → centroids are exactly the
+        # vectors of the k smallest-hash ids, in hash order
+        expect_ids = sorted(
+            range(n), key=lambda i: (hash60_py(str(i), SEED_ORDER_SALT), i)
+        )[:k]
+        assert expect_ids == [3, 96, 66]  # spread, NOT ids 0,1,2
+        pts = df.selectExpr("vec_id AS _kid", "embedding AS _kv")
+        cents = train_centroids(pts, k, iters=1)
+        assert cents == [list(map(float, V[i])) for i in expect_ids]
+
+        # (b) clique recall: one seed inside the clique, two far away
+        # → the clique stays in ONE cluster and SemDeDup marks all 9
+        # non-keepers (the old seeding put seeds 0,1,2 all inside and
+        # split it)
+        marks = {
+            r.vec_id: r.is_dup
+            for r in semdedup(df, k=k, iters=2, tau=0.9).collect()
+        }
+        assert sum(marks[i] for i in range(10)) >= 9
+
     def test_tiered_kmeans_matches_local_reference(self, spark):
         """k > max_k routes to the two-level plan. Cross-check against
         an independent local reference: the (trusted, oracle-checked)
         flat engine result at coarse_k, refined per cell in pure numpy
-        with the same spec (k_f smallest-id seeds, iters-1 rounded-mean
+        with the same spec (k_f smallest-hash60(id, SEED_ORDER_SALT)
+        seeds — the decorrelated rule, iters-1 rounded-mean
         recomputes, left-fold distances, first-index ties)."""
         import random
 
@@ -605,7 +658,14 @@ class TestClustering:
             if k_f == 1:
                 fine = np.zeros(len(ids), dtype=int)
             else:
-                C = P[:k_f].copy()
+                from nekton_spark.functions.clustering import SEED_ORDER_SALT
+                from nekton_spark.functions.hashing import hash60_py
+
+                seed_ids = sorted(
+                    range(len(ids)),
+                    key=lambda j: (hash60_py(str(ids[j]), SEED_ORDER_SALT), ids[j]),
+                )[:k_f]
+                C = P[seed_ids].copy()
 
                 def assign(P, C):
                     d = np.zeros((len(P), len(C)))
@@ -642,19 +702,21 @@ class TestClustering:
 
         rng = random.Random(5)
         # one tight clique so coarse k-means piles everything into few
-        # cells, guaranteeing the cap trips
+        # cells; cell_cap=7 < ceil(60 / coarse_k=8) so BY PIGEONHOLE at
+        # least one cell exceeds the cap whatever the seed draw —
+        # tiling trips by construction, not by fixture luck
         vecs = [[1.0 + rng.gauss(0, 1e-3) for _ in range(4)] for _ in range(60)]
         df = self._emb_df(spark, vecs)
         out1 = sorted(
             (r.vec_id, r.cluster)
             for r in kmeans(
-                df, k=30, max_k=8, target_cluster=5, cell_cap=12
+                df, k=30, max_k=8, target_cluster=5, cell_cap=7
             ).collect()
         )
         out2 = sorted(
             (r.vec_id, r.cluster)
             for r in kmeans(
-                df, k=30, max_k=8, target_cluster=5, cell_cap=12
+                df, k=30, max_k=8, target_cluster=5, cell_cap=7
             ).collect()
         )
         assert out1 == out2
@@ -673,7 +735,13 @@ class TestClustering:
         import random
 
         rng = random.Random(3)
-        vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(30)]
+        # spread points have first coordinate 0 → cosine exactly 0
+        # against the planted pair's [10, ~0, 0, 0] direction, so no
+        # spread point can ever be dup evidence for ids 100/101
+        # whatever leaf the clustering puts them in
+        vecs = [
+            (i, [0.0] + [rng.gauss(0, 1) for _ in range(3)]) for i in range(30)
+        ]
         base = [10.0, 0.0, 0.0, 0.0]
         vecs += [(100, base), (101, [10.0, 1e-4, 0.0, 0.0])]
         df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
@@ -865,6 +933,56 @@ class TestMultimodal:
             _png_decode(bytes(good))
         with pytest.raises(ValueError, match="not a PNG"):
             _png_decode(b"GIF89a....")
+
+    def test_png_decode_refuses_decompression_bomb(self):
+        """r8 ADVICE: a small CRC-valid payload whose IDAT inflates past
+        the IHDR-declared size must refuse WITHOUT materializing the
+        inflated stream (capped decompressobj), and a forged IHDR
+        declaring huge dimensions must refuse before any inflate."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from nekton_spark.functions.multimodal import _png_decode, _png_encode
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        # declares 4x4 grayscale (expected 4*(4+1)=20 bytes) but the
+        # ~64 KB IDAT inflates to 64 MB of zeros: the cap must stop at
+        # 21 bytes and refuse
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        bomb_idat = zlib.compress(b"\x00" * (64 << 20))
+        assert len(bomb_idat) < (1 << 17)  # the payload itself is small
+        bomb = (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bomb_idat)
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="inconsistent with IHDR"):
+            _png_decode(bomb)
+        # forged IHDR declaring 2^15 x 2^15 pixels: refused by the
+        # pixel-count cap before any allocation
+        huge_ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 0, 0, 0, 0)
+        huge = sig + chunk(b"IHDR", huge_ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="decode cap"):
+            _png_decode(huge)
+        # zero-dimension refusal
+        zero_ihdr = struct.pack(">IIBBBBB", 0, 4, 8, 0, 0, 0, 0)
+        zero = sig + chunk(b"IHDR", zero_ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="zero-dimension"):
+            _png_decode(zero)
+        # a legitimate encode still round-trips through the new guards
+        pix = (np.arange(12, dtype=np.uint8) % 7).reshape(3, 4)
+        assert (_png_decode(_png_encode(pix)) == pix).all()
 
     def test_png_codec_spark_round_trip(self, spark):
         """Real PNG bytes through the full Spark path: synthesize,

@@ -277,6 +277,24 @@ class TestR8Plans:
         assert "CartesianProduct" not in p
         assert plans.count_exchanges(df) <= 2
 
+    def test_q01_two_agg_stages_no_python(self, spark):
+        """q01 is one pruned parquet scan → codegen projection →
+        partial/final hash aggregate → sort of 6 rows: two
+        HashAggregates, the agg exchange plus the final 6-row sort's
+        range exchange, zero Python. Pinned after the r8 bench
+        count-leg anomaly (0.898 s count vs 0.588 s evaluated in one
+        run): an isolated interleaved min-of-5 A/B on this host read
+        0.391 s count vs 0.519 s evaluated — the legs agree within
+        noise and the plan is the shape below; the r8 reading was
+        ambient host load landing on one leg (the r7 dedup_simhash
+        signature), not a regression."""
+        df = em.q01_pricing_summary(spark, SF)
+        plan = plans.simple_plan(df)
+        assert plan.count("HashAggregate") == 2
+        assert plans.count_exchanges(df) <= 2
+        assert "pythonUDF" not in plan.lower()
+        assert "CartesianProduct" not in plan
+
     def test_neardup_exact_single_arrow_pass(self, spark):
         """The fused sig+hashed-shingles UDF: exactly ONE Arrow batch
         eval in the exact-verify near-dup plan (two passes — or a

@@ -287,12 +287,23 @@ class TestSaltedPairMiningInvariant:
     and unsalted runs must emit IDENTICAL pair/evidence sets, scores
     bit-equal (per-pair folds are tile-shape-independent)."""
 
+    # clique position: ids 20-29, chosen DECORRELATED from the k-means
+    # seed ranks. Seeds are the k smallest hash60(id, SEED_ORDER_SALT)
+    # — for n=36, k=3 that is ids {3, 6, 7} — so no seed lands inside
+    # the clique and SemDeDup's per-cluster contract keeps the clique
+    # in one cluster (9 dup marks). The previous fixture planted the
+    # clique at ids 0-9, which under the old smallest-id seeding put
+    # ALL seeds inside it (the r8 red test); the id-adjacent-clique
+    # case is now pinned directly by
+    # test_functions.TestClustering::test_seeding_decorrelated_from_id_adjacency.
+    CLIQUE = range(20, 30)
+
     def _corpus(self, spark, seed, n=36, dim=8):
         rng = np.random.default_rng(seed)
         V = rng.normal(size=(n, dim))
         # plant a tight clique of 10 near-copies (hot bucket/cluster)
         base = rng.normal(size=dim)
-        for i in range(0, 10):
+        for i in self.CLIQUE:
             V[i] = base + rng.normal(size=dim) * 1e-3
         rows = [(int(i), [float(x) for x in V[i]]) for i in range(n)]
         return spark.createDataFrame(
