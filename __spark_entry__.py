@@ -2274,16 +2274,10 @@ def classifier_score_check(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Iteration order IS the driver's CORRECTNESS budget order (first 50
-    # checked per round). Round-8 rotation per the r7 verdict: the new
-    # r8 query leads, then queries whose code or oracle changed this
-    # round, then the ENTIRE 29-row CORRECTNESS_r05 staleness tail
-    # (pipe_* reference surface, r1-era relational rows, text_stats/
-    # text_quality/jpeg_decode/ann_topk_ivf/dedup_ngram_sampled), then
-    # the rows-only trio, then r06 rows to fill the 50-row window —
-    # after this round no query's oracle evidence is older than two
-    # rounds.
-    return {
+    # The base dict below keeps the r8 grouping comments for history;
+    # the ACTUAL iteration order is rebuilt by the r9_window list after
+    # it (iteration order IS the driver's 50-row correctness window).
+    q = {
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
@@ -2421,6 +2415,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": customers_without_orders,
         "set_ops_customers": set_ops_customers,
         "scalar_functions": scalar_functions,
+    }
+    # Round-9 rotation (r8 verdict #3): iteration order IS the
+    # driver's 50-row correctness window, so lead with (1) the query
+    # new this round, (2) every query whose engine code or oracle
+    # changed in r9 — the seed-decorrelated clustering/PQ family, the
+    # neardup batch-twin slice filter, the hardened PNG decode path —
+    # then (3) the ENTIRE 33-row CORRECTNESS_r06 staleness tail, and
+    # (4) r07 stragglers to fill the window. After this round no
+    # query's oracle evidence is older than two rounds.
+    r9_window = [
+        # new in r9
+        "lang_id_trained",
+        # seeding change: every query whose oracle replays train_centroids
+        "kmeans_clusters",
+        "kmeans_tiered",
+        "semdedup_prune",
+        "ann_topk_pq",
+        "ann_topk_pq_rerank",
+        "ann_topk_ivfpq",
+        # neardup batch-twin exact-slice filter
+        "neardup_time_horizon",
+        "neardup_estimate",
+        # PNG decode hardening (bomb guard sits on the shared decoder)
+        "png_color_decode",
+        "multimodal_decode",
+        # r06 staleness tail — all 33
+        "embedding_near_dup",
+        "bloom_decontamination",
+        "bpe_merge_candidates",
+        "classifier_trained",
+        "token_length_histogram",
+        "boilerplate_removal",
+        "classifier_score_docs",
+        "gopher_quality_rules",
+        "bm25_search",
+        "bigram_logprob",
+        "tfidf_top_terms",
+        "weighted_sample_docs",
+        "quota_sample_sources",
+        "chunk_documents",
+        "unigram_logprob",
+        "video_frame_sample",
+        "vocab_top_tokens",
+        "data_validation_report",
+        "q10_returned_items",
+        "multimodal_features",
+        "image_decode",
+        "events_tier_rollup",
+        "image_resize",
+        "latest_event_per_user",
+        "decontamination_check",
+        "pack_sequences_check",
+        "audio_features",
+        "topk_customers_per_nation",
+        "rollup_orders",
+        "distinct_customers_per_segment",
+        "customers_without_orders",
+        "set_ops_customers",
+        "scalar_functions",
+        # r07 stragglers filling the 50-row window
+        "approx_distinct_check",
+        "approx_quantile_check",
+        "common_passages",
+        "conditional_aggregation",
+        "date_arithmetic",
+        "dedup_connected_components",
+    ]
+    assert set(r9_window) <= set(q), sorted(set(r9_window) - set(q))
+    return {k: q[k] for k in r9_window} | {
+        k: v for k, v in q.items() if k not in r9_window
     }
 
 
