@@ -1192,6 +1192,23 @@ def lang_id_trained(spark, sf):
     return _lit(_t(spark, sf, "documents"))
 
 
+def dsir_select(spark, sf):
+    """DSIR importance scoring (functions/sampling.dsir_importance —
+    Xie et al. 2023): target = the src0/src1 documents, raw = the
+    rest; every raw doc scored by Σ over its hashed unigram+bigram
+    features of the add-one-smoothed target-vs-raw log-likelihood
+    ratio (B=4096 hash60 buckets — both models are ≤B rows however
+    large the corpus, broadcast to a map-only scoring pass; one
+    doc-keyed partial-agg shuffle). Selection = deterministic top-k /
+    threshold over log_ratio downstream. Oracle replays features,
+    bucket counts, and the rounded ln-term sum exactly."""
+    from nekton_spark.functions.sampling import dsir_importance
+
+    d = _t(spark, sf, "documents")
+    is_t = F.coalesce(F.col("source"), F.lit("")).isin("src0", "src1")
+    return dsir_importance(d.filter(~is_t), d.filter(is_t))
+
+
 def gopher_quality_rules(spark, sf):
     """Gopher rule-battery filter (text_analysis.gopher_rules): the
     published Rae-et-al. quality rules — word-count and mean-word-length
@@ -2320,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample,
         "text_quality": text_quality,
         "lang_id_trained": lang_id_trained,
+        "dsir_select": dsir_select,
         "text_stats": text_stats,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "vocab_coverage": vocab_coverage,
@@ -2427,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r9_window = [
         # new in r9
         "lang_id_trained",
+        "dsir_select",
         # seeding change: every query whose oracle replays train_centroids
         "kmeans_clusters",
         "kmeans_tiered",
@@ -2781,6 +2800,38 @@ fa2 AS (SELECT id, coarse, fine FROM (
   SELECT id, coarse, fine, row_number() OVER (PARTITION BY id ORDER BY d, fine) AS rn
   FROM fd2) WHERE rn = 1)
 SELECT id AS vec_id, (coarse::BIGINT * 2097152 + 0) * 2097152 + fine AS cluster FROM fa2
+"""
+
+
+def _dsir_sql(n_buckets: int = 4096, seed: int = 77) -> str:
+    """Replay of sampling.dsir_importance at the dsir_select split:
+    identical lowered unigram+bigram features, hash60-bucket counts
+    with add-one smoothing, and the rounded per-doc ln-ratio sum."""
+    grams = (
+        "CASE WHEN len(toks) >= 2 THEN list_concat(toks, "
+        "list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])) "
+        "ELSE toks END"
+    )
+    bucket = f"({_H('feat', str(seed))} % {n_buckets})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter({_TOKS_LOWER}, t -> len(t) > 0) AS toks,
+         coalesce(source, '') IN ('src0', 'src1') AS is_t
+  FROM documents
+), feats AS (
+  SELECT doc_id, is_t, unnest({grams}) AS feat FROM d
+), fb AS (
+  SELECT doc_id, is_t, {bucket}::INT AS b FROM feats
+), tc AS (SELECT b, count(*)::BIGINT AS ct FROM fb WHERE is_t GROUP BY b),
+rc AS (SELECT b, count(*)::BIGINT AS cr FROM fb WHERE NOT is_t GROUP BY b),
+nt AS (SELECT sum(ct)::BIGINT AS nt FROM tc),
+nr AS (SELECT sum(cr)::BIGINT AS nr FROM rc)
+SELECT doc_id, count(*)::BIGINT AS n_feats,
+       round(sum(  ln((coalesce(ct, 0) + 1.0) / (nt + {n_buckets}.0))
+                 - ln((cr + 1.0) / (nr + {n_buckets}.0))), 6) AS log_ratio
+FROM fb LEFT JOIN tc USING (b) JOIN rc USING (b), nt, nr
+WHERE NOT is_t
+GROUP BY doc_id
 """
 
 
@@ -3716,6 +3767,7 @@ SELECT doc_id,
 FROM t
 """,
         "lang_id_trained": _langid_trained_sql(),
+        "dsir_select": _dsir_sql(),
         "text_quality": lang_cte
         + f"""
 , m AS (

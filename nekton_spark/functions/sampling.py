@@ -204,3 +204,85 @@ def mixture_sample(
         .filter(b < F.floor(F.col("_rate") * BUCKETS))
         .drop("_src", "_tokens", "_rate")
     )
+
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 77,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR; Xie et al.
+    2023, public paper) — score every RAW document by how much more
+    likely its hashed n-gram features are under a small TARGET corpus
+    than under the raw corpus itself:
+
+        log_ratio(d) = Σ_features  ln((c_t(b)+1)/(N_t+B))
+                                 − ln((c_r(b)+1)/(N_r+B))
+
+    where b = hash60(feature, seed) mod B buckets, features are the
+    doc's word unigrams AND bigrams (lowered whitespace tokens), and
+    c/N are bucket/total feature counts of each corpus with add-one
+    smoothing. High log_ratio = "looks like the target domain";
+    selection is then a deterministic top-k (or threshold) over the
+    scores — the importance-resampling step with content-addressed
+    stability instead of a sampling RNG. Returns (doc_id, n_feats,
+    log_ratio) for every raw doc with ≥1 token; scores rounded to 6 dp.
+
+    100 TB shape — the point of DSIR's hashed features is that BOTH
+    models are fixed-size however big the corpora: the bucket tables
+    are ≤ B rows each (partial-aggregated shuffles bounded at B) and
+    broadcast to the scoring pass, totals are broadcast 1-row
+    aggregates, the feature explode is map-only codegen (zero
+    Python), and the per-doc sum partial-aggregates on doc_id — one
+    data-scale shuffle end to end. Oracle-exact: hash60 is the
+    cross-engine hash and the score is one rounded sum of pure-ln
+    terms (the unigram/bigram_logprob precedent).
+    """
+    from .text_analysis import tokenize
+
+    def feat_rows(df: DataFrame, with_id: bool) -> DataFrame:
+        c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+        toks = F.filter(tokenize(c), lambda t: F.length(t) > 0)
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        grams = F.when(F.size(toks) >= 2, F.concat(toks, bigrams)).otherwise(toks)
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        rows = df.select(*cols, F.explode(grams).alias("feat"))
+        return rows.select(
+            *(["doc_id"] if with_id else []),
+            (hash60(F.col("feat"), seed) % n_buckets).cast("int").alias("b"),
+        )
+
+    t_counts = feat_rows(target, False).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw_feats = feat_rows(raw, True)
+    r_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    n_t = t_counts.agg(F.sum("ct").alias("nt"))
+    n_r = r_counts.agg(F.sum("cr").alias("nr"))
+    term = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+        / (F.col("nt") + F.lit(float(n_buckets)))
+    ) - F.log(
+        (F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(float(n_buckets)))
+    )
+    return (
+        raw_feats.join(F.broadcast(t_counts), "b", "left")
+        .join(F.broadcast(r_counts), "b")  # every raw bucket exists
+        .crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_r))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum(term), 6).alias("log_ratio"),
+        )
+    )

@@ -290,3 +290,56 @@ class TestMixtureSample:
 
         with _pytest.raises(ValueError, match="budget_tokens"):
             mixture_sample(self._docs(spark), {"a": 1.0}, 0)
+
+
+class TestDsirImportance:
+    """DSIR (Xie et al. 2023) importance scoring: raw docs sharing the
+    target domain's n-gram distribution must outscore off-domain docs,
+    deterministically, with fixed-size hashed models."""
+
+    def _corpora(self, spark):
+        target = spark.createDataFrame(
+            [
+                (100, "protein folding models predict tertiary structure from sequence"),
+                (101, "the folding of a protein follows its energy landscape"),
+                (102, "sequence homology guides protein structure prediction models"),
+            ],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [
+                # on-domain: shares target unigrams AND bigrams
+                (0, "protein folding prediction from sequence models"),
+                # off-domain
+                (1, "quarterly revenue growth beat analyst expectations again"),
+                (2, "the recipe calls for two cups of flour and butter"),
+                # empty / null: excluded (no features)
+                (3, ""),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        return raw, target
+
+    def test_on_domain_outscores_off_domain(self, spark):
+        from nekton_spark.functions.sampling import dsir_importance
+
+        raw, target = self._corpora(spark)
+        rows = {r.doc_id: r for r in dsir_importance(raw, target).collect()}
+        assert set(rows) == {0, 1, 2}  # empty/null docs excluded
+        # per-feature mean so doc length doesn't decide the comparison
+        mean0 = rows[0].log_ratio / rows[0].n_feats
+        assert mean0 > rows[1].log_ratio / rows[1].n_feats
+        assert mean0 > rows[2].log_ratio / rows[2].n_feats
+        # unigrams + bigrams: n tokens -> 2n-1 features
+        assert rows[0].n_feats == 2 * 6 - 1
+
+    def test_deterministic_across_repartition(self, spark):
+        from nekton_spark.functions.sampling import dsir_importance
+
+        raw, target = self._corpora(spark)
+        a = sorted(map(tuple, dsir_importance(raw, target).collect()))
+        b = sorted(
+            map(tuple, dsir_importance(raw.repartition(7), target.repartition(3)).collect())
+        )
+        assert a == b
