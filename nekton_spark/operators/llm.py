@@ -270,6 +270,59 @@ def classifier_score_processor(
     return ta.classifier_score(df, None, text_col, id_col, seed)
 
 
+@register_processor("lang_id")
+def lang_id_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "trained",
+) -> DataFrame:
+    """Annotate each row with a ``lang`` column. ``method: trained``
+    (default) runs the char-trigram NB model
+    (functions/langid_model.py — broadcast weights, one pivot shuffle,
+    then an id-keyed join back onto the frame); ``method: profile``
+    keeps the zero-shuffle stopword heuristic for when a map-only plan
+    matters more than zh/short-text accuracy."""
+    if method == "profile":
+        return df.withColumn("lang", ta.lang_id(F.col(text_col)))
+    if method != "trained":
+        raise ValueError(f"lang_id method must be trained|profile, got {method!r}")
+    from nekton_spark.functions.langid_model import lang_id_trained
+
+    scores = lang_id_trained(df, text_col, id_col).select(
+        F.col("doc_id").alias(id_col), "lang"
+    )
+    return df.join(scores, id_col, "left")
+
+
+@register_processor("dsir")
+def dsir_processor(
+    df: DataFrame,
+    target_where: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    min_log_ratio: float | None = None,
+) -> DataFrame:
+    """DSIR importance scoring from the spec path: ``target_where`` is
+    a SQL predicate naming the in-frame target split (e.g.
+    ``source IN ('wiki')``); every NON-target row is scored with
+    sampling.dsir_importance and annotated with (n_feats, log_ratio).
+    With ``min_log_ratio`` the processor also applies the selection
+    threshold — the resampling step as a filter. Rows with no tokens
+    are dropped (no features ⇒ no score), like the Python API."""
+    from nekton_spark.functions.sampling import dsir_importance
+
+    cond = F.expr(target_where)
+    scores = dsir_importance(
+        df.filter(~cond), df.filter(cond), n_buckets, text_col, id_col
+    ).select(F.col("doc_id").alias(id_col), "n_feats", "log_ratio")
+    out = df.filter(~cond).join(scores, id_col)
+    if min_log_ratio is not None:
+        out = out.filter(F.col("log_ratio") >= float(min_log_ratio))
+    return out
+
+
 @register_processor("fuzzy_decontaminate")
 def fuzzy_decontaminate_processor(
     df: DataFrame,

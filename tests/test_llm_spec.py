@@ -512,3 +512,63 @@ output: {type: memory}
         )
         srcs = {r.source for r in df.select("source").distinct().collect()}
         assert srcs <= {"src0", "src1"} and df.count() > 0
+
+
+class TestR9SpecTags:
+    BASE = """
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: {table}
+pipeline:
+  processors:
+  - type: {proc}
+output: {{type: memory}}
+"""
+
+    def _run(self, spark, proc, table="documents"):
+        from nekton_spark.spec import Spec, compile_spec
+
+        raw = self.BASE.format(proc=proc, table=table)
+        df, _ = compile_spec(spark, Spec.from_yaml(raw))
+        return df
+
+    def test_lang_id_trained_tag(self, spark):
+        df = self._run(spark, "lang_id")
+        assert df.count() == 500 and "lang" in df.columns
+        # annotation preserves the frame's own columns
+        assert "text" in df.columns and "source" in df.columns
+
+    def test_lang_id_profile_tag(self, spark):
+        df = self._run(spark, "lang_id\n    method: profile")
+        assert df.count() == 500 and "lang" in df.columns
+
+    def test_lang_id_bad_method_refused(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="trained|profile"):
+            self._run(spark, "lang_id\n    method: bogus").count()
+
+    def test_dsir_tag_scores_and_threshold(self, spark):
+        df = self._run(
+            spark, "dsir\n    target_where: source IN ('src0', 'src1')"
+        )
+        n_all = df.count()
+        assert n_all > 0 and "log_ratio" in df.columns
+        assert df.filter("source IN ('src0', 'src1')").count() == 0
+        # threshold semantics at both extremes (scores on this corpus
+        # are all negative — the target split is 10% of 500 random
+        # docs, so no raw doc looks more target-like than raw-like):
+        # a floor below every score keeps all, one above drops all
+        lo = self._run(
+            spark,
+            "dsir\n    target_where: source IN ('src0', 'src1')\n"
+            "    min_log_ratio: -1000000.0",
+        )
+        assert lo.count() == n_all
+        hi = self._run(
+            spark,
+            "dsir\n    target_where: source IN ('src0', 'src1')\n"
+            "    min_log_ratio: 1000000.0",
+        )
+        assert hi.count() == 0

@@ -277,6 +277,31 @@ class TestR8Plans:
         assert "CartesianProduct" not in p
         assert plans.count_exchanges(df) <= 2
 
+    def test_lang_id_trained_broadcast_pivot_no_python(self, spark):
+        """Trained language id: trigram explode is map-only codegen,
+        the weight lookup is a BROADCAST join (≤ 5·400-row table), and
+        the pivot aggregate on (doc, _n) is the one data-scale
+        shuffle. The left-anti restore of gram-less docs adds its own
+        broadcast. Zero Python, no cartesian."""
+        df = em.lang_id_trained(spark, SF)
+        p = plans.simple_plan(df)
+        assert plans.has_broadcast_join(df)
+        assert "CartesianProduct" not in p
+        assert "pythonUDF" not in p.lower()
+
+    def test_dsir_broadcast_models_no_python(self, spark):
+        """DSIR: both bucket-count models and both totals reach the
+        scoring pass as broadcasts (nothing data-scale is shuffled
+        twice); the per-doc sum is the one doc-keyed aggregate. Zero
+        Python; the only cross joins are the broadcast 1-row totals."""
+        df = em.dsir_select(spark, SF)
+        p = plans.simple_plan(df)
+        assert plans.has_broadcast_join(df)
+        assert "pythonUDF" not in p.lower()
+        assert "CartesianProduct" not in p.replace(
+            "BroadcastNestedLoopJoin", ""
+        )
+
     def test_q01_two_agg_stages_no_python(self, spark):
         """q01 is one pruned parquet scan → codegen projection →
         partial/final hash aggregate → sort of 6 rows: two
