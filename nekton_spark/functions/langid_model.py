@@ -182,32 +182,94 @@ def langid_weights_df(spark: SparkSession) -> DataFrame:
 
 def _trigrams_col(c: Column) -> Column:
     n = F.length(c) - 2
-    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
-    # returning empty, so sub-3-char docs would grow phantom grams
+    # split-once + element_at, NOT substring(c, i, 3): UTF8String
+    # substring walks from the string head (char offsets ≠ byte
+    # offsets), so per-position substrings make trigram extraction
+    # O(n_chars²) per doc — measured 63 s for 50k docs at sf1;
+    # the char-array form is O(n_chars) and semantically identical
+    # (split('', '') is per-character, same unicode units substring
+    # counts). Guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather
+    # than returning empty, so sub-3-char docs would grow phantom
+    # grams without the WHEN.
+    chars = F.split(c, "")
     return F.when(n < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, 3))
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.element_at(chars, i),
+                F.element_at(chars, i + 1),
+                F.element_at(chars, i + 2),
+            ),
+        )
     )
 
 
+@lru_cache(maxsize=1)
+def _weight_lut() -> tuple[dict, "object"]:
+    """gram → int64[|LANGS|] milli-weight vector (OOV weights filled
+    in for languages that didn't keep the gram), plus the all-OOV
+    vector for unseen grams. Derived deterministically from the module
+    constants, so every executor rebuilds the identical table — no
+    broadcast needed."""
+    import numpy as np
+
+    weights, oov = train_trigram_weights()
+    oov_m = dict(oov)
+    oov_vec = np.array([oov_m[lang] for lang in LANGS], dtype=np.int64)
+    lut: dict[str, object] = {}
+    idx = {lang: i for i, lang in enumerate(LANGS)}
+    for g, lang, wm in weights:
+        v = lut.get(g)
+        if v is None:
+            v = oov_vec.copy()
+            lut[g] = v
+        v[idx[lang]] = wm
+    return lut, oov_vec
+
+
 def lang_id_trained(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """(doc_id, lang, n_grams, best_milli): trained trigram-NB language
-    id. Per-doc score for language L = Σ matched-gram weights +
-    (n_grams − matched_L)·oov_L, all long arithmetic; lang = argmax,
-    ties → lexicographically smaller code; n_grams = 0 → 'und' with
+    """(doc_id, n_grams, lang, best_milli): trained trigram-NB language
+    id. Per-doc score for language L = Σ over the doc's trigram
+    occurrences of (weight(g, L) if (g, L) is in the trained table
+    else oov_L), all long arithmetic; lang = argmax, ties →
+    lexicographically smaller code; n_grams = 0 → 'und' with
     best_milli 0.
 
-    Plan: codegen trigram explode → broadcast join on the ≤|LANGS|·400
-    row weight table → ONE shuffle (partial-agg'd pivot over the 5
-    literal language codes, grouped by doc) → expression argmax. The
-    left join keeps unmatched gram rows so a doc matching nothing
-    still scores n·oov_L per language (pivot groups carry it)."""
+    ``impl='arrow'`` (default): ONE mapInPandas pass — Python slicing
+    + a per-executor int64 weight LUT rebuilt from the module
+    constants (no broadcast, no shuffle, map-only). The expression
+    twin below is the r8 dup_ngram_fraction lesson replayed: trigram
+    extraction via ``transform``/``concat`` is an interpreted
+    higher-order function (no codegen), measured 63 s for 50k sf1
+    docs vs ~2 s for this pass; the integer score arithmetic is
+    order-free, so both paths are bit-identical (tested equal, and
+    the SQL oracle replays the same sums).
+
+    ``impl='expr'``: the pure-expression parity witness — trigram
+    explode → broadcast join on the ≤|LANGS|·400 row weight table →
+    one partial-agg'd pivot shuffle → expression argmax.
+    """
+    if impl == "arrow":
+        return _lang_id_trained_arrow(df, text_col, id_col)
+    if impl != "expr":
+        raise ValueError(f"impl must be arrow|expr, got {impl!r}")
+    from .similarity import ensure_parallelism
+
     spark = df.sparkSession
     weights, oov = train_trigram_weights()
     wdf = F.broadcast(langid_weights_df(spark))
     c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    base = df.select(
+    # a single-file corpus scans as 1-2 splits, which would run the
+    # n_chars-per-doc trigram explode + pivot partial-agg on 1-2 tasks
+    # (measured: sf10 decade leg sat at ~0.3 cores before this);
+    # round-robin to the session's parallelism first — no-op when the
+    # scan is already split
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.greatest(F.length(c) - 2, F.lit(0)).cast("long").alias("_n"),
         _trigrams_col(c).alias("_grams"),
@@ -254,6 +316,60 @@ def lang_id_trained(
         )
     )
     return scored.unionByName(missing)
+
+
+def _lang_id_trained_arrow(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The Arrow one-pass scorer: per doc, Counter the trigrams of the
+    lowered text, accumulate the int64 weight vectors (OOV vector for
+    unseen grams), argmax with first-index ties (LANGS is sorted, so
+    first max IS the lexicographically smaller code)."""
+    from .similarity import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+
+    def score(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        lut, oov_vec = _weight_lut()
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            n_out = np.zeros(len(pdf), dtype=np.int64)
+            best = np.zeros(len(pdf), dtype=np.int64)
+            langs = []
+            for j, t in enumerate(pdf["_t"]):
+                s = ("" if t is None else str(t)).lower()
+                n = len(s) - 2
+                if n < 1:
+                    langs.append("und")
+                    continue
+                acc = np.zeros(len(LANGS), dtype=np.int64)
+                for g, cnt in Counter(
+                    s[i : i + 3] for i in range(n)
+                ).items():
+                    acc += cnt * lut.get(g, oov_vec)
+                n_out[j] = n
+                a = int(acc.argmax())  # first index on ties
+                best[j] = int(acc[a])
+                langs.append(LANGS[a])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_grams": n_out,
+                    "lang": langs,
+                    "best_milli": best,
+                }
+            )
+
+    return base.mapInPandas(
+        score, "doc_id long, n_grams long, lang string, best_milli long"
+    )
 
 
 def langid_weight_values_sql() -> str:

@@ -244,9 +244,13 @@ def dsir_importance(
     cross-engine hash and the score is one rounded sum of pure-ln
     terms (the unigram/bigram_logprob precedent).
     """
+    from .similarity import ensure_parallelism
     from .text_analysis import tokenize
 
     def feat_rows(df: DataFrame, with_id: bool) -> DataFrame:
+        # single-file corpora scan as 1-2 splits; the feature explode
+        # and bucket-count partial aggs must not serialize onto them
+        df = ensure_parallelism(df)
         c = F.lower(F.coalesce(F.col(text_col), F.lit("")))
         toks = F.filter(tokenize(c), lambda t: F.length(t) > 0)
         bigrams = F.zip_with(

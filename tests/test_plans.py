@@ -277,17 +277,28 @@ class TestR8Plans:
         assert "CartesianProduct" not in p
         assert plans.count_exchanges(df) <= 2
 
-    def test_lang_id_trained_broadcast_pivot_no_python(self, spark):
-        """Trained language id: trigram explode is map-only codegen,
-        the weight lookup is a BROADCAST join (≤ 5·400-row table), and
-        the pivot aggregate on (doc, _n) is the one data-scale
-        shuffle. The left-anti restore of gram-less docs adds its own
-        broadcast. Zero Python, no cartesian."""
+    def test_lang_id_trained_arrow_one_pass(self, spark):
+        """Trained language id (default arrow impl): exactly ONE
+        map-only Arrow pass (per-executor LUT, no weight broadcast),
+        no join, no aggregate — the only exchange is the
+        ensure_parallelism round-robin. The expression twin keeps the
+        broadcast-join + pivot shape with zero Python (the parity
+        witness, like dup_ngram_fraction's)."""
         df = em.lang_id_trained(spark, SF)
         p = plans.simple_plan(df)
-        assert plans.has_broadcast_join(df)
-        assert "CartesianProduct" not in p
-        assert "pythonUDF" not in p.lower()
+        assert p.count("MapInPandas") == 1
+        assert "CartesianProduct" not in p and "Join" not in p
+        assert plans.count_exchanges(df) <= 1
+
+        from nekton_spark.functions.langid_model import lang_id_trained
+
+        expr_df = lang_id_trained(
+            em._t(spark, SF, "documents"), impl="expr"
+        )
+        ep = plans.simple_plan(expr_df)
+        assert plans.has_broadcast_join(expr_df)
+        assert "pythonUDF" not in ep.lower()
+        assert "CartesianProduct" not in ep
 
     def test_dsir_broadcast_models_no_python(self, spark):
         """DSIR: both bucket-count models and both totals reach the

@@ -263,3 +263,17 @@ class TestTrainedLangId:
         assert got[2] == ("und", 0)  # 2 chars → no trigram
         assert got[3][1] == 1  # three spaces → one (unmatched) gram
         assert len(got) == 4
+
+    def test_arrow_and_expr_paths_agree(self, spark):
+        """The Arrow one-pass scorer and the expression
+        explode+broadcast+pivot twin are bit-identical (integer score
+        arithmetic is order-free) — including unicode, ties, NULL, and
+        sub-trigram inputs."""
+        from nekton_spark.functions.langid_model import lang_id_trained
+
+        rows = [(i, t, s) for i, (t, s) in enumerate(self.HELD_OUT)]
+        rows += [(100, "und", None), (101, "und", ""), (102, "und", "ab")]
+        df = spark.createDataFrame(rows, "doc_id long, truth string, text string")
+        a = sorted(map(tuple, lang_id_trained(df, impl="arrow").collect()))
+        e = sorted(map(tuple, lang_id_trained(df, impl="expr").collect()))
+        assert a == e
