@@ -2151,6 +2151,37 @@ def bm25_search(spark, sf):
     return bm25_topk(d, q, k=5)
 
 
+def hybrid_search_rrf(spark, sf):
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    (text_analysis.rrf_fuse — Cormack et al. 2009): the bm25_search
+    workload's text leg (BM25 top-10) fused with the same query ids'
+    embedding leg (exact-cosine top-10 over the embeddings table,
+    vec_id ≡ doc_id in the testdata) by rrf = Σ 1/(60 + rank); final
+    top-5 per query, ties → smaller doc. Every frame past the legs is
+    |queries|·k rows — the fusion is workload-scale by construction.
+    Oracle composes the bm25 and brute-force CTE families with the
+    same fixed-order reciprocal arithmetic."""
+    from nekton_spark.functions.similarity import brute_force_topk
+    from nekton_spark.functions.text_analysis import (
+        bm25_topk,
+        rrf_fuse,
+        tokenize,
+    )
+
+    d = _t(spark, sf, "documents")
+    qt = d.filter((F.col("doc_id") % 83 == 0) & (F.col("doc_id") < 42000)).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 5)).alias("query_text"),
+    )
+    text_leg = bm25_topk(d, qt, k=10)
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter((F.col("vec_id") % 83 == 0) & (F.col("vec_id") < 42000))
+    vec_leg = brute_force_topk(emb, qv, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(text_leg, vec_leg, k=5)
+
+
 def bigram_logprob_check(spark, sf):
     """Per-doc mean bigram log-likelihood under the corpus's own
     add-one-smoothed bigram model (text_analysis.bigram_logprob) —
@@ -2409,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score_docs": classifier_score_check,
         "gopher_quality_rules": gopher_quality_rules,
         "bm25_search": bm25_search,
+        "hybrid_search_rrf": hybrid_search_rrf,
         "bigram_logprob": bigram_logprob_check,
         "tfidf_top_terms": tfidf_top_terms_check,
         "weighted_sample_docs": weighted_sample_docs,
@@ -2446,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9
         "lang_id_trained",
         "dsir_select",
+        "hybrid_search_rrf",
         # seeding change: every query whose oracle replays train_centroids
         "kmeans_clusters",
         "kmeans_tiered",
@@ -4179,6 +4212,64 @@ WITH toks AS (
 SELECT query_id, doc_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM agg) WHERE rank <= 5
+""",
+        # hybrid_search_rrf: the bm25 CTE family at k=10 + the
+        # brute-force cosine CTE family at k=10 over the same query
+        # ids, fused by rrf = 1/(60+rank_text) + 1/(60+rank_vec)
+        # (fixed-order IEEE ops, identical cross-engine), top-5
+        "hybrid_search_rrf": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), t1 AS (
+  SELECT doc_id, token FROM toks WHERE len(token) > 0
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM t1 GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM t1 GROUP BY 1
+), dfq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), qd AS (
+  SELECT DISTINCT query_id, token FROM (
+    SELECT doc_id AS query_id, unnest({_TOKS}[1:5]) AS token
+    FROM documents WHERE doc_id % 83 = 0 AND doc_id < 42000
+  ) WHERE len(token) > 0
+), scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS term_score
+  FROM tf JOIN qd USING (token) JOIN dfq USING (token)
+       JOIN dl ON tf.doc_id = dl.doc_id, stats
+), bagg AS (
+  SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+  FROM scored GROUP BY 1, 2
+), bm AS (
+  SELECT query_id, doc_id, rank AS ra FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM bagg) WHERE rank <= 10
+), vq AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 83 = 0 AND vec_id < 42000
+), vc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+vs AS (SELECT query_id, neighbor_id, {_COS} AS score
+       FROM vq, vc WHERE query_id != neighbor_id),
+vr AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS rb FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM vs) WHERE rank <= 10
+), fused AS (
+  SELECT coalesce(bm.query_id, vr.query_id) AS query_id,
+         coalesce(bm.doc_id, vr.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + ra), 0.0)
+             + coalesce(1.0 / (60 + rb), 0.0), 6) AS rrf_score
+  FROM bm FULL OUTER JOIN vr
+    ON bm.query_id = vr.query_id AND bm.doc_id = vr.doc_id
+)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused) WHERE rank <= 5
 """,
         # bigram_logprob: bigrams from zipping the token list with its
         # own tail — identical windows in both engines; add-one

@@ -671,6 +671,50 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 5,
+    k0: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009 —
+    public method) of two per-query ranked lists: rrf_score(q, d) =
+    Σ over the lists containing (q, d) of 1/(k0 + rank). The standard
+    score-free way to fuse a lexical (BM25) and a vector (ANN) leg
+    into one hybrid retrieval ranking — no score normalization across
+    incomparable scales, just ranks. Returns (query_id, doc_id,
+    rrf_score, rank) top-k per query, ties → smaller doc id; scores
+    rounded to 6 dp (the two reciprocal terms are fixed-order IEEE
+    ops, identical in any engine).
+
+    100 TB shape: both inputs are per-query TOP-K lists, so every
+    frame here is bounded at |queries|·k rows whatever the corpus
+    size — the full-outer join and the final rank window are
+    workload-scale, not data-scale (the heavy lifting happened inside
+    each leg, which carries its own scale story)."""
+    from pyspark.sql import Window
+
+    ra = ranked_a.select(query_col, doc_col, F.col(rank_col).alias("_ra"))
+    rb = ranked_b.select(query_col, doc_col, F.col(rank_col).alias("_rb"))
+    fused = ra.join(rb, [query_col, doc_col], "full_outer")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_ra")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("_rb")), F.lit(0.0)),
+        6,
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(doc_col)
+    )
+    return (
+        fused.select(query_col, doc_col, score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bigram_logprob(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2000,3 +2000,50 @@ class TestRemoveRepeatedSpans:
         # at min_docs=3 docs 2,3 lose the span
         got = self._run(spark, docs, min_docs=3)
         assert got[1][2] == 0 and got[2] == ("b", 5, 4) and got[3] == ("c", 5, 4)
+
+
+class TestRrfFuse:
+    """Reciprocal Rank Fusion: score = Σ 1/(k0 + rank) over the lists
+    containing the pair; docs in only one list still rank; determinism
+    and top-k bounds."""
+
+    def test_fusion_math_and_single_list_docs(self, spark):
+        from nekton_spark.functions.text_analysis import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id long, doc_id long, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 13, 2)],
+            "query_id long, doc_id long, rank int",
+        )
+        rows = {r.doc_id: r for r in rrf_fuse(a, b, k=10, k0=60).collect()}
+        # doc 11: in both lists (ranks 2 and 1)
+        assert rows[11].rrf_score == round(1 / 62 + 1 / 61, 6)
+        # docs 10, 12 only in a; doc 13 only in b
+        assert rows[10].rrf_score == round(1 / 61, 6)
+        assert rows[12].rrf_score == round(1 / 63, 6)
+        assert rows[13].rrf_score == round(1 / 62, 6)
+        # doc 11 wins: present in both lists beats any single-list doc
+        assert rows[11].rank == 1
+        # full order by score desc then doc asc:
+        # 11 (1/62+1/61) > 10 (1/61) > 13 (1/62) > 12 (1/63)
+        got = sorted((r.rank, r.doc_id) for r in rows.values())
+        assert got == [(1, 11), (2, 10), (3, 13), (4, 12)]
+
+    def test_topk_and_tie_break(self, spark):
+        from nekton_spark.functions.text_analysis import rrf_fuse
+
+        # two docs with identical single-list ranks → identical scores;
+        # smaller doc id must win the tie
+        a = spark.createDataFrame(
+            [(1, 20, 1), (2, 30, 1)], "query_id long, doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(1, 21, 1), (2, 29, 1)], "query_id long, doc_id long, rank int"
+        )
+        out = rrf_fuse(a, b, k=1).collect()
+        by_q = {r.query_id: r.doc_id for r in out}
+        assert by_q == {1: 20, 2: 29}
+        assert all(r.rank == 1 for r in out)
