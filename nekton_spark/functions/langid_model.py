@@ -372,6 +372,53 @@ def _lang_id_trained_arrow(
     )
 
 
+def lang_id_annotate(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang"
+) -> DataFrame:
+    """Append ``out_col`` (the trained-model language code) to the
+    frame IN PLACE — one mapInPandas pass carrying every input column
+    through, no join, no shuffle. This is the processor/streaming
+    shape: annotating a stream via ``lang_id_trained`` + self-join
+    would be a stream-stream join (watermark state for no reason);
+    this stays map-only in both batch and streaming. An existing
+    ``out_col`` column (the documents table carries a generator
+    ``lang`` label) is REPLACED by the model's verdict."""
+    import pyspark.sql.types as T
+
+    if out_col in df.columns:
+        df = df.drop(out_col)
+    schema = T.StructType(
+        list(df.schema) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def annotate(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd  # noqa: F401
+
+        lut, oov_vec = _weight_lut()
+        for pdf in batches:
+            langs = []
+            for t in pdf[text_col]:
+                s = ("" if t is None else str(t)).lower()
+                n = len(s) - 2
+                if n < 1:
+                    langs.append("und")
+                    continue
+                acc = np.zeros(len(LANGS), dtype=np.int64)
+                for g, cnt in Counter(
+                    s[i : i + 3] for i in range(n)
+                ).items():
+                    acc += cnt * lut.get(g, oov_vec)
+                langs.append(LANGS[int(acc.argmax())])
+            out = pdf.copy()
+            out[out_col] = langs
+            yield out
+
+    return df.mapInPandas(annotate, schema)
+
+
 def langid_weight_values_sql() -> str:
     """The trained table as a DuckDB VALUES literal (gram, lang, wm) —
     the oracle embeds the SAME model the engine broadcasts."""

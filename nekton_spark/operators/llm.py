@@ -287,12 +287,12 @@ def lang_id_processor(
         return df.withColumn("lang", ta.lang_id(F.col(text_col)))
     if method != "trained":
         raise ValueError(f"lang_id method must be trained|profile, got {method!r}")
-    from nekton_spark.functions.langid_model import lang_id_trained
+    from nekton_spark.functions.langid_model import lang_id_annotate
 
-    scores = lang_id_trained(df, text_col, id_col).select(
-        F.col("doc_id").alias(id_col), "lang"
-    )
-    return df.join(scores, id_col, "left")
+    # map-only annotate (NOT score+self-join: that shape is a
+    # stream-stream join on a streaming input and a pointless shuffle
+    # on a batch one); replaces any existing `lang` column
+    return lang_id_annotate(df, text_col)
 
 
 @register_processor("dsir")

@@ -277,3 +277,59 @@ class TestTrainedLangId:
         a = sorted(map(tuple, lang_id_trained(df, impl="arrow").collect()))
         e = sorted(map(tuple, lang_id_trained(df, impl="expr").collect()))
         assert a == e
+
+    def test_annotate_matches_trained_and_replaces_lang(self, spark):
+        """lang_id_annotate (the map-only processor/streaming shape)
+        agrees with lang_id_trained verdict-for-verdict, preserves all
+        other columns, and REPLACES an existing lang column."""
+        from nekton_spark.functions.langid_model import (
+            lang_id_annotate,
+            lang_id_trained,
+        )
+
+        rows = [
+            (i, "wrong", t, s) for i, (t, s) in enumerate(self.HELD_OUT)
+        ] + [(100, "wrong", "und", None), (101, "wrong", "und", "ab")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, truth string, text string"
+        )
+        ann = lang_id_annotate(df)
+        assert ann.columns.count("lang") == 1
+        got = {r.doc_id: r for r in ann.collect()}
+        ref = {r.doc_id: r.lang for r in lang_id_trained(df).collect()}
+        assert {k: v.lang for k, v in got.items()} == ref
+        assert all(v.truth is not None for v in got.values())  # cols kept
+        assert not any(v.lang == "wrong" for v in got.values())  # replaced
+
+    def test_annotate_streaming_map_only(self, spark, tmp_path):
+        """The annotate path must run on a STREAMING frame (map-only,
+        no stateful ops) — the spec `lang_id` processor's streaming
+        contract."""
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.langid_model import lang_id_annotate
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(i, t) for i, (_, t) in enumerate(self.HELD_OUT[:6])],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        out = lang_id_annotate(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("langid_stream_test")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.doc_id: r.lang
+                for r in spark.sql("SELECT * FROM langid_stream_test").collect()
+            }
+        finally:
+            q.stop()
+        truth = {i: t for i, (t, _) in enumerate(self.HELD_OUT[:6])}
+        assert got == truth
