@@ -1942,6 +1942,19 @@ def vocab_top_tokens(spark, sf):
     return top_tokens(_t(spark, sf, "documents"), k=50)
 
 
+def heavy_hitters_cms(spark, sf):
+    """Count-Min Sketch heavy hitters (functions/sketches.py): top-40
+    tokens by sketch-estimated count over a 4x1024 grid of hash60
+    cells, true count alongside (est_n >= true_n by construction —
+    the sketch never undercounts). The sketch shuffle is bounded at
+    depth*width cells at ANY corpus size — the 100 TB alternative to
+    exact distinct-token counting; the probe side broadcasts the
+    ≤4096-row sketch."""
+    from nekton_spark.functions.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf, "documents"), k=40)
+
+
 def neardup_time_horizon(spark, sf):
     """Batch twin of the streaming near-dup operator
     (nekton_spark/streaming/neardup.py): same semantics, batch-shaped
@@ -2449,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": unigram_logprob_check,
         "video_frame_sample": video_frame_sample_check,
         "vocab_top_tokens": vocab_top_tokens,
+        "heavy_hitters_cms": heavy_hitters_cms,
         "data_validation_report": data_validation_report,
         "q10_returned_items": q10_returned_items,
         "multimodal_features": multimodal_features,
@@ -2476,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query's oracle evidence is older than two rounds.
     r9_window = [
         # new in r9
+        "heavy_hitters_cms",
         "lang_id_trained",
         "dsir_select",
         "hybrid_search_rrf",
@@ -4671,6 +4686,30 @@ counts AS (SELECT token, count(*)::BIGINT AS n FROM toks WHERE len(token) > 0 GR
 SELECT token, n, rank FROM (
   SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts)
 WHERE rank <= 50
+""",
+        # heavy_hitters_cms: replay the 4x1024 Count-Min build
+        # (cell = count of tokens hashing there per row r) and the
+        # probe (min over rows, absent cell = 0). Pure integer
+        # arithmetic over hash60 — exact on both engines.
+        "heavy_hitters_cms": f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tok AS (SELECT token FROM toks WHERE len(token) > 0),
+true_counts AS (SELECT token, count(*)::BIGINT AS true_n FROM tok GROUP BY token),
+cells AS (
+  SELECT t.r, {_H('token', '(5000 + t.r)')} % 1024 AS bucket,
+         count(*)::BIGINT AS n
+  FROM tok, range(4) t(r) GROUP BY 1, 2),
+probes AS (
+  SELECT token, t.r, {_H('token', '(5000 + t.r)')} % 1024 AS bucket
+  FROM true_counts, range(4) t(r)),
+est AS (
+  SELECT token, min(coalesce(cells.n, 0))::BIGINT AS est_n
+  FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY token)
+SELECT token, est_n, true_n, rank FROM (
+  SELECT token, est_n, true_n,
+         row_number() OVER (ORDER BY est_n DESC, token) AS rank
+  FROM true_counts JOIN est USING (token))
+WHERE rank <= 40
 """,
         # neardup_time_horizon: the exact batch twin dictionary-encodes
         # its carried shingle sets to hash60 longs (r8 — the join-state

@@ -350,3 +350,21 @@ class TestR8Plans:
         assert plan.count("ArrowEvalPython") <= 1
         # and no md5 of shingle arrays survives JVM-side
         assert "transform" not in plan.lower() or "md5" not in plan.lower()
+
+
+class TestR9Plans:
+    def test_heavy_hitters_cms_two_scans_bounded_shuffle(self, spark):
+        """Count-Min heavy hitters: exactly TWO corpus scans (sketch
+        build + true counts — est/true pairing rides the probe leg,
+        no third scan), the sketch reaches the probes as a BROADCAST
+        (≤ depth·width rows at any corpus size), top-k pushed down to
+        TakeOrderedAndProject (no global sort of the vocabulary), and
+        zero Python."""
+        df = em.heavy_hitters_cms(spark, SF)
+        p = plans.simple_plan(df)
+        assert p.count("FileScan") == 2
+        assert plans.has_broadcast_join(df)
+        assert plans.count_exchanges(df) <= 2
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+        assert "pythonudf" not in p.lower()

@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
     "dedup_incremental", "pack_sequences_check",
     "lang_id_trained", "dsir_select", "hybrid_search_rrf",
+    "heavy_hitters_cms",
     # message-pipeline + codec families (documents-driven too: the
     # pipes transform text; the codecs synthesize payloads from doc_id)
     "pipe_replace", "pipe_regex_replace", "pipe_regex_split",
