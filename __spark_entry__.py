@@ -1553,6 +1553,20 @@ def ann_topk_ivfpq(spark, sf):
     return ivfpq_topk(emb, q, k=5)
 
 
+def embedding_pca_check(spark, sf):
+    """Distributed PCA (functions/pca.py): project every embedding
+    onto the top-2 principal components. Two bounded-shuffle passes
+    (O(d) mean + O(d²)-cell Arrow Gramian), a driver-side FIXED
+    12-iteration power method on the rounded 64×64 matrix, then one
+    map-only codegen'd projection — deterministic and replayed
+    end-to-end from the raw table by the oracle (mean, Gramian,
+    both per-iteration roundings, sign rule, deflation)."""
+    from nekton_spark.functions.pca import embedding_pca
+
+    _ship_package(spark)
+    return embedding_pca(_t(spark, sf, "embeddings"))
+
+
 def embedding_near_dup(spark, sf):
     """Cosine-threshold near-dup pairs at the ENGINE DEFAULT auto
     width (n_bits=None) — same auto-width policy and SQL replay as
@@ -2399,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "ann_topk_lsh": ann_topk_lsh,
         "embedding_near_dup": embedding_near_dup,
+        "embedding_pca": embedding_pca_check,
         "bloom_decontamination": bloom_decontamination,
         # --- below the 50-row driver window: r06/r07-green rows ---
         "repeated_span_removal": repeated_span_removal_check,
@@ -2491,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r9_window = [
         # new in r9
         "heavy_hitters_cms",
+        "embedding_pca",
         "lang_id_trained",
         "dsir_select",
         "hybrid_search_rrf",
@@ -2881,6 +2897,110 @@ FROM fb LEFT JOIN tc USING (b) JOIN rc USING (b), nt, nr
 WHERE NOT is_t
 GROUP BY doc_id
 """
+
+
+def _pca_sql(d: int = 64, iters: int = 12) -> str:
+    """Replay of functions/pca.embedding_pca FROM THE RAW TABLE — no
+    shipped constants. The power method is INTEGER-micro end-to-end
+    (see functions/pca.py: grid-value matvec sums land exactly on .5
+    rounding boundaries with the constant start vector, so float
+    round-to-6 is not replayable there): Gramian cells are
+    HALF_UP(avg·1e6)::BIGINT, matvec sums and the HALF_UP divisions
+    are exact integer CASEs, the norm is one IEEE sqrt of an exact
+    integer, and normalization rounds w·1e6/sqrt half-up. Zero norm
+    keeps the previous iterate; sign fixed by the first
+    largest-|component| entry; one integer deflation yields PC2. Only
+    the mean, the Gramian averages, and the final projections are
+    float — each terminally rounded, off-grid, the repo's standard
+    tolerance contract (SURVEY §6). CTEs are MATERIALIZED: DuckDB
+    inlines CTEs by default and each iteration references the matrix
+    and its predecessor, so inlining would clone the Gramian subtree
+    exponentially."""
+    r = f"range({d})"
+    half_div = (
+        "CASE WHEN {s} >= 0 THEN ({s} + {h}) // {q}"
+        " ELSE -((-({s}) + {h}) // {q}) END"
+    )
+    matvec = (
+        f"list_transform(list_transform({r}, j ->"
+        f" list_sum(list_transform({r}, k -> m[j+1][k+1] * v[k+1]))), s -> ("
+        + half_div.format(s="s", h=500000, q=1000000)
+        + ")::BIGINT)"
+    )
+    ctes = [
+        "ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS j,"
+        " unnest(embedding)::DOUBLE AS x FROM embeddings)",
+        # co-moment form, mirroring the engine's single data pass:
+        # G = E[xxT] - m*mT with the RAW (unrounded) mean; the grid
+        # mean muv is only for the projection.
+        "mraw AS MATERIALIZED (SELECT j, avg(x) AS m FROM ex GROUP BY j)",
+        "muv AS MATERIALIZED (SELECT list(round(m, 6) ORDER BY j) AS mu FROM mraw)",
+        "gram AS MATERIALIZED (SELECT a.j AS j, b.j AS k,"
+        " round((avg(a.x * b.x) - any_value(ma.m) * any_value(mb.m))"
+        " * 1000000, 0)::BIGINT AS g"
+        " FROM ex a JOIN ex b USING (vec_id)"
+        " JOIN mraw ma ON a.j = ma.j JOIN mraw mb ON b.j = mb.j"
+        " GROUP BY a.j, b.j)",
+        "gm0 AS MATERIALIZED (SELECT list(row ORDER BY j) AS m FROM"
+        " (SELECT j, list(g ORDER BY k) AS row FROM gram GROUP BY j) t)",
+    ]
+    for c in (0, 1):
+        ctes.append(
+            f"it{c}_0 AS MATERIALIZED (SELECT"
+            f" list_transform({r}, x -> 125000::BIGINT) AS v)"
+        )
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"w{c}_{i} AS MATERIALIZED (SELECT {matvec} AS w"
+                f" FROM gm{c}, it{c}_{i-1})"
+            )
+            ctes.append(
+                f"it{c}_{i} AS MATERIALIZED (SELECT CASE WHEN q = 0 THEN pv"
+                f" ELSE list_transform(w, x ->"
+                f" round((x::DOUBLE * 1000000.0) / sqrt(q::DOUBLE), 0)::BIGINT)"
+                f" END AS v FROM"
+                f" (SELECT w, pv, list_sum(list_transform(w, x -> x * x)) AS q"
+                f" FROM w{c}_{i}, (SELECT v AS pv FROM it{c}_{i-1}) p) t)"
+            )
+        ctes.append(
+            f"sv{c} AS MATERIALIZED (SELECT CASE WHEN v[p] < 0 THEN"
+            f" list_transform(v, x -> -x) ELSE v END AS v FROM"
+            f" (SELECT v, list_position(a, list_max(a)) AS p FROM"
+            f" (SELECT v, list_transform(v, x -> abs(x)) AS a"
+            f" FROM it{c}_{iters}) t1) t2)"
+        )
+        ctes.append(
+            f"u{c} AS MATERIALIZED (SELECT {matvec.replace('AS w', '')} AS u"
+            f" FROM gm{c}, sv{c})"
+        )
+        lam_s = f"list_sum(list_transform({r}, j -> v[j+1] * u[j+1]))"
+        ctes.append(
+            f"lam{c} AS MATERIALIZED (SELECT ("
+            + half_div.format(s=lam_s, h=500000, q=1000000)
+            + ")::BIGINT AS lam FROM sv{c}, u{c})".format(c=c)
+        )
+        if c == 0:
+            dterm = half_div.format(
+                s="lam * v[j+1] * v[k+1]", h=500000000000, q=1000000000000
+            )
+            ctes.append(
+                f"gm1 AS MATERIALIZED (SELECT list_transform({r}, j ->"
+                f" list_transform({r}, k ->"
+                f" (m[j+1][k+1] - ({dterm}))::BIGINT)) AS m"
+                f" FROM gm0, lam0, sv0)"
+            )
+    proj = (
+        "round(list_sum(list_transform({r}, j ->"
+        " (embedding[j+1]::DOUBLE - mu[j+1]) *"
+        " ({v}[j+1]::DOUBLE / 1000000.0))), 6)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, "
+        + proj.format(r=r, v="v1") + " AS pc1, "
+        + proj.format(r=r, v="v2") + " AS pc2\n"
+        "FROM embeddings, muv, (SELECT v AS v1 FROM sv0) a,"
+        " (SELECT v AS v2 FROM sv1) b"
+    )
 
 
 def _langid_trained_sql() -> str:
@@ -4153,6 +4273,7 @@ SELECT query_id, neighbor_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5
 """,
+        "embedding_pca": _pca_sql(),
         "embedding_near_dup": f"""
 WITH {autowidth},
 base AS (
