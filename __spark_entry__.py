@@ -559,6 +559,22 @@ def dedup_connected_components(spark, sf):
     return dedup_components(d, pairs)
 
 
+def dedup_keep_best(spark, sf):
+    """Quality-policy dedup (functions/graph.keep_best_per_component):
+    same pair graph + star-contraction components as
+    dedup_connected_components, but the survivor of each dup cluster
+    is the HIGHEST-quality member (quality_score; ties → smaller id)
+    — the curation policy that drops the boilerplate mirror and keeps
+    the clean original."""
+    from nekton_spark.functions import dedup
+    from nekton_spark.functions.graph import keep_best_per_component
+    from nekton_spark.functions.text_analysis import quality_score
+
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.15)
+    return keep_best_per_component(d, pairs, quality_score(F.col("text")))
+
+
 # ----------------------------------------------------------------- events
 
 
@@ -2436,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_dfcut": dedup_ngram_dfcut,
         "pipe_subprocess": pipe_subprocess,
         "dedup_connected_components": dedup_connected_components,
+        "dedup_keep_best": dedup_keep_best,
         "sample_hash_10pct": sample_hash_10pct,
         "train_val_test_split": train_val_test_split,
         "approx_distinct_check": approx_distinct_check,
@@ -2507,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9
         "heavy_hitters_cms",
         "embedding_pca",
+        "dedup_keep_best",
         "lang_id_trained",
         "dsir_select",
         "hybrid_search_rrf",
@@ -3619,6 +3637,39 @@ WITH RECURSIVE {_minhash_ctes(0.15)}, edges AS (
 )
 SELECT id AS doc_id, min(r) AS component, (min(r) = id) AS is_representative
 FROM reach GROUP BY id
+""",
+        # dedup_keep_best: the SAME pair graph + recursive reachability
+        # as dedup_connected_components, then the keeper election —
+        # highest quality_score per component, ties to the smaller id.
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_minhash_ctes(0.15)}, edges AS (
+  SELECT id_a AS s, id_b AS d FROM mpairs UNION SELECT id_b, id_a FROM mpairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), m AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+               ELSE len({_TOKS}) END)::DOUBLE AS n_tok,
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::DOUBLE / length(text)
+         END AS punct_r,
+         CASE WHEN len({_TOKS_LOWER}) <= 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct({_TOKS_LOWER}))::DOUBLE / len({_TOKS_LOWER})
+         END AS rep_r,
+         CASE WHEN len({_TOKS}) = 0 THEN 0.0
+              ELSE list_reduce(list_transform({_TOKS}, t -> length(t)), (a, b) -> a + b)::DOUBLE
+                   / len({_TOKS})
+         END AS mwl
+  FROM documents
+), q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality FROM m)
+SELECT c.doc_id, c.component, q.quality,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+FROM comp c JOIN q USING (doc_id)
 """,
         "approx_distinct_check": """
 SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS exact_customers,

@@ -159,3 +159,41 @@ def dedup_components(
         "component",
         (F.col("id") == F.col("component")).alias("is_representative"),
     )
+
+
+def keep_best_per_component(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+    algorithm: str = "star",
+) -> DataFrame:
+    """Dedup-cluster resolution with a QUALITY policy: keep the
+    highest-quality member of each duplicate cluster (ties → smaller
+    id) instead of the smallest-id representative — the curation
+    choice a real pipeline wants (drop the low-quality mirror, keep
+    the clean original). ``quality`` is any deterministic Column over
+    ``df``'s rows. Returns (id, component, quality, keep).
+
+    Scale shape: the component labels come from the same O(log d)
+    star-contraction as dedup_components; the keeper election is one
+    window over components — partitioned by component id, and dup
+    clusters are tiny (bounded by the pair-mining bands), so no
+    single window partition can be corpus-sized."""
+    from pyspark.sql import Window
+
+    labels = dedup_components(df, pairs, id_col, algorithm).select(
+        id_col, "component"
+    )
+    scored = df.select(F.col(id_col), quality.alias("quality")).join(
+        labels, id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return scored.select(
+        id_col,
+        "component",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -74,3 +74,45 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([(0, 2), (2, 3)], "id_a long, id_b long")
         out = {r.doc_id: (r.component, r.is_representative) for r in dedup_components(docs, pairs).collect()}
         assert out == {0: (0, True), 1: (1, True), 2: (0, False), 3: (0, False)}
+
+
+class TestKeepBestPerComponent:
+    def _run(self, spark, rows, pairs):
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.graph import keep_best_per_component
+
+        docs = spark.createDataFrame(rows, "doc_id long, score double")
+        p = spark.createDataFrame(pairs, "id_a long, id_b long")
+        return {
+            r.doc_id: (r.component, r.quality, r.keep)
+            for r in keep_best_per_component(
+                docs, p, F.col("score")
+            ).collect()
+        }
+
+    def test_highest_quality_wins(self, spark):
+        out = self._run(
+            spark,
+            [(0, 0.2), (1, 0.9), (2, 0.5), (3, 0.7)],
+            [(0, 1), (1, 2)],
+        )
+        # cluster {0,1,2}: doc 1 (0.9) survives despite not being min id
+        assert out[1] == (0, 0.9, True)
+        assert out[0][2] is False and out[2][2] is False
+        # singleton keeps itself
+        assert out[3] == (3, 0.7, True)
+
+    def test_tie_breaks_to_smaller_id(self, spark):
+        out = self._run(spark, [(0, 0.5), (1, 0.5)], [(0, 1)])
+        assert out[0][2] is True and out[1][2] is False
+
+    def test_exactly_one_keeper_per_component(self, spark):
+        rows = [(i, float((i * 7) % 10) / 10) for i in range(30)]
+        pairs = [(i, i + 1) for i in range(0, 28, 2)]  # 14 clusters of 2+
+        out = self._run(spark, rows, pairs)
+        by_comp: dict = {}
+        for doc, (comp, _, keep) in out.items():
+            by_comp.setdefault(comp, 0)
+            by_comp[comp] += int(keep)
+        assert all(v == 1 for v in by_comp.values())

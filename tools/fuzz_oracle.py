@@ -40,7 +40,7 @@ DOC_QUERIES = [
     "boilerplate_removal", "fuzzy_decontamination", "curriculum_buckets",
     "normalize_text", "repeated_span_removal",
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
-    "dedup_incremental", "pack_sequences_check",
+    "dedup_incremental", "pack_sequences_check", "dedup_keep_best",
     "lang_id_trained", "dsir_select", "hybrid_search_rrf",
     "heavy_hitters_cms",
     # message-pipeline + codec families (documents-driven too: the
