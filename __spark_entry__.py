@@ -2917,6 +2917,41 @@ GROUP BY doc_id
 """
 
 
+def _cms_sql(width: int = 1024, depth: int = 4, k: int = 40) -> str:
+    """Replay of functions/sketches.cms_heavy_hitters: h60 =
+    hash60(token, 5000) once per occurrence, row r's bucket = the r-th
+    disjoint bit-field ((h60 >> r·log2(width)) & (width−1)), cells =
+    per-(r, bucket) counts, est = min over the probe cells (absent =
+    0), top-k by est with token tie-break."""
+    bits = (width - 1).bit_length()
+    h60 = _H("token", "5000")
+    pairs = ", ".join(
+        f"STRUCT_PACK(r := {r}, bucket :="
+        f" (({h60} >> {r * bits}) & {width - 1}))"
+        for r in range(depth)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tok AS (SELECT token FROM toks WHERE len(token) > 0),
+true_counts AS (SELECT token, count(*)::BIGINT AS true_n FROM tok GROUP BY token),
+cells AS (
+  SELECT r, bucket, count(*)::BIGINT AS n FROM (
+    SELECT unnest([{pairs}], recursive := true) FROM tok)
+  GROUP BY r, bucket),
+probes AS (
+  SELECT token, true_n, unnest([{pairs}], recursive := true) FROM true_counts),
+est AS (
+  SELECT token, any_value(true_n) AS true_n,
+         min(coalesce(cells.n, 0))::BIGINT AS est_n
+  FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY token)
+SELECT token, est_n, true_n, rank FROM (
+  SELECT token, est_n, true_n,
+         row_number() OVER (ORDER BY est_n DESC, token) AS rank
+  FROM est)
+WHERE rank <= {k}
+"""
+
+
 def _pca_sql(d: int = 64, iters: int = 12) -> str:
     """Replay of functions/pca.embedding_pca FROM THE RAW TABLE — no
     shipped constants. The power method is INTEGER-micro end-to-end
@@ -4861,28 +4896,11 @@ WHERE rank <= 50
 """,
         # heavy_hitters_cms: replay the 4x1024 Count-Min build
         # (cell = count of tokens hashing there per row r) and the
-        # probe (min over rows, absent cell = 0). Pure integer
-        # arithmetic over hash60 — exact on both engines.
-        "heavy_hitters_cms": f"""
-WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
-tok AS (SELECT token FROM toks WHERE len(token) > 0),
-true_counts AS (SELECT token, count(*)::BIGINT AS true_n FROM tok GROUP BY token),
-cells AS (
-  SELECT t.r, {_H('token', '(5000 + t.r)')} % 1024 AS bucket,
-         count(*)::BIGINT AS n
-  FROM tok, range(4) t(r) GROUP BY 1, 2),
-probes AS (
-  SELECT token, t.r, {_H('token', '(5000 + t.r)')} % 1024 AS bucket
-  FROM true_counts, range(4) t(r)),
-est AS (
-  SELECT token, min(coalesce(cells.n, 0))::BIGINT AS est_n
-  FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY token)
-SELECT token, est_n, true_n, rank FROM (
-  SELECT token, est_n, true_n,
-         row_number() OVER (ORDER BY est_n DESC, token) AS rank
-  FROM true_counts JOIN est USING (token))
-WHERE rank <= 40
-""",
+        # probe (min over rows, absent cell = 0). ONE md5 base hash
+        # per occurrence + the Carter-Wegman affine row family
+        # (sketches.cms_affine — same envelope as minhash's rehash).
+        # Pure integer arithmetic — exact on both engines.
+        "heavy_hitters_cms": _cms_sql(),
         # neardup_time_horizon: the exact batch twin dictionary-encodes
         # its carried shingle sets to hash60 longs (r8 — the join-state
         # width fix), so the oracle scores Jaccard over the SAME hashed

@@ -562,3 +562,70 @@ def stratified_sample_processor(
     from ..functions.sampling import stratified_hash_sample
 
     return stratified_hash_sample(df, key_col, stratum_col, rates, seed)
+
+
+@register_processor("heavy_hitters")
+def heavy_hitters_processor(
+    df: DataFrame,
+    k: int = 40,
+    text_col: str = "text",
+    width: int | None = None,
+    depth: int | None = None,
+) -> DataFrame:
+    """Count-Min Sketch frequent tokens (functions/sketches.py):
+    top-k by estimated count with the true count alongside — the
+    bounded-shuffle alternative to top_tokens at crawl scale."""
+    from ..functions import sketches as sk
+
+    return sk.cms_heavy_hitters(
+        df,
+        text_col=text_col,
+        k=k,
+        width=width or sk.CMS_WIDTH,
+        depth=depth or sk.CMS_DEPTH,
+    )
+
+
+@register_processor("pca")
+def pca_processor(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_components: int = 2,
+) -> DataFrame:
+    """Deterministic distributed PCA (functions/pca.py): project each
+    embedding onto the top principal components."""
+    from ..functions.pca import embedding_pca
+
+    return embedding_pca(
+        df, vec_col=vec_col, id_col=id_col, dim=dim, n_components=n_components
+    )
+
+
+@register_processor("dedup_keep_best")
+def dedup_keep_best_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    drop: bool = False,
+) -> DataFrame:
+    """Quality-policy near-dup resolution: mine n-gram Jaccard pairs,
+    resolve clusters, keep the highest-quality member of each
+    (functions/graph.keep_best_per_component). drop=True filters the
+    frame down to the keepers (all columns preserved); default flags
+    (id, component, quality, keep)."""
+    from ..functions.graph import keep_best_per_component
+
+    flags = keep_best_per_component(
+        df,
+        dd.ngram_jaccard_pairs(df, text_col, id_col, n, threshold),
+        ta.quality_score(F.col(text_col)),
+        id_col=id_col,
+    )
+    if not drop:
+        return flags
+    keepers = flags.filter(F.col("keep")).select(id_col)
+    return df.join(keepers, id_col, "left_semi")

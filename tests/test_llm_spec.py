@@ -572,3 +572,22 @@ output: {{type: memory}}
             "    min_log_ratio: 1000000.0",
         )
         assert hi.count() == 0
+
+    def test_heavy_hitters_tag(self, spark):
+        df = self._run(spark, "heavy_hitters\n    k: 5")
+        rows = df.collect()
+        assert len(rows) == 5
+        assert all(r.est_n >= r.true_n for r in rows)
+
+    def test_pca_tag(self, spark):
+        df = self._run(spark, "pca", table="embeddings")
+        assert df.columns == ["vec_id", "pc1", "pc2"]
+        assert df.count() == 500
+
+    def test_dedup_keep_best_tag_flags_and_drop(self, spark):
+        flags = self._run(spark, "dedup_keep_best")
+        assert set(flags.columns) == {"doc_id", "component", "quality", "keep"}
+        n_keep = flags.filter("keep").count()
+        kept = self._run(spark, "dedup_keep_best\n    drop: true")
+        assert kept.count() == n_keep
+        assert "text" in kept.columns  # drop preserves the frame's columns
