@@ -530,6 +530,28 @@ def approx_distinct_check(spark, sf):
     )
 
 
+def distinct_kmv(spark, sf):
+    """K-Minimum-Values distinct sketch (functions/sketches.
+    kmv_distinct): per-priority distinct-customer ESTIMATE with the
+    exact count alongside. Unlike the HLL row above (engine-specific
+    sketch, boolean-contract oracle), KMV's estimate is itself
+    deterministic and EXACTLY replayed by the oracle — the sketch is
+    the k smallest distinct hash60 values and the estimator is one
+    IEEE division of exact doubles. Bounded state: ≤ batches·groups·k
+    rows ever shuffle."""
+    from nekton_spark.functions.sketches import kmv_distinct
+
+    _ship_package(spark)
+    o = _t(spark, sf, "orders")
+    est = kmv_distinct(o, "o_custkey", ["o_orderpriority"], k=256)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority", "est_distinct", "sketch_size", "exact_distinct"
+    )
+
+
 def approx_quantile_check(spark, sf):
     l = _t(spark, sf, "lineitem")
     return (
@@ -2456,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_10pct": sample_hash_10pct,
         "train_val_test_split": train_val_test_split,
         "approx_distinct_check": approx_distinct_check,
+        "distinct_kmv": distinct_kmv,
         "q07_volume_shipping": q07_volume_shipping,
         "q08_market_share": q08_market_share,
         "q09_product_profit": q09_product_profit,
@@ -2525,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms",
         "embedding_pca",
         "dedup_keep_best",
+        "distinct_kmv",
         "lang_id_trained",
         "dsir_select",
         "hybrid_search_rrf",
@@ -3710,6 +3734,26 @@ FROM comp c JOIN q USING (doc_id)
 SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS exact_customers,
        true AS within_10pct
 FROM orders GROUP BY o_orderpriority
+""",
+        # distinct_kmv: full replay of the KMV sketch — the k=256
+        # smallest distinct hash60(o_custkey, 5100) per priority;
+        # est = floor(255 * 2^60 / h_k) (exact-double multiplication,
+        # one IEEE division), or the exact hash count when the sketch
+        # saw everything.
+        "distinct_kmv": f"""
+WITH hs AS (
+  SELECT DISTINCT o_orderpriority AS g, {_H('o_custkey', '5100')} AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs),
+agg AS (SELECT g, count(*) AS sz, max(h) AS hk FROM rk WHERE rn <= 256 GROUP BY g),
+ex AS (SELECT o_orderpriority AS g, count(DISTINCT o_custkey)::BIGINT AS ed
+       FROM orders GROUP BY 1)
+SELECT g AS o_orderpriority,
+       (CASE WHEN sz < 256 THEN sz::DOUBLE
+             ELSE floor(255.0 * 1152921504606846976.0 / hk) END)::BIGINT
+         AS est_distinct,
+       sz::BIGINT AS sketch_size, ed AS exact_distinct
+FROM agg JOIN ex USING (g)
 """,
         "approx_quantile_check": """
 SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,

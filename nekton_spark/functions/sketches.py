@@ -161,3 +161,82 @@ def cms_heavy_hitters(
         .where(F.col("rank") <= k)
         .select("token", "est_n", "true_n", "rank")
     )
+
+
+# --------------------------------------------------------------- KMV
+
+KMV_K = 256
+KMV_SALT = 5100
+_POW2_60 = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002)
+    — the mergeable bounded-state alternative to exact
+    countDistinct, and (unlike HyperLogLog) EXACTLY replayable in SQL:
+    the sketch is just the k smallest distinct hash60 values, and the
+    estimate is (k−1)·2^60 / h_(k) (2^60 and k−1 are exact doubles —
+    a power of two scales the exponent — so the IEEE division is
+    bit-identical in every engine; fewer than k distinct hashes means
+    the sketch saw everything and the count is exact).
+
+    Scale shape: one Arrow pass emits each BATCH's per-group k
+    smallest distinct hashes (≤ batches·groups·k rows — bounded
+    regardless of row count), then a distinct + per-group rank keeps
+    the global min-k; no shuffle ever carries one row per distinct
+    value the way countDistinct does. Sketches merge by unioning
+    min-k sets and re-taking the k smallest.
+
+    Returns one row per group: (*group_cols, est_distinct,
+    sketch_size). est >= actual only in expectation — KMV is unbiased,
+    not one-sided like CMS."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+
+    # NULL values don't count as a distinct value (count(DISTINCT x)
+    # semantics) — and a NULL hash would sort NULLS FIRST in Spark but
+    # NULLS LAST in the oracle, so it must never reach the min-k.
+    h = hash60(F.col(value_col), KMV_SALT).alias("h")
+    hashed = df.where(F.col(value_col).isNotNull()).select(*groups, h)
+
+    def partial_mink(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if groups:
+                out = (
+                    pdf.groupby(groups, sort=False)["h"]
+                    .apply(lambda s: pd.Series(sorted(s.unique())[:k]))
+                    .reset_index(groups)[groups + ["h"]]
+                )
+            else:
+                out = pd.DataFrame({"h": sorted(pdf["h"].unique())[:k]})
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hashed.schema.fields
+    )
+    partial = hashed.mapInPandas(partial_mink, schema).distinct()
+    w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy(F.asc("h"))
+    mink = partial.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    est = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_POW2_60) / F.max("h").cast("double")
+        ).cast("double")
+    )
+    return mink.groupBy(*groups).agg(
+        est.cast("long").alias("est_distinct"),
+        F.count(F.lit(1)).alias("sketch_size"),
+    )

@@ -90,3 +90,53 @@ class TestCountMinSketch:
     def test_depth_rows_all_present(self, spark, corpus):
         rows = {r.r for r in cms_sketch(corpus, width=64).collect()}
         assert rows == set(range(CMS_DEPTH))
+
+
+class TestKMVDistinct:
+    def test_exact_below_k(self, spark):
+        """Fewer distinct values than k: the sketch saw everything and
+        the estimate IS the exact count."""
+        from nekton_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [(i % 40,) for i in range(500)], "v long"
+        )
+        [row] = kmv_distinct(df, "v", k=256).collect()
+        assert row.est_distinct == 40 and row.sketch_size == 40
+
+    def test_estimator_accuracy_above_k(self, spark):
+        """10k distinct values through a k=256 sketch: the estimate
+        must land within the ~3/sqrt(k) ≈ 19% band (deterministic
+        corpus, so this is a fixed value, not a flaky bound)."""
+        from nekton_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(10_000)], "v long"
+        )
+        [row] = kmv_distinct(df, "v", k=256).collect()
+        assert row.sketch_size == 256
+        assert abs(row.est_distinct - 10_000) < 1900
+
+    def test_groups_and_duplicates_ignored(self, spark):
+        """Duplicates don't move the estimate (distinct semantics) and
+        groups are independent."""
+        from nekton_spark.functions.sketches import kmv_distinct
+
+        base = [("a", i) for i in range(30)] + [("b", i) for i in range(7)]
+        df1 = spark.createDataFrame(base, "g string, v long")
+        df2 = spark.createDataFrame(base * 5, "g string, v long")
+        r1 = {r.g: r.est_distinct for r in kmv_distinct(df1, "v", ["g"]).collect()}
+        r2 = {r.g: r.est_distinct for r in kmv_distinct(df2, "v", ["g"]).collect()}
+        assert r1 == r2 == {"a": 30, "b": 7}
+
+    def test_partial_pass_bounds_rows(self, spark):
+        """The Arrow partial emits at most k rows per (batch, group) —
+        with one group and k=16 the post-partial distinct holds ≤
+        batches·16 rows, and the final sketch is exactly 16."""
+        from nekton_spark.functions.sketches import kmv_distinct
+
+        df = spark.createDataFrame([(i,) for i in range(5000)], "v long")
+        [row] = kmv_distinct(df, "v", k=16).collect()
+        assert row.sketch_size == 16
+        # estimator still in a sane band even at tiny k
+        assert 2000 < row.est_distinct < 12000

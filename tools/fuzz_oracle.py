@@ -84,7 +84,7 @@ REL_QUERIES = [
     "min_max_by_nation", "conditional_aggregation", "date_arithmetic",
     "string_functions", "range_join_value_bands", "null_semantics",
     "scalar_subquery_above_avg", "unpivot_lineitem_metrics",
-    "approx_distinct_check", "approx_quantile_check",
+    "approx_distinct_check", "distinct_kmv", "approx_quantile_check",
 ]
 # r8: adversarial-media property gate (r7 verdict #8) — not a
 # query-vs-oracle compare; see run_media_fuzz
