@@ -1813,6 +1813,22 @@ def common_passages_check(spark, sf):
     return common_passages(d, n=3, min_docs=3, max_passages=200)
 
 
+def dedup_winnow_check(spark, sf):
+    """Winnowing fingerprint near-dup pairs (functions/winnow.py —
+    Schleimer et al. SIGMOD 2003, the MOSS algorithm): hash every word
+    4-gram, keep the minimum of each 4-hash window (rightmost on
+    ties), mine doc pairs sharing ≥2 surviving fingerprints after a
+    df>50 boilerplate cut. Guarantee: any shared passage of ≥ w+k-1 =
+    7 tokens is caught; density: ~2/(w+1) of gram positions selected,
+    so the inverted index is ~2.5× smaller than the all-grams plan
+    before the df-cut. Selection is map-only Catalyst expressions
+    (zero Python); mining is the bounded 8-byte equi-join."""
+    from nekton_spark.functions.winnow import winnow_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_pairs(d, k=4, w=4, min_shared=2, max_doc_freq=50)
+
+
 def video_frame_sample_check(spark, sf):
     """REAL video path (functions/video.py + multimodal.frame_sample):
     genuine MJPEG AVI payloads (RIFF container written from the public
@@ -2391,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the ACTUAL iteration order is rebuilt by the r9_window list after
     # it (iteration order IS the driver's 50-row correctness window).
     q = {
+        # --- new in r9 wave 5 ---
+        "dedup_winnow": dedup_winnow_check,
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
@@ -2545,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query's oracle evidence is older than two rounds.
     r9_window = [
         # new in r9
+        "dedup_winnow",
         "heavy_hitters_cms",
         "embedding_pca",
         "dedup_keep_best",
@@ -4240,6 +4259,43 @@ FROM fresh JOIN keep USING (fp) WHERE doc_id = keep_id
         # bounded default plan: LSH candidates, exact-verified (the
         # exhaustive inverted-index plan is oracled by dedup_ngram_dfcut)
         "dedup_ngram_jaccard": _minhash_sql(threshold=0.15),
+        # dedup_winnow: replay of functions/winnow.py — hash60(4-gram)
+        # arrays, min of each 4-hash window (the selected VALUE set is
+        # position-independent, so the rightmost-tie rule needs no
+        # replay here), distinct per doc, df>50 cut, pair equi-join.
+        "dedup_winnow": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 4 THEN []::BIGINT[]
+              ELSE list_transform(range(0, len(toks) - 3),
+                   i -> {_H("array_to_string(toks[i+1:i+4], ' ')", "5200")})
+         END AS h
+  FROM t
+), win AS (
+  SELECT doc_id, h, unnest(range(0, len(h) - least(4, len(h)) + 1)) AS j
+  FROM g WHERE len(h) > 0
+), inv AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(h[j+1:j+least(4, len(h))], 'min') AS fp
+  FROM win
+), inv2 AS (
+  SELECT doc_id, fp FROM inv
+  WHERE fp IN (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 50)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM inv2 GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM inv2 a JOIN inv2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared::DOUBLE / least(sa.sz, sb.sz), 6) AS overlap
+FROM shared
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+""",
         "ann_topk_bruteforce": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -313,6 +313,29 @@ class TestR8Plans:
             "BroadcastNestedLoopJoin", ""
         )
 
+    def test_winnow_selection_map_only_and_pairs_bounded(self, spark):
+        """Winnowing selection is one map-only expression pass (no
+        shuffle, no Python — the array HOFs are Catalyst expressions);
+        pair mining is the standard inverted-index plan with the
+        df-cut as a BROADCAST anti-join and no cartesian anywhere."""
+        from nekton_spark.functions.winnow import (
+            winnow_fingerprints,
+            winnow_pairs,
+        )
+
+        docs = em._t(spark, SF, "documents")
+        sel = winnow_fingerprints(docs)
+        sp = plans.simple_plan(sel)
+        assert plans.count_exchanges(sel) == 0
+        assert "pythonUDF" not in sp.lower()
+        assert "Join" not in sp
+
+        pairs = winnow_pairs(docs)
+        pp = plans.simple_plan(pairs)
+        assert plans.has_broadcast_join(pairs)
+        assert "CartesianProduct" not in pp
+        assert "pythonUDF" not in pp.lower()
+
     def test_q01_two_agg_stages_no_python(self, spark):
         """q01 is one pruned parquet scan → codegen projection →
         partial/final hash aggregate → sort of 6 rows: two

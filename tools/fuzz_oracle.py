@@ -30,7 +30,8 @@ DOC_QUERIES = [
     "text_stats", "text_quality", "gopher_quality_rules", "doc_repetition",
     "corpus_quality_gate", "dedup_exact", "dedup_simhash",
     "dedup_simhash_hamming", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_ngram_dfcut", "dedup_ngram_sampled", "common_passages",
+    "dedup_ngram_dfcut", "dedup_ngram_sampled", "dedup_winnow",
+    "common_passages",
     "pii_redaction", "unigram_logprob", "bigram_logprob", "tfidf_top_terms",
     "bm25_search", "chunk_documents", "vocab_top_tokens", "vocab_coverage",
     "sample_hash_10pct", "train_val_test_split", "stratified_sample",
