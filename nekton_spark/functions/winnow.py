@@ -92,17 +92,30 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """One row per selected fingerprint: (doc_id, pos, fp). Map-only —
     tokenize, hash the k-grams, winnow — no shuffle; empty/short docs
-    simply emit no rows."""
-    toks = tokenize(F.col(text_col))
-    n = token_count(F.col(text_col))
-    h = _gram_hashes(toks, n, k)
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_select_fingerprints(h, w)).alias("s"),
-        )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    simply emit no rows.
+
+    The intermediate token and gram-hash ARRAYS are pinned behind
+    ``explode(array(...))`` Generate barriers: CollapseProject would
+    otherwise inline the producing expression into the consuming
+    lambda, re-running the split per GRAM and the full md5 gram array
+    per WINDOW — O(n²) per document (the same interpreted-HOF trap the
+    lang_id expression path hit; measured here as 133 s for 500 docs
+    vs <2 s with the barriers). A Generate's output attribute cannot
+    be collapsed into, so each stage evaluates exactly once per row
+    while the whole chain stays one narrow (shuffle-free) pipeline."""
+    toks_n = F.struct(
+        tokenize(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("n"),
     )
+    s1 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(toks_n)).alias("t"),
+    )
+    h = _gram_hashes(F.col("t.toks"), F.col("t.n"), k)
+    s2 = s1.select("doc_id", F.explode(F.array(h)).alias("h"))
+    return s2.select(
+        "doc_id", F.explode(_select_fingerprints(F.col("h"), w)).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
 
 
 def winnow_pairs(
