@@ -1813,6 +1813,18 @@ def common_passages_check(spark, sf):
     return common_passages(d, n=3, min_docs=3, max_passages=200)
 
 
+def embedding_outliers_check(spark, sf):
+    """Centroid-distance outlier detection (functions/outliers.py):
+    top-25 vectors farthest from the round-6 grid centroid — the
+    curation complement of SemDeDup/near-dup (flag what is too FAR
+    from everything instead of too close). One O(d)-bounded centroid
+    aggregate + one map-only Arrow scoring pass +
+    TakeOrderedAndProject."""
+    from nekton_spark.functions.outliers import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf, "embeddings"), k=25)
+
+
 def dedup_winnow_check(spark, sf):
     """Winnowing fingerprint near-dup pairs (functions/winnow.py —
     Schleimer et al. SIGMOD 2003, the MOSS algorithm): hash every word
@@ -2409,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {
         # --- new in r9 wave 5 ---
         "dedup_winnow": dedup_winnow_check,
+        "embedding_outliers": embedding_outliers_check,
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
@@ -2564,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r9_window = [
         # new in r9
         "dedup_winnow",
+        "embedding_outliers",
         "heavy_hitters_cms",
         "embedding_pca",
         "dedup_keep_best",
@@ -2843,6 +2857,28 @@ _COS = (
     f" / (sqrt({_unrolled_dot('qv', 'qv')})"
     f" * sqrt({_unrolled_dot('cv', 'cv')})), 6)"
 )
+
+
+def _outliers_sql(k: int = 25, dim: int = 64) -> str:
+    """Replay of functions/outliers.embedding_outliers: grid centroid
+    (round-6 per-dimension average — sub-ulp raw-avg differences are
+    absorbed by the grid, the pca precedent), left-associated unrolled
+    squared-distance sum (== the engine's numpy cumsum fold), round-6
+    terminal, global top-k."""
+    d2 = " + ".join(
+        f"(cv[{j}] - mu[{j}]) * (cv[{j}] - mu[{j}])" for j in range(1, dim + 1)
+    )
+    return f"""
+WITH ex AS (SELECT generate_subscripts(embedding, 1) AS j,
+                   unnest(embedding)::DOUBLE AS x FROM embeddings),
+m AS (SELECT j, round(avg(x), 6) AS mu FROM ex GROUP BY j),
+muv AS (SELECT list(mu ORDER BY j) AS mu FROM m),
+d AS (SELECT vec_id, label, round({d2}, 6) AS dist2
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings), muv)
+SELECT vec_id, label, dist2, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY dist2 DESC, vec_id) AS rank FROM d)
+WHERE rank <= {k}
+"""
 
 
 def _unrolled_dist2(a: str, b: str, dim: int = 64) -> str:
@@ -4312,6 +4348,7 @@ SELECT id AS vec_id, cluster FROM a2
         "ann_topk_pq": _pq_sql(),
         "ann_topk_pq_rerank": _pq_sql(k=10, rerank_from=40),
         "ann_topk_ivfpq": _pq_sql(k=5, ivf_probe=2),
+        "embedding_outliers": _outliers_sql(),
         "dataset_drift": _drift_sql(),
         "category_drift": """
 WITH oldd AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),

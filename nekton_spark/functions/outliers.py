@@ -1,0 +1,90 @@
+"""Embedding-space outlier detection for corpus curation.
+
+The standard first-pass quality filter over an embedding column:
+score every vector by its squared euclidean distance to the corpus
+centroid and surface the top-k farthest (mislabeled junk, encoding
+failures, off-distribution content — the rows a curation pipeline
+routes to inspection or drops before training).
+
+The reference engine (`src/processors.rs` — byte-stream pipeline, no
+vectors) has nothing in this family; this extends the
+embedding-curation layer of SURVEY §2.5 (near-dup, quantized dedup,
+SemDeDup, PCA) with its complement: instead of pruning what is too
+CLOSE to everything else, flag what is too FAR from everything.
+
+Exactness contract (the repo's standard for float pipelines,
+SURVEY §6): the centroid is the per-dimension float average rounded
+to the 1e-6 grid (sub-ulp engine differences in the raw average are
+absorbed by the grid, the `embedding_pca` precedent), and the
+distance sum is an exact left-fold in index order (numpy cumsum ==
+DuckDB's left-associated unrolled sum, the `ann_topk_bruteforce`
+precedent), terminally rounded to 6.
+
+Scale shape: ONE aggregation pass computes the centroid (posexplode →
+per-dimension avg — shuffle bounded at O(d) cells by map-side partial
+aggregation at any corpus size; the collect is O(d) doubles, the
+centroid-collect policy every clustering op here follows). Scoring is
+ONE map-only Arrow pass with the centroid as a broadcast-free closure
+constant. The global top-k is TakeOrderedAndProject (per-partition
+partial top-k, never a full sort).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corpus_centroid(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> list[float]:
+    """Per-dimension mean on the 1e-6 grid, collected driver-side
+    (O(dim) — bounded at any corpus size)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("j", "x"))
+        .groupBy("j")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in rows:
+        mu[r.j] = r.mu
+    return mu
+
+
+def _dist2_udf(mu: list[float]):
+    @F.pandas_udf("double")
+    def _d2(v: pd.Series) -> pd.Series:
+        M = np.asarray(mu, dtype=np.float64)
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        D = (A - M) ** 2
+        # exact left-fold in index order == the oracle's unrolled sum
+        return pd.Series(np.cumsum(D, axis=1)[:, -1])
+
+    return _d2
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 25,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k centroid-distance outliers: (vec_id, label, dist2, rank),
+    rank 1..k by dist2 desc, ties to the smaller id. ``dist2`` is the
+    squared euclidean distance to the grid centroid, rounded to 6.
+    The rank window runs AFTER the TakeOrderedAndProject limit — a
+    single partition of k rows, not a corpus sort."""
+    mu = corpus_centroid(df, vec_col, dim)
+    d2 = _dist2_udf(mu)
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("label"),
+        F.round(d2(F.col(vec_col)), 6).alias("dist2"),
+    )
+    top = scored.orderBy(F.desc("dist2"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
