@@ -1813,6 +1813,20 @@ def common_passages_check(spark, sf):
     return common_passages(d, n=3, min_docs=3, max_passages=200)
 
 
+def mmr_diverse_topk(spark, sf):
+    """MMR diverse re-ranking (functions/similarity.py:mmr_topk —
+    Carbonell & Goldstein 1998): top-20 relevance candidates per
+    query, then greedy λ=0.7 redundancy-penalized selection of 5.
+    The only corpus-scale stage is candidate nomination; vector
+    fetch is a broadcast semi-join, pairwise sims are |q|·c² rows,
+    and the greedy loop is one cogrouped applyInPandas over per-query
+    groups of 20."""
+    from nekton_spark.functions.similarity import mmr_topk
+
+    e = _t(spark, sf, "embeddings")
+    return mmr_topk(e, e.filter(F.col("vec_id") < 10), k=5, c=20, lam=0.7)
+
+
 def embedding_outliers_check(spark, sf):
     """Centroid-distance outlier detection (functions/outliers.py):
     top-25 vectors farthest from the round-6 grid centroid — the
@@ -2422,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9 wave 5 ---
         "dedup_winnow": dedup_winnow_check,
         "embedding_outliers": embedding_outliers_check,
+        "mmr_diverse_topk": mmr_diverse_topk,
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
@@ -2578,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r9
         "dedup_winnow",
         "embedding_outliers",
+        "mmr_diverse_topk",
         "heavy_hitters_cms",
         "embedding_pca",
         "dedup_keep_best",
@@ -2857,6 +2873,78 @@ _COS = (
     f" / (sqrt({_unrolled_dot('qv', 'qv')})"
     f" * sqrt({_unrolled_dot('cv', 'cv')})), 6)"
 )
+
+
+def _mmr_sql(k: int = 5, c: int = 20, lam: float = 0.7, dim: int = 64) -> str:
+    """Replay of functions/similarity.mmr_topk: brute-force top-c
+    candidates (the _COS contract), round-6 pairwise candidate
+    cosines, then the greedy MMR selection UNROLLED one CTE block per
+    iteration — each picks the (mmr DESC, neighbor_id ASC) row_number
+    1 among remaining candidates, penalized by the max pairwise
+    similarity to everything already selected. The mmr arithmetic is
+    plain IEEE double on round-6 grid inputs (repr'd coefficients
+    parse to the identical doubles numpy uses), so values hash-match
+    bit-exactly."""
+    pc = 1.0 - lam
+    qc_cos = (
+        f"round(({_unrolled_dot('q.qv', 'v.cvv', dim)})"
+        f" / (sqrt({_unrolled_dot('q.qv', 'q.qv', dim)})"
+        f" * sqrt({_unrolled_dot('v.cvv', 'v.cvv', dim)})), 6)"
+    )
+    ab_cos = (
+        f"round(({_unrolled_dot('a.cvv', 'b.cvv', dim)})"
+        f" / (sqrt({_unrolled_dot('a.cvv', 'a.cvv', dim)})"
+        f" * sqrt({_unrolled_dot('b.cvv', 'b.cvv', dim)})), 6)"
+    )
+    ctes = [
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        " FROM embeddings WHERE vec_id < 10)",
+        "cvt AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvv"
+        " FROM embeddings)",
+        f"s AS (SELECT query_id, neighbor_id, {qc_cos} AS score"
+        f" FROM q, cvt v WHERE query_id != neighbor_id)",
+        f"cand AS (SELECT query_id, neighbor_id, score FROM"
+        f" (SELECT *, row_number() OVER (PARTITION BY query_id"
+        f" ORDER BY score DESC, neighbor_id) AS rn FROM s) WHERE rn <= {c})",
+        "cc AS (SELECT c.query_id, c.neighbor_id, c.score, v.cvv"
+        " FROM cand c JOIN cvt v USING (neighbor_id))",
+        f"ps AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,"
+        f" {ab_cos} AS psim FROM cc a JOIN cc b"
+        f" ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id)",
+        "sel1 AS (SELECT query_id, neighbor_id, score, score AS mmr,"
+        " 1 AS rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY score DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1)",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        p = i - 1
+        ctes.append(
+            f"rem{i} AS (SELECT c.query_id, c.neighbor_id, c.score FROM cand c"
+            f" LEFT JOIN acc{p} s ON s.query_id = c.query_id"
+            f" AND s.neighbor_id = c.neighbor_id WHERE s.neighbor_id IS NULL)"
+        )
+        ctes.append(
+            f"pen{i} AS (SELECT r.query_id, r.neighbor_id, r.score,"
+            f" max(p.psim) AS pen FROM rem{i} r"
+            f" JOIN ps p ON p.query_id = r.query_id AND p.na = r.neighbor_id"
+            f" JOIN acc{p} s2 ON s2.query_id = p.query_id"
+            f" AND s2.neighbor_id = p.nb GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT query_id, neighbor_id, score, mmr,"
+            f" {i} AS rank FROM (SELECT query_id, neighbor_id, score, mmr,"
+            f" row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC,"
+            f" neighbor_id) AS rn FROM (SELECT query_id, neighbor_id, score,"
+            f" {lam!r} * score - {pc!r} * pen AS mmr FROM pen{i}) t)"
+            f" WHERE rn = 1)"
+        )
+        ctes.append(
+            f"acc{i} AS (SELECT * FROM acc{p} UNION ALL SELECT * FROM sel{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, score, mmr, rank FROM acc{k}"
+    )
 
 
 def _outliers_sql(k: int = 25, dim: int = 64) -> str:
@@ -4349,6 +4437,7 @@ SELECT id AS vec_id, cluster FROM a2
         "ann_topk_pq_rerank": _pq_sql(k=10, rerank_from=40),
         "ann_topk_ivfpq": _pq_sql(k=5, ivf_probe=2),
         "embedding_outliers": _outliers_sql(),
+        "mmr_diverse_topk": _mmr_sql(),
         "dataset_drift": _drift_sql(),
         "category_drift": """
 WITH oldd AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),

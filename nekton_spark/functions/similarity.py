@@ -956,6 +956,119 @@ def pq_topk_rerank(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    c: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein,
+    SIGIR 1998 — public paper): greedily select ``k`` of the top-``c``
+    relevance candidates, each pick maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — the
+    standard redundancy-penalized re-rank a retrieval/training-mix
+    pipeline runs so near-duplicate passages don't crowd a context
+    window or a mixture quota. Returns (query_id, neighbor_id, score,
+    mmr, rank): ``score`` = cosine relevance, ``mmr`` = the value the
+    pick maximized (= score for rank 1), rank 1..min(k, candidates).
+
+    Scale shape: the ONLY corpus-scale stage is candidate generation
+    (exact brute-force scan here, same contract as brute_force_topk —
+    at larger scale swap the nomination for ivf/pq_rerank, the
+    selection below is source-agnostic). Everything after is bounded
+    by construction: candidate vectors are fetched with a broadcast
+    semi-join (the pq_rerank shape — no corpus shuffle), pairwise
+    candidate similarity is |q|·c² rows, and the greedy loop runs
+    per-query in ONE cogrouped applyInPandas pass (each group is c
+    rows — driver never loops).
+
+    Exactness: relevance and pairwise cosines are round-6 JVM values
+    (the brute-force contract); the greedy arithmetic
+    ``lam·score − (1−lam)·pen`` is plain IEEE double on grid inputs,
+    bit-identical in numpy and the oracle's unrolled-iteration SQL;
+    ties resolve to the smaller neighbor id in both."""
+    cand = brute_force_topk(
+        corpus, queries, k=c, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select("query_id", "neighbor_id", "score")
+    cvec = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    cwith = cvec.join(
+        F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id"
+    ).select("query_id", "neighbor_id", "cv")
+    cos = cosine_udf()
+    a, b = cwith.alias("a"), cwith.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("na"),
+            F.col("b.neighbor_id").alias("nb"),
+            F.round(cos(F.col("a.cv"), F.col("b.cv")), 6).alias("psim"),
+        )
+    )
+    pen_coef = 1.0 - lam
+
+    def greedy(key, cand_pdf, pairs_pdf):
+        qid = key[0]
+        n = len(cand_pdf)
+        if n == 0:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "score", "mmr", "rank"]
+            )
+        ids = cand_pdf["neighbor_id"].to_numpy()
+        qs = cand_pdf["score"].to_numpy(dtype=np.float64)
+        idx = {int(v): i for i, v in enumerate(ids)}
+        P = np.zeros((n, n), dtype=np.float64)
+        for na, nb, ps in zip(
+            pairs_pdf["na"], pairs_pdf["nb"], pairs_pdf["psim"]
+        ):
+            P[idx[int(na)], idx[int(nb)]] = ps
+        remaining = np.ones(n, dtype=bool)
+        # -inf start: the max similarity to the selected set can be
+        # NEGATIVE (anti-similar candidates earn a bonus, which is
+        # MMR's point) — a zero floor would silently clamp it.
+        maxpen = np.full(n, -np.inf, dtype=np.float64)
+        out = []
+        for r in range(min(k, n)):
+            mmr = qs if r == 0 else lam * qs - pen_coef * maxpen
+            best = -1
+            for i in range(n):
+                if not remaining[i]:
+                    continue
+                if (
+                    best < 0
+                    or mmr[i] > mmr[best]
+                    or (mmr[i] == mmr[best] and ids[i] < ids[best])
+                ):
+                    best = i
+            out.append((qid, int(ids[best]), qs[best], float(mmr[best]), r + 1))
+            remaining[best] = False
+            maxpen = np.maximum(maxpen, P[:, best])
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "score", "mmr", "rank"]
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id long, neighbor_id long, score double, mmr double, rank int",
+        )
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,
