@@ -629,3 +629,61 @@ def dedup_keep_best_processor(
         return flags
     keepers = flags.filter(F.col("keep")).select(id_col)
     return df.join(keepers, id_col, "left_semi")
+
+
+@register_processor("dedup_winnow")
+def dedup_winnow_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (functions/winnow.py —
+    Schleimer et al. 2003 / MOSS): density-bounded fingerprint
+    selection, df-cut inverted-index pair mining. Guarantees any
+    shared passage of >= w+k-1 tokens is caught."""
+    from ..functions.winnow import winnow_pairs
+
+    return winnow_pairs(
+        df, text_col, id_col, k=k, w=w,
+        min_shared=min_shared, max_doc_freq=max_doc_freq,
+    )
+
+
+@register_processor("embedding_outliers")
+def embedding_outliers_processor(
+    df: DataFrame,
+    k: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Centroid-distance outlier detection (functions/outliers.py):
+    top-k vectors farthest from the corpus centroid — the curation
+    complement of near-dup pruning."""
+    from ..functions.outliers import embedding_outliers
+
+    return embedding_outliers(df, vec_col=vec_col, id_col=id_col, k=k, dim=dim)
+
+
+@register_processor("mmr")
+def mmr_processor(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    c: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """MMR diverse top-k (functions/similarity.py:mmr_topk —
+    Carbonell & Goldstein 1998): redundancy-penalized greedy re-rank
+    of the top-c relevance candidates."""
+    q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
+    return sim.mmr_topk(
+        df, q, k=k, c=c, lam=lam, id_col=id_col, vec_col=vec_col, dim=dim
+    )

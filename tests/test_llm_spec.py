@@ -584,6 +584,30 @@ output: {{type: memory}}
         assert df.columns == ["vec_id", "pc1", "pc2"]
         assert df.count() == 500
 
+    def test_dedup_winnow_tag(self, spark):
+        df = self._run(spark, "dedup_winnow\n    min_shared: 1")
+        assert df.columns == ["id_a", "id_b", "n_shared", "overlap"]
+        assert df.count() > 0  # the sf0.001 corpus plants near-dups
+        assert df.filter("id_a >= id_b").count() == 0
+
+    def test_embedding_outliers_tag(self, spark):
+        df = self._run(spark, "embedding_outliers\n    k: 10", table="embeddings")
+        rows = df.collect()
+        assert [r.rank for r in rows] == list(range(1, 11))
+        assert all(rows[i].dist2 >= rows[i + 1].dist2 for i in range(9))
+
+    def test_mmr_tag(self, spark):
+        df = self._run(
+            spark,
+            "mmr\n    query_ids: [0, 1]\n    k: 3\n    c: 10",
+            table="embeddings",
+        )
+        rows = df.collect()
+        assert len(rows) == 6
+        assert {r.query_id for r in rows} == {0, 1}
+        r1 = [r for r in rows if r.rank == 1]
+        assert all(r.mmr == r.score for r in r1)
+
     def test_dedup_keep_best_tag_flags_and_drop(self, spark):
         flags = self._run(spark, "dedup_keep_best")
         assert set(flags.columns) == {"doc_id", "component", "quality", "keep"}
