@@ -1827,6 +1827,19 @@ def mmr_diverse_topk(spark, sf):
     return mmr_topk(e, e.filter(F.col("vec_id") < 10), k=5, c=20, lam=0.7)
 
 
+def zorder_key_check(spark, sf):
+    """Z-order/Morton layout keys (functions/layout.py): bucketize
+    (user_id, value) onto 16-bit grids from their min/max, interleave
+    the bits into one codegen'd Morton key — the clustering key
+    zorder_write range-partitions on so parquet row-group min/max
+    boxes stay tight in BOTH dimensions (2-D predicate pruning from
+    footer stats alone). NULL in either key → NULL zv."""
+    from nekton_spark.functions.layout import z_value
+
+    e = _t(spark, sf, "events")
+    return z_value(e, "user_id", "value").select("event_id", "zv")
+
+
 def embedding_outliers_check(spark, sf):
     """Centroid-distance outlier detection (functions/outliers.py):
     top-25 vectors farthest from the round-6 grid centroid — the
@@ -2437,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": dedup_winnow_check,
         "embedding_outliers": embedding_outliers_check,
         "mmr_diverse_topk": mmr_diverse_topk,
+        "zorder_key_check": zorder_key_check,
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
@@ -2594,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow",
         "embedding_outliers",
         "mmr_diverse_topk",
+        "zorder_key_check",
         "heavy_hitters_cms",
         "embedding_pca",
         "dedup_keep_best",
@@ -2607,7 +2622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune",
         "ann_topk_pq",
         "ann_topk_pq_rerank",
-        "ann_topk_ivfpq",
         # neardup batch-twin exact-slice filter
         "neardup_time_horizon",
         # r06 staleness tail — all 33
@@ -2650,10 +2664,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same slice-checked batch twin neardup_time_horizon
         # covers IN-window; the PNG hardening is refusal-only (happy
         # path byte-identical, media fuzz gate green); multimodal_decode
-        # is the rows-only courtesy row) — r10 rotation heads ---
+        # is the rows-only courtesy row; ann_topk_ivfpq's seed-rule
+        # change is exercised in-window by ann_topk_pq + pq_rerank,
+        # which share its oracle CTE family, and its composition is
+        # unchanged since the r08 exact hash-match) — r10 heads ---
         "neardup_estimate",
         "png_color_decode",
         "multimodal_decode",
+        "ann_topk_ivfpq",
         # r07 stragglers
         "approx_distinct_check",
         "approx_quantile_check",
@@ -2951,6 +2969,38 @@ def _mmr_sql(k: int = 5, c: int = 20, lam: float = 0.7, dim: int = 64) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT query_id, neighbor_id, score, mmr, rank FROM acc{k}"
     )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """Replay of functions/layout.z_value over events(user_id, value):
+    min/max CTE, the identical IEEE bucketize expression, unrolled
+    shift/mask interleave. NULL keys → NULL zv; a constant column
+    buckets to 0 (the engine's hi==lo branch)."""
+    n = float((1 << bits) - 1)
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((ba >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((bb >> {i}) & 1) << {2 * i + 1})")
+    zv = " | ".join(terms)
+    return f"""
+WITH mm AS (
+  SELECT min(user_id::DOUBLE) AS alo, max(user_id::DOUBLE) AS ahi,
+         min(value::DOUBLE) AS blo, max(value::DOUBLE) AS bhi
+  FROM events
+), b AS (
+  SELECT event_id,
+    CASE WHEN user_id IS NULL THEN NULL
+         WHEN ahi = alo THEN 0
+         ELSE floor((user_id::DOUBLE - alo) * {n!r} / (ahi - alo))::BIGINT
+    END AS ba,
+    CASE WHEN value IS NULL THEN NULL
+         WHEN bhi = blo THEN 0
+         ELSE floor((value::DOUBLE - blo) * {n!r} / (bhi - blo))::BIGINT
+    END AS bb
+  FROM events, mm
+)
+SELECT event_id, ({zv})::BIGINT AS zv FROM b
+"""
 
 
 def _outliers_sql(k: int = 25, dim: int = 64) -> str:
@@ -4444,6 +4494,7 @@ SELECT id AS vec_id, cluster FROM a2
         "ann_topk_ivfpq": _pq_sql(k=5, ivf_probe=2),
         "embedding_outliers": _outliers_sql(),
         "mmr_diverse_topk": _mmr_sql(),
+        "zorder_key_check": _zorder_sql(),
         "dataset_drift": _drift_sql(),
         "category_drift": """
 WITH oldd AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),

@@ -687,3 +687,18 @@ def mmr_processor(
     return sim.mmr_topk(
         df, q, k=k, c=c, lam=lam, id_col=id_col, vec_col=vec_col, dim=dim
     )
+
+
+@register_processor("zorder_key")
+def zorder_key_processor(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Append the Morton/Z-order clustering key (functions/layout.py)
+    — range-partition + sort on ``zv`` before writing so parquet
+    row-group min/max boxes prune 2-D predicates."""
+    from ..functions.layout import z_value
+
+    return z_value(df, col_a, col_b, bits=bits)

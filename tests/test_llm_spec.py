@@ -608,6 +608,14 @@ output: {{type: memory}}
         r1 = [r for r in rows if r.rank == 1]
         assert all(r.mmr == r.score for r in r1)
 
+    def test_zorder_key_tag(self, spark):
+        df = self._run(
+            spark, "zorder_key\n    col_a: doc_id\n    col_b: n_chars"
+        )
+        assert "zv" in df.columns
+        assert df.filter("zv IS NULL").count() == 0
+        assert df.count() == 500  # annotate pass carries every row
+
     def test_dedup_keep_best_tag_flags_and_drop(self, spark):
         flags = self._run(spark, "dedup_keep_best")
         assert set(flags.columns) == {"doc_id", "component", "quality", "keep"}
