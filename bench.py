@@ -20,6 +20,7 @@ normalized by the pinned reference ratios. Raw stays the headline
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -130,6 +131,11 @@ def _streaming_bench(spark) -> dict:
     - ``events_window``: watermarked 5-minute tumbling aggregation over
       the events table in 4 micro-batches, update mode to the noop sink —
       the pure-JVM stateful-agg path.
+
+    Each leg is min-of-2 full stream runs (fresh checkpoint/output per
+    rep — criterion-style, same as the batch legs): the r8→r9 closes
+    showed a wide single-run noise band (646-839 rows/s on curation),
+    which made round-over-round streaming comparisons mostly noise.
     """
     import shutil
     import tempfile
@@ -153,10 +159,10 @@ def _streaming_bench(spark) -> dict:
         )
         n_docs = docs.count()
         docs.repartition(32).write.mode("overwrite").parquet(docs_src)
-        spec = f"""
+        spec_tpl = """
 input:
   type: file
-  path: {docs_src}
+  path: {src}
   format: parquet
   stream: true
   as_messages: false
@@ -177,14 +183,21 @@ pipeline:
       delay: 60 minutes
 output:
   type: file_exactly_once
-  path: {os.path.join(work, "docs_out")}
-  checkpoint: {os.path.join(work, "docs_ckpt")}
+  path: {out}
+  checkpoint: {ckpt}
 """
-        t0 = time.time()
-        q = run_spec(spark, Spec.from_yaml(spec))
-        q.processAllAvailable()
-        q.stop()
-        wall = time.time() - t0
+        wall = math.inf
+        for rep in range(2):
+            spec = spec_tpl.format(
+                src=docs_src,
+                out=os.path.join(work, f"docs_out{rep}"),
+                ckpt=os.path.join(work, f"docs_ckpt{rep}"),
+            )
+            t0 = time.time()
+            q = run_spec(spark, Spec.from_yaml(spec))
+            q.processAllAvailable()
+            q.stop()
+            wall = min(wall, time.time() - t0)
         out["curation"] = {
             "rows": n_docs,
             "wall_sec": round(wall, 3),
@@ -210,16 +223,20 @@ output:
             .groupBy(F.window("ts", "5 minutes"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
         )
-        t0 = time.time()
-        q = (
-            agg.writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(work, "ev_ckpt"))
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        wall = time.time() - t0
+        wall = math.inf
+        for rep in range(2):
+            t0 = time.time()
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("update")
+                .option(
+                    "checkpointLocation", os.path.join(work, f"ev_ckpt{rep}")
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            wall = min(wall, time.time() - t0)
         out["events_window"] = {
             "rows": n_ev,
             "wall_sec": round(wall, 3),
