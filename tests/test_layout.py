@@ -54,6 +54,33 @@ class TestMortonKey:
         assert "pythonUDF" not in plans.simple_plan(df).lower()
 
 
+class TestMortonProperties:
+    def test_per_axis_monotonicity(self, spark):
+        """For a fixed value of one axis, the Morton key is strictly
+        increasing in the other axis — the property that keeps a
+        Z-curve segment's bounding box tight per dimension (and
+        therefore makes the row-group pruning claim true)."""
+        rows = []
+        rid = 0
+        for a in range(8):
+            for b in range(8):
+                rows.append((rid, float(a), float(b)))
+                rid += 1
+        df = spark.createDataFrame(rows, "id long, a double, b double")
+        out = z_value(df, "a", "b", bits=3).collect()
+        zv = {}
+        for r in out:
+            i = r.id
+            zv[(i // 8, i % 8)] = r.zv
+        for fixed in range(8):
+            row_keys = [zv[(a, fixed)] for a in range(8)]
+            col_keys = [zv[(fixed, b)] for b in range(8)]
+            assert row_keys == sorted(row_keys) and len(set(row_keys)) == 8
+            assert col_keys == sorted(col_keys) and len(set(col_keys)) == 8
+        # and the full 64-key set is a permutation of 0..63
+        assert sorted(zv.values()) == list(range(64))
+
+
 class TestPruning:
     def test_zorder_prunes_rowgroups_vs_natural(self, spark, tmp_path):
         """The point of the operator: for a 2-D box predicate, the
