@@ -37,16 +37,38 @@ from pyspark.sql import functions as F
 Z_BITS = 16
 
 
+def _check_bits(bits: int) -> None:
+    # bits > 31 would push column b's top bit into (or past) the long
+    # sign bit, making half the keys negative and silently splitting
+    # the Z-curve order — refuse, don't mislayout.
+    if not 1 <= bits <= 31:
+        raise ValueError(f"zorder bits must be in [1, 31], got {bits}")
+
+
 def _bucket(x: Column, lo: float, hi: float, bits: int) -> Column:
     """Map x ∈ [lo, hi] onto integer buckets 0..2^bits−1 (constant
-    column → bucket 0; NULL → NULL)."""
+    column → bucket 0; NULL → NULL). Values OUTSIDE [lo, hi] — the
+    caller-supplied-``ranges`` path with stale table statistics —
+    clamp to the edge buckets (what Delta's ZORDER does): an
+    out-of-range row lands in the nearest Z-curve segment instead of
+    aliasing onto an unrelated key through the bit mask."""
     n = (1 << bits) - 1
     if hi == lo:
         return F.when(x.isNull(), F.lit(None).cast("long")).otherwise(F.lit(0))
-    return F.floor(
+    raw = F.floor(
         (x.cast("double") - F.lit(float(lo))) * F.lit(float(n))
         / F.lit(float(hi) - float(lo))
     ).cast("long")
+    # NOTE: least/greatest SKIP nulls in Spark (they are not
+    # null-propagating), so the NULL contract needs the explicit
+    # branch. The clamp is a no-op when [lo, hi] is the data's own
+    # min/max (raw is then always in range — the oracle replays the
+    # unclamped formula and still hash-matches); it only bites on the
+    # caller-supplied stale-statistics path.
+    clamped = F.greatest(
+        F.least(raw, F.lit(n).cast("long")), F.lit(0).cast("long")
+    )
+    return F.when(x.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def _interleave(a: Column, b: Column, bits: int) -> Column:
@@ -64,18 +86,6 @@ def _interleave(a: Column, b: Column, bits: int) -> Column:
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
-def column_range(df: DataFrame, col: str) -> tuple[float, float]:
-    """min/max collected driver-side — two scalars, the bounded
-    collect policy (at scale these come from table statistics)."""
-    row = df.agg(
-        F.min(F.col(col).cast("double")).alias("lo"),
-        F.max(F.col(col).cast("double")).alias("hi"),
-    ).first()
-    if row.lo is None:  # all-NULL column: every z-value is NULL anyway
-        return (0.0, 0.0)
-    return float(row.lo), float(row.hi)
-
-
 def z_value(
     df: DataFrame,
     col_a: str,
@@ -86,10 +96,25 @@ def z_value(
     """Append ``zv``: the Morton key of the two bucketized columns.
     Map-only; pass ``ranges`` to reuse known statistics instead of
     the one min/max aggregate."""
-    (alo, ahi), (blo, bhi) = ranges or (
-        column_range(df, col_a),
-        column_range(df, col_b),
-    )
+    _check_bits(bits)
+    if ranges is not None:
+        (alo, ahi), (blo, bhi) = ranges
+    else:
+        # ONE combined aggregate — a single stats scan, not one per
+        # column (at 100 TB the pre-pass is the cost that matters;
+        # with real table statistics pass `ranges` and skip it).
+        row = df.agg(
+            F.min(F.col(col_a).cast("double")).alias("alo"),
+            F.max(F.col(col_a).cast("double")).alias("ahi"),
+            F.min(F.col(col_b).cast("double")).alias("blo"),
+            F.max(F.col(col_b).cast("double")).alias("bhi"),
+        ).first()
+        alo, ahi = (
+            (0.0, 0.0) if row.alo is None else (float(row.alo), float(row.ahi))
+        )
+        blo, bhi = (
+            (0.0, 0.0) if row.blo is None else (float(row.blo), float(row.bhi))
+        )
     ba = _bucket(F.col(col_a), alo, ahi, bits)
     bb = _bucket(F.col(col_b), blo, bhi, bits)
     return df.withColumn("zv", _interleave(ba, bb, bits))
@@ -136,11 +161,11 @@ def rowgroups_matching(
             rg = md.row_group(g)
             sa, sb = rg.column(ia).statistics, rg.column(ib).statistics
             total += 1
-            if (
-                sa is not None
-                and sb is not None
-                and not (sa.max < a_lo or sa.min > a_hi)
-                and not (sb.max < b_lo or sb.min > b_hi)
-            ):
+            # a row group with MISSING stats cannot be proven
+            # non-intersecting, so a real scan must read it — count it
+            # as matching, never as pruned
+            a_hit = sa is None or not (sa.max < a_lo or sa.min > a_hi)
+            b_hit = sb is None or not (sb.max < b_lo or sb.min > b_hi)
+            if a_hit and b_hit:
                 match += 1
     return match, total

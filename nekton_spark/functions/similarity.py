@@ -991,17 +991,31 @@ def mmr_topk(
     ``lam·score − (1−lam)·pen`` is plain IEEE double on grid inputs,
     bit-identical in numpy and the oracle's unrolled-iteration SQL;
     ties resolve to the smaller neighbor id in both."""
-    cand = brute_force_topk(
-        corpus, queries, k=c, id_col=id_col, vec_col=vec_col, dim=dim
-    ).select("query_id", "neighbor_id", "score")
+    # the nomination subtree feeds THREE consumers (both sides of the
+    # pairwise self-join via cwith, and the cogroup's candidate input);
+    # materialize once at |q|·c rows so the corpus-scale scan+window
+    # runs exactly once instead of once per plan branch
+    cand = (
+        brute_force_topk(
+            corpus, queries, k=c, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+        .select("query_id", "neighbor_id", "score")
+        .localCheckpoint(eager=True)
+    )
     cvec = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
         )
     )
-    cwith = cvec.join(
-        F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id"
-    ).select("query_id", "neighbor_id", "cv")
+    # same for the vector fetch: cwith appears on both sides of the
+    # pairwise join — checkpoint keeps the corpus fetch join single-run
+    cwith = (
+        cvec.join(
+            F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id"
+        )
+        .select("query_id", "neighbor_id", "cv")
+        .localCheckpoint(eager=True)
+    )
     cos = cosine_udf()
     a, b = cwith.alias("a"), cwith.alias("b")
     pairs = (

@@ -51,7 +51,7 @@ class TestMortonKey:
         e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         df = z_value(e, "user_id", "value").select("event_id", "zv")
         assert plans.count_exchanges(df) == 0
-        assert "pythonUDF" not in plans.simple_plan(df).lower()
+        assert "pythonudf" not in plans.simple_plan(df).lower()
 
 
 class TestMortonProperties:

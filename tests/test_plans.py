@@ -189,7 +189,7 @@ class TestR6ThirdSessionPlans:
         shuffles, zero Python."""
         df = em.classifier_score_check(spark, SF)
         assert plans.count_exchanges(df) == 0
-        assert "pythonUDF" not in plans.simple_plan(df).lower()
+        assert "pythonudf" not in plans.simple_plan(df).lower()
 
     def test_boilerplate_rewrite_has_no_second_corpus_shuffle(self, spark):
         """Mining = one content-keyed agg (partial+final exchanges, plus
@@ -263,7 +263,7 @@ class TestR8Plans:
         plan = plans.simple_plan(df)
         assert plan.count("HashAggregate") == 2
         assert plans.count_exchanges(df) <= 2
-        assert "pythonUDF" not in plan.lower()
+        assert "pythonudf" not in plan.lower()
         assert "CartesianProduct" not in plan
 
     def test_pq_rerank_broadcast_no_cartesian_two_exchanges(self, spark):
@@ -297,7 +297,7 @@ class TestR8Plans:
         )
         ep = plans.simple_plan(expr_df)
         assert plans.has_broadcast_join(expr_df)
-        assert "pythonUDF" not in ep.lower()
+        assert "pythonudf" not in ep.lower()
         assert "CartesianProduct" not in ep
 
     def test_dsir_broadcast_models_no_python(self, spark):
@@ -308,7 +308,7 @@ class TestR8Plans:
         df = em.dsir_select(spark, SF)
         p = plans.simple_plan(df)
         assert plans.has_broadcast_join(df)
-        assert "pythonUDF" not in p.lower()
+        assert "pythonudf" not in p.lower()
         assert "CartesianProduct" not in p.replace(
             "BroadcastNestedLoopJoin", ""
         )
@@ -327,14 +327,14 @@ class TestR8Plans:
         sel = winnow_fingerprints(docs)
         sp = plans.simple_plan(sel)
         assert plans.count_exchanges(sel) == 0
-        assert "pythonUDF" not in sp.lower()
+        assert "pythonudf" not in sp.lower()
         assert "Join" not in sp
 
         pairs = winnow_pairs(docs)
         pp = plans.simple_plan(pairs)
         assert plans.has_broadcast_join(pairs)
         assert "CartesianProduct" not in pp
-        assert "pythonUDF" not in pp.lower()
+        assert "pythonudf" not in pp.lower()
 
     def test_q01_two_agg_stages_no_python(self, spark):
         """q01 is one pruned parquet scan → codegen projection →
@@ -351,7 +351,7 @@ class TestR8Plans:
         plan = plans.simple_plan(df)
         assert plan.count("HashAggregate") == 2
         assert plans.count_exchanges(df) <= 2
-        assert "pythonUDF" not in plan.lower()
+        assert "pythonudf" not in plan.lower()
         assert "CartesianProduct" not in plan
 
     def test_neardup_exact_single_arrow_pass(self, spark):
