@@ -3221,9 +3221,16 @@ def _pca_sql(d: int = 64, iters: int = 12) -> str:
         " (SELECT j, list(g ORDER BY k) AS row FROM gram GROUP BY j) t)",
     ]
     for c in (0, 1):
+        # start vector replay: 50000 + hash60(j, PCA_START_SALT) % 150001
+        # (functions/pca.pca_start_component — hash-random direction, no
+        # structured null space; the constant start stalled on
+        # row-sum-constant Gramians)
+        start = (
+            f"(50000 + ({_H('j', '5300')}) % 150001)::BIGINT"
+        )
         ctes.append(
             f"it{c}_0 AS MATERIALIZED (SELECT"
-            f" list_transform({r}, x -> 125000::BIGINT) AS v)"
+            f" list_transform({r}, j -> {start}) AS v)"
         )
         for i in range(1, iters + 1):
             ctes.append(

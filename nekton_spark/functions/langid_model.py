@@ -227,6 +227,36 @@ def _weight_lut() -> tuple[dict, "object"]:
     return lut, oov_vec
 
 
+def _score_text(t, lut, oov_vec) -> tuple[int, int, int]:
+    """The shared model-inference kernel for BOTH Arrow passes
+    (`_lang_id_trained_arrow` and `lang_id_annotate` must agree
+    verdict-for-verdict — one kernel, no drift): Python str.lower,
+    char-trigram counts, int64 milli-log-prob accumulation, FIRST
+    index on argmax ties. Returns (n_grams, best_lang_index,
+    best_milli); (0, -1, 0) for docs shorter than one trigram.
+
+    Locale note: str.lower() is locale-independent (Unicode default
+    case mapping). Spark 4's F.lower is too — UTF8String.toLowerCase
+    routes non-ASCII through ICU UCharacter (root case mapping;
+    verified against the bundled spark-unsafe 4.1.2 jar, which
+    references com/ibm/icu/lang/UCharacter, not the JVM-default-locale
+    String.toLowerCase that Spark 3 used) — so the arrow/expr/oracle
+    parity does not depend on the process locale on this Spark."""
+    from collections import Counter
+
+    import numpy as np
+
+    s = ("" if t is None else str(t)).lower()
+    n = len(s) - 2
+    if n < 1:
+        return 0, -1, 0
+    acc = np.zeros(len(LANGS), dtype=np.int64)
+    for g, cnt in Counter(s[i : i + 3] for i in range(n)).items():
+        acc += cnt * lut.get(g, oov_vec)
+    a = int(acc.argmax())
+    return n, a, int(acc[a])
+
+
 def lang_id_trained(
     df: DataFrame,
     text_col: str = "text",
@@ -330,10 +360,12 @@ def _lang_id_trained_arrow(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
     )
+    # derive the id field's type instead of hard-coding long, so a
+    # string/int id column round-trips instead of failing Arrow
+    # coercion (the kmv_distinct schema-derivation pattern)
+    id_type = base.schema["doc_id"].dataType.simpleString()
 
     def score(batches):
-        from collections import Counter
-
         import numpy as np
         import pandas as pd
 
@@ -344,19 +376,12 @@ def _lang_id_trained_arrow(
             best = np.zeros(len(pdf), dtype=np.int64)
             langs = []
             for j, t in enumerate(pdf["_t"]):
-                s = ("" if t is None else str(t)).lower()
-                n = len(s) - 2
-                if n < 1:
+                n, a, bm = _score_text(t, lut, oov_vec)
+                if a < 0:
                     langs.append("und")
                     continue
-                acc = np.zeros(len(LANGS), dtype=np.int64)
-                for g, cnt in Counter(
-                    s[i : i + 3] for i in range(n)
-                ).items():
-                    acc += cnt * lut.get(g, oov_vec)
                 n_out[j] = n
-                a = int(acc.argmax())  # first index on ties
-                best[j] = int(acc[a])
+                best[j] = bm
                 langs.append(LANGS[a])
             yield pd.DataFrame(
                 {
@@ -368,7 +393,7 @@ def _lang_id_trained_arrow(
             )
 
     return base.mapInPandas(
-        score, "doc_id long, n_grams long, lang string, best_milli long"
+        score, f"doc_id {id_type}, n_grams long, lang string, best_milli long"
     )
 
 
@@ -392,26 +417,12 @@ def lang_id_annotate(
     )
 
     def annotate(batches):
-        from collections import Counter
-
-        import numpy as np
-        import pandas as pd  # noqa: F401
-
         lut, oov_vec = _weight_lut()
         for pdf in batches:
             langs = []
             for t in pdf[text_col]:
-                s = ("" if t is None else str(t)).lower()
-                n = len(s) - 2
-                if n < 1:
-                    langs.append("und")
-                    continue
-                acc = np.zeros(len(LANGS), dtype=np.int64)
-                for g, cnt in Counter(
-                    s[i : i + 3] for i in range(n)
-                ).items():
-                    acc += cnt * lut.get(g, oov_vec)
-                langs.append(LANGS[int(acc.argmax())])
+                _, a, _ = _score_text(t, lut, oov_vec)
+                langs.append("und" if a < 0 else LANGS[a])
             out = pdf.copy()
             out[out_col] = langs
             yield out

@@ -72,17 +72,23 @@ def embedding_outliers(
     id_col: str = "vec_id",
     k: int = 25,
     dim: int = 64,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Top-k centroid-distance outliers: (vec_id, label, dist2, rank),
-    rank 1..k by dist2 desc, ties to the smaller id. ``dist2`` is the
-    squared euclidean distance to the grid centroid, rounded to 6.
-    The rank window runs AFTER the TakeOrderedAndProject limit — a
-    single partition of k rows, not a corpus sort."""
+    """Top-k centroid-distance outliers: (vec_id, *carry, dist2,
+    rank), rank 1..k by dist2 desc, ties to the smaller id. ``dist2``
+    is the squared euclidean distance to the grid centroid, rounded
+    to 6. ``carry_cols`` ride through unchanged; the default carries
+    ``label`` when the frame has it (and nothing otherwise — the
+    function must not assume the fixture table's schema). The rank
+    window runs AFTER the TakeOrderedAndProject limit — a single
+    partition of k rows, not a corpus sort."""
+    if carry_cols is None:
+        carry_cols = ["label"] if "label" in df.columns else []
     mu = corpus_centroid(df, vec_col, dim)
     d2 = _dist2_udf(mu)
     scored = df.select(
         F.col(id_col).alias("vec_id"),
-        F.col("label"),
+        *[F.col(c) for c in carry_cols],
         F.round(d2(F.col(vec_col)), 6).alias("dist2"),
     )
     top = scored.orderBy(F.desc("dist2"), F.asc("vec_id")).limit(k)

@@ -45,6 +45,18 @@ from pyspark.sql import functions as F
 
 PCA_ITERS = 12
 MICRO = 1_000_000
+PCA_START_SALT = 5300
+
+
+def pca_start_component(j: int) -> int:
+    """Power-method start vector component j: 50000 +
+    hash60(j, PCA_START_SALT) % 150001 micro-units ∈ [0.05, 0.2] —
+    deterministic, content-addressed, SQL-replayable (the oracle
+    embeds the identical md5 fragment), and with no structured null
+    space (see _power_iteration_micro)."""
+    from nekton_spark.functions.hashing import hash60_py
+
+    return 50000 + hash60_py(str(j), PCA_START_SALT) % 150001
 
 
 def _round6(x: float) -> float:
@@ -107,6 +119,10 @@ def _moments_micro(
         .collect()
     )
     acc = {r.idx: r.s for r in cells}
+    if -1 not in acc:
+        raise ValueError(
+            "pca: input has no rows (the co-moment pass saw no batches)"
+        )
     n = acc.pop(-1)
     m_raw = [acc.get(j, 0.0) / n for j in range(dim)]
     mu = [_round6(m) for m in m_raw]
@@ -135,7 +151,17 @@ def _power_iteration_micro(
     G: list[list[int]], iters: int = PCA_ITERS
 ) -> tuple[list[int], int]:
     """Fixed-iteration power method in micro-units. Start vector =
-    125000µ everywhere (unit norm at d=64). Normalization:
+    50000 + hash60(j, PCA_START_SALT) % 150001 per component — a
+    deterministic pseudo-random direction that the oracle replays with
+    the same md5 fragment. NOT the constant vector the first cut used:
+    a constant start lies exactly in the Gramian's null space whenever
+    per-row component sums are constant (softmax/probability
+    embeddings, exactly anti-correlated dims — HALF_UP is
+    sign-symmetric, so those null rows stay EXACTLY zero in micro
+    units), which silently returned the start vector with eigenvalue 0
+    instead of the true PC. A hash-random direction has no structured
+    null space to fall into (and the all-zero-Gramian corpus keeps the
+    documented keep-previous-iterate contract). Normalization:
     v = HALF_UP(w·1e6 / sqrt(Σw²)) — Σw² is an exact integer, its
     IEEE sqrt is exactly rounded (bit-identical in every engine), and
     w·1e6 < 2^53 stays exact in the double division. Zero norm (the
@@ -144,7 +170,7 @@ def _power_iteration_micro(
     largest-|component| entry is made positive. Returns
     (eigenvector µ, Rayleigh eigenvalue µ)."""
     d = len(G)
-    v = [MICRO // 8] * d
+    v = [pca_start_component(j) for j in range(d)]
     for _ in range(iters):
         w = _matvec_micro(G, v)
         q = sum(wj * wj for wj in w)

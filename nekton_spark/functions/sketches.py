@@ -121,17 +121,28 @@ def cms_estimate(
     can carry e.g. a true count without a re-join and a second corpus
     scan); output adds ``est_n``."""
     carry = [c for c in candidates.columns]
+    # internal names are _cms_-prefixed so a carried candidate column
+    # called n / r / bucket / cell_n cannot collide with the probe or
+    # sketch columns (the docstring invites callers to carry a count)
+    reserved = {"_cms_r", "_cms_bucket", "_cms_n", "_cms_cell"}
+    if reserved & set(carry):
+        raise ValueError(f"candidate columns collide with {sorted(reserved)}")
     probes = candidates.select(
         *carry, _probe_pairs(width, depth).alias("p")
     ).select(
         *carry,
-        F.col("p.r").alias("r"),
-        F.col("p.bucket").alias("bucket"),
+        F.col("p.r").alias("_cms_r"),
+        F.col("p.bucket").alias("_cms_bucket"),
     )
-    joined = probes.join(F.broadcast(sketch), ["r", "bucket"], "left").select(
-        *carry, F.coalesce("n", F.lit(0)).alias("cell_n")
+    sk = sketch.select(
+        F.col("r").alias("_cms_r"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("n").alias("_cms_n"),
     )
-    return joined.groupBy(*carry).agg(F.min("cell_n").alias("est_n"))
+    joined = probes.join(
+        F.broadcast(sk), ["_cms_r", "_cms_bucket"], "left"
+    ).select(*carry, F.coalesce("_cms_n", F.lit(0)).alias("_cms_cell"))
+    return joined.groupBy(*carry).agg(F.min("_cms_cell").alias("est_n"))
 
 
 def cms_heavy_hitters(
@@ -155,6 +166,12 @@ def cms_heavy_hitters(
     # sketch, one builds the counts — no third scan / re-join to pair
     # est with true (Catalyst clones unaggregated subtrees otherwise).
     scored = cms_estimate(true_counts, sketch, width, depth)
+    # the rank<=k filter over an unpartitioned window looks like a
+    # vocabulary-wide single-partition sort, but Spark 4's
+    # InferWindowGroupLimit + LimitPushDownThroughWindow rewrite it to
+    # TakeOrderedAndProject(limit=k) BEFORE the window, so the window
+    # only ever sees k rows (pinned by
+    # test_heavy_hitters_cms_two_scans_bounded_shuffle).
     w = Window.orderBy(F.desc("est_n"), F.asc("token"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -212,8 +229,11 @@ def kmv_distinct(
             if not len(pdf):
                 continue
             if groups:
+                # dropna=False: Spark groupBy (and the SQL oracle) keep
+                # a NULL group key; pandas' default dropna=True would
+                # silently erase the NULL group's distinct count
                 out = (
-                    pdf.groupby(groups, sort=False)["h"]
+                    pdf.groupby(groups, sort=False, dropna=False)["h"]
                     .apply(lambda s: pd.Series(sorted(s.unique())[:k]))
                     .reset_index(groups)[groups + ["h"]]
                 )

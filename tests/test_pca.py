@@ -82,13 +82,38 @@ class TestPCA:
     def test_identical_vectors_degenerate(self, spark):
         """All-identical corpus: zero Gramian, the zero-norm branch
         keeps the start iterate, every projection is exactly 0."""
+        from nekton_spark.functions.pca import pca_start_component
+
         X = np.tile(np.arange(DIM, dtype=float) / DIM, (20, 1))
         df = _emb_df(spark, X)
         _, comps, lams = pca_components(df, dim=DIM, n_components=2)
         assert lams == [0.0, 0.0]
-        assert all(x == 0.125 for x in comps[0])
+        start = [pca_start_component(j) / 1e6 for j in range(DIM)]
+        # sign convention may flip the kept start iterate wholesale
+        assert comps[0] == start or comps[0] == [-x for x in start]
         out = embedding_pca(df, dim=DIM).collect()
         assert all(r.pc1 == 0.0 and r.pc2 == 0.0 for r in out)
+
+    def test_constant_row_sum_not_null_space_stalled(self, spark):
+        """Regression for the constant-start null-space stall: with
+        x2 = c - x1 (exactly anti-correlated dims, per-row component
+        sums constant — softmax-like data), the Gramian's rows sum to
+        0 and the OLD constant start vector was its exact null vector,
+        silently returning eigenvalue 0. The hash-random start must
+        recover the true PC direction (±[1,-1]/√2 on the first two
+        dims) with the true eigenvalue."""
+        rng = np.random.RandomState(7)
+        x1 = rng.normal(0, 1.0, 200)
+        X = np.zeros((200, DIM))
+        X[:, 0] = x1
+        X[:, 1] = 0.5 - x1
+        _, comps, lams = pca_components(_emb_df(spark, X), dim=DIM, n_components=1)
+        v = np.array(comps[0])
+        v = v / np.linalg.norm(v)
+        expect = np.zeros(DIM)
+        expect[0], expect[1] = 1 / np.sqrt(2), -1 / np.sqrt(2)
+        assert abs(v @ expect) > 0.999
+        assert lams[0] == pytest.approx(2 * x1.var(), rel=1e-2)
 
     def test_deterministic_across_runs(self, spark, planted):
         X, _, _ = planted
