@@ -265,6 +265,10 @@ def train_centroids(
         hash60(F.col("_kid"), SEED_ORDER_SALT), "_kid"
     ).limit(k).collect()  # O(k·dim), bounded
     centroids = [list(r._kv) for r in seed_rows]
+    if not centroids:
+        raise ValueError(
+            "kmeans: input has no rows (nothing to seed centroids from)"
+        )
     dim = len(centroids[0])
     for _ in range(max(0, iters - 1)):
         assigned = pts.withColumn("cluster", _assign_col(F.col("_kv"), centroids, assign_mode))
@@ -425,7 +429,10 @@ def _tiered_kmeans(
         out["fine"] = fine
         return pd.DataFrame(out)
 
-    schema = "id long, " + ("v array<double>, " if keep_vec else "") + (
+    # derive the id field's type — hard-coding long would fail Arrow
+    # coercion for string/int id columns the flat path accepts
+    _id_t = tiled.schema["id"].dataType.simpleString()
+    schema = f"id {_id_t}, " + ("v array<double>, " if keep_vec else "") + (
         "coarse int, tile int, fine int"
     )
     refined = (
@@ -657,7 +664,12 @@ def semdedup(
         # into one task, defeating the salt
         salted.repartition("cluster", "ti", "tj")
         .groupBy("cluster", "ti", "tj")
-        .applyInPandas(_cluster_dup_fn(tau), "id long, score double")
+        .applyInPandas(
+            _cluster_dup_fn(tau),
+            # id type derived, not hard-coded long (string ids are
+            # valid for every other path in this module)
+            f"id {salted.schema['id'].dataType.simpleString()}, score double",
+        )
     )
     dups = (
         evidence.filter(F.round("score", 6) >= F.lit(tau))

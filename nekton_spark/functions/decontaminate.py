@@ -241,10 +241,10 @@ def fuzzy_contamination_pairs(
     md5 (oracle-parity) or xxhash64 (pure-JVM production) exactly as
     in minhash_lsh_pairs.
     """
-    from .dedup import _distinct_shingles_udf, minhash_signatures
+    from .dedup import _distinct_shingles_udf, band_rows, minhash_signatures
     from .hashing import hash60
 
-    r = k // bands
+    r = band_rows(k, bands)  # validated: r=0 would be an all-pairs join
     tsig = minhash_signatures(train, text_col, id_col, k, shingle_n, hash=hash)
     esig = minhash_signatures(eval_df, text_col, id_col, k, shingle_n, hash=hash)
     if hash == "xxhash64":

@@ -42,6 +42,26 @@ DEFAULT_K = 16  # minhash signature length
 DEFAULT_BANDS = 8  # bands of 2 rows each
 
 
+def band_rows(k: int, bands: int) -> int:
+    """Validated rows-per-band for LSH banding (shared by
+    minhash_lsh_pairs and decontaminate.fuzzy_contamination_pairs —
+    the two band-key constructions must stay in lockstep).
+
+    bands > k would give r = 0: every band key becomes the hash of an
+    EMPTY signature slice — one constant bucket, i.e. an all-pairs
+    cross join at corpus scale. k not divisible by bands would
+    silently ignore the trailing k % bands signature components and
+    skew the documented S-curve. Both are caller bugs; refuse loudly."""
+    if bands < 1 or bands > k:
+        raise ValueError(f"LSH bands must be in [1, k={k}], got {bands}")
+    if k % bands:
+        raise ValueError(
+            f"LSH k={k} must be divisible by bands={bands} "
+            f"(the trailing {k % bands} signature rows would be ignored)"
+        )
+    return k // bands
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each normalized-content group.
 
@@ -154,7 +174,15 @@ def _minhash_sig_udf(k: int, shingle_n: int):
 
 def _shingles_expr(text_col: Column, shingle_n: int) -> Column:
     """Word n-gram array as a JVM expression (semantics of _shingles_py:
-    ASCII \\s+ split of the trimmed text; < n tokens → empty)."""
+    ASCII \\s+ split of the trimmed text; < n tokens → empty).
+
+    DELIBERATELY distinct from text_analysis.ngrams at the edges and
+    NOT to be consolidated: here an empty/NULL text yields [] (an
+    empty doc has no shingles to dedup on), while ngrams('' , 1)
+    yields [''] (decontamination counts the empty token — its oracle
+    family replays that). Both definitions are pinned by their own
+    oracle rows; any edge-semantics change must be made against the
+    matching oracle, never by merging the two helpers."""
     empty = F.array().cast("array<string>")
     toks = F.when(F.length(F.trim(text_col)) == 0, empty).otherwise(
         F.split(F.trim(text_col), r"\s+")
@@ -232,6 +260,10 @@ def incremental_dedup(
         ensure_parallelism(new_df)
         .withColumn("_fp", fingerprint(F.col(text_col)))
         .join(known.select(F.col(known_fp_col).alias("_fp")).distinct(), "_fp", "left_anti")
+        # fresh feeds BOTH sides of the keeper join below; without
+        # materialization the fingerprint UDF and the anti-join against
+        # the corpus-scale history index would execute twice per action
+        .localCheckpoint(eager=True)
     )
     first = fresh.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     return (
@@ -303,7 +335,7 @@ def minhash_lsh_pairs(
     threshold. At 100 TB the band join's key space is uniform (md5),
     so no salting needed; r=k/bands rows per band tunes the S-curve.
     """
-    r = k // bands
+    r = band_rows(k, bands)
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, hash=hash)
     if hash == "xxhash64":
         # band key needs no oracle parity — keep the production path
@@ -382,7 +414,16 @@ def simhash(col: Column, bits: int = 32) -> Column:
     would re-inline (and re-execute) the md5 transform ``bits`` times
     after Catalyst's project-collapse. Map-only, no shuffle; all
     intermediates stay in int64.
+
+    ``bits`` is capped at 60: token hashes are hash60 values, so bit
+    positions 60+ are constant-zero — votes there would always read
+    -1 and the top bits of every simhash would silently be 0
+    (shrinking the top band's key space), and positions ≥ 64 raise a
+    per-row bit_get error. Raising ``bits`` past 60 needs a second
+    salted hash60, not a silent degrade.
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     # NULL text = empty document (the engine-wide NULL-text contract)
     toks = F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
@@ -441,9 +482,12 @@ def simhash_near_dup_pairs(
 
     Scale: one explode (``bands`` rows/doc) + one self equi-join on
     (band, key), same shape as MinHash LSH. The key space per band is
-    ``2^(bits/bands)`` (2^15 here); at billions of docs raise ``bits``
-    (and keep ``bands > max_hamming``) so buckets stay small — bucket
-    population, not pair volume, is the knob. Verification is a single
+    ``2^(bits/bands)`` (2^15 here); at billions of docs widen the key
+    space so buckets stay small — bucket population, not pair volume,
+    is the knob. NOTE ``bits`` is capped at 60 (the token hashes are
+    hash60 values — ``simhash`` refuses beyond that), so past
+    ``bits=60`` the lever is more/wider BANDS over a second salted
+    simhash, not a longer single hash. Verification is a single
     codegen'd xor/popcount per candidate, no Python anywhere.
     """
     from .similarity import ensure_parallelism
@@ -577,7 +621,13 @@ def ngram_jaccard_pairs(
         inv = inv.join(F.broadcast(cut), "g", "left_anti").localCheckpoint(eager=True)
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
-        sizes = base.select("id", F.size("sh").alias("sz"))
+        # no df-cut: the inverted index still feeds BOTH self-join
+        # sides and the sizes aggregate — materialize once here too
+        # (the dominant cost is the corpus-wide shingle UDF; without
+        # this it executed ~3x per action). sizes from the index (one
+        # row per DISTINCT shingle) equals size(sh) by construction.
+        inv = inv.localCheckpoint(eager=True)
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))

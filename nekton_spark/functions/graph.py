@@ -69,6 +69,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels still moving after the budget: results would be
+        # silently wrong (a chain longer than max_iterations keeps
+        # multiple labels per true component). Refuse, same contract
+        # as the star variant.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} rounds ({changed} labels still moving); "
+            f"raise max_iterations or use algorithm='star'"
+        )
     return labels
 
 
@@ -132,6 +142,19 @@ def connected_components_star(
         e, n_edges = new_e, n_new
         if converged:
             break
+    else:
+        # exhausting the budget WITHOUT reaching the star-forest
+        # fixpoint would leave some vertex with two outgoing edges —
+        # the final join would then emit duplicate (id, component)
+        # rows and downstream keeper elections would silently score a
+        # doc in two windows. Refuse instead: at O(log diameter)
+        # rounds, hitting this means the budget (or the graph) is
+        # genuinely pathological and the caller must decide.
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} rounds ({n_edges} star edges remain); "
+            f"raise max_iterations"
+        )
     ptr = e.select(u.alias("id"), v.alias("component"))
     return (
         vertices.select(F.col(id_col).alias("id"))

@@ -152,8 +152,11 @@ def mixture_sample(
     step): sample each source at the rate that makes its share of the
     output approach ``targets[source]`` of ``budget_tokens`` —
     rate_s = min(1, budget·target_s / tokens_s). A source whose
-    corpus cannot fill its target share is taken whole (rate capped at
-    1 — the shortfall is reported, not silently re-normalized);
+    corpus cannot fill its target share is taken whole (rate capped
+    at 1; the OTHER sources' rates are NOT re-normalized to absorb
+    the shortfall — detecting it is the caller's job, by comparing
+    realized per-source token shares of the output against
+    ``targets``, an O(|sources|) aggregate);
     sources absent from ``targets`` are dropped. Membership is
     content-addressed (hash60 bucket < floor(rate·BUCKETS)) — the same
     reproducibility contract as every sampler here.
