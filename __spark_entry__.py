@@ -4297,7 +4297,7 @@ FROM m JOIN b ON m.doc_id = b.doc_id
         "gopher_quality_rules": f"""
 WITH t AS (
   SELECT doc_id, text, {_TOKS} AS toks, {_TOKS_LOWER} AS toksl,
-         string_split(text, chr(10)) AS lines
+         string_split(coalesce(text, ''), chr(10)) AS lines
   FROM documents
 ), m AS (
   SELECT doc_id,

@@ -47,6 +47,13 @@ def pack_sequences(
     Zero-token docs occupy no space: they report the window they would
     start in and ``n_packs = 0``.
     """
+    # fail fast: n_shards=0 would be a mid-job ANSI DIVIDE_BY_ZERO,
+    # budget<=0 an Infinity offset whose long cast crashes (ANSI) or
+    # corrupts pack ids (non-ANSI) — the chunk_documents guard pattern
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     shard = (F.col(id_col) % n_shards).alias("shard")
     base = df.select(
         F.col(id_col).alias("id"),

@@ -364,7 +364,13 @@ def lsh_topk(
             )
         )
 
-    cb = banded(ensure_parallelism(corpus), id_col, vec_col)
+    # cb feeds BOTH the bucket-size census and the salted join: without
+    # materialization the corpus-scale sketch UDF (the dominant map
+    # cost) executes once per branch. Checkpoint volume = the same
+    # bands× rows the bucket shuffle already moves.
+    cb = banded(ensure_parallelism(corpus), id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     qb = banded(queries, id_col, vec_col)
 
     # Salt oversized corpus buckets into ~tile-row subgroups (same
@@ -1135,6 +1141,10 @@ def embedding_near_dup(
             ).alias("band", "key"),
         )
     )
+    # base feeds BOTH the bucket-size census (big) and the salted
+    # join: materialize once so the corpus-scale sketch UDF runs one
+    # time, not once per branch (the fd301b6 reused-subtree rule).
+    base = base.localCheckpoint(eager=True)
 
     # All pairs within a bucket via exact-fold bucket matmuls (see
     # lsh_topk.score_bucket): vectors shuffled once per band, not per

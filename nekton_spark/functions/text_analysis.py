@@ -182,14 +182,19 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def pii_count(col: Column, kind: str) -> Column:
-    """Occurrences of one PII pattern (before redaction)."""
+    """Occurrences of one PII pattern (before redaction). NULL
+    PROPAGATES here (NULL text → NULL count) — these low-level
+    expressions are oracle-pinned as-is; the NULL=empty-document
+    contract is applied by the spec processor surface
+    (operators/llm.redact_pii_processor coalesces first, so a clean
+    corpus filter like ``n_email = 0`` keeps NULL-text docs)."""
     return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0)))
 
 
 def redact_pii(col: Column) -> Column:
     """Replace every PII match with its <KIND> token, in PII_PATTERNS
     order. Pure codegen regexp_replace chain — map-only, the standard
-    pre-training scrub pass."""
+    pre-training scrub pass. NULL propagates (see pii_count)."""
     out = col
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
@@ -331,7 +336,12 @@ def gopher_rules(
     alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha / nw)
     stops = F.array(*[F.lit(w) for w in GOPHER_STOPS])
     stop_hits = F.size(F.array_intersect(tokenize(F.lower(c)), stops))
-    lines = F.split(c, r"\n")
+    # NULL=empty-document contract: without the coalesce a NULL text
+    # gave NULL lines -> NULL bullet/ellipsis ratios (the other ratios
+    # are n_words==0-guarded) and report-level averages silently
+    # skipped those docs; now split('') = [''] -> ratios 0.0 (oracle
+    # synced)
+    lines = F.split(F.coalesce(c, F.lit("")), r"\n")
     n_lines = F.size(lines).cast("double")
     bullet_ratio = (
         F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))) / n_lines
@@ -1105,15 +1115,24 @@ def token_length_histogram(
 
     100 TB shape: one map-side token count per doc (codegen), one
     partial-aggregated shuffle on the (tiny, bounded) bin key, and the
-    corpus total enters as a broadcast 1-row aggregate — no driver
-    action, no second pass. frac is one IEEE division of two exact
-    longs, engine-stable without rounding."""
+    corpus total DERIVED from the bin table (sum over O(bins) rows) —
+    a first cut aggregated `binned` separately for the total, which
+    re-ran the corpus scan and the token_count chain a second time.
+    frac is one IEEE division of two exact longs, engine-stable
+    without rounding."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     n = token_count(F.col(text_col))
     binned = df.select((F.floor(n / bin_width)).cast("long").alias("bin"))
-    agg = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_docs"))
-    total = binned.agg(F.count(F.lit(1)).alias("_total"))
+    # materialized at O(bins) rows: the frame feeds both the output
+    # and the derived total — without this, deriving the total would
+    # re-run the corpus scan under the agg a second time anyway
+    agg = (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    total = agg.agg(F.sum("n_docs").alias("_total"))
     return (
         agg.crossJoin(F.broadcast(total))
         .select(

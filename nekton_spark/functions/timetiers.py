@@ -46,13 +46,28 @@ def time_tier_rollup(
     vmin, vmax), where ``tier`` is the granularity string and
     ``bucket_start`` the bucket's epoch seconds.
 
-    ``tiers`` must be ordered fine→coarse and each must evenly divide
-    the next (so coarse buckets are exact unions of fine buckets —
-    the precondition for re-aggregation to be exact).
+    ``tiers`` must be ordered fine→coarse, STRICTLY increasing, and
+    each must evenly divide the next (so coarse buckets are exact
+    unions of fine buckets — the precondition for re-aggregation to
+    be exact; an equal-duration pair would emit the same tier twice
+    under two labels).
+
+    NULL-measure contract: ``n`` counts ROWS in the bucket (events
+    happened whether or not their measure was recorded) while
+    ``total``/``vmin``/``vmax`` skip NULL measures — so the read-time
+    ``avg = total/n`` identity is exact only when the measure column
+    is non-NULL; with NULL measures divide by a count(value) the
+    caller adds to the finest tier instead.
     """
     keys = keys or []
+    if not tiers:
+        raise ValueError("tiers must be a non-empty fine->coarse list")
     secs = [_tier_seconds(t) for t in tiers]
     for fine, coarse in zip(secs, secs[1:]):
+        if coarse <= fine:
+            raise ValueError(
+                f"tiers must be strictly increasing: {coarse}s after {fine}s"
+            )
         if coarse % fine != 0:
             raise ValueError(f"tiers must nest: {fine}s does not divide {coarse}s")
 

@@ -97,60 +97,97 @@ def drift_report(
     is a fixed left-associated chain over ``bins`` terms of exact-
     operand divisions — the only libm call is ln, which matched the
     oracle bit-for-bit across this repo's LM-scoring operators —
-    rounded to 1e-6. Cost: one min/max pass over OLD for the edges
-    (2 doubles to the driver), then one single-aggregate pass per
-    snapshot; the final join is 1-row × 1-row.
+    rounded to 1e-6. Cost: THREE scans total regardless of how many
+    columns are checked — one min/max pass over OLD for every
+    column's edges, then one all-columns aggregate per snapshot (the
+    same k-checks-must-not-cost-k-scans rule check_report follows; a
+    first cut ran 3 jobs PER column). The 1×1 joined row is
+    materialized once, so the per-column output selects are local.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
-    rows = []
-    for c in numeric_cols:
-        edge = old.select(
-            F.min(F.col(c).cast("double")).alias("lo"),
-            F.max(F.col(c).cast("double")).alias("hi"),
-        ).first()
-        if edge.lo is None or edge.hi is None:
+    if not numeric_cols:
+        raise ValueError("numeric_cols must be non-empty")
+
+    # pass 1: every column's bin edges from ONE old-snapshot aggregate
+    mm = old.agg(
+        *[
+            f
+            for i, c in enumerate(numeric_cols)
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_lo{i}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi{i}"),
+            )
+        ]
+    ).first()
+    edges: dict[str, tuple[float, float, float]] = {}
+    for i, c in enumerate(numeric_cols):
+        lo, hi = mm[f"_lo{i}"], mm[f"_hi{i}"]
+        if lo is None or hi is None:
             raise ValueError(
                 f"old snapshot has no non-null values for column {c!r}; "
                 "PSI bin edges are anchored on the old snapshot's [min, max]"
             )
-        lo, hi = float(edge.lo), float(edge.hi)
-        width = (hi - lo) / bins if hi > lo else 1.0
+        lo, hi = float(lo), float(hi)
+        edges[c] = (lo, hi, (hi - lo) / bins if hi > lo else 1.0)
 
-        def binned_counts(df: DataFrame, tag: str) -> DataFrame:
+    # passes 2+3: one aggregate per snapshot covering every column
+    def snapshot_agg(df: DataFrame, tag: str) -> DataFrame:
+        aggs = []
+        for i, c in enumerate(numeric_cols):
+            lo, hi, width = edges[c]
             v = F.col(c).cast("double")
+            # clamp in LONG, no int cast: a far-drifted new value (the
+            # exact input a drift report exists for, e.g. epoch-ms
+            # landing in an epoch-s column) makes floor() exceed int32
+            # — a floor->cast('int')->clamp order would throw ANSI
+            # CAST_OVERFLOW before the clamp could bite
             b = F.least(
-                F.lit(bins - 1),
-                F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+                F.lit(bins - 1).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor((v - F.lit(lo)) / F.lit(width)),
+                ),
             )
-            aggs = [
-                F.count(F.lit(1)).alias(f"n_{tag}"),
-                (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{tag}"),
-                F.min(v).alias(f"min_{tag}"),
-                F.max(v).alias(f"max_{tag}"),
+            aggs += [
+                F.count(F.lit(1)).alias(f"n_{tag}_{i}"),
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{tag}_{i}"),
+                F.min(v).alias(f"min_{tag}_{i}"),
+                F.max(v).alias(f"max_{tag}_{i}"),
             ] + [
                 F.sum(
-                    F.when(v.isNotNull() & (b == i), F.lit(1)).otherwise(F.lit(0))
-                ).alias(f"b{i}_{tag}")
-                for i in range(bins)
+                    F.when(v.isNotNull() & (b == j), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"b{j}_{tag}_{i}")
+                for j in range(bins)
             ]
-            return df.agg(*aggs)
+        return df.agg(*aggs)
 
-        o, n = binned_counts(old, "old"), binned_counts(new, "new")
-        joined = o.crossJoin(n)
-        no = F.col("n_old") - F.col("nulls_old")
-        nn = F.col("n_new") - F.col("nulls_new")
+    joined = (
+        snapshot_agg(old, "old")
+        .crossJoin(snapshot_agg(new, "new"))
+        .localCheckpoint(eager=True)  # ONE row; column selects below are local
+    )
+    rows = []
+    for i, c in enumerate(numeric_cols):
+        no = F.col(f"n_old_{i}") - F.col(f"nulls_old_{i}")
+        nn = F.col(f"n_new_{i}") - F.col(f"nulls_new_{i}")
         psi = None
-        for i in range(bins):
-            po = (F.col(f"b{i}_old") + 1).cast("double") / (no + bins)
-            pn = (F.col(f"b{i}_new") + 1).cast("double") / (nn + bins)
+        for j in range(bins):
+            po = (F.col(f"b{j}_old_{i}") + 1).cast("double") / (no + bins)
+            pn = (F.col(f"b{j}_new_{i}") + 1).cast("double") / (nn + bins)
             term = (pn - po) * F.log(pn / po)
             psi = term if psi is None else psi + term
         rows.append(
             joined.select(
                 F.lit(c).alias("column"),
-                "n_old", "n_new", "nulls_old", "nulls_new",
-                "min_old", "max_old", "min_new", "max_new",
+                F.col(f"n_old_{i}").alias("n_old"),
+                F.col(f"n_new_{i}").alias("n_new"),
+                F.col(f"nulls_old_{i}").alias("nulls_old"),
+                F.col(f"nulls_new_{i}").alias("nulls_new"),
+                F.col(f"min_old_{i}").alias("min_old"),
+                F.col(f"max_old_{i}").alias("max_old"),
+                F.col(f"min_new_{i}").alias("min_new"),
+                F.col(f"max_new_{i}").alias("max_new"),
                 F.round(psi, 6).alias("psi"),
             )
         )
@@ -173,9 +210,19 @@ def category_drift(
             F.count(F.lit(1)).alias(f"n_{tag}")
         )
 
-    o, n = counted(old, "old"), counted(new, "new")
-    t_old = old.count()
-    t_new = new.count()
+    # totals derive from the grouped counts (the groupBy keeps a NULL
+    # category, so sum == count(*)) — no second scan of either
+    # snapshot; the grouped frames are category-cardinality tiny, so
+    # materializing them makes the derivation a metadata-cheap job
+    o = counted(old, "old").localCheckpoint(eager=True)
+    n = counted(new, "new").localCheckpoint(eager=True)
+    t_old = (o.agg(F.sum("n_old")).first()[0]) or 0
+    t_new = (n.agg(F.sum("n_new")).first()[0]) or 0
+    if t_old == 0 or t_new == 0:
+        raise ValueError(
+            f"category_drift: empty snapshot (old={t_old}, new={t_new} "
+            "rows) — frequency shares are undefined"
+        )
     return (
         o.join(n, "value", "full_outer")
         .select(

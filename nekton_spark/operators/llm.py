@@ -179,11 +179,16 @@ def redact_pii_processor(df: DataFrame, text_col: str = "text", counts: bool = F
     """Scrub emails / NANP phones / E.164 international numbers /
     IPv4s / IBANs in place (<EMAIL>/<PHONE>/<E164>/<IPV4>/<IBAN>
     tokens); counts=True adds per-kind pre-redaction match counts."""
+    # engine-wide NULL=empty-document contract applied HERE (the user
+    # surface): without the coalesce a NULL-text doc gets NULL counts
+    # (a `n_email = 0` clean-set filter would silently drop it) and a
+    # NULL redacted text
+    c = F.coalesce(F.col(text_col), F.lit(""))
     out = df
     if counts:
         for kind in ta.PII_PATTERNS:
-            out = out.withColumn(f"n_{kind}", ta.pii_count(F.col(text_col), kind))
-    return out.withColumn(text_col, ta.redact_pii(F.col(text_col)))
+            out = out.withColumn(f"n_{kind}", ta.pii_count(c, kind))
+    return out.withColumn(text_col, ta.redact_pii(c))
 
 
 @register_processor("common_passages")
