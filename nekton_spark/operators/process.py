@@ -58,6 +58,10 @@ def process(df: DataFrame, name: str, args: list[str] | None = None) -> DataFram
         pdf = pdf.sort_values("msg_idx")
         segs = _run_child(name, args, pdf["value"].tolist())
         base = int(pdf["msg_idx"].iloc[0])
+        # 1:N op -> copy the batch's metadata to each child (messages.py
+        # invariant: batch-scoped keys survive every operator; setting
+        # None here silently dropped batch.* metadata mid-chain)
+        meta = pdf["metadata"].iloc[0]
         return pd.DataFrame(
             {
                 "batch_id": pdf["batch_id"].iloc[0],
@@ -65,7 +69,7 @@ def process(df: DataFrame, name: str, args: list[str] | None = None) -> DataFram
                 # the first parent index to stay order-stable and collision-free
                 "msg_idx": [base * STRIDE + i for i in range(len(segs))],
                 "value": segs,
-                "metadata": None,
+                "metadata": [meta] * len(segs),
             }
         )
 
@@ -87,12 +91,13 @@ def pipe_partitions(df: DataFrame, name: str, args: list[str] | None = None) -> 
             if pdf.empty:
                 continue
             segs = _run_child(name, args, pdf["value"].tolist())
+            meta = pdf["metadata"].iloc[0]  # same 1:N metadata copy
             yield pd.DataFrame(
                 {
                     "batch_id": pdf["batch_id"].iloc[0],
                     "msg_idx": range(len(segs)),
                     "value": segs,
-                    "metadata": None,
+                    "metadata": [meta] * len(segs),
                 }
             )
 

@@ -79,6 +79,20 @@ def join_processor(
         # scatter the left's hot keys across replicas. Used when a key's
         # row count exceeds one task's memory and AQE's split is not
         # available (e.g. non-shuffle-file stages).
+        #
+        # Only inner/left-shaped joins are salt-compatible: an
+        # unmatched RIGHT row exists `salt` times in the replicated
+        # frame and no replica matches, so right/full outer would emit
+        # `salt` null-padded copies of it. Refuse rather than
+        # duplicate.
+        if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+            raise ValueError(
+                f"salt is incompatible with how={how!r}: unmatched "
+                "right rows would be emitted salt times (use AQE skew "
+                "handling for right/full outer joins)"
+            )
+        if condition is not None:
+            raise ValueError("salt requires key-based `on`, not `condition`")
         on_cols = [on] if isinstance(on, str) else list(on)
         left = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
         right = right.withColumn("__salts", F.sequence(F.lit(0), F.lit(salt - 1))).withColumn(

@@ -60,10 +60,32 @@ class FakeBroker:
     key/value framing, created with O_EXCL so concurrent producers
     (multiple Spark workers) can never double-assign an offset."""
 
-    def __init__(self, root: str, n_partitions: int = DEFAULT_PARTITIONS):
+    def __init__(self, root: str, n_partitions: int | None = None):
         self.root = root
-        self.n_partitions = n_partitions
         os.makedirs(root, exist_ok=True)
+        # the partition count is BROKER state persisted with the log:
+        # readers/writers reconstruct FakeBroker(root) with no args, so
+        # a constructor default would silently shrink a 4-partition
+        # broker to 2 and lose partitions 2-3 from every scan. First
+        # writer of the meta file wins; a conflicting explicit count is
+        # refused.
+        meta = os.path.join(root, ".n_partitions")
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                stored = int(fh.read().strip())
+            if n_partitions is not None and n_partitions != stored:
+                raise ValueError(
+                    f"broker at {root} has {stored} partitions; "
+                    f"cannot reopen with n_partitions={n_partitions}"
+                )
+            self.n_partitions = stored
+        else:
+            self.n_partitions = n_partitions or DEFAULT_PARTITIONS
+            tmp = meta + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(self.n_partitions))
+            os.replace(tmp, meta)
+        self._last_offset: dict[tuple[str, int], int] = {}
 
     # -- storage helpers -------------------------------------------------
     @staticmethod
@@ -106,13 +128,20 @@ class FakeBroker:
         try:
             tmp.write(blob)
             tmp.close()
-            offset = self.next_offset(topic, part)
+            # per-producer offset cache: scanning the directory per
+            # record made producing n records O(n²) listdir work; the
+            # O_EXCL link loop below still resolves races with OTHER
+            # producers (the cache is only a starting guess)
+            ck = (topic, part)
+            offset = self._last_offset.get(ck)
+            offset = self.next_offset(topic, part) if offset is None else offset + 1
             while True:
                 try:
                     os.link(tmp.name, os.path.join(d, f"{offset:020d}"))
                     break
                 except FileExistsError:
                     offset += 1
+            self._last_offset[ck] = offset
         finally:
             os.unlink(tmp.name)
         return part, offset

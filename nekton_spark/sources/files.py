@@ -44,10 +44,8 @@ def file_source(
     df = _normalize_ntz(reader.load(path))
     if not as_messages:
         return df
-    if stream:
-        # monotonically_increasing_id is per-micro-batch in streaming;
-        # batch identity = one message per batch still holds per epoch.
-        return from_column(df, value_column)
+    # one message per batch in both modes — from_column handles the
+    # streaming id assignment itself (xxhash64(uuid), messages.py)
     return from_column(df, value_column)
 
 

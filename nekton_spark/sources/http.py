@@ -42,7 +42,7 @@ except ImportError:  # pragma: no cover - older Spark
 
 from ..registry import register_source
 
-_SERVERS: dict[str, http.server.ThreadingHTTPServer] = {}
+_SERVERS: dict[str, tuple[http.server.ThreadingHTTPServer, str]] = {}
 _LOCK = threading.Lock()
 
 
@@ -107,9 +107,19 @@ def _handler_for(spool: _Spool, path: str):
             self.send_response(201)  # accepted (src/sources.rs:70-73)
             self.end_headers()
 
-        def do_GET(self):
-            self.send_response(405)  # non-POST (src/sources.rs:50-54)
+        # 405 for EVERY non-POST method (src/sources.rs:50-54 rejects
+        # anything that isn't POST) — without these, PUT/DELETE/HEAD/
+        # PATCH fell through to BaseHTTPRequestHandler's default 501
+        def _reject(self):
+            self.send_response(405)
             self.end_headers()
+
+        do_GET = _reject
+        do_PUT = _reject
+        do_DELETE = _reject
+        do_HEAD = _reject
+        do_PATCH = _reject
+        do_OPTIONS = _reject
 
     return Handler
 
@@ -126,8 +136,18 @@ def start_http_listener(address: str, path: str, spool_dir: str | None = None):
             spool = _Spool(spool_dir)
             server = http.server.ThreadingHTTPServer((host, int(port)), _handler_for(spool, path))
             threading.Thread(target=server.serve_forever, daemon=True).start()
-            _SERVERS[key] = server
-        return _SERVERS[key], spool_dir
+            _SERVERS[key] = (server, spool_dir)
+        server, active_dir = _SERVERS[key]
+        if active_dir != spool_dir:
+            # the cached server keeps spooling to ITS directory; handing
+            # the caller their different spool_dir would wire the reader
+            # to a directory the server never writes — refuse loudly
+            raise ValueError(
+                f"http listener for {key} already spools to {active_dir}; "
+                f"cannot re-spool to {spool_dir} (stop the session or "
+                "use the same spool_dir)"
+            )
+        return server, active_dir
 
 
 if _HAS_DATASOURCE:

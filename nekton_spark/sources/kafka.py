@@ -63,9 +63,23 @@ def kafka_source(
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     reader = _apply_config(reader, config, prefix=provider == "kafka")
     df = reader.load()
-    # record payload → message value; kafka partition/offset becomes batch id
+    # record payload → message value; batch id packs a 23-bit hash of
+    # (topic, partition) above the 40-bit offset. The hash term keeps
+    # multi-topic subscriptions collision-free (a bare partition*2^40
+    # made (topicA, p0, o7) and (topicB, p0, o7) the SAME batch — a
+    # downstream `process` would pipe both payloads as one frame) while
+    # preserving offset order WITHIN each topic-partition — the only
+    # order Kafka defines anyway. Caps, documented: offsets ≥ 2^40
+    # (~1.1e12/partition) wrap into the hash bits; cross-(topic,
+    # partition) id collisions are ~2^-23 per pair.
+    tp_hash = F.pmod(
+        F.xxhash64(
+            F.concat_ws(":", F.col("topic"), F.col("partition").cast("string"))
+        ),
+        F.lit(1 << 23),
+    ).cast("long")
     return df.select(
-        (F.col("partition").cast("long") * F.lit(2**40) + F.col("offset")).alias("batch_id"),
+        (tp_hash * F.lit(2**40) + F.pmod(F.col("offset"), F.lit(2**40))).alias("batch_id"),
         F.lit(0).cast("long").alias("msg_idx"),
         F.col("value").cast("string").alias("value"),
         F.create_map(F.lit("partition_key"), F.col("key").cast("string")).alias("metadata"),

@@ -84,7 +84,12 @@ def streaming_minhash_near_dup(
     """
     if verify not in ("exact", "estimate"):
         raise ValueError(f"unknown verify mode: {verify!r} (exact|estimate)")
-    r = k // bands
+    from nekton_spark.functions.dedup import band_rows
+
+    # validated like the batch sibling: bands > k would give r=0 —
+    # every band key the hash of an EMPTY slice, i.e. one bucket and a
+    # corpus-wide stream-stream cross join
+    r = band_rows(k, bands)
     if verify == "exact":
         # one Arrow pass yields the signature AND the dictionary-
         # encoded (60-bit hashed) shingle set — 8 bytes/shingle of
@@ -221,6 +226,11 @@ def streaming_minhash_near_dup(
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bh") == F.col("r.bh"))
             & (F.col("l._probe") == F.col("r._cell"))
+            # the id inequality mirrors the streaming join's l.id < r.id:
+            # a doc_id ingested TWICE at different timestamps would
+            # otherwise pass the ts< orientation here as a same-id pair
+            # the streaming twin never emits (batch/stream equivalence)
+            & (F.col("l.id") != F.col("r.id"))
             & (
                 (F.col("l.ts") < F.col("r.ts"))
                 | ((F.col("l.ts") == F.col("r.ts")) & (F.col("l.id") < F.col("r.id")))
