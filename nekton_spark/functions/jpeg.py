@@ -346,6 +346,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"expected marker at byte {pos}")
         if pos + 1 >= len(data):
             raise ValueError("truncated JPEG: lone 0xFF at end of payload")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (a spec-valid baseline JPEG with fill
+        # padding was previously rejected as a truncated segment)
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 1 >= len(data):
+                raise ValueError("truncated JPEG: lone 0xFF at end of payload")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break
@@ -411,6 +418,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             if not body:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
+            # ns == len(comps) == 0 (SOS with no preceding SOF0) must
+            # refuse here — it previously passed the equality check and
+            # crashed with IndexError at the plane assembly
+            if not comps or ns == 0:
+                raise ValueError("SOS before SOF0 (no frame components)")
             if ns != len(comps):
                 raise NotImplementedError("scan must cover all frame components")
             if len(body) < 1 + 2 * ns:

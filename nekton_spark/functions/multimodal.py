@@ -138,6 +138,13 @@ def decode_image(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(m: dict) -> tuple:
+            if m is None or m.get("payload") is None:
+                # the frame_sample contract, enforced consistently: a
+                # clear refusal instead of an opaque NoneType TypeError
+                raise ValueError(
+                    "null media struct/payload: filter null rows out "
+                    "before decode_image"
+                )
             if not fake:
                 if m["mime"] == "image/png":
                     pix = _png_decode(m["payload"])
@@ -541,6 +548,11 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(m: dict) -> tuple:
+            if m is None or m.get("payload") is None:
+                raise ValueError(
+                    "null media struct/payload: filter null rows out "
+                    "before decode_audio"
+                )
             try:
                 with wave.open(io.BytesIO(m["payload"]), "rb") as w:
                     rate, nch, n = (
@@ -560,6 +572,11 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
                 # chunk — found by the r8 media fuzz at seed 32) must
                 # surface as clean ValueErrors
                 raise ValueError(f"not a decodable WAV payload: {e}") from None
+            if rate <= 0:
+                # stdlib wave accepts a fmt chunk declaring rate 0 on
+                # read; the duration division below must refuse it
+                # cleanly, not ZeroDivisionError inside the task
+                raise ValueError(f"not a decodable WAV payload: sample rate {rate}")
             if len(raw) != n * nch * 2:
                 # header promised more frames than the data section
                 # carries — a silently-shortened read would report an
@@ -688,6 +705,9 @@ def frame_sample(
 ) -> DataFrame:
     """Video → sampled decoded frames (one row per sampled frame).
 
+    ``every`` must be >= 1 (0 was an opaque range() error inside the
+    executor; a negative stride silently sampled nothing).
+
     REAL for MJPEG AVI (``video/x-msvideo``): the RIFF container walk
     finds the per-frame JPEG chunks and only every ``every``-th frame
     is entropy-decoded (:func:`.jpeg.jpeg_decode`) — skipped frames
@@ -700,6 +720,8 @@ def frame_sample(
     Inter-frame codecs (H.26x/VP9/AV1) still raise — not
     implementable from scratch; ``fake=True`` keeps the deterministic
     stub (frame_idx + md5) for them."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
     if fake:
         out_schema = T.StructType(
             df.schema.fields

@@ -68,6 +68,23 @@ def translate_replacement(rep: str) -> str:
                 m = _re.match(r"\$(\{)?([A-Za-z_][A-Za-z0-9_]*|\d+)(?(1)\})", rep[i:])
                 if m:
                     ref = m.group(2)
+                    if (
+                        ref.isdigit()
+                        and m.group(1)
+                        and i + m.end() < n
+                        and rep[i + m.end()].isdigit()
+                    ):
+                        # Rust '${1}1' = group 1 then literal '1'. Java
+                        # has no brace syntax for NUMERIC refs, and a
+                        # bare '$11' resolves greedily to group 11 —
+                        # stripping the braces would silently reference
+                        # the wrong group. No faithful translation
+                        # exists; refuse rather than corrupt.
+                        raise ValueError(
+                            f"cannot translate replacement {rep!r}: Java has "
+                            "no disambiguated form for a braced numeric "
+                            "group ref followed by a digit"
+                        )
                     out.append(f"${ref}" if ref.isdigit() else f"${{{ref}}}")
                     i += m.end()
                 else:
@@ -128,6 +145,13 @@ def regex_split(df: DataFrame, re: str) -> DataFrame:
     same (reference ``src/regex.rs:96-132``; SURVEY §2.2). The fan-out
     uses ``posexplode`` + index striding — order preserved with zero
     shuffle.
+
+    Documented divergence envelope: for a pattern that matches EMPTY
+    at position 0 (e.g. ``\\d*`` against ``abc``), Java's
+    ``Pattern.split`` drops the leading empty segment while Rust keeps
+    it — a JVM-level difference ``limit=-1`` does not control. None of
+    the reference's split patterns can match empty; flag only if a
+    spec relies on zero-width-at-start splits.
     """
     return (
         df.select(

@@ -41,9 +41,11 @@ def read_schema_columns(df: DataFrame) -> list[str]:
             depth = 0
             field = ""
             for ch in inner:
-                if ch == "<":
+                # parentheses nest too: decimal(10,2)'s comma would
+                # otherwise split mid-type and emit a phantom column
+                if ch in "<(":
                     depth += 1
-                elif ch == ">":
+                elif ch in ">)":
                     depth -= 1
                 if ch == "," and depth == 0:
                     cols.append(field.split(":")[0])
@@ -56,8 +58,16 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Shuffle count in the physical plan (lower = better at scale)."""
-    return simple_plan(df).count("Exchange hashpartitioning") + simple_plan(df).count(
+    """DATA-MOVEMENT shuffle count in the physical plan (lower =
+    better at scale). Deliberately counts hash and range exchanges
+    only: RoundRobinPartitioning exchanges are excluded because they
+    are exactly the ``ensure_parallelism`` fan-outs this engine
+    inserts for under-split local inputs (a no-op at real scale) —
+    every pinned budget in tests/test_plans.py is calibrated to this
+    definition. Use ``simple_plan(df).count("Exchange")`` when the
+    round-robin fan-out itself is under test."""
+    p = simple_plan(df)
+    return p.count("Exchange hashpartitioning") + p.count(
         "Exchange rangepartitioning"
     )
 

@@ -78,6 +78,14 @@ def run_spec(spark: SparkSession, spec: Spec | str):
     StreamingQuery). The analog of ``start_stream_processor``
     (reference ``src/lib.rs:74-94``)."""
     if isinstance(spec, str):
-        spec = Spec.from_file(spec) if "\n" not in spec else Spec.from_yaml(spec)
+        # a newline-free string is only a FILE when it exists on disk —
+        # a valid one-line flow-style YAML spec was previously fed to
+        # open() and died with FileNotFoundError
+        import os
+
+        if "\n" not in spec and os.path.exists(spec):
+            spec = Spec.from_file(spec)
+        else:
+            spec = Spec.from_yaml(spec)
     _, run_sink = compile_spec(spark, spec)
     return run_sink()
