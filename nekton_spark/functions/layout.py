@@ -161,11 +161,20 @@ def rowgroups_matching(
             rg = md.row_group(g)
             sa, sb = rg.column(ia).statistics, rg.column(ib).statistics
             total += 1
-            # a row group with MISSING stats cannot be proven
-            # non-intersecting, so a real scan must read it — count it
-            # as matching, never as pruned
-            a_hit = sa is None or not (sa.max < a_lo or sa.min > a_hi)
-            b_hit = sb is None or not (sb.max < b_lo or sb.min > b_hi)
+            # a row group with MISSING stats (no statistics object, or
+            # statistics without min/max — e.g. an all-NULL chunk)
+            # cannot be proven non-intersecting, so a real scan must
+            # read it — count it as matching, never as pruned
+            a_hit = (
+                sa is None
+                or not sa.has_min_max
+                or not (sa.max < a_lo or sa.min > a_hi)
+            )
+            b_hit = (
+                sb is None
+                or not sb.has_min_max
+                or not (sb.max < b_lo or sb.min > b_hi)
+            )
             if a_hit and b_hit:
                 match += 1
     return match, total

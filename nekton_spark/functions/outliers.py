@@ -48,6 +48,12 @@ def corpus_centroid(
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"))
         .collect()
     )
+    if rows and max(r.j for r in rows) >= dim:
+        raise ValueError(
+            f"embedding_outliers: found embedding of length "
+            f"{max(r.j for r in rows) + 1} but dim={dim}; pass the "
+            f"correct dim (lengths must be uniform and equal to dim)"
+        )
     mu = [0.0] * dim
     for r in rows:
         mu[r.j] = r.mu
@@ -58,10 +64,24 @@ def _dist2_udf(mu: list[float]):
     @F.pandas_udf("double")
     def _d2(v: pd.Series) -> pd.Series:
         M = np.asarray(mu, dtype=np.float64)
-        A = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        D = (A - M) ** 2
-        # exact left-fold in index order == the oracle's unrolled sum
-        return pd.Series(np.cumsum(D, axis=1)[:, -1])
+        dim = len(mu)
+        out = np.full(len(v), np.nan)
+        dense, idx = [], []
+        for i, x in enumerate(v):
+            if x is None:
+                continue  # NULL embedding -> NULL dist2 (oracle parity)
+            if len(x) != dim:
+                raise ValueError(
+                    f"embedding_outliers: embedding of length {len(x)} "
+                    f"!= dim {dim}; lengths must be uniform"
+                )
+            dense.append(np.asarray(x, dtype=np.float64))
+            idx.append(i)
+        if dense:
+            D = (np.asarray(dense) - M) ** 2
+            # exact left-fold in index order == the oracle's unrolled sum
+            out[idx] = np.cumsum(D, axis=1)[:, -1]
+        return pd.Series(out)
 
     return _d2
 

@@ -1048,12 +1048,14 @@ def mmr_topk(
             )
         ids = cand_pdf["neighbor_id"].to_numpy()
         qs = cand_pdf["score"].to_numpy(dtype=np.float64)
-        idx = {int(v): i for i, v in enumerate(ids)}
+        # no int() casts: ids keep the input column's type (string ids
+        # work — the _tiered_kmeans / lang_id_trained id-type pattern)
+        idx = {v: i for i, v in enumerate(ids)}
         P = np.zeros((n, n), dtype=np.float64)
         for na, nb, ps in zip(
             pairs_pdf["na"], pairs_pdf["nb"], pairs_pdf["psim"]
         ):
-            P[idx[int(na)], idx[int(nb)]] = ps
+            P[idx[na], idx[nb]] = ps
         remaining = np.ones(n, dtype=bool)
         # -inf start: the max similarity to the selected set can be
         # NEGATIVE (anti-similar candidates earn a bonus, which is
@@ -1072,19 +1074,25 @@ def mmr_topk(
                     or (mmr[i] == mmr[best] and ids[i] < ids[best])
                 ):
                     best = i
-            out.append((qid, int(ids[best]), qs[best], float(mmr[best]), r + 1))
+            out.append((qid, ids[best], qs[best], float(mmr[best]), r + 1))
             remaining[best] = False
             maxpen = np.maximum(maxpen, P[:, best])
         return pd.DataFrame(
             out, columns=["query_id", "neighbor_id", "score", "mmr", "rank"]
         )
 
+    # derive both id field types from the actual frames (string/int ids
+    # both work) instead of hard-coding long — the _tiered_kmeans /
+    # _lang_id_trained_arrow pattern
+    qid_t = cand.schema["query_id"].dataType.simpleString()
+    nid_t = cand.schema["neighbor_id"].dataType.simpleString()
     return (
         cand.groupBy("query_id")
         .cogroup(pairs.groupBy("query_id"))
         .applyInPandas(
             greedy,
-            "query_id long, neighbor_id long, score double, mmr double, rank int",
+            f"query_id {qid_t}, neighbor_id {nid_t}, "
+            "score double, mmr double, rank int",
         )
     )
 

@@ -70,21 +70,34 @@ class FakeBroker:
         # writer of the meta file wins; a conflicting explicit count is
         # refused.
         meta = os.path.join(root, ".n_partitions")
-        if os.path.exists(meta):
+
+        def _read_stored() -> int:
             with open(meta) as fh:
-                stored = int(fh.read().strip())
+                return int(fh.read().strip())
+
+        def _check(stored: int) -> int:
             if n_partitions is not None and n_partitions != stored:
                 raise ValueError(
                     f"broker at {root} has {stored} partitions; "
                     f"cannot reopen with n_partitions={n_partitions}"
                 )
-            self.n_partitions = stored
+            return stored
+
+        if os.path.exists(meta):
+            self.n_partitions = _check(_read_stored())
         else:
-            self.n_partitions = n_partitions or DEFAULT_PARTITIONS
-            tmp = meta + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(str(self.n_partitions))
-            os.replace(tmp, meta)
+            want = n_partitions or DEFAULT_PARTITIONS
+            try:
+                # O_EXCL create: exactly one concurrent first-creator
+                # wins; every loser re-reads the stored count and goes
+                # through the same conflict check as a reopen (the old
+                # tmp+os.replace was last-writer-wins, so two racing
+                # creators could each proceed with their own count).
+                with open(meta, "x") as fh:
+                    fh.write(str(want))
+                self.n_partitions = want
+            except FileExistsError:
+                self.n_partitions = _check(_read_stored())
         self._last_offset: dict[tuple[str, int], int] = {}
 
     # -- storage helpers -------------------------------------------------

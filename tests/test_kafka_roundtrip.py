@@ -111,3 +111,31 @@ class TestRoundTrip:
         got = spark.sql("SELECT value FROM kafka_bounded").collect()
         assert sorted(r.value for r in got) == sorted(f"v{i}" for i in range(10))
         assert sizes and max(sizes) <= 3
+
+
+class TestMetaCreateRace:
+    def test_losing_creator_adopts_stored_count(self, tmp_path, monkeypatch):
+        # r10 ADVICE fix: the meta file is created with O_EXCL; a
+        # racing first-creator that loses the create re-reads the
+        # stored count and goes through the reopen conflict check.
+        import os as _os
+
+        from nekton_spark.sources.fakekafka import FakeBroker
+
+        root = str(tmp_path / "race")
+        real_exists = _os.path.exists
+
+        def exists_lies_about_meta(p):
+            if p.endswith(".n_partitions"):
+                return False  # both creators think they are first
+            return real_exists(p)
+
+        FakeBroker(root, n_partitions=4)  # winner persisted 4
+        monkeypatch.setattr(_os.path, "exists", exists_lies_about_meta)
+        # matching count: adopts the stored 4 via the O_EXCL-loser path
+        assert FakeBroker(root, n_partitions=4).n_partitions == 4
+        # conflicting count: refused, not silently split-brained
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="has 4 partitions"):
+            FakeBroker(root, n_partitions=2)

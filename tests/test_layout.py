@@ -111,3 +111,25 @@ class TestPruning:
         assert (
             spark.read.parquet(zord).count() == e.count()
         )
+
+
+class TestStatlessRowGroups:
+    def test_all_null_chunk_counts_as_matching(self, tmp_path):
+        # r10 ADVICE fix: statistics present but has_min_max unset
+        # (all-NULL column chunk) must be treated as must-read, not
+        # crash on None < int
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from nekton_spark.functions.layout import rowgroups_matching
+
+        t = pa.table(
+            {
+                "a": pa.array([None, None], type=pa.int64()),
+                "b": pa.array([1, 2], type=pa.int64()),
+            }
+        )
+        p = str(tmp_path / "nulls.parquet")
+        pq.write_table(t, p)
+        match, total = rowgroups_matching(p, "a", 100, 200, "b", 1, 2)
+        assert (match, total) == (1, 1)

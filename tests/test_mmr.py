@@ -104,3 +104,25 @@ class TestPlan:
         assert "CartesianProduct" not in p
         assert plans.has_broadcast_join(df)
         assert p.count("FlatMapCoGroupsInPandas") == 1
+
+
+class TestIdTypes:
+    def test_string_ids(self, spark):
+        # r10 ADVICE fix: the applyInPandas schema derives id types
+        # from the input frames, so string ids work end-to-end
+        c = spark.createDataFrame(
+            [
+                ("q", [1.0, 0.0]),
+                ("a", [1.0, 0.1]),
+                ("b", [-0.5, 1.0]),
+            ],
+            "vec_id string, embedding array<float>",
+        )
+        out = sorted(
+            mmr_topk(
+                c, c.filter(F.col("vec_id") == "q"), k=2, c=2, lam=0.7, dim=2
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+        assert [r.neighbor_id for r in out] == ["a", "b"]
+        assert out[0].query_id == "q"

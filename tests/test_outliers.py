@@ -61,3 +61,32 @@ class TestOutliers:
         # the only exchange is the 25-row single partition the rank
         # window runs on, never a corpus-wide sort exchange
         assert plans.count_exchanges(df) <= 1
+
+
+class TestValidationEnvelope:
+    """r10 ADVICE hardening: NULL embeddings propagate NULL dist2
+    (oracle parity), ragged / over-length embeddings refuse with a
+    clear error instead of an opaque numpy TypeError."""
+
+    def test_null_embedding_scores_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0], 0), (2, None, 0), (3, [3.0, 0.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = embedding_outliers(df, k=3, dim=2).collect()
+        by_id = {r.vec_id: r.dist2 for r in out}
+        assert by_id[2] is None
+        # NULL does not perturb the centroid: mean of 1 and 3 is 2
+        assert by_id[1] == 1.0 and by_id[3] == 1.0
+        # desc nulls-last: the NULL row ranks after every scored row
+        assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)][-1] == 2
+
+    def test_overlong_embedding_refused_at_centroid(self, spark):
+        df = _emb(spark, [(1, [1.0, 2.0, 3.0], 0)])
+        with pytest.raises(ValueError, match="dim=2"):
+            corpus_centroid(df, dim=2)
+
+    def test_ragged_embedding_refused_in_scoring(self, spark):
+        df = _emb(spark, [(1, [1.0, 0.0], 0), (2, [1.0], 0)])
+        with pytest.raises(Exception, match="lengths must be uniform"):
+            embedding_outliers(df, k=2, dim=2).collect()
