@@ -51,6 +51,8 @@ import pandas as pd  # annotation target for Arrow-batched UDFs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 # auto-k policy: clusters sized ~TARGET_CLUSTER rows, floor 8 — the
 # SemDeDup operating point (cluster size constant as the corpus grows,
@@ -369,7 +371,7 @@ def _tiered_kmeans(
     # the coarse assignment DAG (scan + argmin over coarse_k centroids)
     # feeds the cell-count aggregate AND the refinement — materialize
     # once; on a real cluster swap for checkpoint()
-    coarse = coarse.localCheckpoint(eager=True)
+    coarse = coarse.transform(materialize)
     cells = coarse.groupBy("coarse").agg(F.count(F.lit(1)).alias("cell_n"))
     tiled = (
         coarse.join(F.broadcast(cells), "coarse")
@@ -613,7 +615,7 @@ def semdedup(
     # the final keeper join would each re-execute it — 3× the n·k
     # assignment cost at 100 TB. On a cluster swap for a reliable
     # checkpoint dir.
-    pts = pts.localCheckpoint(eager=True)
+    pts = pts.transform(materialize)
     # Salt oversized clusters into tile-pair subgroups (the
     # embedding_near_dup pattern): the auto-k policy pins cluster size
     # ~TARGET_CLUSTER, but a degenerate corpus (one tight semantic

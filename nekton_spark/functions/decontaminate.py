@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from .text_analysis import ngrams
 
 
@@ -276,7 +278,7 @@ def fuzzy_contamination_pairs(
     cand = (
         cand.select(F.col("id").alias("train_id"), "eval_id")
         .distinct()
-        .localCheckpoint(eager=True)  # verify branches reuse, not re-derive
+        .transform(materialize)  # verify branches reuse, not re-derive
     )
     sh_udf = _distinct_shingles_udf(shingle_n)
     t_ids = cand.select(F.col("train_id").alias("id")).distinct()

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from .hashing import H0_MOD, REHASH_MASK, affine_consts, hash60
 from .text_analysis import fingerprint
 
@@ -263,7 +265,7 @@ def incremental_dedup(
         # fresh feeds BOTH sides of the keeper join below; without
         # materialization the fingerprint UDF and the anti-join against
         # the corpus-scale history index would execute twice per action
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     first = fresh.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
     return (
@@ -348,9 +350,9 @@ def minhash_lsh_pairs(
 
     # the self-join + verification would otherwise re-execute the whole
     # signature DAG per branch; signatures are tiny (id + k longs), so
-    # materialize once (on a cluster, swap localCheckpoint for a
-    # reliable checkpoint dir)
-    sigs = sigs.localCheckpoint(eager=True)
+    # materialize once (reliable-checkpoint-aware: set
+    # SPARK_GRAFT_CHECKPOINT_DIR on a cluster — see materialize.py)
+    sigs = sigs.transform(materialize)
     banded = sigs.select(
         "id",
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh"),
@@ -366,7 +368,7 @@ def minhash_lsh_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # exact-Jaccard verification only needs shingle sets for docs that
     # survived banding — semi-join the corpus down to candidate ids
@@ -384,7 +386,7 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .join(cand_ids, "id", "left_semi")
         .select("id", shingle_set(F.col("_txt")).alias("sh"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -499,7 +501,7 @@ def simhash_near_dup_pairs(
     )
     # the self-join would re-evaluate the (interpreted-fold) simhash
     # per branch; the (id, hash) frame is tiny — materialize once
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(materialize)
     banded = base.select(
         "id",
         "sh",
@@ -618,7 +620,7 @@ def ngram_jaccard_pairs(
         # Materialize the post-cut index once: it feeds sizes and BOTH
         # self-join sides, which would otherwise re-run the shingle UDF
         # and the df-cut three more times.
-        inv = inv.join(F.broadcast(cut), "g", "left_anti").localCheckpoint(eager=True)
+        inv = inv.join(F.broadcast(cut), "g", "left_anti").transform(materialize)
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         # no df-cut: the inverted index still feeds BOTH self-join
@@ -626,7 +628,7 @@ def ngram_jaccard_pairs(
         # (the dominant cost is the corpus-wide shingle UDF; without
         # this it executed ~3x per action). sizes from the index (one
         # row per DISTINCT shingle) equals size(sh) by construction.
-        inv = inv.localCheckpoint(eager=True)
+        inv = inv.transform(materialize)
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (

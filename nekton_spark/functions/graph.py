@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 
 def connected_components(
     vertices: DataFrame,
@@ -40,7 +42,7 @@ def connected_components(
         .distinct()
         # materialize once: edge derivation is often an expensive upstream
         # pipeline (LSH pair mining) that must not re-run every iteration
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -59,7 +61,7 @@ def connected_components(
             )
         )
         # convergence check: one scalar to the driver per round
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -111,7 +113,7 @@ def connected_components_star(
         .filter(u != v)
         .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_edges = e.count()  # cheap: frame is checkpointed
     for _ in range(max_iterations):
@@ -133,7 +135,7 @@ def connected_components_star(
             .filter(u != v)
         )
         hung = m2.select("u", F.col("m").alias("v"))
-        new_e = flattened.union(hung).distinct().localCheckpoint(eager=True)
+        new_e = flattened.union(hung).distinct().transform(materialize)
         # set equality as |new| == |old| plus new ⊆ old (both frames are
         # distinct, so one exceptAll direction suffices — the symmetric
         # check paid a second shuffle per round for nothing)

@@ -31,8 +31,10 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
 
+from ..materialize import materialize
 from .hashing import hash60_py
 
 
@@ -368,9 +370,7 @@ def lsh_topk(
     # materialization the corpus-scale sketch UDF (the dominant map
     # cost) executes once per branch. Checkpoint volume = the same
     # bands× rows the bucket shuffle already moves.
-    cb = banded(ensure_parallelism(corpus), id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    cb = materialize(banded(ensure_parallelism(corpus), id_col, vec_col))
     qb = banded(queries, id_col, vec_col)
 
     # Salt oversized corpus buckets into ~tile-row subgroups (same
@@ -1006,7 +1006,7 @@ def mmr_topk(
             corpus, queries, k=c, id_col=id_col, vec_col=vec_col, dim=dim
         )
         .select("query_id", "neighbor_id", "score")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cvec = ensure_parallelism(
         corpus.select(
@@ -1020,7 +1020,7 @@ def mmr_topk(
             F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id"
         )
         .select("query_id", "neighbor_id", "cv")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cos = cosine_udf()
     a, b = cwith.alias("a"), cwith.alias("b")
@@ -1152,7 +1152,7 @@ def embedding_near_dup(
     # base feeds BOTH the bucket-size census (big) and the salted
     # join: materialize once so the corpus-scale sketch UDF runs one
     # time, not once per branch (the fd301b6 reused-subtree rule).
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(materialize)
 
     # All pairs within a bucket via exact-fold bucket matmuls (see
     # lsh_topk.score_bucket): vectors shuffled once per band, not per

@@ -21,6 +21,8 @@ import pandas as pd  # annotation target for Arrow-batched UDFs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from .hashing import hash60
 
 BPE_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
@@ -891,7 +893,7 @@ def remove_boilerplate_lines(
         .agg(F.count(F.lit(1)).alias("n_docs"))  # distinct by construction
         .filter(F.col("n_docs") >= min_docs)
         .select("k")
-        .localCheckpoint(eager=True)  # tiny; both rewrite paths reuse it
+        .transform(materialize)  # tiny; both rewrite paths reuse it
     )
     if mined.count() <= small_set_max:
         # collect_list over zero rows still yields one row with [] from
@@ -1130,7 +1132,7 @@ def token_length_histogram(
     agg = (
         binned.groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     total = agg.agg(F.sum("n_docs").alias("_total"))
     return (
@@ -1200,7 +1202,7 @@ def curriculum_buckets(
     single-task bottleneck/OOM at 100 TB. Instead the bucket is derived
     from the exact global rank computed distributively: range-sort the
     narrow (score, id) pairs (~16 B/doc through the exchange),
-    localCheckpoint to pin the partition layout, collect the tiny
+    materialize to pin the partition layout, collect the tiny
     per-partition count vector (one row per shuffle partition), and let
     each partition stamp rank = its offset + local position — then the
     bucket is pure arithmetic on (rank, total) replicating SQL ntile
@@ -1220,14 +1222,14 @@ def curriculum_buckets(
     # interpreted regex/HOF chain — sorting the live DAG measured 69 s
     # at sf10 vs 0.5 s sorting the checkpointed 16-byte rows. The score
     # is computed exactly once here.
-    scored = scored.localCheckpoint(eager=True)
+    scored = scored.transform(materialize)
     ranged = (
         scored.repartitionByRange(F.desc("score"), F.asc("doc_id"))
         .sortWithinPartitions(F.desc("score"), F.asc("doc_id"))
         # pin boundaries + partition indices so the count pass and the
         # rank pass see the identical layout (range sampling re-runs
         # per job otherwise); on a cluster swap for checkpoint()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = (
         ranged.groupBy(F.spark_partition_id().alias("pid"))

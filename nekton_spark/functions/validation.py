@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 __all__ = ["null_fraction", "in_range_fraction", "unique_ratio", "check_report"]
 
 
@@ -165,7 +167,7 @@ def drift_report(
     joined = (
         snapshot_agg(old, "old")
         .crossJoin(snapshot_agg(new, "new"))
-        .localCheckpoint(eager=True)  # ONE row; column selects below are local
+        .transform(materialize)  # ONE row; column selects below are local
     )
     rows = []
     for i, c in enumerate(numeric_cols):
@@ -214,8 +216,8 @@ def category_drift(
     # category, so sum == count(*)) — no second scan of either
     # snapshot; the grouped frames are category-cardinality tiny, so
     # materializing them makes the derivation a metadata-cheap job
-    o = counted(old, "old").localCheckpoint(eager=True)
-    n = counted(new, "new").localCheckpoint(eager=True)
+    o = counted(old, "old").transform(materialize)
+    n = counted(new, "new").transform(materialize)
     t_old = (o.agg(F.sum("n_old")).first()[0]) or 0
     t_new = (n.agg(F.sum("n_new")).first()[0]) or 0
     if t_old == 0 or t_new == 0:

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..materialize import materialize
+
 from nekton_spark.functions.hashing import hash60
 from nekton_spark.functions.text_analysis import token_count, tokenize
 
@@ -150,7 +152,7 @@ def winnow_pairs(
         .distinct()
         # feeds the df-cut, the sizes aggregate, and both join sides —
         # materialize once instead of re-winnowing four times.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     hot = (
         fp.groupBy("fp")

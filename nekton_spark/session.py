@@ -7,6 +7,14 @@ would be ``spark.sql.shuffle.partitions ≈ 2-3× total executor cores``
 and AQE coalescing trims the rest. Arrow is enabled so every
 Pandas-UDF / ``applyInPandas`` operator moves data in columnar
 batches, never row-at-a-time pickling.
+
+Cluster durability knob: set ``SPARK_GRAFT_CHECKPOINT_DIR`` to a DFS
+path (``hdfs://...``, ``s3://...``) when submitting to a real cluster
+— every iterative/multi-consumer operator then pins intermediates via
+reliable ``checkpoint()`` under that dir (survives executor loss)
+instead of the local-mode ``localCheckpoint`` default. See
+``nekton_spark/materialize.py``; results are bit-identical in both
+modes (``tests/test_materialize.py``).
 """
 
 from __future__ import annotations

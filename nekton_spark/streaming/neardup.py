@@ -23,7 +23,7 @@ pair, zero extra state.
 The operator is streaming/batch-unified: on a batch frame the very
 same plan runs unchanged — the first-shared-band filter provides the
 per-pair uniqueness on both paths (no separate batch dedup step), and
-``localCheckpoint`` pins the signature frame so the self-join's two
+``materialize`` pins the signature frame so the self-join's two
 branches agree. The batch-equivalence test checks this against
 ``minhash_lsh_pairs``.
 """
@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..materialize import materialize
 
 from ..functions.dedup import (
     DEFAULT_BANDS,
@@ -200,14 +202,14 @@ def streaming_minhash_near_dup(
     # Candidate pairs are then
     # DISTINCT'd (pair-scale, replacing the streaming first-shared-band
     # collapse) and the state table joins back ONCE per side by id to
-    # score. The eager localCheckpoint pins base so the Arrow UDF runs
+    # score. The eager materialize pins base so the Arrow UDF runs
     # once and every branch (two join sides + two fetches) reads the
     # same materialization — it also normalizes a TIMESTAMP_NTZ batch
     # input (ensure_event_time) so the unix_micros cell arithmetic and
     # the emitted ts type match the streaming twin.
     from .windows import ensure_event_time
 
-    base = ensure_event_time(base, "ts").localCheckpoint(eager=True)
+    base = ensure_event_time(base, "ts").transform(materialize)
     h_us = F.unix_micros(
         F.expr(f"TIMESTAMP '1970-01-01 00:00:00Z' + INTERVAL {delay}")
     )
