@@ -2325,6 +2325,28 @@ def bpe_merge_candidates_check(spark, sf):
     return bpe_merge_candidates(_t(spark, sf, "documents"), k=50)
 
 
+def bpe_encode_docs(spark, sf):
+    """Trained-BPE encode (functions/bpe.py — r9 verdict #3, the
+    missing half of the tokenizer story next to bpe_merge_candidates):
+    apply the frozen STD_MERGES table (trained by train_bpe on the
+    sf0.001 corpus, chained rules up to 6 chars deep) producing each
+    doc's token id sequence. Greedy textbook BPE — lowest-rank merge
+    first, leftmost occurrence, one merge at a time — which the
+    oracle replays literally with a recursive CTE (one iteration per
+    single merge) over the DISTINCT-word relation. Plan: posexplode
+    words → vocabulary-bounded distinct → ONE Arrow pass encoding
+    each distinct word once → join back (AQE broadcast) → ordered
+    flatten per doc. Output (doc_id, n_bpe, ids_csv) — the id
+    sequence as CSV text so the hash compare is schema-stable."""
+    from nekton_spark.functions.bpe import STD_MERGES, bpe_encode
+
+    return bpe_encode(_t(spark, sf, "documents"), STD_MERGES).select(
+        "doc_id",
+        "n_bpe",
+        F.array_join("bpe_ids", ",").alias("ids_csv"),
+    )
+
+
 def curriculum_buckets_check(spark, sf):
     """Quality-curriculum ntile assignment
     (text_analysis.curriculum_buckets): composite quality score,
@@ -2562,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_orders": q21_waiting_orders,
         "bpe_merge_candidates": bpe_merge_candidates_check,
+        "bpe_encode_docs": bpe_encode_docs,
         "classifier_trained": classifier_trained_check,
         "token_length_histogram": token_length_histogram_check,
         "boilerplate_removal": boilerplate_removal_check,
@@ -3510,6 +3533,91 @@ def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 6
     )
 
 
+def _bpe_encode_sql() -> str:
+    """Literal replay of functions/bpe.bpe_encode under STD_MERGES: a
+    recursive CTE applies ONE merge per iteration — the (lowest-rank,
+    then leftmost) applicable pair, exactly encode_word's loop — to
+    every distinct word until no rule applies. Pair lookup keys are
+    ``left || chr(31) || right`` against the literal rank-ordered key
+    list (chr(31) cannot occur inside a symbol: symbols are single
+    corpus chars or concatenations of STD_MERGES sides, asserted
+    sep-free here); argmin over (rank, position) is a list_min over
+    rank*100000+pos encodings (word length < 100000 by construction).
+    Vocab ids replay build_vocab: distinct code points in binary
+    order, then merge outputs by first rank. DuckDB's length()/s[i:i]
+    are code-point-based like Python's list(word) — verified."""
+    from nekton_spark.functions.bpe import STD_MERGES
+
+    for l, r in STD_MERGES:
+        assert chr(31) not in l and chr(31) not in r
+    mk = "[" + ", ".join(
+        "'" + (l + chr(31) + r).replace("'", "''") + "'" for l, r in STD_MERGES
+    ) + "]"
+    mout_vals = ", ".join(
+        "('{0}', {1})".format((l + r).replace("'", "''"), i + 1)
+        for i, (l, r) in enumerate(STD_MERGES)
+    )
+    best = (
+        "list_min(list_filter(list_transform(range(1, len(s)), p -> "
+        f"CASE WHEN list_position({mk}, s[p] || chr(31) || s[p+1]) > 0 "
+        f"THEN list_position({mk}, s[p] || chr(31) || s[p+1]) * 100000 + p END), "
+        "x -> x IS NOT NULL))"
+    )
+    return f"""
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, wpos, w FROM (
+    SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS wpos
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  ) WHERE len(w) > 0
+),
+dw AS (SELECT DISTINCT w FROM words),
+enc AS (
+  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS s FROM dw
+  UNION ALL
+  SELECT w, s[1:p-1] || [s[p] || s[p+1]] || s[p+2:] AS s
+  FROM (
+    SELECT w, s, bk % 100000 AS p
+    FROM (SELECT w, s, {best} AS bk FROM enc)
+    WHERE bk IS NOT NULL
+  )
+),
+final AS (SELECT w, s FROM enc WHERE {best} IS NULL),
+alpha AS (
+  SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS id
+  FROM (SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1), i -> w[i:i])) AS ch
+        FROM dw)
+),
+mout AS (
+  SELECT out, min(rk) AS rk
+  FROM (SELECT * FROM (VALUES {mout_vals}) AS t(out, rk))
+  WHERE out NOT IN (SELECT ch FROM alpha)
+  GROUP BY out
+),
+vocab AS (
+  SELECT ch AS tok, id FROM alpha
+  UNION ALL
+  SELECT out, (SELECT count(*) FROM alpha) + row_number() OVER (ORDER BY rk) - 1 AS id
+  FROM mout
+),
+ftoks AS (SELECT w, unnest(s) AS tok, generate_subscripts(s, 1) AS tpos FROM final),
+wid AS (
+  SELECT w, list(id ORDER BY tpos) AS ids
+  FROM (SELECT f.w, f.tpos, v.id FROM ftoks f JOIN vocab v ON v.tok = f.tok)
+  GROUP BY w
+),
+flat AS (
+  SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS bpe_ids
+  FROM (SELECT wo.doc_id, wo.wpos, wi.ids FROM words wo JOIN wid wi USING (w))
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(len(f.bpe_ids), 0)::INT AS n_bpe,
+       coalesce(array_to_string(f.bpe_ids, ','), '') AS ids_csv
+FROM documents d LEFT JOIN flat f USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Auto-width replay (similarity._resolve_band_width with bands=4,
     # target_bucket=64): the sketch is generated at the maximum width
@@ -3529,6 +3637,7 @@ pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS 
     return {
         # bpe_merge_candidates: adjacent char pairs over all word
         # occurrences; 1-based substr windows identical in both engines
+        "bpe_encode_docs": _bpe_encode_sql(),
         "bpe_merge_candidates": f"""
 WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
 p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair

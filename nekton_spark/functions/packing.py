@@ -33,6 +33,8 @@ def pack_sequences(
     n_shards: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """→ (id, shard, n_tokens, start_offset, pack_id, pack_pos, n_packs).
 
@@ -46,6 +48,13 @@ def pack_sequences(
 
     Zero-token docs occupy no space: they report the window they would
     start in and ``n_packs = 0``.
+
+    ``tokenizer="bpe"`` (with a ``merges`` table, default
+    ``bpe.STD_MERGES``) budgets in trained-BPE tokens instead of
+    whitespace tokens — the real training-pipeline accounting; the
+    count comes from one vocabulary-bounded ``bpe_encode`` pass
+    (functions/bpe.py) joined by id, and the packing arithmetic is
+    unchanged.
     """
     # fail fast: n_shards=0 would be a mid-job ANSI DIVIDE_BY_ZERO,
     # budget<=0 an Infinity offset whose long cast crashes (ANSI) or
@@ -54,12 +63,25 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     shard = (F.col(id_col) % n_shards).alias("shard")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shard,
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-    )
+    if tokenizer == "bpe":
+        from .bpe import STD_MERGES, bpe_encode
+
+        counts = bpe_encode(df, STD_MERGES if merges is None else merges,
+                            text_col, id_col)
+        base = counts.select(
+            F.col(id_col).alias("id"),
+            shard,
+            F.col("n_bpe").cast("long").alias("n_tokens"),
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            shard,
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
     w = Window.partitionBy("shard").orderBy("id")
     cum = F.sum("n_tokens").over(w)
     with_start = base.withColumn("start_offset", cum - F.col("n_tokens"))

@@ -147,6 +147,8 @@ def mixture_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Token-proportional source mixing (the DoReMi / data-mixing prep
     step): sample each source at the rate that makes its share of the
@@ -169,13 +171,28 @@ def mixture_sample(
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     from .text_analysis import token_count
 
-    tok = token_count(F.col(text_col))
-    totals = (
-        df.select(F.col(source_col).alias("_src"), tok.alias("_tok"))
-        .groupBy("_src")
-        .agg(F.sum("_tok").cast("long").alias("_tokens"))
+    if tokenizer == "bpe":
+        # budget in trained-BPE tokens (functions/bpe.py): per-source
+        # totals come from the vocabulary-bounded encode pass; the
+        # membership hash and rate arithmetic are unchanged
+        from .bpe import STD_MERGES, bpe_encode
+
+        counts = bpe_encode(df, STD_MERGES if merges is None else merges,
+                            text_col, id_col)
+        per_doc = df.select(F.col(source_col).alias("_src"), F.col(id_col)).join(
+            counts.select(id_col, F.col("n_bpe").alias("_tok")), id_col
+        )
+    else:
+        per_doc = df.select(
+            F.col(source_col).alias("_src"),
+            token_count(F.col(text_col)).alias("_tok"),
+        )
+    totals = per_doc.groupBy("_src").agg(
+        F.sum("_tok").cast("long").alias("_tokens")
     )
     tmap = F.create_map(
         *[x for sname, share in sorted(targets.items()) for x in (F.lit(sname), F.lit(float(share)))]

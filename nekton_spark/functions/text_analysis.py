@@ -512,6 +512,8 @@ def chunk_documents(
     overlap: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "whitespace",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Sliding-window chunking for RAG/embedding prep: one row per
     chunk of ``chunk_tokens`` whitespace tokens, consecutive chunks
@@ -523,13 +525,59 @@ def chunk_documents(
 
     Map-only — tokenize, a per-row ``sequence`` explode, and a slice
     per chunk; zero shuffles, trivially 100 TB-safe, and every
-    boundary is integer arithmetic a SQL oracle replays exactly."""
+    boundary is integer arithmetic a SQL oracle replays exactly.
+
+    ``tokenizer="bpe"`` (with a ``merges`` table, default
+    ``bpe.STD_MERGES``) windows the document's trained-BPE token id
+    stream instead: identical boundary arithmetic over ``bpe_ids``,
+    output column ``chunk_ids`` (the token id slice — what an LLM
+    pipeline actually feeds) replacing ``chunk_text``; only the
+    vocabulary-bounded encode join precedes the map-only chunking."""
     if overlap >= chunk_tokens:
         raise ValueError(
             f"overlap={overlap} must be < chunk_tokens={chunk_tokens}: "
             "stride would be <= 0 and chunking would never advance"
         )
+    if tokenizer not in ("whitespace", "bpe"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     stride = chunk_tokens - overlap
+    if tokenizer == "bpe":
+        from .bpe import STD_MERGES, bpe_encode
+
+        enc = bpe_encode(df, STD_MERGES if merges is None else merges,
+                         text_col, id_col)
+        n_chunks = F.when(F.col("n_bpe") <= 0, F.lit(0)).otherwise(
+            F.lit(1)
+            + F.floor(
+                (F.greatest(F.col("n_bpe") - chunk_tokens, F.lit(0))
+                 + F.lit(stride - 1)) / stride
+            ).cast("long")
+        )
+        base = enc.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("bpe_ids").alias("_toks"),
+            n_chunks.cast("long").alias("n_chunks"),
+        ).filter(F.col("n_chunks") > 0)
+        chunk = F.slice(
+            F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+        )
+        return (
+            base.select(
+                "doc_id",
+                "_toks",
+                "n_chunks",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1)
+                ).alias("chunk_idx"),
+            )
+            .select(
+                "doc_id",
+                "chunk_idx",
+                "n_chunks",
+                F.size(chunk).cast("long").alias("chunk_n_tokens"),
+                chunk.alias("chunk_ids"),
+            )
+        )
     toks = tokenize(F.col(text_col))
     n = token_count(F.col(text_col))
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(

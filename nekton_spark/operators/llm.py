@@ -50,6 +50,29 @@ def token_count_processor(df: DataFrame, text_col: str = "text", bpe: bool = Fal
     return df.withColumn("n_tokens", fn(F.col(text_col)))
 
 
+@register_processor("bpe_encode")
+def bpe_encode_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int | None = None,
+    merges: list | None = None,
+) -> DataFrame:
+    """Trained-BPE token ids per doc (functions/bpe.py): apply the
+    frozen STD_MERGES table, a user-supplied ``merges`` list of
+    [left, right] pairs, or train ``n_merges`` fresh merges on the
+    input corpus first."""
+    from ..functions.bpe import STD_MERGES, bpe_encode, train_bpe
+
+    if merges is not None:
+        table = [tuple(p) for p in merges]
+    elif n_merges is not None:
+        table = train_bpe(df, n_merges=n_merges, text_col=text_col)
+    else:
+        table = STD_MERGES
+    return df.join(bpe_encode(df, table, text_col, id_col), id_col)
+
+
 @register_processor("fingerprint")
 def fingerprint_processor(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", ta.fingerprint(F.col(text_col)))
