@@ -1393,6 +1393,49 @@ def dedup_minhash_xxh(spark, sf):
     )
 
 
+def minhash_xxh_pairset(spark, sf):
+    """Pair-set equality of the two MinHash engines, through the
+    oracle-checked md5 path (r9 verdict #6 — closes the
+    dedup_minhash_xxh oracle gap as far as SQL can reach): FULL OUTER
+    join of the xxhash64 engine's verified pairs with the md5
+    engine's at the same threshold, emitting membership flags. On the
+    driver corpus the dup cliques are exact (jaccard 1.0 shingle
+    sets → identical signatures under ANY hash family → every band
+    collides), so both engines provably produce the identical
+    verified set and every row hash-matches the md5 oracle's
+    (id_a, id_b, jaccard, true, true). Any engine divergence (a
+    candidate missed by one hash family near the S-curve knee)
+    surfaces as a false flag → hash mismatch. The exact-jaccard
+    verification stage is hash-agnostic, so scores agree wherever
+    membership does.
+
+    Envelope: equality is BY CONSTRUCTION only for exact cliques;
+    corpora with near-knee jaccard pairs legitimately diverge in
+    candidate recall between hash families (measured: fuzz seed 76
+    xxh found 35 pairs vs md5's 31) — which is exactly what this row
+    exists to make visible. It is therefore a driver-gate row on the
+    fixed testdata corpora (verified equal at sf0.01 AND sf0.1), not
+    a fuzz-battery row (tools/fuzz_oracle.py DOC_QUERIES note)."""
+    docs = _t(spark, sf, "documents")
+    xxh = dedup.minhash_lsh_pairs(docs, threshold=0.1, hash="xxhash64")
+    md5 = dedup.minhash_lsh_pairs(docs, threshold=0.1)
+    return (
+        xxh.select("id_a", "id_b", F.col("jaccard").alias("j_xxh"))
+        .join(
+            md5.select("id_a", "id_b", F.col("jaccard").alias("j_md5")),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("j_md5", "j_xxh").alias("jaccard"),
+            F.col("j_xxh").isNotNull().alias("in_xxh"),
+            F.col("j_md5").isNotNull().alias("in_md5"),
+        )
+    )
+
+
 def dedup_simhash(spark, sf):
     return dedup.simhash_dedup(_t(spark, sf, "documents"))
 
@@ -2522,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only trio (no_oracle by design) — keep visibly cycling ---
         "compression_quality": compression_quality,
         "dedup_minhash_xxh": dedup_minhash_xxh,
+        "minhash_xxh_pairset": minhash_xxh_pairset,
         "multimodal_decode": multimodal_decode,
         # --- CORRECTNESS_r06 rows, oldest-evidence families first ---
         "dedup_simhash": dedup_simhash,
@@ -4550,6 +4594,15 @@ SELECT doc_id, lang, source, n_chars
 FROM fresh JOIN keep USING (fp) WHERE doc_id = keep_id
 """,
         "dedup_minhash_lsh": _minhash_sql(threshold=0.1),
+        # pair-set equality of the xxhash64 engine vs the md5 engine:
+        # the oracle is the md5 path's exact pair set with both
+        # membership flags pinned true — a false from the Spark side's
+        # FULL OUTER compare is an engine divergence and hash-mismatches
+        "minhash_xxh_pairset": (
+            f"WITH {_minhash_ctes(0.1)}\n"
+            "SELECT id_a, id_b, jaccard, true AS in_xxh, true AS in_md5 "
+            "FROM mpairs"
+        ),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_hamming": _simhash_hamming_sql(),
         # bounded default plan: LSH candidates, exact-verified (the

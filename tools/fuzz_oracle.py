@@ -43,7 +43,13 @@ DOC_QUERIES = [
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
     "dedup_incremental", "pack_sequences_check", "dedup_keep_best",
     "lang_id_trained", "dsir_select", "hybrid_search_rrf",
-    "heavy_hitters_cms",
+    "heavy_hitters_cms", "bpe_encode_docs",
+    # NOT listed: minhash_xxh_pairset — it asserts xxh==md5 engine
+    # pair-set equality, which holds by construction only for exact
+    # dup cliques (the fixed testdata corpora); the hostile corpus
+    # plants near-knee jaccard pairs where the two hash families
+    # legitimately differ in banding recall (seed 76: 35 vs 31 pairs),
+    # so fuzzing it would red on documented-correct behavior.
     # message-pipeline + codec families (documents-driven too: the
     # pipes transform text; the codecs synthesize payloads from doc_id)
     "pipe_replace", "pipe_regex_replace", "pipe_regex_split",
