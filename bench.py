@@ -247,6 +247,26 @@ output:
     return out
 
 
+def _clustered_embeddings(spark, n: int, dim: int = 64, n_clusters: int = 64,
+                          sigma: float = 0.10, seed: int = 20260815):
+    """Deterministic mixture-of-Gaussians embedding corpus (r9 verdict
+    #4): unit-norm cluster centers drawn once from a fixed-seed RNG,
+    row i assigned to cluster i % n_clusters with within-cluster noise
+    sigma ≪ 1 — real embedding geometry (tight semantic clusters),
+    unlike the isotropic testdata corpus where ANN recall is pinned to
+    the structureless worst case. Generated in-memory (numpy) and
+    handed to Spark as one frame; vec_id = row index."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = np.arange(n) % n_clusters
+    X = centers[cl] + sigma * rng.standard_normal((n, dim))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def _ann_recall_bench(spark) -> dict:
     """Per-method recall@10 vs brute-force cosine at the bench SF
     (r8 verdict #5 — recall was previously asserted only on planted
@@ -266,6 +286,14 @@ def _ann_recall_bench(spark) -> dict:
       vec_id + 10^9), measuring whether each method surfaces the
       planted twin in its top-10 — recall on MEANINGFUL structure,
       the number that should stay ≈1.0 for lsh/rerank-style methods.
+    - ``clustered_recall_at_10`` (r9 verdict #4): same protocol on a
+      deterministic mixture-of-Gaussians corpus of the same size
+      (64 unit-norm cluster centers, within-cluster σ=0.10 — real
+      embedding geometry). Mid-range by design, so band/probe/
+      codebook regressions MOVE it — the tuning signal the isotropic
+      leg cannot be. σ chosen so no method saturates (r10 probe:
+      lsh .65 / ivf .47 / pq .49 / pq_rerank .96 / ivfpq .37; at
+      σ=.05 pq_rerank pins to 1.0 and can only regress silently).
 
     Wall is build + search, min-of-1 — informational only."""
     from pyspark.sql import functions as F
@@ -293,26 +321,39 @@ def _ann_recall_bench(spark) -> dict:
         "pq_rerank": sim.pq_topk_rerank,
         "ivfpq": sim.ivfpq_topk,
     }
+    n_corpus = emb.count()
+    clu = _clustered_embeddings(spark, n_corpus).cache()
+    clu.count()
+    q_clu = clu.filter(F.col("vec_id") < 20)
+
     truth = topk_sets(sim.brute_force_topk(emb, q_nat, k=k))
+    truth_clu = topk_sets(sim.brute_force_topk(clu, q_clu, k=k))
+
+    def mean_recall(got, t_sets):
+        return sum(
+            len(got.get(qid, set()) & t) / len(t) for qid, t in t_sets.items()
+        ) / len(t_sets)
+
     out: dict[str, dict] = {}
     for name, fn in methods.items():
         t0 = time.time()
         got = topk_sets(fn(emb, q_nat, k=k))
         wall = time.time() - t0
-        recall = sum(
-            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
-        ) / len(truth)
+        recall = mean_recall(got, truth)
         twin_got = topk_sets(fn(emb, q_twin, k=k))
         twin = sum(
             (qid - 1_000_000_000) in twin_got.get(qid, set())
             for qid in [r.vec_id for r in q_twin.select("vec_id").collect()]
         ) / 20
+        clu_recall = mean_recall(topk_sets(fn(clu, q_clu, k=k)), truth_clu)
         out[name] = {
             "recall_at_10": round(recall, 3),
             "twin_recall_at_10": round(twin, 3),
+            "clustered_recall_at_10": round(clu_recall, 3),
             "wall_sec": round(wall, 3),
         }
         print(f"# ann_recall {name}: {out[name]}", file=sys.stderr)
+    clu.unpersist()
     return out
 
 
