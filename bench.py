@@ -170,39 +170,86 @@ input:
   maxFilesPerTrigger: "8"
 pipeline:
   processors:
-    - type: redact_pii
-      counts: true
-    - type: repetition_filter
-      max_dup_fraction: 0.5
-    - type: quality_filter
-      min_quality: 0.2
-    - type: fingerprint
-    - type: dedup_within_watermark
-      columns: [fp]
-      ts_col: ts
-      delay: 60 minutes
+{procs}
 output:
   type: file_exactly_once
   path: {out}
   checkpoint: {ckpt}
 """
-        wall = math.inf
-        for rep in range(2):
+        stages = [
+            ("redact_pii", "    - type: redact_pii\n      counts: true"),
+            (
+                "repetition_filter",
+                "    - type: repetition_filter\n      max_dup_fraction: 0.5",
+            ),
+            (
+                "quality_filter",
+                "    - type: quality_filter\n      min_quality: 0.2",
+            ),
+            ("fingerprint", "    - type: fingerprint"),
+            (
+                "dedup_within_watermark",
+                "    - type: dedup_within_watermark\n      columns: [fp]"
+                "\n      ts_col: ts\n      delay: 60 minutes",
+            ),
+        ]
+        full_procs = "\n".join(s[1] for s in stages)
+
+        def run_curation(procs: str, tag: str) -> tuple[float, object]:
             spec = spec_tpl.format(
                 src=docs_src,
-                out=os.path.join(work, f"docs_out{rep}"),
-                ckpt=os.path.join(work, f"docs_ckpt{rep}"),
+                procs=procs,
+                out=os.path.join(work, f"docs_out_{tag}"),
+                ckpt=os.path.join(work, f"docs_ckpt_{tag}"),
             )
             t0 = time.time()
             q = run_spec(spark, Spec.from_yaml(spec))
             q.processAllAvailable()
+            w = time.time() - t0
+            dur: dict[str, float] = {}
+            for p in q.recentProgress:
+                for dk, dv in (p.durationMs or {}).items():
+                    dur[dk] = dur.get(dk, 0) + dv
             q.stop()
-            wall = min(wall, time.time() - t0)
+            return w, dur
+
+        wall = math.inf
+        dur_best: dict[str, float] = {}
+        for rep in range(2):
+            w, dur = run_curation(full_procs, f"full{rep}")
+            if w < wall:
+                wall, dur_best = w, dur
         out["curation"] = {
             "rows": n_docs,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_docs / wall),
+            # r9 verdict #5: micro-batch duration breakdown of the best
+            # full-chain run (summed across batches) — separates
+            # batch-execution cost from offset/commit/planning overhead
+            "duration_breakdown_sec": {
+                k: round(v / 1000.0, 3) for k, v in sorted(dur_best.items())
+            },
         }
+
+        # Per-processor attribution (r9 verdict #5): run the chain at
+        # increasing prefix lengths (prefix 0 = a noop processor: the
+        # source→sink floor incl. stream init), one run each; a
+        # stage's cost = its prefix wall minus the previous prefix's.
+        # Deltas include plan-fusion effects by design (that IS the
+        # marginal cost of adding the stage to this chain) and single
+        # runs ride the ambient noise band — localization signal, not
+        # a headline metric.
+        prefix_walls = [run_curation("    - type: noop", "p0")[0]]
+        for i in range(1, len(stages) + 1):
+            procs = "\n".join(s[1] for s in stages[:i])
+            prefix_walls.append(run_curation(procs, f"p{i}")[0])
+        stage_attr = {"base_stream_noop": round(prefix_walls[0], 3)}
+        for i, (name, _) in enumerate(stages):
+            stage_attr[name] = round(
+                max(prefix_walls[i + 1] - prefix_walls[i], 0.0), 3
+            )
+        out["curation"]["stage_attribution_sec"] = stage_attr
+        print(f"# curation stages: {stage_attr}", file=sys.stderr)
 
         # ---- leg 2: watermarked tumbling agg over events ----
         ev_src = os.path.join(work, "ev_src")
