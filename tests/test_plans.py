@@ -391,3 +391,86 @@ class TestR9Plans:
         assert "TakeOrderedAndProject" in p
         assert "CartesianProduct" not in p
         assert "pythonudf" not in p.lower()
+
+
+# ---------------------------------------------------------------------------
+# r10 (r9 verdict #8): registry-wide plan-count budget gate. The r9
+# self-review waves kept re-finding one defect class — a reused
+# corpus-scale subtree executing once per plan branch because a
+# materialize() was missing (mmr nomination, banded-sketch subtree,
+# lang_id scoring). The composed physical plan makes that class
+# COUNTABLE: a forgotten materialization re-inlines the subtree and the
+# Python-eval / shuffle node counts jump. Budgets below are the
+# calibrated counts at sf0.001 (generated from the current plans) and
+# act as UPPER bounds: a count above budget fails CI; a count below is
+# an improvement (tighten the budget when deliberate). Exchanges use
+# plans.count_exchanges (hash+range only — ensure_parallelism
+# round-robin fan-outs excluded by definition).
+
+PY_NODE_MARKERS = [
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapCoGroupsInPandas",
+    "AggregateInPandas",
+]
+
+PLAN_BUDGET = {
+    # name: (max python-eval nodes, max hash/range exchanges)
+    "dedup_exact": (0, 1),
+    "dedup_minhash_lsh": (0, 0),
+    "dedup_minhash_xxh": (0, 0),
+    "minhash_xxh_pairset": (0, 2),
+    "dedup_simhash": (0, 1),
+    "dedup_simhash_hamming": (0, 1),
+    "dedup_ngram_jaccard": (0, 0),
+    "dedup_ngram_sampled": (0, 3),
+    "dedup_winnow": (0, 7),
+    "dedup_connected_components": (0, 2),
+    "dedup_keep_best": (0, 3),
+    "dedup_incremental": (0, 1),
+    "embedding_near_dup": (1, 3),
+    "embedding_quant_dedup": (0, 1),
+    "ann_topk_bruteforce": (1, 1),
+    "ann_topk_lsh": (2, 6),
+    "ann_topk_ivf": (3, 2),
+    "ann_topk_pq": (1, 1),
+    "ann_topk_pq_rerank": (2, 2),
+    "ann_topk_ivfpq": (1, 1),
+    "mmr_diverse_topk": (2, 2),
+    "kmeans_clusters": (1, 0),
+    "kmeans_tiered": (1, 2),
+    "semdedup_prune": (1, 3),
+    "embedding_pca": (0, 0),
+    "embedding_outliers": (1, 0),
+    "bloom_decontamination": (0, 3),
+    "fuzzy_decontamination": (3, 4),
+    "lang_id_trained": (1, 0),
+    "dsir_select": (0, 5),
+    "tfidf_top_terms": (0, 4),
+    "bm25_search": (0, 8),
+    "hybrid_search_rrf": (1, 12),
+    "bpe_encode_docs": (1, 3),
+    "common_passages": (0, 1),
+    "boilerplate_removal": (0, 0),
+}
+
+
+class TestPlanBudgets:
+    @pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
+    def test_budget(self, spark, name):
+        max_py, max_ex = PLAN_BUDGET[name]
+        df = em.queries()[name](spark, SF)
+        p = plans.simple_plan(df)
+        py = sum(p.count(k) for k in PY_NODE_MARKERS)
+        ex = plans.count_exchanges(df)
+        assert py <= max_py, (
+            f"{name}: {py} Python-eval nodes > budget {max_py} — a "
+            "reused subtree is probably re-executing per branch "
+            "(missing materialize()?)"
+        )
+        assert ex <= max_ex, (
+            f"{name}: {ex} shuffles > budget {max_ex} — plan grew a "
+            "data-movement stage; justify and re-calibrate or fix"
+        )
