@@ -2748,9 +2748,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_connected_components",
     ]
     assert set(r9_window) <= set(q), sorted(set(r9_window) - set(q))
-    return {k: q[k] for k in r9_window} | {
-        k: v for k, v in q.items() if k not in r9_window
+    # Round-10 rotation (r9 verdict #1): lead with (a) the two queries
+    # new this round (trained-BPE encode; the xxh/md5 pair-set equality
+    # row), (b) every query whose engine code changed in r10 — the
+    # ADVICE hardening (outliers NULL/dim envelope, layout stat-less
+    # row groups, mmr generic id types) and the tokenizer="bpe" wiring
+    # (chunk_documents / pack_sequences / mixture_sample) — and (c) the
+    # ENTIRE 42-row CORRECTNESS_r07 staleness tail. That is exactly 50.
+    # The materialize() rewrite (localCheckpoint → reliable-checkpoint-
+    # aware helper) touched 9 modules but is behavior-preserving by
+    # construction in local mode (same localCheckpoint call under no
+    # checkpoint dir), pinned bit-identical in tests/test_materialize.py
+    # and swept by fuzz seeds 71-76; dedup_minhash_lsh rides in-window
+    # as that class's representative (its oracle also backs the new
+    # pair-set row). After this round no query's oracle evidence is
+    # older than two rounds (the 47 r08 rows are next round's tail).
+    r10_window = [
+        # (a) new in r10
+        "bpe_encode_docs",
+        "minhash_xxh_pairset",
+        # (b) engine code changed in r10
+        "embedding_outliers",
+        "zorder_key_check",
+        "mmr_diverse_topk",
+        "chunk_documents",
+        "pack_sequences_check",
+        "dedup_minhash_lsh",
+        # (c) the 42-row r07 staleness tail
+        "pivot_order_status",
+        "grouping_sets_orders",
+        "exists_subquery",
+        "running_revenue_window",
+        "percentiles_by_segment",
+        "min_max_by_nation",
+        "conditional_aggregation",
+        "date_arithmetic",
+        "string_functions",
+        "range_join_value_bands",
+        "dedup_ngram_dfcut",
+        "pipe_subprocess",
+        "dedup_connected_components",
+        "sample_hash_10pct",
+        "train_val_test_split",
+        "approx_distinct_check",
+        "approx_quantile_check",
+        "events_tumbling_window",
+        "events_sessionization",
+        "events_topk_users",
+        "events_lead_lag",
+        "events_sliding_window",
+        "events_interval_join",
+        "events_asof_join",
+        "q07_volume_shipping",
+        "q08_market_share",
+        "q09_product_profit",
+        "q11_important_suppliers",
+        "q12_late_shipments",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_part_supplier_counts",
+        "q17_small_quantity_revenue",
+        "q19_discounted_revenue",
+        "q20_excess_suppliers",
+        "q21_waiting_orders",
+        "jpeg_color_decode",
+        "common_passages",
+        "fuzzy_decontamination",
+        "repeated_span_removal",
+        "normalize_text",
+        "mixture_sample",
+    ]
+    assert len(r10_window) == 50, len(r10_window)
+    assert set(r10_window) <= set(q), sorted(set(r10_window) - set(q))
+    ordered = {k: q[k] for k in r10_window} | {
+        k: v for k, v in q.items() if k not in r10_window
     }
+    return ordered
 
 
 # -------------------------------------------------------------- oracle SQL
