@@ -142,7 +142,16 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy BPE encode of one word: repeatedly merge the
     (lowest-rank, then leftmost) applicable pair. Pure Python; the
     per-word kernel of the Arrow pass and the exact program the
-    oracle's recursive CTE replays one merge per iteration."""
+    oracle's recursive CTE replays one merge per iteration.
+
+    Cost envelope: O(len × merges applied) — the rescan-per-merge is
+    the textbook formulation the oracle replays literally. Words come
+    from whitespace tokenization, so len is sentence-word-scale; a
+    pathological megabyte-long single "word" whose every pair merges
+    would cost O(len²) in BOTH engines (the heap-based O(len log len)
+    encoder is a non-semantic optimization deliberately not taken —
+    exactness-vs-oracle outranks speed on an input real corpora
+    don't produce)."""
     syms = list(word)
     while len(syms) > 1:
         best_rank, best_pos = None, None

@@ -76,6 +76,12 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     reliable ``df.checkpoint(eager=True)`` runs instead, writing blocks
     under the configured directory so a 1000-executor job survives
     executor loss mid-iteration.
+
+    Iterative callers (star-contraction rounds, k-means sweeps) leave
+    one checkpoint per round under the dir; submit with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    reference-dropped round checkpoints are garbage-collected instead
+    of accumulating for the job's lifetime.
     """
     d = checkpoint_dir()
     if d is None:

@@ -72,8 +72,15 @@ class FakeBroker:
         meta = os.path.join(root, ".n_partitions")
 
         def _read_stored() -> int:
-            with open(meta) as fh:
-                return int(fh.read().strip())
+            # the O_EXCL winner creates-then-writes: a loser arriving in
+            # that window can observe an empty file — retry briefly
+            for _ in range(50):
+                with open(meta) as fh:
+                    raw = fh.read().strip()
+                if raw:
+                    return int(raw)
+                time.sleep(0.01)
+            raise RuntimeError(f"broker meta at {meta} stayed empty")
 
         def _check(stored: int) -> int:
             if n_partitions is not None and n_partitions != stored:
