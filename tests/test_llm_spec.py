@@ -623,3 +623,51 @@ output: {{type: memory}}
         kept = self._run(spark, "dedup_keep_best\n    drop: true")
         assert kept.count() == n_keep
         assert "text" in kept.columns  # drop preserves the frame's columns
+
+
+class TestBpeSpecTag:
+    def test_bpe_encode_frozen_table(self, spark, sf_dir):
+        df = compile_df(
+            spark,
+            f"""
+input:
+  type: table
+  path: {sf_dir}
+  name: documents
+pipeline:
+  processors:
+    - type: bpe_encode
+output:
+  type: memory
+""",
+        )
+        assert {"bpe_ids", "n_bpe"} <= set(df.columns)
+        rows = df.select("n_bpe").collect()
+        assert len(rows) == 500 and any(r.n_bpe > 0 for r in rows)
+
+    def test_bpe_encode_user_merges(self, spark):
+        from nekton_spark.spec import Spec, compile_spec
+
+        df = spark.createDataFrame(
+            [(1, "abab cd")], "doc_id long, text string"
+        )
+        df.createOrReplaceTempView("bpe_in")
+        out = compile_df(
+            spark,
+            """
+input:
+  type: sql
+  query: SELECT * FROM bpe_in
+pipeline:
+  processors:
+    - type: bpe_encode
+      merges:
+        - [a, b]
+        - [ab, ab]
+output:
+  type: memory
+""",
+        )
+        (row,) = out.collect()
+        # vocab: a=0 b=1 c=2 d=3, ab=4, abab=5 -> "abab"=[5], "cd"=[2,3]
+        assert row.bpe_ids == [5, 2, 3] and row.n_bpe == 3
