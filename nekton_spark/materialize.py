@@ -46,7 +46,6 @@ __all__ = ["materialize", "set_checkpoint_dir", "checkpoint_dir"]
 
 # module-level override; None -> fall back to the environment variable
 _override: str | None = None
-_UNSET = object()
 
 
 def set_checkpoint_dir(path: str | None) -> None:

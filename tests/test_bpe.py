@@ -186,3 +186,17 @@ class TestTokenBudgetWiring:
         # the rate inputs differ — tiny budget drops the bigger source
         some = mixture_sample(df, {"src1": 1.0}, 1, tokenizer="bpe")
         assert all(r.source == "src1" for r in some.collect())
+
+
+class TestSpecProcessorTrainedBranch:
+    def test_n_merges_trains_on_input(self, spark):
+        from nekton_spark.operators.llm import bpe_encode_processor
+
+        df = spark.createDataFrame(
+            [(1, "abab abab"), (2, "abab cd")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.bpe_ids for r in
+               bpe_encode_processor(df, n_merges=2).collect()}
+        # trained on input: (a,b) then (ab,ab); vocab a0 b1 c2 d3 ab4 abab5
+        assert out[1] == [5, 5]
+        assert out[2] == [5, 2, 3]
