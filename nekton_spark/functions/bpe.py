@@ -59,6 +59,7 @@ __all__ = [
     "encode_word",
     "build_vocab",
     "bpe_encode",
+    "bpe_decode",
     "STD_MERGES",
 ]
 
@@ -253,6 +254,41 @@ def bpe_encode(
         )
         .withColumn("n_bpe", F.size("bpe_ids"))
     )
+
+
+def bpe_decode(
+    df: DataFrame,
+    vocab: dict[str, int],
+    ids_col: str = "bpe_ids",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Inverse id mapping: ``ids_col`` (array<int>) → ``out_col``
+    (array<string>) of token strings, via the inverted vocab in one
+    map-only Arrow pass (the vocab is a bounded closure constant, the
+    encode pass's contract in reverse). NOTE the honest envelope:
+    ``bpe_ids`` concatenates words WITHOUT boundary markers (this
+    tokenizer has no GPT-2-style word-start glyph), so decode restores
+    the token stream — `concat(tokens)` equals the doc's
+    whitespace-stripped character stream — but not the original
+    inter-word whitespace. Unknown ids refuse with a clear error."""
+    inv = {i: t for t, i in vocab.items()}
+
+    @F.pandas_udf("array<string>")
+    def _dec(ids: pd.Series) -> pd.Series:
+        def one(seq):
+            if seq is None:
+                return None
+            try:
+                return [inv[int(i)] for i in seq]
+            except KeyError as exc:
+                raise ValueError(
+                    f"bpe_decode: id {exc.args[0]} not in vocab "
+                    f"(size {len(inv)})"
+                ) from None
+
+        return ids.map(one)
+
+    return df.withColumn(out_col, _dec(F.col(ids_col)))
 
 
 def bpe_token_count_col(

@@ -200,3 +200,28 @@ class TestSpecProcessorTrainedBranch:
         # trained on input: (a,b) then (ab,ab); vocab a0 b1 c2 d3 ab4 abab5
         assert out[1] == [5, 5]
         assert out[2] == [5, 2, 3]
+
+
+class TestDecode:
+    def test_round_trip_char_stream(self, spark):
+        from nekton_spark.functions.bpe import bpe_decode
+
+        df = spark.createDataFrame(
+            [(1, "window sort zzz"), (2, None)], "doc_id long, text string"
+        )
+        v = build_vocab(df, STD_MERGES)
+        enc = bpe_encode(df, STD_MERGES)
+        out = {r.doc_id: r.tokens for r in bpe_decode(enc, v).collect()}
+        assert out[1] == ["window", "sort", "z", "z", "z"]
+        # concat(tokens) == whitespace-stripped char stream
+        assert "".join(out[1]) == "windowsortzzz"
+        assert out[2] == []
+
+    def test_unknown_id_refused(self, spark):
+        from nekton_spark.functions.bpe import bpe_decode
+
+        df = spark.createDataFrame(
+            [(1, [999],)], "doc_id long, bpe_ids array<int>"
+        )
+        with pytest.raises(Exception, match="not in vocab"):
+            bpe_decode(df, {"a": 0}).collect()
