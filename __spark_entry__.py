@@ -2492,6 +2492,34 @@ def boilerplate_removal_check(spark, sf):
     )
 
 
+def line_dedup_firstkeep(spark, sf):
+    """Corpus-wide exact line dedup, KEEP-FIRST rule
+    (text_analysis.dedup_lines_keep_first — C4 §2.2 / RefinedWeb): of
+    all occurrences of a duplicated 5-token line anywhere in the
+    corpus, exactly the lexicographic-min (doc_id, pos) occurrence
+    survives; blank lines are structural and exempt. Same synthetic
+    lined view as boilerplate_removal. ONE content-keyed partial
+    aggregate mines (key, first); the duplicated set rides back as a
+    broadcast hash join; one doc-keyed regroup restores order."""
+    from nekton_spark.functions.text_analysis import (
+        dedup_lines_keep_first,
+        tokenize,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = tokenize(F.col("text"))
+    nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    ls = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)),
+    )
+    lined = d.select("doc_id", F.array_join(ls, "\n").alias("text"))
+    out = dedup_lines_keep_first(lined, min_count=2)
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text").alias("clean_fp")
+    )
+
+
 def classifier_score_check(spark, sf):
     """Linear quality-classifier serving path
     (text_analysis.classifier_score, placeholder hash weights):
@@ -2632,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_trained": classifier_trained_check,
         "token_length_histogram": token_length_histogram_check,
         "boilerplate_removal": boilerplate_removal_check,
+        "line_dedup_firstkeep": line_dedup_firstkeep,
         "classifier_score_docs": classifier_score_check,
         "gopher_quality_rules": gopher_quality_rules,
         "bm25_search": bm25_search,
@@ -2763,6 +2792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as that class's representative (its oracle also backs the new
     # pair-set row). After this round no query's oracle evidence is
     # older than two rounds (the 47 r08 rows are next round's tail).
+    # line_dedup_firstkeep (added post-close) stays BELOW the window —
+    # the knapsack above is locked to the staleness bar — pre-verified
+    # exact at sf0.001/0.01/0.1 + fuzz seeds 81/82; it heads r11.
     r10_window = [
         # (a) new in r10
         "bpe_encode_docs",
@@ -3846,6 +3878,32 @@ FROM (SELECT doc_id, ls,
              list_filter(ls, x -> NOT list_contains(b.bl,
                trim(regexp_replace(lower(x), '\\s+', ' ', 'g')))) AS kept
       FROM d, b)
+""",
+        # line_dedup_firstkeep: identical 5-token line view + normalize
+        # key; "first" = lexicographic-min (doc_id, pos), replayed as
+        # min(doc_id*2^20 + pos) — exact while doc_id >= 0 and every doc
+        # has < 2^20 lines (synthetic docs: < 2^6), which is the regime
+        # the driver compares in; the ENGINE contract is the struct min
+        "line_dedup_firstkeep": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id,
+             list_transform(range(0, (len(toks) + 4) // 5),
+                            i -> array_to_string(toks[i*5+1:i*5+5], ' ')) AS ls
+      FROM t),
+e AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS line FROM d),
+n AS (SELECT doc_id, pos, line,
+             trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS k
+      FROM e),
+f AS (SELECT k, min(doc_id * 1048576 + pos) AS ford
+      FROM n WHERE k <> '' GROUP BY k HAVING count(*) >= 2),
+j AS (SELECT n.doc_id, n.pos, n.line,
+             (f.k IS NULL OR n.doc_id * 1048576 + n.pos = f.ford) AS keep
+      FROM n LEFT JOIN f USING (k))
+SELECT doc_id::BIGINT AS doc_id,
+       count(*)::INT AS n_lines,
+       (count(*) - count(*) FILTER (keep))::INT AS n_removed,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (keep), '')) AS clean_fp
+FROM j GROUP BY doc_id
 """,
         # classifier_score_docs: integer milli-weight sum (hash60 mod
         # 2001 - 1000 per token) as BIGINT, one division at the end —

@@ -981,6 +981,92 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_lines_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = "\n",
+    small_set_max: int = 65536,
+) -> DataFrame:
+    """Corpus-wide exact line dedup with the KEEP-FIRST rule — the C4
+    (Raffel et al. 2020, §2.2) / RefinedWeb line-dedup step: of all
+    occurrences of a duplicated line ANYWHERE in the corpus (across
+    documents and within one), exactly the globally-first survives and
+    every other occurrence is removed. Contrast
+    :func:`remove_boilerplate_lines`, which strips EVERY occurrence of
+    a ≥ ``min_docs``-document line (content is lost outright): here
+    one copy of the text is always retained, which is the semantics a
+    training pipeline wants for body text rather than nav chrome.
+
+    Rules, all deterministic at any partitioning:
+
+    - the dedup key is :func:`normalize` (lowercase + whitespace
+      collapse + trim) of the line; lines normalizing to ``''`` are
+      structural (blank separators) and are always kept, never deduped;
+    - "first" = lexicographic-min ``(doc_id, pos)`` struct over the
+      key — a total order (ids unique), so no window function and no
+      tie to break;
+    - ``min_count`` (default 2 = any duplicate) counts OCCURRENCES,
+      not distinct documents — a line repeated 5× inside one document
+      collapses to its first occurrence too (C4 counts occurrences;
+      the boilerplate miner deliberately counts distinct docs);
+    - every document keeps its output row (possibly with ``text=''``);
+      NULL text = empty document (engine-wide contract).
+
+    Returns (doc_id, text, n_lines, n_removed) with survivors rejoined
+    by ``sep`` in original order.
+
+    100 TB shape: mining is ONE content-keyed partial aggregate
+    (map-side combine absorbs hot boilerplate keys — the only hot keys
+    are the duplicated lines themselves) producing one
+    ``(key, first)`` row per duplicated DISTINCT line. The rewrite
+    auto-picks like :func:`remove_boilerplate_lines`: when the
+    duplicated set fits ``small_set_max`` it rides back as a broadcast
+    hash join (no second corpus shuffle); larger sets fall back to a
+    shuffle equi-join on the line key, where every occurrence of a
+    mega-duplicated line meets a SINGLE dim row — AQE skew-split
+    handles the probe side, and no window ever partitions by the
+    skewed key. One doc-keyed regroup restores order. The keeper needs
+    no second pass: it is carried in the mined row itself.
+    """
+    if min_count < 2:
+        # min_count=1 would "dedup" unique lines against themselves and
+        # the keep-first rule would keep them all anyway — a caller bug
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("k", normalize(F.col("line")))
+    dups = (
+        exploded.filter(F.col("k") != "")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+                "first"
+            ),
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .select("k", "first")
+        .transform(materialize)  # tiny-to-moderate; reused by count + join
+    )
+    dim = F.broadcast(dups) if dups.count() <= small_set_max else dups
+    keep = F.col("first").isNull() | (
+        (F.col("doc_id") == F.col("first.d")) & (F.col("pos") == F.col("first.p"))
+    )
+    joined = exploded.join(dim, on="k", how="left")
+    arr = F.array_sort(F.collect_list(F.struct("pos", "line", keep.alias("keep"))))
+    agg = joined.groupBy("doc_id").agg(arr.alias("_a"))
+    kept = F.filter(F.col("_a"), lambda x: x["keep"])
+    return agg.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["line"]), sep).alias("text"),
+        F.size("_a").alias("n_lines"),
+        (F.size("_a") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -273,6 +273,21 @@ def remove_boilerplate_processor(
     return ta.remove_boilerplate_lines(df, text_col, id_col, min_docs, sep)
 
 
+@register_processor("dedup_lines")
+def dedup_lines_processor(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line dedup, KEEP-FIRST rule (C4 §2.2 /
+    RefinedWeb): every later occurrence of a duplicated line — across
+    documents or within one — is removed; the globally-first survives.
+    Contrast `remove_boilerplate`, which strips every occurrence."""
+    return ta.dedup_lines_keep_first(df, text_col, id_col, min_count, sep)
+
+
 @register_processor("remove_repeated_spans")
 def remove_repeated_spans_processor(
     df: DataFrame,

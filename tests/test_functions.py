@@ -1511,6 +1511,77 @@ class TestRemoveBoilerplateLines:
         assert a == b
 
 
+class TestDedupLinesKeepFirst:
+    CORPUS = [
+        (1, "alpha beta\ncommon line\ngamma"),
+        (2, "common line\ndelta\ncommon line"),
+        (3, "unique here\n\nCommon   LINE"),
+        (4, None),
+        (5, "repeat me\nrepeat me\nend"),
+    ]
+
+    def _run(self, spark, **kw):
+        from nekton_spark.functions.text_analysis import dedup_lines_keep_first
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        return {r.doc_id: r for r in dedup_lines_keep_first(df, **kw).collect()}
+
+    def test_keep_first_across_and_within_docs(self, spark):
+        rows = self._run(spark)
+        # doc 1 holds the global first occurrence -> untouched
+        assert rows[1].text == "alpha beta\ncommon line\ngamma"
+        assert rows[1].n_removed == 0
+        # doc 2 loses BOTH of its later occurrences
+        assert rows[2].text == "delta" and rows[2].n_removed == 2
+        # normalized match ('Common   LINE' == 'common line'); blank kept
+        assert rows[3].text == "unique here\n" and rows[3].n_removed == 1
+        # NULL text = empty document; row survives
+        assert rows[4].text == "" and rows[4].n_lines == 1 and rows[4].n_removed == 0
+        # within-doc repeat collapses to its first occurrence
+        assert rows[5].text == "repeat me\nend" and rows[5].n_removed == 1
+
+    def test_min_count_threshold(self, spark):
+        # min_count=3: 'common line' has 3 occurrences (deduped),
+        # 'repeat me' only 2 (kept everywhere)
+        rows = self._run(spark, min_count=3)
+        assert rows[2].text == "delta"
+        assert rows[5].text == "repeat me\nrepeat me\nend"
+
+    def test_shuffle_join_path_identical(self, spark):
+        a = {k: (r.text, r.n_lines, r.n_removed) for k, r in self._run(spark).items()}
+        b = {
+            k: (r.text, r.n_lines, r.n_removed)
+            for k, r in self._run(spark, small_set_max=0).items()
+        }
+        assert a == b
+
+    def test_min_count_below_two_refused(self, spark):
+        import pytest
+
+        from nekton_spark.functions.text_analysis import dedup_lines_keep_first
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_count"):
+            dedup_lines_keep_first(df, min_count=1)
+
+    def test_contrast_with_boilerplate_removal(self, spark):
+        """The differentiating contract: boilerplate removal strips EVERY
+        occurrence; keep-first always retains exactly one."""
+        from nekton_spark.functions.text_analysis import (
+            dedup_lines_keep_first,
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "cookie notice"), (1, "cookie notice"), (2, "cookie notice")],
+            "doc_id long, text string",
+        )
+        bp = {r.doc_id: r.text for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        kf = {r.doc_id: r.text for r in dedup_lines_keep_first(df).collect()}
+        assert bp == {0: "", 1: "", 2: ""}
+        assert kf == {0: "cookie notice", 1: "", 2: ""}
+
+
 class TestClassifierScore:
     def test_placeholder_is_mean_hashed_milliweight(self, spark):
         from nekton_spark.functions.hashing import hash60_py

@@ -327,6 +327,10 @@ output: {{type: memory}}
         df = self._run(spark, "remove_boilerplate\n    min_docs: 3")
         assert df.count() == 500 and "n_removed" in df.columns
 
+    def test_dedup_lines_tag(self, spark):
+        df = self._run(spark, "dedup_lines\n    min_count: 2")
+        assert df.count() == 500 and "n_removed" in df.columns
+
     def test_remove_repeated_spans_tag(self, spark):
         df = self._run(spark, "remove_repeated_spans\n    n: 8\n    min_docs: 3")
         assert df.count() == 500 and "clean_text" in df.columns

@@ -454,6 +454,7 @@ PLAN_BUDGET = {
     "bpe_encode_docs": (1, 3),
     "common_passages": (0, 1),
     "boilerplate_removal": (0, 0),
+    "line_dedup_firstkeep": (0, 1),  # doc-keyed regroup; mining behind materialize
 }
 
 

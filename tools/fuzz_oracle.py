@@ -43,7 +43,7 @@ DOC_QUERIES = [
     "bpe_merge_candidates", "decontamination_check", "bloom_decontamination",
     "dedup_incremental", "pack_sequences_check", "dedup_keep_best",
     "lang_id_trained", "dsir_select", "hybrid_search_rrf",
-    "heavy_hitters_cms", "bpe_encode_docs",
+    "heavy_hitters_cms", "bpe_encode_docs", "line_dedup_firstkeep",
     # NOT listed: minhash_xxh_pairset — it asserts xxh==md5 engine
     # pair-set equality, which holds by construction only for exact
     # dup cliques (the fixed testdata corpora); the hostile corpus
