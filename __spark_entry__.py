@@ -2390,6 +2390,42 @@ def bpe_encode_docs(spark, sf):
     )
 
 
+def bpe_roundtrip(spark, sf):
+    """Tokenizer round-trip (functions/bpe.bpe_decode): encode under
+    the frozen STD_MERGES vocab, decode through the inverted vocab,
+    and compare the concatenated token stream against the document's
+    whitespace-stripped word stream — the decode contract (the
+    tokenizer has no word-start glyph, so inter-word whitespace is
+    not reconstructed; the CHARACTER stream is, exactly). The oracle
+    replays n_bpe with the recursive-CTE encode and pins
+    roundtrip_ok=true: the closed-form-expectation pattern
+    (audio_features) — the ENGINE computes the comparison for real,
+    so any decode defect hash-mismatches against the pinned truth,
+    and any encode drift mismatches n_bpe."""
+    from nekton_spark.functions.bpe import (
+        STD_MERGES,
+        bpe_decode,
+        bpe_encode,
+        build_vocab,
+    )
+    from nekton_spark.functions.text_analysis import tokenize
+
+    d = _t(spark, sf, "documents")
+    vocab = build_vocab(d, STD_MERGES)
+    dec = bpe_decode(bpe_encode(d, STD_MERGES, vocab=vocab), vocab)
+    exp = d.select(
+        "doc_id",
+        F.concat_ws(
+            "", F.filter(tokenize(F.col("text")), lambda w: F.length(w) > 0)
+        ).alias("stream"),
+    )
+    return dec.join(exp, "doc_id").select(
+        "doc_id",
+        "n_bpe",
+        (F.concat_ws("", F.col("tokens")) == F.col("stream")).alias("roundtrip_ok"),
+    )
+
+
 def curriculum_buckets_check(spark, sf):
     """Quality-curriculum ntile assignment
     (text_analysis.curriculum_buckets): composite quality score,
@@ -2657,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_orders": q21_waiting_orders,
         "bpe_merge_candidates": bpe_merge_candidates_check,
         "bpe_encode_docs": bpe_encode_docs,
+        "bpe_roundtrip": bpe_roundtrip,
         "classifier_trained": classifier_trained_check,
         "token_length_histogram": token_length_histogram_check,
         "boilerplate_removal": boilerplate_removal_check,
@@ -2792,9 +2829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as that class's representative (its oracle also backs the new
     # pair-set row). After this round no query's oracle evidence is
     # older than two rounds (the 47 r08 rows are next round's tail).
-    # line_dedup_firstkeep (added post-close) stays BELOW the window —
-    # the knapsack above is locked to the staleness bar — pre-verified
-    # exact at sf0.001/0.01/0.1 + fuzz seeds 81/82; it heads r11.
+    # line_dedup_firstkeep and bpe_roundtrip (added post-close) stay
+    # BELOW the window — the knapsack above is locked to the staleness
+    # bar — each pre-verified exact at sf0.001/0.01/0.1 + fuzz seeds
+    # 81/82 (line dedup) and 83 (roundtrip); they head r11.
     r10_window = [
         # (a) new in r10
         "bpe_encode_docs",
@@ -3682,7 +3720,7 @@ def _sketch_sql(vcol: str, n_bits: int = 16, seed_base: int = 7000, dim: int = 6
     )
 
 
-def _bpe_encode_sql() -> str:
+def _bpe_encode_sql(final_select: str | None = None) -> str:
     """Literal replay of functions/bpe.bpe_encode under STD_MERGES: a
     recursive CTE applies ONE merge per iteration — the (lowest-rank,
     then leftmost) applicable pair, exactly encode_word's loop — to
@@ -3760,10 +3798,10 @@ flat AS (
   FROM (SELECT wo.doc_id, wo.wpos, wi.ids FROM words wo JOIN wid wi USING (w))
   GROUP BY doc_id
 )
-SELECT d.doc_id,
+{final_select or '''SELECT d.doc_id,
        coalesce(len(f.bpe_ids), 0)::INT AS n_bpe,
        coalesce(array_to_string(f.bpe_ids, ','), '') AS ids_csv
-FROM documents d LEFT JOIN flat f USING (doc_id)
+FROM documents d LEFT JOIN flat f USING (doc_id)'''}
 """
 
 
@@ -3787,6 +3825,15 @@ pp AS (SELECT least(greatest(2, CAST(ceil(log2(greatest((n + 63) // 64, 1))) AS 
         # bpe_merge_candidates: adjacent char pairs over all word
         # occurrences; 1-based substr windows identical in both engines
         "bpe_encode_docs": _bpe_encode_sql(),
+        # bpe_roundtrip: same recursive-CTE encode replay for n_bpe;
+        # roundtrip_ok pinned true (closed-form expectation) — the
+        # engine computes decode(encode(x)) == char-stream for real
+        "bpe_roundtrip": _bpe_encode_sql(
+            """SELECT d.doc_id,
+       coalesce(len(f.bpe_ids), 0)::INT AS n_bpe,
+       true AS roundtrip_ok
+FROM documents d LEFT JOIN flat f USING (doc_id)"""
+        ),
         "bpe_merge_candidates": f"""
 WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
 p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair

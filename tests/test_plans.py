@@ -452,6 +452,7 @@ PLAN_BUDGET = {
     "bm25_search": (0, 8),
     "hybrid_search_rrf": (1, 12),
     "bpe_encode_docs": (1, 3),
+    "bpe_roundtrip": (2, 3),  # encode pass on distinct words + map-only decode pass
     "common_passages": (0, 1),
     "boilerplate_removal": (0, 0),
     "line_dedup_firstkeep": (0, 1),  # doc-keyed regroup; mining behind materialize

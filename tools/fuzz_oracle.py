@@ -44,6 +44,7 @@ DOC_QUERIES = [
     "dedup_incremental", "pack_sequences_check", "dedup_keep_best",
     "lang_id_trained", "dsir_select", "hybrid_search_rrf",
     "heavy_hitters_cms", "bpe_encode_docs", "line_dedup_firstkeep",
+    "bpe_roundtrip",
     # NOT listed: minhash_xxh_pairset — it asserts xxh==md5 engine
     # pair-set equality, which holds by construction only for exact
     # dup cliques (the fixed testdata corpora); the hostile corpus
