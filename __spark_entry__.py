@@ -1631,7 +1631,9 @@ def ann_topk_ivfpq(spark, sf):
     _ship_package(spark)
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_topk(emb, q, k=5)
+    # n_probe pinned at the value this row's oracle replays (the engine
+    # default moved to 4 after the r10 clustered-recall tuning pass)
+    return ivfpq_topk(emb, q, k=5, n_probe=2)
 
 
 def embedding_pca_check(spark, sf):

@@ -338,9 +338,13 @@ def _ann_recall_bench(spark) -> dict:
       (64 unit-norm cluster centers, within-cluster σ=0.10 — real
       embedding geometry). Mid-range by design, so band/probe/
       codebook regressions MOVE it — the tuning signal the isotropic
-      leg cannot be. σ chosen so no method saturates (r10 probe:
-      lsh .65 / ivf .47 / pq .49 / pq_rerank .96 / ivfpq .37; at
-      σ=.05 pq_rerank pins to 1.0 and can only regress silently).
+      leg cannot be. σ chosen so no method saturates (r10 probe at
+      the then-default n_probe=2: lsh .65 / ivf .47 / pq .49 /
+      pq_rerank .96 / ivfpq .37; at σ=.05 pq_rerank pins to 1.0 and
+      can only regress silently). The leg already earned its keep:
+      the r10 n_probe sweep it enabled moved the engine default to 4
+      (ivf .47→.64, ivfpq .37→.465, no wall cost), so expect those
+      two rows to sit higher from r10 on.
 
     Wall is build + search, min-of-1 — informational only."""
     from pyspark.sql import functions as F

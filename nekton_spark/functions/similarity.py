@@ -453,7 +453,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     centroid_stride: int | None = None,
-    n_probe: int = 2,
+    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_centroids: int = 1 << 16,
@@ -720,7 +720,7 @@ def ivfpq_topk(
     queries: DataFrame,
     k: int = 5,
     centroid_stride: int | None = None,
-    n_probe: int = 2,
+    n_probe: int = 4,
     m_sub: int = 8,
     ksub: int = 16,
     iters: int = 2,
@@ -734,7 +734,9 @@ def ivfpq_topk(
     quantizer index): the corpus is partitioned into √n inverted lists
     (ivf_topk's deterministic coarse centroids and exact-fold cosine
     argmax) AND stored as m_sub one-byte PQ codes (pq_topk's global
-    codebooks) — queries ADC-scan ONLY the ``n_probe`` probed lists.
+    codebooks) — queries ADC-scan ONLY the ``n_probe`` probed lists
+    (default 4 — same r10 clustered-recall sweep as ivf_topk: 2->4
+    lifted clustered recall@10 0.37->0.465 at no wall cost).
 
     This is the scale composition neither parent achieves alone:
 
