@@ -1885,6 +1885,22 @@ def zorder_key_check(spark, sf):
     return z_value(e, "user_id", "value").select("event_id", "zv")
 
 
+def hilbert_key_check(spark, sf):
+    """Hilbert-curve layout keys (functions/layout.py): same
+    bucketization as zorder_key_check, then the table-driven Hilbert
+    state-machine fold — ONE pure Catalyst aggregate over the
+    pre-extracted quadrant keys (the 4-state table is derived from
+    the classic xy2d loop and exhaustively pinned in tests). Better
+    locality than Morton: consecutive keys are always grid-adjacent,
+    so range-written row groups get tighter 2-D bounding boxes. NULL
+    in either key -> NULL hv. The oracle replays the identical fold
+    with DuckDB list_reduce over the same literal tables."""
+    from nekton_spark.functions.layout import hilbert_value
+
+    e = _t(spark, sf, "events")
+    return hilbert_value(e, "user_id", "value").select("event_id", "hv")
+
+
 def embedding_outliers_check(spark, sf):
     """Centroid-distance outlier detection (functions/outliers.py):
     top-25 vectors farthest from the round-6 grid centroid — the
@@ -2582,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": embedding_outliers_check,
         "mmr_diverse_topk": mmr_diverse_topk,
         "zorder_key_check": zorder_key_check,
+        "hilbert_key_check": hilbert_key_check,
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
@@ -2831,10 +2848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as that class's representative (its oracle also backs the new
     # pair-set row). After this round no query's oracle evidence is
     # older than two rounds (the 47 r08 rows are next round's tail).
-    # line_dedup_firstkeep and bpe_roundtrip (added post-close) stay
-    # BELOW the window — the knapsack above is locked to the staleness
-    # bar — each pre-verified exact at sf0.001/0.01/0.1 + fuzz seeds
-    # 81/82 (line dedup) and 83 (roundtrip); they head r11.
+    # line_dedup_firstkeep, bpe_roundtrip and hilbert_key_check (added
+    # post-close) stay BELOW the window — the knapsack above is locked
+    # to the staleness bar — each pre-verified exact at
+    # sf0.001/0.01/0.1 + fuzz seeds 81/82 (line dedup), 83 (roundtrip),
+    # 84 (hilbert, NULL keys); they head r11.
     r10_window = [
         # (a) new in r10
         "bpe_encode_docs",
@@ -3181,6 +3199,50 @@ def _mmr_sql(k: int = 5, c: int = 20, lam: float = 0.7, dim: int = 64) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT query_id, neighbor_id, score, mmr, rank FROM acc{k}"
     )
+
+
+def _hilbert_sql(bits: int = 16) -> str:
+    """Replay of functions/layout.hilbert_value over events(user_id,
+    value): the identical bucketize CTE as _zorder_sql, then the SAME
+    4-state Hilbert tables (imported literals — single source of
+    truth) folded with list_reduce; acc packs (d, state) as d*4+state
+    exactly like the engine's aggregate lambda. NULL keys -> NULL hv."""
+    from nekton_spark.functions.layout import HILBERT_DIGIT, HILBERT_NEXT
+
+    dt = "[" + ", ".join(map(str, HILBERT_DIGIT)) + "]"
+    nx = "[" + ", ".join(map(str, HILBERT_NEXT)) + "]"
+    n = float((1 << bits) - 1)
+    qs = "[" + ", ".join(
+        f"(((ba >> {i}) & 1) * 2 + ((bb >> {i}) & 1))"
+        for i in range(bits - 1, -1, -1)
+    ) + "]"
+    fold = (
+        f"list_reduce(list_prepend(0::BIGINT, {qs}::BIGINT[]), "
+        f"(a, q) -> ((((a >> 2) << 2) + {dt}[(a & 3) * 4 + q + 1]) << 2) "
+        f"+ {nx}[(a & 3) * 4 + q + 1])"
+    )
+    return f"""
+WITH mm AS (
+  SELECT min(user_id::DOUBLE) AS alo, max(user_id::DOUBLE) AS ahi,
+         min(value::DOUBLE) AS blo, max(value::DOUBLE) AS bhi
+  FROM events
+), b AS (
+  SELECT event_id,
+    CASE WHEN user_id IS NULL THEN NULL
+         WHEN ahi = alo THEN 0
+         ELSE floor((user_id::DOUBLE - alo) * {n!r} / (ahi - alo))::BIGINT
+    END AS ba,
+    CASE WHEN value IS NULL THEN NULL
+         WHEN bhi = blo THEN 0
+         ELSE floor((value::DOUBLE - blo) * {n!r} / (bhi - blo))::BIGINT
+    END AS bb
+  FROM events, mm
+)
+SELECT event_id,
+       (CASE WHEN ba IS NULL OR bb IS NULL THEN NULL
+             ELSE ({fold} >> 2) END)::BIGINT AS hv
+FROM b
+"""
 
 
 def _zorder_sql(bits: int = 16) -> str:
@@ -4844,6 +4906,7 @@ SELECT id AS vec_id, cluster FROM a2
         "embedding_outliers": _outliers_sql(),
         "mmr_diverse_topk": _mmr_sql(),
         "zorder_key_check": _zorder_sql(),
+        "hilbert_key_check": _hilbert_sql(),
         "dataset_drift": _drift_sql(),
         "category_drift": """
 WITH oldd AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),

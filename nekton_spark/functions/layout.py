@@ -178,3 +178,178 @@ def rowgroups_matching(
             if a_hit and b_hit:
                 match += 1
     return match, total
+
+
+# ---------------------------------------------------------------- Hilbert
+
+def _xy2d_py(bits: int, x: int, y: int) -> int:
+    """Reference 2-D Hilbert index (the classic xy2d loop — public
+    knowledge, e.g. Hamilton's tech report / the Wikipedia formulation
+    — with the lower-bit masking made explicit so every flip is
+    well-defined). This Python form IS the engine contract: the state
+    table below is derived from it and the tests verify the derivation
+    exhaustively (bijection + unit-step adjacency + table equality)."""
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = (x >> i) & 1
+        ry = (y >> i) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        x &= s - 1
+        y &= s - 1
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+    return d
+
+
+def _derive_hilbert_table() -> tuple[list[int], list[int], int]:
+    """Derive the (digit, next-state) tables of the 2-bit-in /
+    2-bit-out Hilbert state machine from the xy2d loop's rotation
+    group. A state is the bit transform accumulated so far,
+    represented (swap, cx, cy): current-frame bits = swap-then-xor of
+    the ORIGINAL level bits. The per-level mutation in the current
+    frame is: identity if ry=1, else complement-both-if-rx then swap —
+    composing it onto the state walks the (finite) transform group.
+    Returns (digit_tab, next_tab, n_states), both indexed by
+    state*4 + (bx*2 + by)."""
+
+    def apply(t, bx, by):
+        sw, cx, cy = t
+        rx = (by if sw else bx) ^ cx
+        ry = (bx if sw else by) ^ cy
+        return rx, ry
+
+    def compose(m, t):  # m ∘ t  (t first, then m)
+        s1, cx1, cy1 = t
+        s2, cx2, cy2 = m
+        if s2:
+            return (not s1, cy1 ^ cx2, cx1 ^ cy2)
+        return (s1, cx1 ^ cx2, cy1 ^ cy2)
+
+    ident = (False, False, False)
+    states = [ident]
+    index = {ident: 0}
+    digit_tab: dict[tuple[int, int], int] = {}
+    next_tab: dict[tuple[int, int], int] = {}
+    frontier = [ident]
+    while frontier:
+        t = frontier.pop()
+        si = index[t]
+        for bx in (0, 1):
+            for by in (0, 1):
+                rx, ry = apply(t, bx, by)
+                digit = (3 * rx) ^ ry
+                if ry == 1:
+                    nt = t
+                else:
+                    c = bool(rx)
+                    nt = compose((True, c, c), t)
+                if nt not in index:
+                    index[nt] = len(states)
+                    states.append(nt)
+                    frontier.append(nt)
+                digit_tab[(si, bx * 2 + by)] = digit
+                next_tab[(si, bx * 2 + by)] = index[nt]
+    n = len(states)
+    dt = [digit_tab[(s, q)] for s in range(n) for q in (0, 1, 2, 3)]
+    nx = [next_tab[(s, q)] for s in range(n) for q in (0, 1, 2, 3)]
+    return dt, nx, n
+
+
+HILBERT_DIGIT, HILBERT_NEXT, HILBERT_STATES = _derive_hilbert_table()
+
+
+def hilbert_expr(xb: Column, yb: Column, bits: int) -> Column:
+    """Hilbert index of two bucketized long columns as ONE pure
+    Catalyst expression: the per-level quadrant keys are pre-extracted
+    into an array with LITERAL shift amounts (shiftright takes only
+    literal bit counts), then a single ``aggregate`` fold walks the
+    state machine — the accumulator packs (d, state) as d*4+state, so
+    the fold is plain long arithmetic and the state/digit lookups are
+    ``element_at`` into two constant literal arrays. NULL in either
+    input poisons the fold to a NULL key (same contract as ``zv``).
+    No UDF, no shuffle; 16 interpreted fold steps per row (the HOF is
+    not codegen'd, but each step is ~6 scalar ops on a packed long —
+    measured fine next to the parquet scan)."""
+    digit_arr = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
+    next_arr = F.array(*[F.lit(v) for v in HILBERT_NEXT])
+    qs = F.array(
+        *[
+            (
+                F.shiftright(xb, i).bitwiseAND(F.lit(1)) * 2
+                + F.shiftright(yb, i).bitwiseAND(F.lit(1))
+            ).cast("long")
+            for i in range(bits - 1, -1, -1)
+        ]
+    )
+    acc = F.aggregate(
+        qs,
+        F.lit(0).cast("long"),
+        lambda a, q: (
+            F.shiftleft(
+                F.shiftleft(F.shiftright(a, 2), 2)
+                + F.element_at(digit_arr, (a.bitwiseAND(F.lit(3)) * 4 + q + 1).cast("int")),
+                2,
+            )
+            + F.element_at(next_arr, (a.bitwiseAND(F.lit(3)) * 4 + q + 1).cast("int"))
+        ).cast("long"),
+    )
+    return F.shiftright(acc, 2)
+
+
+def hilbert_value(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = Z_BITS,
+    ranges: tuple[tuple[float, float], tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Append ``hv``: the Hilbert index of the two bucketized columns —
+    the locality upgrade over :func:`z_value`: the Hilbert curve has no
+    Morton "seams" (consecutive keys are always grid-adjacent), so
+    range-written row groups get tighter bounding boxes on average and
+    box predicates prune more. Same bucketization, same NULL contract,
+    same map-only shape as ``zv``."""
+    _check_bits(bits)
+    if ranges is not None:
+        (alo, ahi), (blo, bhi) = ranges
+    else:
+        row = df.agg(
+            F.min(F.col(col_a).cast("double")).alias("alo"),
+            F.max(F.col(col_a).cast("double")).alias("ahi"),
+            F.min(F.col(col_b).cast("double")).alias("blo"),
+            F.max(F.col(col_b).cast("double")).alias("bhi"),
+        ).first()
+        alo, ahi = (
+            (0.0, 0.0) if row.alo is None else (float(row.alo), float(row.ahi))
+        )
+        blo, bhi = (
+            (0.0, 0.0) if row.blo is None else (float(row.blo), float(row.bhi))
+        )
+    ba = _bucket(F.col(col_a), alo, ahi, bits)
+    bb = _bucket(F.col(col_b), blo, bhi, bits)
+    return df.withColumn("hv", hilbert_expr(ba, bb, bits))
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = Z_BITS,
+    n_files: int = 8,
+) -> None:
+    """Re-layout on the Hilbert key and write parquet — one range
+    exchange + in-partition sort, exactly :func:`zorder_write` with
+    the better-locality key."""
+    (
+        hilbert_value(df, col_a, col_b, bits)
+        .repartitionByRange(n_files, "hv")
+        .sortWithinPartitions("hv")
+        .drop("hv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

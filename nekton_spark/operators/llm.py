@@ -745,3 +745,18 @@ def zorder_key_processor(
     from ..functions.layout import z_value
 
     return z_value(df, col_a, col_b, bits=bits)
+
+
+@register_processor("hilbert_key")
+def hilbert_key_processor(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Append the Hilbert clustering key (functions/layout.py) — the
+    locality upgrade over zorder_key: no Morton seams, so row-group
+    bounding boxes are tighter and 2-D predicates prune more."""
+    from ..functions.layout import hilbert_value
+
+    return hilbert_value(df, col_a, col_b, bits=bits)

@@ -133,3 +133,107 @@ class TestStatlessRowGroups:
         pq.write_table(t, p)
         match, total = rowgroups_matching(p, "a", 100, 200, "b", 1, 2)
         assert (match, total) == (1, 1)
+
+
+class TestHilbertKey:
+    def test_table_matches_xy2d_exhaustively(self):
+        """The derived 4-state machine IS xy2d: every point of the
+        64×64 grid, walked bit-by-bit through the (digit, next)
+        tables, equals the reference loop."""
+        from nekton_spark.functions.layout import (
+            HILBERT_DIGIT,
+            HILBERT_NEXT,
+            HILBERT_STATES,
+            _xy2d_py,
+        )
+
+        assert HILBERT_STATES == 4
+        bits, n = 6, 64
+        for x in range(n):
+            for y in range(n):
+                st, d = 0, 0
+                for i in range(bits - 1, -1, -1):
+                    q = (((x >> i) & 1) << 1) | ((y >> i) & 1)
+                    d = d * 4 + HILBERT_DIGIT[st * 4 + q]
+                    st = HILBERT_NEXT[st * 4 + q]
+                assert d == _xy2d_py(bits, x, y)
+
+    def test_bijection_and_unit_step_adjacency(self):
+        """The two properties that make the curve a Hilbert curve:
+        d is a bijection onto 0..n²−1 and consecutive d are
+        grid-adjacent (|Δx|+|Δy| = 1 — the locality Morton lacks at
+        its seams)."""
+        from nekton_spark.functions.layout import _xy2d_py
+
+        bits, n = 5, 32
+        pos = {}
+        for x in range(n):
+            for y in range(n):
+                pos[_xy2d_py(bits, x, y)] = (x, y)
+        assert len(pos) == n * n and min(pos) == 0 and max(pos) == n * n - 1
+        for d in range(n * n - 1):
+            (x0, y0), (x1, y1) = pos[d], pos[d + 1]
+            assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+    def test_spark_fold_matches_python(self, spark):
+        import random
+
+        from nekton_spark.functions.layout import _xy2d_py, hilbert_value
+
+        bits, n = 8, 256
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(n), rng.randrange(n)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, x long, y long")
+        out = {
+            r.id: r.hv
+            for r in hilbert_value(
+                df, "x", "y", bits=bits, ranges=((0, n - 1), (0, n - 1))
+            ).collect()
+        }
+        for i, x, y in rows:
+            assert out[i] == _xy2d_py(bits, x, y)
+
+    def test_null_key_gives_null_hv(self, spark):
+        from nekton_spark.functions.layout import hilbert_value
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 2.0), (2, None, 2.0), (3, 1.0, None)],
+            "id long, a double, b double",
+        )
+        out = {r.id: r.hv for r in hilbert_value(df, "a", "b").collect()}
+        assert out[2] is None and out[3] is None and out[1] is not None
+
+    def test_map_only_plan(self, spark):
+        from nekton_spark import plans
+        from nekton_spark.functions.layout import hilbert_value
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = hilbert_value(e, "user_id", "value").select("event_id", "hv")
+        assert plans.count_exchanges(df) == 0
+        assert "pythonudf" not in plans.simple_plan(df).lower()
+
+    def test_hilbert_prunes_rowgroups_vs_natural(self, spark, tmp_path):
+        """Same measured-pruning claim as the zorder test, for the
+        Hilbert layout — and the Hilbert box predicate must prune at
+        least as many row groups as natural order misses entirely."""
+        from nekton_spark.functions.layout import hilbert_write
+
+        e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        nat, hil = str(tmp_path / "nat"), str(tmp_path / "hil")
+        e.repartitionByRange(8, "event_id").sortWithinPartitions(
+            "event_id"
+        ).write.mode("overwrite").parquet(nat)
+        hilbert_write(e, hil, "user_id", "value", n_files=8)
+
+        lo_u, hi_u = 100, 400
+        lo_v, hi_v = 10.0, 30.0
+        n_match, n_total = rowgroups_matching(
+            nat, "user_id", lo_u, hi_u, "value", lo_v, hi_v
+        )
+        h_match, h_total = rowgroups_matching(
+            hil, "user_id", lo_u, hi_u, "value", lo_v, hi_v
+        )
+        assert n_total == h_total >= 8
+        assert n_match == n_total
+        assert h_match < n_match
+        assert spark.read.parquet(hil).count() == e.count()

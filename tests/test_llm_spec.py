@@ -620,6 +620,14 @@ output: {{type: memory}}
         assert df.filter("zv IS NULL").count() == 0
         assert df.count() == 500  # annotate pass carries every row
 
+    def test_hilbert_key_tag(self, spark):
+        df = self._run(
+            spark, "hilbert_key\n    col_a: doc_id\n    col_b: n_chars"
+        )
+        assert "hv" in df.columns
+        assert df.filter("hv IS NULL").count() == 0
+        assert df.count() == 500
+
     def test_dedup_keep_best_tag_flags_and_drop(self, spark):
         flags = self._run(spark, "dedup_keep_best")
         assert set(flags.columns) == {"doc_id", "component", "quality", "keep"}
