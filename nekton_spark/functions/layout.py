@@ -274,6 +274,12 @@ def hilbert_expr(xb: Column, yb: Column, bits: int) -> Column:
     No UDF, no shuffle; 16 interpreted fold steps per row (the HOF is
     not codegen'd, but each step is ~6 scalar ops on a packed long —
     measured fine next to the parquet scan)."""
+    # the packed accumulator carries d (2*bits bits) PLUS the 2-bit
+    # state, so bits=31 — legal for the plain Morton key — would push
+    # the last fold step's acc into the long sign bit and corrupt the
+    # key order; one bit stricter than _check_bits, refused here
+    if bits > 30:
+        raise ValueError(f"hilbert bits must be in [1, 30], got {bits}")
     digit_arr = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
     next_arr = F.array(*[F.lit(v) for v in HILBERT_NEXT])
     qs = F.array(

@@ -237,3 +237,15 @@ class TestHilbertKey:
         assert n_match == n_total
         assert h_match < n_match
         assert spark.read.parquet(hil).count() == e.count()
+
+    def test_bits_31_refused_for_hilbert(self, spark):
+        """bits=31 is legal for the Morton key (2·31 = 62 bits) but the
+        Hilbert fold's packed (d, state) accumulator would need
+        2·31+2 = 64 bits — sign-bit corruption, refused."""
+        from nekton_spark.functions.layout import hilbert_value
+
+        df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, a double, b double")
+        with pytest.raises(ValueError, match="hilbert bits"):
+            hilbert_value(df, "a", "b", bits=31)
+        # bits=30 is the documented ceiling and must work
+        assert hilbert_value(df, "a", "b", bits=30).collect()[0].hv is not None
