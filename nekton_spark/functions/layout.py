@@ -86,23 +86,22 @@ def _interleave(a: Column, b: Column, bits: int) -> Column:
     return reduce(lambda x, y: x.bitwiseOR(y), terms)
 
 
-def z_value(
+def _bucketized_pair(
     df: DataFrame,
     col_a: str,
     col_b: str,
-    bits: int = Z_BITS,
-    ranges: tuple[tuple[float, float], tuple[float, float]] | None = None,
-) -> DataFrame:
-    """Append ``zv``: the Morton key of the two bucketized columns.
-    Map-only; pass ``ranges`` to reuse known statistics instead of
-    the one min/max aggregate."""
-    _check_bits(bits)
+    bits: int,
+    ranges: tuple[tuple[float, float], tuple[float, float]] | None,
+) -> tuple[Column, Column]:
+    """Shared stats pre-pass + bucketization for both curve keys: with
+    ``ranges`` given, no scan at all; otherwise ONE combined min/max
+    aggregate (a single stats scan, not one per column — at 100 TB the
+    pre-pass is the cost that matters; with real table statistics pass
+    ``ranges`` and skip it). All-NULL columns fall back to the
+    constant-bucket branch."""
     if ranges is not None:
         (alo, ahi), (blo, bhi) = ranges
     else:
-        # ONE combined aggregate — a single stats scan, not one per
-        # column (at 100 TB the pre-pass is the cost that matters;
-        # with real table statistics pass `ranges` and skip it).
         row = df.agg(
             F.min(F.col(col_a).cast("double")).alias("alo"),
             F.max(F.col(col_a).cast("double")).alias("ahi"),
@@ -115,8 +114,21 @@ def z_value(
         blo, bhi = (
             (0.0, 0.0) if row.blo is None else (float(row.blo), float(row.bhi))
         )
-    ba = _bucket(F.col(col_a), alo, ahi, bits)
-    bb = _bucket(F.col(col_b), blo, bhi, bits)
+    return _bucket(F.col(col_a), alo, ahi, bits), _bucket(F.col(col_b), blo, bhi, bits)
+
+
+def z_value(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = Z_BITS,
+    ranges: tuple[tuple[float, float], tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Append ``zv``: the Morton key of the two bucketized columns.
+    Map-only; pass ``ranges`` to reuse known statistics instead of
+    the one min/max aggregate."""
+    _check_bits(bits)
+    ba, bb = _bucketized_pair(df, col_a, col_b, bits, ranges)
     return df.withColumn("zv", _interleave(ba, bb, bits))
 
 
@@ -262,6 +274,15 @@ def _derive_hilbert_table() -> tuple[list[int], list[int], int]:
 HILBERT_DIGIT, HILBERT_NEXT, HILBERT_STATES = _derive_hilbert_table()
 
 
+def _check_hilbert_bits(bits: int) -> None:
+    """The packed accumulator carries d (2*bits bits) PLUS the 2-bit
+    state, so bits=31 — legal for the plain Morton key — would push
+    the last fold step's acc into the long sign bit and corrupt the
+    key order; one bit stricter than _check_bits."""
+    if not 1 <= bits <= 30:
+        raise ValueError(f"hilbert bits must be in [1, 30], got {bits}")
+
+
 def hilbert_expr(xb: Column, yb: Column, bits: int) -> Column:
     """Hilbert index of two bucketized long columns as ONE pure
     Catalyst expression: the per-level quadrant keys are pre-extracted
@@ -274,12 +295,7 @@ def hilbert_expr(xb: Column, yb: Column, bits: int) -> Column:
     No UDF, no shuffle; 16 interpreted fold steps per row (the HOF is
     not codegen'd, but each step is ~6 scalar ops on a packed long —
     measured fine next to the parquet scan)."""
-    # the packed accumulator carries d (2*bits bits) PLUS the 2-bit
-    # state, so bits=31 — legal for the plain Morton key — would push
-    # the last fold step's acc into the long sign bit and corrupt the
-    # key order; one bit stricter than _check_bits, refused here
-    if bits > 30:
-        raise ValueError(f"hilbert bits must be in [1, 30], got {bits}")
+    _check_hilbert_bits(bits)
     digit_arr = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
     next_arr = F.array(*[F.lit(v) for v in HILBERT_NEXT])
     qs = F.array(
@@ -319,24 +335,10 @@ def hilbert_value(
     range-written row groups get tighter bounding boxes on average and
     box predicates prune more. Same bucketization, same NULL contract,
     same map-only shape as ``zv``."""
-    _check_bits(bits)
-    if ranges is not None:
-        (alo, ahi), (blo, bhi) = ranges
-    else:
-        row = df.agg(
-            F.min(F.col(col_a).cast("double")).alias("alo"),
-            F.max(F.col(col_a).cast("double")).alias("ahi"),
-            F.min(F.col(col_b).cast("double")).alias("blo"),
-            F.max(F.col(col_b).cast("double")).alias("bhi"),
-        ).first()
-        alo, ahi = (
-            (0.0, 0.0) if row.alo is None else (float(row.alo), float(row.ahi))
-        )
-        blo, bhi = (
-            (0.0, 0.0) if row.blo is None else (float(row.blo), float(row.bhi))
-        )
-    ba = _bucket(F.col(col_a), alo, ahi, bits)
-    bb = _bucket(F.col(col_b), blo, bhi, bits)
+    # refuse BEFORE the stats pre-pass: bits=31 must not cost a full
+    # min/max scan of a 100 TB table just to raise in hilbert_expr
+    _check_hilbert_bits(bits)
+    ba, bb = _bucketized_pair(df, col_a, col_b, bits, ranges)
     return df.withColumn("hv", hilbert_expr(ba, bb, bits))
 
 

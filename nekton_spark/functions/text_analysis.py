@@ -37,6 +37,14 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
+def _sep_pattern(sep: str) -> str:
+    r"""``F.split`` takes a Java REGEX — a caller separator like ``|``
+    or ``.`` would silently split between every character. Quote it
+    \Q..\E (Pattern.quote semantics, including embedded \E) so the
+    separator is always matched literally."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def normalize(col: Column) -> Column:
     """Lowercase + whitespace-collapse: the canonical form for
     fingerprinting and exact dedup."""
@@ -929,7 +937,7 @@ def remove_boilerplate_lines(
     """
     # NULL text = empty document (engine-wide contract): one empty
     # line, never flagged, rejoined to '' — the row survives
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _sep_pattern(sep))
     mined = (
         df.select(
             F.explode(
@@ -1022,19 +1030,21 @@ def dedup_lines_keep_first(
     are the duplicated lines themselves) producing one
     ``(key, first)`` row per duplicated DISTINCT line. The rewrite
     auto-picks like :func:`remove_boilerplate_lines`: when the
-    duplicated set fits ``small_set_max`` it rides back as a broadcast
-    hash join (no second corpus shuffle); larger sets fall back to a
-    shuffle equi-join on the line key, where every occurrence of a
+    duplicated set fits ``small_set_max`` the keeper map rides back as
+    a broadcast 1-row MAP column and the rewrite is a pure per-row
+    index-aware array filter — ZERO extra shuffles; larger sets fall
+    back to a shuffle equi-join on the line key (every occurrence of a
     mega-duplicated line meets a SINGLE dim row — AQE skew-split
     handles the probe side, and no window ever partitions by the
-    skewed key. One doc-keyed regroup restores order. The keeper needs
-    no second pass: it is carried in the mined row itself.
+    skewed key) plus one doc-keyed regroup to restore order. The
+    keeper needs no second pass: it is carried in the mined row
+    itself.
     """
     if min_count < 2:
         # min_count=1 would "dedup" unique lines against themselves and
         # the keep-first rule would keep them all anyway — a caller bug
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), _sep_pattern(sep))
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("pos", "line")
     ).withColumn("k", normalize(F.col("line")))
@@ -1051,11 +1061,37 @@ def dedup_lines_keep_first(
         .select("k", "first")
         .transform(materialize)  # tiny-to-moderate; reused by count + join
     )
-    dim = F.broadcast(dups) if dups.count() <= small_set_max else dups
+    if dups.count() <= small_set_max:
+        # the keeper MAP (key -> first (doc_id, pos)) rides back as a
+        # broadcast 1-row map column and the rewrite is a pure per-row
+        # index-aware array filter — NO second corpus shuffle (the
+        # sibling's array path, upgraded to a per-key value compare)
+        m = dups.agg(
+            F.map_from_entries(F.collect_list(F.struct("k", "first"))).alias("_m")
+        )
+
+        def keep_line(l, i):
+            e = F.element_at(F.col("_m"), normalize(l))
+            # key absent (unique or structural line) -> comparison is
+            # NULL -> coalesce keeps; present -> keep only the keeper
+            return F.coalesce(
+                (e["d"] == F.col(id_col)) & (e["p"] == i), F.lit(True)
+            )
+
+        kept = F.filter(lines, keep_line)
+        return df.crossJoin(F.broadcast(m)).select(
+            F.col(id_col).alias("doc_id"),
+            F.array_join(kept, sep).alias("text"),
+            F.size(lines).alias("n_lines"),
+            (F.size(lines) - F.size(kept)).alias("n_removed"),
+        )
+    # large duplicated sets: shuffle equi-join on the line key (every
+    # occurrence of a mega-duplicated line meets ONE dim row — AQE
+    # skew-split owns the probe side) + one doc-keyed regroup
     keep = F.col("first").isNull() | (
         (F.col("doc_id") == F.col("first.d")) & (F.col("pos") == F.col("first.p"))
     )
-    joined = exploded.join(dim, on="k", how="left")
+    joined = exploded.join(dups, on="k", how="left")
     arr = F.array_sort(F.collect_list(F.struct("pos", "line", keep.alias("keep"))))
     agg = joined.groupBy("doc_id").agg(arr.alias("_a"))
     kept = F.filter(F.col("_a"), lambda x: x["keep"])

@@ -1564,6 +1564,36 @@ class TestDedupLinesKeepFirst:
         with pytest.raises(ValueError, match="min_count"):
             dedup_lines_keep_first(df, min_count=1)
 
+    def test_regex_metachar_separator_is_literal(self, spark):
+        """sep is a LITERAL separator, not a regex: '|' must split on
+        pipes only (review fix — F.split takes a Java regex, so an
+        unquoted '|' split between every character)."""
+        from nekton_spark.functions.text_analysis import (
+            dedup_lines_keep_first,
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a.b|c.d"), (1, "c.d|a.b")], "doc_id long, text string"
+        )
+        kf = {r.doc_id: r for r in dedup_lines_keep_first(df, sep="|").collect()}
+        assert kf[0].text == "a.b|c.d" and kf[0].n_lines == 2
+        assert kf[1].text == "" and kf[1].n_removed == 2
+        bp = {
+            r.doc_id: r.text
+            for r in remove_boilerplate_lines(df, min_docs=2, sep="|").collect()
+        }
+        assert bp == {0: "", 1: ""}
+
+    def test_separator_containing_backslash_e(self, spark):
+        # the one string Pattern.quote-style \Q..\E wrapping must
+        # special-case
+        from nekton_spark.functions.text_analysis import dedup_lines_keep_first
+
+        df = spark.createDataFrame([(0, "x\\Eyy\\Ex")], "doc_id long, text string")
+        out = dedup_lines_keep_first(df, sep="\\E").collect()[0]
+        assert out.text == "x\\Eyy" and out.n_lines == 3 and out.n_removed == 1
+
     def test_contrast_with_boilerplate_removal(self, spark):
         """The differentiating contract: boilerplate removal strips EVERY
         occurrence; keep-first always retains exactly one."""

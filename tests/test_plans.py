@@ -455,7 +455,7 @@ PLAN_BUDGET = {
     "bpe_roundtrip": (2, 3),  # encode pass on distinct words + map-only decode pass
     "common_passages": (0, 1),
     "boilerplate_removal": (0, 0),
-    "line_dedup_firstkeep": (0, 1),  # doc-keyed regroup; mining behind materialize
+    "line_dedup_firstkeep": (0, 0),  # broadcast-map rewrite; mining behind materialize
 }
 
 
