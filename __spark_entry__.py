@@ -5367,9 +5367,12 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(n_tok)::BIGINT AS total_tokens
 FROM m GROUP BY source
 """,
+        # NULL-text contract (seed-88 fuzz catch): media_from_text
+        # encodes a NULL document as an EMPTY payload, so n_bytes = 0
+        # and payload_md5 = md5('') — not NULLs
         "multimodal_features": """
-SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
-       'text' AS media_class, md5(text) AS payload_md5
+SELECT doc_id, octet_length(encode(coalesce(text, '')))::INT AS n_bytes,
+       'text' AS media_class, md5(coalesce(text, '')) AS payload_md5
 FROM documents
 """,
         # multimodal_decode: no oracle (numpy RNG in the fake decoder) → rows-only check

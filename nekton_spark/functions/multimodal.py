@@ -88,11 +88,18 @@ def pack_media(payload_col, mime_col, meta_col=None):
 
 
 def media_from_text(df: DataFrame, text_col: str = "text", mime: str = "application/octet-stream") -> DataFrame:
-    """Test/demo constructor: wrap a text column's bytes as media."""
+    """Test/demo constructor: wrap a text column's bytes as media.
+
+    Engine-wide NULL-text contract applied HERE (the constructor is
+    the user surface): a NULL document becomes an EMPTY payload, not a
+    NULL one — ``encode(NULL)`` would otherwise flow a null-payload
+    media struct into decode_image's deliberate null-media refusal
+    (caught by fuzz seed 88: a NULL-text doc inside
+    multimodal_decode's 20-doc sample errored the whole query)."""
     return df.withColumn(
         "media",
         pack_media(
-            F.encode(F.col(text_col), "utf-8"),
+            F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"),
             F.lit(mime),
             F.create_map(F.lit("origin"), F.lit("text")),
         ),

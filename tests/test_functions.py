@@ -808,6 +808,26 @@ class TestMultimodal:
         with pytest.raises(PythonException, match="no codec for 'image/gif'"):
             decode_image(media).collect()
 
+    def test_null_text_becomes_empty_payload(self, spark):
+        """Fuzz-seed-88 catch: a NULL-text doc must flow through
+        media_from_text as an EMPTY payload (engine-wide NULL-text
+        contract), NOT as a null payload that trips decode_image's
+        deliberate null-media refusal and errors the whole query."""
+        from nekton_spark.functions.multimodal import (
+            decode_image,
+            media_features,
+            media_from_text,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "x"), (1, None)], "doc_id long, text string"
+        )
+        media = media_from_text(df, mime="image/png")
+        feats = {r.doc_id: r for r in media_features(media).collect()}
+        assert feats[1].n_bytes == 0
+        dec = decode_image(media, fake=True, height=4, width=4)
+        assert dec.count() == 2  # no refusal, both rows decode
+
     def test_video_frame_sample_real_mjpeg_avi(self, spark):
         """REAL video path: MJPEG AVI container round trip through the
         full Spark plan — every-2nd-frame sampling, closed-form pixels,
