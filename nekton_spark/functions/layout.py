@@ -361,3 +361,60 @@ def hilbert_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------------------------- N-column Morton
+
+def z_value_n(
+    df: DataFrame,
+    cols: list[str],
+    bits: int | None = None,
+    ranges: list[tuple[float, float]] | None = None,
+    out_col: str = "zv",
+) -> DataFrame:
+    """N-column Morton key: bit ``i`` of (bucketized) column ``j``
+    lands at position ``i*k + j`` — the k-dimensional generalization
+    of :func:`z_value` for layouts clustered on three or four filter
+    columns at once (time × tenant × metric is the common 100 TB
+    shape). ``bits`` defaults to the largest per-column width that
+    keeps the key inside a non-negative long (``62 // k``, capped at
+    ``Z_BITS``); explicit ``bits`` with ``bits*k > 62`` refuses — a
+    silently sign-flipped key would scramble the curve order. Same
+    single combined min/max stats pre-pass (pass ``ranges``, one
+    (lo, hi) per column, to skip it), same NULL→NULL contract,
+    map-only like the 2-D key."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"z_value_n needs >= 2 columns, got {k}")
+    if bits is None:
+        bits = min(Z_BITS, 62 // k)
+    _check_bits(bits)
+    if bits * k > 62:
+        raise ValueError(
+            f"bits*k = {bits}*{k} = {bits * k} > 62 would push the Morton "
+            "key into the long sign bit — lower bits or drop a column"
+        )
+    if ranges is not None:
+        if len(ranges) != k:
+            raise ValueError(f"ranges must have one (lo, hi) per column")
+        bounds = list(ranges)
+    else:
+        aggs = []
+        for j, c in enumerate(cols):
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"lo{j}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"hi{j}"))
+        row = df.agg(*aggs).first()
+        bounds = []
+        for j in range(k):
+            lo, hi = row[f"lo{j}"], row[f"hi{j}"]
+            bounds.append((0.0, 0.0) if lo is None else (float(lo), float(hi)))
+    bucketized = [
+        _bucket(F.col(c), lo, hi, bits) for c, (lo, hi) in zip(cols, bounds)
+    ]
+    terms = []
+    for i in range(bits):
+        for j, b in enumerate(bucketized):
+            terms.append(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return df.withColumn(out_col, reduce(lambda x, y: x.bitwiseOR(y), terms))

@@ -747,6 +747,20 @@ def zorder_key_processor(
     return z_value(df, col_a, col_b, bits=bits)
 
 
+@register_processor("zorder_key_n")
+def zorder_key_n_processor(
+    df: DataFrame,
+    cols: list,
+    bits: int | None = None,
+) -> DataFrame:
+    """N-column Morton clustering key (time × tenant × metric layouts):
+    bit i of column j lands at i*k+j; per-column width auto-sized to
+    62//k bits unless given."""
+    from ..functions.layout import z_value_n
+
+    return z_value_n(df, list(cols), bits=bits)
+
+
 @register_processor("hilbert_key")
 def hilbert_key_processor(
     df: DataFrame,

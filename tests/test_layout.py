@@ -249,3 +249,70 @@ class TestHilbertKey:
             hilbert_value(df, "a", "b", bits=31)
         # bits=30 is the documented ceiling and must work
         assert hilbert_value(df, "a", "b", bits=30).collect()[0].hv is not None
+
+
+class TestZValueN:
+    def test_three_column_hand_computed(self, spark):
+        from nekton_spark.functions.layout import z_value_n
+
+        # identity buckets: each col spans 0..3 at bits=2
+        rows = []
+        rid = 0
+        for a in range(4):
+            for b in range(4):
+                for c in range(4):
+                    rows.append((rid, float(a), float(b), float(c)))
+                    rid += 1
+        df = spark.createDataFrame(rows, "id long, a double, b double, c double")
+        out = {r.id: r.zv for r in z_value_n(df, ["a", "b", "c"], bits=2).collect()}
+
+        def morton3(a, b, c):
+            z = 0
+            for i in range(2):
+                z |= ((a >> i) & 1) << (i * 3)
+                z |= ((b >> i) & 1) << (i * 3 + 1)
+                z |= ((c >> i) & 1) << (i * 3 + 2)
+            return z
+
+        for rid2, (a, b, c) in enumerate(
+            (a, b, c) for a in range(4) for b in range(4) for c in range(4)
+        ):
+            assert out[rid2] == morton3(a, b, c)
+        # bijection onto 0..63
+        assert sorted(out.values()) == list(range(64))
+
+    def test_two_column_matches_z_value(self, spark):
+        """k=2 must be bit-identical to the classic z_value — same
+        placement i*2+j == (2i, 2i+1)."""
+        from nekton_spark.functions.layout import z_value, z_value_n
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = z_value(e, "user_id", "value").select("event_id", "zv")
+        b = z_value_n(e, ["user_id", "value"]).select("event_id", "zv")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_null_and_refusals(self, spark):
+        import pytest as _pytest
+
+        from nekton_spark.functions.layout import z_value_n
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 2.0, 3.0), (2, None, 2.0, 3.0)],
+            "id long, a double, b double, c double",
+        )
+        out = {r.id: r.zv for r in z_value_n(df, ["a", "b", "c"]).collect()}
+        assert out[2] is None and out[1] is not None
+        with _pytest.raises(ValueError, match="sign bit"):
+            z_value_n(df, ["a", "b", "c"], bits=21)  # 63 > 62
+        with _pytest.raises(ValueError, match=">= 2 columns"):
+            z_value_n(df, ["a"])
+        # auto width: 3 cols -> 62//3 = 20 bits per column
+        assert z_value_n(df, ["a", "b", "c"]).collect()
+
+    def test_map_only_plan(self, spark):
+        from nekton_spark import plans
+        from nekton_spark.functions.layout import z_value_n
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = z_value_n(e, ["user_id", "value", "event_id"]).select("event_id", "zv")
+        assert plans.count_exchanges(df) == 0

@@ -620,6 +620,12 @@ output: {{type: memory}}
         assert df.filter("zv IS NULL").count() == 0
         assert df.count() == 500  # annotate pass carries every row
 
+    def test_zorder_key_n_tag(self, spark):
+        df = self._run(
+            spark, "zorder_key_n\n    cols: [doc_id, n_chars]\n    bits: 16"
+        )
+        assert "zv" in df.columns and df.count() == 500
+
     def test_hilbert_key_tag(self, spark):
         df = self._run(
             spark, "hilbert_key\n    col_a: doc_id\n    col_b: n_chars"
