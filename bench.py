@@ -408,6 +408,60 @@ def _ann_recall_bench(spark) -> dict:
     return out
 
 
+def _layout_pruning_bench(spark) -> dict:
+    """Row groups READ (matched, of total) for a fixed 16-box predicate
+    grid over events(user_id, value) at the bench SF, for three
+    layouts: natural insertion order, Morton (zorder_write), Hilbert
+    (hilbert_write) — measured from real parquet footers, the same
+    min/max stats a scan prunes on. Lower = better; natural is the
+    read-everything baseline, and Hilbert < Morton is the no-seams
+    locality claim tracked per round. Also reports the one-off layout
+    write wall (the range exchange any re-layout pays)."""
+    import tempfile
+
+    from nekton_spark.functions.layout import (
+        hilbert_write,
+        rowgroups_matching,
+        zorder_write,
+    )
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    tmp = tempfile.mkdtemp(prefix="bench_layout_")
+    paths = {"natural": os.path.join(tmp, "nat"),
+             "morton": os.path.join(tmp, "z"),
+             "hilbert": os.path.join(tmp, "h")}
+    walls = {}
+    t0 = time.time()
+    e.repartitionByRange(16, "event_id").sortWithinPartitions(
+        "event_id"
+    ).write.mode("overwrite").parquet(paths["natural"])
+    walls["natural"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    zorder_write(e, paths["morton"], "user_id", "value", n_files=16)
+    walls["morton"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    hilbert_write(e, paths["hilbert"], "user_id", "value", n_files=16)
+    walls["hilbert"] = round(time.time() - t0, 3)
+
+    out: dict[str, dict] = {}
+    for name, p in paths.items():
+        m, t = 0, 0
+        for ulo in (0, 1000, 2000, 3000):
+            for vlo in (0.0, 25.0, 50.0, 75.0):
+                mm, tt = rowgroups_matching(
+                    p, "user_id", ulo, ulo + 300, "value", vlo, vlo + 10.0
+                )
+                m += mm
+                t += tt
+        out[name] = {
+            "rowgroups_read": m,
+            "rowgroups_total": t,
+            "write_wall_sec": walls[name],
+        }
+        print(f"# layout_pruning {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -503,6 +557,10 @@ def main() -> int:
         out["ann_recall"] = _ann_recall_bench(spark)
     except Exception as e:
         out["ann_recall"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        out["layout_pruning"] = _layout_pruning_bench(spark)
+    except Exception as e:
+        out["layout_pruning"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
     return 0
 
