@@ -352,9 +352,16 @@ def hilbert_write(
 ) -> None:
     """Re-layout on the Hilbert key and write parquet — one range
     exchange + in-partition sort, exactly :func:`zorder_write` with
-    the better-locality key."""
+    the better-locality key. The keyed frame is materialized first:
+    ``repartitionByRange`` evaluates its input TWICE (the range
+    partitioner samples, then the write runs), and unlike the
+    codegen'd Morton key the interpreted 16-level fold is worth
+    computing once (measured 3.96 → 2.35 s at 1M rows)."""
+    from ..materialize import materialize
+
     (
         hilbert_value(df, col_a, col_b, bits)
+        .transform(materialize)
         .repartitionByRange(n_files, "hv")
         .sortWithinPartitions("hv")
         .drop("hv")
