@@ -2853,6 +2853,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the staleness bar — each pre-verified exact at
     # sf0.001/0.01/0.1 + fuzz seeds 81/82 (line dedup), 83 (roundtrip),
     # 84 (hilbert, NULL keys); they head r11.
+    #
+    # r11 window pre-solve: 47-row r08 staleness tail + these 3 new
+    # rows = EXACTLY 50. The two other rows whose code/oracle moved in
+    # r10s4 (media_from_text NULL-payload fix -> multimodal_decode,
+    # multimodal_features + its oracle) do NOT need window slots: the
+    # change is provably inert on the driver corpora (sf* documents
+    # carry no NULL text, and both oracles are identical there — the
+    # NULL case is exactly what fuzz seed 88 covers, re-run green),
+    # and multimodal_decode is the rows-only count check (count
+    # unchanged). Displacing r08-tail rows for them would break the
+    # no-evidence-older-than-two-rounds bar for no information gain.
     r10_window = [
         # (a) new in r10
         "bpe_encode_docs",
