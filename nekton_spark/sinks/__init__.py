@@ -70,8 +70,37 @@ def file_sink(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     checkpoint: str | None = None,
+    layout: str | None = None,
+    layout_cols: list[str] | None = None,
+    layout_files: int = 8,
     **options,
 ):
+    """``layout: morton|hilbert`` + ``layout_cols: [a, b]`` re-clusters
+    the batch write on the space-filling-curve key (functions/layout.py)
+    so parquet row-group min/max stats prune 2-D box predicates — the
+    write-side of the measured 26-vs-128-of-256 pruning win. Batch
+    only (a streaming micro-batch is too small to re-cluster globally;
+    refuse rather than silently ignore)."""
+    if layout is not None:
+        if df.isStreaming:
+            raise ValueError("layout re-clustering is batch-only")
+        if format != "parquet":
+            raise ValueError("layout re-clustering requires format=parquet")
+        if not layout_cols or len(layout_cols) != 2:
+            raise ValueError("layout needs layout_cols: [col_a, col_b]")
+        from ..functions.layout import hilbert_write, zorder_write
+
+        writers = {"morton": zorder_write, "zorder": zorder_write,
+                   "hilbert": hilbert_write}
+        if layout not in writers:
+            raise ValueError(
+                f"unknown layout {layout!r}: one of {sorted(writers)}"
+            )
+        if mode != "overwrite":
+            raise ValueError("layout re-clustering writes mode=overwrite")
+        writers[layout](df, path, layout_cols[0], layout_cols[1],
+                        n_files=layout_files)
+        return None
     if df.isStreaming:
         writer = df.writeStream.format(format).option("path", path)
         if partition_by:

@@ -278,3 +278,32 @@ output:
         run_sink()
         out = spark.read.parquet(str(tmp_path / "out"))
         assert out.select("_shard").distinct().count() == 3
+
+
+class TestFileSinkLayout:
+    def test_hilbert_layout_write_prunes_and_keeps_rows(self, spark, tmp_path):
+        from nekton_spark.functions.layout import rowgroups_matching
+        from nekton_spark.sinks import file_sink
+
+        e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        p = str(tmp_path / "hil")
+        file_sink(e, p, layout="hilbert", layout_cols=["user_id", "value"],
+                  layout_files=8)
+        m, t = rowgroups_matching(p, "user_id", 100, 400, "value", 10.0, 30.0)
+        assert t >= 8 and m < t  # pruning live from footer stats
+        assert spark.read.parquet(p).count() == e.count()
+
+    def test_layout_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from nekton_spark.sinks import file_sink
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with _pytest.raises(ValueError, match="layout_cols"):
+            file_sink(e, str(tmp_path / "x"), layout="hilbert")
+        with _pytest.raises(ValueError, match="format=parquet"):
+            file_sink(e, str(tmp_path / "x"), format="json",
+                      layout="morton", layout_cols=["user_id", "value"])
+        with _pytest.raises(ValueError, match="unknown layout"):
+            file_sink(e, str(tmp_path / "x"), layout="peano",
+                      layout_cols=["user_id", "value"])
