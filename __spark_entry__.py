@@ -2535,10 +2535,18 @@ def boilerplate_removal_check(spark, sf):
     d = _t(spark, sf, "documents")
     toks = tokenize(F.col("text"))
     nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
-    ls = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)),
-    )
+    # nl > 0 guard: F.sequence(0, -1) yields the DESCENDING [0, -1] on
+    # a zero-token doc (two bogus empty lines) where the oracle's
+    # range(0, 0) yields none — inert on sf corpora (min text len 48)
+    # but fuzz feeds hostile whitespace-only docs (r10 ADVICE;
+    # chunk_documents documents the same pitfall)
+    ls = F.when(
+        nl > 0,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     lined = d.select("doc_id", F.array_join(ls, "\n").alias("text"))
     out = remove_boilerplate_lines(lined, min_docs=3)
     return out.select(
@@ -2563,10 +2571,14 @@ def line_dedup_firstkeep(spark, sf):
     d = _t(spark, sf, "documents")
     toks = tokenize(F.col("text"))
     nl = F.ceil(F.size(toks) / F.lit(5)).cast("int")
-    ls = F.transform(
-        F.sequence(F.lit(0), nl - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)),
-    )
+    # nl > 0 guard — see boilerplate_removal_check (r10 ADVICE item)
+    ls = F.when(
+        nl > 0,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 5 + 1, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     lined = d.select("doc_id", F.array_join(ls, "\n").alias("text"))
     out = dedup_lines_keep_first(lined, min_count=2)
     return out.select(

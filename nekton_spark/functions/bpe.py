@@ -222,7 +222,19 @@ def bpe_encode(
         def one(w: str) -> list[int]:
             got = memo.get(w)
             if got is None:
-                got = memo[w] = [vocab[t] for t in encode_word(w, ranks)]
+                try:
+                    got = memo[w] = [
+                        vocab[t] for t in encode_word(w, ranks)
+                    ]
+                except KeyError as exc:
+                    # mirror bpe_decode's refusal contract: a caller-
+                    # supplied vocab that doesn't cover the corpus
+                    # alphabet refuses with context, not a bare KeyError
+                    raise ValueError(
+                        f"bpe_encode: token {exc.args[0]!r} not in vocab "
+                        f"(size {len(vocab)}) — was the vocab built on a "
+                        "different corpus?"
+                    ) from None
             return got
 
         return words.map(one)

@@ -86,6 +86,18 @@ def file_sink(
             raise ValueError("layout re-clustering is batch-only")
         if format != "parquet":
             raise ValueError("layout re-clustering requires format=parquet")
+        if partition_by:
+            raise ValueError(
+                "layout re-clustering and partition_by are mutually "
+                "exclusive: the curve writers own the file split "
+                "(refuse rather than silently ignore)"
+            )
+        if options:
+            raise ValueError(
+                "layout re-clustering does not thread writer options "
+                f"({sorted(options)}); drop them or drop layout "
+                "(refuse rather than silently ignore)"
+            )
         if not layout_cols or len(layout_cols) != 2:
             raise ValueError("layout needs layout_cols: [col_a, col_b]")
         from ..functions.layout import hilbert_write, zorder_write

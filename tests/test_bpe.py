@@ -225,3 +225,13 @@ class TestDecode:
         )
         with pytest.raises(Exception, match="not in vocab"):
             bpe_decode(df, {"a": 0}).collect()
+
+    def test_encode_foreign_vocab_refused(self, spark):
+        # r10 ADVICE: a caller-supplied vocab that doesn't cover the
+        # corpus alphabet refuses with context (mirrors bpe_decode),
+        # not a bare KeyError from inside the Arrow pass
+        df = spark.createDataFrame(
+            [(1, "zq zq")], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="not in vocab"):
+            bpe_encode(df, STD_MERGES, vocab={"a": 0}).collect()

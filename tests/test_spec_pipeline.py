@@ -307,3 +307,13 @@ class TestFileSinkLayout:
         with _pytest.raises(ValueError, match="unknown layout"):
             file_sink(e, str(tmp_path / "x"), layout="peano",
                       layout_cols=["user_id", "value"])
+        # r10 ADVICE: layout + partition_by / writer options must refuse,
+        # never silently ignore
+        with _pytest.raises(ValueError, match="partition_by"):
+            file_sink(e, str(tmp_path / "x"), layout="morton",
+                      layout_cols=["user_id", "value"],
+                      partition_by=["event_type"])
+        with _pytest.raises(ValueError, match="writer options"):
+            file_sink(e, str(tmp_path / "x"), layout="morton",
+                      layout_cols=["user_id", "value"],
+                      compression="zstd")
