@@ -1636,6 +1636,26 @@ def ann_topk_ivfpq(spark, sf):
     return ivfpq_topk(emb, q, k=5, n_probe=2)
 
 
+def ann_topk_ivfpq_residual(spark, sf):
+    """IVF-PQ with residual encoding + exact re-rank
+    (similarity.ivfpq_residual_topk — Jégou 2011 §IV.B / FAISS
+    IndexIVFPQR; r10 verdict #2): vectors PQ-quantize their residual
+    v − c(v) from the coarse centroid, the ADC scan over probed lists
+    scores <q,c> + LUT(residual codes) and nominates rerank_mult·k
+    candidates whose true vectors alone get exact-cosine re-ranked.
+    Clustered recall@10 = .64 (the probed-set ceiling, = ivf_topk) vs
+    plain ivfpq's .465 at the same compressed primary scan. The oracle
+    replays coarse assign → elementwise residuals → per-subspace
+    training/encode on residual slices → coarse-dot + ADC → re-rank.
+    n_probe pinned at 2 like the sibling ivfpq row."""
+    from nekton_spark.functions.similarity import ivfpq_residual_topk
+
+    _ship_package(spark)
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_residual_topk(emb, q, k=5, n_probe=2, rerank_mult=10)
+
+
 def embedding_pca_check(spark, sf):
     """Distributed PCA (functions/pca.py): project every embedding
     onto the top-2 principal components. Two bounded-shuffle passes
@@ -2615,6 +2635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
         "png_color_decode": png_color_decode,
         "ann_topk_ivfpq": ann_topk_ivfpq,
+        "ann_topk_ivfpq_residual": ann_topk_ivfpq_residual,
         # --- code (or oracle) changed in r8: neardup narrow-join rewrite,
         #     tiered-rounding/curriculum/drift ADVICE fixes, TRY_CAST oracle ---
         "neardup_time_horizon": neardup_time_horizon,
@@ -3669,6 +3690,7 @@ def _pq_sql(
     train_cap: int = 1 << 16,
     rerank_from: int | None = None,
     ivf_probe: int | None = None,
+    residual: bool = False,
 ) -> str:
     """Full SQL replay of similarity.pq_topk: per-subspace codebook
     training (the kmeans CTE structure at dim d0 / k ksub over the
@@ -3683,23 +3705,59 @@ def _pq_sql(
     ``ivf_probe=p`` (similarity.ivfpq_topk) the corpus additionally
     gets the IVF coarse assignment (√n deterministic centroids, exact
     cosine argmax — the ann_topk_ivf oracle's CTEs) and the ADC scan
-    is restricted to each query's p probed lists."""
+    is restricted to each query's p probed lists. With
+    ``residual=True`` (similarity.ivfpq_residual_topk, requires
+    ivf_probe) the subspace training/encode relations are the
+    elementwise residuals v[j] − cv[j] from each row's coarse
+    assignment — deterministic IEEE subtraction, same on both
+    engines — and the ADC score gains the per-(query, probed cell)
+    coarse dot <q, c> as its left-most term."""
 
     def dist(a: str, b: str) -> str:
         return " + ".join(
             f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])" for j in range(1, d0 + 1)
         )
 
+    if residual and ivf_probe is None:
+        raise ValueError("residual PQ requires ivf_probe")
+    dim = m_sub * d0
+    cosql = (
+        f"({_unrolled_dot('v', 'cv')})"
+        f" / (sqrt({_unrolled_dot('v', 'v')})"
+        f" * sqrt({_unrolled_dot('cv', 'cv')}))"
+    )
     parts = [
         f"""pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 nn AS (SELECT count(*) AS n FROM pts),
 tr AS (SELECT id, v FROM pts
        WHERE id % (SELECT greatest(1, ceil(n / {train_cap}.0)::BIGINT) FROM nn) = 0)"""
     ]
+    if residual:
+        # coarse assignment must precede training: the trained relation
+        # is the residual v − c(v), not the raw vector
+        # MATERIALIZED: casg/rpts are referenced by all m_sub subspace
+        # branches + the scorer — inlined, DuckDB would recompute the
+        # n×√n assignment cross-join 9× and OOM
+        parts.append(f"""cent AS MATERIALIZED (
+  SELECT id AS cid, v AS cv FROM pts
+  WHERE id % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM pts) = 0
+), casg AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (PARTITION BY b.id ORDER BY {cosql} DESC, c.cid) AS rn
+    FROM pts b, cent c) WHERE rn = 1
+), rpts AS MATERIALIZED (
+  SELECT p.id, list_transform(range(1, {dim + 1}), j -> p.v[j] - c.cv[j]) AS rv
+  FROM pts p JOIN casg a USING (id) JOIN cent c ON a.cid = c.cid
+), rtr AS MATERIALIZED (
+  SELECT id, rv FROM rpts
+  WHERE id % (SELECT greatest(1, ceil(n / {train_cap}.0)::BIGINT) FROM nn) = 0
+)""")
+    tsrc, psrc, vcol = ("rtr", "rpts", "rv") if residual else ("tr", "pts", "v")
     for s in range(m_sub):
         lo, hi = s * d0 + 1, s * d0 + d0
-        parts.append(f"""t{s} AS (SELECT id, v[{lo}:{hi}] AS sv FROM tr),
-p{s} AS (SELECT id, v[{lo}:{hi}] AS sv FROM pts),
+        parts.append(f"""t{s} AS (SELECT id, {vcol}[{lo}:{hi}] AS sv FROM {tsrc}),
+p{s} AS (SELECT id, {vcol}[{lo}:{hi}] AS sv FROM {psrc}),
 s{s}seed AS (SELECT (rn - 1)::INT AS c, sv AS cv FROM (
   SELECT id, sv, row_number() OVER (ORDER BY {_SEED_ORD}) AS rn FROM t{s}) WHERE rn <= {ksub}),
 s{s}d1 AS (SELECT t.id, s.c, {dist('t.sv', 's.cv')} AS d FROM t{s} t, s{s}seed s),
@@ -3730,14 +3788,7 @@ q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 10),
 sc AS (SELECT q.query_id, e.id AS neighbor_id, round({score}, 6) AS score
        FROM q, enc e WHERE e.id <> q.query_id)""")
     else:
-        cosql = (
-            f"({_unrolled_dot('v', 'cv')})"
-            f" / (sqrt({_unrolled_dot('v', 'v')})"
-            f" * sqrt({_unrolled_dot('cv', 'cv')}))"
-        )
-        parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),
-q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 10),
-cent AS (
+        cent_casg = "" if residual else f"""cent AS (
   SELECT id AS cid, v AS cv FROM pts
   WHERE id % (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM pts) = 0
 ), casg AS (
@@ -3745,15 +3796,24 @@ cent AS (
     SELECT b.id, c.cid,
            row_number() OVER (PARTITION BY b.id ORDER BY {cosql} DESC, c.cid) AS rn
     FROM pts b, cent c) WHERE rn = 1
-), probe AS (
+), """
+        # residual mode: score = <q, c(probed cell)> + residual ADC,
+        # left-associated exactly as the engine's cterm + chain
+        full_score = (
+            f"({_unrolled_dot('q.qv', 'c.cv')}) + {score}" if residual else score
+        )
+        cent_join = "JOIN cent c ON p.cid = c.cid\n  " if residual else ""
+        parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),
+q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 10),
+{cent_casg}probe AS (
   SELECT query_id, cid FROM (
     SELECT b.id AS query_id, c.cid,
            row_number() OVER (PARTITION BY b.id ORDER BY {cosql} DESC, c.cid) AS rn
     FROM pts b, cent c WHERE b.id < 10) WHERE rn <= {ivf_probe}
 ), sc AS (
-  SELECT q.query_id, e.id AS neighbor_id, round({score}, 6) AS score
+  SELECT q.query_id, e.id AS neighbor_id, round({full_score}, 6) AS score
   FROM probe p
-  JOIN casg a ON p.cid = a.cid
+  {cent_join}JOIN casg a ON p.cid = a.cid
   JOIN enc e ON e.id = a.id
   JOIN q ON q.query_id = p.query_id
   WHERE e.id <> q.query_id)""")
@@ -4926,6 +4986,9 @@ SELECT id AS vec_id, cluster FROM a2
         "ann_topk_pq": _pq_sql(),
         "ann_topk_pq_rerank": _pq_sql(k=10, rerank_from=40),
         "ann_topk_ivfpq": _pq_sql(k=5, ivf_probe=2),
+        "ann_topk_ivfpq_residual": _pq_sql(
+            k=5, ivf_probe=2, residual=True, rerank_from=50
+        ),
         "embedding_outliers": _outliers_sql(),
         "mmr_diverse_topk": _mmr_sql(),
         "zorder_key_check": _zorder_sql(),

@@ -344,7 +344,9 @@ def _ann_recall_bench(spark) -> dict:
       can only regress silently). The leg already earned its keep:
       the r10 n_probe sweep it enabled moved the engine default to 4
       (ivf .47→.64, ivfpq .37→.465, no wall cost), so expect those
-      two rows to sit higher from r10 on.
+      two rows to sit higher from r10 on. r11 adds ivfpq_residual
+      (residual encoding + exact re-rank): expect clustered ≈ ivf's
+      .64 — the probed-set cosine ceiling — at ivfpq-like wall.
 
     Wall is build + search, min-of-1 — informational only."""
     from pyspark.sql import functions as F
@@ -371,6 +373,7 @@ def _ann_recall_bench(spark) -> dict:
         "pq": sim.pq_topk,
         "pq_rerank": sim.pq_topk_rerank,
         "ivfpq": sim.ivfpq_topk,
+        "ivfpq_residual": sim.ivfpq_residual_topk,
     }
     n_corpus = emb.count()
     clu = _clustered_embeddings(spark, n_corpus).cache()

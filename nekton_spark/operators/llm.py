@@ -138,10 +138,12 @@ def ann_topk_processor(
         "pq": sim.pq_topk,
         "pq_rerank": sim.pq_topk_rerank,
         "ivfpq": sim.ivfpq_topk,
+        "ivfpq_residual": sim.ivfpq_residual_topk,
     }.get(method)
     if fn is None:
         raise ValueError(
-            f"unknown ann method: {method!r} (brute|lsh|ivf|pq|pq_rerank|ivfpq)"
+            f"unknown ann method: {method!r} "
+            "(brute|lsh|ivf|pq|pq_rerank|ivfpq|ivfpq_residual)"
         )
     return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
 

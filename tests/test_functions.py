@@ -452,6 +452,65 @@ class TestSimilarity:
         top1 = {qid: nid for qid, nid, _, rank in out1 if rank == 1}
         assert top1 == {200: 50, 201: 51, 202: 52}
 
+    def test_ivfpq_residual_planted_twin_rank1_and_determinism(self, spark):
+        """Residual IVF-PQ: the planted near-copy shares its twin's
+        probed list; the residual-ADC nomination surfaces it and the
+        exact-cosine re-rank puts it at rank 1 with score ~1.0; the
+        whole build (coarse assign, residuals, residual codebooks,
+        encode, probe, re-rank) is run-to-run deterministic."""
+        import random
+
+        from nekton_spark.functions.similarity import ivfpq_residual_topk
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(120):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+        for j, src in enumerate((50, 51, 52)):
+            rows.append(
+                (200 + j, [x + rng.gauss(0, 1e-4) for x in rows[src][1]])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") >= 200)
+        out1 = sorted(
+            (r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in ivfpq_residual_topk(df, q, k=3, n_probe=2).collect()
+        )
+        out2 = sorted(
+            (r.query_id, r.neighbor_id, r.score, r.rank)
+            for r in ivfpq_residual_topk(df, q, k=3, n_probe=2).collect()
+        )
+        assert out1 == out2
+        top1 = {qid: nid for qid, nid, _, rank in out1 if rank == 1}
+        assert top1 == {200: 50, 201: 51, 202: 52}
+        # re-ranked scores are exact cosine — the twin scores ~1.0
+        for qid, nid, score, rank in out1:
+            if rank == 1:
+                assert score > 0.999
+
+    def test_ivfpq_residual_pure_adc_mode(self, spark):
+        """rerank_mult=None returns the pure residual-ADC ranking:
+        scores are inner-product scale (coarse dot + LUT), not
+        cosines, and the result is still deterministic."""
+        import random
+
+        from nekton_spark.functions.similarity import ivfpq_residual_topk
+
+        rng = random.Random(23)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 3)
+        out1 = sorted(
+            map(tuple, ivfpq_residual_topk(df, q, k=3, n_probe=2,
+                                           rerank_mult=None).collect())
+        )
+        out2 = sorted(
+            map(tuple, ivfpq_residual_topk(df, q, k=3, n_probe=2,
+                                           rerank_mult=None).collect())
+        )
+        assert out1 == out2
+        assert len(out1) == 9  # 3 queries × k=3
+
     def test_pq_topk_rejects_indivisible_dim(self, spark):
         from nekton_spark.functions.similarity import pq_topk
 

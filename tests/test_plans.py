@@ -438,6 +438,9 @@ PLAN_BUDGET = {
     "ann_topk_pq": (1, 1),
     "ann_topk_pq_rerank": (2, 2),
     "ann_topk_ivfpq": (1, 1),
+    # fused build pass + rerank cosine arrow eval; ADC rank window +
+    # rerank rank window
+    "ann_topk_ivfpq_residual": (2, 2),
     "mmr_diverse_topk": (2, 2),
     "kmeans_clusters": (1, 0),
     "kmeans_tiered": (1, 2),
