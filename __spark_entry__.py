@@ -2954,8 +2954,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     assert len(r10_window) == 50, len(r10_window)
     assert set(r10_window) <= set(q), sorted(set(r10_window) - set(q))
-    ordered = {k: q[k] for k in r10_window} | {
-        k: v for k, v in q.items() if k not in r10_window
+    # Round-11 rotation (r10 verdict #1, executing the pre-solve):
+    # the ENTIRE 46-row r08 staleness tail (the verdict counted 47;
+    # the aggregate CORRECTNESS_r01-r10 latest-evidence histogram says
+    # 46 — recounted this round, r8:46 / r9:45 / r10:50) + the 3 rows
+    # added post-r10-close (line_dedup_firstkeep, bpe_roundtrip,
+    # hilbert_key_check — each judge-verified exact in the r10
+    # session) = 49, leaving ONE slot for the round's flagship new
+    # row: ann_topk_ivfpq_residual (r10 verdict #2, oracle-verified
+    # exact at sf0.01 + fuzz seeds 102/103 locally). After this round
+    # no query's driver evidence is older than two rounds.
+    #
+    # r11 engine-code changes and why their evidence holds without a
+    # slot: (a) the nl>0 lined-view guard (r10 ADVICE) touches
+    # line_dedup_firstkeep + boilerplate_removal — the first is
+    # IN-window, the second is provably inert on sf corpora (min text
+    # len 48 → nl ≥ 1; hostile case = fuzz seeds 81/82/88/101, run
+    # green) and last checked r09; (b) bpe_encode's foreign-vocab
+    # refusal is an error-path-only change (happy path untouched,
+    # bpe_roundtrip IN-window exercises the trained path end-to-end);
+    # (c) the file-sink layout refusal is spec-surface-only (no driver
+    # query writes through it).
+    #
+    # r12 window pre-solve: the 45-row r09 staleness tail +
+    # jpeg_420_decode (new this round) + zorder_key_n (r10 verdict #7,
+    # implemented + property-tested, driver-unchecked) = 47, leaving
+    # 3 slots for rows whose engine code moves late in r11/early r12.
+    r11_window = [
+        # (a) new in r11
+        "ann_topk_ivfpq_residual",
+        # (b) post-r10-close rows (judge-verified exact, first driver check)
+        "line_dedup_firstkeep",
+        "bpe_roundtrip",
+        "hilbert_key_check",
+        # (c) the 46-row r08 staleness tail
+        "ann_topk_bruteforce",
+        "ann_topk_ivf",
+        "ann_topk_ivfpq",
+        "ann_topk_lsh",
+        "category_drift",
+        "compression_quality",
+        "corpus_quality_gate",
+        "curriculum_buckets",
+        "dataset_drift",
+        "dedup_exact",
+        "dedup_incremental",
+        "dedup_minhash_xxh",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_sampled",
+        "dedup_simhash",
+        "dedup_simhash_hamming",
+        "doc_repetition",
+        "embedding_quant_dedup",
+        "events_json_extract",
+        "jpeg_decode",
+        "multimodal_decode",
+        "neardup_estimate",
+        "null_semantics",
+        "pii_redaction",
+        "pipe_regex_replace",
+        "pipe_regex_select",
+        "pipe_regex_split",
+        "pipe_replace",
+        "pipeline_chain",
+        "png_color_decode",
+        "q01_pricing_summary",
+        "q02_min_cost_part",
+        "q03_shipping_priority",
+        "q04_order_priority",
+        "q05_region_revenue",
+        "q06_forecast_revenue",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q22_idle_customers",
+        "scalar_subquery_above_avg",
+        "source_quality_rollup",
+        "stratified_sample",
+        "text_quality",
+        "text_stats",
+        "unpivot_lineitem_metrics",
+        "vocab_coverage",
+    ]
+    assert len(r11_window) == 50, len(r11_window)
+    assert set(r11_window) <= set(q), sorted(set(r11_window) - set(q))
+    ordered = {k: q[k] for k in r11_window} | {
+        k: v for k, v in q.items() if k not in r11_window
     }
     return ordered
 
