@@ -30,8 +30,18 @@ YCbCr→RGB (half-up rounding, so a SQL oracle replays it with
 ``floor(x + 0.5)``). :func:`jpeg_encode_blocks_color` writes matching
 3-component JFIF bytes for the DC-only synthetic fixture.
 
-Restart intervals (DRI), progressive (SOF2), and SUBSAMPLED scans
-(4:2:0/4:2:2) raise ``NotImplementedError`` explicitly rather than
+Chroma subsampling (r10 verdict #3 — most real-world JPEGs are
+4:2:0): the decoder handles the general interleaved MCU scan for
+sampling factors 1 and 2 (4:4:4, 4:2:0, 4:2:2, 4:4:0) — per-MCU
+hi×vi blocks per component, MCU-order → block-raster reassembly,
+sample-replication chroma upsample ((y·vi)//vmax — T.81 leaves the
+upsampling filter to the decoder; replication is the deterministic
+choice a SQL oracle replays in closed form).
+:func:`jpeg_encode_blocks_420` writes matching 4:2:0 JFIF bytes for
+the DC-only synthetic fixture (:func:`synth_420_block_values`).
+
+Restart intervals (DRI), progressive (SOF2), and sampling factors
+3/4 raise ``NotImplementedError`` explicitly rather than
 mis-decoding.
 """
 
@@ -45,9 +55,12 @@ import numpy as np
 __all__ = [
     "jpeg_encode_blocks",
     "jpeg_encode_blocks_color",
+    "jpeg_encode_blocks_sampled",
+    "jpeg_encode_blocks_420",
     "jpeg_decode",
     "synth_block_values",
     "synth_color_block_values",
+    "synth_420_block_values",
 ]
 
 # zigzag scan order: ZIGZAG[k] = flat index (row*8+col) of the k-th
@@ -314,6 +327,99 @@ def jpeg_encode_blocks_color(
     )
 
 
+def jpeg_encode_blocks_sampled(
+    dc_planes: list[list[int]],
+    factors: list[tuple[int, int]],
+    mcus_x: int,
+    width: int,
+    height: int,
+) -> bytes:
+    """Genuine 3-component SAMPLED baseline JFIF bytes for an image of
+    DC-only 8×8 blocks: component ci has sampling factors ``factors
+    [ci] = (hi, vi)`` and contributes hi×vi blocks per MCU (raster
+    within the MCU); ``dc_planes[ci]`` is that component's full block
+    grid in raster order (mcus_x·hi wide). The writer maps raster →
+    interleaved MCU scan order. All components share quant table 0 and
+    the Annex K Huffman tables (legal per T.81)."""
+    if len(dc_planes) != 3 or len(factors) != 3:
+        raise ValueError("exactly 3 components (Y, Cb, Cr)")
+    n_mcus = len(dc_planes[0]) // (factors[0][0] * factors[0][1])
+    if n_mcus % mcus_x:
+        raise ValueError("block grid not divisible by mcus_x")
+    mcus_y = n_mcus // mcus_x
+    for ci, ((hi, vi), dcs) in enumerate(zip(factors, dc_planes)):
+        if len(dcs) != n_mcus * hi * vi:
+            raise ValueError(f"component {ci}: {len(dcs)} blocks, "
+                             f"expected {n_mcus * hi * vi}")
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    prevs = [0, 0, 0]
+
+    def put(ci: int, dc: int) -> None:
+        diff = dc - prevs[ci]
+        prevs[ci] = dc
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        eob, eln = ac_codes[0x00]
+        w.write(eob, eln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(factors):
+                bx_c = mcus_x * hi
+                for iy in range(vi):
+                    for ix in range(hi):
+                        put(ci, dc_planes[ci][(my * vi + iy) * bx_c + mx * hi + ix])
+    scan = w.flush()
+
+    dqt = bytes([0x00]) + bytes(Q_TABLE[ZIGZAG[k]] for k in range(64))
+    comp_spec = []
+    for ci, (hi, vi) in enumerate(factors):
+        comp_spec += [ci + 1, (hi << 4) | vi, 0]
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(comp_spec)
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    return (
+        b"\xff\xd8"
+        + _marker(0xFFE0, app0)
+        + _marker(0xFFDB, dqt)
+        + _marker(0xFFC0, sof0)
+        + _marker(0xFFC4, dht)
+        + _marker(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_encode_blocks_420(
+    dc_y: list[int],
+    dc_cb: list[int],
+    dc_cr: list[int],
+    mcus_x: int,
+    width: int,
+    height: int,
+) -> bytes:
+    """4:2:0 (Y 2×2, chroma 1×1 — each 16×16 MCU interleaves four Y
+    blocks then one Cb and one Cr) specialization of
+    :func:`jpeg_encode_blocks_sampled` — the subsampling most
+    real-world JPEGs use."""
+    if len(dc_cb) != len(dc_cr):
+        raise ValueError("chroma DC lists must have equal length")
+    if len(dc_y) != 4 * len(dc_cb):
+        raise ValueError("4:2:0 needs 4 Y blocks per chroma block")
+    return jpeg_encode_blocks_sampled(
+        [dc_y, dc_cb, dc_cr], [(2, 2), (1, 1), (1, 1)], mcus_x, width, height
+    )
+
+
 # IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); block = Aᵀ F A
 _A = np.array(
     [
@@ -328,11 +434,13 @@ _A = np.array(
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode 8-bit baseline JPEG bytes: single-component → (h, w)
-    uint8; 3-component 4:4:4 → (h, w, 3) uint8 RGB (JFIF YCbCr→RGB,
-    half-up rounding). General within that envelope: arbitrary Huffman
-    and quant tables are read from the stream, AC run-length/EOB/ZRL
-    are honored, FF00 stuffing removed, partial edge blocks cropped.
-    Subsampled chroma (any Hi/Vi ≠ 1) refuses rather than mis-decodes."""
+    uint8; 3-component → (h, w, 3) uint8 RGB (JFIF YCbCr→RGB, half-up
+    rounding) for sampling factors 1 and 2 — 4:4:4, 4:2:0, 4:2:2,
+    4:4:0 — with replication chroma upsample. General within that
+    envelope: arbitrary Huffman and quant tables are read from the
+    stream, AC run-length/EOB/ZRL are honored, FF00 stuffing removed,
+    partial edge blocks cropped. Sampling factors 3/4 refuse rather
+    than mis-decode."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -405,11 +513,17 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tqi = body[6 + 3 * ci : 9 + 3 * ci]
-                if ncomp > 1 and hv != 0x11:
+                hi, vi = hv >> 4, hv & 0x0F
+                # supported sampling envelope: factors 1 and 2 (covers
+                # 4:4:4, 4:2:0, 4:2:2, 4:4:0 — the formats that occur
+                # in practice); 3/4 are spec-legal but refuse rather
+                # than ship an untested upsampling ratio
+                if ncomp > 1 and not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError(
-                        "subsampled chroma (4:2:0/4:2:2) not supported — only 4:4:4"
+                        f"sampling factors {hi}x{vi} not supported — "
+                        "only 1 and 2 (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
                     )
-                comps.append((cid, tqi))
+                comps.append((cid, hi, vi, tqi))
         elif tag in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEGs supported")
         elif tag == 0xDD:
@@ -432,16 +546,20 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             # scan at a component or table that was never defined;
             # refuse, don't KeyError — r8 media fuzz)
             sel: list[tuple[dict, dict, np.ndarray]] = []
-            cmap = dict(comps)
+            shs: list[int] = []
+            svs: list[int] = []
+            cmap = {c[0]: c[1:] for c in comps}
             for ci in range(ns):
                 cs, tda = body[1 + 2 * ci], body[2 + 2 * ci]
                 if cs not in cmap:
                     raise ValueError(f"SOS references undefined component {cs}")
-                tqi = cmap[cs]
+                hi, vi, tqi = cmap[cs]
                 if (0, tda >> 4) not in htables or (1, tda & 0x0F) not in htables:
                     raise ValueError("SOS references undefined Huffman table")
                 if tqi not in qtables:
                     raise ValueError("SOS references undefined quant table")
+                shs.append(hi)
+                svs.append(vi)
                 sel.append(
                     (
                         htables[(0, tda >> 4)],
@@ -450,55 +568,106 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                     )
                 )
             reader = _BitReader(data, pos)
-            bx, by = (width + 7) // 8, (height + 7) // 8
-            nb = bx * by
-            # pass 1: sequential entropy decode (the bit stream forbids
-            # parallelism) into one (nb, 64) zigzag-order coefficient
-            # matrix per component — interleaved MCU order for 4:4:4 is
-            # simply (Y, Cb, Cr) per block position. Accumulated as
-            # plain Python lists (scalar numpy writes in this loop
-            # measured 1.6× slower).
-            rows: list[list[list[int]]] = [[] for _ in range(ns)]
-            prevs = [0] * ns
-            for _b in range(nb):
-                for ci in range(ns):
-                    dc_tab, ac_tab, _q = sel[ci]
-                    row = [0] * 64
-                    s = reader.read_symbol(dc_tab)
-                    diff = _extend(reader.read(s), s) if s else 0
-                    prevs[ci] += diff
-                    row[0] = prevs[ci]
-                    k = 1
-                    while k < 64:
-                        sym = reader.read_symbol(ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 0x0F
-                        k += run
-                        if k >= 64:
-                            raise ValueError("AC run past end of block")
-                        row[k] = _extend(reader.read(size), size)
-                        k += 1
-                    rows[ci].append(row)
-            # pass 2: dequant + de-zigzag + IDCT batched across ALL
-            # blocks of each component — one scatter and one broadcast
-            # matmul chain (block = Aᵀ F A) instead of per-block matmuls
-            planes = []
-            for ci in range(ns):
+
+            def decode_block(ci: int, prevs: list[int]) -> list[int]:
+                dc_tab, ac_tab, _q = sel[ci]
+                row = [0] * 64
+                s = reader.read_symbol(dc_tab)
+                diff = _extend(reader.read(s), s) if s else 0
+                prevs[ci] += diff
+                row[0] = prevs[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.read_symbol(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k >= 64:
+                        raise ValueError("AC run past end of block")
+                    row[k] = _extend(reader.read(size), size)
+                    k += 1
+                return row
+
+            def idct_plane(ci: int, coeff_rows: list[list[int]],
+                           nbx: int, nby: int) -> np.ndarray:
+                # dequant + de-zigzag + IDCT batched across ALL blocks
+                # of the component — one scatter and one broadcast
+                # matmul chain (block = Aᵀ F A), never per-block matmuls
                 _dc, _ac, q = sel[ci]
-                coeffs = np.array(rows[ci], dtype=np.float64)
+                nb = nbx * nby
+                coeffs = np.array(coeff_rows, dtype=np.float64)
                 fq = np.zeros((nb, 64), dtype=np.float64)
                 fq[:, ZIGZAG] = coeffs * q[ZIGZAG]
                 blocks = _A.T @ fq.reshape(nb, 8, 8) @ _A
                 pix = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
-                planes.append(
-                    pix.reshape(by, bx, 8, 8)
+                return (
+                    pix.reshape(nby, nbx, 8, 8)
                     .transpose(0, 2, 1, 3)
-                    .reshape(by * 8, bx * 8)[:height, :width]
+                    .reshape(nby * 8, nbx * 8)
                 )
+
+            hmax, vmax = max(shs), max(svs)
+            if ns == 1 or (hmax == 1 and vmax == 1):
+                # 4:4:4 (or single-component non-interleaved: T.81
+                # A.2.2 — one block per MCU, sampling factors inert):
+                # MCU order is simply (Y[, Cb, Cr]) per block position.
+                # pass 1 is sequential entropy decode (the bit stream
+                # forbids parallelism); blocks accumulate as plain
+                # Python lists (scalar numpy writes measured 1.6×
+                # slower).
+                bx, by = (width + 7) // 8, (height + 7) // 8
+                rows: list[list[list[int]]] = [[] for _ in range(ns)]
+                prevs = [0] * ns
+                for _b in range(bx * by):
+                    for ci in range(ns):
+                        rows[ci].append(decode_block(ci, prevs))
+                planes = [
+                    idct_plane(ci, rows[ci], bx, by)[:height, :width]
+                    for ci in range(ns)
+                ]
+            else:
+                # general interleaved MCU scan (T.81 A.2.3): the MCU is
+                # hmax×vmax data units of the highest-resolution
+                # component; each component contributes hi×vi blocks
+                # per MCU in raster order within the MCU. Chroma planes
+                # upsample by sample replication — index (y·vi)//vmax,
+                # (x·hi)//hmax — the deterministic box upsample a SQL
+                # oracle replays in closed form (T.81 leaves the
+                # upsampling filter to the decoder).
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                rows = [[] for _ in range(ns)]
+                prevs = [0] * ns
+                for _m in range(mcux * mcuy):
+                    for ci in range(ns):
+                        for _b in range(shs[ci] * svs[ci]):
+                            rows[ci].append(decode_block(ci, prevs))
+                planes = []
+                yidx = np.arange(height)
+                xidx = np.arange(width)
+                for ci in range(ns):
+                    hi, vi = shs[ci], svs[ci]
+                    nbx, nby = mcux * hi, mcuy * vi
+                    # MCU scan order → block raster order: block k of
+                    # MCU (my, mx) sits at block row my·vi + k//hi,
+                    # block col mx·hi + k%hi
+                    perm = np.empty(nbx * nby, dtype=np.int64)
+                    p = 0
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for iy in range(vi):
+                                for ix in range(hi):
+                                    perm[p] = (my * vi + iy) * nbx + mx * hi + ix
+                                    p += 1
+                    raster: list[list[int]] = [None] * (nbx * nby)  # type: ignore[list-item]
+                    for k, r in enumerate(rows[ci]):
+                        raster[perm[k]] = r
+                    plane = idct_plane(ci, raster, nbx, nby)
+                    planes.append(plane[(yidx * vi) // vmax][:, (xidx * hi) // hmax])
             if ns == 1:
                 return planes[0]
             # JFIF YCbCr→RGB on the level-shifted integer samples;
@@ -527,6 +696,24 @@ def synth_block_values(key: int) -> tuple[list[int], int, int, int]:
     bx, by = 1 + key % 3, 1 + key % 2
     dcs = [((key * 31 + b * 17) % 256) - 128 for b in range(bx * by)]
     return dcs, bx, bx * 8, by * 8
+
+
+def synth_420_block_values(key: int) -> tuple[list[int], list[int], list[int], int, int, int]:
+    """Closed-form 4:2:0 fixture: mcus_x = 1 + key%2, mcus_y =
+    1 + key%3 → width 16·mcus_x, height 16·mcus_y. Y block b (raster
+    order over the 2·mcus_x-wide grid) carries y = (key*31 + b*17) %
+    256; chroma block c (raster over the mcus_x-wide grid) carries
+    cb = (key*7 + c*11) % 256, cr = (key*13 + c*5) % 256. After the
+    replication upsample, pixel (x, y) sees y from block
+    (y//8)·2·mcus_x + x//8 and chroma from block
+    (y//16)·mcus_x + x//16 — pure integer math a SQL oracle replays,
+    with the same floor(x + 0.5) RGB conversion as the 4:4:4 path."""
+    mx, my = 1 + key % 2, 1 + key % 3
+    nb_y, nb_c = (2 * mx) * (2 * my), mx * my
+    dc_y = [((key * 31 + b * 17) % 256) - 128 for b in range(nb_y)]
+    dc_cb = [((key * 7 + b * 11) % 256) - 128 for b in range(nb_c)]
+    dc_cr = [((key * 13 + b * 5) % 256) - 128 for b in range(nb_c)]
+    return dc_y, dc_cb, dc_cr, mx, 16 * mx, 16 * my
 
 
 def synth_color_block_values(key: int) -> tuple[list[int], list[int], list[int], int, int, int]:

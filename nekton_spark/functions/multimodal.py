@@ -486,6 +486,32 @@ def synth_jpeg_color_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def synth_jpeg_420_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL 3-component 4:2:0 baseline-JPEG payload per row
+    (:func:`.jpeg.jpeg_encode_blocks_420` — Y sampled 2×2, chroma 1×1,
+    the subsampling most real-world JPEGs use). Samples follow the
+    :func:`.jpeg.synth_420_block_values` closed form, so the decoded
+    RGB (replication chroma upsample + floor(x+0.5) conversion) is
+    replayable in SQL."""
+    from .jpeg import jpeg_encode_blocks_420, synth_420_block_values
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            dc_y, dc_cb, dc_cr, mx, w, h = synth_420_block_values(key)
+            return {
+                "payload": jpeg_encode_blocks_420(dc_y, dc_cb, dc_cr, mx, w, h),
+                "mime": "image/jpeg",
+                "meta": {"origin": "synth-420"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def _synth_samples(key: int, n: int) -> "np.ndarray":
     """Closed-form deterministic PCM16 samples for key-derived test
     audio: s_i = ((key*7919 + i*104729) mod 65536) - 32768. Pure

@@ -3,6 +3,7 @@ text analysis, multimodal, as-of join) on controlled inputs."""
 
 import math
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -1208,9 +1209,13 @@ class TestJpegCodec:
                 blk = rgb[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
                 assert (blk == exp).all(), (key, b)
 
-    def test_color_refusal_narrowed_to_subsampled(self):
-        """4:4:4 decodes; flipping one component's sampling factors to
-        2×2 (4:2:0) must refuse rather than mis-decode."""
+    def test_sampling_refusal_narrowed_to_factors_3_4(self):
+        """r11: subsampled chroma now DECODES (factors 1 and 2); the
+        refusal envelope narrows to factors 3/4 (spec-legal but
+        untested upsampling ratios). Flipping a 4:4:4 stream's Y
+        factors to 2×2 reinterprets the same entropy bytes under a
+        4:2:0 layout — a well-formed (if different) decode, exactly
+        what libjpeg does with such bytes; flipping to 3×3 refuses."""
         from nekton_spark.functions.jpeg import (
             jpeg_decode,
             jpeg_encode_blocks_color,
@@ -1222,9 +1227,83 @@ class TestJpegCodec:
         jpeg_decode(bytes(payload))  # 4:4:4 accepted
         sof = payload.index(b"\xff\xc0")
         # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) then (id, HV, Tq)*
-        payload[sof + 11] = 0x22  # Y component sampling -> 2x2
-        with pytest.raises(NotImplementedError, match="subsampled"):
+        payload[sof + 11] = 0x22  # Y sampling -> 2x2: decodes per header
+        out = jpeg_decode(bytes(payload))
+        assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        payload[sof + 11] = 0x33  # factor 3: refuse
+        with pytest.raises(NotImplementedError, match="sampling factors"):
             jpeg_decode(bytes(payload))
+
+    def test_jpeg_420_round_trip_closed_form(self):
+        """4:2:0 fixture (Y 2×2, chroma 1×1): every pixel must equal
+        the synth_420_block_values closed form — Y from its own 8×8
+        block, chroma replicated over the 16×16 MCU footprint, the
+        same floor(x+0.5) RGB conversion as 4:4:4."""
+        import math
+
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_420,
+            synth_420_block_values,
+        )
+
+        for key in range(8):
+            dc_y, dc_cb, dc_cr, mx, w, h = synth_420_block_values(key)
+            rgb = jpeg_decode(jpeg_encode_blocks_420(dc_y, dc_cb, dc_cr, mx, w, h))
+            assert rgb.shape == (h, w, 3), key
+            yy, xx = np.mgrid[0:h, 0:w]
+            yv = (key * 31 + ((yy // 8) * (2 * mx) + xx // 8) * 17) % 256
+            cbb = (yy // 16) * mx + xx // 16
+            cb = (key * 7 + cbb * 11) % 256
+            cr = (key * 13 + cbb * 5) % 256
+            exp = np.clip(np.stack([
+                np.floor(yv + 1.402 * (cr - 128.0) + 0.5),
+                np.floor(yv - 0.344136 * (cb - 128.0)
+                         - 0.714136 * (cr - 128.0) + 0.5),
+                np.floor(yv + 1.772 * (cb - 128.0) + 0.5),
+            ], axis=-1), 0, 255).astype(np.uint8)
+            assert (rgb == exp).all(), key
+
+    def test_jpeg_422_and_440_round_trip(self):
+        """The general sampled encoder/decoder pair also covers 4:2:2
+        (Y 2×1) and 4:4:0 (Y 1×2) — chroma replicates along exactly
+        one axis."""
+        import math
+
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_sampled,
+        )
+
+        def rgb_exp(yv, cb, cr):
+            return [
+                min(255, max(0, math.floor(yv + 1.402 * (cr - 128.0) + 0.5))),
+                min(255, max(0, math.floor(
+                    yv - 0.344136 * (cb - 128.0)
+                    - 0.714136 * (cr - 128.0) + 0.5))),
+                min(255, max(0, math.floor(yv + 1.772 * (cb - 128.0) + 0.5))),
+            ]
+
+        # 4:2:2 — two 16×8 MCUs side by side (32×8 image)
+        dc_y, dc_cb, dc_cr = [5, -3, 17, 40], [10, -20], [-5, 66]
+        rgb = jpeg_decode(jpeg_encode_blocks_sampled(
+            [dc_y, dc_cb, dc_cr], [(2, 1), (1, 1), (1, 1)], 2, 32, 8))
+        assert rgb.shape == (8, 32, 3)
+        for x in range(32):
+            c = x // 16
+            exp = rgb_exp((dc_y[x // 8] + 128) % 256,
+                          dc_cb[c] + 128, dc_cr[c] + 128)
+            assert list(rgb[3, x]) == exp, x
+        # 4:4:0 — two 8×16 MCUs side by side (16×16 image)
+        dc_y, dc_cb, dc_cr = [7, -7, 33, 12], [3, 9], [-4, 100]
+        rgb = jpeg_decode(jpeg_encode_blocks_sampled(
+            [dc_y, dc_cb, dc_cr], [(1, 2), (1, 1), (1, 1)], 2, 16, 16))
+        assert rgb.shape == (16, 16, 3)
+        for y in range(16):
+            for x in range(16):
+                yv = (dc_y[(y // 8) * 2 + x // 8] + 128) % 256
+                exp = rgb_exp(yv, dc_cb[x // 8] + 128, dc_cr[x // 8] + 128)
+                assert list(rgb[y, x]) == exp, (x, y)
 
     def test_jpeg_spark_round_trip(self, spark):
         """Real JFIF bytes through the full Spark path: mime dispatch in

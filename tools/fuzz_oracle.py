@@ -55,7 +55,8 @@ DOC_QUERIES = [
     # pipes transform text; the codecs synthesize payloads from doc_id)
     "pipe_replace", "pipe_regex_replace", "pipe_regex_split",
     "pipe_regex_select", "pipeline_chain", "pipe_subprocess",
-    "jpeg_decode", "jpeg_color_decode", "png_color_decode",
+    "jpeg_decode", "jpeg_color_decode", "jpeg_420_decode",
+    "png_color_decode",
     "image_decode", "image_resize",
     "audio_features", "video_frame_sample", "multimodal_features",
     "multimodal_decode", "text_stats",
@@ -524,7 +525,9 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     from nekton_spark.functions.jpeg import (
         jpeg_decode,
         jpeg_encode_blocks,
+        jpeg_encode_blocks_420,
         jpeg_encode_blocks_color,
+        synth_420_block_values,
     )
     from nekton_spark.functions.multimodal import (
         _png_decode,
@@ -538,6 +541,26 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     rng = random.Random(seed * 7919 + 11)
     problems: list[str] = []
     checked = 0
+
+    def _jpeg_420_base(key: int):
+        # r11: subsampled decode is in the envelope — the valid-payload
+        # probe checks EXACT pixels against the synth_420 closed form
+        # (replication chroma upsample + floor(x+0.5) RGB)
+        dc_y, dc_cb, dc_cr, mx, w, h = synth_420_block_values(key % 6)
+        payload = jpeg_encode_blocks_420(dc_y, dc_cb, dc_cr, mx, w, h)
+        k = key % 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        yv = (k * 31 + ((yy // 8) * (2 * mx) + xx // 8) * 17) % 256
+        cbb = (yy // 16) * mx + xx // 16
+        cb = (k * 7 + cbb * 11) % 256
+        cr = (k * 13 + cbb * 5) % 256
+        truth = np.clip(np.stack([
+            np.floor(yv + 1.402 * (cr - 128.0) + 0.5),
+            np.floor(yv - 0.344136 * (cb - 128.0)
+                     - 0.714136 * (cr - 128.0) + 0.5),
+            np.floor(yv + 1.772 * (cb - 128.0) + 0.5),
+        ], axis=-1), 0, 255).astype(np.uint8)
+        return payload, jpeg_decode, truth
 
     def make_wav(key: int) -> bytes:
         n = 256 + key % 256
@@ -599,6 +622,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 # is oracled by jpeg_decode queries — here assert decode
                 # well-formedness + refusal hygiene
             ),
+            ("jpeg_420", *_jpeg_420_base(key)),
             ("wav", make_wav(key), None,
              _synth_samples(key, 256 + key % 256).astype("<i2")),
         ]
