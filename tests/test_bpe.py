@@ -32,6 +32,27 @@ class TestTrainer:
         m = train_bpe_py({"ab": 2, "cd": 2}, 2)
         assert m == [("a", "b"), ("c", "d")]
 
+    def test_incremental_trainer_equals_naive_reference(self):
+        """r11: train_bpe_py is the incremental (subword-nmt style)
+        trainer; its merge table must equal the textbook full-rescan
+        reference on randomized tables, including overlap-heavy words
+        ('aaaa') and count-1 early stops."""
+        import random
+
+        from nekton_spark.functions.bpe import _train_bpe_py_naive
+
+        for seed in range(20):
+            rng = random.Random(seed)
+            words = {}
+            for _ in range(rng.randint(5, 150)):
+                w = "".join(
+                    rng.choice("abcde") for _ in range(rng.randint(1, 10))
+                )
+                words[w] = rng.randint(1, 50)
+            words["a" * rng.randint(2, 9)] = rng.randint(1, 9)
+            nm = rng.randint(1, 60)
+            assert train_bpe_py(words, nm) == _train_bpe_py_naive(words, nm), seed
+
     def test_count1_pairs_not_merged(self):
         assert train_bpe_py({"xy": 1}, 3) == []
 
