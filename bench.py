@@ -59,6 +59,32 @@ HEADLINE = [
     "embedding_near_dup",
 ]
 
+# SECOND headline set (r10 verdict #5), frozen at r11: the r1 set above
+# predates everything built after round 1, so regressions in the newer
+# families were invisible to the headline number. One query per
+# post-r1 family — tokenizer, winnowing, DSIR, PCA, line-level dedup,
+# boilerplate, sketches, span removal, decontamination, SemDeDup,
+# tiered k-means, MMR, PQ re-rank, residual IVF-PQ, hybrid retrieval.
+# NEVER edit this list (comparability contract, same as HEADLINE);
+# reported as value2/queries2 alongside — never replacing — the r1 set.
+HEADLINE2 = [
+    "bpe_encode_docs",
+    "dedup_winnow",
+    "dsir_select",
+    "embedding_pca",
+    "line_dedup_firstkeep",
+    "boilerplate_removal",
+    "heavy_hitters_cms",
+    "repeated_span_removal",
+    "fuzzy_decontamination",
+    "semdedup_prune",
+    "kmeans_tiered",
+    "mmr_diverse_topk",
+    "ann_topk_pq_rerank",
+    "ann_topk_ivfpq_residual",
+    "hybrid_search_rrf",
+]
+
 
 # pinned on the r7 session host at its quietest observed moment
 # (codegen 0.179 s, arrow 0.545 s — BENCH_r07 recorded 0.177/0.544).
@@ -503,32 +529,37 @@ def main() -> int:
     # column through bit_xor(xxhash64(struct(*))) — the honest
     # all-columns cost (text_stats: 0.20 s counted vs 2.87 s evaluated
     # at sf0.1).
-    times: dict[str, float] = {}
-    times_eval: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best, n = None, 0
-        for _ in range(3):
-            t0 = time.time()
-            n = fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-        best_e = None
-        for _ in range(2):
-            # fn() inside the timer: operators with eager checkpoints
-            # do their heavy work at build time
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.select(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
-            dt = time.time() - t0
-            best_e = dt if best_e is None else min(best_e, dt)
-        times_eval[name] = round(best_e, 3)
-        print(
-            f"# {name}: {n} rows in {times[name]:.2f}s"
-            f" (evaluated {times_eval[name]:.2f}s)",
-            file=sys.stderr,
-        )
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        t: dict[str, float] = {}
+        t_eval: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = fn(spark, SF_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            t[name] = round(best, 3)
+            best_e = None
+            for _ in range(2):
+                # fn() inside the timer: operators with eager checkpoints
+                # do their heavy work at build time
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.select(F.bit_xor(F.xxhash64(F.struct(*df.columns)))).collect()
+                dt = time.time() - t0
+                best_e = dt if best_e is None else min(best_e, dt)
+            t_eval[name] = round(best_e, 3)
+            print(
+                f"# {name}: {n} rows in {t[name]:.2f}s"
+                f" (evaluated {t_eval[name]:.2f}s)",
+                file=sys.stderr,
+            )
+        return t, t_eval
+
+    times, times_eval = run_set(HEADLINE)
+    times2, times2_eval = run_set(HEADLINE2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
@@ -551,6 +582,13 @@ def main() -> int:
         "value_canary_normalized": round(total / factor, 3),
         "queries_evaluated": times_eval,
         "value_evaluated": round(sum(times_eval.values()), 3),
+        # second headline set (frozen r11): post-r1 families; the r1
+        # set above is unchanged for round-over-round comparability
+        "queries2": times2,
+        "value2": round(sum(times2.values()), 3),
+        "value2_canary_normalized": round(sum(times2.values()) / factor, 3),
+        "queries2_evaluated": times2_eval,
+        "value2_evaluated": round(sum(times2_eval.values()), 3),
     }
     try:
         out["streaming"] = _streaming_bench(spark)

@@ -480,6 +480,18 @@ output: {{type: memory}}
         rows = df.collect()
         assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}
 
+    def test_ann_topk_ivfpq_residual_method(self, spark):
+        """r11 spec tag: residual IVF-PQ — re-ranked scores are exact
+        cosines (≤ 1), not raw inner products."""
+        df = self._run(
+            spark,
+            "ann_topk\n    method: ivfpq_residual\n    query_ids: [0, 1]\n    k: 3",
+            table="embeddings",
+        )
+        rows = df.collect()
+        assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}
+        assert all(r.score <= 1.0 for r in rows)
+
     def test_drift_tag_numeric_and_categorical(self, spark):
         from nekton_spark.spec import Spec, compile_spec
 
