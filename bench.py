@@ -372,7 +372,10 @@ def _ann_recall_bench(spark) -> dict:
       (ivf .47→.64, ivfpq .37→.465, no wall cost), so expect those
       two rows to sit higher from r10 on. r11 adds ivfpq_residual
       (residual encoding + exact re-rank): expect clustered ≈ ivf's
-      .64 — the probed-set cosine ceiling — at ivfpq-like wall.
+      .64 — the probed-set cosine ceiling — at ivfpq-like wall. r11
+      also adds the kmeans-coarse variants (ivf_kmeans,
+      ivfpq_residual_k): trained cells lift the probed ceiling
+      itself — expect clustered ≈ .92 for both.
 
     Wall is build + search, min-of-1 — informational only."""
     from pyspark.sql import functions as F
@@ -400,6 +403,10 @@ def _ann_recall_bench(spark) -> dict:
         "pq_rerank": sim.pq_topk_rerank,
         "ivfpq": sim.ivfpq_topk,
         "ivfpq_residual": sim.ivfpq_residual_topk,
+        "ivf_kmeans": lambda c, q, k: sim.ivf_topk(c, q, k=k, coarse="kmeans"),
+        "ivfpq_residual_k": lambda c, q, k: sim.ivfpq_residual_topk(
+            c, q, k=k, coarse="kmeans"
+        ),
     }
     n_corpus = emb.count()
     clu = _clustered_embeddings(spark, n_corpus).cache()

@@ -489,6 +489,70 @@ class TestSimilarity:
             if rank == 1:
                 assert score > 0.999
 
+    def test_ivf_kmeans_coarse_planted_twin_and_determinism(self, spark):
+        """coarse="kmeans" (r11): trained coarse centroids — the
+        planted near-copy still probes into its twin's cell and ranks
+        1 by exact cosine; build (bounded k-means training + closure
+        assignment) is run-to-run deterministic; unknown coarse mode
+        refuses."""
+        import random
+
+        from nekton_spark.functions.similarity import ivf_topk
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(120):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+        for j, src in enumerate((50, 51, 52)):
+            rows.append(
+                (200 + j, [x + rng.gauss(0, 1e-4) for x in rows[src][1]])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") >= 200)
+        out1 = sorted(
+            map(tuple, ivf_topk(df, q, k=3, n_probe=2, coarse="kmeans").collect())
+        )
+        out2 = sorted(
+            map(tuple, ivf_topk(df, q, k=3, n_probe=2, coarse="kmeans").collect())
+        )
+        assert out1 == out2
+        top1 = {t[0]: t[1] for t in out1 if t[3] == 1}
+        assert top1 == {200: 50, 201: 51, 202: 52}
+        with pytest.raises(ValueError, match="unknown coarse"):
+            ivf_topk(df, q, k=3, coarse="peano")
+
+    def test_ivfpq_residual_kmeans_coarse_twin(self, spark):
+        """Full IVFPQR composition with trained coarse centroids: twin
+        at rank 1 with exact-cosine score ~1.0, deterministic."""
+        import random
+
+        from nekton_spark.functions.similarity import ivfpq_residual_topk
+
+        rng = random.Random(17)
+        rows = []
+        for i in range(120):
+            rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+        for j, src in enumerate((50, 51, 52)):
+            rows.append(
+                (200 + j, [x + rng.gauss(0, 1e-4) for x in rows[src][1]])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") >= 200)
+        out1 = sorted(
+            map(tuple, ivfpq_residual_topk(
+                df, q, k=3, n_probe=2, coarse="kmeans").collect())
+        )
+        out2 = sorted(
+            map(tuple, ivfpq_residual_topk(
+                df, q, k=3, n_probe=2, coarse="kmeans").collect())
+        )
+        assert out1 == out2
+        top1 = {t[0]: t[1] for t in out1 if t[3] == 1}
+        assert top1 == {200: 50, 201: 51, 202: 52}
+        for _qid, _nid, score, rank in out1:
+            if rank == 1:
+                assert score > 0.999
+
     def test_ivfpq_residual_pure_adc_mode(self, spark):
         """rerank_mult=None returns the pure residual-ADC ranking:
         scores are inner-product scale (coarse dot + LUT), not

@@ -441,6 +441,9 @@ PLAN_BUDGET = {
     # fused build pass + rerank cosine arrow eval; ADC rank window +
     # rerank rank window
     "ann_topk_ivfpq_residual": (2, 2),
+    # + probe cosine arrow eval against the kmeans-cent frame
+    "ann_topk_ivf_kmeans": (3, 2),
+    "ann_topk_ivfpq_residual_k": (2, 2),
     "mmr_diverse_topk": (2, 2),
     "kmeans_clusters": (1, 0),
     "kmeans_tiered": (1, 2),
