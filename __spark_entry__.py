@@ -3051,6 +3051,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_topk_ivf_kmeans + ann_topk_ivfpq_residual_k (r11 kmeans-
     # coarse variants, both pre-verified exact at sf0.01 + fuzzed)
     # = 49, leaving 1 slot for late r11/early r12 code movement.
+    # The r11s2 fused codebook trainer (train_subspace_codebooks)
+    # touched pq_topk/ivfpq_topk engine code whose driver rows
+    # (ann_topk_pq, ann_topk_pq_rerank) sit outside the r11 window:
+    # the change is pinned BIT-IDENTICAL to the old per-subspace loop
+    # (test_fused_subspace_codebooks_equal) and all five PQ-family
+    # oracle rows re-verified exact locally + fuzz seed 107 — slot
+    # them into the spare r12 seat if any doubt remains at review.
     r11_window = [
         # (a) new in r11
         "ann_topk_ivfpq_residual",

@@ -50,6 +50,7 @@ from __future__ import annotations
 import pandas as pd  # annotation target for Arrow-batched UDFs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..materialize import materialize
 
@@ -287,6 +288,106 @@ def train_centroids(
             if c in new:
                 centroids[c] = [new[c][p] for p in range(dim)]
     return centroids
+
+
+def train_subspace_codebooks(
+    tr: DataFrame, m_sub: int, d0: int, ksub: int, iters: int
+) -> list[list[list[float]]]:
+    """All ``m_sub`` per-subspace PQ codebooks in TWO bounded Spark
+    jobs per training run instead of ``m_sub × iters`` (r11 —
+    HEADLINE2 made the 16-small-job training wall visible in
+    pq/ivfpq/residual):
+
+    - the seed rows are the SAME ids for every subspace (smallest
+      hash60(id, SEED_ORDER_SALT), ties → smaller id — exactly
+      train_centroids' rule applied to each subspace relation), so ONE
+      collect seeds all m_sub codebooks;
+    - each refinement round runs ONE Arrow pass assigning every
+      training row in every subspace (the exact left-fold squared-L2 +
+      first-index ties of _matrix_assigner) and ONE groupBy
+      (s, cluster, pos) → round(avg, 6) — the identical F.avg
+      aggregation train_centroids runs per subspace, just keyed by s
+      too. Empty clusters keep their previous centroid.
+
+    Semantics are BIT-IDENTICAL to calling :func:`train_centroids` on
+    each subspace slice (asserted by
+    tests/test_functions.py::test_fused_subspace_codebooks_equal) —
+    the SQL oracles replay the per-subspace formulation unchanged.
+    ``tr``: (id, v) bounded training relation (≤ train_cap rows)."""
+    import numpy as np
+    import pandas as pd
+
+    from .hashing import hash60
+
+    seed_rows = tr.orderBy(
+        hash60(F.col("id"), SEED_ORDER_SALT), "id"
+    ).limit(ksub).collect()
+    if not seed_rows:
+        raise ValueError(
+            "kmeans: input has no rows (nothing to seed centroids from)"
+        )
+    cbs: list[list[list[float]]] = [
+        [list(r.v[s * d0 : (s + 1) * d0]) for r in seed_rows]
+        for s in range(m_sub)
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("s", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    for _ in range(max(0, iters - 1)):
+        C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+
+        def explode_assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {"s": [], "cluster": [], "pos": [], "val": []}
+                    )
+                    continue
+                V = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                nrow = len(V)
+                ss, cl, po, va = [], [], [], []
+                for s in range(m_sub):
+                    P = V[:, s * d0 : (s + 1) * d0]
+                    d = np.zeros((nrow, len(C[s])))
+                    for j in range(d0):  # exact left fold over dimensions
+                        dcol = P[:, j, None] - C[s][None, :, j]
+                        d += dcol * dcol
+                    a = d.argmin(axis=1)  # first index on ties
+                    ss.append(np.full(nrow * d0, s, dtype=np.int32))
+                    cl.append(np.repeat(a.astype(np.int32), d0))
+                    po.append(np.tile(np.arange(d0, dtype=np.int32), nrow))
+                    va.append(P.reshape(-1))
+                yield pd.DataFrame(
+                    {
+                        "s": np.concatenate(ss),
+                        "cluster": np.concatenate(cl),
+                        "pos": np.concatenate(po),
+                        "val": np.concatenate(va),
+                    }
+                )
+
+        cells = (
+            tr.mapInPandas(explode_assign, out_schema)
+            .groupBy("s", "cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()  # O(m_sub·ksub·d0), bounded
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            new.setdefault((r.s, r.cluster), {})[r.pos] = r.m
+        for s in range(m_sub):
+            for c in range(len(cbs[s])):
+                got = new.get((s, c))
+                if got is not None:
+                    cbs[s][c] = [got[p] for p in range(d0)]
+    return cbs
 
 
 def _local_assign(P, C):

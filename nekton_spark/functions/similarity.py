@@ -662,20 +662,16 @@ def pq_topk(
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d0 = dim // m_sub
-    from .clustering import train_centroids
+    from .clustering import train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
     stride = max(1, -(-n // train_cap))
     tr = base.filter(F.col("id") % stride == 0)
-    cbs: list[list[list[float]]] = []
-    for s in range(m_sub):
-        sub = tr.select(
-            F.col("id").alias("_kid"),
-            F.slice("v", s * d0 + 1, d0).alias("_kv"),
-        )
-        cbs.append(train_centroids(sub, ksub, iters))
+    # all m_sub codebooks in 2 bounded jobs (bit-identical to the
+    # per-subspace train_centroids loop — see train_subspace_codebooks)
+    cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
     C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
 
     code_schema = T.StructType(
@@ -804,7 +800,7 @@ def ivfpq_topk(
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d0 = dim // m_sub
-    from .clustering import train_centroids
+    from .clustering import train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
@@ -820,12 +816,7 @@ def ivfpq_topk(
 
     pq_stride = max(1, -(-n // train_cap))
     tr = base.filter(F.col("id") % pq_stride == 0)
-    cbs: list[list[list[float]]] = []
-    for s in range(m_sub):
-        sub = tr.select(
-            F.col("id").alias("_kid"), F.slice("v", s * d0 + 1, d0).alias("_kv")
-        )
-        cbs.append(train_centroids(sub, ksub, iters))
+    cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
     C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
 
     build_schema = T.StructType(
@@ -993,7 +984,7 @@ def ivfpq_residual_topk(
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d0 = dim // m_sub
-    from .clustering import train_centroids
+    from .clustering import train_centroids, train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
@@ -1062,12 +1053,9 @@ def ivfpq_residual_topk(
             residuals, resid_schema
         )
     )
-    cbs: list[list[list[float]]] = []
-    for s in range(m_sub):
-        sub = trr.select(
-            F.col("id").alias("_kid"), F.slice("rv", s * d0 + 1, d0).alias("_kv")
-        )
-        cbs.append(train_centroids(sub, ksub, iters))
+    cbs = train_subspace_codebooks(
+        trr.select("id", F.col("rv").alias("v")), m_sub, d0, ksub, iters
+    )
     C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
 
     build_schema = T.StructType(

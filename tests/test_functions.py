@@ -576,6 +576,30 @@ class TestSimilarity:
         assert out1 == out2
         assert len(out1) == 9  # 3 queries × k=3
 
+    def test_fused_subspace_codebooks_equal(self, spark):
+        """r11: train_subspace_codebooks (2 Spark jobs for all m_sub
+        codebooks) must produce bit-identical codebooks to the
+        per-subspace train_centroids loop it replaces."""
+        import random
+
+        from nekton_spark.functions.clustering import (
+            train_centroids,
+            train_subspace_codebooks,
+        )
+
+        rng = random.Random(31)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(90)]
+        tr = spark.createDataFrame(rows, "id long, v array<double>")
+        m_sub, d0, ksub, iters = 8, 8, 16, 2
+        fused = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
+        for s in range(m_sub):
+            sub = tr.select(
+                F.col("id").alias("_kid"),
+                F.slice("v", s * d0 + 1, d0).alias("_kv"),
+            )
+            ref = train_centroids(sub, ksub, iters)
+            assert fused[s] == ref, f"subspace {s} codebook differs"
+
     def test_pq_topk_rejects_indivisible_dim(self, spark):
         from nekton_spark.functions.similarity import pq_topk
 
