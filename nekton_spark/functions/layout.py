@@ -155,6 +155,29 @@ def zorder_write(
     )
 
 
+def zorder_write_n(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int | None = None,
+    n_files: int = 8,
+) -> None:
+    """N-column generalization of :func:`zorder_write` (r11): re-layout
+    on the :func:`z_value_n` Morton key — one range exchange + an
+    in-partition sort, every file/row group a compact k-D curve
+    segment with tight min/max boxes in ALL key columns. For k = 2
+    the key is bit-identical to :func:`zorder_write`'s (proven by
+    tests/test_layout.py)."""
+    (
+        z_value_n(df, cols, bits)
+        .repartitionByRange(n_files, "zv")
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def rowgroups_matching(
     path: str, col_a: str, a_lo, a_hi, col_b: str, b_lo, b_hi
 ) -> tuple[int, int]:

@@ -75,12 +75,14 @@ def file_sink(
     layout_files: int = 8,
     **options,
 ):
-    """``layout: morton|hilbert`` + ``layout_cols: [a, b]`` re-clusters
-    the batch write on the space-filling-curve key (functions/layout.py)
-    so parquet row-group min/max stats prune 2-D box predicates — the
-    write-side of the measured 26-vs-128-of-256 pruning win. Batch
-    only (a streaming micro-batch is too small to re-cluster globally;
-    refuse rather than silently ignore)."""
+    """``layout: morton|hilbert`` + ``layout_cols: [a, b, ...]``
+    re-clusters the batch write on the space-filling-curve key
+    (functions/layout.py) so parquet row-group min/max stats prune
+    box predicates — the write-side of the measured 25-vs-128-of-256
+    pruning win. Morton takes 2+ columns (z_value_n for k > 2);
+    Hilbert is 2-D only. Batch only (a streaming micro-batch is too
+    small to re-cluster globally; refuse rather than silently
+    ignore)."""
     if layout is not None:
         if df.isStreaming:
             raise ValueError("layout re-clustering is batch-only")
@@ -98,20 +100,37 @@ def file_sink(
                 f"({sorted(options)}); drop them or drop layout "
                 "(refuse rather than silently ignore)"
             )
-        if not layout_cols or len(layout_cols) != 2:
-            raise ValueError("layout needs layout_cols: [col_a, col_b]")
-        from ..functions.layout import hilbert_write, zorder_write
+        from ..functions.layout import (
+            hilbert_write,
+            zorder_write,
+            zorder_write_n,
+        )
 
-        writers = {"morton": zorder_write, "zorder": zorder_write,
-                   "hilbert": hilbert_write}
-        if layout not in writers:
+        if layout not in ("morton", "zorder", "hilbert"):
             raise ValueError(
-                f"unknown layout {layout!r}: one of {sorted(writers)}"
+                f"unknown layout {layout!r}: one of ['hilbert', 'morton', 'zorder']"
+            )
+        if not layout_cols or len(layout_cols) < 2:
+            raise ValueError("layout needs layout_cols: [col_a, col_b, ...]")
+        if layout == "hilbert" and len(layout_cols) != 2:
+            # the derived-table Hilbert transform is 2-D; the N-column
+            # curve path is Morton (z_value_n) — refuse rather than
+            # silently truncate the column list
+            raise ValueError(
+                "hilbert layout is 2-D; use layout: morton for "
+                f"{len(layout_cols)} columns"
             )
         if mode != "overwrite":
             raise ValueError("layout re-clustering writes mode=overwrite")
-        writers[layout](df, path, layout_cols[0], layout_cols[1],
-                        n_files=layout_files)
+        if layout == "hilbert":
+            hilbert_write(df, path, layout_cols[0], layout_cols[1],
+                          n_files=layout_files)
+        elif len(layout_cols) == 2:
+            zorder_write(df, path, layout_cols[0], layout_cols[1],
+                         n_files=layout_files)
+        else:
+            zorder_write_n(df, path, list(layout_cols),
+                           n_files=layout_files)
         return None
     if df.isStreaming:
         writer = df.writeStream.format(format).option("path", path)

@@ -317,3 +317,23 @@ class TestFileSinkLayout:
             file_sink(e, str(tmp_path / "x"), layout="morton",
                       layout_cols=["user_id", "value"],
                       compression="zstd")
+        # r11: hilbert is 2-D only — 3 columns refuse, never truncate
+        with _pytest.raises(ValueError, match="2-D"):
+            file_sink(e, str(tmp_path / "x"), layout="hilbert",
+                      layout_cols=["user_id", "value", "event_id"])
+
+    def test_morton_n_column_layout_write(self, spark, tmp_path):
+        """r11: layout: morton with 3 columns routes through
+        zorder_write_n — rows preserved and row-group pruning live on
+        the first two key columns."""
+        from nekton_spark.functions.layout import rowgroups_matching
+        from nekton_spark.sinks import file_sink
+
+        e = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        p = str(tmp_path / "zn")
+        file_sink(e, p, layout="morton",
+                  layout_cols=["user_id", "value", "event_id"],
+                  layout_files=8)
+        m, t = rowgroups_matching(p, "user_id", 100, 400, "value", 10.0, 30.0)
+        assert t >= 8 and m < t
+        assert spark.read.parquet(p).count() == e.count()
