@@ -1971,6 +1971,22 @@ def zorder_key_check(spark, sf):
     return z_value(e, "user_id", "value").select("event_id", "zv")
 
 
+def zorder_key_n(spark, sf):
+    """N-column Morton keys (functions/layout.z_value_n, r10 verdict
+    #7): bucketize (user_id, value, event_id) onto 16-bit grids from
+    their min/max and interleave bit i of column j to position
+    i·k + j — the 3-D clustering key zorder_write_n range-partitions
+    on (time × tenant × metric is the common 100 TB shape). k=2 is
+    proven bit-identical to z_value in tests; this row oracles the
+    k=3 interleave end-to-end. NULL in any key → NULL zv."""
+    from nekton_spark.functions.layout import z_value_n
+
+    e = _t(spark, sf, "events")
+    return z_value_n(e, ["user_id", "value", "event_id"], bits=16).select(
+        "event_id", "zv"
+    )
+
+
 def hilbert_key_check(spark, sf):
     """Hilbert-curve layout keys (functions/layout.py): same
     bucketization as zorder_key_check, then the table-driven Hilbert
@@ -2696,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": embedding_outliers_check,
         "mmr_diverse_topk": mmr_diverse_topk,
         "zorder_key_check": zorder_key_check,
+        "zorder_key_n": zorder_key_n,
         "hilbert_key_check": hilbert_key_check,
         # --- new in r8: never driver-checked ---
         "ann_topk_pq_rerank": ann_topk_pq_rerank,
@@ -3478,6 +3495,36 @@ WITH mm AS (
     END AS bb
   FROM events, mm
 )
+SELECT event_id, ({zv})::BIGINT AS zv FROM b
+"""
+
+
+def _zorder_n_sql(cols: list[str], bits: int = 16) -> str:
+    """Replay of functions/layout.z_value_n over events: per-column
+    min/max CTE, the identical IEEE bucketize expression, and the
+    k-D interleave (bit i of column j at position i·k + j). NULL in
+    any key → NULL zv; a constant column buckets to 0."""
+    k = len(cols)
+    n = float((1 << bits) - 1)
+    mm = ", ".join(
+        f"min({c}::DOUBLE) AS lo{j}, max({c}::DOUBLE) AS hi{j}"
+        for j, c in enumerate(cols)
+    )
+    bs = ", ".join(
+        f"""CASE WHEN {c} IS NULL THEN NULL
+         WHEN hi{j} = lo{j} THEN 0
+         ELSE floor(({c}::DOUBLE - lo{j}) * {n!r} / (hi{j} - lo{j}))::BIGINT
+    END AS b{j}"""
+        for j, c in enumerate(cols)
+    )
+    terms = []
+    for i in range(bits):
+        for j in range(k):
+            terms.append(f"(((b{j} >> {i}) & 1) << {i * k + j})")
+    zv = " | ".join(terms)
+    return f"""
+WITH mm AS (SELECT {mm} FROM events),
+b AS (SELECT event_id, {bs} FROM events, mm)
 SELECT event_id, ({zv})::BIGINT AS zv FROM b
 """
 
@@ -5276,6 +5323,7 @@ SELECT id AS vec_id, cluster FROM a2
         "embedding_outliers": _outliers_sql(),
         "mmr_diverse_topk": _mmr_sql(),
         "zorder_key_check": _zorder_sql(),
+        "zorder_key_n": _zorder_n_sql(["user_id", "value", "event_id"]),
         "hilbert_key_check": _hilbert_sql(),
         "dataset_drift": _drift_sql(),
         "category_drift": """

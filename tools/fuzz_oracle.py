@@ -74,7 +74,7 @@ EVENT_QUERIES = [
     "events_sliding_window", "events_interval_join", "events_asof_join",
     "events_lead_lag", "events_topk_users", "events_json_extract",
     "latest_event_per_user", "events_tier_rollup", "zorder_key_check",
-    "hilbert_key_check",
+    "hilbert_key_check", "zorder_key_n",
 ]
 # TPC-H-analog + relational batteries (r7: the r6 verdict asked for the
 # same hostile treatment the event family got — NULL FKs, dangling FKs,
