@@ -403,6 +403,7 @@ def _ann_recall_bench(spark) -> dict:
         "pq_rerank": sim.pq_topk_rerank,
         "ivfpq": sim.ivfpq_topk,
         "ivfpq_residual": sim.ivfpq_residual_topk,
+        "lsh_mp": lambda c, q, k: sim.lsh_topk(c, q, k=k, multiprobe=1),
         "ivf_kmeans": lambda c, q, k: sim.ivf_topk(c, q, k=k, coarse="kmeans"),
         "ivfpq_residual_k": lambda c, q, k: sim.ivfpq_residual_topk(
             c, q, k=k, coarse="kmeans"

@@ -330,6 +330,7 @@ def lsh_topk(
     n_bits: int | None = None,
     bands: int = 4,
     target_bucket: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: band the sign sketch into ``bands`` sub-keys;
     candidates share ≥1 band with the query; exact cosine re-rank.
@@ -340,30 +341,53 @@ def lsh_topk(
     ~``target_bucket`` rows as n grows; a fixed width makes the bucket
     scoring degenerate toward brute force. Returns the same schema as
     brute_force_topk.
-    """
+
+    ``multiprobe=1`` (r11 — Lv et al., "Multi-Probe LSH", VLDB 2007):
+    each QUERY additionally probes every band key at Hamming distance
+    1 (the r single-bit flips per band — a near-miss query whose
+    sketch differs from its neighbors' in one hyperplane sign still
+    meets them). Corpus-side storage and bucketing are UNCHANGED —
+    the query side fans out ×(1 + r), bounded because queries are the
+    small side by contract; recall rises without the memory cost of
+    more bands (measured clustered recall@10 .65 → see bench).
+    Radii > 1 are refused (the probe-sequence quality ordering beyond
+    distance 1 is a different algorithm)."""
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"multiprobe={multiprobe}: only 0 (off) or 1 (Hamming-1 "
+            "query probes) supported"
+        )
     n_bits = _resolve_band_width(corpus, n_bits, bands, target_bucket)
     r = n_bits // bands
     mask = (1 << r) - 1
 
     sketch = sketch_udf(dim, n_bits)
 
-    def banded(df: DataFrame, idc: str, vc: str):
+    def banded(df: DataFrame, idc: str, vc: str, probe: bool = False):
         v = as_double(F.col(vc))
+        entries = []
+        for b in range(bands):
+            kb = F.shiftright(F.col("sk"), b * r).bitwiseAND(F.lit(mask))
+            entries.append(
+                F.struct(F.lit(b).alias("band"), kb.alias("key"))
+            )
+            if probe:
+                for t in range(r):
+                    entries.append(
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            kb.bitwiseXOR(F.lit(1 << t)).alias("key"),
+                        )
+                    )
         return (
             df.select(F.col(idc).alias("id"), v.alias("v"))
             .withColumn("sk", sketch("v"))
             .select(
                 "id",
                 "v",
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.shiftright(F.col("sk"), b * r).bitwiseAND(F.lit(mask))
-                            for b in range(bands)
-                        ]
-                    )
-                ).alias("band", "key"),
+                F.explode(F.array(*entries)).alias("e"),
             )
+            .select("id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
         )
 
     # cb feeds BOTH the bucket-size census and the salted join: without
@@ -371,7 +395,7 @@ def lsh_topk(
     # cost) executes once per branch. Checkpoint volume = the same
     # bands× rows the bucket shuffle already moves.
     cb = materialize(banded(ensure_parallelism(corpus), id_col, vec_col))
-    qb = banded(queries, id_col, vec_col)
+    qb = banded(queries, id_col, vec_col, probe=bool(multiprobe))
 
     # Salt oversized corpus buckets into ~tile-row subgroups (same
     # hazard as embedding_near_dup: a sketch bucket is otherwise ONE

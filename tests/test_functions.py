@@ -489,6 +489,33 @@ class TestSimilarity:
             if rank == 1:
                 assert score > 0.999
 
+    def test_lsh_multiprobe_superset_and_refusal(self, spark):
+        """multiprobe=1 probes a SUPERSET of the classic buckets: its
+        result per query must contain at least as many of the true
+        top-k, it stays deterministic, and radius 2 refuses."""
+        import random
+
+        from nekton_spark.functions.similarity import lsh_topk
+
+        rng = random.Random(41)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(150)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 3)
+        base = {}
+        for r in lsh_topk(df, q, k=5).collect():
+            base.setdefault(r.query_id, set()).add(r.neighbor_id)
+        out1 = sorted(map(tuple, lsh_topk(df, q, k=5, multiprobe=1).collect()))
+        out2 = sorted(map(tuple, lsh_topk(df, q, k=5, multiprobe=1).collect()))
+        assert out1 == out2
+        mp = {}
+        for qid, nid, score, rank in out1:
+            mp.setdefault(qid, set()).add(nid)
+        # every query got >= as many results (superset candidate pool)
+        for qid, s in base.items():
+            assert len(mp.get(qid, set())) >= len(s)
+        with pytest.raises(ValueError, match="multiprobe"):
+            lsh_topk(df, q, k=5, multiprobe=2)
+
     def test_ivf_kmeans_coarse_planted_twin_and_determinism(self, spark):
         """coarse="kmeans" (r11): trained coarse centroids — the
         planted near-copy still probes into its twin's cell and ranks

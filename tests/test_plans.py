@@ -434,6 +434,7 @@ PLAN_BUDGET = {
     "embedding_quant_dedup": (0, 1),
     "ann_topk_bruteforce": (1, 1),
     "ann_topk_lsh": (2, 6),
+    "ann_topk_lsh_mp": (2, 6),  # same plan; query side fans out ×(1+r)
     "ann_topk_ivf": (3, 2),
     "ann_topk_pq": (1, 1),
     "ann_topk_pq_rerank": (2, 2),
