@@ -3077,19 +3077,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the file-sink layout refusal is spec-surface-only (no driver
     # query writes through it).
     #
-    # r12 window pre-solve: the 45-row r09 staleness tail +
-    # jpeg_420_decode (new this round) + zorder_key_n (r10 verdict #7,
-    # implemented + property-tested, driver-unchecked) +
-    # ann_topk_ivf_kmeans + ann_topk_ivfpq_residual_k (r11 kmeans-
-    # coarse variants, both pre-verified exact at sf0.01 + fuzzed)
-    # = 49, leaving 1 slot for late r11/early r12 code movement.
-    # The r11s2 fused codebook trainer (train_subspace_codebooks)
-    # touched pq_topk/ivfpq_topk engine code whose driver rows
-    # (ann_topk_pq, ann_topk_pq_rerank) sit outside the r11 window:
-    # the change is pinned BIT-IDENTICAL to the old per-subspace loop
-    # (test_fused_subspace_codebooks_equal) and all five PQ-family
-    # oracle rows re-verified exact locally + fuzz seed 107 — slot
-    # them into the spare r12 seat if any doubt remains at review.
+    # r12 window pre-solve: the 45-row r09 staleness tail + the FIVE
+    # rows new in r11 (jpeg_420_decode; zorder_key_n — r10 verdict #7;
+    # ann_topk_ivf_kmeans + ann_topk_ivfpq_residual_k — kmeans coarse
+    # quantizer; ann_topk_lsh_mp — multi-probe LSH) = EXACTLY 50.
+    # Every new row is pre-verified exact at sf0.01 + fuzzed (seeds
+    # 102-109). The r11s2 fused codebook trainer
+    # (train_subspace_codebooks) touched pq_topk/ivfpq_topk engine
+    # code whose driver rows (ann_topk_pq, ann_topk_pq_rerank) sit
+    # outside the r11 window — conveniently BOTH are in the r09
+    # staleness tail, so the r12 window re-checks them by
+    # construction; meanwhile the change is pinned BIT-IDENTICAL to
+    # the old per-subspace loop (test_fused_subspace_codebooks_equal)
+    # and all five PQ-family oracle rows re-verified exact locally +
+    # fuzz seed 107.
     r11_window = [
         # (a) new in r11
         "ann_topk_ivfpq_residual",
