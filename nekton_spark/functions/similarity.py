@@ -786,6 +786,9 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     max_centroids: int = 1 << 16,
+    coarse: str = "sample",
+    coarse_k: int | None = None,
+    coarse_iters: int = 2,
 ) -> DataFrame:
     """IVF + PQ composition (the classic coarse-quantizer + product-
     quantizer index): the corpus is partitioned into √n inverted lists
@@ -829,16 +832,31 @@ def ivfpq_topk(
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
-    if centroid_stride is None:
-        centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
-    cent_rows = (
-        base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
-    )
-    c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
-    c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    pq_stride = max(1, -(-n // train_cap))
+    if coarse == "kmeans":
+        # trained coarse cells (see ivf_topk): bounded k-means over
+        # the stride sample, cid = index 0..k-1
+        from .clustering import train_centroids
+
+        k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
+        ctr = base.filter(F.col("id") % pq_stride == 0).select(
+            F.col("id").alias("_kid"), F.col("v").alias("_kv")
+        )
+        cb0 = train_centroids(ctr, k_c, coarse_iters)
+        c_ids = np.arange(len(cb0), dtype=np.int64)
+        c_mat = np.asarray(cb0, dtype=np.float64)
+    elif coarse == "sample":
+        if centroid_stride is None:
+            centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
+        cent_rows = (
+            base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
+        )
+        c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
+        c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    else:
+        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
-    pq_stride = max(1, -(-n // train_cap))
     tr = base.filter(F.col("id") % pq_stride == 0)
     cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
     C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
