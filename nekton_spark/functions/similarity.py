@@ -546,6 +546,12 @@ def ivf_topk(
     if coarse == "kmeans":
         from .clustering import train_centroids
 
+        if centroid_stride is not None:
+            raise ValueError(
+                "centroid_stride applies to coarse='sample' only; with "
+                "coarse='kmeans' size the quantizer via coarse_k "
+                "(refuse rather than silently ignore)"
+            )
         n = base.count()
         stride_tr = max(1, -(-n // train_cap))
         k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
@@ -838,6 +844,12 @@ def ivfpq_topk(
         # the stride sample, cid = index 0..k-1
         from .clustering import train_centroids
 
+        if centroid_stride is not None:
+            raise ValueError(
+                "centroid_stride applies to coarse='sample' only; with "
+                "coarse='kmeans' size the quantizer via coarse_k "
+                "(refuse rather than silently ignore)"
+            )
         k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
         ctr = base.filter(F.col("id") % pq_stride == 0).select(
             F.col("id").alias("_kid"), F.col("v").alias("_kv")
@@ -1036,6 +1048,12 @@ def ivfpq_residual_topk(
         # k-means coarse quantizer (see ivf_topk): unimodal residuals
         # AND a far higher probed-set ceiling on clustered corpora —
         # the composition FAISS's IVFPQR actually ships
+        if centroid_stride is not None:
+            raise ValueError(
+                "centroid_stride applies to coarse='sample' only; with "
+                "coarse='kmeans' size the quantizer via coarse_k "
+                "(refuse rather than silently ignore)"
+            )
         stride_tr = pq_stride
         k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
         ctr = base.filter(F.col("id") % stride_tr == 0).select(

@@ -547,6 +547,10 @@ class TestSimilarity:
         assert top1 == {200: 50, 201: 51, 202: 52}
         with pytest.raises(ValueError, match="unknown coarse"):
             ivf_topk(df, q, k=3, coarse="peano")
+        # centroid_stride is a sample-mode knob: with kmeans it refuses
+        # rather than silently ignoring (house policy)
+        with pytest.raises(ValueError, match="coarse_k"):
+            ivf_topk(df, q, k=3, coarse="kmeans", centroid_stride=7)
 
     def test_ivfpq_residual_kmeans_coarse_twin(self, spark):
         """Full IVFPQR composition with trained coarse centroids: twin
