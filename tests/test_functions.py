@@ -1383,6 +1383,38 @@ class TestJpegCodec:
             ], axis=-1), 0, 255).astype(np.uint8)
             assert (rgb == exp).all(), key
 
+    def test_jpeg_420_partial_edge_mcus(self):
+        """Non-multiple-of-16 dimensions: the stream still carries full
+        MCUs (padding blocks), the decoder crops to the SOF dims — the
+        closed form must hold for every surviving pixel."""
+        import math
+
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_420,
+        )
+
+        # 24×24 image: 2×2 MCUs (32×32 coverage), 8 px of padding
+        mx = my = 2
+        dc_y = [((7 + b * 13) % 256) - 128 for b in range((2 * mx) * (2 * my))]
+        dc_cb = [((3 + b * 5) % 256) - 128 for b in range(mx * my)]
+        dc_cr = [((11 + b * 9) % 256) - 128 for b in range(mx * my)]
+        rgb = jpeg_decode(jpeg_encode_blocks_420(dc_y, dc_cb, dc_cr, mx, 24, 24))
+        assert rgb.shape == (24, 24, 3)
+        for y in range(0, 24, 5):
+            for x in range(0, 24, 5):
+                yv = (dc_y[(y // 8) * (2 * mx) + x // 8] + 128) % 256
+                c = (y // 16) * mx + x // 16
+                cb, cr = dc_cb[c] + 128, dc_cr[c] + 128
+                exp = [
+                    min(255, max(0, math.floor(yv + 1.402 * (cr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(
+                        yv - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0) + 0.5))),
+                    min(255, max(0, math.floor(yv + 1.772 * (cb - 128.0) + 0.5))),
+                ]
+                assert list(rgb[y, x]) == exp, (x, y)
+
     def test_jpeg_422_and_440_round_trip(self):
         """The general sampled encoder/decoder pair also covers 4:2:2
         (Y 2×1) and 4:4:0 (Y 1×2) — chroma replicates along exactly
