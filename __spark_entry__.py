@@ -1670,6 +1670,31 @@ def ann_topk_ivfpq_residual(spark, sf):
     return ivfpq_residual_topk(emb, q, k=5, n_probe=2, rerank_mult=10)
 
 
+def ann_index_roundtrip(spark, sf):
+    """Persisted IVF-PQ index round trip (similarity.ivfpq_index_build
+    / ivfpq_index_query, r11): the build-once/query-many split every
+    production vector index has — codes relation (id, cid, 8-byte PQ
+    codes) written as parquet + driver-scale meta JSON (centroids,
+    codebooks), then the query path loads meta, scans ONLY the
+    compressed relation, and runs the identical probe/ADC/top-k stage.
+    The result must EQUAL ivfpq_topk's rows for the same parameters,
+    so the oracle is the proven ivfpq replay (_pq_sql ivf_probe=2) —
+    any build/persist/load drift hash-mismatches."""
+    import tempfile
+
+    from nekton_spark.functions.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_query,
+    )
+
+    _ship_package(spark)
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    ivfpq_index_build(emb, path)
+    return ivfpq_index_query(spark, path, q, k=5, n_probe=2)
+
+
 def ann_topk_ivf_kmeans(spark, sf):
     """IVF with a K-MEANS coarse quantizer (similarity.ivf_topk
     coarse="kmeans", r11): centroids from the deterministic
@@ -2733,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_color_decode": png_color_decode,
         "ann_topk_ivfpq": ann_topk_ivfpq,
         "ann_topk_ivfpq_residual": ann_topk_ivfpq_residual,
+        "ann_index_roundtrip": ann_index_roundtrip,
         "ann_topk_ivf_kmeans": ann_topk_ivf_kmeans,
         "ann_topk_ivfpq_residual_k": ann_topk_ivfpq_residual_k,
         # --- code (or oracle) changed in r8: neardup narrow-join rewrite,
@@ -3077,12 +3103,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (c) the file-sink layout refusal is spec-surface-only (no driver
     # query writes through it).
     #
-    # r12 window pre-solve: the 45-row r09 staleness tail + the FIVE
-    # rows new in r11 (jpeg_420_decode; zorder_key_n — r10 verdict #7;
-    # ann_topk_ivf_kmeans + ann_topk_ivfpq_residual_k — kmeans coarse
-    # quantizer; ann_topk_lsh_mp — multi-probe LSH) = EXACTLY 50.
-    # Every new row is pre-verified exact at sf0.01 + fuzzed (seeds
-    # 102-109). The r11s2 fused codebook trainer
+    # r12 window pre-solve: the 45-row r09 staleness tail + FIVE of
+    # the six rows new in r11 (jpeg_420_decode; zorder_key_n — r10
+    # verdict #7; ann_topk_ivf_kmeans + ann_topk_ivfpq_residual_k —
+    # kmeans coarse quantizer; ann_topk_lsh_mp — multi-probe LSH) =
+    # EXACTLY 50. Every new row is pre-verified exact at sf0.01 +
+    # fuzzed (seeds 102-111). The sixth new row, ann_index_roundtrip,
+    # stays below the r12 window and heads r13: its oracle is
+    # LITERALLY ann_topk_ivfpq's SQL (the round trip must equal the
+    # inline operator) and that row is in THIS round's window — plus
+    # the equality is pinned by test_ivfpq_index_persist_equals_inline
+    # and fuzz seed 111 — so a driver slot adds the least information
+    # of the six. The r11s2 fused codebook trainer
     # (train_subspace_codebooks) touched pq_topk/ivfpq_topk engine
     # code whose driver rows (ann_topk_pq, ann_topk_pq_rerank) sit
     # outside the r11 window — conveniently BOTH are in the r09
@@ -5333,6 +5365,9 @@ SELECT id AS vec_id, cluster FROM a2
             k=5, ivf_probe=2, residual=True, rerank_from=50
         ),
         "ann_topk_ivf_kmeans": _ivf_kmeans_sql(k=5, n_probe=2),
+        # the persisted-index round trip must return EXACTLY
+        # ivfpq_topk's rows — same oracle as ann_topk_ivfpq
+        "ann_index_roundtrip": _pq_sql(k=5, ivf_probe=2),
         "ann_topk_ivfpq_residual_k": _pq_sql(
             k=5, ivf_probe=2, residual=True, rerank_from=50, coarse="kmeans"
         ),

@@ -871,8 +871,19 @@ def ivfpq_topk(
 
     tr = base.filter(F.col("id") % pq_stride == 0)
     cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
-    C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    encoded = _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0)
+    return _ivfpq_adc_topk(
+        encoded, queries, c_ids, c_mat, c_norm, cbs,
+        m_sub, d0, ksub, n_probe, k, id_col, vec_col,
+    )
 
+
+def _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0):
+    """The fused IVF-PQ build pass (extracted from ivfpq_topk, r11, so
+    the persisted-index build shares it verbatim): ONE Arrow pass
+    computing the coarse cosine-argmax assignment AND the per-subspace
+    raw-vector PQ codes — (id, cid, codes), zero shuffles."""
+    C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
     build_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -911,8 +922,18 @@ def ivfpq_topk(
                 }
             )
 
-    encoded = base.mapInPandas(build, build_schema)
+    return base.mapInPandas(build, build_schema)
 
+
+def _ivfpq_adc_topk(
+    encoded, queries, c_ids, c_mat, c_norm, cbs,
+    m_sub, d0, ksub, n_probe, k, id_col, vec_col,
+):
+    """The IVF-PQ probe + ADC-scan + top-k stage (extracted from
+    ivfpq_topk, r11, so the persisted-index query path shares it
+    verbatim): driver-side probing over the resident centroid matrix,
+    per-query LUT chains guarded by the probed-cell WHEN, rank
+    window."""
     q_rows = (
         queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
         .orderBy("qid")
@@ -968,6 +989,112 @@ def ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int | None = None,
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    train_cap: int = PQ_TRAIN_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    max_centroids: int = 1 << 16,
+) -> dict:
+    """PERSIST an IVF-PQ index (r11): the build-once/query-many split
+    every production vector index has — at 10^10 vectors re-training
+    codebooks and re-encoding the corpus per query batch is the actual
+    cost, and this is the half ivfpq_topk fuses away. Writes:
+
+    - ``path/codes``: the compressed corpus relation (id, cid,
+      codes) as parquet — the only corpus-sized artifact, ~m_sub bytes
+      of codes per vector (the 64× memory story, now durable);
+    - ``path/ivfpq_meta.json``: centroid ids/matrix, per-subspace
+      codebooks, and the build parameters — O(√n·dim + m_sub·ksub·d0)
+      driver-scale state, written driver-side (a shared POSIX path
+      locally; on a real cluster point ``path`` at a fuse-mounted or
+      object-store path the driver can write).
+
+    Build = the SAME stages ivfpq_topk runs (sampled coarse centroids,
+    fused codebook training, one fused encode pass) — so
+    ``ivfpq_index_query`` over the persisted artifacts returns
+    EXACTLY ivfpq_topk's rows for the same parameters (the
+    ann_index_roundtrip driver row pins this against the ivfpq
+    oracle). Returns the meta dict."""
+    import json
+    import os
+
+    base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    base = ensure_parallelism(base)
+    n = _estimate_rows(base)
+    if centroid_stride is None:
+        centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
+    cent_rows = (
+        base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
+    )
+    c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
+    c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d0 = dim // m_sub
+    from .clustering import train_subspace_codebooks
+
+    pq_stride = max(1, -(-n // train_cap))
+    tr = base.filter(F.col("id") % pq_stride == 0)
+    cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
+    encoded = _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0)
+    encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    meta = {
+        "format": "nekton_spark.ivfpq/1",
+        "c_ids": [int(x) for x in c_ids],
+        "c_mat": [[float(x) for x in row] for row in c_mat],
+        "cbs": cbs,
+        "m_sub": m_sub,
+        "ksub": ksub,
+        "d0": d0,
+        "dim": dim,
+        "iters": iters,
+        "train_cap": train_cap,
+        "centroid_stride": int(centroid_stride),
+    }
+    with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_index_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index (see :func:`ivfpq_index_build`):
+    loads the driver-scale meta, scans ONLY the parquet codes relation
+    (never a raw vector), and runs the identical probe + ADC + top-k
+    stage as ivfpq_topk — same rows, no training, no encode pass."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "nekton_spark.ivfpq/1":
+        raise ValueError(f"not an ivfpq index: {path}")
+    c_ids = np.array(meta["c_ids"], dtype=np.int64)
+    c_mat = np.asarray(meta["c_mat"], dtype=np.float64)
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    return _ivfpq_adc_topk(
+        encoded, queries, c_ids, c_mat, c_norm, meta["cbs"],
+        meta["m_sub"], meta["d0"], meta["ksub"], n_probe, k,
+        id_col, vec_col,
     )
 
 

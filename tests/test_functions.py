@@ -607,6 +607,37 @@ class TestSimilarity:
         assert out1 == out2
         assert len(out1) == 9  # 3 queries × k=3
 
+    def test_ivfpq_index_persist_equals_inline(self, spark, tmp_path):
+        """r11: build-once/query-many — the persisted index's query
+        result must EQUAL ivfpq_topk's rows for identical params; a
+        non-index path refuses."""
+        import random
+
+        from nekton_spark.functions.similarity import (
+            ivfpq_index_build,
+            ivfpq_index_query,
+            ivfpq_topk,
+        )
+
+        rng = random.Random(19)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(120)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 4)
+        inline = sorted(map(tuple, ivfpq_topk(df, q, k=3, n_probe=2).collect()))
+        p = str(tmp_path / "idx")
+        meta = ivfpq_index_build(df, p)
+        assert meta["format"] == "nekton_spark.ivfpq/1"
+        via_index = sorted(
+            map(tuple, ivfpq_index_query(spark, p, q, k=3, n_probe=2).collect())
+        )
+        assert via_index == inline
+        # a second query reuses the artifacts without rebuild
+        q2 = df.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 6))
+        out2 = ivfpq_index_query(spark, p, q2, k=3, n_probe=2).collect()
+        assert len(out2) == 6
+        with pytest.raises((ValueError, FileNotFoundError)):
+            ivfpq_index_query(spark, str(tmp_path / "nope"), q, k=3)
+
     def test_fused_subspace_codebooks_equal(self, spark):
         """r11: train_subspace_codebooks (2 Spark jobs for all m_sub
         codebooks) must produce bit-identical codebooks to the

@@ -439,6 +439,8 @@ PLAN_BUDGET = {
     "ann_topk_pq": (1, 1),
     "ann_topk_pq_rerank": (2, 2),
     "ann_topk_ivfpq": (1, 1),
+    # query path reads persisted codes: zero encode pass at query time
+    "ann_index_roundtrip": (1, 1),
     # fused build pass + rerank cosine arrow eval; ADC rank window +
     # rerank rank window
     "ann_topk_ivfpq_residual": (2, 2),

@@ -65,6 +65,7 @@ EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
     "ann_topk_pq_rerank", "ann_topk_ivfpq", "ann_topk_ivfpq_residual",
     "ann_topk_ivf_kmeans", "ann_topk_ivfpq_residual_k", "ann_topk_lsh_mp",
+    "ann_index_roundtrip",
     "embedding_pca", "embedding_outliers", "mmr_diverse_topk",
     "embedding_near_dup", "embedding_quant_dedup", "kmeans_clusters",
     "semdedup_prune", "kmeans_tiered",
