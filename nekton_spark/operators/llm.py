@@ -148,6 +148,26 @@ def ann_topk_processor(
     return fn(df, q, k=k, id_col=id_col, vec_col=vec_col, **kw)
 
 
+@register_processor("ann_index_query")
+def ann_index_query_processor(
+    df: DataFrame,
+    path: str,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a PERSISTED IVF-PQ index (built by the ``ann_index`` sink
+    or similarity.ivfpq_index_build) with rows of ``df`` as queries —
+    the build-once/query-many half of the ann_topk surface."""
+    q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
+    return sim.ivfpq_index_query(
+        df.sparkSession, path, q, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 @register_processor("decode_media")
 def decode_media_processor(df: DataFrame, kind: str = "image", **kw) -> DataFrame:
     """Real codecs, all from public specs with no codec library: PNG

@@ -150,6 +150,20 @@ def file_sink(
     return None
 
 
+@register_sink("ann_index")
+def ann_index_sink(df: DataFrame, path: str, **kw):
+    """Build and persist an IVF-PQ vector index from the frame's
+    (vec_id, embedding) columns (similarity.ivfpq_index_build):
+    compressed codes parquet + driver-scale meta JSON. Query it with
+    the ``ann_index_query`` processor. Batch only."""
+    if df.isStreaming:
+        raise ValueError("ann_index build is batch-only")
+    from ..functions.similarity import ivfpq_index_build
+
+    ivfpq_index_build(df, path, **kw)
+    return None
+
+
 @register_sink("memory")
 def memory_sink(df: DataFrame, name: str = "out"):
     if not df.isStreaming:

@@ -322,6 +322,47 @@ class TestFileSinkLayout:
             file_sink(e, str(tmp_path / "x"), layout="hilbert",
                       layout_cols=["user_id", "value", "event_id"])
 
+    def test_ann_index_sink_and_query_processor(self, spark, tmp_path):
+        """r11: build the index via the ann_index sink spec, query it
+        via the ann_index_query processor spec — end-to-end through
+        the YAML surface."""
+        from nekton_spark.spec import Spec, compile_spec
+
+        idx = str(tmp_path / "vidx")
+        build = f"""
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: embeddings
+pipeline:
+  processors: []
+output:
+  type: ann_index
+  path: {idx}
+"""
+        _, run_sink = compile_spec(spark, Spec.from_yaml(build))
+        run_sink()
+        query = f"""
+input:
+  type: table
+  path: /root/testdata/sf0.001
+  name: embeddings
+pipeline:
+  processors:
+    - type: ann_index_query
+      path: {idx}
+      query_ids: [0, 1]
+      k: 3
+      n_probe: 2
+output:
+  type: memory
+  name: annq
+"""
+        df, run_sink2 = compile_spec(spark, Spec.from_yaml(query))
+        run_sink2()
+        rows = spark.table("annq").collect()
+        assert len(rows) == 6 and {r.query_id for r in rows} == {0, 1}
+
     def test_morton_n_column_layout_write(self, spark, tmp_path):
         """r11: layout: morton with 3 columns routes through
         zorder_write_n — rows preserved and row-group pruning live on
