@@ -1004,6 +1004,9 @@ def ivfpq_index_build(
     vec_col: str = "embedding",
     dim: int = 64,
     max_centroids: int = 1 << 16,
+    coarse: str = "sample",
+    coarse_k: int | None = None,
+    coarse_iters: int = 2,
 ) -> dict:
     """PERSIST an IVF-PQ index (r11): the build-once/query-many split
     every production vector index has — at 10^10 vectors re-training
@@ -1031,20 +1034,39 @@ def ivfpq_index_build(
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
-    if centroid_stride is None:
-        centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
-    cent_rows = (
-        base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
-    )
-    c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
-    c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    pq_stride = max(1, -(-n // train_cap))
+    if coarse == "kmeans":
+        from .clustering import train_centroids
+
+        if centroid_stride is not None:
+            raise ValueError(
+                "centroid_stride applies to coarse='sample' only; with "
+                "coarse='kmeans' size the quantizer via coarse_k "
+                "(refuse rather than silently ignore)"
+            )
+        k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
+        ctr = base.filter(F.col("id") % pq_stride == 0).select(
+            F.col("id").alias("_kid"), F.col("v").alias("_kv")
+        )
+        cb0 = train_centroids(ctr, k_c, coarse_iters)
+        c_ids = np.arange(len(cb0), dtype=np.int64)
+        c_mat = np.asarray(cb0, dtype=np.float64)
+        centroid_stride = 0  # recorded as "trained" in meta
+    elif coarse == "sample":
+        if centroid_stride is None:
+            centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
+        cent_rows = (
+            base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
+        )
+        c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
+        c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    else:
+        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d0 = dim // m_sub
     from .clustering import train_subspace_codebooks
-
-    pq_stride = max(1, -(-n // train_cap))
     tr = base.filter(F.col("id") % pq_stride == 0)
     cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
     encoded = _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0)
@@ -1060,6 +1082,7 @@ def ivfpq_index_build(
         "dim": dim,
         "iters": iters,
         "train_cap": train_cap,
+        "coarse": coarse,
         "centroid_stride": int(centroid_stride),
     }
     with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:

@@ -638,6 +638,31 @@ class TestSimilarity:
         with pytest.raises((ValueError, FileNotFoundError)):
             ivfpq_index_query(spark, str(tmp_path / "nope"), q, k=3)
 
+    def test_ivfpq_index_kmeans_coarse_equals_inline(self, spark, tmp_path):
+        """The persisted index with a TRAINED coarse quantizer must
+        also equal the inline operator (coarse recorded in meta)."""
+        import random
+
+        from nekton_spark.functions.similarity import (
+            ivfpq_index_build,
+            ivfpq_index_query,
+            ivfpq_topk,
+        )
+
+        rng = random.Random(29)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 3)
+        inline = sorted(map(tuple, ivfpq_topk(
+            df, q, k=3, n_probe=2, coarse="kmeans").collect()))
+        p = str(tmp_path / "kidx")
+        meta = ivfpq_index_build(df, p, coarse="kmeans")
+        assert meta["coarse"] == "kmeans"
+        via_index = sorted(
+            map(tuple, ivfpq_index_query(spark, p, q, k=3, n_probe=2).collect())
+        )
+        assert via_index == inline
+
     def test_fused_subspace_codebooks_equal(self, spark):
         """r11: train_subspace_codebooks (2 Spark jobs for all m_sub
         codebooks) must produce bit-identical codebooks to the
