@@ -4059,10 +4059,15 @@ sc AS (SELECT q.query_id, e.id AS neighbor_id, round({score}, 6) AS score
            row_number() OVER (PARTITION BY b.id ORDER BY {cosql} DESC, c.cid) AS rn
     FROM pts b, cent c) WHERE rn = 1
 ), """
-        # residual mode: score = <q, c(probed cell)> + residual ADC,
-        # left-associated exactly as the engine's cterm + chain
+        # residual mode: score = <q, c(probed cell)> + residual ADC.
+        # The ADC chain must stay ONE parenthesized subtree: the engine
+        # computes cterm + ((t0+t1)+…+t7) (the chain is pre-folded),
+        # while an unparenthesized "+ {score}" would parse as
+        # ((coarse+t0)+t1)+… — a different IEEE grouping that can
+        # round differently within an ulp of a 0.5e-6 boundary
+        # (r11 review catch — latent flaky hash-mismatch)
         full_score = (
-            f"({_unrolled_dot('q.qv', 'c.cv')}) + {score}" if residual else score
+            f"({_unrolled_dot('q.qv', 'c.cv')}) + ({score})" if residual else score
         )
         cent_join = "JOIN cent c ON p.cid = c.cid\n  " if residual else ""
         parts.append(f"""enc AS (SELECT p.id, {enc_cols} FROM pts p {enc_joins}),

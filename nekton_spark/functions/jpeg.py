@@ -288,42 +288,17 @@ def jpeg_encode_blocks_color(
     block each, with independent DC predictors."""
     if not len(dc_y) == len(dc_cb) == len(dc_cr):
         raise ValueError("component DC lists must have equal length")
-    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
-    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    w = _BitWriter()
-    prevs = [0, 0, 0]
-    for b in range(len(dc_y)):
-        for ci, dcs in enumerate((dc_y, dc_cb, dc_cr)):
-            diff = dcs[b] - prevs[ci]
-            prevs[ci] = dcs[b]
-            s = _category(diff)
-            code, ln = dc_codes[s]
-            w.write(code, ln)
-            if s:
-                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            eob, eln = ac_codes[0x00]
-            w.write(eob, eln)
-    scan = w.flush()
-
-    dqt = bytes([0x00]) + bytes(Q_TABLE[ZIGZAG[k]] for k in range(64))
-    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
-        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
-    )
-    dht = (
-        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
-        + bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
-    )
-    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
-    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
-    return (
-        b"\xff\xd8"
-        + _marker(0xFFE0, app0)
-        + _marker(0xFFDB, dqt)
-        + _marker(0xFFC0, sof0)
-        + _marker(0xFFC4, dht)
-        + _marker(0xFFDA, sos)
-        + scan
-        + b"\xff\xd9"
+    # all-1×1 specialization of the general sampled writer (r11): one
+    # 8×8 MCU per block position interleaving (Y, Cb, Cr) — the same
+    # scan order, markers, and tables, so the bytes are identical to
+    # the pre-r11 dedicated writer (pinned by the color round-trip
+    # tests and the jpeg_color_decode oracle row)
+    return jpeg_encode_blocks_sampled(
+        [dc_y, dc_cb, dc_cr],
+        [(1, 1), (1, 1), (1, 1)],
+        blocks_x,
+        width,
+        height,
     )
 
 
@@ -448,7 +423,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    # (component id, h factor, v factor, quant table id)
+    comps: list[tuple[int, int, int, int]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")

@@ -736,6 +736,11 @@ def pq_topk(
         .orderBy("qid")
         .collect()  # queries are the bounded small side by contract
     )
+    if not q_rows:
+        # see _ivfpq_adc_topk: zero query structs would explode VOID
+        return encoded.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
 
     def lut_for(qv: list[float], s: int) -> list[float]:
         out = []
@@ -939,6 +944,14 @@ def _ivfpq_adc_topk(
         .orderBy("qid")
         .collect()
     )
+    if not q_rows:
+        # no queries → empty result, not F.array() of zero structs
+        # (a VOID-typed explode that fails the downstream struct
+        # extraction with an unactionable AnalysisException — r11
+        # review catch)
+        return encoded.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
 
     def lut_for(qv: list[float], s: int) -> list[float]:
         out = []
@@ -1031,6 +1044,11 @@ def ivfpq_index_build(
     import json
     import os
 
+    # refuse before the expensive coarse stage (the inline operators
+    # check dim first too — r11 review catch)
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d0 = dim // m_sub
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
@@ -1063,9 +1081,6 @@ def ivfpq_index_build(
     else:
         raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
-    if dim % m_sub != 0:
-        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    d0 = dim // m_sub
     from .clustering import train_subspace_codebooks
     tr = base.filter(F.col("id") % pq_stride == 0)
     cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
@@ -1307,6 +1322,11 @@ def ivfpq_residual_topk(
         .orderBy("qid")
         .collect()
     )
+    if not q_rows:
+        # see _ivfpq_adc_topk: zero query structs would explode VOID
+        return encoded.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
 
     def lut_for(qv: list[float], s: int) -> list[float]:
         out = []

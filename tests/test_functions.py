@@ -663,6 +663,35 @@ class TestSimilarity:
         )
         assert via_index == inline
 
+    def test_pq_family_empty_query_frame(self, spark, tmp_path):
+        """r11 review catch: an empty queries frame (e.g. query_ids
+        matching nothing) returns an empty typed result instead of
+        exploding a VOID array into an unactionable AnalysisException
+        — across pq_topk, ivfpq_topk, ivfpq_residual_topk, and the
+        persisted-index query path."""
+        import random
+
+        from nekton_spark.functions.similarity import (
+            ivfpq_index_build,
+            ivfpq_index_query,
+            ivfpq_residual_topk,
+            ivfpq_topk,
+            pq_topk,
+        )
+
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        empty_q = df.filter(F.col("vec_id") < 0)
+        for fn in (pq_topk, ivfpq_topk, ivfpq_residual_topk):
+            out = fn(df, empty_q, k=3)
+            assert out.count() == 0
+            assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+        p = str(tmp_path / "eidx")
+        ivfpq_index_build(df, p)
+        out = ivfpq_index_query(spark, p, empty_q, k=3)
+        assert out.count() == 0
+
     def test_fused_subspace_codebooks_equal(self, spark):
         """r11: train_subspace_codebooks (2 Spark jobs for all m_sub
         codebooks) must produce bit-identical codebooks to the
