@@ -3180,8 +3180,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     assert len(r11_window) == 50, len(r11_window)
     assert set(r11_window) <= set(q), sorted(set(r11_window) - set(q))
-    ordered = {k: q[k] for k in r11_window} | {
-        k: v for k, v in q.items() if k not in r11_window
+    # Round-12 rotation (r11 verdict #1 — EXECUTING the pre-solve above):
+    # the five never-driver-checked r11 rows + the complete 45-row r09
+    # staleness tail (recomputed this round from CORRECTNESS_r01-r11:
+    # latest-evidence histogram r09:45 / r10:50 / r11:50) = exactly 50.
+    # ann_index_roundtrip stays below the window and heads r13 (its
+    # oracle is literally ann_topk_ivfpq's SQL; equality pinned by
+    # test_ivfpq_index_persist_equals_inline + fuzz seed 111). After
+    # this round no row's driver evidence is older than two rounds.
+    r12_window = [
+        # (a) new in r11, judge-verified exact in the r11 session,
+        #     first driver check now
+        "jpeg_420_decode",
+        "zorder_key_n",
+        "ann_topk_ivf_kmeans",
+        "ann_topk_ivfpq_residual_k",
+        "ann_topk_lsh_mp",
+        # (b) the 45-row r09 staleness tail
+        "ann_topk_pq",
+        "ann_topk_pq_rerank",
+        "audio_features",
+        "bigram_logprob",
+        "bloom_decontamination",
+        "bm25_search",
+        "boilerplate_removal",
+        "bpe_merge_candidates",
+        "classifier_score_docs",
+        "classifier_trained",
+        "customers_without_orders",
+        "data_validation_report",
+        "decontamination_check",
+        "dedup_keep_best",
+        "dedup_winnow",
+        "distinct_customers_per_segment",
+        "distinct_kmv",
+        "dsir_select",
+        "embedding_near_dup",
+        "embedding_pca",
+        "events_tier_rollup",
+        "gopher_quality_rules",
+        "heavy_hitters_cms",
+        "hybrid_search_rrf",
+        "image_decode",
+        "image_resize",
+        "kmeans_clusters",
+        "kmeans_tiered",
+        "lang_id_trained",
+        "latest_event_per_user",
+        "multimodal_features",
+        "neardup_time_horizon",
+        "q10_returned_items",
+        "quota_sample_sources",
+        "rollup_orders",
+        "scalar_functions",
+        "semdedup_prune",
+        "set_ops_customers",
+        "tfidf_top_terms",
+        "token_length_histogram",
+        "topk_customers_per_nation",
+        "unigram_logprob",
+        "video_frame_sample",
+        "vocab_top_tokens",
+        "weighted_sample_docs",
+    ]
+    assert len(r12_window) == 50, len(r12_window)
+    assert set(r12_window) <= set(q), sorted(set(r12_window) - set(q))
+    ordered = {k: q[k] for k in r12_window} | {
+        k: v for k, v in q.items() if k not in r12_window
     }
     return ordered
 
