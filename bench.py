@@ -397,12 +397,18 @@ def _ann_recall_bench(spark) -> dict:
         return out
 
     methods = {
+        # sampled-coarse legs pinned (coarse="sample") for round-over-
+        # round comparability — the engine DEFAULT is kmeans since r12,
+        # measured by the *_kmeans/*_k legs (which therefore double as
+        # the default-path recall floor)
         "lsh": sim.lsh_topk,
-        "ivf": sim.ivf_topk,
+        "ivf": lambda c, q, k: sim.ivf_topk(c, q, k=k, coarse="sample"),
         "pq": sim.pq_topk,
         "pq_rerank": sim.pq_topk_rerank,
-        "ivfpq": sim.ivfpq_topk,
-        "ivfpq_residual": sim.ivfpq_residual_topk,
+        "ivfpq": lambda c, q, k: sim.ivfpq_topk(c, q, k=k, coarse="sample"),
+        "ivfpq_residual": lambda c, q, k: sim.ivfpq_residual_topk(
+            c, q, k=k, coarse="sample"
+        ),
         "lsh_mp": lambda c, q, k: sim.lsh_topk(c, q, k=k, multiprobe=1),
         "ivf_kmeans": lambda c, q, k: sim.ivf_topk(c, q, k=k, coarse="kmeans"),
         "ivfpq_residual_k": lambda c, q, k: sim.ivfpq_residual_topk(

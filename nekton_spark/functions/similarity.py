@@ -472,6 +472,44 @@ def lsh_topk(
     )
 
 
+def _resolve_coarse(
+    coarse: str | None, centroid_stride: int | None, coarse_k: int | None
+) -> str:
+    """Resolve the coarse-quantizer mode shared by the IVF family.
+
+    ``coarse=None`` (the engine default since r12) means TRAINED
+    k-means cells — worth +0.28–0.45 clustered recall@10 at flat wall
+    vs the sampled quantizer (r11 bench) — UNLESS the caller pinned an
+    explicit ``centroid_stride``, the sampled quantizer's only sizing
+    knob, in which case the sampled semantics those call sites were
+    written against (and the SQL oracles replay) are kept. Explicit
+    ``coarse=`` values are honored verbatim, and parameter/mode
+    mismatches REFUSE rather than silently ignore (the engine-wide
+    policy): ``centroid_stride`` with kmeans, ``coarse_k`` with
+    sample, and ``coarse_k < 1`` (0 is a sizing bug, not a request
+    for the √n default — r11 ADVICE)."""
+    if coarse is None:
+        coarse = "sample" if centroid_stride is not None else "kmeans"
+    if coarse not in ("sample", "kmeans"):
+        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
+    if coarse == "kmeans" and centroid_stride is not None:
+        raise ValueError(
+            "centroid_stride applies to coarse='sample' only; with "
+            "coarse='kmeans' size the quantizer via coarse_k "
+            "(refuse rather than silently ignore)"
+        )
+    if coarse_k is not None:
+        if coarse == "sample":
+            raise ValueError(
+                "coarse_k applies to coarse='kmeans' only; with "
+                "coarse='sample' size the quantizer via centroid_stride "
+                "(refuse rather than silently ignore)"
+            )
+        if coarse_k < 1:
+            raise ValueError(f"coarse_k must be >= 1, got {coarse_k}")
+    return coarse
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -481,7 +519,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_centroids: int = 1 << 16,
-    coarse: str = "sample",
+    coarse: str | None = None,
     coarse_k: int | None = None,
     coarse_iters: int = 2,
     train_cap: int = 1 << 16,
@@ -513,7 +551,10 @@ def ivf_topk(
        with list-sized fan-out. Exact cosine re-scores candidates;
        top-k by (rounded score desc, neighbor id).
 
-    ``coarse="kmeans"`` (r11): centroids come from the deterministic
+    ``coarse="kmeans"`` (r11; the DEFAULT since r12 — ``coarse=None``
+    resolves to kmeans unless an explicit ``centroid_stride`` pins the
+    sampled quantizer, see :func:`_resolve_coarse`): centroids come
+    from the deterministic
     k-means trainer (clustering.train_centroids, L2, rounded means)
     over the ``train_cap``-stride-sampled corpus at ``coarse_k``
     (default √n, capped) instead of the raw √n sample — cells then
@@ -531,6 +572,7 @@ def ivf_topk(
     same algorithm (assignment argmax uses the bit-exact left-fold
     cosine on both engines), NOT to brute force — recall vs brute
     force is a quality property tested separately."""
+    coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
     cos = cosine_udf()
@@ -546,15 +588,11 @@ def ivf_topk(
     if coarse == "kmeans":
         from .clustering import train_centroids
 
-        if centroid_stride is not None:
-            raise ValueError(
-                "centroid_stride applies to coarse='sample' only; with "
-                "coarse='kmeans' size the quantizer via coarse_k "
-                "(refuse rather than silently ignore)"
-            )
         n = base.count()
         stride_tr = max(1, -(-n // train_cap))
-        k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
+        k_c = coarse_k if coarse_k is not None else max(
+            1, min(math.isqrt(n), max_centroids)
+        )
         tr = base.filter(F.col("id") % stride_tr == 0).select(
             F.col("id").alias("_kid"), F.col("v").alias("_kv")
         )
@@ -577,8 +615,6 @@ def ivf_topk(
         cent_rows = cents.orderBy("cid").collect()
         c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
         c_mat = np.asarray([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
-    else:
-        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
     assign_schema = T.StructType(
@@ -797,7 +833,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     max_centroids: int = 1 << 16,
-    coarse: str = "sample",
+    coarse: str | None = None,
     coarse_k: int | None = None,
     coarse_iters: int = 2,
 ) -> DataFrame:
@@ -837,6 +873,7 @@ def ivfpq_topk(
     recovers the recall global codebooks lose)."""
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     d0 = dim // m_sub
     from .clustering import train_subspace_codebooks
 
@@ -849,20 +886,16 @@ def ivfpq_topk(
         # the stride sample, cid = index 0..k-1
         from .clustering import train_centroids
 
-        if centroid_stride is not None:
-            raise ValueError(
-                "centroid_stride applies to coarse='sample' only; with "
-                "coarse='kmeans' size the quantizer via coarse_k "
-                "(refuse rather than silently ignore)"
-            )
-        k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
+        k_c = coarse_k if coarse_k is not None else max(
+            1, min(math.isqrt(n), max_centroids)
+        )
         ctr = base.filter(F.col("id") % pq_stride == 0).select(
             F.col("id").alias("_kid"), F.col("v").alias("_kv")
         )
         cb0 = train_centroids(ctr, k_c, coarse_iters)
         c_ids = np.arange(len(cb0), dtype=np.int64)
         c_mat = np.asarray(cb0, dtype=np.float64)
-    elif coarse == "sample":
+    else:
         if centroid_stride is None:
             centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
         cent_rows = (
@@ -870,8 +903,6 @@ def ivfpq_topk(
         )
         c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
         c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
-    else:
-        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
     tr = base.filter(F.col("id") % pq_stride == 0)
@@ -1005,6 +1036,111 @@ def _ivfpq_adc_topk(
     )
 
 
+def _pq_distortion(sample: DataFrame, cbs, m_sub: int, d0: int) -> float:
+    """Mean squared PQ reconstruction error of ``sample`` (id, v) under
+    frozen per-subspace codebooks — the bounded drift statistic the
+    persisted-index append gate compares against. One Arrow pass over
+    the ≤ train_cap stride slice, two scalars per partition to the
+    driver; the same exact left-fold distance arithmetic the encode
+    pass argmins over."""
+    C = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    schema = T.StructType(
+        [T.StructField("e", T.DoubleType()), T.StructField("c", T.LongType())]
+    )
+
+    def dist(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"e": [0.0], "c": [0]})
+                continue
+            V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            tot = 0.0
+            for s in range(m_sub):
+                P = V[:, s * d0 : (s + 1) * d0]
+                d = np.zeros((len(P), len(C[s])))
+                for j in range(d0):
+                    dcol = P[:, j, None] - C[s][None, :, j]
+                    d += dcol * dcol
+                tot += float(d.min(axis=1).sum())
+            yield pd.DataFrame({"e": [tot], "c": [len(V)]})
+
+    row = (
+        sample.mapInPandas(dist, schema)
+        .agg(F.sum("e").alias("e"), F.sum("c").alias("c"))
+        .collect()[0]
+    )
+    return float(row["e"] / row["c"]) if row["c"] else 0.0
+
+
+def _write_index_meta(spark, path: str, meta: dict) -> None:
+    """Persist the parameters-only meta as ONE parquet row via the
+    Spark writer (format/2) — every index artifact then lives behind
+    the same filesystem abstraction, so an object-store ``path`` that
+    can hold the codes can hold the meta too (r11 ADVICE: the
+    driver-side open() made build/query silently POSIX-only)."""
+    fields, vals = [], []
+    for k, v in meta.items():
+        if isinstance(v, bool):
+            t = "boolean"
+        elif isinstance(v, int) or v is None and k != "format":
+            t = "long"
+        elif isinstance(v, float):
+            t = "double"
+        else:
+            t = "string"
+        fields.append(f"{k} {t}")
+        vals.append(v)
+    spark.createDataFrame([tuple(vals)], ", ".join(fields)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def _ivfpq_index_load(spark, path: str):
+    """Load a persisted IVF-PQ index's driver-scale state: the
+    parameters row plus (cid-sorted) centroid matrix and (sub,
+    code)-sorted codebooks. Reads format/2 parquet artifacts; falls
+    back to the r11 format/1 single-JSON layout when
+    ``ivfpq_meta.json`` is present on a driver-readable path. Returns
+    (meta, c_ids, c_mat, c_norm, cbs)."""
+    import json
+    import os
+
+    jmeta = os.path.join(path, "ivfpq_meta.json")
+    if "://" not in path and os.path.exists(jmeta):
+        with open(jmeta) as f:
+            meta = json.load(f)
+        if meta.get("format") != "nekton_spark.ivfpq/1":
+            raise ValueError(f"not an ivfpq index: {path}")
+        c_ids = np.array(meta["c_ids"], dtype=np.int64)
+        c_mat = np.asarray(meta["c_mat"], dtype=np.float64)
+        cbs = meta["cbs"]
+    else:
+        try:
+            mrow = spark.read.parquet(path.rstrip("/") + "/meta").collect()
+        except Exception as e:
+            raise ValueError(
+                f"not an ivfpq index (no meta relation or ivfpq_meta.json): {path}"
+            ) from e
+        if len(mrow) != 1:
+            raise ValueError(f"corrupt ivfpq index meta ({len(mrow)} rows): {path}")
+        meta = mrow[0].asDict()
+        if meta.get("format") != "nekton_spark.ivfpq/2":
+            raise ValueError(f"not an ivfpq index: {path}")
+        cent = spark.read.parquet(path.rstrip("/") + "/centroids").collect()
+        cent.sort(key=lambda r: r["cid"])
+        c_ids = np.array([r["cid"] for r in cent], dtype=np.int64)
+        c_mat = np.asarray(
+            [np.asarray(r["cv"], dtype=np.float64) for r in cent]
+        )
+        cbr = spark.read.parquet(path.rstrip("/") + "/codebooks").collect()
+        cbr.sort(key=lambda r: (r["sub"], r["code"]))
+        cbs = [[] for _ in range(meta["m_sub"])]
+        for r in cbr:
+            cbs[r["sub"]].append(list(r["c"]))
+    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
+    return meta, c_ids, c_mat, c_norm, cbs
+
+
 def ivfpq_index_build(
     corpus: DataFrame,
     path: str,
@@ -1017,37 +1153,42 @@ def ivfpq_index_build(
     vec_col: str = "embedding",
     dim: int = 64,
     max_centroids: int = 1 << 16,
-    coarse: str = "sample",
+    coarse: str | None = None,
     coarse_k: int | None = None,
     coarse_iters: int = 2,
 ) -> dict:
-    """PERSIST an IVF-PQ index (r11): the build-once/query-many split
-    every production vector index has — at 10^10 vectors re-training
-    codebooks and re-encoding the corpus per query batch is the actual
-    cost, and this is the half ivfpq_topk fuses away. Writes:
+    """PERSIST an IVF-PQ index (r11; format/2 since r12): the
+    build-once/query-many split every production vector index has — at
+    10^10 vectors re-training codebooks and re-encoding the corpus per
+    query batch is the actual cost, and this is the half ivfpq_topk
+    fuses away. Writes, ALL through the Spark writer — so any
+    filesystem the codes relation can reach (object stores included)
+    holds the WHOLE index; the r11 driver-written JSON blob (O(√n·dim)
+    floats, ~130 MB at 10^10 vectors, POSIX-only) is gone:
 
-    - ``path/codes``: the compressed corpus relation (id, cid,
-      codes) as parquet — the only corpus-sized artifact, ~m_sub bytes
-      of codes per vector (the 64× memory story, now durable);
-    - ``path/ivfpq_meta.json``: centroid ids/matrix, per-subspace
-      codebooks, and the build parameters — O(√n·dim + m_sub·ksub·d0)
-      driver-scale state, written driver-side (a shared POSIX path
-      locally; on a real cluster point ``path`` at a fuse-mounted or
-      object-store path the driver can write).
+    - ``path/codes``: the compressed corpus relation (id, cid, codes)
+      as parquet — the only corpus-sized artifact, ~m_sub bytes of
+      codes per vector (the 64× memory story, now durable);
+    - ``path/centroids``: (cid, cv) parquet — O(√n) rows, partially
+      loadable;
+    - ``path/codebooks``: (sub, code, c) parquet — m_sub·ksub rows;
+    - ``path/meta``: ONE parquet row of build parameters: format tag,
+      m_sub/ksub/dim/iters/train_cap, the RESOLVED coarse mode with
+      coarse_k/coarse_iters or centroid_stride (so a non-default
+      build is auditable and reproducible from its artifacts — r11
+      ADVICE), n_rows, and the training-sample PQ distortion the
+      :func:`ivfpq_index_append` drift gate compares against.
 
-    Build = the SAME stages ivfpq_topk runs (sampled coarse centroids,
-    fused codebook training, one fused encode pass) — so
-    ``ivfpq_index_query`` over the persisted artifacts returns
-    EXACTLY ivfpq_topk's rows for the same parameters (the
-    ann_index_roundtrip driver row pins this against the ivfpq
-    oracle). Returns the meta dict."""
-    import json
-    import os
-
+    Build = the SAME stages ivfpq_topk runs — so ``ivfpq_index_query``
+    over the persisted artifacts returns EXACTLY ivfpq_topk's rows for
+    the same parameters (the ann_index_roundtrip driver row pins this
+    against the ivfpq oracle). Returns the meta dict with the
+    in-memory c_ids/c_mat/cbs arrays attached for convenience."""
     # refuse before the expensive coarse stage (the inline operators
     # check dim first too — r11 review catch)
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     d0 = dim // m_sub
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
@@ -1056,21 +1197,17 @@ def ivfpq_index_build(
     if coarse == "kmeans":
         from .clustering import train_centroids
 
-        if centroid_stride is not None:
-            raise ValueError(
-                "centroid_stride applies to coarse='sample' only; with "
-                "coarse='kmeans' size the quantizer via coarse_k "
-                "(refuse rather than silently ignore)"
-            )
-        k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
+        k_c = coarse_k if coarse_k is not None else max(
+            1, min(math.isqrt(n), max_centroids)
+        )
+        coarse_k = k_c
         ctr = base.filter(F.col("id") % pq_stride == 0).select(
             F.col("id").alias("_kid"), F.col("v").alias("_kv")
         )
         cb0 = train_centroids(ctr, k_c, coarse_iters)
         c_ids = np.arange(len(cb0), dtype=np.int64)
         c_mat = np.asarray(cb0, dtype=np.float64)
-        centroid_stride = 0  # recorded as "trained" in meta
-    elif coarse == "sample":
+    else:
         if centroid_stride is None:
             centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
         cent_rows = (
@@ -1078,19 +1215,28 @@ def ivfpq_index_build(
         )
         c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
         c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
-    else:
-        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
     from .clustering import train_subspace_codebooks
     tr = base.filter(F.col("id") % pq_stride == 0)
     cbs = train_subspace_codebooks(tr, m_sub, d0, ksub, iters)
+    train_distortion = _pq_distortion(tr, cbs, m_sub, d0)
     encoded = _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0)
-    encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    encoded.write.mode("overwrite").parquet(path.rstrip("/") + "/codes")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(c_ids, c_mat)],
+        "cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in cbs[s][j]])
+            for s in range(m_sub)
+            for j in range(len(cbs[s]))
+        ],
+        "sub int, code int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/codebooks")
     meta = {
-        "format": "nekton_spark.ivfpq/1",
-        "c_ids": [int(x) for x in c_ids],
-        "c_mat": [[float(x) for x in row] for row in c_mat],
-        "cbs": cbs,
+        "format": "nekton_spark.ivfpq/2",
         "m_sub": m_sub,
         "ksub": ksub,
         "d0": d0,
@@ -1098,11 +1244,18 @@ def ivfpq_index_build(
         "iters": iters,
         "train_cap": train_cap,
         "coarse": coarse,
-        "centroid_stride": int(centroid_stride),
+        "coarse_k": coarse_k if coarse == "kmeans" else None,
+        "coarse_iters": coarse_iters if coarse == "kmeans" else None,
+        "centroid_stride": int(centroid_stride) if coarse == "sample" else None,
+        "n_rows": int(n),
+        "train_distortion": float(train_distortion),
     }
-    with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
-        json.dump(meta, f)
-    return meta
+    _write_index_meta(spark, path, meta)
+    return meta | {
+        "c_ids": [int(x) for x in c_ids],
+        "c_mat": [[float(x) for x in row] for row in c_mat],
+        "cbs": cbs,
+    }
 
 
 def ivfpq_index_query(
@@ -1115,25 +1268,94 @@ def ivfpq_index_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Query a persisted IVF-PQ index (see :func:`ivfpq_index_build`):
-    loads the driver-scale meta, scans ONLY the parquet codes relation
-    (never a raw vector), and runs the identical probe + ADC + top-k
-    stage as ivfpq_topk — same rows, no training, no encode pass."""
-    import json
-    import os
-
-    with open(os.path.join(path, "ivfpq_meta.json")) as f:
-        meta = json.load(f)
-    if meta.get("format") != "nekton_spark.ivfpq/1":
-        raise ValueError(f"not an ivfpq index: {path}")
-    c_ids = np.array(meta["c_ids"], dtype=np.int64)
-    c_mat = np.asarray(meta["c_mat"], dtype=np.float64)
-    c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
-    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    loads the driver-scale meta/centroids/codebooks, scans ONLY the
+    parquet codes relation (never a raw vector), and runs the
+    identical probe + ADC + top-k stage as ivfpq_topk — same rows, no
+    training, no encode pass. Reads format/2 parquet indexes and the
+    legacy r11 format/1 JSON layout."""
+    meta, c_ids, c_mat, c_norm, cbs = _ivfpq_index_load(spark, path)
+    encoded = spark.read.parquet(path.rstrip("/") + "/codes")
     return _ivfpq_adc_topk(
-        encoded, queries, c_ids, c_mat, c_norm, meta["cbs"],
+        encoded, queries, c_ids, c_mat, c_norm, cbs,
         meta["m_sub"], meta["d0"], meta["ksub"], n_probe, k,
         id_col, vec_col,
     )
+
+
+def ivfpq_index_append(
+    corpus: DataFrame,
+    path: str,
+    drift_tol: float = 2.0,
+    verify_ids: bool = True,
+    train_cap: int = PQ_TRAIN_CAP,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """INCREMENTALLY append new vectors to a persisted IVF-PQ index
+    (r11 verdict #5): encode the batch under the FROZEN centroids and
+    codebooks — no retrain, no re-encode of the existing corpus — and
+    append the resulting (id, cid, codes) rows to ``path/codes``.
+    Appending is what makes the build-once artifact maintainable at
+    10^10 vectors: a daily 0.1% ingest re-encodes 0.1% of the corpus
+    instead of rebuilding for hours.
+
+    Frozen quantizers only stay VALID while new data resembles the
+    training distribution, so the append REFUSES (rather than silently
+    degrading recall) when the batch's PQ distortion — mean squared
+    reconstruction error over a ≤ train_cap stride sample, the same
+    statistic the build recorded as ``train_distortion`` — exceeds
+    ``drift_tol ×`` the build's value. A drifted batch means: rebuild,
+    or raise drift_tol deliberately.
+
+    ``verify_ids=True`` (default) refuses id collisions with the
+    existing codes via one bounded semi-join count — a duplicate id
+    would silently corrupt every later query. At extreme scale where
+    the caller guarantees disjoint ids, pass False to skip the scan.
+    Format/2 indexes only (a /1 index predates the drift statistic —
+    rebuild it). Returns the updated meta dict."""
+    spark = corpus.sparkSession
+    meta, c_ids, c_mat, c_norm, cbs = _ivfpq_index_load(spark, path)
+    if meta.get("format") != "nekton_spark.ivfpq/2":
+        raise ValueError(
+            "ivfpq_index_append requires a format/2 index (the r11 "
+            "format/1 JSON layout records no train_distortion): rebuild "
+            f"with ivfpq_index_build: {path}"
+        )
+    m_sub, d0 = meta["m_sub"], meta["d0"]
+    base = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    base = ensure_parallelism(base)
+    n_new = _estimate_rows(base)
+    if n_new == 0:
+        return dict(meta)
+    stride = max(1, -(-n_new // train_cap))
+    batch_distortion = _pq_distortion(
+        base.filter(F.col("id") % stride == 0), cbs, m_sub, d0
+    )
+    ref = float(meta["train_distortion"])
+    if batch_distortion > drift_tol * max(ref, 1e-12):
+        raise ValueError(
+            f"append batch drifts from the index's training distribution: "
+            f"batch PQ distortion {batch_distortion:.6g} > drift_tol "
+            f"({drift_tol}) x train_distortion {ref:.6g} — rebuild the "
+            "index (or raise drift_tol deliberately)"
+        )
+    codes_path = path.rstrip("/") + "/codes"
+    if verify_ids:
+        existing = spark.read.parquet(codes_path).select("id")
+        dups = base.select("id").join(existing, "id", "left_semi").count()
+        if dups:
+            raise ValueError(
+                f"append batch shares {dups} id(s) with the existing index "
+                "(duplicate ids corrupt queries); deduplicate or rebuild"
+            )
+    encoded = _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0)
+    encoded.write.mode("append").parquet(codes_path)
+    new_meta = dict(meta)
+    new_meta["n_rows"] = int(meta["n_rows"]) + int(n_new)
+    _write_index_meta(spark, path, new_meta)
+    return new_meta
 
 
 def ivfpq_residual_topk(
@@ -1151,7 +1373,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     max_centroids: int = 1 << 16,
-    coarse: str = "sample",
+    coarse: str | None = None,
     coarse_k: int | None = None,
     coarse_iters: int = 2,
 ) -> DataFrame:
@@ -1202,6 +1424,7 @@ def ivfpq_residual_topk(
     former "trades oracle replayability for recall" claim."""
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     d0 = dim // m_sub
     from .clustering import train_centroids, train_subspace_codebooks
 
@@ -1213,21 +1436,17 @@ def ivfpq_residual_topk(
         # k-means coarse quantizer (see ivf_topk): unimodal residuals
         # AND a far higher probed-set ceiling on clustered corpora —
         # the composition FAISS's IVFPQR actually ships
-        if centroid_stride is not None:
-            raise ValueError(
-                "centroid_stride applies to coarse='sample' only; with "
-                "coarse='kmeans' size the quantizer via coarse_k "
-                "(refuse rather than silently ignore)"
-            )
         stride_tr = pq_stride
-        k_c = coarse_k or max(1, min(math.isqrt(n), max_centroids))
+        k_c = coarse_k if coarse_k is not None else max(
+            1, min(math.isqrt(n), max_centroids)
+        )
         ctr = base.filter(F.col("id") % stride_tr == 0).select(
             F.col("id").alias("_kid"), F.col("v").alias("_kv")
         )
         cb0 = train_centroids(ctr, k_c, coarse_iters)
         c_ids = np.arange(len(cb0), dtype=np.int64)
         c_mat = np.asarray(cb0, dtype=np.float64)
-    elif coarse == "sample":
+    else:
         if centroid_stride is None:
             centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
         cent_rows = (
@@ -1235,8 +1454,6 @@ def ivfpq_residual_topk(
         )
         c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
         c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
-    else:
-        raise ValueError(f"unknown coarse quantizer {coarse!r}: sample|kmeans")
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
     resid_schema = T.StructType(

@@ -151,16 +151,25 @@ def file_sink(
 
 
 @register_sink("ann_index")
-def ann_index_sink(df: DataFrame, path: str, **kw):
+def ann_index_sink(df: DataFrame, path: str, mode: str = "build", **kw):
     """Build and persist an IVF-PQ vector index from the frame's
-    (vec_id, embedding) columns (similarity.ivfpq_index_build):
-    compressed codes parquet + driver-scale meta JSON. Query it with
-    the ``ann_index_query`` processor. Batch only."""
+    (vec_id, embedding) columns (similarity.ivfpq_index_build): the
+    compressed codes relation plus centroids/codebooks/meta, all
+    parquet. ``mode: append`` (r12) instead encodes the frame under
+    the existing index's FROZEN quantizers and appends to its codes
+    (similarity.ivfpq_index_append — drift-gated, id-collision
+    checked). Query with the ``ann_index_query`` processor. Batch
+    only."""
     if df.isStreaming:
         raise ValueError("ann_index build is batch-only")
-    from ..functions.similarity import ivfpq_index_build
+    from ..functions.similarity import ivfpq_index_append, ivfpq_index_build
 
-    ivfpq_index_build(df, path, **kw)
+    if mode == "append":
+        ivfpq_index_append(df, path, **kw)
+    elif mode in ("build", "overwrite"):
+        ivfpq_index_build(df, path, **kw)
+    else:
+        raise ValueError(f"unknown ann_index mode: {mode!r} (build|append)")
     return None
 
 
