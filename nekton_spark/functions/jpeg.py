@@ -40,9 +40,18 @@ choice a SQL oracle replays in closed form).
 :func:`jpeg_encode_blocks_420` writes matching 4:2:0 JFIF bytes for
 the DC-only synthetic fixture (:func:`synth_420_block_values`).
 
-Restart intervals (DRI), progressive (SOF2), and sampling factors
-3/4 raise ``NotImplementedError`` explicitly rather than
-mis-decoding.
+Restart intervals (DRI/RSTn, r12 — T.81 §B.2.4.4/E.2.4): real-world
+camera/libjpeg output emits restart markers routinely, so the decoder
+handles them for real — at each restart boundary the entropy stream
+byte-aligns, the RSTn marker (modulo-8 sequence VERIFIED, out-of-order
+refuses) is consumed, and every DC predictor resets to 0. The writers
+take ``restart_interval=N`` (MCUs between markers) and emit the DRI
+segment + aligned RSTn markers, so fixtures cover the path end-to-end
+with the same closed-form pixel oracle (restart markers change the
+bytes, never the pixels).
+
+Progressive (SOF2) and sampling factors 3/4 raise
+``NotImplementedError`` explicitly rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -161,10 +170,22 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1s (T.81 F.1.2.3) — required
+        before a restart marker; a 0xFF pad byte gets stuffed like any
+        data byte."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1s per the spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_rst(self, m: int) -> None:
+        """Append the RSTm marker bytes (0xFFD0+m) — raw marker, no
+        stuffing. Caller must align() first."""
+        self.align()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -191,7 +212,14 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2  # stuffed data byte
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("restart markers (DRI/RSTn) not supported")
+                # a restart marker is only legal AT a restart boundary,
+                # where restart() consumes it before any bit is read —
+                # hitting one mid-entropy means the stream and the
+                # declared restart interval disagree
+                raise ValueError(
+                    "unexpected restart marker inside entropy-coded "
+                    "segment (corrupt stream or wrong DRI interval)"
+                )
             else:
                 raise ValueError("hit marker inside entropy-coded segment")
         else:
@@ -216,6 +244,38 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def restart(self, expect: int) -> None:
+        """Consume the RSTn marker at a restart boundary (T.81
+        §E.2.4): discard the partial byte (writers pad with 1s), skip
+        optional 0xFF fill bytes, and VERIFY the modulo-8 restart
+        sequence number — an out-of-order RSTn means lost data and
+        refuses rather than desynchronizing every later block."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: expected restart marker")
+        if self.data[self.pos] != 0xFF:
+            raise ValueError(
+                f"expected RST{expect} marker at restart boundary "
+                f"(byte {self.pos})"
+            )
+        p = self.pos + 1
+        while self.data[p] == 0xFF:  # B.1.1.2 fill bytes
+            p += 1
+            if p >= len(self.data):
+                raise ValueError("truncated JPEG: expected restart marker")
+        m = self.data[p]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(
+                f"expected RST{expect} marker, found 0xFF{m:02X}"
+            )
+        if m - 0xD0 != expect & 7:
+            raise ValueError(
+                f"restart marker out of sequence: expected "
+                f"RST{expect & 7}, got RST{m - 0xD0}"
+            )
+        self.pos = p + 1
+
 
 def _extend(v: int, size: int) -> int:
     """T.81 F.12: map `size` raw bits to the signed coefficient."""
@@ -230,17 +290,31 @@ def _marker(tag: int, body: bytes) -> bytes:
     return struct.pack(">HH", tag, len(body) + 2) + body
 
 
-def jpeg_encode_blocks(dc_values: list[int], blocks_x: int, width: int, height: int) -> bytes:
+def jpeg_encode_blocks(
+    dc_values: list[int],
+    blocks_x: int,
+    width: int,
+    height: int,
+    restart_interval: int = 0,
+) -> bytes:
     """Genuine grayscale baseline JFIF bytes for an image of DC-only
     8×8 blocks: ``dc_values`` in raster block order (``blocks_x`` per
     row), each quantized-DC in [-128, 127]. Any baseline decoder
     accepts the output; :func:`jpeg_decode` round-trips it to blocks
-    of the constant pixel dc + 128."""
+    of the constant pixel dc + 128. ``restart_interval=N`` (r12)
+    additionally writes the DRI segment and an aligned RSTn marker
+    every N MCUs (= blocks here) with DC predictors reset — same
+    pixels, restart-exercising bytes."""
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     w = _BitWriter()
     prev = 0
-    for dc in dc_values:
+    rst = 0
+    for bi, dc in enumerate(dc_values):
+        if restart_interval and bi and bi % restart_interval == 0:
+            w.emit_rst(rst)
+            rst = (rst + 1) % 8
+            prev = 0
         diff = dc - prev
         prev = dc
         s = _category(diff)
@@ -261,12 +335,18 @@ def jpeg_encode_blocks(dc_values: list[int], blocks_x: int, width: int, height: 
     )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    dri = (
+        _marker(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _marker(0xFFE0, app0)
         + _marker(0xFFDB, dqt)
         + _marker(0xFFC0, sof0)
         + _marker(0xFFC4, dht)
+        + dri
         + _marker(0xFFDA, sos)
         + scan
         + b"\xff\xd9"
@@ -308,6 +388,7 @@ def jpeg_encode_blocks_sampled(
     mcus_x: int,
     width: int,
     height: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """Genuine 3-component SAMPLED baseline JFIF bytes for an image of
     DC-only 8×8 blocks: component ci has sampling factors ``factors
@@ -315,7 +396,9 @@ def jpeg_encode_blocks_sampled(
     within the MCU); ``dc_planes[ci]`` is that component's full block
     grid in raster order (mcus_x·hi wide). The writer maps raster →
     interleaved MCU scan order. All components share quant table 0 and
-    the Annex K Huffman tables (legal per T.81)."""
+    the Annex K Huffman tables (legal per T.81).
+    ``restart_interval=N`` (r12) writes DRI + an aligned RSTn marker
+    every N MCUs with all DC predictors reset."""
     if len(dc_planes) != 3 or len(factors) != 3:
         raise ValueError("exactly 3 components (Y, Cb, Cr)")
     n_mcus = len(dc_planes[0]) // (factors[0][0] * factors[0][1])
@@ -342,13 +425,18 @@ def jpeg_encode_blocks_sampled(
         eob, eln = ac_codes[0x00]
         w.write(eob, eln)
 
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (hi, vi) in enumerate(factors):
-                bx_c = mcus_x * hi
-                for iy in range(vi):
-                    for ix in range(hi):
-                        put(ci, dc_planes[ci][(my * vi + iy) * bx_c + mx * hi + ix])
+    rst = 0
+    for mi in range(mcus_y * mcus_x):
+        my, mx = divmod(mi, mcus_x)
+        if restart_interval and mi and mi % restart_interval == 0:
+            w.emit_rst(rst)
+            rst = (rst + 1) % 8
+            prevs[:] = [0, 0, 0]
+        for ci, (hi, vi) in enumerate(factors):
+            bx_c = mcus_x * hi
+            for iy in range(vi):
+                for ix in range(hi):
+                    put(ci, dc_planes[ci][(my * vi + iy) * bx_c + mx * hi + ix])
     scan = w.flush()
 
     dqt = bytes([0x00]) + bytes(Q_TABLE[ZIGZAG[k]] for k in range(64))
@@ -362,12 +450,18 @@ def jpeg_encode_blocks_sampled(
     )
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    dri = (
+        _marker(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + _marker(0xFFE0, app0)
         + _marker(0xFFDB, dqt)
         + _marker(0xFFC0, sof0)
         + _marker(0xFFC4, dht)
+        + dri
         + _marker(0xFFDA, sos)
         + scan
         + b"\xff\xd9"
@@ -381,6 +475,7 @@ def jpeg_encode_blocks_420(
     mcus_x: int,
     width: int,
     height: int,
+    restart_interval: int = 0,
 ) -> bytes:
     """4:2:0 (Y 2×2, chroma 1×1 — each 16×16 MCU interleaves four Y
     blocks then one Cb and one Cr) specialization of
@@ -391,7 +486,12 @@ def jpeg_encode_blocks_420(
     if len(dc_y) != 4 * len(dc_cb):
         raise ValueError("4:2:0 needs 4 Y blocks per chroma block")
     return jpeg_encode_blocks_sampled(
-        [dc_y, dc_cb, dc_cr], [(2, 2), (1, 1), (1, 1)], mcus_x, width, height
+        [dc_y, dc_cb, dc_cr],
+        [(2, 2), (1, 1), (1, 1)],
+        mcus_x,
+        width,
+        height,
+        restart_interval=restart_interval,
     )
 
 
@@ -423,6 +523,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
+    restart_interval = 0
     # (component id, h factor, v factor, quant table id)
     comps: list[tuple[int, int, int, int]] = []
     while pos < len(data):
@@ -502,8 +603,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 comps.append((cid, hi, vi, tqi))
         elif tag in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEGs supported")
-        elif tag == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) not supported")
+        elif tag == 0xDD:  # DRI — restart interval in MCUs (0 disables)
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif tag == 0xDA:  # SOS — entropy data follows the header
             if not body:
                 raise ValueError("truncated SOS segment")
@@ -599,6 +702,12 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 rows: list[list[list[int]]] = [[] for _ in range(ns)]
                 prevs = [0] * ns
                 for _b in range(bx * by):
+                    # restart boundary: every MCU (= one block position
+                    # here) multiple of the DRI interval — byte-align,
+                    # consume RSTn (sequence verified), reset predictors
+                    if restart_interval and _b and _b % restart_interval == 0:
+                        reader.restart((_b // restart_interval - 1) % 8)
+                        prevs[:] = [0] * ns
                     for ci in range(ns):
                         rows[ci].append(decode_block(ci, prevs))
                 planes = [
@@ -619,6 +728,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 rows = [[] for _ in range(ns)]
                 prevs = [0] * ns
                 for _m in range(mcux * mcuy):
+                    if restart_interval and _m and _m % restart_interval == 0:
+                        reader.restart((_m // restart_interval - 1) % 8)
+                        prevs[:] = [0] * ns
                     for ci in range(ns):
                         for _b in range(shs[ci] * svs[ci]):
                             rows[ci].append(decode_block(ci, prevs))

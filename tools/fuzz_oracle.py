@@ -547,9 +547,13 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     def _jpeg_420_base(key: int):
         # r11: subsampled decode is in the envelope — the valid-payload
         # probe checks EXACT pixels against the synth_420 closed form
-        # (replication chroma upsample + floor(x+0.5) RGB)
+        # (replication chroma upsample + floor(x+0.5) RGB). r12: every
+        # other base encodes with a restart interval, so the corruption
+        # battery also hits DRI/RSTn streams.
         dc_y, dc_cb, dc_cr, mx, w, h = synth_420_block_values(key % 6)
-        payload = jpeg_encode_blocks_420(dc_y, dc_cb, dc_cr, mx, w, h)
+        payload = jpeg_encode_blocks_420(
+            dc_y, dc_cb, dc_cr, mx, w, h, restart_interval=key % 3
+        )
         k = key % 6
         yy, xx = np.mgrid[0:h, 0:w]
         yv = (k * 31 + ((yy // 8) * (2 * mx) + xx // 8) * 17) % 256
@@ -624,6 +628,17 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 # is oracled by jpeg_decode queries — here assert decode
                 # well-formedness + refusal hygiene
             ),
+            (
+                "jpeg_dri",
+                jpeg_encode_blocks(
+                    [rng.randrange(-64, 64) for _ in range(6)], 3, 24, 16,
+                    restart_interval=1 + key % 3,
+                ),
+                jpeg_decode,
+                None,  # restart-interval stream through the same
+                # corruption battery (bitflips can hit RSTn markers,
+                # truncations can land mid-restart-segment)
+            ),
             ("jpeg_420", *_jpeg_420_base(key)),
             ("wav", make_wav(key), None,
              _synth_samples(key, 256 + key % 256).astype("<i2")),
@@ -658,6 +673,25 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     probe("avi:valid_framecount", lambda: np.array(len(avi_decode_frames(avi))), expect=np.array(3))
     for ctag, cp in corruptions(avi):
         probe(f"avi:{ctag}", lambda p=cp: [np.frombuffer(f, dtype=np.uint8) for f in avi_decode_frames(p)] and np.zeros(0, np.uint8))
+
+    # DRI-specific refusal probes (r12): these must REFUSE with
+    # ValueError — acceptance would mean silent desynchronization
+    dri_p = bytes(
+        jpeg_encode_blocks([3, -1, 7, 0], 2, 16, 16, restart_interval=1)
+    )
+    i = dri_p.find(b"\xff\xd0")
+    for ptag, bad in [
+        ("out_of_seq_rst", dri_p[: i + 1] + bytes([0xD4]) + dri_p[i + 2 :]),
+        ("rst_replaced_by_data", dri_p[:i] + b"\x00\x00" + dri_p[i + 2 :]),
+    ]:
+        checked += 1
+        try:
+            jpeg_decode(bad)
+            problems.append(f"jpeg_dri:{ptag}: accepted a corrupt restart")
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            problems.append(f"jpeg_dri:{ptag}: leaked {type(exc).__name__}")
 
     # ---- Spark operator leg ----
     from pyspark.sql import functions as F
