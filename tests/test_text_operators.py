@@ -223,6 +223,37 @@ class TestTrainedLangId:
         ("zh", "我想知道下一班去城里的火车什么时候出发。"),
         ("zh", "他的回答很短，但解释了我们需要知道的一切。"),
         ("zh", "请明天下午把文件带到会议上来。"),
+        # r12 breadth extension: 15 more languages, 2 held-out each
+        ("pt", "gostaria de saber quando parte o próximo trem para a cidade."),
+        ("pt", "por favor traga os documentos para a reunião de amanhã à tarde."),
+        ("it", "vorrei sapere quando parte il prossimo treno per la città."),
+        ("it", "per favore porta i documenti alla riunione di domani pomeriggio."),
+        ("nl", "ik zou graag willen weten wanneer de volgende trein naar de stad vertrekt."),
+        ("nl", "breng de documenten alsjeblieft morgenmiddag naar de vergadering."),
+        ("sv", "jag skulle vilja veta när nästa tåg till staden går."),
+        ("sv", "ta med dokumenten till mötet i morgon eftermiddag."),
+        ("pl", "chciałbym wiedzieć kiedy odjeżdża następny pociąg do miasta."),
+        ("pl", "proszę przynieść dokumenty na jutrzejsze spotkanie po południu."),
+        ("tr", "bir sonraki trenin şehre ne zaman kalkacağını bilmek istiyorum."),
+        ("tr", "lütfen belgeleri yarın öğleden sonra toplantıya getirin."),
+        ("fi", "haluaisin tietää milloin seuraava juna lähtee kaupunkiin."),
+        ("fi", "tuo asiakirjat huomenna iltapäivällä kokoukseen."),
+        ("ro", "aș vrea să știu când pleacă următorul tren spre oraș."),
+        ("ro", "vă rog să aduceți documentele la ședința de mâine după amiază."),
+        ("id", "saya ingin tahu kapan kereta berikutnya berangkat ke kota."),
+        ("id", "tolong bawa dokumen itu ke rapat besok sore."),
+        ("vi", "tôi muốn biết khi nào chuyến tàu tiếp theo rời đi thành phố."),
+        ("vi", "vui lòng mang tài liệu đến cuộc họp chiều mai."),
+        ("ru", "я хотел бы знать когда отправляется следующий поезд в город."),
+        ("ru", "пожалуйста принесите документы на завтрашнее собрание."),
+        ("ja", "次の電車がいつ街へ出発するのか知りたい。"),
+        ("ja", "明日の午後、会議に書類を持ってきてください。"),
+        ("ko", "다음 기차가 언제 도시로 떠나는지 알고 싶다."),
+        ("ko", "내일 오후 회의에 서류를 가져오세요."),
+        ("ar", "أود أن أعرف متى يغادر القطار التالي إلى المدينة."),
+        ("ar", "من فضلك أحضر الوثائق إلى اجتماع بعد ظهر الغد."),
+        ("hi", "मैं जानना चाहता हूं कि अगली ट्रेन शहर के लिए कब निकलती है।"),
+        ("hi", "कृपया कल दोपहर की बैठक में दस्तावेज लेकर आएं।"),
     ]
 
     def _df(self, spark):
@@ -260,8 +291,8 @@ class TestTrainedLangId:
         got = {r.doc_id: (r.lang, r.n_grams) for r in lang_id_trained(df).collect()}
         assert got[0] == ("und", 0)  # NULL → empty-document contract
         assert got[1] == ("und", 0)
-        assert got[2] == ("und", 0)  # 2 chars → no trigram
-        assert got[3][1] == 1  # three spaces → one (unmatched) gram
+        assert got[2] == ("und", 0)  # 2 chars → under the 3-char floor
+        assert got[3][1] == 6  # three spaces → 3·3−3 = 6 gram occurrences
         assert len(got) == 4
 
     def test_arrow_and_expr_paths_agree(self, spark):
