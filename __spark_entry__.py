@@ -1213,14 +1213,16 @@ def text_quality(spark, sf):
 def lang_id_trained(spark, sf):
     """TRAINED language id (functions/langid_model.py — r8 verdict #7,
     replacing the stopword-profile placeholder as the quality path):
-    multinomial Naive Bayes over character trigrams, integer
-    milli-log-prob weights trained deterministically at import from
-    the module's embedded original corpus and broadcast as a (gram,
-    lang, wm) table — the classifier_score serving mechanism. Score_L
-    = Σ matched weights + (n_grams − matched_L)·oov_L in pure long
-    arithmetic; argmax with ties → smaller code; <3-char docs → 'und'.
-    Plan: codegen trigram explode → broadcast join → ONE partial-agg'd
-    pivot shuffle over the 5 literal codes → expression argmax. The
+    multinomial Naive Bayes over character 1+2+3-grams (r12: 20
+    languages across 6 scripts, gram mixture for CJK robustness),
+    integer milli-log-prob weights trained deterministically at import
+    from the module's embedded original corpus and broadcast as a
+    (gram, lang, wm) table — the classifier_score serving mechanism.
+    Score_L = Σ matched weights + (n_grams − matched_L)·oov_L in pure
+    long arithmetic; argmax with ties → smaller code; <3-char docs →
+    'und'. Plan: codegen gram explode → broadcast join → ONE
+    partial-agg'd pivot shuffle over the literal codes → expression
+    argmax. The
     oracle embeds the identical trained VALUES table. The profile
     heuristic stays as text_quality's lang_guess fallback;
     tests/test_text_operators.py pins a held-out accuracy floor of the
@@ -1498,7 +1500,10 @@ def ann_topk_ivf(spark, sf):
     cosine, same tie-breaks."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, q, k=5, n_probe=2)
+    # coarse pinned at "sample" — this row's oracle replays the sampled
+    # quantizer (the engine default moved to kmeans in r12; the trained
+    # default has its own row, ann_topk_ivf_kmeans)
+    return similarity.ivf_topk(emb, q, k=5, n_probe=2, coarse="sample")
 
 
 def kmeans_clusters(spark, sf):
@@ -1646,8 +1651,9 @@ def ann_topk_ivfpq(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     # n_probe pinned at the value this row's oracle replays (the engine
-    # default moved to 4 after the r10 clustered-recall tuning pass)
-    return ivfpq_topk(emb, q, k=5, n_probe=2)
+    # default moved to 4 after the r10 clustered-recall tuning pass);
+    # coarse pinned at "sample" likewise (engine default → kmeans, r12)
+    return ivfpq_topk(emb, q, k=5, n_probe=2, coarse="sample")
 
 
 def ann_topk_ivfpq_residual(spark, sf):
@@ -1667,15 +1673,19 @@ def ann_topk_ivfpq_residual(spark, sf):
     _ship_package(spark)
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_residual_topk(emb, q, k=5, n_probe=2, rerank_mult=10)
+    # coarse pinned at "sample" (engine default → kmeans, r12); the
+    # trained-coarse composition has its own row, ann_topk_ivfpq_residual_k
+    return ivfpq_residual_topk(
+        emb, q, k=5, n_probe=2, rerank_mult=10, coarse="sample"
+    )
 
 
 def ann_index_roundtrip(spark, sf):
     """Persisted IVF-PQ index round trip (similarity.ivfpq_index_build
     / ivfpq_index_query, r11): the build-once/query-many split every
     production vector index has — codes relation (id, cid, 8-byte PQ
-    codes) written as parquet + driver-scale meta JSON (centroids,
-    codebooks), then the query path loads meta, scans ONLY the
+    codes) written as parquet + driver-scale centroid/codebook/meta
+    relations (parquet too, r12), then the query path loads meta, scans ONLY the
     compressed relation, and runs the identical probe/ADC/top-k stage.
     The result must EQUAL ivfpq_topk's rows for the same parameters,
     so the oracle is the proven ivfpq replay (_pq_sql ivf_probe=2) —
@@ -1691,7 +1701,9 @@ def ann_index_roundtrip(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     path = tempfile.mkdtemp(prefix="ivfpq_index_")
-    ivfpq_index_build(emb, path)
+    # coarse pinned at "sample" — the oracle replays the sampled
+    # quantizer (engine default → kmeans, r12)
+    ivfpq_index_build(emb, path, coarse="sample")
     return ivfpq_index_query(spark, path, q, k=5, n_probe=2)
 
 
@@ -1967,6 +1979,30 @@ def jpeg_420_decode_check(spark, sf):
             "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
             " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
         ).alias("px_weighted"),
+    )
+
+
+def decode_coverage_check(spark, sf):
+    """Decode-coverage telemetry rollup (functions/multimodal.py:
+    decode_coverage — r11 verdict #8): a deterministic mixed corpus
+    (doc_id % 5 → PNG / gray JPEG / 4:2:0-with-restarts JPEG /
+    header-truncated JPEG / unsupported mime) runs the REAL decoders
+    and rolls (decode_status, decode_reason) counts up — the counter a
+    100 TB curation run reads to see what fraction of its media the
+    refuse-don't-misparse codec envelope actually decodes, reason-
+    coded. The oracle replays the rollup in closed form over the
+    doc_id residues (every status/reason here is a pure function of
+    doc_id % 5). Map-only decode pass + ONE bounded partial-agg'd
+    shuffle (≤ |reason codes| rows)."""
+    from nekton_spark.functions.multimodal import (
+        decode_coverage,
+        synth_coverage_media,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    per = decode_coverage(synth_coverage_media(d))
+    return per.groupBy("decode_status", "decode_reason").agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 
@@ -2853,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_suppliers": q11_important_suppliers,
         "jpeg_color_decode": jpeg_color_decode_check,
         "jpeg_420_decode": jpeg_420_decode_check,
+        "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
         "events_tumbling_window": events_tumbling_window,
@@ -3928,9 +3965,10 @@ def _pca_sql(d: int = 64, iters: int = 12) -> str:
 def _langid_trained_sql() -> str:
     """Replay of functions/langid_model.lang_id_trained: the SAME
     trained (gram, lang, wm) table as a VALUES literal, occurrence
-    counts via the identical trigram extraction, long-integer scores
-    score_L = ws_L + (n − cnt_L)·oov_L, argmax with ties to the
-    lexicographically smaller code, n = 0 → 'und'."""
+    counts via the identical 1+2+3-gram extraction (r12 mixture —
+    n = 3·len − 3 total gram occurrences, docs under 3 chars → 'und'),
+    long-integer scores score_L = ws_L + (n − cnt_L)·oov_L, argmax
+    with ties to the lexicographically smaller code."""
     from nekton_spark.functions.langid_model import (
         LANGS,
         langid_oov_sql,
@@ -3948,9 +3986,22 @@ def _langid_trained_sql() -> str:
     pick = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in LANGS)
     return f"""
 WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
-nn AS (SELECT doc_id, greatest(length(t) - 2, 0)::BIGINT AS n, t FROM d),
-u AS (SELECT doc_id, t, unnest(range(1, n + 1)) AS i FROM nn WHERE n > 0),
-g AS (SELECT doc_id, substr(t, i::INT, 3) AS gram FROM u),
+nn AS (SELECT doc_id,
+              CASE WHEN length(t) >= 3 THEN 3 * length(t) - 3 ELSE 0 END::BIGINT AS n,
+              t FROM d),
+g AS (
+  SELECT doc_id, substr(t, i::INT, 1) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) + 1)) AS i
+        FROM nn WHERE n > 0)
+  UNION ALL
+  SELECT doc_id, substr(t, i::INT, 2) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i
+        FROM nn WHERE n > 0)
+  UNION ALL
+  SELECT doc_id, substr(t, i::INT, 3) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+        FROM nn WHERE n > 0)
+),
 m AS (SELECT doc_id, lang, count(*)::BIGINT AS cnt, sum(wm)::BIGINT AS ws
       FROM g JOIN {langid_weight_values_sql()} USING (gram)
       GROUP BY doc_id, lang),
@@ -6013,6 +6064,17 @@ FROM documents
         # chroma replicated over the 16×16 MCU footprint (see
         # _jpeg_420_sql's docstring)
         "jpeg_420_decode": _jpeg_420_sql(),
+        # decode_coverage: every (status, reason) is a pure function of
+        # doc_id % 5 by construction of synth_coverage_media — the
+        # engine must actually decode/refuse its way to the same counts
+        "decode_coverage": """
+SELECT decode_status, decode_reason, count(*)::BIGINT AS n
+FROM (SELECT CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 'ok' ELSE 'refused' END AS decode_status,
+             CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
+                  WHEN 3 THEN 'truncated' ELSE 'unsupported_mime' END AS decode_reason
+      FROM documents)
+GROUP BY decode_status, decode_reason
+""",
         "jpeg_color_decode": """
 WITH t AS (
   SELECT doc_id, 8 * (1 + doc_id % 2) AS h, 8 * (1 + doc_id % 3) AS w,

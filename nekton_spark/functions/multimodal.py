@@ -183,6 +183,150 @@ def decode_image(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+_REFUSAL_CODES = [
+    # (message substring, stable reason code) — first match wins; the
+    # substrings are the codec modules' own refusal wordings, pinned by
+    # tests so a reworded exception can't silently retire a code
+    ("no codec", "unsupported_mime"),
+    ("baseline", "progressive_jpeg"),
+    ("sampling factors", "sampling_factors"),
+    ("quant", "quant_16bit"),
+    ("restart", "restart_desync"),
+    ("truncated", "truncated"),
+    ("SOI", "bad_signature"),
+    ("not a JPEG", "bad_signature"),
+    ("PNG", "bad_png"),
+    ("zero-dimension", "zero_dim"),
+    ("Huffman", "bad_entropy"),
+    ("marker", "bad_marker"),
+    ("null media", "null_payload"),
+]
+
+
+def _refusal_code(e: BaseException) -> str:
+    s = str(e)
+    for key, code in _REFUSAL_CODES:
+        if key in s:
+            return code
+    return "corrupt"
+
+
+def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Per-row decode-coverage telemetry (r11 verdict #8): attempt the
+    REAL decode of each media payload and annotate the row with
+    ``decode_status`` ('ok' | 'refused' | 'null') and a stable
+    reason-coded ``decode_reason`` ('png'/'jpeg' codec tag on success;
+    'unsupported_mime', 'truncated', 'progressive_jpeg',
+    'sampling_factors', 'restart_desync', … on refusal — see
+    ``_REFUSAL_CODES``). A 100 TB curation run rolls this up
+    (groupBy(status, reason).count(), one bounded partial-agg'd
+    shuffle) to see what fraction of its media the codec envelope
+    actually decodes and WHY the rest refused — without that counter a
+    refuse-don't-misparse codec silently looks like full coverage.
+    Map-only: one Arrow pass, decode results are discarded (statuses
+    only), no shuffle."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("decode_status", T.StringType(), False),
+            T.StructField("decode_reason", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import jpeg_decode
+
+        def one(m) -> tuple:
+            if m is None or m.get("payload") is None:
+                return "null", "null_payload"
+            try:
+                if m["mime"] == "image/png":
+                    _png_decode(m["payload"])
+                    return "ok", "png"
+                if m["mime"] == "image/jpeg":
+                    jpeg_decode(m["payload"])
+                    return "ok", "jpeg"
+                raise NotImplementedError(
+                    f"no codec for {m['mime']!r} in this environment"
+                )
+            except (ValueError, NotImplementedError) as e:
+                return "refused", _refusal_code(e)
+
+        for pdf in batches:
+            st, rs = [], []
+            for m in pdf[media_col]:
+                a, b = one(m)
+                st.append(a)
+                rs.append(b)
+            yield pdf.assign(decode_status=st, decode_reason=rs)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_coverage_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic mixed-coverage corpus for the decode_coverage
+    oracle row: key % 5 selects the payload class — 0 PNG, 1 grayscale
+    JPEG, 2 4:2:0 JPEG (restart interval key % 3), 3 a TRUNCATED JPEG
+    (cut inside the APP0/DQT headers at 10 + key % 10 bytes, always a
+    'truncated' refusal), 4 an unsupported mime. The expected
+    (status, reason) is a pure function of the key residue, so a SQL
+    oracle replays the rollup in closed form."""
+    from .jpeg import (
+        jpeg_encode_blocks,
+        jpeg_encode_blocks_420,
+        synth_420_block_values,
+        synth_block_values,
+    )
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            r = key % 5
+            if r == 0:
+                return {
+                    "payload": _png_encode(_synth_pixels(key)),
+                    "mime": "image/png",
+                    "meta": {"cls": "png"},
+                }
+            if r == 1:
+                dcs, bx, w, h = synth_block_values(key)
+                return {
+                    "payload": jpeg_encode_blocks(dcs, bx, w, h),
+                    "mime": "image/jpeg",
+                    "meta": {"cls": "jpeg"},
+                }
+            if r == 2:
+                dy, dcb, dcr, mx, w, h = synth_420_block_values(key)
+                return {
+                    "payload": jpeg_encode_blocks_420(
+                        dy, dcb, dcr, mx, w, h, restart_interval=key % 3
+                    ),
+                    "mime": "image/jpeg",
+                    "meta": {"cls": "jpeg420"},
+                }
+            if r == 3:
+                dcs, bx, w, h = synth_block_values(key)
+                cut = 10 + key % 10  # always inside the header segments
+                return {
+                    "payload": jpeg_encode_blocks(dcs, bx, w, h)[:cut],
+                    "mime": "image/jpeg",
+                    "meta": {"cls": "truncated"},
+                }
+            return {
+                "payload": b"\x00\x01\x02\x03",
+                "mime": "video/h264",
+                "meta": {"cls": "unsupported"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """PNG Paeth predictor (spec 9.4): nearest of left/up/up-left to
     the linear estimate a + b - c, ties broken left, up, up-left."""
@@ -442,7 +586,10 @@ def synth_jpeg_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     (:func:`.jpeg.jpeg_encode_blocks` — genuine JFIF any baseline
     decoder accepts). Pixels follow the :func:`.jpeg.synth_block_values`
     closed form: DC-only 8×8 blocks, so block b of image ``key`` decodes
-    to the constant (key*31 + b*17) % 256 exactly."""
+    to the constant (key*31 + b*17) % 256 exactly. Every third row
+    (key % 3 ∈ {1, 2}) encodes with that restart interval (DRI/RSTn,
+    r12) — the pixels are unchanged, so the same closed-form oracle now
+    exercises the restart path end-to-end."""
     from .jpeg import jpeg_encode_blocks, synth_block_values
 
     out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
@@ -451,7 +598,9 @@ def synth_jpeg_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         def one(key: int) -> dict:
             dcs, bx, w, h = synth_block_values(key)
             return {
-                "payload": jpeg_encode_blocks(dcs, bx, w, h),
+                "payload": jpeg_encode_blocks(
+                    dcs, bx, w, h, restart_interval=key % 3
+                ),
                 "mime": "image/jpeg",
                 "meta": {"origin": "synth"},
             }
@@ -492,7 +641,9 @@ def synth_jpeg_420_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     the subsampling most real-world JPEGs use). Samples follow the
     :func:`.jpeg.synth_420_block_values` closed form, so the decoded
     RGB (replication chroma upsample + floor(x+0.5) conversion) is
-    replayable in SQL."""
+    replayable in SQL. Every third row (key % 3 ∈ {1, 2}) encodes with
+    that restart interval (DRI/RSTn, r12) — same pixels, so the oracle
+    also covers restarts in the interleaved-MCU scan."""
     from .jpeg import jpeg_encode_blocks_420, synth_420_block_values
 
     out_schema = T.StructType(df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)])
@@ -501,7 +652,9 @@ def synth_jpeg_420_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         def one(key: int) -> dict:
             dc_y, dc_cb, dc_cr, mx, w, h = synth_420_block_values(key)
             return {
-                "payload": jpeg_encode_blocks_420(dc_y, dc_cb, dc_cr, mx, w, h),
+                "payload": jpeg_encode_blocks_420(
+                    dc_y, dc_cb, dc_cr, mx, w, h, restart_interval=key % 3
+                ),
                 "mime": "image/jpeg",
                 "meta": {"origin": "synth-420"},
             }

@@ -120,6 +120,22 @@ def ngram_jaccard_processor(
     return dd.ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
 
 
+def _select_queries(df: DataFrame, query_ids, id_col: str) -> DataFrame:
+    """Query-row selection shared by the ANN processors: absent/None →
+    every row is a query; a non-empty list filters to those ids; an
+    explicitly EMPTY list REFUSES (r11 ADVICE) — ``query_ids: []`` is
+    a spec typo, and treating it as 'no filter' silently fans the
+    whole frame out as queries against the corpus."""
+    if query_ids is None:
+        return df
+    if len(query_ids) == 0:
+        raise ValueError(
+            "query_ids: [] selects no queries; omit the key to query "
+            "every row (refuse rather than fan out the whole frame)"
+        )
+    return df.filter(F.col(id_col).isin(query_ids))
+
+
 @register_processor("ann_topk")
 def ann_topk_processor(
     df: DataFrame,
@@ -130,7 +146,7 @@ def ann_topk_processor(
     vec_col: str = "embedding",
     **kw,
 ) -> DataFrame:
-    q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
+    q = _select_queries(df, query_ids, id_col)
     fn = {
         "brute": sim.brute_force_topk,
         "lsh": sim.lsh_topk,
@@ -161,7 +177,7 @@ def ann_index_query_processor(
     """Query a PERSISTED IVF-PQ index (built by the ``ann_index`` sink
     or similarity.ivfpq_index_build) with rows of ``df`` as queries —
     the build-once/query-many half of the ann_topk surface."""
-    q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
+    q = _select_queries(df, query_ids, id_col)
     return sim.ivfpq_index_query(
         df.sparkSession, path, q, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
@@ -183,6 +199,26 @@ def decode_media_processor(df: DataFrame, kind: str = "image", **kw) -> DataFram
     if kind == "video":
         return mm.frame_sample(df, **kw)
     raise ValueError(f"unknown media kind: {kind!r} (image|audio|video)")
+
+
+@register_processor("decode_coverage")
+def decode_coverage_processor(
+    df: DataFrame, media_col: str = "media", rollup: bool = False
+) -> DataFrame:
+    """Decode-coverage telemetry (functions/multimodal.decode_coverage,
+    r12): annotate each media row with (decode_status, decode_reason)
+    from a real decode attempt — or, with ``rollup: true``, return the
+    corpus-level (status, reason, n) counter relation a 100 TB run
+    reads to see what fraction of its media the codec envelope decodes
+    and why the rest refused."""
+    from ..functions.multimodal import decode_coverage as _cov
+
+    per = _cov(df, media_col=media_col)
+    if not rollup:
+        return per
+    return per.groupBy("decode_status", "decode_reason").agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 @register_processor("embedding_near_dup")
@@ -748,7 +784,7 @@ def mmr_processor(
     """MMR diverse top-k (functions/similarity.py:mmr_topk —
     Carbonell & Goldstein 1998): redundancy-penalized greedy re-rank
     of the top-c relevance candidates."""
-    q = df.filter(F.col(id_col).isin(query_ids)) if query_ids else df
+    q = _select_queries(df, query_ids, id_col)
     return sim.mmr_topk(
         df, q, k=k, c=c, lam=lam, id_col=id_col, vec_col=vec_col, dim=dim
     )

@@ -626,7 +626,19 @@ class TestSimilarity:
         inline = sorted(map(tuple, ivfpq_topk(df, q, k=3, n_probe=2).collect()))
         p = str(tmp_path / "idx")
         meta = ivfpq_index_build(df, p)
-        assert meta["format"] == "nekton_spark.ivfpq/1"
+        assert meta["format"] == "nekton_spark.ivfpq/2"
+        # format/2 (r12): every artifact is parquet via the Spark
+        # writer — no driver-written JSON blob
+        import os
+
+        assert os.path.isdir(os.path.join(p, "centroids"))
+        assert os.path.isdir(os.path.join(p, "codebooks"))
+        assert os.path.isdir(os.path.join(p, "meta"))
+        assert not os.path.exists(os.path.join(p, "ivfpq_meta.json"))
+        # the build parameters are auditable from the persisted meta
+        # (r11 ADVICE: the kmeans default resolves coarse_k explicitly)
+        assert meta["coarse"] == "kmeans" and meta["coarse_k"] >= 1
+        assert meta["train_distortion"] >= 0.0
         via_index = sorted(
             map(tuple, ivfpq_index_query(spark, p, q, k=3, n_probe=2).collect())
         )
@@ -715,6 +727,164 @@ class TestSimilarity:
             )
             ref = train_centroids(sub, ksub, iters)
             assert fused[s] == ref, f"subspace {s} codebook differs"
+
+    def test_coarse_default_is_kmeans_unless_stride(self, spark):
+        """r12: the IVF family's default coarse quantizer is TRAINED
+        k-means cells (+0.28-0.45 clustered recall@10 at flat wall,
+        r11 bench); an explicit centroid_stride — the sampled
+        quantizer's only knob — keeps the sampled semantics legacy
+        call sites and SQL oracles were written against."""
+        import random
+
+        from nekton_spark.functions.similarity import ivf_topk
+
+        rng = random.Random(41)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 3)
+        default = sorted(map(tuple, ivf_topk(df, q, k=3, n_probe=2).collect()))
+        kmeans = sorted(map(tuple, ivf_topk(
+            df, q, k=3, n_probe=2, coarse="kmeans").collect()))
+        assert default == kmeans
+        strided = sorted(map(tuple, ivf_topk(
+            df, q, k=3, n_probe=2, centroid_stride=10).collect()))
+        sampled = sorted(map(tuple, ivf_topk(
+            df, q, k=3, n_probe=2, centroid_stride=10, coarse="sample"
+        ).collect()))
+        assert strided == sampled
+
+    def test_coarse_k_refusals(self, spark):
+        """r11 ADVICE: coarse_k=0 must refuse, not silently fall back
+        to the sqrt(n) default via `or`; coarse_k with the sampled
+        quantizer is a mode mismatch and refuses too."""
+        from nekton_spark.functions.similarity import ivf_topk
+
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 64) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="coarse_k must be >= 1"):
+            ivf_topk(df, df, k=2, coarse="kmeans", coarse_k=0)
+        with pytest.raises(ValueError, match="coarse_k applies to"):
+            ivf_topk(df, df, k=2, coarse="sample", coarse_k=4)
+
+    def test_ivfpq_index_legacy_v1_json_readback(self, spark, tmp_path):
+        """The r11 format/1 layout (one driver-written JSON blob +
+        codes) must stay queryable: same rows as the format/2 index it
+        was derived from."""
+        import json
+        import random
+        import shutil
+
+        from nekton_spark.functions.similarity import (
+            ivfpq_index_build,
+            ivfpq_index_query,
+        )
+
+        rng = random.Random(43)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(90)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter(F.col("vec_id") < 3)
+        p2 = str(tmp_path / "v2")
+        meta = ivfpq_index_build(df, p2, coarse="sample", centroid_stride=10)
+        p1 = tmp_path / "v1"
+        p1.mkdir()
+        shutil.copytree(f"{p2}/codes", str(p1 / "codes"))
+        with open(p1 / "ivfpq_meta.json", "w") as f:
+            json.dump(
+                {
+                    "format": "nekton_spark.ivfpq/1",
+                    "c_ids": meta["c_ids"],
+                    "c_mat": meta["c_mat"],
+                    "cbs": meta["cbs"],
+                    "m_sub": meta["m_sub"],
+                    "ksub": meta["ksub"],
+                    "d0": meta["d0"],
+                },
+                f,
+            )
+        out2 = sorted(map(tuple, ivfpq_index_query(spark, p2, q, k=3).collect()))
+        out1 = sorted(
+            map(tuple, ivfpq_index_query(spark, str(p1), q, k=3).collect())
+        )
+        assert out1 == out2
+
+    def test_ivfpq_index_append_equals_rebuild(self, spark, tmp_path):
+        """r12 incremental append: encoding a planted batch under the
+        FROZEN quantizers must equal a full rebuild on the union —
+        the batch is planted so the union's training sample and
+        sampled centroids are unchanged (odd ids; stride 10; pq_stride
+        stays 2 at cap 64), isolating the append path itself."""
+        import random
+
+        from nekton_spark.functions.similarity import (
+            ivfpq_index_append,
+            ivfpq_index_build,
+            ivfpq_index_query,
+        )
+
+        rng = random.Random(47)
+        vec = lambda: [rng.gauss(0, 1) for _ in range(64)]  # noqa: E731
+        a_rows = [(i, vec()) for i in range(100)]
+        b_rows = [(i, vec()) for i in range(101, 141) if i % 2 == 1]
+        schema = "vec_id long, embedding array<double>"
+        df_a = spark.createDataFrame(a_rows, schema)
+        df_b = spark.createDataFrame(b_rows, schema)
+        df_ab = spark.createDataFrame(a_rows + b_rows, schema)
+        params = dict(coarse="sample", centroid_stride=10, train_cap=64)
+        p_inc = str(tmp_path / "inc")
+        ivfpq_index_build(df_a, p_inc, **params)
+        new_meta = ivfpq_index_append(df_b, p_inc, drift_tol=3.0)
+        assert new_meta["n_rows"] == 120
+        p_full = str(tmp_path / "full")
+        ivfpq_index_build(df_ab, p_full, **params)
+        q = df_ab.filter(F.col("vec_id").isin([0, 1, 103]))
+        out_inc = sorted(
+            map(tuple, ivfpq_index_query(spark, p_inc, q, k=3, n_probe=2).collect())
+        )
+        out_full = sorted(
+            map(tuple, ivfpq_index_query(spark, p_full, q, k=3, n_probe=2).collect())
+        )
+        assert out_inc == out_full and len(out_inc) == 9
+
+    def test_ivfpq_index_append_refusals(self, spark, tmp_path):
+        """Append refuses (a) a batch whose PQ distortion drifts past
+        drift_tol x the build's training distortion — frozen codebooks
+        would silently lose recall — and (b) id collisions with the
+        existing codes, which would corrupt every later query."""
+        import random
+
+        from nekton_spark.functions.similarity import (
+            ivfpq_index_append,
+            ivfpq_index_build,
+        )
+
+        rng = random.Random(53)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)]
+        schema = "vec_id long, embedding array<double>"
+        df = spark.createDataFrame(rows, schema)
+        p = str(tmp_path / "idx")
+        ivfpq_index_build(df, p, coarse="sample", centroid_stride=10)
+        drifted = spark.createDataFrame(
+            [(1000 + i, [100.0 * x for x in v]) for i, v in rows[:20]], schema
+        )
+        with pytest.raises(ValueError, match="drift"):
+            ivfpq_index_append(drifted, p)
+        dup = spark.createDataFrame(rows[:5], schema)
+        with pytest.raises(ValueError, match="shares 5 id"):
+            ivfpq_index_append(dup, p, drift_tol=1e9)
+
+    def test_ann_processor_refuses_empty_query_ids(self, spark):
+        """r11 ADVICE: query_ids: [] is a spec typo — refusing beats
+        silently fanning the whole frame out as queries."""
+        from nekton_spark.operators.llm import ann_topk_processor
+
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 64) for i in range(10)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="query_ids"):
+            ann_topk_processor(df, query_ids=[], k=2)
 
     def test_pq_topk_rejects_indivisible_dim(self, spark):
         from nekton_spark.functions.similarity import pq_topk
@@ -1138,6 +1308,60 @@ class TestMultimodal:
         assert rows[0].pixels == rows[1].pixels
         assert len(rows[0].pixels) == 16
 
+    def test_decode_coverage_statuses_and_reason_codes(self, spark):
+        """r12 telemetry: decode_coverage must reason-code every class
+        of the mixed synthetic corpus correctly, and the refusal-code
+        mapper must classify the codec modules' own exception wordings
+        (progressive, sampling factors, truncation, unsupported mime)
+        into stable codes."""
+        from nekton_spark.functions.jpeg import jpeg_encode_blocks
+        from nekton_spark.functions.multimodal import (
+            _refusal_code,
+            decode_coverage,
+            synth_coverage_media,
+        )
+
+        ids = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+        rows = decode_coverage(synth_coverage_media(ids)).collect()
+        got = {r.doc_id: (r.decode_status, r.decode_reason) for r in rows}
+        for i in range(25):
+            expect = {
+                0: ("ok", "png"),
+                1: ("ok", "jpeg"),
+                2: ("ok", "jpeg"),
+                3: ("refused", "truncated"),
+                4: ("refused", "unsupported_mime"),
+            }[i % 5]
+            assert got[i] == expect, (i, got[i])
+        # refusal-code mapper: drive the real decoder into each class
+        from nekton_spark.functions.jpeg import jpeg_decode
+
+        def code_of(payload):
+            try:
+                jpeg_decode(payload)
+                return "ok"
+            except (ValueError, NotImplementedError) as e:
+                return _refusal_code(e)
+
+        good = bytearray(jpeg_encode_blocks([5], 1, 8, 8))
+        prog = bytearray(good)
+        prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+        assert code_of(bytes(prog)) == "progressive_jpeg"
+        assert code_of(bytes(good[:12])) == "truncated"
+        assert code_of(b"\x89PNG\r\n\x1a\n") == "bad_signature"
+        # null media struct
+        null_row = decode_coverage(
+            ids.limit(1).withColumn(
+                "media", F.lit(None).cast(
+                    "struct<payload:binary,mime:string,meta:map<string,string>>"
+                )
+            )
+        ).first()
+        assert (null_row.decode_status, null_row.decode_reason) == (
+            "null",
+            "null_payload",
+        )
+
     def test_media_features(self, spark):
         from nekton_spark.functions.multimodal import media_features, media_from_text
 
@@ -1367,6 +1591,74 @@ class TestJpegCodec:
             fq[J.ZIGZAG[kk]] = v * J.Q_TABLE[J.ZIGZAG[kk]]
         ref = np.clip(np.round(J._A.T @ fq.reshape(8, 8) @ J._A + 128.0), 0, 255)
         assert (got == ref.astype(np.uint8)).all()
+
+    def test_restart_interval_round_trip(self):
+        """r12 DRI/RSTn (T.81 §B.2.4.4/E.2.4): streams with restart
+        intervals decode to EXACTLY the same pixels as the same blocks
+        without restarts — grayscale (block = MCU), 4:2:0 interleaved
+        (16×16 MCU), and a long stream whose RSTn sequence wraps the
+        modulo-8 counter more than once."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+            jpeg_encode_blocks_420,
+            synth_420_block_values,
+            synth_block_values,
+        )
+
+        for key in range(24):
+            dcs, bx, w, h = synth_block_values(key)
+            base = jpeg_decode(jpeg_encode_blocks(dcs, bx, w, h))
+            for ri in (1, 2, 5):
+                got = jpeg_decode(
+                    jpeg_encode_blocks(dcs, bx, w, h, restart_interval=ri)
+                )
+                assert np.array_equal(got, base), (key, ri)
+            dy, dcb, dcr, mx, w2, h2 = synth_420_block_values(key)
+            base2 = jpeg_decode(jpeg_encode_blocks_420(dy, dcb, dcr, mx, w2, h2))
+            got2 = jpeg_decode(
+                jpeg_encode_blocks_420(
+                    dy, dcb, dcr, mx, w2, h2, restart_interval=1 + key % 3
+                )
+            )
+            assert np.array_equal(got2, base2), key
+        # 24 blocks at interval 1 → RST0..RST7 cycles ~3×
+        dcs = [((7 * b) % 200) - 100 for b in range(24)]
+        a = jpeg_decode(jpeg_encode_blocks(dcs, 4, 32, 48))
+        b = jpeg_decode(jpeg_encode_blocks(dcs, 4, 32, 48, restart_interval=1))
+        assert np.array_equal(a, b)
+
+    def test_restart_marker_refusals(self):
+        """Restart streams refuse, never desynchronize: out-of-sequence
+        RSTn, a missing RSTn where DRI demands one, an unexpected RSTn
+        with no DRI, and a truncated DRI segment."""
+        import struct
+
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+        )
+
+        dcs = [((7 * b) % 200) - 100 for b in range(8)]
+        p = bytes(jpeg_encode_blocks(dcs, 4, 32, 16, restart_interval=1))
+        i = p.find(b"\xff\xd0")
+        with pytest.raises(ValueError, match="out of sequence"):
+            jpeg_decode(p[: i + 1] + bytes([0xD6]) + p[i + 2 :])
+        # DRI declared on a stream with no RSTn markers
+        q = bytes(jpeg_encode_blocks(dcs, 4, 32, 16))
+        sos = q.find(b"\xff\xda")
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+        with pytest.raises(ValueError, match="expected RST"):
+            jpeg_decode(q[:sos] + dri + q[sos:])
+        # RSTn present but NO DRI: the reader hits it mid-entropy
+        no_dri = p[:2] + p[2:].replace(b"\xff\xdd\x00\x04\x00\x01", b"")
+        assert no_dri != p  # the DRI segment was present and removed
+        with pytest.raises(ValueError, match="restart marker"):
+            jpeg_decode(no_dri)
+        # truncated DRI body
+        bad_dri = q[:sos] + b"\xff\xdd" + struct.pack(">H", 3) + b"\x00" + q[sos:]
+        with pytest.raises(ValueError, match="DRI"):
+            jpeg_decode(bad_dri)
 
     def test_rejects_unsupported_streams(self):
         from nekton_spark.functions.jpeg import (
