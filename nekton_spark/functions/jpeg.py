@@ -31,9 +31,10 @@ YCbCr→RGB (half-up rounding, so a SQL oracle replays it with
 3-component JFIF bytes for the DC-only synthetic fixture.
 
 Chroma subsampling (r10 verdict #3 — most real-world JPEGs are
-4:2:0): the decoder handles the general interleaved MCU scan for
-sampling factors 1 and 2 (4:4:4, 4:2:0, 4:2:2, 4:4:0) — per-MCU
-hi×vi blocks per component, MCU-order → block-raster reassembly,
+4:2:0): the decoder handles the general interleaved MCU scan for the
+full spec-legal factor range 1..4 (4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1,
+3:1:1, … — r12 lifted the former 1..2 envelope) — per-MCU hi×vi
+blocks per component, MCU-order → block-raster reassembly,
 sample-replication chroma upsample ((y·vi)//vmax — T.81 leaves the
 upsampling filter to the decoder; replication is the deterministic
 choice a SQL oracle replays in closed form).
@@ -50,8 +51,8 @@ segment + aligned RSTn markers, so fixtures cover the path end-to-end
 with the same closed-form pixel oracle (restart markers change the
 bytes, never the pixels).
 
-Progressive (SOF2) and sampling factors 3/4 raise
-``NotImplementedError`` explicitly rather than mis-decoding.
+Progressive (SOF2) raises ``NotImplementedError`` explicitly rather
+than mis-decoding.
 """
 
 from __future__ import annotations
@@ -510,12 +511,14 @@ _A = np.array(
 def jpeg_decode(payload: bytes) -> np.ndarray:
     """Decode 8-bit baseline JPEG bytes: single-component → (h, w)
     uint8; 3-component → (h, w, 3) uint8 RGB (JFIF YCbCr→RGB, half-up
-    rounding) for sampling factors 1 and 2 — 4:4:4, 4:2:0, 4:2:2,
-    4:4:0 — with replication chroma upsample. General within that
-    envelope: arbitrary Huffman and quant tables are read from the
-    stream, AC run-length/EOB/ZRL are honored, FF00 stuffing removed,
-    partial edge blocks cropped. Sampling factors 3/4 refuse rather
-    than mis-decode."""
+    rounding) for the full spec-legal sampling range (T.81 B.2.2:
+    factors 1..4 — 4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1, 3:1:1, …) with
+    replication chroma upsample ((y·vi)//vmax — deterministic and
+    closed-form, including the fractional 2-against-3 ratios the spec
+    permits). General within that envelope: arbitrary Huffman and
+    quant tables are read from the stream, AC run-length/EOB/ZRL are
+    honored, restart intervals handled, FF00 stuffing removed, partial
+    edge blocks cropped."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -591,14 +594,15 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, hv, tqi = body[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = hv >> 4, hv & 0x0F
-                # supported sampling envelope: factors 1 and 2 (covers
-                # 4:4:4, 4:2:0, 4:2:2, 4:4:0 — the formats that occur
-                # in practice); 3/4 are spec-legal but refuse rather
-                # than ship an untested upsampling ratio
-                if ncomp > 1 and not (1 <= hi <= 2 and 1 <= vi <= 2):
-                    raise NotImplementedError(
-                        f"sampling factors {hi}x{vi} not supported — "
-                        "only 1 and 2 (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
+                # full spec-legal sampling envelope (T.81 B.2.2: Hi/Vi
+                # ∈ 1..4 — r12 lifted the former 1..2 refusal: the
+                # interleaved-MCU scan and the (y·vi)//vmax replication
+                # upsample are factor-agnostic, now fixture-tested at
+                # 3 and 4); 0 or >4 is stream corruption and refuses
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"illegal sampling factors {hi}x{vi} (T.81 "
+                        "B.2.2 allows 1..4)"
                     )
                 comps.append((cid, hi, vi, tqi))
         elif tag in (0xC1, 0xC2, 0xC3):

@@ -1705,13 +1705,13 @@ class TestJpegCodec:
                 blk = rgb[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
                 assert (blk == exp).all(), (key, b)
 
-    def test_sampling_refusal_narrowed_to_factors_3_4(self):
-        """r11: subsampled chroma now DECODES (factors 1 and 2); the
-        refusal envelope narrows to factors 3/4 (spec-legal but
-        untested upsampling ratios). Flipping a 4:4:4 stream's Y
-        factors to 2×2 reinterprets the same entropy bytes under a
-        4:2:0 layout — a well-formed (if different) decode, exactly
-        what libjpeg does with such bytes; flipping to 3×3 refuses."""
+    def test_sampling_factors_full_range_and_illegal_refusal(self):
+        """r12: the full spec-legal factor range 1..4 DECODES (the
+        former 1..2 refusal is lifted); 0 and >4 are stream corruption
+        and refuse. Flipping a 4:4:4 stream's Y factors reinterprets
+        the same entropy bytes under the new layout — a well-formed
+        (if different) decode, exactly what libjpeg does with such
+        bytes."""
         from nekton_spark.functions.jpeg import (
             jpeg_decode,
             jpeg_encode_blocks_color,
@@ -1723,12 +1723,73 @@ class TestJpegCodec:
         jpeg_decode(bytes(payload))  # 4:4:4 accepted
         sof = payload.index(b"\xff\xc0")
         # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) then (id, HV, Tq)*
-        payload[sof + 11] = 0x22  # Y sampling -> 2x2: decodes per header
-        out = jpeg_decode(bytes(payload))
-        assert out.shape == (h, w, 3) and out.dtype == np.uint8
-        payload[sof + 11] = 0x33  # factor 3: refuse
-        with pytest.raises(NotImplementedError, match="sampling factors"):
-            jpeg_decode(bytes(payload))
+        for hv in (0x22, 0x33, 0x44):  # all spec-legal: decode per header
+            payload[sof + 11] = hv
+            out = jpeg_decode(bytes(payload))
+            assert out.shape == (h, w, 3) and out.dtype == np.uint8
+        for hv in (0x05, 0x50, 0x15):  # factor 0 / 5: corrupt, refuse
+            payload[sof + 11] = hv
+            with pytest.raises(ValueError, match="illegal sampling factors"):
+                jpeg_decode(bytes(payload))
+
+    def test_sampling_factors_3_4_exact_closed_form(self):
+        """Factors 3 and 4 (4:1:1, 3:1:1, and the fractional
+        2-against-4 / 1-against-4 ratios) decode EXACTLY to the
+        replication-upsample closed form, including non-multiple edge
+        crops."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_sampled,
+        )
+
+        def ref_rgb(dc_planes, factors, mcus_x, w, h):
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            planes = []
+            for (hi, vi), dcs in zip(factors, dc_planes):
+                nbx = mcus_x * hi
+                P = np.empty((h, w))
+                for y in range(h):
+                    for x in range(w):
+                        py, px = (y * vi) // vmax, (x * hi) // hmax
+                        P[y, x] = dcs[(py // 8) * nbx + px // 8] + 128
+                planes.append(P)
+            y, cb, cr = planes
+            rgb = np.stack(
+                [
+                    np.floor(y + 1.402 * (cr - 128.0) + 0.5),
+                    np.floor(
+                        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+                    ),
+                    np.floor(y + 1.772 * (cb - 128.0) + 0.5),
+                ],
+                axis=-1,
+            )
+            return np.clip(rgb, 0, 255).astype(np.uint8)
+
+        rng = np.random.RandomState(7)
+        cases = [
+            ([(3, 1), (1, 1), (1, 1)], 1, 2),
+            ([(4, 1), (1, 1), (1, 1)], 1, 2),  # 4:1:1
+            ([(4, 2), (2, 1), (1, 2)], 1, 1),  # fractional ratios
+            ([(3, 3), (1, 1), (1, 1)], 2, 1),
+            ([(4, 4), (2, 2), (1, 1)], 1, 1),
+        ]
+        for factors, mx, my in cases:
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            w, h = 8 * hmax * mx, 8 * vmax * my
+            planes = [
+                [int(v) for v in rng.randint(-100, 100, mx * my * hi * vi)]
+                for (hi, vi) in factors
+            ]
+            payload = jpeg_encode_blocks_sampled(planes, factors, mx, w, h)
+            want = ref_rgb(planes, factors, mx, w, h)
+            assert np.array_equal(jpeg_decode(payload), want), factors
+            crop = jpeg_encode_blocks_sampled(planes, factors, mx, w - 5, h - 3)
+            assert np.array_equal(
+                jpeg_decode(crop), want[: h - 3, : w - 5]
+            ), (factors, "crop")
 
     def test_jpeg_420_round_trip_closed_form(self):
         """4:2:0 fixture (Y 2×2, chroma 1×1): every pixel must equal

@@ -529,6 +529,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         jpeg_encode_blocks,
         jpeg_encode_blocks_420,
         jpeg_encode_blocks_color,
+        jpeg_encode_blocks_sampled,
         synth_420_block_values,
     )
     from nekton_spark.functions.multimodal import (
@@ -640,6 +641,22 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 # truncations can land mid-restart-segment)
             ),
             ("jpeg_420", *_jpeg_420_base(key)),
+            (
+                "jpeg_411",
+                jpeg_encode_blocks_sampled(
+                    [
+                        [rng.randrange(-64, 64) for _ in range(8)],
+                        [rng.randrange(-64, 64) for _ in range(2)],
+                        [rng.randrange(-64, 64) for _ in range(2)],
+                    ],
+                    [(4, 1), (1, 1), (1, 1)],
+                    1, 32, 16,
+                ),
+                jpeg_decode,
+                None,  # r12 factor-4 stream (4:1:1) through the same
+                # corruption battery; exactness is pinned by the
+                # closed-form pytest, here assert refusal hygiene
+            ),
             ("wav", make_wav(key), None,
              _synth_samples(key, 256 + key % 256).astype("<i2")),
         ]
