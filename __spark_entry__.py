@@ -1954,6 +1954,35 @@ def jpeg_color_decode_check(spark, sf):
     )
 
 
+def jpeg_progressive_decode_check(spark, sf):
+    """PROGRESSIVE (SOF2) JPEG round trip (functions/jpeg.py, r12 —
+    T.81 Annex G): genuine progressive JFIF bytes with the full
+    successive-approximation scan script — interleaved DC first scan
+    at Al=2, two DC refinement scans (raw bits), AC first + refinement
+    over split spectral bands (EOBRUN band coding, G.1.2.3 correction
+    bits), restart intervals on every third row — accumulated in
+    coefficient memory and reconstructed through the same IDCT as
+    baseline. The coefficients are the SAME DC-only closed form as
+    jpeg_decode, so the identical oracle replay must hash-match: any
+    corruption anywhere in the multi-scan path breaks it."""
+    from nekton_spark.functions.multimodal import synth_jpeg_progressive_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_jpeg_progressive_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def jpeg_420_decode_check(spark, sf):
     """4:2:0 SUBSAMPLED baseline-JPEG round trip (functions/jpeg.py,
     r10 verdict #3 — the subsampling most real-world JPEGs use):
@@ -2889,6 +2918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_suppliers": q11_important_suppliers,
         "jpeg_color_decode": jpeg_color_decode_check,
         "jpeg_420_decode": jpeg_420_decode_check,
+        "jpeg_progressive_decode": jpeg_progressive_decode_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -6064,6 +6094,25 @@ FROM documents
         # chroma replicated over the 16×16 MCU footprint (see
         # _jpeg_420_sql's docstring)
         "jpeg_420_decode": _jpeg_420_sql(),
+        # jpeg_progressive_decode: the SOF2 multi-scan path must land
+        # on the SAME closed-form pixels as the baseline jpeg_decode
+        # row — identical oracle, different (progressive) bytes
+        "jpeg_progressive_decode": """
+SELECT doc_id,
+       (8 * (1 + doc_id % 2))::INT AS dec_height,
+       (8 * (1 + doc_id % 3))::INT AS dec_width,
+       list_reduce(
+         list_transform(range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+           b -> 64 * ((doc_id * 31 + b * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 64 * (1 + doc_id % 3) * (1 + doc_id % 2)),
+           i -> (i + 1) * ((doc_id * 31
+                 + ((i // (64 * (1 + doc_id % 3))) * (1 + doc_id % 3)
+                    + (i % (8 * (1 + doc_id % 3))) // 8) * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM documents
+""",
         # decode_coverage: every (status, reason) is a pure function of
         # doc_id % 5 by construction of synth_coverage_media — the
         # engine must actually decode/refuse its way to the same counts

@@ -51,8 +51,20 @@ segment + aligned RSTn markers, so fixtures cover the path end-to-end
 with the same closed-form pixel oracle (restart markers change the
 bytes, never the pixels).
 
-Progressive (SOF2) raises ``NotImplementedError`` explicitly rather
-than mis-decoding.
+Progressive (SOF2, r12 — T.81 Annex G): the decoder accumulates scans
+into per-component coefficient memory — interleaved DC first scans,
+DC successive-approximation refinements (raw bits), AC first scans
+with EOBRUN band coding, AC refinements with interleaved correction
+bits (G.1.2.3), spectral selection in any banding, restart intervals
+inside progressive scans — then reconstructs through the same IDCT
+kernel as baseline, so a progressive and a baseline encoding of
+identical coefficients decode bit-identically (pinned by tests).
+:func:`jpeg_encode_progressive` writes the matching libjpeg-style
+scan script (custom AC Huffman table carrying the EOBn symbols
+baseline tables lack).
+
+Hierarchical/lossless/arithmetic SOFs raise ``NotImplementedError``
+explicitly rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -67,6 +79,7 @@ __all__ = [
     "jpeg_encode_blocks_color",
     "jpeg_encode_blocks_sampled",
     "jpeg_encode_blocks_420",
+    "jpeg_encode_progressive",
     "jpeg_decode",
     "synth_block_values",
     "synth_color_block_values",
@@ -496,6 +509,279 @@ def jpeg_encode_blocks_420(
     )
 
 
+# Progressive AC Huffman table: the Annex K baseline AC table has no
+# EOBn (r<<4, r>0) symbols, which progressive band coding requires —
+# so progressive scans ship this uniform 8-bit canonical table covering
+# every symbol the encoder can emit: EOB0..EOB14 (0x00..0xE0), ZRL
+# (0xF0), and (r, s) for r 0..15 / s 1..10 — 176 symbols, Kraft sum
+# 176/256, all-ones code unused. The decoder reads whatever DHT the
+# stream carries, so this choice is an encoder detail only.
+PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0] * 7 + [len(PROG_AC_VALS)] + [0] * 8
+
+
+def _prog_scan_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])  # Td = Ta = 0
+    return _marker(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+class _ProgressiveWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with
+    EOBRUN accumulation and the pending-correction-bit FIFO the AC
+    refinement coding needs (T.81 G.1.2.3: the EOBn symbol is emitted
+    first, then the correction bits of the blocks it covers, in
+    traversal order)."""
+
+    def __init__(self, dc_codes, ac_codes):
+        self.w = _BitWriter()
+        self.dc = dc_codes
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym_ac(self, sym: int) -> None:
+        code, ln = self.ac[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = min(14, self.eobrun.bit_length() - 1)
+            self.sym_ac(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+        for bit in self.pending:
+            self.w.write(bit, 1)
+        self.eobrun = 0
+        self.pending = []
+
+    def restart(self, seq: int) -> None:
+        self.flush_eobrun()
+        self.w.emit_rst(seq)
+
+
+def jpeg_encode_progressive(
+    coeff_planes,
+    factors: list[tuple[int, int]],
+    mcus_x: int,
+    width: int,
+    height: int,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    bands: tuple = ((1, 63),),
+    restart_interval: int = 0,
+) -> bytes:
+    """Genuine progressive (SOF2) JFIF bytes from per-component
+    QUANTIZED zigzag coefficient blocks — the full successive-
+    approximation scan script libjpeg-style output uses:
+
+    1. interleaved DC first scan at Al=dc_al,
+    2. DC refinement scans down to Al=0 (one raw bit per block),
+    3. per-component AC first scans per spectral ``band`` at Al=ac_al
+       (EOBRUN band coding),
+    4. per-component AC refinement scans down to Al=0 (correction-bit
+       coding per T.81 G.1.2.3).
+
+    ``coeff_planes[ci]`` is component ci's blocks in PADDED-grid
+    raster order (``mcus_x·hi`` per row), each a 64-int zigzag row —
+    the same coefficient relation a baseline encoder would entropy-
+    code directly, which is what makes the progressive/baseline
+    decode-equality test meaningful. ``restart_interval=N`` emits
+    DRI + RSTn in every scan (DC predictors and EOBRUN reset, pending
+    correction bits flushed before the marker)."""
+    ncomp = len(coeff_planes)
+    if ncomp not in (1, 3) or len(factors) != ncomp:
+        raise ValueError("1 or 3 components with matching factors")
+    if dc_al < 0 or ac_al < 0 or dc_al > 13 or ac_al > 13:
+        raise ValueError("successive-approximation Al must be in 0..13")
+    h0, v0 = factors[0]
+    n_mcus = len(coeff_planes[0]) // (h0 * v0)
+    if n_mcus % mcus_x:
+        raise ValueError("block grid not divisible by mcus_x")
+    mcus_y = n_mcus // mcus_x
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    planes = [np.asarray(p, dtype=np.int64).reshape(-1, 64) for p in coeff_planes]
+    for ci, ((hi, vi), pl) in enumerate(zip(factors, planes)):
+        if len(pl) != n_mcus * hi * vi:
+            raise ValueError(
+                f"component {ci}: {len(pl)} blocks, expected {n_mcus * hi * vi}"
+            )
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    # per-component non-interleaved grids (AC scans) over padded grids
+    grids = []
+    for hi, vi in factors:
+        nbx_pad = mcus_x * hi
+        cw = -(-width * hi // hmax)
+        ch = -(-height * vi // vmax)
+        grids.append((nbx_pad, -(-cw // 8), -(-ch // 8)))
+
+    def dc_first_scan() -> bytes:
+        pw = _ProgressiveWriter(dc_codes, ac_codes)
+        preds = [0] * ncomp
+        rst = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                pw.w.emit_rst(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            my, mx = divmod(m, mcus_x)
+            for ci, (hi, vi) in enumerate(factors):
+                nbx = mcus_x * hi
+                for iy in range(vi):
+                    for ix in range(hi):
+                        b = (my * vi + iy) * nbx + mx * hi + ix
+                        v = int(planes[ci][b, 0]) >> dc_al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = _category(diff)
+                        code, ln = dc_codes[s]
+                        pw.w.write(code, ln)
+                        if s:
+                            pw.w.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+        comp_ids = list(range(1, ncomp + 1))
+        return _prog_scan_header(comp_ids, 0, 0, 0, dc_al) + pw.w.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        pw = _ProgressiveWriter(dc_codes, ac_codes)
+        rst = 0
+        for m in range(n_mcus):
+            if restart_interval and m and m % restart_interval == 0:
+                pw.w.emit_rst(rst)
+                rst = (rst + 1) % 8
+            my, mx = divmod(m, mcus_x)
+            for ci, (hi, vi) in enumerate(factors):
+                nbx = mcus_x * hi
+                for iy in range(vi):
+                    for ix in range(hi):
+                        b = (my * vi + iy) * nbx + mx * hi + ix
+                        pw.w.write((int(planes[ci][b, 0]) >> al) & 1, 1)
+        comp_ids = list(range(1, ncomp + 1))
+        return _prog_scan_header(comp_ids, 0, 0, al + 1, al) + pw.w.flush()
+
+    def _blocks_non_interleaved(ci: int):
+        nbx_pad, nbx, nby = grids[ci]
+        for b in range(nbx * nby):
+            by, bx = divmod(b, nbx)
+            yield b, by * nbx_pad + bx
+
+    def ac_first_scan(ci: int, ss: int, se: int) -> bytes:
+        pw = _ProgressiveWriter(dc_codes, ac_codes)
+        rst = 0
+        for b, idx in _blocks_non_interleaved(ci):
+            if restart_interval and b and b % restart_interval == 0:
+                pw.restart(rst)
+                rst = (rst + 1) % 8
+            row = planes[ci][idx]
+            r = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                c = int(row[k])
+                t = (abs(c) >> ac_al) * (1 if c >= 0 else -1)
+                if t == 0:
+                    r += 1
+                    continue
+                pw.flush_eobrun()
+                while r > 15:
+                    pw.sym_ac(0xF0)
+                    r -= 16
+                s = _category(t)
+                pw.sym_ac((r << 4) | s)
+                pw.w.write(t if t >= 0 else t + (1 << s) - 1, s)
+                r = 0
+                emitted = True
+            if r > 0 or not emitted:
+                pw.eobrun += 1
+                if pw.eobrun == 0x7FFF:
+                    pw.flush_eobrun()
+        pw.flush_eobrun()
+        return _prog_scan_header([ci + 1], ss, se, 0, ac_al) + pw.w.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        ah = al + 1
+        pw = _ProgressiveWriter(dc_codes, ac_codes)
+        rst = 0
+        for b, idx in _blocks_non_interleaved(ci):
+            if restart_interval and b and b % restart_interval == 0:
+                pw.restart(rst)
+                rst = (rst + 1) % 8
+            row = planes[ci][idx]
+            r = 0
+            cur: list[int] = []
+            for k in range(ss, se + 1):
+                c = int(row[k])
+                prev = abs(c) >> ah
+                now = abs(c) >> al
+                if prev != 0:  # already significant: correction bit
+                    cur.append(now & 1)
+                    continue
+                if now == 0:
+                    r += 1
+                    if r == 16:
+                        pw.flush_eobrun()
+                        pw.sym_ac(0xF0)
+                        for bit in cur:
+                            pw.w.write(bit, 1)
+                        cur = []
+                        r = 0
+                    continue
+                # newly significant (|now| is exactly 1 here)
+                pw.flush_eobrun()
+                pw.sym_ac((r << 4) | 1)
+                pw.w.write(1 if c > 0 else 0, 1)
+                for bit in cur:
+                    pw.w.write(bit, 1)
+                cur = []
+                r = 0
+            if r > 0 or cur:
+                pw.eobrun += 1
+                pw.pending.extend(cur)
+                if pw.eobrun == 0x7FFF:
+                    pw.flush_eobrun()
+        pw.flush_eobrun()
+        return _prog_scan_header([ci + 1], ss, se, ah, al) + pw.w.flush()
+
+    dqt = bytes([0x00]) + bytes(Q_TABLE[ZIGZAG[k]] for k in range(64))
+    comp_spec = []
+    for ci, (hi, vi) in enumerate(factors):
+        comp_spec += [ci + 1, (hi << 4) | vi, 0]
+    sof2 = struct.pack(">BHHB", 8, height, width, ncomp) + bytes(comp_spec)
+    dht = (
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    )
+    app0 = b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    out = (
+        b"\xff\xd8"
+        + _marker(0xFFE0, app0)
+        + _marker(0xFFDB, dqt)
+        + _marker(0xFFC2, sof2)
+        + _marker(0xFFC4, dht)
+    )
+    if restart_interval:
+        out += _marker(0xFFDD, struct.pack(">H", restart_interval))
+    out += dc_first_scan()
+    for al in range(dc_al - 1, -1, -1):
+        out += dc_refine_scan(al)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += ac_first_scan(ci, ss, se)
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += ac_refine_scan(ci, ss, se, al)
+    return out + b"\xff\xd9"
+
+
 # IDCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); block = Aᵀ F A
 _A = np.array(
     [
@@ -506,6 +792,264 @@ _A = np.array(
         for u in range(8)
     ]
 )
+
+
+def _idct_plane(coeff_rows, q: np.ndarray, nbx: int, nby: int) -> np.ndarray:
+    """Dequant + de-zigzag + IDCT batched across ALL blocks of a
+    component — one scatter and one broadcast matmul chain (block =
+    Aᵀ F A), never per-block matmuls. Shared by the baseline scan
+    decoder and the progressive reconstruction."""
+    nb = nbx * nby
+    coeffs = np.asarray(coeff_rows, dtype=np.float64)
+    fq = np.zeros((nb, 64), dtype=np.float64)
+    fq[:, ZIGZAG] = coeffs * q[ZIGZAG]
+    blocks = _A.T @ fq.reshape(nb, 8, 8) @ _A
+    pix = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+    return (
+        pix.reshape(nby, nbx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(nby * 8, nbx * 8)
+    )
+
+
+def _ycbcr_rgb(planes: list[np.ndarray]) -> np.ndarray:
+    """JFIF YCbCr→RGB on level-shifted integer samples; half-up
+    rounding (floor(x + 0.5)) so a SQL oracle can replay the
+    conversion exactly in closed form."""
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64)
+    cr = planes[2].astype(np.float64)
+    rgb = np.stack(
+        [
+            np.floor(y + 1.402 * (cr - 128.0) + 0.5),
+            np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5),
+            np.floor(y + 1.772 * (cb - 128.0) + 0.5),
+        ],
+        axis=-1,
+    )
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+class _ProgressiveFrame:
+    """Coefficient memory + scan decoder for progressive JPEG (SOF2,
+    T.81 Annex G) — the format most web/photo pipeline output uses
+    alongside baseline. Scans accumulate into per-component zigzag
+    coefficient arrays: DC first (interleaved MCU order or single-
+    component raster), DC successive-approximation refinement (one raw
+    bit per block), AC first with EOBRUN band coding, and AC
+    refinement with interleaved correction bits (G.1.2.3). After EOI
+    the accumulated coefficients dequantize + IDCT through the same
+    shared kernel as the baseline path, so a progressive and a
+    baseline encoding of identical coefficients decode bit-identically
+    (pinned by tests)."""
+
+    def __init__(self, comps, width, height):
+        self.comps = comps  # (cid, hi, vi, tqi)
+        self.width, self.height = width, height
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-width // (8 * self.hmax))
+        self.mcuy = -(-height // (8 * self.vmax))
+        self.grids = []  # (nbx_pad, nby_pad, nbx_non, nby_non)
+        self.coeff = []
+        for _cid, hi, vi, _tqi in comps:
+            nbx_pad, nby_pad = self.mcux * hi, self.mcuy * vi
+            cw = -(-width * hi // self.hmax)
+            ch = -(-height * vi // self.vmax)
+            self.grids.append((nbx_pad, nby_pad, -(-cw // 8), -(-ch // 8)))
+            self.coeff.append(
+                np.zeros((nbx_pad * nby_pad, 64), dtype=np.int64)
+            )
+
+    def decode_scan(self, data, pos, body, htables, restart_interval):
+        """Decode one SOS's entropy data into the coefficient store;
+        returns the byte position of the next marker."""
+        ns = body[0]
+        if len(body) < 4 + 2 * ns:
+            raise ValueError("truncated SOS segment")
+        ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0x0F
+        if ss > se or se > 63:
+            raise ValueError(f"illegal spectral band {ss}..{se}")
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scans must be non-interleaved")
+        cid_idx = {c[0]: i for i, c in enumerate(self.comps)}
+        scomp = []  # (frame index, dc table | None, ac table | None)
+        for i in range(ns):
+            cs, tda = body[1 + 2 * i], body[2 + 2 * i]
+            if cs not in cid_idx:
+                raise ValueError(f"SOS references undefined component {cs}")
+            dc_t = ac_t = None
+            if ss == 0 and ah == 0:
+                if (0, tda >> 4) not in htables:
+                    raise ValueError("SOS references undefined Huffman table")
+                dc_t = htables[(0, tda >> 4)]
+            if ss > 0:
+                if (1, tda & 0x0F) not in htables:
+                    raise ValueError("SOS references undefined Huffman table")
+                ac_t = htables[(1, tda & 0x0F)]
+            scomp.append((cid_idx[cs], dc_t, ac_t))
+        if ns > 1 and ns != len(self.comps):
+            raise NotImplementedError(
+                "progressive DC scans must cover one or all components"
+            )
+        reader = _BitReader(data, pos)
+        self._eobrun = 0
+        if ss == 0 and ns == len(self.comps) and ns > 1:
+            self._dc_interleaved(reader, scomp, ah, al, restart_interval)
+        else:
+            self._single_component(reader, scomp[0], ss, se, ah, al,
+                                   restart_interval)
+        # entropy data ends at the next marker: skip unread pad bytes,
+        # including a stuffed 0xFF00 pad (all-ones padding that formed
+        # 0xFF gets byte-stuffed like any data byte)
+        p = reader.pos
+        while p < len(data):
+            if data[p] == 0xFF:
+                if p + 1 < len(data) and data[p + 1] == 0x00:
+                    p += 2
+                    continue
+                break
+            p += 1
+        return p
+
+    def _dc_interleaved(self, reader, scomp, ah, al, ri):
+        preds = [0] * len(scomp)
+        for m in range(self.mcux * self.mcuy):
+            if ri and m and m % ri == 0:
+                reader.restart((m // ri - 1) % 8)
+                preds = [0] * len(scomp)
+            my, mx = divmod(m, self.mcux)
+            for si, (fi, dc_t, _ac) in enumerate(scomp):
+                _cid, hi, vi, _tqi = self.comps[fi]
+                nbx = self.grids[fi][0]
+                for iy in range(vi):
+                    for ix in range(hi):
+                        b = (my * vi + iy) * nbx + mx * hi + ix
+                        self._dc_block(reader, fi, b, si, preds, dc_t, ah, al)
+
+    def _single_component(self, reader, sc, ss, se, ah, al, ri):
+        fi, dc_t, ac_t = sc
+        nbx_pad, _nby_pad, nbx, nby = self.grids[fi]
+        preds = [0]
+        for b in range(nbx * nby):
+            if ri and b and b % ri == 0:
+                reader.restart((b // ri - 1) % 8)
+                preds = [0]
+                self._eobrun = 0
+            by, bx = divmod(b, nbx)
+            idx = by * nbx_pad + bx
+            if ss == 0:
+                self._dc_block(reader, fi, idx, 0, preds, dc_t, ah, al)
+            elif ah == 0:
+                self._ac_first_block(reader, fi, idx, ac_t, ss, se, al)
+            else:
+                self._ac_refine_block(reader, fi, idx, ac_t, ss, se, al)
+
+    def _dc_block(self, reader, fi, b, si, preds, dc_t, ah, al):
+        coef = self.coeff[fi]
+        if ah == 0:
+            s = reader.read_symbol(dc_t)
+            diff = _extend(reader.read(s), s) if s else 0
+            preds[si] += diff
+            coef[b, 0] = preds[si] << al
+        else:  # refinement: one raw bit, additive at this precision
+            coef[b, 0] += reader.read(1) << al
+
+    def _ac_first_block(self, reader, fi, b, ac_t, ss, se, al):
+        if self._eobrun > 0:
+            self._eobrun -= 1
+            return
+        coef = self.coeff[fi]
+        k = ss
+        while k <= se:
+            sym = reader.read_symbol(ac_t)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self._eobrun = (1 << r) - 1
+                if r:
+                    self._eobrun += reader.read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of spectral band")
+            coef[b, k] = _extend(reader.read(s), s) << al
+            k += 1
+
+    def _ac_refine_block(self, reader, fi, b, ac_t, ss, se, al):
+        """T.81 G.1.2.3 AC successive-approximation refinement: runs
+        count ZERO-HISTORY positions only; every nonzero-history
+        coefficient crossed consumes one correction bit; an EOB run
+        still consumes correction bits for the band's remaining
+        nonzero coefficients."""
+        coef = self.coeff[fi]
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if reader.read(1) and not (abs(int(coef[b, k])) & p1):
+                coef[b, k] += p1 if coef[b, k] >= 0 else m1
+
+        k = ss
+        if self._eobrun == 0:
+            while k <= se:
+                sym = reader.read_symbol(ac_t)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0 and r != 15:
+                    # NOT pre-decremented (unlike the first-scan path):
+                    # the CURRENT block still consumes correction bits
+                    # for its remaining nonzero coefficients in the
+                    # eobrun sweep below, then counts itself off
+                    self._eobrun = 1 << r
+                    if r:
+                        self._eobrun += reader.read(r)
+                    break
+                if s == 0:  # ZRL: 16 zero-history positions
+                    val = 0
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement magnitude must be 1"
+                        )
+                    val = p1 if reader.read(1) else m1
+                while k <= se:
+                    if coef[b, k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if k > se and val:
+                    raise ValueError("AC refinement run past band end")
+                if val:
+                    coef[b, k] = val
+                k += 1
+        if self._eobrun > 0:
+            while k <= se:
+                if coef[b, k] != 0:
+                    correct(k)
+                k += 1
+            self._eobrun -= 1
+
+    def reconstruct(self, qtables) -> np.ndarray:
+        planes = []
+        for fi, (_cid, hi, vi, tqi) in enumerate(self.comps):
+            if tqi not in qtables:
+                raise ValueError("frame references undefined quant table")
+            q = np.array(qtables[tqi], dtype=np.float64)
+            nbx, nby = self.grids[fi][0], self.grids[fi][1]
+            plane = _idct_plane(self.coeff[fi], q, nbx, nby)
+            yidx = (np.arange(self.height) * vi) // self.vmax
+            xidx = (np.arange(self.width) * hi) // self.hmax
+            planes.append(plane[yidx][:, xidx])
+        if len(planes) == 1:
+            return planes[0]
+        return _ycbcr_rgb(planes)
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
@@ -527,6 +1071,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = 0
     restart_interval = 0
+    progressive = False
+    frame: _ProgressiveFrame | None = None
     # (component id, h factor, v factor, quant table id)
     comps: list[tuple[int, int, int, int]] = []
     while pos < len(data):
@@ -543,6 +1089,9 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 raise ValueError("truncated JPEG: lone 0xFF at end of payload")
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
+            if frame is not None:
+                # progressive: all scans accumulated — reconstruct
+                return frame.reconstruct(qtables)
             break
         if pos + 4 > len(data):
             raise ValueError("truncated JPEG: incomplete segment header")
@@ -578,9 +1127,10 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif tag == 0xC0:  # SOF0 baseline
+        elif tag in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = tag == 0xC2
             if len(body) < 6:
-                raise ValueError("truncated JPEG: short SOF0 segment")
+                raise ValueError("truncated JPEG: short SOF segment")
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if width == 0 or height == 0:
                 raise ValueError(
@@ -605,8 +1155,11 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                         "B.2.2 allows 1..4)"
                     )
                 comps.append((cid, hi, vi, tqi))
-        elif tag in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline (SOF0) JPEGs supported")
+        elif tag in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEGs supported"
+            )
         elif tag == 0xDD:  # DRI — restart interval in MCUs (0 disables)
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
@@ -620,6 +1173,13 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             # crashed with IndexError at the plane assembly
             if not comps or ns == 0:
                 raise ValueError("SOS before SOF0 (no frame components)")
+            if progressive:
+                if frame is None:
+                    frame = _ProgressiveFrame(comps, width, height)
+                pos = frame.decode_scan(
+                    data, pos, body, htables, restart_interval
+                )
+                continue
             if ns != len(comps):
                 raise NotImplementedError("scan must cover all frame components")
             if len(body) < 1 + 2 * ns:
@@ -777,6 +1337,8 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 axis=-1,
             )
             return np.clip(rgb, 0, 255).astype(np.uint8)
+    if frame is not None:
+        raise ValueError("truncated progressive JPEG: missing EOI")
     raise ValueError("no SOS marker found")
 
 

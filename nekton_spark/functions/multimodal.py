@@ -263,6 +263,51 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def synth_jpeg_progressive_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL progressive (SOF2) JPEG payload per row
+    (:func:`.jpeg.jpeg_encode_progressive` — full successive-
+    approximation scan script: interleaved DC first at Al=2, two DC
+    refinement scans, AC first + refinement over split spectral bands,
+    restart interval key % 3). The coefficients are the SAME DC-only
+    blocks as :func:`synth_jpeg_media` (:func:`.jpeg.synth_block_values`
+    closed form), so block b of image ``key`` decodes to the constant
+    (key*31 + b*17) % 256 exactly — the identical SQL oracle covers the
+    whole progressive path."""
+    import numpy as np
+
+    from .jpeg import jpeg_encode_progressive, synth_block_values
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            dcs, bx, w, h = synth_block_values(key)
+            rows = np.zeros((len(dcs), 64), dtype=np.int64)
+            rows[:, 0] = dcs
+            return {
+                "payload": jpeg_encode_progressive(
+                    [rows],
+                    [(1, 1)],
+                    bx,
+                    w,
+                    h,
+                    dc_al=2,
+                    ac_al=1,
+                    bands=((1, 5), (6, 63)),
+                    restart_interval=key % 3,
+                ),
+                "mime": "image/jpeg",
+                "meta": {"origin": "synth-progressive"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_coverage_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Deterministic mixed-coverage corpus for the decode_coverage
     oracle row: key % 5 selects the payload class — 0 PNG, 1 grayscale

@@ -1660,6 +1660,137 @@ class TestJpegCodec:
         with pytest.raises(ValueError, match="DRI"):
             jpeg_decode(bad_dri)
 
+    def _sparse_blocks(self, rng, nb, density=0.15, amp=40):
+        rows = np.zeros((nb, 64), dtype=np.int64)
+        for b in range(nb):
+            rows[b, 0] = rng.randint(-120, 121)
+            nz = rng.rand(63) < density
+            rows[b, 1:][nz] = rng.randint(-amp, amp + 1, nz.sum())
+        return rows
+
+    def test_progressive_gray_exact_all_scan_scripts(self):
+        """r12 SOF2: progressive decode must equal the direct
+        dequant+IDCT of the encoded coefficients for every scan-script
+        shape — successive approximation Al up to 3, split spectral
+        bands, restart intervals inside scans, and the degenerate
+        no-approximation script."""
+        from nekton_spark.functions.jpeg import (
+            Q_TABLE,
+            _idct_plane,
+            jpeg_decode,
+            jpeg_encode_progressive,
+        )
+
+        q = np.array(Q_TABLE, dtype=np.float64)
+        rng = np.random.RandomState(11)
+        scripts = [
+            dict(),
+            dict(dc_al=2, ac_al=2),
+            dict(bands=((1, 5), (6, 63))),
+            dict(dc_al=0, ac_al=0),
+            dict(restart_interval=2),
+            dict(dc_al=2, ac_al=1, bands=((1, 2), (3, 20), (21, 63)),
+                 restart_interval=1),
+            dict(dc_al=3, ac_al=3, bands=((1, 1), (2, 9), (10, 35), (36, 63))),
+        ]
+        for trial in range(6):
+            nbx, nby = rng.randint(1, 5), rng.randint(1, 4)
+            w = nbx * 8 - rng.randint(0, 6)
+            h = nby * 8 - rng.randint(0, 6)
+            rows = self._sparse_blocks(rng, nbx * nby)
+            want = _idct_plane(rows, q, nbx, nby)[:h, :w]
+            for kw in scripts:
+                got = jpeg_decode(
+                    jpeg_encode_progressive([rows], [(1, 1)], nbx, w, h, **kw)
+                )
+                assert np.array_equal(got, want), (trial, kw)
+
+    def test_progressive_equals_baseline_on_identical_coefficients(self):
+        """The strongest progressive check available without a codec
+        library: a progressive and a baseline encoding of IDENTICAL
+        coefficients must decode bit-identically — the baseline path is
+        oracle-proven, so equality transfers that evidence to the
+        multi-scan path (4:2:0 interleaved frame, with and without
+        restarts and successive approximation)."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks_420,
+            jpeg_encode_progressive,
+            synth_420_block_values,
+        )
+
+        for key in range(6):
+            dy, dcb, dcr, mx, w, h = synth_420_block_values(key)
+            base = jpeg_decode(jpeg_encode_blocks_420(dy, dcb, dcr, mx, w, h))
+            planes = []
+            for dcs in (dy, dcb, dcr):
+                rows = np.zeros((len(dcs), 64), dtype=np.int64)
+                rows[:, 0] = dcs
+                planes.append(rows)
+            for kw in [dict(), dict(restart_interval=1), dict(dc_al=3, ac_al=2)]:
+                got = jpeg_decode(
+                    jpeg_encode_progressive(
+                        planes, [(2, 2), (1, 1), (1, 1)], mx, w, h, **kw
+                    )
+                )
+                assert np.array_equal(got, base), (key, kw)
+
+    def test_progressive_subsampled_full_ac_exact(self):
+        """Full-AC progressive over a subsampled (4:2:0) frame with
+        edge crops: exact against the replication-upsample reference."""
+        from nekton_spark.functions.jpeg import (
+            Q_TABLE,
+            _idct_plane,
+            _ycbcr_rgb,
+            jpeg_decode,
+            jpeg_encode_progressive,
+        )
+
+        q = np.array(Q_TABLE, dtype=np.float64)
+        rng = np.random.RandomState(13)
+        factors = [(2, 2), (1, 1), (1, 1)]
+        for trial in range(4):
+            mx, my = rng.randint(1, 3), rng.randint(1, 3)
+            w, h = 16 * mx - rng.randint(0, 9), 16 * my - rng.randint(0, 9)
+            planes = [
+                self._sparse_blocks(rng, mx * my * hi * vi, density=0.2)
+                for hi, vi in factors
+            ]
+            ps = []
+            for (hi, vi), pl in zip(factors, planes):
+                plane = _idct_plane(pl, q, mx * hi, my * vi)
+                yi = (np.arange(h) * vi) // 2
+                xi = (np.arange(w) * hi) // 2
+                ps.append(plane[yi][:, xi])
+            want = _ycbcr_rgb(ps)
+            for kw in [dict(), dict(restart_interval=2, dc_al=2, ac_al=2)]:
+                got = jpeg_decode(
+                    jpeg_encode_progressive(planes, factors, mx, w, h, **kw)
+                )
+                assert np.array_equal(got, want), (trial, kw)
+
+    def test_progressive_refusals(self):
+        """Truncated progressive streams refuse cleanly; non-DCT SOFs
+        refuse as NotImplementedError."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_progressive,
+        )
+
+        rows = np.zeros((2, 64), dtype=np.int64)
+        rows[:, 0] = [10, -20]
+        rows[0, 5] = 7
+        p = bytes(jpeg_encode_progressive([rows], [(1, 1)], 2, 16, 8))
+        jpeg_decode(p)  # sanity: valid stream decodes
+        with pytest.raises(ValueError, match="missing EOI|truncated"):
+            jpeg_decode(p[:-2])  # EOI stripped
+        with pytest.raises(ValueError):
+            jpeg_decode(p[: len(p) * 2 // 3])  # mid-scan truncation
+        arith = bytearray(p)
+        arith[arith.index(b"\xff\xc2") + 1] = 0xC9  # arithmetic SOF
+        with pytest.raises(NotImplementedError, match="baseline"):
+            jpeg_decode(bytes(arith))
+
     def test_rejects_unsupported_streams(self):
         from nekton_spark.functions.jpeg import (
             jpeg_decode,
@@ -1670,8 +1801,14 @@ class TestJpegCodec:
             jpeg_decode(b"\x89PNG\r\n\x1a\n")
         good = bytearray(jpeg_encode_blocks([5], 1, 8, 8))
         sof = good.index(b"\xff\xc0")
-        good[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        good[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
         with pytest.raises(NotImplementedError, match="baseline"):
+            jpeg_decode(bytes(good))
+        # SOF0 -> SOF2: the stream parses as progressive, but the
+        # baseline scan header (Ss=0, Se=63) is illegal for a
+        # progressive DC scan — refuse, don't misparse
+        good[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="Se = 0"):
             jpeg_decode(bytes(good))
 
     def test_color_round_trip_exact_closed_form(self):

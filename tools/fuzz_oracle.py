@@ -530,7 +530,9 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         jpeg_encode_blocks_420,
         jpeg_encode_blocks_color,
         jpeg_encode_blocks_sampled,
+        jpeg_encode_progressive,
         synth_420_block_values,
+        synth_block_values,
     )
     from nekton_spark.functions.multimodal import (
         _png_decode,
@@ -544,6 +546,26 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     rng = random.Random(seed * 7919 + 11)
     problems: list[str] = []
     checked = 0
+
+    def _jpeg_progressive_base(key: int):
+        # r12 SOF2: valid-payload probe checks EXACT pixels against
+        # the same DC-only closed form as the baseline jpeg fixtures;
+        # the corruption battery then hits the multi-scan path
+        # (successive approximation + split bands + restarts)
+        dcs, bx, w, h = synth_block_values(key % 6)
+        rows = np.zeros((len(dcs), 64), dtype=np.int64)
+        rows[:, 0] = dcs
+        payload = jpeg_encode_progressive(
+            [rows], [(1, 1)], bx, w, h,
+            dc_al=2, ac_al=1, bands=((1, 5), (6, 63)),
+            restart_interval=key % 3,
+        )
+        k = key % 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        truth = ((k * 31 + ((yy // 8) * bx + xx // 8) * 17) % 256).astype(
+            np.uint8
+        )
+        return payload, jpeg_decode, truth
 
     def _jpeg_420_base(key: int):
         # r11: subsampled decode is in the envelope — the valid-payload
@@ -641,6 +663,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 # truncations can land mid-restart-segment)
             ),
             ("jpeg_420", *_jpeg_420_base(key)),
+            ("jpeg_prog", *_jpeg_progressive_base(key)),
             (
                 "jpeg_411",
                 jpeg_encode_blocks_sampled(
