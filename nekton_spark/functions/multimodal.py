@@ -188,7 +188,7 @@ _REFUSAL_CODES = [
     # substrings are the codec modules' own refusal wordings, pinned by
     # tests so a reworded exception can't silently retire a code
     ("no codec", "unsupported_mime"),
-    ("baseline", "progressive_jpeg"),
+    ("baseline", "unsupported_sof"),  # lossless/hierarchical/arithmetic
     ("sampling factors", "sampling_factors"),
     ("quant", "quant_16bit"),
     ("restart", "restart_desync"),

@@ -1312,8 +1312,8 @@ class TestMultimodal:
         """r12 telemetry: decode_coverage must reason-code every class
         of the mixed synthetic corpus correctly, and the refusal-code
         mapper must classify the codec modules' own exception wordings
-        (progressive, sampling factors, truncation, unsupported mime)
-        into stable codes."""
+        (unsupported SOF, truncation, unsupported mime) into stable
+        codes."""
         from nekton_spark.functions.jpeg import jpeg_encode_blocks
         from nekton_spark.functions.multimodal import (
             _refusal_code,
@@ -1344,9 +1344,9 @@ class TestMultimodal:
                 return _refusal_code(e)
 
         good = bytearray(jpeg_encode_blocks([5], 1, 8, 8))
-        prog = bytearray(good)
-        prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-        assert code_of(bytes(prog)) == "progressive_jpeg"
+        lossless = bytearray(good)
+        lossless[lossless.index(b"\xff\xc0") + 1] = 0xC3
+        assert code_of(bytes(lossless)) == "unsupported_sof"
         assert code_of(bytes(good[:12])) == "truncated"
         assert code_of(b"\x89PNG\r\n\x1a\n") == "bad_signature"
         # null media struct
