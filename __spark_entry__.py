@@ -1954,6 +1954,34 @@ def jpeg_color_decode_check(spark, sf):
     )
 
 
+def png_palette_decode_check(spark, sf):
+    """Palette + Adam7-interlace PNG round trip (functions/
+    multimodal.py, r12 — the common real-corpus PNG shapes beyond
+    gray8/rgb8): genuine PLTE-chunk payloads at bit depth (1,2,4,8)
+    [key%4], interlaced on odd keys, per-row filter cycling. Palette,
+    index map, and dims are all closed-form functions of doc_id, so
+    the DuckDB oracle replays the exact flat RGB array — bit packing,
+    the 7-pass reassembly, unfiltering, and PLTE expansion all have to
+    be right for the hash to match."""
+    from nekton_spark.functions.multimodal import synth_png_palette_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_png_palette_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def jpeg_progressive_decode_check(spark, sf):
     """PROGRESSIVE (SOF2) JPEG round trip (functions/jpeg.py, r12 —
     T.81 Annex G): genuine progressive JFIF bytes with the full
@@ -2919,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_color_decode": jpeg_color_decode_check,
         "jpeg_420_decode": jpeg_420_decode_check,
         "jpeg_progressive_decode": jpeg_progressive_decode_check,
+        "png_palette_decode": png_palette_decode_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -6110,6 +6139,33 @@ SELECT doc_id,
            i -> (i + 1) * ((doc_id * 31
                  + ((i // (64 * (1 + doc_id % 3))) * (1 + doc_id % 3)
                     + (i % (8 * (1 + doc_id % 3))) // 8) * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM documents
+""",
+        # png_palette_decode: flat RGB replay — per flat index i:
+        # pixel p = i//3, channel c = i%3, y = p//w, x = p%w,
+        # d = (1,2,4,8)[key%4], n = 2^d, idx = (key + 3y + x) % n,
+        # value = (key*7 + idx*13 + c*29) % 256
+        "png_palette_decode": """
+SELECT doc_id,
+       (8 + doc_id % 7)::INT AS dec_height,
+       (8 + doc_id % 9)::INT AS dec_width,
+       (3 * (8 + doc_id % 7) * (8 + doc_id % 9))::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, 3 * (8 + doc_id % 7) * (8 + doc_id % 9)),
+           i -> (doc_id * 7
+                 + ((doc_id + 3 * ((i // 3) // (8 + doc_id % 9))
+                     + ((i // 3) % (8 + doc_id % 9)))
+                    % (1 << ([1, 2, 4, 8][(doc_id % 4)::INT + 1]))) * 13
+                 + (i % 3) * 29) % 256),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 3 * (8 + doc_id % 7) * (8 + doc_id % 9)),
+           i -> (i + 1) * ((doc_id * 7
+                 + ((doc_id + 3 * ((i // 3) // (8 + doc_id % 9))
+                     + ((i // 3) % (8 + doc_id % 9)))
+                    % (1 << ([1, 2, 4, 8][(doc_id % 4)::INT + 1]))) * 13
+                 + (i % 3) * 29) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
 """,

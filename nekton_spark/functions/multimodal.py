@@ -263,6 +263,45 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def synth_png_palette_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL palette PNG per row exercising the r12 envelope:
+    bit depth d = (1, 2, 4, 8)[key % 4], Adam7 INTERLACE on odd keys,
+    per-row filter cycling — with a closed-form palette and index map
+    so the decoded RGB is SQL-replayable: n = 2^d entries,
+    palette[i][c] = (key*7 + i*13 + c*29) % 256, index(y, x) =
+    (key + 3y + x) % n, dims w = 8 + key%9, h = 8 + key%7 (the
+    synth_pixels geometry)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            d = (1, 2, 4, 8)[key % 4]
+            n = 1 << d
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(n)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            ).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = (key + 3 * yy + xx) % n
+            return {
+                "payload": _png_encode_ex(
+                    idx, 3, d, interlace=key % 2, palette=pal
+                ),
+                "mime": "image/png",
+                "meta": {"origin": "synth-palette"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_jpeg_progressive_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Attach a REAL progressive (SOF2) JPEG payload per row
     (:func:`.jpeg.jpeg_encode_progressive` — full successive-
@@ -413,10 +452,28 @@ def _png_encode(pix: np.ndarray) -> bytes:
             raise ValueError(f"PNG encoder supports 1 or 3 channels, got {nc}")
         bpp, ctype = 3, 2
     rowbytes = w * bpp
+    raw = _png_filter_rows(
+        pix.reshape(h, rowbytes).astype(np.int64), bpp
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_rows(byte_rows: np.ndarray, bpp: int) -> bytearray:
+    """Forward-filter (h, rowbytes) byte rows, scanline y using filter
+    type y % 5 so round trips exercise None/Sub/Up/Average/Paeth both
+    ways. Encoder-side Paeth predicts from ORIGINAL neighbors (no
+    reconstruction recurrence), so it vectorizes exactly."""
+    h, rowbytes = byte_rows.shape
     prev = np.zeros(rowbytes, dtype=np.int64)
     raw = bytearray()
     for y in range(h):
-        cur = pix[y].reshape(rowbytes).astype(np.int64)
+        cur = byte_rows[y]
         f = y % 5
         left = np.concatenate((np.zeros(bpp, dtype=np.int64), cur[:-bpp]))
         upleft = np.concatenate((np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
@@ -429,8 +486,6 @@ def _png_encode(pix: np.ndarray) -> bytes:
         elif f == 3:
             out = cur - (left + prev) // 2
         else:
-            # encoder-side Paeth predicts from ORIGINAL neighbors (no
-            # reconstruction recurrence), so it vectorizes exactly
             p = left + prev - upleft
             pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
             pred = np.where(
@@ -440,104 +495,110 @@ def _png_encode(pix: np.ndarray) -> bytes:
         raw.append(f)
         raw.extend((out % 256).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return raw
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(nrows, w, channels) integer samples → (nrows, rowbytes) bytes:
+    MSB-first bit packing for sub-byte depths, big-endian pairs for
+    16-bit."""
+    nrows, w, channels = samples.shape
+    if depth == 8:
+        return samples.reshape(nrows, w * channels).astype(np.int64)
+    if depth == 16:
+        flat = samples.reshape(nrows, w * channels)
+        out = np.empty((nrows, 2 * w * channels), dtype=np.int64)
+        out[:, 0::2] = flat >> 8
+        out[:, 1::2] = flat & 0xFF
+        return out
+    per_byte = 8 // depth
+    padded_w = -(-w // per_byte) * per_byte
+    vals = np.zeros((nrows, padded_w), dtype=np.int64)
+    vals[:, :w] = samples.reshape(nrows, w)
+    shifts = np.arange(per_byte - 1, -1, -1) * depth
+    return (vals.reshape(nrows, -1, per_byte) << shifts[None, None, :]).sum(
+        axis=2
+    )
+
+
+def _png_encode_ex(
+    samples: np.ndarray,
+    ctype: int,
+    depth: int,
+    interlace: int = 0,
+    palette: np.ndarray | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """General PNG writer for the r12 decode envelope: any legal
+    (color type, bit depth) pair, optional Adam7 interlace (each pass
+    filtered independently, empty passes emit nothing), PLTE/tRNS for
+    palette images. ``samples`` are UNSCALED integer samples shaped
+    (h, w[, channels]); filter type cycles y % 5 within every pass."""
+    import struct
+    import zlib as _z
+
+    if depth not in _PNG_DEPTHS.get(ctype, ()):
+        raise ValueError(f"illegal (ctype {ctype}, depth {depth})")
+    channels = _PNG_CHANNELS[ctype]
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, nc = samples.shape
+    if nc != channels:
+        raise ValueError(f"ctype {ctype} needs {channels} channels, got {nc}")
+    bpp = max(1, channels * depth // 8)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = [(x0, y0, dx, dy) for x0, y0, dx, dy in _ADAM7]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _png_filter_rows(_png_pack_rows(sub.astype(np.int64), depth), bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("palette PNG needs a palette")
+        out += _png_chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        out
         + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def _png_decode(payload: bytes) -> np.ndarray:
-    """Parse PNG bytes back to pixels — grayscale-8 → (h, w) uint8,
-    truecolor-8 (RGB) → (h, w, 3) uint8: validate signature + chunk
-    CRCs, inflate concatenated IDATs, invert all five scanline
-    filters (per BYTE, left neighbor ``bpp`` back — spec 9.2). Other
-    color types / bit depths refuse explicitly."""
-    import struct
-    import zlib as _z
+# PNG color types: ctype -> samples per pixel (spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal (ctype, depth) combinations (spec table 11.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass origins/strides (spec 8.2): (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if bytes(payload[:8]) != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat, w, ihdr_h, saw_ihdr = 8, bytearray(), 0, 0, False
-    while pos < len(payload):
-        # refuse-don't-misparse: every truncation must surface as a
-        # clean ValueError, never a struct/zlib internal (r8 media fuzz)
-        if pos + 12 > len(payload):
-            raise ValueError("truncated PNG: incomplete chunk header")
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        if pos + 12 + length > len(payload):
-            raise ValueError("truncated PNG: chunk body exceeds payload")
-        tag = bytes(payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
-        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            if length < 13:
-                raise ValueError("truncated PNG: short IHDR")
-            w, ihdr_h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            saw_ihdr = True
-            if depth != 8 or ctype not in (0, 2):
-                raise NotImplementedError(
-                    "only grayscale-8 and truecolor-8 PNGs supported"
-                )
-            bpp = 3 if ctype == 2 else 1
-            if w == 0 or ihdr_h == 0:
-                raise ValueError("zero-dimension PNG refused")
-            # hard pixel-count cap: the inflate guard below bounds
-            # output at the IHDR-declared size, so a forged IHDR
-            # declaring e.g. 2^31×2^31 would otherwise still license
-            # a huge allocation. Per-row batch media at this layer is
-            # bounded well under this.
-            if w * ihdr_h > 1 << 26:
-                raise ValueError(
-                    f"PNG dimensions {w}x{ihdr_h} exceed decode cap"
-                )
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if not saw_ihdr:
-        raise ValueError("truncated PNG: no IHDR chunk")
-    rowbytes = w * bpp
+
+def _png_unfilter(raw: bytes, nrows: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters (per BYTE, left neighbor
+    ``bpp`` back — spec 9.2) over one filtered sub-image; returns
+    (nrows, rowbytes) int64. None/Up are element-wise; Sub is bpp
+    interleaved running sums; Average and Paeth depend on the
+    just-computed left pixel → plain-int Python loop for those only."""
     stride = rowbytes + 1
-    # decompression-bomb guard (r8 ADVICE): cap inflate output at the
-    # IHDR-declared size + 1 BEFORE the consistency check — a small
-    # CRC-valid payload declaring huge dimensions must refuse, not
-    # inflate unbounded. The +1 byte distinguishes "exactly expected"
-    # from "stream continues past expected" (refused below either way:
-    # the != check fails on the overshoot byte).
-    expected = stride * ihdr_h
-    try:
-        dec = _z.decompressobj()
-        raw = dec.decompress(bytes(idat), expected + 1)
-    except _z.error as e:
-        raise ValueError(f"corrupt or truncated PNG IDAT stream: {e}") from None
-    if dec.unconsumed_tail or len(raw) != expected:
-        raise ValueError(
-            f"PNG pixel data inconsistent with IHDR: {len(raw)} bytes "
-            f"for {ihdr_h} rows of stride {stride}"
-        )
-    h = ihdr_h
-    out = np.zeros((h, rowbytes), dtype=np.int64)
+    out = np.zeros((nrows, rowbytes), dtype=np.int64)
     prev = np.zeros(rowbytes, dtype=np.int64)
-    for y in range(h):
+    for y in range(nrows):
         line = raw[y * stride : (y + 1) * stride]
         f = line[0]
         data = np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
-        # None/Up are pure element-wise; Sub's left-neighbor recurrence
-        # cur[x] = (data[x] + cur[x-1]) % 256 is a running sum, so all
-        # three unfilter as single vector ops. Average and Paeth depend
-        # on the just-computed left pixel → inherently sequential; run
-        # those (and only those) through a plain-int Python loop.
         if f == 0:
             cur = data
         elif f == 1:
-            # Sub's recurrence cur[x] = (data[x] + cur[x-bpp]) % 256 is
-            # bpp independent interleaved running sums
             cur = np.cumsum(data.reshape(-1, bpp), axis=0).reshape(-1) % 256
         elif f == 2:
             cur = (data + prev) % 256
@@ -559,8 +620,171 @@ def _png_decode(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {f}")
         out[y] = cur
         prev = cur
-    u8 = out.astype(np.uint8)
-    return u8 if bpp == 1 else u8.reshape(h, w, 3)
+    return out
+
+
+def _png_unpack_samples(
+    rows: np.ndarray, w: int, channels: int, depth: int
+) -> np.ndarray:
+    """Row bytes → (nrows, w, channels) integer samples: MSB-first bit
+    unpacking for sub-byte depths, big-endian pairs for 16-bit."""
+    nrows = len(rows)
+    if depth == 8:
+        return rows[:, : w * channels].reshape(nrows, w, channels)
+    if depth == 16:
+        b = rows[:, : 2 * w * channels]
+        return (b[:, 0::2] * 256 + b[:, 1::2]).reshape(nrows, w, channels)
+    # depths 1/2/4: channels is always 1 (gray or palette indices)
+    per_byte = 8 // depth
+    u8 = rows.astype(np.uint8)
+    shifts = np.arange(per_byte - 1, -1, -1) * depth
+    bits = (u8[:, :, None] >> shifts[None, None, :]) & ((1 << depth) - 1)
+    return bits.reshape(nrows, -1)[:, :w].reshape(nrows, w, 1).astype(np.int64)
+
+
+def _png_decode(payload: bytes) -> np.ndarray:
+    """Parse PNG bytes back to pixels across the full common envelope
+    (r12 — real corpora are not just gray8/rgb8): grayscale at depths
+    1/2/4/8/16, truecolor 8/16, palette 1/2/4/8 (PLTE expansion, tRNS
+    → RGBA), gray+alpha and RGBA at 8/16, and Adam7 INTERLACED images
+    (7 independently-filtered passes reassembled on the pixel lattice).
+    Returns (h, w) for grayscale, (h, w, 2) gray+alpha, (h, w, 3) RGB
+    / palette, (h, w, 4) RGBA / palette+tRNS — uint8, except 16-bit
+    depths → uint16 (samples are NOT rescaled; sub-byte grays scale by
+    the exact 255/(2^d−1) integer factor). Validates signature, chunk
+    CRCs, IHDR legality (spec table 11.1), inflate size (bomb guard),
+    and per-pass size consistency; a tRNS on color types 0/2 (single
+    transparent color) is parsed and ignored — pixels stay exact.
+    Everything else refuses explicitly."""
+    import struct
+    import zlib as _z
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, saw_ihdr = 8, bytearray(), False
+    w = ihdr_h = depth = ctype = interlace = 0
+    plte: bytes | None = None
+    trns: bytes | None = None
+    while pos < len(payload):
+        # refuse-don't-misparse: every truncation must surface as a
+        # clean ValueError, never a struct/zlib internal (r8 media fuzz)
+        if pos + 12 > len(payload):
+            raise ValueError("truncated PNG: incomplete chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG: chunk body exceeds payload")
+        tag = bytes(payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if _z.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated PNG: short IHDR")
+            w, ihdr_h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            saw_ihdr = True
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"illegal PNG color type {ctype}")
+            if depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(
+                    f"illegal PNG bit depth {depth} for color type {ctype}"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("illegal PNG compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"illegal PNG interlace method {interlace}")
+            if w == 0 or ihdr_h == 0:
+                raise ValueError("zero-dimension PNG refused")
+            # hard pixel-count cap: the inflate guard below bounds
+            # output at the IHDR-declared size, so a forged IHDR
+            # declaring e.g. 2^31×2^31 would otherwise still license
+            # a huge allocation. Per-row batch media at this layer is
+            # bounded well under this.
+            if w * ihdr_h > 1 << 26:
+                raise ValueError(
+                    f"PNG dimensions {w}x{ihdr_h} exceed decode cap"
+                )
+        elif tag == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ValueError("illegal PLTE chunk length")
+            plte = bytes(body)
+        elif tag == b"tRNS":
+            trns = bytes(body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if not saw_ihdr:
+        raise ValueError("truncated PNG: no IHDR chunk")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    channels = _PNG_CHANNELS[ctype]
+
+    def _rowbytes(width: int) -> int:
+        return -(-width * channels * depth // 8)
+
+    # pass geometry: one full-frame pass, or the 7 Adam7 sub-images
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, ihdr_h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(ihdr_h - y0) // dy))
+            passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(
+        ph * (1 + _rowbytes(pw)) for *_xy, pw, ph in passes if pw and ph
+    )
+    # decompression-bomb guard (r8 ADVICE): cap inflate output at the
+    # IHDR-declared size + 1 BEFORE the consistency check — a small
+    # CRC-valid payload declaring huge dimensions must refuse, not
+    # inflate unbounded. The +1 byte distinguishes "exactly expected"
+    # from "stream continues past expected" (refused below either way:
+    # the != check fails on the overshoot byte).
+    try:
+        dec = _z.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except _z.error as e:
+        raise ValueError(f"corrupt or truncated PNG IDAT stream: {e}") from None
+    if dec.unconsumed_tail or len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel data inconsistent with IHDR: {len(raw)} bytes "
+            f"for {expected} expected"
+        )
+    bpp = max(1, channels * depth // 8)
+    img = np.zeros((ihdr_h, w, channels), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if pw == 0 or ph == 0:
+            continue
+        rb = _rowbytes(pw)
+        chunk = raw[off : off + ph * (rb + 1)]
+        off += ph * (rb + 1)
+        rows = _png_unfilter(chunk, ph, rb, bpp)
+        samples = _png_unpack_samples(rows, pw, channels, depth)
+        img[y0::dy, x0::dx] = samples
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: min(len(trns), len(pal))] = np.frombuffer(
+                trns[: len(pal)], dtype=np.uint8
+            )
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if ctype == 0 and depth < 8:
+        # exact integer rescale: 255/(2^d−1) is 255, 85, or 17
+        img = img * (255 // ((1 << depth) - 1))
+    out_dtype = np.uint16 if depth == 16 else np.uint8
+    arr = img.astype(out_dtype)
+    return arr[:, :, 0] if channels == 1 else arr
 
 
 def _synth_pixels(key: int) -> np.ndarray:

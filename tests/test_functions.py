@@ -1308,6 +1308,95 @@ class TestMultimodal:
         assert rows[0].pixels == rows[1].pixels
         assert len(rows[0].pixels) == 16
 
+    def test_png_full_envelope_round_trips(self):
+        """r12 PNG envelope: every legal (color type, depth) pair,
+        interlaced and not, round-trips exactly — gray 1/2/4/8/16
+        (sub-byte grays scale by the exact 255/(2^d−1) factor),
+        RGB/gray+alpha/RGBA at 8/16 (16-bit → uint16), palette 1/2/4/8
+        with PLTE expansion and tRNS→RGBA — across shapes that stress
+        the Adam7 pass lattice (1×1, sub-8×8, non-multiples)."""
+        from nekton_spark.functions.multimodal import (
+            _png_decode,
+            _png_encode_ex,
+        )
+
+        rng = np.random.RandomState(5)
+        for h, w in [(1, 1), (3, 5), (8, 8), (7, 13), (16, 17), (2, 40)]:
+            for il in (0, 1):
+                for d in (1, 2, 4, 8, 16):
+                    mx = (1 << d) - 1
+                    s = rng.randint(0, mx + 1, (h, w))
+                    got = _png_decode(_png_encode_ex(s, 0, d, interlace=il))
+                    want = s * (255 // mx) if d < 8 else s
+                    assert np.array_equal(got, want.astype(got.dtype)), (
+                        "gray", d, il, h, w)
+                for ct, nc in ((2, 3), (4, 2), (6, 4)):
+                    for d in (8, 16):
+                        s = rng.randint(0, 1 << d, (h, w, nc))
+                        got = _png_decode(_png_encode_ex(s, ct, d, interlace=il))
+                        assert np.array_equal(
+                            got, s.astype(np.uint16 if d == 16 else np.uint8)
+                        ), (ct, d, il, h, w)
+                for d in (1, 2, 4, 8):
+                    n = 1 << d
+                    pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+                    idx = rng.randint(0, n, (h, w))
+                    got = _png_decode(
+                        _png_encode_ex(idx, 3, d, interlace=il, palette=pal)
+                    )
+                    assert np.array_equal(got, pal[idx]), ("pal", d, il, h, w)
+                    tr = bytes(rng.randint(0, 256, min(n, 3)).tolist())
+                    got = _png_decode(
+                        _png_encode_ex(
+                            idx, 3, d, interlace=il, palette=pal, trns=tr
+                        )
+                    )
+                    alpha = np.full(n, 255, np.uint8)
+                    alpha[: len(tr)] = np.frombuffer(tr, np.uint8)
+                    assert np.array_equal(
+                        got, np.dstack([pal[idx], alpha[idx]])
+                    ), ("pal-trns", d, il, h, w)
+
+    def test_png_envelope_refusals(self):
+        """Illegal IHDR combinations, palette-without-PLTE, and
+        out-of-range palette indices refuse with ValueError."""
+        import struct
+        import zlib as _z
+
+        from nekton_spark.functions.multimodal import (
+            _PNG_SIG,
+            _png_chunk,
+            _png_decode,
+            _png_encode_ex,
+        )
+
+        def stream(depth, ctype, interlace=0, chunks=b""):
+            ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+            raw = bytes([0] + [0] * 4) * 4  # 4 rows, filter 0 (gray-8 size)
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + chunks
+                + _png_chunk(b"IDAT", _z.compress(raw))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        with pytest.raises(ValueError, match="illegal PNG bit depth"):
+            _png_decode(stream(3, 0))
+        with pytest.raises(ValueError, match="illegal PNG bit depth"):
+            _png_decode(stream(16, 3))
+        with pytest.raises(ValueError, match="illegal PNG color type"):
+            _png_decode(stream(8, 5))
+        with pytest.raises(ValueError, match="interlace"):
+            _png_decode(stream(8, 0, interlace=2))
+        with pytest.raises(ValueError, match="without PLTE"):
+            _png_decode(stream(4, 3))
+        # palette index past the PLTE length
+        pal = np.zeros((2, 3), dtype=np.uint8)
+        idx = np.full((4, 4), 3)  # depth-2 indices, palette has 2 entries
+        with pytest.raises(ValueError, match="out of PLTE range"):
+            _png_decode(_png_encode_ex(idx, 3, 2, palette=pal))
+
     def test_decode_coverage_statuses_and_reason_codes(self, spark):
         """r12 telemetry: decode_coverage must reason-code every class
         of the mixed synthetic corpus correctly, and the refusal-code

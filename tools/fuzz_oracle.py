@@ -537,6 +537,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     from nekton_spark.functions.multimodal import (
         _png_decode,
         _png_encode,
+        _png_encode_ex,
         _synth_pixels,
         _synth_pixels_color,
         _synth_samples,
@@ -638,9 +639,20 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     for key in [rng.randrange(1, 1 << 30) for _ in range(6)]:
         pix = _synth_pixels(key)
         cpix = _synth_pixels_color(key)
+        pal = np.stack(
+            [(key * 7 + np.arange(16) * 13 + c * 29) % 256 for c in range(3)],
+            axis=1,
+        ).astype(np.uint8)
+        pidx = ((key + np.add.outer(3 * np.arange(11), np.arange(13))) % 16)
         bases = [
             ("png", _png_encode(pix), _png_decode, pix),
             ("png_color", _png_encode(cpix), _png_decode, cpix),
+            (
+                "png_pal_adam7",  # r12 envelope: palette-4 + interlace
+                _png_encode_ex(pidx, 3, 4, interlace=1, palette=pal),
+                _png_decode,
+                pal[pidx],
+            ),
             (
                 "jpeg",
                 jpeg_encode_blocks(
