@@ -2424,6 +2424,28 @@ def audio_features(spark, sf):
     )
 
 
+def wav_envelope_features(spark, sf):
+    """Full-envelope WAV round trip (functions/multimodal.py r12:
+    from-spec RIFF parser replacing stdlib wave): per doc_id % 4 the
+    payload is PCM8 (unsigned, centered) / PCM16 / PCM24 (3-byte LE
+    two's complement) / IEEE float32, wrapped in
+    WAVE_FORMAT_EXTENSIBLE on odd keys. Samples are the closed form
+    s_i = ((key*31 + i*17) % 4096) − 2048 (mod-256 variant for PCM8),
+    integer-valued at every width, so the DuckDB oracle recomputes
+    fmt/rate/n_samples/rms exactly from doc_id."""
+    from nekton_spark.functions.multimodal import synth_wav_envelope_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_audio(synth_wav_envelope_media(d))
+    return dec.select(
+        "doc_id",
+        "fmt",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def tfidf_top_terms_check(spark, sf):
     """Per-document top-3 TF-IDF terms (text_analysis.tfidf_top_terms):
     add-one-smoothed idf = ln((N+1)/(df+1)), deterministic ties. All
@@ -2996,6 +3018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_check": decontamination_check,
         "pack_sequences_check": pack_sequences_check,
         "audio_features": audio_features,
+        "wav_envelope_features": wav_envelope_features,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
         "distinct_customers_per_segment": distinct_customers_per_segment,
@@ -6394,6 +6417,28 @@ SELECT doc_id,
              v -> v * v),
            (a, b) -> a + b)
          / (256 + doc_id % 256)), 6) AS rms
+FROM documents
+""",
+        # wav_envelope_features (r12): fmt cycles doc_id % 4; pcm8 uses
+        # the mod-256 closed form, the wider formats mod-4096 — the
+        # engine must parse PCM8/16/24 and IEEE float32 (plus the
+        # WAVE_FORMAT_EXTENSIBLE wrapper on odd keys) to land on the
+        # same rms
+        "wav_envelope_features": """
+SELECT doc_id,
+       ['pcm8', 'pcm16', 'pcm24', 'float32'][(doc_id % 4)::INT + 1] AS fmt,
+       8000::INT AS sample_rate,
+       (64 + doc_id % 64)::INT AS n_samples,
+       round(sqrt(
+         list_reduce(
+           list_transform(range(0, (64 + doc_id % 64)::INT),
+             i -> CASE WHEN doc_id % 4 = 0
+                  THEN (((doc_id * 31 + i * 17) % 256 - 128)::DOUBLE
+                        * ((doc_id * 31 + i * 17) % 256 - 128))
+                  ELSE (((doc_id * 31 + i * 17) % 4096 - 2048)::DOUBLE
+                        * ((doc_id * 31 + i * 17) % 4096 - 2048)) END),
+           (a, b) -> a + b)
+         / (64 + doc_id % 64)), 6) AS rms
 FROM documents
 """,
     }

@@ -263,6 +263,82 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+_WAV_GUID_SUFFIX = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def _wav_encode(samples: np.ndarray, fmt: str, rate: int, extensible: bool = False) -> bytes:
+    """Genuine RIFF/WAVE bytes for 1-channel audio across the r12
+    envelope: ``fmt`` ∈ pcm8 (samples are CENTERED ints, stored
+    +128 unsigned) / pcm16 / pcm24 (3-byte LE two's complement) /
+    pcm32 / float32 / float64; ``extensible=True`` wraps the format in
+    a WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat GUID)."""
+    tag, bits = {
+        "pcm8": (1, 8), "pcm16": (1, 16), "pcm24": (1, 24),
+        "pcm32": (1, 32), "float32": (3, 32), "float64": (3, 64),
+    }[fmt]
+    if tag == 3:
+        data = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 8:
+        data = (np.asarray(samples, dtype=np.int64) + 128).astype(np.uint8).tobytes()
+    elif bits == 24:
+        v = np.asarray(samples, dtype=np.int64) & 0xFFFFFF
+        b = np.empty((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        data = b.tobytes()
+    else:
+        data = np.asarray(samples, dtype=np.int64).astype(
+            "<i2" if bits == 16 else "<i4"
+        ).tobytes()
+    sw = bits // 8
+    if extensible:
+        fmt_body = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, 1, rate, rate * sw, sw, bits, 22, bits, 0
+        ) + struct.pack("<H", tag) + _WAV_GUID_SUFFIX
+    else:
+        fmt_body = struct.pack("<HHIIHH", tag, 1, rate, rate * sw, sw, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synth_wav_envelope_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL WAV payload per row cycling the r12 audio
+    envelope: fmt = (pcm8, pcm16, pcm24, float32)[key % 4], wrapped in
+    WAVE_FORMAT_EXTENSIBLE on odd keys; n = 64 + key % 64 mono samples
+    at 8000 Hz with s_i = ((key*31 + i*17) % 4096) − 2048 (pcm8 uses
+    the mod-256 variant) — integer-valued everywhere, so rate /
+    n_samples / rms are SQL-replayable in closed form."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            fmt = ("pcm8", "pcm16", "pcm24", "float32")[key % 4]
+            n = 64 + key % 64
+            i = np.arange(n)
+            if fmt == "pcm8":
+                s = (key * 31 + i * 17) % 256 - 128
+            else:
+                s = (key * 31 + i * 17) % 4096 - 2048
+            return {
+                "payload": _wav_encode(s, fmt, 8000, extensible=bool(key % 2)),
+                "mime": "audio/wav",
+                "meta": {"origin": "synth-wav-envelope"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_png_palette_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Attach a REAL palette PNG per row exercising the r12 envelope:
     bit depth d = (1, 2, 4, 8)[key % 4], Adam7 INTERLACE on odd keys,
@@ -975,24 +1051,112 @@ def synth_wav_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
-def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """REAL audio decode (stdlib ``wave`` — no external codec): parse
-    the WAV header and PCM16 samples, derive
+_WAV_FMT_PCM, _WAV_FMT_FLOAT, _WAV_FMT_EXT = 1, 3, 0xFFFE
+_WAV_FMT_NAMES = {
+    (1, 8): "pcm8", (1, 16): "pcm16", (1, 24): "pcm24", (1, 32): "pcm32",
+    (3, 32): "float32", (3, 64): "float64",
+}
 
+
+def _wav_parse(payload: bytes):
+    """From-spec RIFF/WAVE parser (r12 — replaces the stdlib ``wave``
+    reader so the audio envelope covers what real corpora carry):
+    PCM 8 (unsigned, centered by −128) / 16 / 24 (3-byte LE two's
+    complement) / 32 and IEEE float 32/64, including
+    WAVE_FORMAT_EXTENSIBLE wrappers (the SubFormat GUID's leading tag
+    word selects the real format). Chunks walk word-aligned; unknown
+    chunks skip. Returns (fmt_name, rate, nch, n_frames, samples) with
+    samples int64 for PCM (exact) and float64 for float formats.
+    Compressed format tags (MP3, ADPCM, a-law, …) refuse as
+    NotImplementedError; structural damage as ValueError."""
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV: {tag!r} chunk body exceeds payload")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated WAV: short fmt chunk")
+            afmt, nch, rate, _br, balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if afmt == _WAV_FMT_EXT:
+                if size < 26:
+                    raise ValueError(
+                        "truncated WAV: short WAVE_FORMAT_EXTENSIBLE fmt"
+                    )
+                (afmt,) = struct.unpack("<H", body[24:26])
+            fmt = (afmt, nch, rate, balign, bits)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("not a decodable WAV payload: no fmt chunk")
+    if data is None:
+        raise ValueError("not a decodable WAV payload: no data chunk")
+    afmt, nch, rate, balign, bits = fmt
+    if nch < 1:
+        raise ValueError("not a decodable WAV payload: zero channels")
+    if (afmt, bits) not in _WAV_FMT_NAMES:
+        if afmt in (_WAV_FMT_PCM, _WAV_FMT_FLOAT):
+            raise ValueError(
+                f"illegal WAV bit depth {bits} for format tag {afmt}"
+            )
+        raise NotImplementedError(
+            f"compressed WAV format tag 0x{afmt:04X} not supported"
+        )
+    sw = bits // 8
+    if balign != nch * sw:
+        raise ValueError(
+            f"WAV blockalign {balign} inconsistent with "
+            f"{nch} channels x {sw} bytes"
+        )
+    if len(data) % balign:
+        raise ValueError("truncated WAV: data is not a whole number of frames")
+    n = len(data) // balign
+    if afmt == _WAV_FMT_FLOAT:
+        s = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(
+            np.float64
+        )
+    elif bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif bits == 32:
+        s = np.frombuffer(data, dtype="<i4").astype(np.int64)
+    else:  # 24-bit: 3-byte little-endian two's complement
+        u = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        s = v - ((v >> 23) & 1) * (1 << 24)
+    return _WAV_FMT_NAMES[(afmt, bits)], rate, nch, n, s
+
+
+def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """REAL audio decode (from-spec RIFF parser, r12 — no external
+    codec): parse the WAV header and samples across the full
+    uncompressed envelope (PCM 8/16/24/32, IEEE float 32/64,
+    WAVE_FORMAT_EXTENSIBLE), derive
+
+    - ``fmt`` — the decoded sample format name (telemetry)
     - ``sample_rate``, ``n_channels``, ``n_samples`` (header/frames)
     - ``duration_ms`` = n_samples * 1000 / rate
-    - ``rms`` = sqrt(mean(sample²)) over int16 samples
+    - ``rms`` = sqrt(mean(sample²)) over the decoded samples (PCM8
+      centered by −128; PCM16 math identical to the pre-r12 path)
 
     Arrow-batched ``mapInPandas``; rounding is left to the caller's
     JVM-side ``F.round`` (numpy rounds half-even, Spark/DuckDB
-    half-up). Sample-square sums stay < 2^53, so the double math is
-    exact and bit-reproducible against a SQL oracle."""
-    import io
-    import wave
-
+    half-up). PCM square-sums accumulate as exact Python ints (24/32-
+    bit squares overflow int64), so the double math is reproducible
+    against a SQL oracle; float formats accumulate float64."""
     out_schema = T.StructType(
         df.schema.fields
         + [
+            T.StructField("fmt", T.StringType(), True),
             T.StructField("sample_rate", T.IntegerType(), True),
             T.StructField("n_channels", T.IntegerType(), True),
             T.StructField("n_samples", T.IntegerType(), True),
@@ -1008,51 +1172,29 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
                     "null media struct/payload: filter null rows out "
                     "before decode_audio"
                 )
-            try:
-                with wave.open(io.BytesIO(m["payload"]), "rb") as w:
-                    rate, nch, n = (
-                        w.getframerate(),
-                        w.getnchannels(),
-                        w.getnframes(),
-                    )
-                    if w.getsampwidth() != 2:
-                        raise NotImplementedError(
-                            "only PCM16 WAV supported"
-                        )
-                    raw = w.readframes(n)
-            except (wave.Error, EOFError, RuntimeError, struct.error) as e:
-                # refuse-don't-misparse: stdlib wave's internals
-                # (wave.Error, bare EOFError on an empty payload, a
-                # bare RuntimeError on a header with a displaced fmt
-                # chunk — found by the r8 media fuzz at seed 32) must
-                # surface as clean ValueErrors
-                raise ValueError(f"not a decodable WAV payload: {e}") from None
+            fmt, rate, nch, n, s = _wav_parse(m["payload"])
             if rate <= 0:
-                # stdlib wave accepts a fmt chunk declaring rate 0 on
-                # read; the duration division below must refuse it
-                # cleanly, not ZeroDivisionError inside the task
+                # a fmt chunk may declare rate 0; the duration division
+                # below must refuse it cleanly, not ZeroDivisionError
                 raise ValueError(f"not a decodable WAV payload: sample rate {rate}")
-            if len(raw) != n * nch * 2:
-                # header promised more frames than the data section
-                # carries — a silently-shortened read would report an
-                # rms/duration inconsistent with n_samples
-                raise ValueError(
-                    f"truncated WAV: header declares {n} frames, "
-                    f"data section carries {len(raw) // (nch * 2)}"
-                )
-            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-            sq = int((s * s).sum())
+            if s.dtype == np.float64:
+                sq = float((s * s).sum())
+            elif int(np.abs(s).max(initial=0)) < (1 << 23):
+                sq = int((s * s).sum())  # int64-safe for <= 24-bit audio
+            else:
+                sq = sum(int(x) * int(x) for x in s.tolist())
             rms = float(np.sqrt(sq / len(s))) if len(s) else 0.0
-            return rate, nch, n, n * 1000.0 / rate, rms
+            return fmt, rate, nch, n, n * 1000.0 / rate, rms
 
         for pdf in batches:
             cols = pdf[media_col].map(one)
             yield pdf.assign(
-                sample_rate=cols.map(lambda t: t[0]),
-                n_channels=cols.map(lambda t: t[1]),
-                n_samples=cols.map(lambda t: t[2]),
-                duration_ms=cols.map(lambda t: t[3]),
-                rms=cols.map(lambda t: t[4]),
+                fmt=cols.map(lambda t: t[0]),
+                sample_rate=cols.map(lambda t: t[1]),
+                n_channels=cols.map(lambda t: t[2]),
+                n_samples=cols.map(lambda t: t[3]),
+                duration_ms=cols.map(lambda t: t[4]),
+                rms=cols.map(lambda t: t[5]),
             )
 
     return df.mapInPandas(run, out_schema)

@@ -1459,6 +1459,49 @@ class TestMultimodal:
         assert r.n_bytes == 4
         assert r.media_class == "image"
 
+    def test_wav_envelope_round_trips_and_refusals(self, spark):
+        """r12 audio envelope (from-spec RIFF parser): PCM 8/16/24/32
+        and IEEE float 32/64 round-trip exactly — including the
+        WAVE_FORMAT_EXTENSIBLE wrapper — and compressed format tags /
+        structural damage refuse cleanly."""
+        from nekton_spark.functions.multimodal import _wav_encode, _wav_parse
+
+        rng = np.random.RandomState(3)
+        for fmt, lim in [
+            ("pcm8", 128), ("pcm16", 1 << 15), ("pcm24", 1 << 23),
+            ("pcm32", 1 << 31), ("float32", 1 << 20), ("float64", 1 << 40),
+        ]:
+            n = int(rng.randint(5, 40))
+            s = rng.randint(-lim, lim, n).astype(np.int64)
+            if fmt.startswith("float"):
+                s = s.astype(np.float64)
+            for ext in (False, True):
+                got_fmt, rate, nch, nf, out = _wav_parse(
+                    _wav_encode(s, fmt, 8000, extensible=ext)
+                )
+                assert (got_fmt, rate, nch, nf) == (fmt, 8000, 1, n)
+                assert np.array_equal(out, s), (fmt, ext)
+        good = _wav_encode(np.arange(-8, 8), "pcm16", 8000)
+        # compressed tag (MP3 = 0x0055) refuses as NotImplementedError
+        import struct as _s
+
+        mp3 = bytearray(good)
+        i = mp3.index(b"fmt ") + 8
+        mp3[i : i + 2] = _s.pack("<H", 0x0055)
+        with pytest.raises(NotImplementedError, match="0x0055"):
+            _wav_parse(bytes(mp3))
+        with pytest.raises(ValueError, match="RIFF"):
+            _wav_parse(b"OggS" + good[4:])
+        with pytest.raises(ValueError, match="exceeds payload"):
+            _wav_parse(good[:-3])
+        # torn frame: data length not a multiple of blockalign
+        torn = bytearray(good)
+        j = torn.index(b"data") + 4
+        (dlen,) = _s.unpack("<I", torn[j : j + 4])
+        torn[j : j + 4] = _s.pack("<I", dlen - 1)
+        with pytest.raises(ValueError, match="whole number of frames"):
+            _wav_parse(bytes(torn[:-1]))
+
     def test_wav_codec_round_trip(self, spark):
         """Real WAV bytes: the payload must be a parseable RIFF/WAVE
         file whose decoded features match the synthesis closed form."""
