@@ -3307,6 +3307,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle is literally ann_topk_ivfpq's SQL; equality pinned by
     # test_ivfpq_index_persist_equals_inline + fuzz seed 111). After
     # this round no row's driver evidence is older than two rounds.
+    #
+    # r13 window pre-solve: FIVE rows with no driver evidence yet —
+    # ann_index_roundtrip (deferred from r12 per the rationale above)
+    # + the four new r12 rows (jpeg_progressive_decode,
+    # png_palette_decode, wav_envelope_features, decode_coverage —
+    # each oracle-verified exact locally at sf0.01 and fuzzed, seeds
+    # 112-117) — plus 45 of the 50-row r10 staleness tail = exactly
+    # 50. The one r10 row squeezed out should be events_sliding_window
+    # (its engine path is shared with events_tumbling_window, which
+    # stays in; it then HEADS the r14 window). Recompute the r10 tail
+    # from CORRECTNESS_r01-r12 at r13 start — same histogram recipe as
+    # this round's rotation.
     r12_window = [
         # (a) new in r11, judge-verified exact in the r11 session,
         #     first driver check now
