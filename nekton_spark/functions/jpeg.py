@@ -1136,6 +1136,15 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     f"zero-dimension JPEG ({width}x{height}) refused"
                 )
+            # hard pixel-count cap (mirrors the PNG decoder's, r12):
+            # the progressive path allocates per-component coefficient
+            # memory up front from these header dims, so a 20-byte
+            # forged SOF declaring 65535x65535 would otherwise demand
+            # ~34 GB before the entropy decode ever fails
+            if width * height > 1 << 26:
+                raise ValueError(
+                    f"JPEG dimensions {width}x{height} exceed decode cap"
+                )
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEGs not supported")
             if len(body) < 6 + 3 * ncomp:

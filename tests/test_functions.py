@@ -2001,6 +2001,27 @@ class TestJpegCodec:
             with pytest.raises(ValueError, match="illegal sampling factors"):
                 jpeg_decode(bytes(payload))
 
+    def test_forged_dimensions_refused_before_allocation(self):
+        """r12 hardening: a forged SOF declaring huge dimensions must
+        refuse at the header (the progressive path allocates
+        coefficient memory up front from these dims)."""
+        import struct
+
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+        )
+
+        p = bytearray(jpeg_encode_blocks([5], 1, 8, 8))
+        sof = p.index(b"\xff\xc0")
+        # SOF body: len(2) prec(1) h(2) w(2) — forge 65535x65535
+        p[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+        with pytest.raises(ValueError, match="exceed decode cap"):
+            jpeg_decode(bytes(p))
+        p[sof + 1] = 0xC2  # progressive SOF, same forged dims
+        with pytest.raises(ValueError, match="exceed decode cap"):
+            jpeg_decode(bytes(p))
+
     def test_sampling_factors_3_4_exact_closed_form(self):
         """Factors 3 and 4 (4:1:1, 3:1:1, and the fractional
         2-against-4 / 1-against-4 ratios) decode EXACTLY to the
