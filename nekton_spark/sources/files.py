@@ -80,6 +80,88 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
+_MEDIA_MIME_BY_EXT = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "jfif": "image/jpeg",
+    "wav": "audio/wav",
+    "avi": "video/avi",
+}
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+@register_source("media_files")
+def media_files_source(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    stream: bool = False,
+    recursive: bool = False,
+    mime: str | None = None,
+    max_bytes: int | None = None,
+    **options,
+) -> DataFrame:
+    """Ingest raw media FILES as media rows via Spark's ``binaryFile``
+    source — the shape a real multimodal training pipeline uses to
+    read an object-store image/audio dump: distributed listing + read
+    (no driver-side file walk), partition sizing via
+    ``spark.sql.files.maxPartitionBytes`` like any scan, and
+    ``pathGlobFilter``/``recursiveFileLookup`` pushed to the listing.
+    Each file becomes ``(doc_id, media)`` with doc_id =
+    xxhash64(path) (stable across runs and cluster sizes — the same
+    content-addressed convention the shard sink uses) and media =
+    struct(payload = content, mime from the file extension (or the
+    explicit ``mime`` override — unknown extensions ingest as
+    application/octet-stream and REFUSE at decode time, where the
+    refusal is reason-coded by decode_coverage), meta{path, length}).
+
+    ``max_bytes`` filters oversized files AT THE LISTING via a pushed
+    ``length`` predicate — the 100 TB guard against a stray multi-GB
+    artifact entering an Arrow batch. ``stream=True`` uses readStream
+    (Structured Streaming file-source semantics: each file processed
+    exactly once; bound micro-batches with ``maxFilesPerTrigger``)."""
+    reader = spark.readStream if stream else spark.read
+    reader = reader.format("binaryFile")
+    if stream:
+        # file stream sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        reader = reader.schema(_BINARY_FILE_SCHEMA)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mime_col = F.lit(mime) if mime is not None else F.coalesce(
+        *[
+            F.when(ext == e, F.lit(m))
+            for e, m in _MEDIA_MIME_BY_EXT.items()
+        ],
+        F.lit("application/octet-stream"),
+    )
+    from ..functions.multimodal import pack_media
+
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        pack_media(
+            F.col("content"),
+            mime_col,
+            F.create_map(
+                F.lit("path"), F.col("path"),
+                F.lit("length"), F.col("length").cast("string"),
+            ),
+        ).alias("media"),
+    )
+
+
 @register_source("table")
 def table_source(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
     full = f"{path}/{name}.parquet" if name else path

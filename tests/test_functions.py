@@ -1459,6 +1459,66 @@ class TestMultimodal:
         assert r.n_bytes == 4
         assert r.media_class == "image"
 
+    def test_media_files_source_ingests_and_decodes(self, spark, tmp_path):
+        """r12 media_files source (Spark binaryFile): raw image/audio
+        files on disk ingest as (doc_id = xxhash64(path), media) rows
+        — distributed listing, mime from extension, glob and
+        max_bytes pushed to the scan — and the payloads decode EXACTLY
+        through the normal operators."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_encode_blocks,
+            synth_block_values,
+        )
+        from nekton_spark.functions.multimodal import (
+            _png_encode,
+            _synth_pixels,
+            decode_image,
+        )
+        from nekton_spark.sources.files import media_files_source
+
+        d = tmp_path / "dump"
+        d.mkdir()
+        truths = {}
+        for key in (3, 7):
+            pix = _synth_pixels(key)
+            (d / f"img{key}.png").write_bytes(_png_encode(pix))
+            truths[f"img{key}.png"] = pix
+        dcs, bx, w, h = synth_block_values(4)
+        (d / "img4.jpg").write_bytes(jpeg_encode_blocks(dcs, bx, w, h))
+        (d / "notes.txt").write_bytes(b"not media")
+        src = media_files_source(spark, str(d))
+        rows = src.collect()
+        assert len(rows) == 4
+        by_path = {r.media["meta"]["path"].rsplit("/", 1)[-1]: r for r in rows}
+        assert by_path["img3.png"].media["mime"] == "image/png"
+        assert by_path["img4.jpg"].media["mime"] == "image/jpeg"
+        assert by_path["notes.txt"].media["mime"] == "application/octet-stream"
+        assert len({r.doc_id for r in rows}) == 4  # stable distinct ids
+        # decode the image subset exactly through the normal operator
+        imgs = src.filter(F.col("media.mime").startswith("image/"))
+        dec = {
+            r.media["meta"]["path"].rsplit("/", 1)[-1]: r
+            for r in decode_image(imgs).collect()
+        }
+        for name, pix in truths.items():
+            assert dec[name].pixels == pix.ravel().tolist()
+        # glob + max_bytes push to the listing
+        assert media_files_source(spark, str(d), glob="*.png").count() == 2
+        assert (
+            media_files_source(spark, str(d), max_bytes=10).count() == 1
+        )  # only the 9-byte txt survives
+        # streaming: same rows through the file-stream source
+        q = (
+            media_files_source(spark, str(d), stream=True, glob="*.png")
+            .writeStream.format("memory")
+            .queryName("media_files_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT count(*) c FROM media_files_stream").first().c
+        assert got == 2
+
     def test_wav_envelope_round_trips_and_refusals(self, spark):
         """r12 audio envelope (from-spec RIFF parser): PCM 8/16/24/32
         and IEEE float 32/64 round-trip exactly — including the
