@@ -2446,6 +2446,43 @@ def wav_envelope_features(spark, sf):
     )
 
 
+def html_extract_row(spark, sf):
+    """HTML → text extraction (functions/html.py, r12): each document
+    is wrapped in a deterministic page (title + script/style that must
+    vanish, an entity-bearing h1, the text entity-escaped inside <p>,
+    a link-only nav div, a comment) by synth_html, then extracted by
+    the stdlib-state-machine block parser — one Arrow-batched map, no
+    shuffle. The oracle reconstructs the expected block lines, counts
+    and link density closed-form from the raw text (ws-collapse is the
+    only transformation the page round trip leaves behind)."""
+    from nekton_spark.functions.html import html_extract, synth_html
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = html_extract(synth_html(d))
+    return out.select(
+        "doc_id",
+        F.col("text").alias("extracted"),
+        "n_blocks",
+        "text_chars",
+        "link_chars",
+        "link_density",
+    )
+
+
+def html_main_text_row(spark, sf):
+    """Boilerplate-aware main-text selection (functions/html.py
+    html_main_text, jusText-lite): on the same synthetic page, the
+    link-only nav block (link density 10/11 > 0.5) and the 1-char
+    title block (< min_block_chars=2) are dropped; the h1 and the
+    document paragraph survive. The keep/drop rule is two explicit
+    thresholds, so the oracle replays the decision exactly."""
+    from nekton_spark.functions.html import html_main_text, synth_html
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = html_main_text(synth_html(d))
+    return out.select("doc_id", "main_text", "n_kept", "n_dropped")
+
+
 def tfidf_top_terms_check(spark, sf):
     """Per-document top-3 TF-IDF terms (text_analysis.tfidf_top_terms):
     add-one-smoothed idf = ln((N+1)/(df+1)), deterministic ties. All
@@ -3019,6 +3056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_check": pack_sequences_check,
         "audio_features": audio_features,
         "wav_envelope_features": wav_envelope_features,
+        "html_extract": html_extract_row,
+        "html_main_text": html_main_text_row,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
         "distinct_customers_per_segment": distinct_customers_per_segment,
@@ -6452,5 +6491,46 @@ SELECT doc_id,
            (a, b) -> a + b)
          / (64 + doc_id % 64)), 6) AS rms
 FROM documents
+""",
+        # html_extract (r12): the synth page round-trips the raw text
+        # through entity escape → parse → decode, so the expected
+        # extraction is closed-form: title 'T', the h1 line, the
+        # ws-collapsed text (empty text drops its block per the
+        # empty-block rule), the nav line. link_chars is the collapsed
+        # concatenation of the two anchor texts ('HomeNext >' = 10).
+        "html_extract": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN nt = ''
+            THEN 'T' || chr(10) || 'Doc & ' || doc_id || chr(10) || 'Home Next >'
+            ELSE 'T' || chr(10) || 'Doc & ' || doc_id || chr(10) || nt
+                 || chr(10) || 'Home Next >' END AS extracted,
+       (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks,
+       (length(nt) + 18 + length(doc_id::VARCHAR))::BIGINT AS text_chars,
+       10::BIGINT AS link_chars,
+       round(10.0 / (length(nt) + 18 + length(doc_id::VARCHAR)), 6)
+         AS link_density
+FROM n
+""",
+        # html_main_text (r12): same page; nav (link density 10/11)
+        # and the 1-char title fail the keep rule, h1 always passes,
+        # the text block passes iff its collapsed length >= 2
+        "html_main_text": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN length(nt) >= 2
+            THEN 'Doc & ' || doc_id || chr(10) || nt
+            ELSE 'Doc & ' || doc_id END AS main_text,
+       (CASE WHEN length(nt) >= 2 THEN 2 ELSE 1 END)::INT AS n_kept,
+       (CASE WHEN nt = '' THEN 2
+             WHEN length(nt) < 2 THEN 3
+             ELSE 2 END)::INT AS n_dropped
+FROM n
 """,
     }

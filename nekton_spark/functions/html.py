@@ -1,0 +1,257 @@
+r"""HTML → text extraction for web-corpus curation (SURVEY §2.5 ext).
+
+A 100 TB LLM training corpus starts life as crawled HTML (the Common
+Crawl / WARC shape); the first pipeline stage is markup removal plus
+boilerplate-aware main-text selection. The reference has no HTML
+surface at all — this module is part of the LLM-data extension layer,
+built from the public HTML5 text-extraction conventions:
+
+- tags whose CONTENT is never text: ``script style noscript template``
+  (plus comments, processing instructions, doctype);
+- block-level elements delimit text blocks (one output line per
+  non-empty block), inline elements flow within a block;
+- character/entity references decode once (``&amp;#38;`` is the
+  literal ``&#38;``, not ``&``);
+- whitespace collapses within a block (runs → one space, ends trimmed),
+  the HTML rendering convention outside ``pre`` — applied uniformly
+  (``pre`` too; a curation pipeline wants stable normal forms, not
+  typography).
+
+Boilerplate handling is the jusText/Arc90-style block heuristic
+(Pomikálek 2011, public): score every block by LINK DENSITY (chars
+contributed from inside ``<a>`` / block chars) and length; navigation,
+footers and link farms are short and link-dense, body prose is long
+and link-sparse. :func:`html_main_text` keeps blocks under a link-
+density ceiling and over a length floor — deliberately two thresholds,
+not a trained model, so the keep/drop decision is exactly replayable
+by the SQL oracle.
+
+Execution shape: ONE Arrow-batched pandas UDF per call (the parse is
+the stdlib ``html.parser`` state machine — there is no JVM HTML parser
+in Spark, and the per-row work is the lex itself, so this is the
+honest Pandas-UDF case). Map-only, zero shuffles, linear in corpus
+bytes; at cluster scale it parallelizes embarrassingly like the codec
+family. NULL html follows the engine-wide NULL-text contract: treated
+as the empty document (empty text, zero blocks).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# content of these never reaches the text layer
+_DROP_CONTENT = {"script", "style", "noscript", "template"}
+
+# HTML block-level elements (text-block delimiters). <br> and <hr> are
+# void separators handled alongside. title is included: it is the one
+# head element carrying real text.
+_BLOCK = {
+    "address", "article", "aside", "blockquote", "body", "caption",
+    "dd", "details", "div", "dl", "dt", "fieldset", "figcaption",
+    "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "header", "hgroup", "html", "legend", "li", "main", "nav", "ol",
+    "option", "p", "pre", "section", "select", "summary", "table",
+    "tbody", "td", "tfoot", "th", "thead", "title", "tr", "ul",
+}
+
+_BLOCK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("link_chars", T.IntegerType()),
+        ]
+    )
+)
+
+
+def _parse_blocks(html: str) -> list[tuple[str, int, int]]:
+    """Parse one document into ``(text, n_chars, link_chars)`` blocks.
+
+    Single pass over the byte stream via the stdlib tolerant parser
+    (never raises on real-world tag soup); whitespace-collapsed block
+    text, empty blocks dropped.
+    """
+    from html.parser import HTMLParser
+
+    blocks: list[tuple[str, int, int]] = []
+
+    class _X(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.link_parts: list[str] = []
+            self.drop = 0  # depth inside script/style/...
+            self.a_depth = 0
+
+        def _flush(self) -> None:
+            raw = "".join(self.parts)
+            text = " ".join(raw.split())
+            if text:
+                link_raw = "".join(self.link_parts)
+                link = " ".join(link_raw.split())
+                blocks.append((text, len(text), len(link)))
+            self.parts = []
+            self.link_parts = []
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag in _DROP_CONTENT:
+                self.drop += 1
+            elif tag in _BLOCK or tag in ("br", "hr"):
+                self._flush()
+            elif tag == "a":
+                self.a_depth += 1
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag in _DROP_CONTENT:
+                self.drop = max(0, self.drop - 1)
+            elif tag in _BLOCK:
+                self._flush()
+            elif tag == "a":
+                self.a_depth = max(0, self.a_depth - 1)
+
+        # void elements arrive here when written XHTML-style (<br/>)
+        def handle_startendtag(self, tag: str, attrs) -> None:
+            self.handle_starttag(tag, attrs)
+            if tag in _DROP_CONTENT:
+                self.drop = max(0, self.drop - 1)
+            elif tag == "a":
+                self.a_depth = max(0, self.a_depth - 1)
+
+        def handle_data(self, data: str) -> None:
+            if self.drop:
+                return
+            self.parts.append(data)
+            if self.a_depth:
+                self.link_parts.append(data)
+
+    p = _X()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return blocks
+
+
+def _blocks_udf() -> Column:
+    @F.pandas_udf(_BLOCK_SCHEMA)
+    def _blocks(s: pd.Series) -> pd.Series:
+        return s.map(lambda h: _parse_blocks(h) if h else [])
+
+    return _blocks
+
+
+def html_blocks(
+    df: DataFrame, html_col: str = "html", out_col: str = "blocks"
+) -> DataFrame:
+    """Low-level surface: one array-of-structs column
+    ``(text, n_chars, link_chars)`` per document — the shared substrate
+    both extraction modes select from. One Python crossing; everything
+    downstream is codegen over the array."""
+    return df.withColumn(out_col, _blocks_udf()(F.col(html_col)))
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """Full text extraction: every non-empty block, one per line, plus
+    the corpus-triage signals ``n_blocks``, ``text_chars``,
+    ``link_chars`` and ``link_density`` (NULL on zero-text documents —
+    0/0 is "no evidence", not "no links")."""
+    d = html_blocks(df, html_col, "_blk")
+    agg = F.aggregate(
+        "_blk",
+        F.struct(
+            F.lit(0).cast("long").alias("tc"), F.lit(0).cast("long").alias("lc")
+        ),
+        lambda acc, b: F.struct(
+            (acc.tc + b.n_chars).alias("tc"), (acc.lc + b.link_chars).alias("lc")
+        ),
+    )
+    d = d.withColumn("_tot", agg)
+    d = (
+        d.withColumn(
+            text_col, F.array_join(F.transform("_blk", lambda b: b.text), "\n")
+        )
+        .withColumn("n_blocks", F.size("_blk"))
+        .withColumn("text_chars", F.col("_tot.tc"))
+        .withColumn("link_chars", F.col("_tot.lc"))
+        .withColumn(
+            "link_density",
+            F.when(
+                F.col("text_chars") > 0,
+                F.round(F.col("link_chars") / F.col("text_chars"), 6),
+            ),
+        )
+    )
+    return d.drop("_blk", "_tot")
+
+
+def html_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "main_text",
+    max_link_density: float = 0.5,
+    min_block_chars: int = 2,
+) -> DataFrame:
+    """Boilerplate-aware main-text selection (jusText-lite): keep
+    blocks with ``link_chars/n_chars <= max_link_density`` AND
+    ``n_chars >= min_block_chars``; navigation/footer/link-farm blocks
+    fail the first test, stray single glyphs the second. Returns the
+    kept text plus ``n_kept``/``n_dropped`` so a corpus rollup can
+    watch what fraction of crawl bytes the heuristic keeps."""
+    if not 0.0 <= max_link_density <= 1.0:
+        raise ValueError(
+            f"max_link_density must be in [0,1], got {max_link_density}"
+        )
+    if min_block_chars < 1:
+        raise ValueError(f"min_block_chars must be >= 1, got {min_block_chars}")
+    d = html_blocks(df, html_col, "_blk")
+    keep = F.filter(
+        "_blk",
+        lambda b: (b.link_chars <= b.n_chars * F.lit(max_link_density))
+        & (b.n_chars >= F.lit(min_block_chars)),
+    )
+    d = d.withColumn("_keep", keep)
+    d = (
+        d.withColumn(
+            text_col, F.array_join(F.transform("_keep", lambda b: b.text), "\n")
+        )
+        .withColumn("n_kept", F.size("_keep"))
+        .withColumn("n_dropped", F.size("_blk") - F.size("_keep"))
+    )
+    return d.drop("_blk", "_keep")
+
+
+def synth_html(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+    out_col: str = "html",
+) -> DataFrame:
+    """Deterministic HTML page around each document (driver-row /
+    test fixture synth, JVM-side): head with title + script + style
+    that must vanish, an ``<h1>`` carrying an entity, the document
+    text entity-escaped inside ``<p>`` (the extractor must decode it
+    back), a link-only nav div (the boilerplate target), a comment.
+    Closed-form invertible, so the DuckDB oracle reconstructs the
+    expected extraction directly from the raw columns."""
+    esc = F.col(text_col)
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    esc = F.coalesce(esc, F.lit(""))
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><script>var x = '<p>no</p>';"
+            "</script><style>p { color: red }</style></head><body>"
+        ),
+        F.lit("<h1>Doc &amp; "),
+        F.col(key_col).cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit(
+            '</p><div><a href="/">Home</a> <a href="/n">Next &gt;</a>'
+            "</div><!-- footer --></body></html>"
+        ),
+    )
+    return df.withColumn(out_col, html)

@@ -832,3 +832,38 @@ def hilbert_key_processor(
     from ..functions.layout import hilbert_value
 
     return hilbert_value(df, col_a, col_b, bits=bits)
+
+
+@register_processor("html_extract")
+def html_extract_processor(
+    df: DataFrame, html_col: str = "html", text_col: str = "text"
+) -> DataFrame:
+    """HTML → text extraction (functions/html.py): all non-empty text
+    blocks one-per-line plus n_blocks/text_chars/link_chars/
+    link_density triage signals. The crawl-ingest front door —
+    map-only, one Arrow crossing, no shuffle."""
+    from ..functions.html import html_extract
+
+    return html_extract(df, html_col=html_col, text_col=text_col)
+
+
+@register_processor("html_main_text")
+def html_main_text_processor(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "main_text",
+    max_link_density: float = 0.5,
+    min_block_chars: int = 2,
+) -> DataFrame:
+    """Boilerplate-aware main-text selection (jusText-lite block
+    heuristic): drop link-dense and too-short blocks, keep body
+    prose; n_kept/n_dropped let a corpus rollup watch the keep rate."""
+    from ..functions.html import html_main_text
+
+    return html_main_text(
+        df,
+        html_col=html_col,
+        text_col=text_col,
+        max_link_density=max_link_density,
+        min_block_chars=min_block_chars,
+    )

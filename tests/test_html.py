@@ -1,0 +1,133 @@
+"""HTML → text extraction (functions/html.py): parser edge cases,
+the two DataFrame surfaces, the boilerplate keep rule, and the spec
+processors. The driver rows html_extract / html_main_text carry the
+closed-form oracle; here we pin the behaviors the synth page can't
+reach (tag soup, nesting, void elements, single-decode entities)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nekton_spark.functions.html import (
+    _parse_blocks,
+    html_extract,
+    html_main_text,
+    synth_html,
+)
+
+
+class TestParseBlocks:
+    def test_basic_blocks(self):
+        got = _parse_blocks("<p>a</p><p>b  c</p>")
+        assert got == [("a", 1, 0), ("b c", 3, 0)]
+
+    def test_script_style_comment_dropped(self):
+        html = (
+            "<script>var a = '<p>x</p>';</script><style>p{}</style>"
+            "<noscript>n</noscript><template>t</template>"
+            "<!-- c --><p>kept</p>"
+        )
+        assert _parse_blocks(html) == [("kept", 4, 0)]
+
+    def test_entities_decode_once(self):
+        # &amp;#38; is the literal '&#38;', not '&'
+        assert _parse_blocks("<p>&amp;#38; &lt;i&gt;</p>") == [
+            ("&#38; <i>", 9, 0)
+        ]
+
+    def test_br_hr_split_blocks(self):
+        assert [b[0] for b in _parse_blocks("<p>a<br>b<hr>c</p>")] == [
+            "a", "b", "c"
+        ]
+        # XHTML-style void form
+        assert [b[0] for b in _parse_blocks("<p>a<br/>b</p>")] == ["a", "b"]
+
+    def test_link_chars(self):
+        got = _parse_blocks('<p>see <a href="/x">here</a> now</p>')
+        assert got == [("see here now", 12, 4)]
+
+    def test_nested_anchor_closes(self):
+        # tag soup: stray </a> must not underflow
+        got = _parse_blocks("</a><p><a>x</a>y</p>")
+        assert got == [("xy", 2, 1)]
+
+    def test_inline_tags_flow(self):
+        got = _parse_blocks("<p><b>bo</b>ld <i>it</i></p>")
+        assert got == [("bold it", 7, 0)]
+
+    def test_unclosed_trailing_text_flushes(self):
+        assert _parse_blocks("<p>open") == [("open", 4, 0)]
+
+    def test_empty_and_whitespace_blocks_dropped(self):
+        assert _parse_blocks("<p>  </p><div></div><p>x</p>") == [("x", 1, 0)]
+
+    def test_table_rows_are_blocks(self):
+        got = _parse_blocks(
+            "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>"
+        )
+        assert [b[0] for b in got] == ["a", "b", "c"]
+
+
+class TestDataFrames:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, html string")
+
+    def test_extract_columns(self, spark):
+        d = self._df(spark, [(1, "<h1>t</h1><p>body <a href=x>l</a></p>")])
+        row = html_extract(d).collect()[0]
+        assert row.text == "t\nbody l"
+        assert row.n_blocks == 2
+        assert row.text_chars == 7
+        assert row.link_chars == 1
+        assert row.link_density == round(1 / 7, 6)
+
+    def test_null_html_is_empty_document(self, spark):
+        row = html_extract(self._df(spark, [(1, None)])).collect()[0]
+        assert row.text == "" and row.n_blocks == 0
+        assert row.link_density is None
+
+    def test_main_text_drops_nav_and_short(self, spark):
+        d = self._df(
+            spark,
+            [(1, '<p>real body text</p><div><a href=x>Home</a></div><p>z</p>')],
+        )
+        row = html_main_text(d).collect()[0]
+        assert row.main_text == "real body text"
+        assert row.n_kept == 1 and row.n_dropped == 2
+
+    def test_main_text_threshold_validation(self, spark):
+        d = self._df(spark, [(1, "<p>x</p>")])
+        with pytest.raises(ValueError, match="max_link_density"):
+            html_main_text(d, max_link_density=1.5)
+        with pytest.raises(ValueError, match="min_block_chars"):
+            html_main_text(d, min_block_chars=0)
+
+    def test_synth_round_trip(self, spark, tables):
+        d = tables["documents"].select("doc_id", "text").limit(20)
+        out = html_extract(synth_html(d)).select("doc_id", "text", "n_blocks")
+        exp = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("T\nDoc & "),
+                F.col("doc_id").cast("string"),
+                F.lit("\n"),
+                F.trim(F.regexp_replace("text", r"\s+", " ")),
+                F.lit("\nHome Next >"),
+            ).alias("text"),
+        )
+        j = out.join(exp.withColumnRenamed("text", "exp"), "doc_id")
+        assert j.filter(F.col("text") != F.col("exp")).count() == 0
+        assert out.filter(F.col("n_blocks") != 4).count() == 0
+
+    def test_processor_registry(self, spark):
+        from nekton_spark.registry import PROCESSORS
+
+        d = self._df(spark, [(1, "<p>hello</p>")])
+        got = PROCESSORS["html_extract"](d).collect()[0]
+        assert got.text == "hello"
+        got2 = PROCESSORS["html_main_text"](d).collect()[0]
+        assert got2.main_text == "hello"
+
+    def test_no_shuffle_map_only(self, spark):
+        d = self._df(spark, [(1, "<p>x</p>")])
+        plan = html_extract(d)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
