@@ -2446,6 +2446,27 @@ def wav_envelope_features(spark, sf):
     )
 
 
+def wav_g711_features(spark, sf):
+    """G.711 telephony WAV decode (functions/multimodal.py r12: µ-law
+    even keys / A-law odd keys, A-law under WAVE_FORMAT_EXTENSIBLE).
+    The payload carries closed-form codewords b_i = (key*31+i*17)%256;
+    the engine expands them through the from-spec segment tables to
+    16-bit-aligned integer linears, and the oracle replays the same
+    ITU-T G.711 decode formulas in SQL — sign/segment/mantissa bit
+    ops — so the rms matches exactly."""
+    from nekton_spark.functions.multimodal import synth_wav_g711_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_audio(synth_wav_g711_media(d))
+    return dec.select(
+        "doc_id",
+        "fmt",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def html_extract_row(spark, sf):
     """HTML → text extraction (functions/html.py, r12): each document
     is wrapped in a deterministic page (title + script/style that must
@@ -3056,6 +3077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_check": pack_sequences_check,
         "audio_features": audio_features,
         "wav_envelope_features": wav_envelope_features,
+        "wav_g711_features": wav_g711_features,
         "html_extract": html_extract_row,
         "html_main_text": html_main_text_row,
         "topk_customers_per_nation": topk_customers_per_nation,
@@ -6491,6 +6513,49 @@ SELECT doc_id,
            (a, b) -> a + b)
          / (64 + doc_id % 64)), 6) AS rms
 FROM documents
+""",
+        # wav_g711_features (r12): codewords b_i = (key*31+i*17)%256,
+        # µ-law on even keys (complement, segment e=(c>>4)&7, mantissa
+        # m=c&15, linear = ±(((m<<3)+0x84)<<e − 0x84)), A-law on odd
+        # (xor 0x55; seg 0: (m<<4)+8, seg>=1: ((m<<4)+0x108)<<(seg−1);
+        # sign bit SET is positive) — ITU-T G.711 decode in SQL
+        "wav_g711_features": """
+WITH s AS (
+  SELECT doc_id,
+         unnest(range(0, (64 + doc_id % 64)::INT)) AS i
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         ((doc_id * 31 + i * 17) % 256)::BIGINT AS b
+  FROM s),
+c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 255 - b ELSE xor(b, 85) END AS c
+  FROM d),
+m AS (
+  SELECT doc_id, c,
+         CASE WHEN doc_id % 2 = 0
+              THEN (((c & 15) * 8 + 132)
+                    * (1::BIGINT << ((c >> 4) & 7))) - 132
+              ELSE CASE WHEN ((c >> 4) & 7) = 0
+                        THEN (c & 15) * 16 + 8
+                        ELSE ((c & 15) * 16 + 264)
+                             * (1::BIGINT << (((c >> 4) & 7) - 1)) END
+         END AS mag
+  FROM c),
+v AS (
+  SELECT doc_id,
+         -- µ-law: sign bit set = negative; A-law: sign bit set = POSITIVE
+         CASE WHEN (doc_id % 2 = 0) = ((c & 128) != 0)
+              THEN -mag ELSE mag END AS lin
+  FROM m)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS fmt,
+       8000::INT AS sample_rate,
+       (64 + doc_id % 64)::INT AS n_samples,
+       round(sqrt(sum(lin::DOUBLE * lin) / (64 + doc_id % 64)), 6) AS rms
+FROM v
+GROUP BY doc_id
 """,
         # html_extract (r12): the synth page round-trips the raw text
         # through entity escape → parse → decode, so the expected

@@ -270,13 +270,18 @@ def _wav_encode(samples: np.ndarray, fmt: str, rate: int, extensible: bool = Fal
     """Genuine RIFF/WAVE bytes for 1-channel audio across the r12
     envelope: ``fmt`` ∈ pcm8 (samples are CENTERED ints, stored
     +128 unsigned) / pcm16 / pcm24 (3-byte LE two's complement) /
-    pcm32 / float32 / float64; ``extensible=True`` wraps the format in
-    a WAVE_FORMAT_EXTENSIBLE fmt chunk (SubFormat GUID)."""
+    pcm32 / float32 / float64 / ulaw / alaw (for the G.711 formats
+    samples ARE the 8-bit codewords, written through unchanged);
+    ``extensible=True`` wraps the format in a WAVE_FORMAT_EXTENSIBLE
+    fmt chunk (SubFormat GUID)."""
     tag, bits = {
         "pcm8": (1, 8), "pcm16": (1, 16), "pcm24": (1, 24),
         "pcm32": (1, 32), "float32": (3, 32), "float64": (3, 64),
+        "alaw": (6, 8), "ulaw": (7, 8),
     }[fmt]
-    if tag == 3:
+    if tag in (6, 7):
+        data = np.asarray(samples, dtype=np.int64).astype(np.uint8).tobytes()
+    elif tag == 3:
         data = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
     elif bits == 8:
         data = (np.asarray(samples, dtype=np.int64) + 128).astype(np.uint8).tobytes()
@@ -331,6 +336,36 @@ def synth_wav_envelope_media(df: DataFrame, key_col: str = "doc_id") -> DataFram
                 "payload": _wav_encode(s, fmt, 8000, extensible=bool(key % 2)),
                 "mime": "audio/wav",
                 "meta": {"origin": "synth-wav-envelope"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_wav_g711_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL G.711 telephony WAV per row: fmt = ulaw on even
+    keys / alaw on odd (alaw rides the WAVE_FORMAT_EXTENSIBLE wrapper),
+    n = 64 + key % 64 codewords b_i = (key*31 + i*17) % 256 at
+    8000 Hz. The codewords are the closed form, so the oracle decodes
+    them with the same G.711 segment formulas in SQL and lands on the
+    identical integer linears."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            fmt = ("ulaw", "alaw")[key % 2]
+            n = 64 + key % 64
+            b = (key * 31 + np.arange(n) * 17) % 256
+            return {
+                "payload": _wav_encode(b, fmt, 8000, extensible=bool(key % 2)),
+                "mime": "audio/wav",
+                "meta": {"origin": "synth-wav-g711"},
             }
 
         for pdf in batches:
@@ -1052,10 +1087,47 @@ def synth_wav_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
 
 
 _WAV_FMT_PCM, _WAV_FMT_FLOAT, _WAV_FMT_EXT = 1, 3, 0xFFFE
+_WAV_FMT_ALAW, _WAV_FMT_MULAW = 6, 7
 _WAV_FMT_NAMES = {
     (1, 8): "pcm8", (1, 16): "pcm16", (1, 24): "pcm24", (1, 32): "pcm32",
     (3, 32): "float32", (3, 64): "float64",
+    (6, 8): "alaw", (7, 8): "ulaw",
 }
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """G.711 codeword → 16-bit-aligned linear PCM, built from the
+    ITU-T G.711 segment formulas (Tables 1a/2a — derived, not copied):
+
+    µ-law: codewords transmit COMPLEMENTED; with c = ~b, segment
+    e = (c>>4)&7, mantissa m = c&15, the 14-bit magnitude is
+    (2m+33)·2^e − 33, i.e. 16-bit-aligned ((m<<3)+0x84)<<e − 0x84;
+    sign bit set (c&0x80) means negative. Both zero codes (0xFF/0x7F)
+    decode to 0.
+
+    A-law: codewords transmit XOR 0x55; with c = b^0x55, segment
+    s = (c>>4)&7, mantissa m = c&15, the 13-bit magnitude is
+    (2m+1)·2^max(s,1) ... folded to the 16-bit-aligned closed form
+    seg 0: (m<<4)+8; seg ≥ 1: ((m<<4)+0x108)<<(s−1). Sign bit SET
+    means positive (A-law's inverted sign convention).
+    """
+    c = (~np.arange(256)) & 0xFF
+    t = (((c & 15) << 3) + 0x84) << ((c >> 4) & 7)
+    ulaw = np.where(c & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+
+    c = np.arange(256) ^ 0x55
+    seg = (c >> 4) & 7
+    t16 = (c & 15) << 4
+    mag = np.where(
+        seg == 0,
+        t16 + 8,
+        (t16 + 0x108) << np.maximum(seg - 1, 0),
+    )
+    alaw = np.where(c & 0x80, mag, -mag).astype(np.int64)
+    return ulaw, alaw
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
 
 def _wav_parse(payload: bytes):
@@ -1067,8 +1139,11 @@ def _wav_parse(payload: bytes):
     word selects the real format). Chunks walk word-aligned; unknown
     chunks skip. Returns (fmt_name, rate, nch, n_frames, samples) with
     samples int64 for PCM (exact) and float64 for float formats.
-    Compressed format tags (MP3, ADPCM, a-law, …) refuse as
-    NotImplementedError; structural damage as ValueError."""
+    G.711 µ-law/A-law (tags 7/6, the telephony-corpus formats) decode
+    via the from-spec segment tables in :func:`_g711_tables` to
+    16-bit-aligned int64 linears. Remaining compressed format tags
+    (MP3, ADPCM, …) refuse as NotImplementedError; structural damage
+    as ValueError."""
     b = bytes(payload)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload (missing RIFF/WAVE header)")
@@ -1103,7 +1178,7 @@ def _wav_parse(payload: bytes):
     if nch < 1:
         raise ValueError("not a decodable WAV payload: zero channels")
     if (afmt, bits) not in _WAV_FMT_NAMES:
-        if afmt in (_WAV_FMT_PCM, _WAV_FMT_FLOAT):
+        if afmt in (_WAV_FMT_PCM, _WAV_FMT_FLOAT, _WAV_FMT_ALAW, _WAV_FMT_MULAW):
             raise ValueError(
                 f"illegal WAV bit depth {bits} for format tag {afmt}"
             )
@@ -1119,7 +1194,10 @@ def _wav_parse(payload: bytes):
     if len(data) % balign:
         raise ValueError("truncated WAV: data is not a whole number of frames")
     n = len(data) // balign
-    if afmt == _WAV_FMT_FLOAT:
+    if afmt in (_WAV_FMT_MULAW, _WAV_FMT_ALAW):
+        table = _ULAW_TABLE if afmt == _WAV_FMT_MULAW else _ALAW_TABLE
+        s = table[np.frombuffer(data, dtype=np.uint8)]
+    elif afmt == _WAV_FMT_FLOAT:
         s = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(
             np.float64
         )

@@ -1562,6 +1562,62 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="whole number of frames"):
             _wav_parse(bytes(torn[:-1]))
 
+    def test_wav_g711_decode(self, spark):
+        """G.711 µ-law/A-law (r12): spec anchor codewords, exact
+        codeword round trip through RIFF, the synth row's closed-form
+        rms, and the illegal-bit-depth refusal."""
+        import math
+        import struct as _s
+
+        from nekton_spark.functions.multimodal import (
+            _ALAW_TABLE,
+            _ULAW_TABLE,
+            _wav_encode,
+            _wav_parse,
+            decode_audio,
+            synth_wav_g711_media,
+        )
+
+        # ITU-T G.711 anchors: both µ-law zero codes; ±max; A-law ±8
+        # at 0xD5/0x55 (sign bit SET is positive) and ±max
+        assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x7F] == 0
+        assert _ULAW_TABLE[0x80] == 32124 and _ULAW_TABLE[0x00] == -32124
+        assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+        assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+
+        b = np.arange(256)
+        for fmt, table, ext in (
+            ("ulaw", _ULAW_TABLE, False),
+            ("alaw", _ALAW_TABLE, True),
+        ):
+            got_fmt, rate, nch, nf, s = _wav_parse(
+                _wav_encode(b, fmt, 8000, extensible=ext)
+            )
+            assert (got_fmt, rate, nch, nf) == (fmt, 8000, 1, 256)
+            assert np.array_equal(s, table[b])
+
+        df = spark.createDataFrame([(4,), (9,)], "doc_id long")
+        rows = {
+            r.doc_id: r
+            for r in decode_audio(synth_wav_g711_media(df)).collect()
+        }
+        for key in (4, 9):
+            n = 64 + key % 64
+            cw = (key * 31 + np.arange(n) * 17) % 256
+            lin = (_ULAW_TABLE if key % 2 == 0 else _ALAW_TABLE)[cw]
+            r = rows[key]
+            assert r.fmt == ("ulaw", "alaw")[key % 2]
+            assert (r.sample_rate, r.n_samples) == (8000, n)
+            assert r.rms == math.sqrt(int((lin * lin).sum()) / n)
+
+        # G.711 with a non-8 bit depth is structural damage, not a
+        # missing codec
+        bad = bytearray(_wav_encode(b, "ulaw", 8000))
+        i = bad.index(b"fmt ") + 8
+        bad[i + 14 : i + 16] = _s.pack("<H", 16)  # bits field
+        with pytest.raises(ValueError, match="illegal WAV bit depth"):
+            _wav_parse(bytes(bad))
+
     def test_wav_codec_round_trip(self, spark):
         """Real WAV bytes: the payload must be a parseable RIFF/WAVE
         file whose decoded features match the synthesis closed form."""

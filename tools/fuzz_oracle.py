@@ -535,12 +535,16 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         synth_block_values,
     )
     from nekton_spark.functions.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
         _png_decode,
         _png_encode,
         _png_encode_ex,
         _synth_pixels,
         _synth_pixels_color,
         _synth_samples,
+        _wav_encode,
+        _wav_parse,
     )
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
 
@@ -694,6 +698,18 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
             ),
             ("wav", make_wav(key), None,
              _synth_samples(key, 256 + key % 256).astype("<i2")),
+            (
+                "wav_g711",  # r12: telephony µ-law/A-law stream
+                _wav_encode(
+                    (key * 31 + np.arange(64 + key % 64) * 17) % 256,
+                    ("ulaw", "alaw")[key % 2], 8000,
+                    extensible=bool(key % 2),
+                ),
+                lambda p: _wav_parse(p)[4].astype("<i2"),
+                (_ULAW_TABLE if key % 2 == 0 else _ALAW_TABLE)[
+                    (key * 31 + np.arange(64 + key % 64) * 17) % 256
+                ].astype("<i2"),
+            ),
         ]
         for name, payload, dec, truth in bases:
             if name == "wav":
