@@ -2446,6 +2446,33 @@ def wav_envelope_features(spark, sf):
     )
 
 
+def url_normalize_check(spark, sf):
+    """URL canonicalization (functions/urls.py, r12): synth_urls
+    builds a raw crawl URL per document firing every normal-form rule
+    (case-varying host, explicit default port, tracking params,
+    permutable query, fragment; one host under the co.uk public
+    suffix); url_normalize + registered_domain derive the dedup and
+    quota keys. Pure codegen regexp/array ops, map-only; the oracle
+    constructs the canonical spelling directly from doc_id."""
+    from nekton_spark.functions.urls import synth_urls, with_url_keys
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return with_url_keys(synth_urls(d)).select(
+        "doc_id", "url", "norm_url", "domain"
+    )
+
+
+def domain_rollup_urls(spark, sf):
+    """Per-registered-domain crawl inventory (urls.domain_rollup):
+    total URLs and distinct canonical pages per eTLD+1 — the input to
+    domain quotas. One partial-aggregated shuffle on the domain key
+    (cardinality = domains, not pages)."""
+    from nekton_spark.functions.urls import domain_rollup, synth_urls
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return domain_rollup(synth_urls(d))
+
+
 def wav_g711_features(spark, sf):
     """G.711 telephony WAV decode (functions/multimodal.py r12: µ-law
     even keys / A-law odd keys, A-law under WAVE_FORMAT_EXTENSIBLE).
@@ -3078,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": audio_features,
         "wav_envelope_features": wav_envelope_features,
         "wav_g711_features": wav_g711_features,
+        "url_normalize_check": url_normalize_check,
+        "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
         "html_main_text": html_main_text_row,
         "topk_customers_per_nation": topk_customers_per_nation,
@@ -6513,6 +6542,50 @@ SELECT doc_id,
            (a, b) -> a + b)
          / (64 + doc_id % 64)), 6) AS rms
 FROM documents
+""",
+        # url_normalize_check (r12): raw = scheme(doc_id%2) ://
+        # host(doc_id%3) :defaultport /item/(doc_id%7)
+        # ?utm_source=feed&b=(doc_id%5)&a=1 #frag; the canonical form
+        # lowercases the host, drops port/tracking/fragment, sorts the
+        # surviving params ('a=1' < 'b=N' bytewise)
+        "url_normalize_check": """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+         CASE WHEN doc_id % 3 = 0 THEN 'Example.COM'
+              WHEN doc_id % 3 = 1 THEN 'shop.Example.co.uk'
+              ELSE 'cdn.mirror.example.org' END AS host,
+         CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END AS port,
+         '/item/' || (doc_id % 7) AS path,
+         'b=' || (doc_id % 5) AS bparam
+  FROM documents)
+SELECT doc_id,
+       scheme || '://' || host || port || path
+         || '?utm_source=feed&' || bparam || '&a=1#frag' AS url,
+       scheme || '://' || lower(host) || path
+         || '?a=1&' || bparam AS norm_url,
+       CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+            WHEN doc_id % 3 = 1 THEN 'example.co.uk'
+            ELSE 'example.org' END AS domain
+FROM u
+""",
+        # domain_rollup_urls (r12): same construction grouped by the
+        # eTLD+1 class (doc_id%3); pages are distinct canonical forms,
+        # which vary by (doc_id%2, %7, %5) within the class
+        "domain_rollup_urls": """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+              WHEN doc_id % 3 = 1 THEN 'example.co.uk'
+              ELSE 'example.org' END AS domain,
+         (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://x/' || (doc_id % 7) || '?' || (doc_id % 5) AS page_key
+  FROM documents)
+SELECT domain,
+       count(*)::BIGINT AS n_urls,
+       count(DISTINCT page_key)::BIGINT AS n_pages
+FROM u
+GROUP BY domain
 """,
         # wav_g711_features (r12): codewords b_i = (key*31+i*17)%256,
         # µ-law on even keys (complement, segment e=(c>>4)&7, mantissa

@@ -867,3 +867,26 @@ def html_main_text_processor(
         max_link_density=max_link_density,
         min_block_chars=min_block_chars,
     )
+
+
+@register_processor("url_keys")
+def url_keys_processor(
+    df: DataFrame,
+    url_col: str = "url",
+    norm_col: str = "norm_url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Attach the URL dedup keys (functions/urls.py): canonical
+    spelling + registered domain (eTLD+1). Pure codegen, map-only."""
+    from ..functions.urls import with_url_keys
+
+    return with_url_keys(df, url_col, norm_col, domain_col)
+
+
+@register_processor("domain_rollup")
+def domain_rollup_processor(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain URL/page inventory — the input to domain
+    quotas and per-domain caps. One shuffle on the domain key."""
+    from ..functions.urls import domain_rollup
+
+    return domain_rollup(df, url_col)
