@@ -1982,6 +1982,33 @@ def png_palette_decode_check(spark, sf):
     )
 
 
+def gif_decode_check(spark, sf):
+    """GIF round trip (functions/gif.py, r12 — from-spec LZW with
+    variable-width codes, 4-pass interlace on odd keys, GCE
+    transparency → RGBA on key%5==0): palette/index/dims share the
+    PNG-palette closed forms, so the oracle replays the exact flat
+    array — the LZW bit stream, sub-block reassembly, interlace
+    ordering, palette expansion and the alpha plane all have to be
+    right for the hash to match."""
+    from nekton_spark.functions.multimodal import synth_gif_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_gif_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def jpeg_progressive_decode_check(spark, sf):
     """PROGRESSIVE (SOF2) JPEG round trip (functions/jpeg.py, r12 —
     T.81 Annex G): genuine progressive JFIF bytes with the full
@@ -3055,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_420_decode": jpeg_420_decode_check,
         "jpeg_progressive_decode": jpeg_progressive_decode_check,
         "png_palette_decode": png_palette_decode_check,
+        "gif_decode": gif_decode_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -6293,6 +6321,44 @@ SELECT doc_id,
                  + (i % 3) * 29) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM documents
+""",
+        # gif_decode (r12): flat replay like png_palette_decode, plus
+        # an alpha channel on key%5==0 — ch = 4 there (RGBA), else 3;
+        # per flat index i: p = i//ch, c = i%ch, y = p//w, x = p%w,
+        # idx = (key + 3y + x) % n, value = c < 3
+        #   ? (key*7 + idx*13 + c*29) % 256
+        #   : (idx == key % n ? 0 : 255)
+        "gif_decode": """
+WITH g AS (
+  SELECT doc_id,
+         (8 + doc_id % 7)::INT AS h,
+         (8 + doc_id % 9)::INT AS w,
+         (1 << ([1, 2, 4, 8][(doc_id % 4)::INT + 1])) AS n,
+         CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS ch
+  FROM documents)
+SELECT doc_id,
+       h AS dec_height,
+       w AS dec_width,
+       (ch * h * w)::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, ch * h * w),
+           i -> CASE WHEN (i % ch) < 3
+                THEN (doc_id * 7
+                      + ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n) * 13
+                      + (i % ch) * 29) % 256
+                ELSE CASE WHEN ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n)
+                          = doc_id % n THEN 0 ELSE 255 END END),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, ch * h * w),
+           i -> (i + 1) * (CASE WHEN (i % ch) < 3
+                THEN (doc_id * 7
+                      + ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n) * 13
+                      + (i % ch) * 29) % 256
+                ELSE CASE WHEN ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n)
+                          = doc_id % n THEN 0 ELSE 255 END END)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM g
 """,
         # decode_coverage: every (status, reason) is a pure function of
         # doc_id % 5 by construction of synth_coverage_media — the

@@ -159,6 +159,10 @@ def decode_image(
                     from .jpeg import jpeg_decode
 
                     pix = jpeg_decode(m["payload"])
+                elif m["mime"] == "image/gif":
+                    from .gif import gif_decode
+
+                    pix = gif_decode(m["payload"])
                 else:
                     raise NotImplementedError(
                         f"no codec for {m['mime']!r} in this environment; "
@@ -197,6 +201,9 @@ _REFUSAL_CODES = [
     ("not a JPEG", "bad_signature"),
     ("PNG", "bad_png"),
     ("zero-dimension", "zero_dim"),
+    ("composition", "gif_composition"),  # sub-canvas frame / disposal 3+
+    ("LZW", "bad_lzw"),
+    ("GIF", "bad_gif"),
     ("Huffman", "bad_entropy"),
     ("marker", "bad_marker"),
     ("null media", "null_payload"),
@@ -246,6 +253,11 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
                 if m["mime"] == "image/jpeg":
                     jpeg_decode(m["payload"])
                     return "ok", "jpeg"
+                if m["mime"] == "image/gif":
+                    from .gif import gif_decode
+
+                    gif_decode(m["payload"])
+                    return "ok", "gif"
                 raise NotImplementedError(
                     f"no codec for {m['mime']!r} in this environment"
                 )
@@ -405,6 +417,50 @@ def synth_png_palette_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame
                 ),
                 "mime": "image/png",
                 "meta": {"origin": "synth-palette"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_gif_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL GIF per row (functions/gif.py): palette size
+    2^d with d = (1, 2, 4, 8)[key % 4], 4-pass INTERLACE on odd keys,
+    a transparent index (GCE, → RGBA) on key % 5 == 0. Palette,
+    index map and dims share the PNG-palette closed forms —
+    palette[i][c] = (key*7 + i*13 + c*29) % 256, index(y, x) =
+    (key + 3y + x) % n, w = 8 + key%9, h = 8 + key%7 — so the decoded
+    flat array is SQL-replayable through the LZW round trip."""
+    import numpy as np
+
+    from .gif import gif_encode
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            d = (1, 2, 4, 8)[key % 4]
+            n = 1 << d
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(n)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            ).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((key + 3 * yy + xx) % n).astype(np.uint8)
+            return {
+                "payload": gif_encode(
+                    idx,
+                    pal,
+                    interlace=bool(key % 2),
+                    transparent_index=(key % n) if key % 5 == 0 else None,
+                ),
+                "mime": "image/gif",
+                "meta": {"origin": "synth-gif"},
             }
 
         for pdf in batches:

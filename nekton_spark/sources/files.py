@@ -85,6 +85,7 @@ _MEDIA_MIME_BY_EXT = {
     "jpg": "image/jpeg",
     "jpeg": "image/jpeg",
     "jfif": "image/jpeg",
+    "gif": "image/gif",
     "wav": "audio/wav",
     "avi": "video/avi",
 }

@@ -1680,6 +1680,137 @@ class TestMultimodal:
             pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             assert (_png_decode(_png_encode(pix)) == pix).all()
 
+    def test_gif_codec_round_trip_pure(self):
+        """GIF LZW + container: the hand-derived spec anchor stream,
+        round trips across palette sizes / interlace / transparency /
+        table growth, KwKwK, animation frames."""
+        from nekton_spark.functions.gif import (
+            _lzw_decode,
+            _lzw_encode,
+            gif_decode,
+            gif_decode_frames,
+            gif_encode,
+            gif_frame_count,
+        )
+
+        # Hand-derived bit-level anchor (GIF89a appendix F semantics,
+        # min_code=2, indices [0,1,0,1]): codes clear=4(w3), 0(w3),
+        # 1(w3), 6(w3, the new "01" entry), eoi=5(w4 — the slot counter
+        # advances on the flushed code and crosses 8). LSB-first
+        # packing gives exactly 0x44 0x5C.
+        assert _lzw_encode(bytes([0, 1, 0, 1]), 2) == bytes.fromhex("445c")
+        assert _lzw_decode(bytes.fromhex("445c"), 2, 4) == bytes([0, 1, 0, 1])
+
+        rng = np.random.default_rng(11)
+        for n_col, shape, inter, tr in [
+            (2, (5, 7), False, None),
+            (4, (8, 8), True, None),
+            (16, (11, 13), False, 3),
+            (256, (16, 9), True, None),
+            (256, (1, 1), False, 0),
+        ]:
+            pal = rng.integers(0, 256, (n_col, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_col, shape, dtype=np.uint8)
+            out = gif_decode(
+                gif_encode(idx, pal, interlace=inter, transparent_index=tr)
+            )
+            if tr is None:
+                assert (out == pal[idx]).all()
+            else:
+                assert (out[:, :, :3] == pal[idx]).all()
+                assert (
+                    out[:, :, 3] == np.where(idx == tr, 0, 255)
+                ).all()
+
+        # table growth deep into 9..12-bit codes + the freeze-clear
+        big = (
+            np.add.outer(
+                np.arange(300, dtype=np.int64), np.arange(256, dtype=np.int64)
+            )
+            % 251
+        ).astype(np.uint8)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        assert (gif_decode(gif_encode(big, pal)) == pal[big]).all()
+
+        # KwKwK-dense stream (constant image)
+        kw = np.zeros((64, 64), dtype=np.uint8)
+        assert (gif_decode(gif_encode(kw, pal[:2])) == pal[:2][kw]).all()
+
+        # animation: per-frame decode + count
+        frames = [rng.integers(0, 16, (6, 6), dtype=np.uint8) for _ in range(4)]
+        p = gif_encode(frames, rng.integers(0, 256, (16, 3), dtype=np.uint8))
+        assert gif_frame_count(p) == 4
+        outs = gif_decode_frames(p)
+        assert all((o[:, :, :3] == 0).sum() >= 0 for o in outs)
+
+    def test_gif_decode_rejects_corruption(self):
+        import struct as _s
+
+        from nekton_spark.functions.gif import gif_decode, gif_encode
+
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        idx = (np.add.outer(np.arange(9), np.arange(8)) % 16).astype(np.uint8)
+        good = bytearray(gif_encode(idx, pal))
+
+        with pytest.raises(ValueError, match="signature"):
+            gif_decode(b"JIF89a" + bytes(good[6:]))
+        with pytest.raises(ValueError, match="truncated"):
+            gif_decode(bytes(good[:-5]))
+        # missing trailer
+        with pytest.raises(ValueError, match="trailer"):
+            gif_decode(bytes(good[:-1]))
+        # zero dims
+        zd = bytearray(good)
+        zd[6:8] = _s.pack("<H", 0)
+        with pytest.raises(ValueError, match="zero-dimension"):
+            gif_decode(bytes(zd))
+        # forged-huge LSD refuses before allocation
+        huge = bytearray(good)
+        huge[6:10] = _s.pack("<HH", 60000, 60000)
+        with pytest.raises(ValueError, match="decode cap"):
+            gif_decode(bytes(huge))
+        # sub-canvas frame refuses (composition, not silent wrong pixels)
+        sub = bytearray(good)
+        di = sub.index(0x2C, 13 + 48)  # image separator after GCT
+        sub[di + 1 : di + 3] = _s.pack("<H", 1)  # x0 = 1
+        with pytest.raises(NotImplementedError, match="composition"):
+            gif_decode(bytes(sub))
+
+    def test_gif_spark_decode(self, spark):
+        """decode_image over image/gif media: RGB and RGBA rows, and
+        decode_coverage tags 'gif'."""
+        from nekton_spark.functions.gif import gif_decode
+        from nekton_spark.functions.multimodal import (
+            decode_coverage,
+            decode_image,
+            synth_gif_media,
+        )
+
+        df = spark.createDataFrame([(3,), (10,)], "doc_id long")
+        rows = {
+            r.doc_id: r for r in decode_image(synth_gif_media(df)).collect()
+        }
+        for key in (3, 10):
+            n = 1 << (1, 2, 4, 8)[key % 4]
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(n)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            )
+            yy, xx = np.mgrid[0:h, 0:w]
+            idxm = (key + 3 * yy + xx) % n
+            exp = pal[idxm]
+            if key % 5 == 0:
+                alpha = np.where(idxm == key % n, 0, 255)
+                exp = np.dstack([exp, alpha])
+            r = rows[key]
+            assert (r.dec_height, r.dec_width) == (h, w)
+            assert r.pixels == exp.ravel().astype(np.int64).tolist()
+        cov = decode_coverage(synth_gif_media(df)).collect()
+        assert {(r.decode_status, r.decode_reason) for r in cov} == {
+            ("ok", "gif")
+        }
+
     def test_png_decode_rejects_corruption(self):
         from nekton_spark.functions.multimodal import _png_decode, _png_encode, _synth_pixels
 

@@ -546,6 +546,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         _wav_encode,
         _wav_parse,
     )
+    from nekton_spark.functions.gif import gif_decode, gif_encode
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
 
     rng = random.Random(seed * 7919 + 11)
@@ -655,6 +656,16 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 "png_pal_adam7",  # r12 envelope: palette-4 + interlace
                 _png_encode_ex(pidx, 3, 4, interlace=1, palette=pal),
                 _png_decode,
+                pal[pidx],
+            ),
+            (
+                "gif",  # r12: LZW stream through the same battery
+                gif_encode(
+                    pidx.astype(np.uint8), pal,
+                    interlace=bool(key % 2),
+                    transparent_index=(key % 16) if key % 3 == 0 else None,
+                ),
+                lambda p: gif_decode(p)[:, :, :3],
                 pal[pidx],
             ),
             (
