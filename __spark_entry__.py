@@ -2009,6 +2009,32 @@ def gif_decode_check(spark, sf):
     )
 
 
+def gif_frame_sample_check(spark, sf):
+    """Animated-GIF frame sampling (multimodal.frame_sample over
+    image/gif, r12): genuine multi-frame GIF89a payloads (2 + key%3
+    full-canvas frames, GCE per frame, interlace on odd keys) →
+    container walk → every 2nd frame LZW-decoded; skipped frames cost
+    only the sub-block walk. The oracle replays frame membership,
+    dims, and both pixel checksums from the closed forms."""
+    from nekton_spark.functions.multimodal import frame_sample, synth_gif_anim_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    fr = frame_sample(synth_gif_anim_media(d), every=2)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        "dec_height",
+        "dec_width",
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def jpeg_progressive_decode_check(spark, sf):
     """PROGRESSIVE (SOF2) JPEG round trip (functions/jpeg.py, r12 —
     T.81 Annex G): genuine progressive JFIF bytes with the full
@@ -3083,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_decode": jpeg_progressive_decode_check,
         "png_palette_decode": png_palette_decode_check,
         "gif_decode": gif_decode_check,
+        "gif_frame_sample": gif_frame_sample_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -6357,6 +6384,35 @@ SELECT doc_id,
                       + (i % ch) * 29) % 256
                 ELSE CASE WHEN ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n)
                           = doc_id % n THEN 0 ELSE 255 END END)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM g
+""",
+        # gif_frame_sample (r12): F = 2 + doc_id%3 frames, every=2 →
+        # sampled frame list [0] when F=2 else [0,2]; per frame the
+        # flat RGB replay of gif_decode with idx shifted by +f
+        "gif_frame_sample": """
+WITH g AS (
+  SELECT doc_id,
+         (8 + doc_id % 7)::INT AS h,
+         (8 + doc_id % 9)::INT AS w,
+         unnest(CASE WHEN doc_id % 3 = 0
+                     THEN list_value(0) ELSE list_value(0, 2) END) AS f
+  FROM documents)
+SELECT doc_id,
+       f::INT AS frame_idx,
+       h AS dec_height,
+       w AS dec_width,
+       list_reduce(
+         list_transform(range(0, 3 * h * w),
+           i -> (doc_id * 7
+                 + ((doc_id + f + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
+                 + (i % 3) * 29) % 256),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 3 * h * w),
+           i -> (i + 1) * ((doc_id * 7
+                 + ((doc_id + f + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
+                 + (i % 3) * 29) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM g
 """,

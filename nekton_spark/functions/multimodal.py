@@ -469,6 +469,43 @@ def synth_gif_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL animated GIF per row: 2 + key % 3 full-canvas
+    frames over one 16-color global table, interlaced on odd keys.
+    Frame f's index map is (key + f + 3y + x) % 16 with the shared
+    closed-form palette, so sampled-frame pixels replay in SQL."""
+    import numpy as np
+
+    from .gif import gif_encode
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(16)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            ).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = [
+                ((key + f + 3 * yy + xx) % 16).astype(np.uint8)
+                for f in range(2 + key % 3)
+            ]
+            return {
+                "payload": gif_encode(frames, pal, interlace=bool(key % 2)),
+                "mime": "image/gif",
+                "meta": {"origin": "synth-gif-anim"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_jpeg_progressive_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Attach a REAL progressive (SOF2) JPEG payload per row
     (:func:`.jpeg.jpeg_encode_progressive` — full successive-
@@ -1439,11 +1476,12 @@ def frame_sample(
     ``every`` must be >= 1 (0 was an opaque range() error inside the
     executor; a negative stride silently sampled nothing).
 
-    REAL for MJPEG AVI (``video/x-msvideo``): the RIFF container walk
-    finds the per-frame JPEG chunks and only every ``every``-th frame
-    is entropy-decoded (:func:`.jpeg.jpeg_decode`) — skipped frames
-    cost nothing beyond the chunk walk, which is the point of frame
-    sampling at corpus scale. ``n_frames`` caps the number of SAMPLED
+    REAL for MJPEG AVI (``video/x-msvideo``) and animated GIF
+    (``image/gif``, r12): the container walk (RIFF chunks / GIF
+    sub-blocks) finds the per-frame payloads and only every
+    ``every``-th frame is entropy-decoded (JPEG Huffman / GIF LZW) —
+    skipped frames cost nothing beyond the walk, which is the point of
+    frame sampling at corpus scale. ``n_frames`` caps the number of SAMPLED
     frames per video on both paths (``None`` = no cap); the fake stub
     emits exactly ``n_frames`` rows. Output rows carry (frame_idx,
     pixels, dec_height, dec_width). A null media struct or payload
@@ -1498,17 +1536,31 @@ def frame_sample(
                         f"null media struct/payload in column {media_col!r}: "
                         "filter null rows out (or fill a payload) before frame_sample"
                     )
-                if m["mime"] != AVI_MIME:
+                if m["mime"] == AVI_MIME:
+                    frames = avi_decode_frames(m["payload"])
+
+                    def dec_ith(i, _f=frames):
+                        return jpeg_decode(_f[i])
+
+                elif m["mime"] == "image/gif":
+                    from .gif import _decode_frame, _parse
+
+                    sw, sh, gframes = _parse(m["payload"])
+                    frames = gframes
+
+                    def dec_ith(i, _sw=sw, _sh=sh, _f=gframes):
+                        return _decode_frame(_sw, _sh, _f[i])
+
+                else:
                     raise NotImplementedError(
-                        f"no video codec for {m['mime']!r} (MJPEG AVI only); "
-                        "use fake=True for the stub sampler"
+                        f"no video codec for {m['mime']!r} (MJPEG AVI or "
+                        "animated GIF); use fake=True for the stub sampler"
                     )
-                frames = avi_decode_frames(m["payload"])
                 sampled = range(0, len(frames), every)
                 if n_frames is not None:
                     sampled = list(sampled)[:n_frames]
                 for idx in sampled:
-                    pix = jpeg_decode(frames[idx])
+                    pix = dec_ith(idx)
                     r = dict(row)
                     r["frame_idx"] = idx
                     r["pixels"] = pix.ravel().astype(np.int64).tolist()

@@ -1811,6 +1811,34 @@ class TestMultimodal:
             ("ok", "gif")
         }
 
+    def test_gif_frame_sample(self, spark):
+        """frame_sample over animated GIF: every-2nd sampling decodes
+        only the sampled frames, values match the synth closed form."""
+        from nekton_spark.functions.multimodal import (
+            frame_sample,
+            synth_gif_anim_media,
+        )
+
+        df = spark.createDataFrame([(2,), (5,)], "doc_id long")
+        got = {}
+        for r in frame_sample(synth_gif_anim_media(df), every=2).collect():
+            got.setdefault(r.doc_id, {})[r.frame_idx] = r
+        # F = 2 + key%3: key 2 -> 4 frames -> sampled {0, 2};
+        # key 5 -> 4 frames -> sampled {0, 2}
+        assert set(got[2]) == {0, 2} and set(got[5]) == {0, 2}
+        for key in (2, 5):
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(16)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            )
+            yy, xx = np.mgrid[0:h, 0:w]
+            for f in (0, 2):
+                exp = pal[(key + f + 3 * yy + xx) % 16]
+                r = got[key][f]
+                assert (r.dec_height, r.dec_width) == (h, w)
+                assert r.pixels == exp.ravel().astype(np.int64).tolist()
+
     def test_png_decode_rejects_corruption(self):
         from nekton_spark.functions.multimodal import _png_decode, _png_encode, _synth_pixels
 
