@@ -510,6 +510,61 @@ def _resolve_coarse(
     return coarse
 
 
+def _coarse_centroids(
+    base: DataFrame,
+    coarse: str,
+    n: int,
+    train_stride: int,
+    centroid_stride: int | None,
+    coarse_k: int | None,
+    coarse_iters: int,
+    max_centroids: int,
+):
+    """The coarse quantizer's centroid set, shared by the whole IVF
+    family (consolidates the four per-entry-point copies — r11 review
+    wave #4). Returns ``(c_ids, c_mat, k_c, centroid_stride)`` where
+    exactly one of the last two is non-None, recording the resolved
+    sizing for persisted-index metadata.
+
+    ``n`` is supplied by the CALLER — ivf_topk pays an exact count()
+    (its probe join reuses the job), the PQ paths use the metadata
+    estimate — so consolidating the dispatch does not change any
+    path's job structure.
+
+    kmeans: bounded k-means over the train_stride sample, cid = index
+    0..k-1 (driver state = O(k·dim), capped by max_centroids).
+    sample: every centroid_stride-th corpus vector (cid = corpus id),
+    stride auto-sized to √n and ceil-raised until the centroid count
+    fits max_centroids."""
+    if coarse == "kmeans":
+        from .clustering import train_centroids
+
+        k_c = coarse_k if coarse_k is not None else max(
+            1, min(math.isqrt(n), max_centroids)
+        )
+        ctr = base.filter(F.col("id") % train_stride == 0).select(
+            F.col("id").alias("_kid"), F.col("v").alias("_kv")
+        )
+        cb0 = train_centroids(ctr, k_c, coarse_iters)
+        return (
+            np.arange(len(cb0), dtype=np.int64),
+            np.asarray(cb0, dtype=np.float64),
+            k_c,
+            None,
+        )
+    if centroid_stride is None:
+        centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
+    cent_rows = (
+        base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
+    )
+    return (
+        np.array([r["id"] for r in cent_rows], dtype=np.int64),
+        np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows]),
+        None,
+        int(centroid_stride),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -585,36 +640,22 @@ def ivf_topk(
     # every vector crosses to Python exactly once. argmax over the
     # cid-sorted matrix picks the smallest cid on ties — identical to
     # ORDER BY sim DESC, cid ASC.
-    if coarse == "kmeans":
-        from .clustering import train_centroids
-
-        n = base.count()
-        stride_tr = max(1, -(-n // train_cap))
-        k_c = coarse_k if coarse_k is not None else max(
-            1, min(math.isqrt(n), max_centroids)
-        )
-        tr = base.filter(F.col("id") % stride_tr == 0).select(
-            F.col("id").alias("_kid"), F.col("v").alias("_kv")
-        )
-        cb = train_centroids(tr, k_c, coarse_iters)
-        c_ids = np.arange(len(cb), dtype=np.int64)
-        c_mat = np.asarray(cb, dtype=np.float64)
-        cents = corpus.sparkSession.createDataFrame(
-            [(int(i), [float(x) for x in v]) for i, v in enumerate(cb)],
-            "cid long, cv array<double>",
-        )
-    elif coarse == "sample":
-        if centroid_stride is None:
-            # one metadata-cheap count job buys the √n stride; ceil-raise
-            # it until the centroid count fits max_centroids
-            n = base.count()
-            centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
-        cents = base.filter(F.col("id") % centroid_stride == 0).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv")
-        )
-        cent_rows = cents.orderBy("cid").collect()
-        c_ids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.asarray([np.asarray(r["cv"], dtype=np.float64) for r in cent_rows])
+    # one count job buys both the √n sizing and the train stride; an
+    # explicit sampled stride needs neither, so it keeps paying zero
+    # count jobs (a full count at corpus scale is not free)
+    n = base.count() if (coarse == "kmeans" or centroid_stride is None) else 0
+    c_ids, c_mat, _kc, _cs = _coarse_centroids(
+        base, coarse, n, max(1, -(-n // train_cap)),
+        centroid_stride, coarse_k, coarse_iters, max_centroids,
+    )
+    # the probe join broadcasts the centroid relation; rebuilding it
+    # from the collected matrix (bounded by max_centroids) instead of
+    # re-scanning the corpus saves the second scan the sampled branch
+    # used to pay
+    cents = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(c_ids, c_mat)],
+        "cid long, cv array<double>",
+    )
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
     assign_schema = T.StructType(
@@ -881,28 +922,10 @@ def ivfpq_topk(
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
     pq_stride = max(1, -(-n // train_cap))
-    if coarse == "kmeans":
-        # trained coarse cells (see ivf_topk): bounded k-means over
-        # the stride sample, cid = index 0..k-1
-        from .clustering import train_centroids
-
-        k_c = coarse_k if coarse_k is not None else max(
-            1, min(math.isqrt(n), max_centroids)
-        )
-        ctr = base.filter(F.col("id") % pq_stride == 0).select(
-            F.col("id").alias("_kid"), F.col("v").alias("_kv")
-        )
-        cb0 = train_centroids(ctr, k_c, coarse_iters)
-        c_ids = np.arange(len(cb0), dtype=np.int64)
-        c_mat = np.asarray(cb0, dtype=np.float64)
-    else:
-        if centroid_stride is None:
-            centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
-        cent_rows = (
-            base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
-        )
-        c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    c_ids, c_mat, _kc, _cs = _coarse_centroids(
+        base, coarse, n, pq_stride,
+        centroid_stride, coarse_k, coarse_iters, max_centroids,
+    )
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
     tr = base.filter(F.col("id") % pq_stride == 0)
@@ -1194,27 +1217,10 @@ def ivfpq_index_build(
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
     pq_stride = max(1, -(-n // train_cap))
-    if coarse == "kmeans":
-        from .clustering import train_centroids
-
-        k_c = coarse_k if coarse_k is not None else max(
-            1, min(math.isqrt(n), max_centroids)
-        )
-        coarse_k = k_c
-        ctr = base.filter(F.col("id") % pq_stride == 0).select(
-            F.col("id").alias("_kid"), F.col("v").alias("_kv")
-        )
-        cb0 = train_centroids(ctr, k_c, coarse_iters)
-        c_ids = np.arange(len(cb0), dtype=np.int64)
-        c_mat = np.asarray(cb0, dtype=np.float64)
-    else:
-        if centroid_stride is None:
-            centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
-        cent_rows = (
-            base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
-        )
-        c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    c_ids, c_mat, coarse_k, centroid_stride = _coarse_centroids(
+        base, coarse, n, pq_stride,
+        centroid_stride, coarse_k, coarse_iters, max_centroids,
+    )
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
     from .clustering import train_subspace_codebooks
     tr = base.filter(F.col("id") % pq_stride == 0)
@@ -1426,34 +1432,19 @@ def ivfpq_residual_topk(
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     d0 = dim // m_sub
-    from .clustering import train_centroids, train_subspace_codebooks
+    from .clustering import train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     base = ensure_parallelism(base)
     n = _estimate_rows(base)
     pq_stride = max(1, -(-n // train_cap))
-    if coarse == "kmeans":
-        # k-means coarse quantizer (see ivf_topk): unimodal residuals
-        # AND a far higher probed-set ceiling on clustered corpora —
-        # the composition FAISS's IVFPQR actually ships
-        stride_tr = pq_stride
-        k_c = coarse_k if coarse_k is not None else max(
-            1, min(math.isqrt(n), max_centroids)
-        )
-        ctr = base.filter(F.col("id") % stride_tr == 0).select(
-            F.col("id").alias("_kid"), F.col("v").alias("_kv")
-        )
-        cb0 = train_centroids(ctr, k_c, coarse_iters)
-        c_ids = np.arange(len(cb0), dtype=np.int64)
-        c_mat = np.asarray(cb0, dtype=np.float64)
-    else:
-        if centroid_stride is None:
-            centroid_stride = max(1, math.isqrt(n), -(-n // max_centroids))
-        cent_rows = (
-            base.filter(F.col("id") % centroid_stride == 0).orderBy("id").collect()
-        )
-        c_ids = np.array([r["id"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.asarray([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    # under kmeans the trained coarse cells give unimodal residuals AND
+    # a far higher probed-set ceiling on clustered corpora — the
+    # composition FAISS's IVFPQR actually ships
+    c_ids, c_mat, _kc, _cs = _coarse_centroids(
+        base, coarse, n, pq_stride,
+        centroid_stride, coarse_k, coarse_iters, max_centroids,
+    )
     c_norm = np.sqrt(np.cumsum(c_mat * c_mat, axis=1)[:, -1])
 
     resid_schema = T.StructType(

@@ -854,7 +854,24 @@ def main() -> int:
             if name not in oracles:
                 print(f"rows  {name}: {len(spark_pdf)} (no oracle)", file=sys.stderr)
                 continue
-            oracle_pdf = con.execute(oracles[name]).df()
+            try:
+                oracle_pdf = con.execute(oracles[name]).df()
+            except duckdb.OutOfMemoryException:
+                # the big PQ-oracle CTEs can accumulate buffer-pool
+                # pressure across a long multi-query sweep on one
+                # in-memory connection (observed seed 122: 5 PQ rows
+                # back-to-back); a fresh connection is a clean retry,
+                # not a pass — the query itself is unchanged
+                con.close()
+                con = duckdb.connect()
+                for t in (
+                    "documents", "embeddings", "events", "region", "nation",
+                    "customer", "supplier", "part", "orders", "lineitem",
+                ):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                    )
+                oracle_pdf = con.execute(oracles[name]).df()
             ok, msg = compare(spark_pdf, oracle_pdf)
         except Exception as exc:  # noqa: BLE001 — report, don't abort the sweep
             ok, msg = False, f"error: {type(exc).__name__}: {exc}"
