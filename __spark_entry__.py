@@ -2035,6 +2035,33 @@ def gif_frame_sample_check(spark, sf):
     )
 
 
+def bmp_decode_check(spark, sf):
+    """BMP round trip (functions/bmp.py, r12): bpp (1,4,8,24)[key%4],
+    the 8-bit leg through real BI_RLE8 (runs, end-of-line/bitmap
+    escapes), top-down rows on odd keys, sub-byte bit packing and
+    4-byte row padding on the indexed legs. One closed-form oracle
+    replays every leg via the virtual-palette construction (n = 2, 16,
+    256, 256) — bit unpacking, RLE expansion, BGR swap and row
+    orientation all have to be right for the hash to match."""
+    from nekton_spark.functions.multimodal import synth_bmp_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_bmp_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def jpeg_progressive_decode_check(spark, sf):
     """PROGRESSIVE (SOF2) JPEG round trip (functions/jpeg.py, r12 —
     T.81 Annex G): genuine progressive JFIF bytes with the full
@@ -3110,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_palette_decode": png_palette_decode_check,
         "gif_decode": gif_decode_check,
         "gif_frame_sample": gif_frame_sample_check,
+        "bmp_decode": bmp_decode_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -6384,6 +6412,34 @@ SELECT doc_id,
                       + (i % ch) * 29) % 256
                 ELSE CASE WHEN ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n)
                           = doc_id % n THEN 0 ELSE 255 END END)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM g
+""",
+        # bmp_decode (r12): always 3 channels; the gif_decode replay
+        # with n = (2, 16, 256, 256)[key%4] — the 24-bit leg's pixels
+        # ARE the virtual-palette expansion by construction
+        "bmp_decode": """
+WITH g AS (
+  SELECT doc_id,
+         (8 + doc_id % 7)::INT AS h,
+         (8 + doc_id % 9)::INT AS w,
+         ([2, 16, 256, 256][(doc_id % 4)::INT + 1]) AS n
+  FROM documents)
+SELECT doc_id,
+       h AS dec_height,
+       w AS dec_width,
+       (3 * h * w)::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, 3 * h * w),
+           i -> (doc_id * 7
+                 + ((doc_id + 3 * ((i // 3) // w) + ((i // 3) % w)) % n) * 13
+                 + (i % 3) * 29) % 256),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 3 * h * w),
+           i -> (i + 1) * ((doc_id * 7
+                 + ((doc_id + 3 * ((i // 3) // w) + ((i // 3) % w)) % n) * 13
+                 + (i % 3) * 29) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM g
 """,

@@ -163,6 +163,10 @@ def decode_image(
                     from .gif import gif_decode
 
                     pix = gif_decode(m["payload"])
+                elif m["mime"] == "image/bmp":
+                    from .bmp import bmp_decode
+
+                    pix = bmp_decode(m["payload"])
                 else:
                     raise NotImplementedError(
                         f"no codec for {m['mime']!r} in this environment; "
@@ -204,6 +208,9 @@ _REFUSAL_CODES = [
     ("composition", "gif_composition"),  # sub-canvas frame / disposal 3+
     ("LZW", "bad_lzw"),
     ("GIF", "bad_gif"),
+    ("delta escape", "rle_delta"),
+    ("RLE", "bad_rle"),
+    ("BMP", "bad_bmp"),
     ("Huffman", "bad_entropy"),
     ("marker", "bad_marker"),
     ("null media", "null_payload"),
@@ -258,6 +265,11 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
 
                     gif_decode(m["payload"])
                     return "ok", "gif"
+                if m["mime"] == "image/bmp":
+                    from .bmp import bmp_decode
+
+                    bmp_decode(m["payload"])
+                    return "ok", "bmp"
                 raise NotImplementedError(
                     f"no codec for {m['mime']!r} in this environment"
                 )
@@ -498,6 +510,53 @@ def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 "payload": gif_encode(frames, pal, interlace=bool(key % 2)),
                 "mime": "image/gif",
                 "meta": {"origin": "synth-gif-anim"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_bmp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL BMP per row (functions/bmp.py): bpp =
+    (1, 4, 8, 24)[key % 4] — the 8-bit leg rides BI_RLE8, top-down on
+    odd keys. Indexed legs share the closed-form palette/index maps;
+    the 24-bit leg uses the SAME formulas with a virtual 256-entry
+    palette (value = (key*7 + idx*13 + c*29) % 256 with idx =
+    (key + 3y + x) % n, n = (2, 16, 256, 256)[key % 4]) so one oracle
+    expression replays every leg."""
+    import numpy as np
+
+    from .bmp import bmp_encode
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            bpp = (1, 4, 8, 24)[key % 4]
+            n = (2, 16, 256, 256)[key % 4]
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(n)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            ).astype(np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            idx = ((key + 3 * yy + xx) % n).astype(np.uint8)
+            if bpp == 24:
+                img = pal[idx]
+                payload = bmp_encode(img, 24, top_down=bool(key % 2))
+            else:
+                payload = bmp_encode(
+                    idx, bpp, palette=pal,
+                    top_down=bool(key % 2), rle8=(bpp == 8),
+                )
+            return {
+                "payload": payload,
+                "mime": "image/bmp",
+                "meta": {"origin": "synth-bmp"},
             }
 
         for pdf in batches:

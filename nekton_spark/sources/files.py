@@ -86,6 +86,7 @@ _MEDIA_MIME_BY_EXT = {
     "jpeg": "image/jpeg",
     "jfif": "image/jpeg",
     "gif": "image/gif",
+    "bmp": "image/bmp",
     "wav": "audio/wav",
     "avi": "video/avi",
 }

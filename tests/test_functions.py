@@ -1839,6 +1839,99 @@ class TestMultimodal:
                 assert (r.dec_height, r.dec_width) == (h, w)
                 assert r.pixels == exp.ravel().astype(np.int64).tolist()
 
+    def test_bmp_codec_round_trip_pure(self):
+        """BMP envelope: 24/32-bit BGR(x), indexed 1/4/8 (bit packing
+        + 4-byte padding), BI_RLE8, both row orientations."""
+        from nekton_spark.functions.bmp import bmp_decode, bmp_encode
+
+        rng = np.random.default_rng(13)
+        for bpp in (24, 32):
+            for td in (False, True):
+                for shape in [(5, 7, 3), (3, 1, 3), (1, 3, 3)]:
+                    img = rng.integers(0, 256, shape, dtype=np.uint8)
+                    assert (
+                        bmp_decode(bmp_encode(img, bpp, top_down=td)) == img
+                    ).all()
+        for bpp in (1, 4, 8):
+            n = 1 << bpp
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (6, 9), dtype=np.uint8)
+            for td in (False, True):
+                got = bmp_decode(
+                    bmp_encode(idx, bpp, palette=pal, top_down=td)
+                )
+                assert (got == pal[idx]).all()
+        # RLE8: runs, row ends, absolute-free encoded stream
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = np.repeat(
+            rng.integers(0, 256, (9, 4), dtype=np.uint8), 3, axis=1
+        )
+        assert (
+            bmp_decode(bmp_encode(idx, 8, palette=pal, rle8=True))
+            == pal[idx]
+        ).all()
+
+    def test_bmp_decode_rejects_corruption(self):
+        import struct as _s
+
+        from nekton_spark.functions.bmp import bmp_decode, bmp_encode
+
+        rng = np.random.default_rng(17)
+        good = bytearray(
+            bmp_encode(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8), 24)
+        )
+        with pytest.raises(ValueError, match="signature"):
+            bmp_decode(b"XX" + bytes(good[2:]))
+        with pytest.raises(ValueError, match="truncated"):
+            bmp_decode(bytes(good[:-7]))
+        bad = bytearray(good)
+        bad[30:34] = _s.pack("<I", 3)  # BI_BITFIELDS
+        with pytest.raises(NotImplementedError, match="compression"):
+            bmp_decode(bytes(bad))
+        huge = bytearray(good)
+        huge[18:26] = _s.pack("<ii", 60000, 60000)
+        with pytest.raises(ValueError, match="decode cap"):
+            bmp_decode(bytes(huge))
+        # RLE delta escape refuses (undefined pixels)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        r = bytearray(
+            bmp_encode(
+                np.zeros((3, 3), dtype=np.uint8), 8, palette=pal, rle8=True
+            )
+        )
+        off = _s.unpack("<I", r[10:14])[0]
+        r[off : off + 2] = b"\x00\x02"  # first pair → delta
+        with pytest.raises(NotImplementedError, match="delta"):
+            bmp_decode(bytes(r))
+
+    def test_bmp_spark_decode(self, spark):
+        from nekton_spark.functions.multimodal import (
+            decode_coverage,
+            decode_image,
+            synth_bmp_media,
+        )
+
+        df = spark.createDataFrame([(2,), (7,)], "doc_id long")
+        rows = {
+            r.doc_id: r for r in decode_image(synth_bmp_media(df)).collect()
+        }
+        for key in (2, 7):  # key 2: 8-bit RLE leg; key 7: 24-bit top-down
+            n = (2, 16, 256, 256)[key % 4]
+            w, h = 8 + key % 9, 8 + key % 7
+            i = np.arange(n)
+            pal = np.stack(
+                [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
+            )
+            yy, xx = np.mgrid[0:h, 0:w]
+            exp = pal[(key + 3 * yy + xx) % n]
+            r = rows[key]
+            assert (r.dec_height, r.dec_width) == (h, w)
+            assert r.pixels == exp.ravel().astype(np.int64).tolist()
+        cov = decode_coverage(synth_bmp_media(df)).collect()
+        assert {(r.decode_status, r.decode_reason) for r in cov} == {
+            ("ok", "bmp")
+        }
+
     def test_png_decode_rejects_corruption(self):
         from nekton_spark.functions.multimodal import _png_decode, _png_encode, _synth_pixels
 

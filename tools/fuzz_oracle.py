@@ -546,6 +546,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         _wav_encode,
         _wav_parse,
     )
+    from nekton_spark.functions.bmp import bmp_decode, bmp_encode
     from nekton_spark.functions.gif import gif_decode, gif_encode
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
 
@@ -666,6 +667,17 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                     transparent_index=(key % 16) if key % 3 == 0 else None,
                 ),
                 lambda p: gif_decode(p)[:, :, :3],
+                pal[pidx],
+            ),
+            (
+                "bmp",  # r12: indexed-8 via BI_RLE8 / 24-bit raw
+                bmp_encode(pal[pidx], 24, top_down=bool(key % 2))
+                if key % 2
+                else bmp_encode(
+                    pidx.astype(np.uint8), 8,
+                    palette=np.vstack([pal] * 16), rle8=True,
+                ),
+                bmp_decode,
                 pal[pidx],
             ),
             (
