@@ -2553,6 +2553,33 @@ def domain_rollup_urls(spark, sf):
     return domain_rollup(synth_urls(d))
 
 
+def warc_extract_row(spark, sf):
+    """End-to-end crawl-ingest slice (functions/warc.py +
+    functions/html.py, r12): each document becomes a genuine 2-record
+    WARC (request + response; HTTP body coding cycles chunked / gzip /
+    identity by key%3, whole container gzipped per-record on odd keys),
+    then warc_records unwraps the framing and html_extract strips the
+    page — the Common Crawl pipeline front end in one oracled row. The
+    decoded body is byte-identical to synth_html's page (pinned by
+    test), so the expected text is the same closed form."""
+    from nekton_spark.functions.html import html_extract
+    from nekton_spark.functions.warc import synth_warc_media, warc_records
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    recs = warc_records(synth_warc_media(d).drop("text"), "warc")
+    resp = recs.filter(F.col("warc_type") == "response").withColumn(
+        "html", F.col("body").cast("string")
+    )
+    out = html_extract(resp)
+    return out.select(
+        "doc_id",
+        "target_uri",
+        "http_status",
+        F.col("text").alias("extracted"),
+        "n_blocks",
+    )
+
+
 def wav_g711_features(spark, sf):
     """G.711 telephony WAV decode (functions/multimodal.py r12: µ-law
     even keys / A-law odd keys, A-law under WAVE_FORMAT_EXTENSIBLE).
@@ -3188,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": audio_features,
         "wav_envelope_features": wav_envelope_features,
         "wav_g711_features": wav_g711_features,
+        "warc_extract": warc_extract_row,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
@@ -6720,6 +6748,24 @@ SELECT doc_id,
            (a, b) -> a + b)
          / (64 + doc_id % 64)), 6) AS rms
 FROM documents
+""",
+        # warc_extract (r12): the WARC/HTTP framing round trip is
+        # content-transparent, so the expected extraction is exactly
+        # html_extract's closed form plus the synth URI and status
+        "warc_extract": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id,
+       'http://crawl.example/doc/' || doc_id AS target_uri,
+       200::INT AS http_status,
+       CASE WHEN nt = ''
+            THEN 'T' || chr(10) || 'Doc & ' || doc_id || chr(10) || 'Home Next >'
+            ELSE 'T' || chr(10) || 'Doc & ' || doc_id || chr(10) || nt
+                 || chr(10) || 'Home Next >' END AS extracted,
+       (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
+FROM n
 """,
         # url_normalize_check (r12): raw = scheme(doc_id%2) ://
         # host(doc_id%3) :defaultport /item/(doc_id%7)

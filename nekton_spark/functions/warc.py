@@ -1,0 +1,365 @@
+r"""WARC (Web ARChive, ISO 28500) record extraction.
+
+Web-scale training corpora ship as WARC: the Common Crawl distribution
+format — concatenated records, each a version line + named headers +
+a Content-Length-delimited block, optionally one gzip member per
+record (``.warc.gz``). This module turns raw WARC bytes into one row
+per record with the HTTP response unwrapped, which is the step between
+raw object-store bytes (``media_files`` source) and text extraction
+(``html_extract``):
+
+    media_files(*.warc.gz) → warc_records → html_extract → url_keys →
+    quality/dedup — the whole crawl-ingest front end, all map-only.
+
+Original implementation from the public ISO 28500 spec and RFC 9112
+(HTTP/1.1 message framing):
+
+- plain and gzip WARCs (multi-member streams detected by magic, each
+  member inflated with a bounded-output loop);
+- record framing: ``WARC/1.x`` version line, case-insensitive named
+  headers, exact Content-Length block read, CRLF CRLF record
+  terminator — framing damage refuses with ValueError;
+- ``application/http; msgtype=response`` blocks unwrap one level:
+  status code, response headers, and the entity body after applying
+  ``Transfer-Encoding: chunked`` de-chunking and ``Content-Encoding:
+  gzip``/``deflate`` decompression (both bounded); ``br`` and other
+  codings refuse (no library in this environment);
+- non-response records (request, warcinfo, metadata, …) pass through
+  with NULL http fields, so a filter on ``warc_type`` is a plain
+  Catalyst predicate.
+
+Execution shape: one Arrow-batched pass, each WARC file explodes into
+its records (``mapInPandas``, no shuffle). A 100 TB crawl is many
+~1 GB WARC files — Spark's binaryFile source parallelizes by file, and
+nothing here holds more than one file's records at once.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_MAX_INFLATE = 1 << 30  # per-member / per-body decompression bound
+
+
+def _gunzip_members(b: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream with a bound on
+    total output — a WARC.gz is one member per record."""
+    out = bytearray()
+    pos = 0
+    while pos < len(b):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out += d.decompress(b[pos:], _MAX_INFLATE - len(out) + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC: {e}") from None
+        if len(out) > _MAX_INFLATE:
+            raise ValueError("WARC gzip stream exceeds inflate bound")
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC")
+        remaining = d.unused_data
+        if not remaining:
+            break
+        pos = len(b) - len(remaining)
+    return bytes(out)
+
+
+def _parse_headers(text: bytes, what: str) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in text.split(b"\r\n"):
+        if not line:
+            continue
+        if b":" not in line:
+            raise ValueError(f"malformed {what} header line {line[:40]!r}")
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+            "latin-1"
+        )
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding (sizes are hex, each
+    chunk CRLF-terminated, 0-size chunk ends the body)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked body: missing size line")
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"malformed chunk size {size_tok[:16]!r}"
+            ) from None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size + 2 > len(body):
+            raise ValueError("truncated chunked body: chunk exceeds payload")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("malformed chunked body: missing chunk CRLF")
+        pos += size + 2
+
+
+def _parse_http_response(block: bytes):
+    """HTTP response block → (status, headers, decoded entity body)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP response block has no header terminator")
+    head, body = block[:sep], block[sep + 4 :]
+    line_end = head.find(b"\r\n")
+    status_line = head[:line_end] if line_end >= 0 else head
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"malformed HTTP status line {status_line[:40]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(
+            f"malformed HTTP status code {parts[1][:10]!r}"
+        ) from None
+    headers = _parse_headers(head[line_end + 2 :] if line_end >= 0 else b"", "HTTP")
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower()
+    if ce in ("gzip", "x-gzip"):
+        body = _gunzip_members(body)
+    elif ce == "deflate":
+        d = zlib.decompressobj()
+        try:
+            body = d.decompress(body, _MAX_INFLATE + 1)
+        except zlib.error as e:
+            raise ValueError(f"corrupt deflate body: {e}") from None
+        if len(body) > _MAX_INFLATE:
+            raise ValueError("deflate body exceeds inflate bound")
+    elif ce in ("", "identity"):
+        pass
+    else:
+        raise NotImplementedError(
+            f"HTTP Content-Encoding {ce!r} not decodable in this environment"
+        )
+    return status, headers, body
+
+
+def warc_parse_records(payload: bytes) -> list[dict]:
+    """WARC bytes (plain or .gz) → list of record dicts with the HTTP
+    layer unwrapped for response records."""
+    b = bytes(payload)
+    if b[:2] == b"\x1f\x8b":
+        b = _gunzip_members(b)
+    if not b.startswith(b"WARC/"):
+        raise ValueError("not a WARC payload (missing WARC/ version line)")
+    records = []
+    pos = 0
+    while pos < len(b):
+        if b[pos:].strip() == b"":
+            break
+        if b[pos : pos + 5] != b"WARC/":
+            raise ValueError(
+                f"corrupt WARC: expected version line at offset {pos}"
+            )
+        hdr_end = b.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC: record header never terminates")
+        ver_end = b.find(b"\r\n", pos)
+        version = b[pos:ver_end].decode("latin-1")
+        if version not in ("WARC/1.0", "WARC/1.1"):
+            raise NotImplementedError(f"WARC version {version!r} not supported")
+        headers = _parse_headers(b[ver_end + 2 : hdr_end], "WARC")
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("WARC record missing Content-Length") from None
+        except ValueError:
+            raise ValueError(
+                f"malformed WARC Content-Length {headers['content-length']!r}"
+            ) from None
+        block_start = hdr_end + 4
+        block_end = block_start + length
+        if block_end + 4 > len(b):
+            raise ValueError("truncated WARC: block exceeds payload")
+        if b[block_end : block_end + 4] != b"\r\n\r\n":
+            raise ValueError("corrupt WARC: missing record terminator")
+        block = b[block_start:block_end]
+        rec = {
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "warc_date": headers.get("warc-date"),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "http_status": None,
+            "http_content_type": None,
+            "body": block,
+        }
+        ct = (rec["content_type"] or "").lower()
+        if ct.startswith("application/http") and "msgtype=response" in ct:
+            status, hh, body = _parse_http_response(block)
+            rec["http_status"] = status
+            rec["http_content_type"] = hh.get("content-type")
+            rec["body"] = body
+        records.append(rec)
+        pos = block_end + 4
+    return records
+
+
+_WARC_SCHEMA_FIELDS = [
+    T.StructField("warc_type", T.StringType(), True),
+    T.StructField("record_id", T.StringType(), True),
+    T.StructField("warc_date", T.StringType(), True),
+    T.StructField("target_uri", T.StringType(), True),
+    T.StructField("content_type", T.StringType(), True),
+    T.StructField("http_status", T.IntegerType(), True),
+    T.StructField("http_content_type", T.StringType(), True),
+    T.StructField("body", T.BinaryType(), True),
+]
+
+
+def warc_records(
+    df: DataFrame, payload_col: str = "payload", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Explode WARC payload bytes into one row per record. ``keep_cols``
+    (default: every non-payload column) carry through to each record
+    row. Map-only; each input file's records materialize once."""
+    keep = keep_cols if keep_cols is not None else [
+        f.name for f in df.schema.fields if f.name != payload_col
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + _WARC_SCHEMA_FIELDS
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for rec in warc_parse_records(row[payload_col]):
+                    r = {c: row[c] for c in keep}
+                    r.update(rec)
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=[*keep, *[f.name for f in _WARC_SCHEMA_FIELDS]]
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def warc_encode_response(
+    uri: str,
+    html: bytes,
+    date: str = "2024-01-01T00:00:00Z",
+    record_id: str = "<urn:uuid:0>",
+    chunked: bool = False,
+    gzip_body: bool = False,
+    status: int = 200,
+) -> bytes:
+    """One response record (fixture/synth writer): genuine HTTP/1.1
+    framing with optional chunked transfer coding and gzip content
+    coding — the decoder must undo both to land on ``html``."""
+    body = html
+    hh = [b"Content-Type: text/html"]
+    if gzip_body:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        body = co.compress(body) + co.flush()
+        hh.append(b"Content-Encoding: gzip")
+    if chunked:
+        chunks = bytearray()
+        for i in range(0, len(body), 50):
+            part = body[i : i + 50]
+            chunks += f"{len(part):x}".encode() + b"\r\n" + part + b"\r\n"
+        chunks += b"0\r\n\r\n"
+        body = bytes(chunks)
+        hh.append(b"Transfer-Encoding: chunked")
+    else:
+        hh.append(f"Content-Length: {len(body)}".encode())
+    http = (
+        f"HTTP/1.1 {status} OK\r\n".encode()
+        + b"\r\n".join(hh)
+        + b"\r\n\r\n"
+        + body
+    )
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: {record_id}\r\n".encode()
+        + f"WARC-Date: {date}\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def warc_encode_request(uri: str, record_id: str = "<urn:uuid:1>") -> bytes:
+    http = f"GET {uri} HTTP/1.1\r\nHost: x\r\n\r\n".encode()
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        + f"WARC-Record-ID: {record_id}\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=request\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def warc_gzip(records: list[bytes]) -> bytes:
+    """Member-per-record gzip (the .warc.gz convention)."""
+    out = bytearray()
+    for r in records:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        out += co.compress(r) + co.flush()
+    return bytes(out)
+
+
+def synth_page_bytes(key: int, text: str | None) -> bytes:
+    """The Python-side twin of ``html.synth_html``'s JVM template —
+    byte-identical by construction (pinned by
+    tests/test_warc.py::test_synth_page_matches_synth_html) so the
+    WARC driver row shares html_extract's closed-form oracle."""
+    esc = (text or "").replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (
+        "<html><head><title>T</title><script>var x = '<p>no</p>';"
+        "</script><style>p { color: red }</style></head><body>"
+        f"<h1>Doc &amp; {key}</h1><p>{esc}"
+        '</p><div><a href="/">Home</a> <a href="/n">Next &gt;</a>'
+        "</div><!-- footer --></body></html>"
+    ).encode("utf-8")
+
+
+def synth_warc_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL WARC payload per row: a request record plus a
+    response record carrying the synthetic page around the document
+    text. HTTP body coding cycles key % 3 (chunked / gzip / identity);
+    the whole container is member-per-record gzip on odd keys — every
+    framing feature fires, and the decoded body is the synth page, so
+    downstream html_extract replays closed-form."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("warc", T.BinaryType(), True)]
+    )
+
+    def run(batches):
+        def one(row) -> bytes:
+            key = int(row[key_col])
+            uri = f"http://crawl.example/doc/{key}"
+            resp = warc_encode_response(
+                uri,
+                synth_page_bytes(key, row[text_col]),
+                record_id=f"<urn:uuid:{key}>",
+                chunked=(key % 3 == 0),
+                gzip_body=(key % 3 == 1),
+            )
+            recs = [warc_encode_request(uri, f"<urn:uuid:{key}r>"), resp]
+            return warc_gzip(recs) if key % 2 else b"".join(recs)
+
+        for pdf in batches:
+            yield pdf.assign(warc=pdf.apply(one, axis=1))
+
+    return df.mapInPandas(run, out_schema)

@@ -890,3 +890,20 @@ def domain_rollup_processor(df: DataFrame, url_col: str = "url") -> DataFrame:
     from ..functions.urls import domain_rollup
 
     return domain_rollup(df, url_col)
+
+
+@register_processor("warc_records")
+def warc_records_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """Explode WARC bytes (plain or .warc.gz) into one row per record
+    with the HTTP response layer unwrapped (functions/warc.py) — the
+    step between media_files ingestion of a crawl dump and
+    html_extract. ``media: true`` reads the payload out of the media
+    struct the media_files source produces."""
+    from ..functions.warc import warc_records
+
+    if media:
+        df = df.withColumn("_warc_payload", F.col("media.payload"))
+        return warc_records(df, "_warc_payload").drop("media")
+    return warc_records(df, payload_col)

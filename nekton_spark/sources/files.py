@@ -87,6 +87,7 @@ _MEDIA_MIME_BY_EXT = {
     "jfif": "image/jpeg",
     "gif": "image/gif",
     "bmp": "image/bmp",
+    "warc": "application/warc",
     "wav": "audio/wav",
     "avi": "video/avi",
 }

@@ -1,0 +1,127 @@
+"""WARC extraction (functions/warc.py): framing round trips across
+every coding combination, refusals, the Python/JVM synth-page sync pin
+that transfers html_extract's oracle to the warc_extract driver row,
+and the DataFrame/processor surfaces."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nekton_spark.functions.warc import (
+    _parse_http_response,
+    synth_page_bytes,
+    synth_warc_media,
+    warc_encode_request,
+    warc_encode_response,
+    warc_gzip,
+    warc_parse_records,
+    warc_records,
+)
+
+HTML = b"<html><body><p>hello world</p></body></html>"
+
+
+class TestFraming:
+    def test_round_trips_all_codings(self):
+        for chunked in (False, True):
+            for gz_body in (False, True):
+                rec = warc_encode_response(
+                    "http://e.com/a", HTML, chunked=chunked, gzip_body=gz_body
+                )
+                full = warc_encode_request("http://e.com/a") + rec
+                for payload in (full, warc_gzip([rec])):
+                    rs = warc_parse_records(payload)
+                    r = rs[-1]
+                    assert r["warc_type"] == "response"
+                    assert r["http_status"] == 200
+                    assert r["target_uri"] == "http://e.com/a"
+                    assert r["body"] == HTML
+
+    def test_request_record_passes_through(self):
+        rs = warc_parse_records(warc_encode_request("http://e.com/a"))
+        assert rs[0]["warc_type"] == "request"
+        assert rs[0]["http_status"] is None
+        assert rs[0]["body"].startswith(b"GET ")
+
+    def test_deflate_body(self):
+        body = zlib.compress(HTML)
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body
+        )
+        status, hh, out = _parse_http_response(block)
+        assert (status, out) == (200, HTML)
+
+    def test_refusals(self):
+        with pytest.raises(ValueError, match="WARC"):
+            warc_parse_records(b"NOTAWARC")
+        rec = warc_encode_response("u", HTML)
+        with pytest.raises(ValueError, match="truncated|terminator"):
+            warc_parse_records(rec[:-6])
+        with pytest.raises(ValueError, match="Content-Length"):
+            warc_parse_records(rec.replace(b"Content-Length", b"X-L", 1))
+        with pytest.raises(NotImplementedError, match="br"):
+            _parse_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx"
+            )
+        with pytest.raises(ValueError, match="chunk"):
+            _parse_http_response(
+                b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+            )
+        with pytest.raises(ValueError, match="gzip"):
+            warc_parse_records(b"\x1f\x8b" + b"\x00" * 30)
+        with pytest.raises(NotImplementedError, match="version"):
+            warc_parse_records(
+                b"WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+            )
+
+    def test_multi_record_offsets(self):
+        recs = [
+            warc_encode_response(f"http://e.com/{i}", HTML + bytes([48 + i]))
+            for i in range(5)
+        ]
+        rs = warc_parse_records(b"".join(recs))
+        assert [r["target_uri"] for r in rs] == [
+            f"http://e.com/{i}" for i in range(5)
+        ]
+        assert [r["body"][-1:] for r in rs] == [bytes([48 + i]) for i in range(5)]
+
+
+class TestSparkSurface:
+    def test_synth_page_matches_synth_html(self, spark, tables):
+        """The Python twin must stay byte-identical to the JVM synth —
+        this pin is what transfers html_extract's oracle to
+        warc_extract."""
+        from nekton_spark.functions.html import synth_html
+
+        d = tables["documents"].select("doc_id", "text").limit(25)
+        jvm = {r.doc_id: r.html for r in synth_html(d).collect()}
+        for r in d.collect():
+            assert synth_page_bytes(r.doc_id, r.text).decode("utf-8") == jvm[
+                r.doc_id
+            ]
+
+    def test_warc_records_dataframe(self, spark, tables):
+        d = tables["documents"].select("doc_id", "text").limit(12)
+        recs = warc_records(synth_warc_media(d).drop("text"), "warc")
+        got = recs.groupBy("warc_type").count().collect()
+        assert {(r.warc_type, r["count"]) for r in got} == {
+            ("request", 12), ("response", 12),
+        }
+        resp = recs.filter(F.col("warc_type") == "response")
+        row = resp.filter(F.col("doc_id") == 1).first()  # gzip body + gz container
+        assert row.http_status == 200
+        assert bytes(row.body) == synth_page_bytes(
+            1, d.filter(F.col("doc_id") == 1).first().text
+        )
+
+    def test_processor_registry(self, spark):
+        from nekton_spark.registry import PROCESSORS
+
+        df = spark.createDataFrame(
+            [(1, bytearray(warc_encode_response("http://e.com/x", HTML)))],
+            "doc_id long, payload binary",
+        )
+        out = PROCESSORS["warc_records"](df).collect()
+        assert out[0].target_uri == "http://e.com/x"
+        assert bytes(out[0].body) == HTML
