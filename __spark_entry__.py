@@ -2062,6 +2062,34 @@ def bmp_decode_check(spark, sf):
     )
 
 
+def image_dhash_check(spark, sf):
+    """Perceptual image hash (functions/imagehash.py, r12 — dHash,
+    Krawetz 2013): 8×9 gray frames in closed form (identity
+    downsample), integer luma, strict-> gradient bits, signed 64-bit
+    fold. The oracle rebuilds every bit and the HUGEINT→BIGINT sign
+    fold; odd docs carry the planted bit-0 flip."""
+    from nekton_spark.functions.imagehash import image_dhash, synth_gray_frames
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return image_dhash(synth_gray_frames(d)).select("doc_id", "dhash")
+
+
+def image_near_dup_check(spark, sf):
+    """Image near-dup mining (imagehash.image_near_dup_pairs): the
+    simhash banding plan on the dHash — 4×16-bit bands, one banded
+    self equi-join (the only shuffle), codegen xor/popcount verify,
+    EXACT recall at max_hamming 3 by pigeonhole. The synth plants one
+    Hamming-1 pair per (2q, 2q+1) couple; the oracle replays hashes,
+    bands, the join and the popcount filter."""
+    from nekton_spark.functions.imagehash import (
+        image_near_dup_pairs,
+        synth_gray_frames,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    return image_near_dup_pairs(synth_gray_frames(d))
+
+
 def jpeg_progressive_decode_check(spark, sf):
     """PROGRESSIVE (SOF2) JPEG round trip (functions/jpeg.py, r12 —
     T.81 Annex G): genuine progressive JFIF bytes with the full
@@ -3165,6 +3193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": gif_decode_check,
         "gif_frame_sample": gif_frame_sample_check,
         "bmp_decode": bmp_decode_check,
+        "image_dhash": image_dhash_check,
+        "image_near_dup": image_near_dup_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
         "events_sessionization": events_sessionization,
@@ -6470,6 +6500,73 @@ SELECT doc_id,
                  + (i % 3) * 29) % 256)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM g
+""",
+        # image_dhash (r12): gray(q,y,x) = (q*131 + y*17 + x*23 +
+        # (q*(y+1)*(x+1)) % 97) % 251; odd docs replace gray(0,0) with
+        # the bit-0 flip value; bit b compares (y,x)=(b//8, b%8)
+        # against (y, x+1); the HUGEINT fold re-signs into BIGINT
+        "image_dhash": """
+WITH p AS (SELECT doc_id, doc_id // 2 AS q, doc_id % 2 AS odd FROM documents),
+h AS (
+  SELECT doc_id,
+    list_reduce(list_transform(range(0, 64), b ->
+      CASE WHEN
+        (CASE WHEN odd = 1 AND b = 0
+              THEN (CASE WHEN (q*131 + (q % 97)) % 251
+                              > (q*131 + 23 + (q*2 % 97)) % 251
+                         THEN 0
+                         ELSE (q*131 + 23 + (q*2 % 97)) % 251 + 1 END)
+              ELSE (q*131 + (b // 8)*17 + (b % 8)*23
+                    + (q*(b // 8 + 1)*(b % 8 + 1)) % 97) % 251 END)
+        > ((q*131 + (b // 8)*17 + (b % 8 + 1)*23
+            + (q*(b // 8 + 1)*(b % 8 + 2)) % 97) % 251)
+      THEN (1::HUGEINT << b) ELSE 0::HUGEINT END),
+      (a, c) -> a + c) AS hh
+  FROM p)
+SELECT doc_id,
+       (CASE WHEN hh >= 9223372036854775808::HUGEINT
+             THEN hh - 18446744073709551616::HUGEINT
+             ELSE hh END)::BIGINT AS dhash
+FROM h
+""",
+        # image_near_dup (r12): same hash construction over doc_id <
+        # 200, then the banded self-join + popcount filter in SQL
+        "image_near_dup": """
+WITH p AS (SELECT doc_id, doc_id // 2 AS q, doc_id % 2 AS odd
+           FROM documents WHERE doc_id < 200),
+h AS (
+  SELECT doc_id,
+    list_reduce(list_transform(range(0, 64), b ->
+      CASE WHEN
+        (CASE WHEN odd = 1 AND b = 0
+              THEN (CASE WHEN (q*131 + (q % 97)) % 251
+                              > (q*131 + 23 + (q*2 % 97)) % 251
+                         THEN 0
+                         ELSE (q*131 + 23 + (q*2 % 97)) % 251 + 1 END)
+              ELSE (q*131 + (b // 8)*17 + (b % 8)*23
+                    + (q*(b // 8 + 1)*(b % 8 + 1)) % 97) % 251 END)
+        > ((q*131 + (b // 8)*17 + (b % 8 + 1)*23
+            + (q*(b // 8 + 1)*(b % 8 + 2)) % 97) % 251)
+      THEN (1::HUGEINT << b) ELSE 0::HUGEINT END),
+      (a, c) -> a + c) AS hh
+  FROM p),
+sh AS (
+  SELECT doc_id,
+         (CASE WHEN hh >= 9223372036854775808::HUGEINT
+               THEN hh - 18446744073709551616::HUGEINT
+               ELSE hh END)::BIGINT AS dh
+  FROM h),
+keyed AS (
+  SELECT doc_id, dh, band, (dh >> (band * 16)) & 65535 AS key
+  FROM (SELECT doc_id, dh, unnest([0, 1, 2, 3]) AS band FROM sh)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.dh AS da, r.dh AS db
+  FROM keyed l JOIN keyed r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, bit_count(xor(da, db))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(da, db)) <= 3
 """,
         # gif_frame_sample (r12): F = 2 + doc_id%3 frames, every=2 →
         # sampled frame list [0] when F=2 else [0,2]; per frame the

@@ -1,0 +1,193 @@
+r"""Perceptual image hashing + image near-dup mining (dHash).
+
+The multimodal twin of the text dedup family: a 100 TB image corpus
+needs near-duplicate removal (re-encodes, resizes, small crops of the
+same picture), and the standard cheap signal is the difference hash
+(dHash, public: Krawetz 2013 "Kind of Like That") — block-mean
+downsample to a 9×8 luma grid, one bit per horizontal gradient, 64
+bits total. Re-encodes and mild resizes preserve most gradients, so
+near-dups sit at small Hamming distance.
+
+Pipeline shape mirrors :func:`dedup.simhash_near_dup_pairs` exactly:
+
+    decode_image → image_dhash (one Arrow pass, no shuffle)
+                 → band the 64-bit hash into 4×16-bit sub-keys
+                 → self equi-join on (band, key)  [the only shuffle]
+                 → exact popcount verify (codegen xor/bit_count)
+
+By pigeonhole, recall is EXACT for ``max_hamming <= bands - 1`` —
+a pair within Hamming 3 agrees on at least one of 4 bands. Never
+all-pairs; bucket population is the scale knob, same story as the
+text-side banding.
+
+Determinism contract (what the SQL oracle replays): integer luma
+``(299 R + 587 G + 114 B) // 1000``, block-mean cells with floor
+boundaries (``sum // count``), strict ``>`` gradient bits. Images
+smaller than the 9×8 grid REFUSE (a thumbnail pipeline upsizes before
+hashing; silently hashing degenerate grids would collide everything).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..materialize import materialize
+
+_GRID_H, _GRID_W = 8, 9  # dHash grid: 8 rows × 9 columns → 8×8 bits
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit dHash of an (h, w[, ch]) uint8 image — the single-image
+    kernel, shared by the Spark surface and tests."""
+    a = np.asarray(pixels, dtype=np.int64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            a = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+        else:
+            a = a[:, :, 0]
+    h, w = a.shape
+    if h < _GRID_H or w < _GRID_W:
+        raise ValueError(
+            f"image {h}x{w} smaller than the {_GRID_H}x{_GRID_W} dHash grid"
+        )
+    cells = np.empty((_GRID_H, _GRID_W), dtype=np.int64)
+    for y in range(_GRID_H):
+        y0, y1 = y * h // _GRID_H, (y + 1) * h // _GRID_H
+        for x in range(_GRID_W):
+            x0, x1 = x * w // _GRID_W, (x + 1) * w // _GRID_W
+            blk = a[y0:y1, x0:x1]
+            cells[y, x] = int(blk.sum()) // blk.size
+    bits = cells[:, :-1] > cells[:, 1:]
+    val = 0
+    for y in range(_GRID_H):
+        for x in range(_GRID_W - 1):
+            if bits[y, x]:
+                val |= 1 << (y * 8 + x)
+    # fold to signed int64 (bit 63 set → negative; banding/xor agree
+    # on both engines)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_dhash(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    h_col: str = "dec_height",
+    w_col: str = "dec_width",
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Attach the 64-bit dHash to decoded-image rows (the output shape
+    of ``decode_image`` / ``frame_sample``). One Arrow pass, map-only."""
+
+    @F.pandas_udf("long")
+    def _dh(pixels: pd.Series, hh: pd.Series, ww: pd.Series) -> pd.Series:
+        out = []
+        for p, h, w in zip(pixels, hh, ww):
+            a = np.asarray(p, dtype=np.int64)
+            ch = len(a) // (int(h) * int(w))
+            out.append(dhash64(a.reshape(int(h), int(w), ch)))
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn(out_col, _dh(F.col(pixels_col), F.col(h_col), F.col(w_col)))
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pixels_col: str = "pixels",
+    h_col: str = "dec_height",
+    w_col: str = "dec_width",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs ``(id_a, id_b, hamming)`` over decoded
+    frames — the simhash_near_dup_pairs plan on the dHash. Exact
+    recall for ``max_hamming <= bands - 1`` (pigeonhole); the banded
+    equi-join is the only shuffle and the verify is codegen
+    xor/popcount."""
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} > bands-1 {bands - 1} breaks the "
+            "pigeonhole recall guarantee; raise bands"
+        )
+    r = 64 // bands
+    mask = (1 << r) - 1
+    base = image_dhash(df, pixels_col, h_col, w_col).select(
+        F.col(id_col).alias("id"), F.col("dhash").alias("dh")
+    )
+    # the self-join would re-run the Python hash per branch; (id, hash)
+    # is 16 bytes/row — materialize once
+    base = base.transform(materialize)
+    banded = base.select(
+        "id",
+        "dh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("dh", b * r).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.dh").alias("dh_a"),
+            F.col("r.dh").alias("dh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def synth_gray_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Synthetic decoded-frame rows for the dHash driver rows: an
+    8×9 single-channel image (identity downsample, so the oracle
+    replays the hash without block means). Docs pair up (2q, 2q+1):
+    the even doc carries base pattern gray(y, x) = (q*131 + y*17 +
+    x*23 + (q*(y+1)*(x+1)) % 97) % 251 — the nonlinear term keeps the
+    250 group hashes nearly all-distinct (249/250, cross-group
+    Hamming ≤ 3 collisions: 2, replayed identically by the oracle);
+    the odd doc is the SAME pattern with gray(0,0) altered to flip
+    exactly dHash bit 0 — a planted Hamming-1 near-dup per pair,
+    replayable closed-form."""
+    key = F.col(key_col)
+    q = (key / 2).cast("long")
+    base = lambda y, x: (  # noqa: E731
+        q * 131 + y * 17 + x * 23 + (q * (y + 1) * (x + 1)) % 97
+    ) % 251
+    px = []
+    for y in range(8):
+        for x in range(9):
+            g = base(y, x)
+            if y == 0 and x == 0:
+                # variant: bit0 = g(0,0) > g(0,1); flip it
+                flipped = F.when(
+                    base(0, 0) > base(0, 1), F.lit(0).cast("long")
+                ).otherwise(base(0, 1) + 1)
+                g = F.when(key % 2 == 1, flipped).otherwise(g)
+            px.append(g.cast("int"))
+    return df.select(
+        key,
+        F.array(*px).alias("pixels"),
+        F.lit(8).alias("dec_height"),
+        F.lit(9).alias("dec_width"),
+    )

@@ -907,3 +907,33 @@ def warc_records_processor(
         df = df.withColumn("_warc_payload", F.col("media.payload"))
         return warc_records(df, "_warc_payload").drop("media")
     return warc_records(df, payload_col)
+
+
+@register_processor("image_dhash")
+def image_dhash_processor(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    h_col: str = "dec_height",
+    w_col: str = "dec_width",
+) -> DataFrame:
+    """Attach the 64-bit perceptual dHash to decoded-image rows
+    (functions/imagehash.py) — composes after decode_media /
+    frame_sample. Map-only, one Arrow pass."""
+    from ..functions.imagehash import image_dhash
+
+    return image_dhash(df, pixels_col, h_col, w_col)
+
+
+@register_processor("image_near_dup")
+def image_near_dup_processor(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs over decoded frames: banded dHash
+    self-join + popcount verify; exact recall for max_hamming <=
+    bands-1."""
+    from ..functions.imagehash import image_near_dup_pairs
+
+    return image_near_dup_pairs(df, id_col=id_col, bands=bands, max_hamming=max_hamming)

@@ -1,0 +1,116 @@
+"""dHash + image near-dup (functions/imagehash.py): kernel
+properties (downsample identity, luma path, re-encode stability),
+the banded pair mining recall guarantee, and integration with the
+real codec family. Driver rows image_dhash / image_near_dup carry the
+closed-form oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nekton_spark.functions.imagehash import (
+    dhash64,
+    image_dhash,
+    image_near_dup_pairs,
+    synth_gray_frames,
+)
+
+
+def _pattern(q: int) -> np.ndarray:
+    y, x = np.mgrid[0:8, 0:9]
+    return (q * 131 + y * 17 + x * 23 + (q * (y + 1) * (x + 1)) % 97) % 251
+
+
+class TestKernel:
+    def test_block_mean_downsample_identity(self):
+        base = _pattern(3)
+        h0 = dhash64(base)
+        # 2× and 3× nearest-neighbor upscales block-average back exactly
+        for s in (2, 3):
+            big = np.kron(base, np.ones((s, s), dtype=np.int64)).astype(np.uint8)
+            assert dhash64(big) == h0
+
+    def test_luma_and_alpha_paths(self):
+        base = _pattern(7).astype(np.uint8)
+        h0 = dhash64(base)
+        assert dhash64(np.stack([base] * 3, axis=2)) == h0
+        rgba = np.dstack([np.stack([base] * 3, axis=2),
+                          np.full_like(base, 9)])
+        assert dhash64(rgba) == h0  # alpha ignored
+
+    def test_jpeg_reencode_is_near(self):
+        """The property the hash exists for: a lossy re-encode of the
+        same image lands within small Hamming distance."""
+        from nekton_spark.functions.jpeg import (
+            jpeg_decode,
+            jpeg_encode_blocks,
+            synth_block_values,
+        )
+
+        dcs, bx, w, h = synth_block_values(11)  # 24x16, 6 blocks
+        payload = jpeg_encode_blocks(dcs, bx, w, h)
+        pix = jpeg_decode(payload)
+        h_exact = dhash64(pix)
+        # quantize harder: re-encode the DECODED pixels' DC means
+        blocks = [
+            int(pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].mean()) - 128
+            for by in range(2)
+            for bx in range(3)
+        ]
+        pix2 = jpeg_decode(jpeg_encode_blocks(blocks, 3, 24, 16))
+        d = bin((h_exact ^ dhash64(pix2)) & ((1 << 64) - 1)).count("1")
+        assert d <= 8, d
+
+    def test_too_small_refuses(self):
+        with pytest.raises(ValueError, match="grid"):
+            dhash64(np.zeros((5, 5), dtype=np.uint8))
+
+
+class TestSpark:
+    def test_planted_pairs_exact(self, spark):
+        d = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+        pairs = image_near_dup_pairs(synth_gray_frames(d)).collect()
+        planted = {(2 * q, 2 * q + 1) for q in range(20)}
+        got = {(r.id_a, r.id_b) for r in pairs}
+        assert planted <= got
+        assert all(r.hamming <= 3 for r in pairs)
+        ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+        assert all(ham[p] == 1 for p in planted)
+
+    def test_band_params_validate(self, spark):
+        d = synth_gray_frames(spark.range(0, 4).select(F.col("id").alias("doc_id")))
+        with pytest.raises(ValueError, match="divide"):
+            image_near_dup_pairs(d, bands=5)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            image_near_dup_pairs(d, bands=4, max_hamming=4)
+
+    def test_real_codec_integration(self, spark):
+        """decode_image(BMP) → image_dhash: identical images hash
+        identically across container formats (BMP vs GIF of the same
+        pixels)."""
+        from nekton_spark.functions.gif import gif_encode
+        from nekton_spark.functions.bmp import bmp_encode
+        from nekton_spark.functions.multimodal import decode_image, pack_media
+
+        rng = np.random.default_rng(23)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (12, 18), dtype=np.uint8)
+        rows = [
+            (1, bytearray(bmp_encode(pal[idx], 24)), "image/bmp"),
+            (2, bytearray(gif_encode(idx, pal)), "image/gif"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+        media = df.select("doc_id", pack_media(F.col("payload"), F.col("mime")).alias("media"))
+        hashed = image_dhash(decode_image(media)).select("doc_id", "dhash").collect()
+        vals = {r.doc_id: r.dhash for r in hashed}
+        assert vals[1] == vals[2]
+        assert vals[1] == dhash64(pal[idx])
+
+    def test_processor_registry(self, spark):
+        from nekton_spark.registry import PROCESSORS
+
+        d = synth_gray_frames(
+            spark.range(0, 6).select(F.col("id").alias("doc_id"))
+        )
+        assert "dhash" in PROCESSORS["image_dhash"](d).columns
+        assert PROCESSORS["image_near_dup"](d).count() == 3
