@@ -2608,6 +2608,21 @@ def warc_extract_row(spark, sf):
     )
 
 
+def charset_decode_check(spark, sf):
+    """Real-crawl charset handling (warc.decode_body_text, r12 —
+    WHATWG-abridged sniffing: BOM → HTTP header → <meta charset>,
+    declared charsets decode strict, undeclared falls back UTF-8 →
+    latin-1): legs cycle key%4 through BOM'd UTF-8 (+ the arbitrary-
+    unicode document text), header latin-1, meta windows-1251, and
+    bare ASCII. The oracle rebuilds each decoded string as a SQL
+    unicode literal."""
+    from nekton_spark.functions.warc import decode_body_text, synth_charset_bodies
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = decode_body_text(synth_charset_bodies(d))
+    return out.select("doc_id", "charset", "html")
+
+
 def wav_g711_features(spark, sf):
     """G.711 telephony WAV decode (functions/multimodal.py r12: µ-law
     even keys / A-law odd keys, A-law under WAVE_FORMAT_EXTENSIBLE).
@@ -3246,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_envelope_features": wav_envelope_features,
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
+        "charset_decode": charset_decode_check,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
@@ -6863,6 +6879,22 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # charset_decode (r12): decode is a round trip, so each leg's
+        # expected string is a direct SQL literal; only the UTF-8 leg
+        # carries the document text
+        "charset_decode": """
+SELECT doc_id,
+       CASE doc_id % 4
+            WHEN 1 THEN 'latin-1'
+            WHEN 2 THEN 'windows-1251'
+            ELSE 'utf-8' END AS charset,
+       CASE doc_id % 4
+            WHEN 0 THEN 'é ' || doc_id || ' ' || coalesce(text, '')
+            WHEN 1 THEN 'naïve café ' || doc_id
+            WHEN 2 THEN '<meta charset="windows-1251">привет ' || doc_id
+            ELSE 'plain ' || doc_id END AS html
+FROM documents
 """,
         # url_normalize_check (r12): raw = scheme(doc_id%2) ://
         # host(doc_id%3) :defaultport /item/(doc_id%7)

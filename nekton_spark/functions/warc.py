@@ -363,3 +363,148 @@ def synth_warc_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_
             yield pdf.assign(warc=pdf.apply(one, axis=1))
 
     return df.mapInPandas(run, out_schema)
+
+
+# charsets decodable with the stdlib and common enough in crawls to
+# matter; everything else refuses reason-coded rather than mojibake
+_KNOWN_CHARSETS = {
+    "utf-8", "utf8", "us-ascii", "ascii", "iso-8859-1", "latin-1",
+    "latin1", "windows-1252", "cp1252", "iso-8859-15", "windows-1251",
+    "cp1251", "koi8-r", "iso-8859-2", "windows-1250", "utf-16",
+    "utf-16le", "utf-16be", "shift_jis", "shift-jis", "sjis",
+    "euc-jp", "euc-kr", "gbk", "gb2312", "big5",
+}
+
+
+def _sniff_charset(content_type: str | None, body: bytes) -> str | None:
+    """Charset resolution order (WHATWG encoding-sniffing, abridged):
+    BOM → HTTP Content-Type parameter → <meta charset> /
+    http-equiv within the first 1024 bytes → None (caller applies the
+    UTF-8-with-latin-1-fallback default)."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    if content_type and "charset=" in content_type.lower():
+        cs = content_type.lower().split("charset=", 1)[1]
+        return cs.split(";")[0].strip().strip('"\'') or None
+    head = body[:1024].lower()
+    i = head.find(b"charset=")
+    if i >= 0:
+        rest = head[i + 8 : i + 40]
+        for q in (b'"', b"'"):
+            if rest.startswith(q):
+                rest = rest[1:]
+        out = bytearray()
+        for ch in rest:
+            if ch in b'"\' />;':
+                break
+            out.append(ch)
+        return out.decode("latin-1").strip() or None
+    return None
+
+
+def decode_body_text(
+    df: DataFrame,
+    body_col: str = "body",
+    ct_col: str = "http_content_type",
+    text_col: str = "html",
+) -> DataFrame:
+    """Bytes → text with real-crawl charset handling: BOM / HTTP
+    header / meta sniffing via :func:`_sniff_charset`; a declared
+    charset decodes STRICT (a mis-declared page surfaces as refused,
+    not silent mojibake); no declaration tries strict UTF-8 then the
+    latin-1 total function (the WHATWG fallback — every byte maps).
+    Adds ``charset`` (what decoded it) and NULL text + charset
+    ``refused:<reason>`` on failure, so a corpus rollup of charset
+    tags is one groupBy. Map-only Arrow pass."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(text_col, T.StringType(), True),
+            T.StructField("charset", T.StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        def one(body, ct):
+            if body is None:
+                return None, "refused:null_body"
+            b = bytes(body)
+            cs = _sniff_charset(ct, b)
+            if cs is not None:
+                norm = cs.lower()
+                if norm not in _KNOWN_CHARSETS:
+                    return None, f"refused:unknown_charset:{norm[:20]}"
+                try:
+                    t = b.decode(norm)
+                except (UnicodeDecodeError, LookupError):
+                    return None, f"refused:undecodable:{norm[:20]}"
+                # WHATWG: a leading BOM is an encoding signature, not
+                # content (utf-16 codecs consume theirs; utf-8 keeps it)
+                return (t[1:] if t[:1] == "﻿" else t), norm
+            try:
+                return b.decode("utf-8"), "utf-8"
+            except UnicodeDecodeError:
+                return b.decode("latin-1"), "latin-1"
+
+        for pdf in batches:
+            texts, charsets = [], []
+            for body, ct in zip(pdf[body_col], pdf[ct_col]):
+                t, c = one(body, ct)
+                texts.append(t)
+                charsets.append(c)
+            yield pdf.assign(**{text_col: texts, "charset": charsets})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_charset_bodies(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Synthetic (body, http_content_type) rows cycling the charset
+    envelope by key % 4: UTF-8 with BOM and no declaration (BOM wins,
+    then strips); latin-1 via the HTTP header; windows-1251 via an
+    in-document <meta charset>; bare ASCII with no declaration (the
+    strict-UTF-8 default path). Only the UTF-8 leg embeds the (fuzz-
+    hostile, arbitrary-unicode) document text — the single-byte legs
+    carry fixed literals the target charsets can represent, so the
+    closed form holds on any corpus."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("body", T.BinaryType(), True),
+            T.StructField("http_content_type", T.StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        def one(row):
+            key = int(row[key_col])
+            text = row["text"] if "text" in row and row["text"] is not None else ""
+            leg = key % 4
+            if leg == 0:
+                return (
+                    b"\xef\xbb\xbf" + f"é {key} ".encode("utf-8")
+                    + text.encode("utf-8"),
+                    "text/html",
+                )
+            if leg == 1:
+                return (
+                    f"naïve café {key}".encode("latin-1"),
+                    "text/html; charset=latin-1",
+                )
+            if leg == 2:
+                return (
+                    f'<meta charset="windows-1251">привет {key}'.encode("cp1251"),
+                    "text/html",
+                )
+            return (f"plain {key}".encode("ascii"), "text/html")
+
+        for pdf in batches:
+            bodies, cts = [], []
+            for _, row in pdf.iterrows():
+                b, ct = one(row)
+                bodies.append(b)
+                cts.append(ct)
+            yield pdf.assign(body=bodies, http_content_type=cts)
+
+    return df.mapInPandas(run, out_schema)

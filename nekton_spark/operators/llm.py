@@ -937,3 +937,19 @@ def image_near_dup_processor(
     from ..functions.imagehash import image_near_dup_pairs
 
     return image_near_dup_pairs(df, id_col=id_col, bands=bands, max_hamming=max_hamming)
+
+
+@register_processor("decode_body_text")
+def decode_body_text_processor(
+    df: DataFrame,
+    body_col: str = "body",
+    ct_col: str = "http_content_type",
+    text_col: str = "html",
+) -> DataFrame:
+    """Charset-aware bytes → text for crawl bodies (functions/warc.py):
+    BOM / HTTP header / meta sniffing, strict declared decode,
+    UTF-8 → latin-1 fallback; NULL text + reason-coded charset on
+    refusal. The step between warc_records and html_extract."""
+    from ..functions.warc import decode_body_text
+
+    return decode_body_text(df, body_col, ct_col, text_col)

@@ -115,6 +115,32 @@ class TestSparkSurface:
             1, d.filter(F.col("doc_id") == 1).first().text
         )
 
+    def test_decode_body_text(self, spark):
+        from nekton_spark.functions.warc import decode_body_text
+
+        rows = [
+            (0, bytearray("é".encode("utf-8")), None),  # undeclared utf-8
+            (1, bytearray(b"\xe9caf\xe9"), None),  # invalid utf-8 → latin-1
+            (2, bytearray("привет".encode("cp1251")),
+             "text/html; charset=windows-1251"),
+            # mis-declared: cp1251 bytes claimed as utf-8 → strict refusal
+            (3, bytearray("привет".encode("cp1251")),
+             "text/html; charset=utf-8"),
+            (4, bytearray(b"\xef\xbb\xbfbom"), None),  # BOM strips
+            (5, bytearray(b"x"), "text/html; charset=klingon-9"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, body binary, http_content_type string"
+        )
+        got = {r.doc_id: (r.html, r.charset)
+               for r in decode_body_text(df).collect()}
+        assert got[0] == ("é", "utf-8")
+        assert got[1] == ("écafé", "latin-1")
+        assert got[2] == ("привет", "windows-1251")
+        assert got[3][0] is None and got[3][1].startswith("refused:undecodable")
+        assert got[4] == ("bom", "utf-8")
+        assert got[5][0] is None and "unknown_charset" in got[5][1]
+
     def test_processor_registry(self, spark):
         from nekton_spark.registry import PROCESSORS
 
