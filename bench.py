@@ -85,6 +85,24 @@ HEADLINE2 = [
     "hybrid_search_rrf",
 ]
 
+# THIRD headline set, frozen at r12: the crawl-ingest front end and
+# the r12 codec/image-dedup families (WARC framing + HTTP unwrap,
+# HTML extraction, charset decode, URL canonicalization, GIF LZW,
+# BMP, G.711, animated-frame sampling, dHash near-dup mining). Same
+# contract as the other two sets: NEVER edit; reported as
+# value3/queries3 alongside.
+HEADLINE3 = [
+    "warc_extract",
+    "html_extract",
+    "charset_decode",
+    "url_normalize_check",
+    "gif_decode",
+    "gif_frame_sample",
+    "bmp_decode",
+    "wav_g711_features",
+    "image_near_dup",
+]
+
 
 # pinned on the r7 session host at its quietest observed moment
 # (codegen 0.179 s, arrow 0.545 s — BENCH_r07 recorded 0.177/0.544).
@@ -574,6 +592,7 @@ def main() -> int:
 
     times, times_eval = run_set(HEADLINE)
     times2, times2_eval = run_set(HEADLINE2)
+    times3, times3_eval = run_set(HEADLINE3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
@@ -603,6 +622,13 @@ def main() -> int:
         "value2_canary_normalized": round(sum(times2.values()) / factor, 3),
         "queries2_evaluated": times2_eval,
         "value2_evaluated": round(sum(times2_eval.values()), 3),
+        # third headline set (frozen r12): crawl-ingest + r12 codec /
+        # image-dedup families
+        "queries3": times3,
+        "value3": round(sum(times3.values()), 3),
+        "value3_canary_normalized": round(sum(times3.values()) / factor, 3),
+        "queries3_evaluated": times3_eval,
+        "value3_evaluated": round(sum(times3_eval.values()), 3),
     }
     try:
         out["streaming"] = _streaming_bench(spark)
