@@ -102,12 +102,23 @@ def image_near_dup_pairs(
     w_col: str = "dec_width",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs ``(id_a, id_b, hamming)`` over decoded
     frames — the simhash_near_dup_pairs plan on the dHash. Exact
     recall for ``max_hamming <= bands - 1`` (pigeonhole); the banded
     equi-join is the only shuffle and the verify is codegen
-    xor/popcount."""
+    xor/popcount.
+
+    Hot buckets: N byte-identical images share every band key, so the
+    TRUE pair set — and therefore the output — is quadratic in N;
+    that is pair semantics, not a plan defect (same exposure as the
+    text-side simhash pairs; rehearsed: a 6 000-image clique inside a
+    20 000-image corpus completes bounded). The right pipeline order
+    removes exact duplicates (hash-groupBy on the payload) BEFORE
+    perceptual pairing; set ``max_bucket`` to REFUSE — engine policy,
+    rather than silently materialize N²/2 rows — when any (band, key)
+    bucket exceeds it."""
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_hamming > bands - 1:
@@ -115,6 +126,8 @@ def image_near_dup_pairs(
             f"max_hamming {max_hamming} > bands-1 {bands - 1} breaks the "
             "pigeonhole recall guarantee; raise bands"
         )
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
     r = 64 // bands
     mask = (1 << r) - 1
     base = image_dhash(df, pixels_col, h_col, w_col).select(
@@ -135,6 +148,22 @@ def image_near_dup_pairs(
             )
         ).alias("band", "key"),
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            b, k, n = hot[0]["band"], hot[0]["key"], hot[0]["count"]
+            raise ValueError(
+                f"dHash band bucket (band={b}, key={k}) holds {n} images "
+                f"> max_bucket={max_bucket}: the pair output would be "
+                "quadratic — run exact payload dedup first, or raise "
+                "max_bucket deliberately"
+            )
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(

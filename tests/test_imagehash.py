@@ -77,6 +77,21 @@ class TestSpark:
         ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
         assert all(ham[p] == 1 for p in planted)
 
+    def test_max_bucket_refuses_hot_clique(self, spark):
+        """A constant-image clique shares every band key; with
+        max_bucket set the pair mining refuses instead of silently
+        materializing the quadratic output."""
+        d = spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.array(*[F.lit((i * 7) % 251) for i in range(72)]).alias("pixels"),
+            F.lit(8).alias("dec_height"),
+            F.lit(9).alias("dec_width"),
+        )
+        with pytest.raises(Exception, match="max_bucket"):
+            image_near_dup_pairs(d, max_bucket=10).collect()
+        # without the cap the quadratic-but-true output materializes
+        assert image_near_dup_pairs(d).count() == 30 * 29 // 2
+
     def test_band_params_validate(self, spark):
         d = synth_gray_frames(spark.range(0, 4).select(F.col("id").alias("doc_id")))
         with pytest.raises(ValueError, match="divide"):
