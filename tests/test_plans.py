@@ -465,6 +465,20 @@ PLAN_BUDGET = {
     "common_passages": (0, 1),
     "boilerplate_removal": (0, 0),
     "line_dedup_firstkeep": (0, 0),  # broadcast-map rewrite; mining behind materialize
+    # r12 third wave: the crawl-ingest front end NEVER shuffles — every
+    # budget below with max_ex=0 is the load-bearing claim
+    "html_extract": (1, 0),
+    "html_main_text": (1, 0),
+    "warc_extract": (3, 0),  # synth + record explode + block parse
+    "charset_decode": (2, 0),
+    "gif_decode": (2, 0),
+    "gif_frame_sample": (2, 0),
+    "bmp_decode": (2, 0),
+    "wav_g711_features": (2, 0),
+    "image_dhash": (1, 0),
+    "image_near_dup": (0, 1),  # hash behind materialize; banded join only
+    "url_normalize_check": (0, 0),  # pure codegen, no Python at all
+    "domain_rollup_urls": (0, 2),  # exact countDistinct = two-phase agg
 }
 
 
