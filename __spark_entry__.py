@@ -2608,6 +2608,21 @@ def warc_extract_row(spark, sf):
     )
 
 
+def html_meta_check(spark, sf):
+    """Page-level curation metadata (html.html_meta, r12): title,
+    <html lang>, canonical link, robots noindex/nofollow — the page's
+    own declarations a compliant pipeline honors. Synth cycles lang
+    (key%3) and robots content (key%4, incl. the combined directive);
+    the oracle replays each field closed-form."""
+    from nekton_spark.functions.html import html_meta, synth_html_meta
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = html_meta(synth_html_meta(d))
+    return out.select(
+        "doc_id", "title", "lang", "canonical", "noindex", "nofollow"
+    )
+
+
 def charset_decode_check(spark, sf):
     """Real-crawl charset handling (warc.decode_body_text, r12 —
     WHATWG-abridged sniffing: BOM → HTTP header → <meta charset>,
@@ -3262,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
         "charset_decode": charset_decode_check,
+        "html_meta": html_meta_check,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
@@ -6884,6 +6900,17 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # html_meta (r12): every field is a direct function of doc_id
+        "html_meta": """
+SELECT doc_id,
+       'Page ' || doc_id AS title,
+       CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de-AT'
+            ELSE 'ja' END AS lang,
+       'https://e.com/c/' || (doc_id % 9) AS canonical,
+       (CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END)::INT AS noindex,
+       (CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END)::INT AS nofollow
+FROM documents
 """,
         # charset_decode (r12): decode is a round trip, so each leg's
         # expected string is a direct SQL literal; only the UTF-8 leg

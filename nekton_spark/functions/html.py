@@ -255,3 +255,117 @@ def synth_html(
         ),
     )
     return df.withColumn(out_col, html)
+
+
+def _parse_meta(html: str) -> tuple:
+    """One pass for page-level curation metadata: title text, the
+    ``<html lang>`` attribute, the canonical link href, and the
+    robots noindex/nofollow directives (``<meta name="robots">``,
+    comma-separated token list per the robots-meta convention)."""
+    from html.parser import HTMLParser
+
+    state = {
+        "title": None, "lang": None, "canonical": None,
+        "noindex": 0, "nofollow": 0, "in_title": 0, "title_parts": [],
+    }
+
+    class _M(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "html" and state["lang"] is None:
+                state["lang"] = a.get("lang")
+            elif tag == "title" and state["title"] is None:
+                state["in_title"] = 1
+            elif tag == "meta":
+                if (a.get("name") or "").lower() == "robots":
+                    toks = [
+                        t.strip().lower()
+                        for t in (a.get("content") or "").split(",")
+                    ]
+                    if "noindex" in toks or "none" in toks:
+                        state["noindex"] = 1
+                    if "nofollow" in toks or "none" in toks:
+                        state["nofollow"] = 1
+            elif tag == "link":
+                if (a.get("rel") or "").lower() == "canonical" and state[
+                    "canonical"
+                ] is None:
+                    state["canonical"] = a.get("href")
+
+        def handle_endtag(self, tag):
+            if tag == "title" and state["in_title"]:
+                state["in_title"] = 0
+                if state["title"] is None:
+                    t = " ".join("".join(state["title_parts"]).split())
+                    state["title"] = t
+
+        def handle_data(self, data):
+            if state["in_title"]:
+                state["title_parts"].append(data)
+
+    p = _M()
+    p.feed(html)
+    p.close()
+    return (
+        state["title"], state["lang"], state["canonical"],
+        state["noindex"], state["nofollow"],
+    )
+
+
+def html_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Page-level metadata for crawl curation: ``title``, ``lang``
+    (the <html lang> attribute — the page's own language claim, to
+    cross-check against the trained lang-id), ``canonical`` (URL-level
+    dedup prefers the canonical spelling the page declares), and the
+    robots directives ``noindex``/``nofollow`` (a compliant training
+    pipeline drops noindex pages). One Arrow pass, map-only."""
+    schema = T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("canonical", T.StringType()),
+            T.StructField("noindex", T.IntegerType()),
+            T.StructField("nofollow", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _meta(s: pd.Series) -> pd.DataFrame:
+        rows = [_parse_meta(h) if h else (None, None, None, 0, 0) for h in s]
+        return pd.DataFrame(
+            rows, columns=["title", "lang", "canonical", "noindex", "nofollow"]
+        )
+
+    d = df.withColumn("_m", _meta(F.col(html_col)))
+    for c in ("title", "lang", "canonical", "noindex", "nofollow"):
+        d = d.withColumn(c, F.col(f"_m.{c}"))
+    return d.drop("_m")
+
+
+def synth_html_meta(
+    df: DataFrame, key_col: str = "doc_id", out_col: str = "html"
+) -> DataFrame:
+    """Deterministic page head for the html_meta driver row: lang
+    cycles key%3, robots content cycles key%4 (absent / noindex /
+    nofollow / 'noindex, nofollow'), canonical always present."""
+    key = F.col(key_col)
+    lang = (
+        F.when(key % 3 == 0, F.lit("en"))
+        .when(key % 3 == 1, F.lit("de-AT"))
+        .otherwise(F.lit("ja"))
+    )
+    robots = (
+        F.when(key % 4 == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(key % 4 == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(key % 4 == 3,
+              F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit('<html lang="'), lang, F.lit('"><head><title> Page '),
+        key.cast("string"), F.lit(" </title>"), robots,
+        F.lit('<link rel="canonical" href="https://e.com/c/'),
+        (key % 9).cast("string"),
+        F.lit('"></head><body><p>x</p></body></html>'),
+    )
+    return df.withColumn(out_col, html)

@@ -953,3 +953,13 @@ def decode_body_text_processor(
     from ..functions.warc import decode_body_text
 
     return decode_body_text(df, body_col, ct_col, text_col)
+
+
+@register_processor("html_meta")
+def html_meta_processor(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Page-level metadata (functions/html.py): title, <html lang>,
+    canonical link, robots noindex/nofollow — filter on noindex = 0
+    for a directives-compliant corpus. Map-only Arrow pass."""
+    from ..functions.html import html_meta
+
+    return html_meta(df, html_col)

@@ -131,3 +131,33 @@ class TestDataFrames:
         d = self._df(spark, [(1, "<p>x</p>")])
         plan = html_extract(d)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestMeta:
+    def test_fields(self, spark):
+        from nekton_spark.functions.html import html_meta
+
+        rows = [
+            (1, '<html lang="en"><head><title> A  B </title>'
+                '<meta name="robots" content="NOINDEX, nofollow">'
+                '<link rel="canonical" href="https://x/y"></head></html>'),
+            (2, "<p>no head</p>"),
+            (3, '<meta name="robots" content="none">'),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        got = {r.doc_id: r for r in html_meta(df).collect()}
+        assert (got[1].title, got[1].lang, got[1].canonical) == (
+            "A B", "en", "https://x/y")
+        assert (got[1].noindex, got[1].nofollow) == (1, 1)
+        assert got[2].title is None and got[2].noindex == 0
+        assert (got[3].noindex, got[3].nofollow) == (1, 1)  # 'none' = both
+        assert got[4].title is None
+
+    def test_processor(self, spark):
+        from nekton_spark.registry import PROCESSORS
+
+        df = spark.createDataFrame(
+            [(1, "<title>t</title>")], "doc_id long, html string"
+        )
+        assert PROCESSORS["html_meta"](df).first().title == "t"
