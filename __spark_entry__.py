@@ -2623,6 +2623,31 @@ def html_meta_check(spark, sf):
     )
 
 
+def webdataset_extract_row(spark, sf):
+    """WebDataset tar-shard extraction (functions/webdataset.py, r12):
+    each document becomes a genuine ustar shard (gzip on odd keys)
+    carrying 2 + key%2 samples of two members each (.txt caption,
+    .cls byte label); webdataset_samples groups members under the
+    first-dot key INSIDE the shard pass — no shuffle. The oracle
+    replays sample keys, member counts, captions and labels."""
+    from nekton_spark.functions.webdataset import (
+        synth_wds_media,
+        webdataset_samples,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = webdataset_samples(synth_wds_media(d).drop("text"), "shard")
+    return out.select(
+        "doc_id",
+        "sample_key",
+        "n_members",
+        F.element_at("exts", "txt").cast("string").alias("caption"),
+        F.expr("cast(conv(hex(element_at(exts, 'cls')), 16, 10) as int)").alias(
+            "cls"
+        ),
+    )
+
+
 def charset_decode_check(spark, sf):
     """Real-crawl charset handling (warc.decode_body_text, r12 —
     WHATWG-abridged sniffing: BOM → HTTP header → <meta charset>,
@@ -3278,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": warc_extract_row,
         "charset_decode": charset_decode_check,
         "html_meta": html_meta_check,
+        "webdataset_extract": webdataset_extract_row,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
@@ -6900,6 +6926,21 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # webdataset_extract (r12): 2 + doc_id%2 samples per shard;
+        # caption/label are closed forms (s=0 carries the raw text,
+        # trailing-space exact on empty/NULL text)
+        "webdataset_extract": """
+WITH s AS (
+  SELECT doc_id, text, unnest(range(0, 2 + doc_id % 2)) AS s
+  FROM documents)
+SELECT doc_id,
+       's' || doc_id || '_' || s AS sample_key,
+       2::INT AS n_members,
+       CASE WHEN s = 0 THEN 'cap ' || doc_id || ' 0 ' || coalesce(text, '')
+            ELSE 'cap ' || doc_id || ' ' || s END AS caption,
+       ((doc_id + s) % 251)::INT AS cls
+FROM s
 """,
         # html_meta (r12): every field is a direct function of doc_id
         "html_meta": """

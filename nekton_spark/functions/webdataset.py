@@ -1,0 +1,191 @@
+r"""WebDataset-style tar shard extraction.
+
+Multimodal training corpora ship as tar shards (the WebDataset
+convention, public: github.com/webdataset — POSIX ustar members named
+``<sample-key>.<ext>``; all members sharing a basename form ONE
+sample: ``000123.jpg`` + ``000123.txt`` + ``000123.json``). This is
+the image/caption twin of the WARC front end:
+
+    media_files(*.tar) → webdataset_samples → decode_media /
+    html-free caption pipeline — map-only end to end.
+
+The tar walk uses the stdlib ``tarfile`` reader (like zlib for PNG and
+the old stdlib ``wave`` — the public battle-tested parser for a public
+format; gzip shards are detected by magic and inflated bounded first).
+Contract:
+
+- :func:`tar_records` — one row per regular-file member
+  ``(member_name, member_bytes)``; non-file members (dirs, links) are
+  skipped; a corrupt archive refuses with ValueError;
+- :func:`webdataset_samples` — one row per SAMPLE: key = the member
+  path up to the first dot in its basename (the WebDataset rule, so
+  ``a/b/000123.seg.png`` groups under ``a/b/000123``), plus an
+  ``exts`` map ext → bytes. Grouping happens WITHIN the shard in the
+  same Arrow pass — tar members of one sample are contiguous by
+  convention, but this does not rely on it — so there is still no
+  shuffle; shards parallelize by file like every other source.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_MAX_INFLATE = 1 << 30
+
+
+def _maybe_gunzip(b: bytes) -> bytes:
+    if b[:2] != b"\x1f\x8b":
+        return b
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    try:
+        out = d.decompress(b, _MAX_INFLATE + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt gzip tar shard: {e}") from None
+    if len(out) > _MAX_INFLATE:
+        raise ValueError("tar shard exceeds inflate bound")
+    return out
+
+
+def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """(name, bytes) for every regular-file member, archive order."""
+    b = _maybe_gunzip(bytes(payload))
+    out: list[tuple[str, bytes]] = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(b), mode="r:") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                f = tf.extractfile(m)
+                out.append((m.name, f.read() if f else b""))
+    except tarfile.TarError as e:
+        raise ValueError(f"corrupt tar shard: {e}") from None
+    return out
+
+
+def _sample_key(name: str) -> tuple[str, str]:
+    """WebDataset split: key = path up to the FIRST dot of the
+    basename, ext = everything after it (so 'a/x.seg.png' →
+    ('a/x', 'seg.png'))."""
+    d, _, base = name.rpartition("/")
+    stem, _, ext = base.partition(".")
+    key = f"{d}/{stem}" if d else stem
+    return key, ext
+
+
+def tar_records(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Explode tar shard bytes into one row per member."""
+    keep = [f.name for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("member_name", T.StringType(), True),
+            T.StructField("member_bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for name, data in tar_members(row[payload_col]):
+                    r = {c: row[c] for c in keep}
+                    r["member_name"] = name
+                    r["member_bytes"] = data
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=[*keep, "member_name", "member_bytes"]
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def webdataset_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Explode tar shard bytes into one row per SAMPLE with an
+    ext → bytes map. In-shard grouping, no shuffle."""
+    keep = [f.name for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("sample_key", T.StringType(), True),
+            T.StructField("n_members", T.IntegerType(), True),
+            T.StructField(
+                "exts", T.MapType(T.StringType(), T.BinaryType()), True
+            ),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples: dict[str, dict[str, bytes]] = {}
+                order: list[str] = []
+                for name, data in tar_members(row[payload_col]):
+                    key, ext = _sample_key(name)
+                    if key not in samples:
+                        samples[key] = {}
+                        order.append(key)
+                    samples[key][ext] = data
+                for key in order:
+                    r = {c: row[c] for c in keep}
+                    r["sample_key"] = key
+                    r["n_members"] = len(samples[key])
+                    r["exts"] = samples[key]
+                    rows.append(r)
+            yield pd.DataFrame(
+                rows, columns=[*keep, "sample_key", "n_members", "exts"]
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def tar_encode(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
+    """Genuine ustar bytes for fixtures (stdlib writer, deterministic
+    zeroed metadata so outputs are byte-stable)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    if gz:
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        return co.compress(raw) + co.flush()
+    return raw
+
+
+def synth_wds_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """One tar shard per row carrying 2 + key % 2 samples; sample s of
+    doc key has members ``s<key>_<s>.txt`` (the closed-form caption
+    'cap <key> <s>' plus the document text on s = 0) and
+    ``s<key>_<s>.cls`` (the byte of (key + s) % 251). Gzip shard on
+    odd keys. Member layout exercises the first-dot key rule."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("shard", T.BinaryType(), True)]
+    )
+
+    def run(batches):
+        def one(row) -> bytes:
+            key = int(row[key_col])
+            text = row[text_col] if row[text_col] is not None else ""
+            members = []
+            for s in range(2 + key % 2):
+                cap = f"cap {key} {s}" + (f" {text}" if s == 0 else "")
+                members.append((f"s{key}_{s}.txt", cap.encode("utf-8")))
+                members.append((f"s{key}_{s}.cls", bytes([(key + s) % 251])))
+            return tar_encode(members, gz=bool(key % 2))
+
+        for pdf in batches:
+            yield pdf.assign(shard=pdf.apply(one, axis=1))
+
+    return df.mapInPandas(run, out_schema)

@@ -963,3 +963,33 @@ def html_meta_processor(df: DataFrame, html_col: str = "html") -> DataFrame:
     from ..functions.html import html_meta
 
     return html_meta(df, html_col)
+
+
+@register_processor("tar_records")
+def tar_records_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """Explode tar shard bytes into one row per member
+    (functions/webdataset.py). media: true reads from the media
+    struct the media_files source produces."""
+    from ..functions.webdataset import tar_records
+
+    if media:
+        df = df.withColumn("_tar_payload", F.col("media.payload"))
+        return tar_records(df, "_tar_payload").drop("media")
+    return tar_records(df, payload_col)
+
+
+@register_processor("webdataset_samples")
+def webdataset_samples_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """Explode WebDataset tar shards into one row per sample with an
+    ext -> bytes map (members grouped under the first-dot key inside
+    the shard pass, no shuffle)."""
+    from ..functions.webdataset import webdataset_samples
+
+    if media:
+        df = df.withColumn("_tar_payload", F.col("media.payload"))
+        return webdataset_samples(df, "_tar_payload").drop("media")
+    return webdataset_samples(df, payload_col)

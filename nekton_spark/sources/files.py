@@ -88,6 +88,7 @@ _MEDIA_MIME_BY_EXT = {
     "gif": "image/gif",
     "bmp": "image/bmp",
     "warc": "application/warc",
+    "tar": "application/x-tar",
     "wav": "audio/wav",
     "avi": "video/avi",
 }
