@@ -3597,22 +3597,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_ivfpq_index_persist_equals_inline + fuzz seed 111). After
     # this round no row's driver evidence is older than two rounds.
     #
-    # r13 window pre-solve (updated r12s4): SEVENTEEN rows with no
+    # r13 window pre-solve (updated r12s4): NINETEEN rows with no
     # driver evidence yet — ann_index_roundtrip (deferred from r12 per
     # the rationale above), the four first-wave r12 rows
     # (jpeg_progressive_decode, png_palette_decode,
     # wav_envelope_features, decode_coverage; fuzz seeds 112-117), and
-    # the TWELVE rows new in the r12 fourth session (html_extract,
-    # html_main_text, warc_extract, charset_decode, wav_g711_features,
-    # url_normalize_check, domain_rollup_urls, gif_decode,
-    # gif_frame_sample, bmp_decode, image_dhash, image_near_dup — each
-    # oracle-verified exact locally at sf0.01 and fuzzed, seeds
-    # 115-126) — plus 33 of the 50-row r10 staleness tail = exactly
-    # 50. Prefer squeezing out r10-tail rows whose engine paths are
-    # shared with in-window twins (events_sliding_window ↔ tumbling,
-    # and the q0x analog pairs); the squeezed rows head r14. Recompute
-    # the r10 tail from CORRECTNESS_r01-r12 at r13 start — same
-    # histogram recipe as this round's rotation.
+    # the FOURTEEN rows new in the r12 fourth session (html_extract,
+    # html_main_text, html_meta, warc_extract, charset_decode,
+    # webdataset_extract, wav_g711_features, url_normalize_check,
+    # domain_rollup_urls, gif_decode, gif_frame_sample, bmp_decode,
+    # image_dhash, image_near_dup — each oracle-verified exact locally
+    # at sf0.01 and fuzzed, seeds 115-128) — plus 31 of the 50-row r10
+    # staleness tail = exactly 50. Prefer squeezing out r10-tail rows
+    # whose engine paths are shared with in-window twins
+    # (events_sliding_window ↔ tumbling, and the q0x analog pairs);
+    # the squeezed rows head r14. Recompute the r10 tail from
+    # CORRECTNESS_r01-r12 at r13 start — same histogram recipe as this
+    # round's rotation.
     r12_window = [
         # (a) new in r11, judge-verified exact in the r11 session,
         #     first driver check now

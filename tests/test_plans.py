@@ -479,6 +479,8 @@ PLAN_BUDGET = {
     "image_near_dup": (0, 1),  # hash behind materialize; banded join only
     "url_normalize_check": (0, 0),  # pure codegen, no Python at all
     "domain_rollup_urls": (0, 2),  # exact countDistinct = two-phase agg
+    "html_meta": (1, 0),
+    "webdataset_extract": (2, 0),  # shard synth + in-shard sample grouping
 }
 
 
