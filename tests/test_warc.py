@@ -151,3 +151,47 @@ class TestSparkSurface:
         out = PROCESSORS["warc_records"](df).collect()
         assert out[0].target_uri == "http://e.com/x"
         assert bytes(out[0].body) == HTML
+
+    def test_streaming_crawl_ingest(self, spark, tmp_path):
+        """The crawl front end is stateless maps, so it composes with
+        Structured Streaming unchanged: media_files(stream) →
+        warc_records → decode_body_text → html_main_text, exactly-once
+        per file."""
+        from nekton_spark.functions.html import html_main_text
+        from nekton_spark.functions.warc import decode_body_text, warc_records
+        from nekton_spark.sources.files import media_files_source
+
+        d = tmp_path / "warcs"
+        d.mkdir()
+        for k in range(3):
+            rec = warc_encode_response(
+                f"http://s.example/{k}",
+                f"<h1>page {k}</h1><p>stream body {k}</p>".encode(),
+                chunked=(k % 2 == 0),
+            )
+            (d / f"c{k}.warc.gz").write_bytes(warc_gzip([rec]))
+        stream = media_files_source(spark, str(d), stream=True, glob="*.warc.gz")
+        recs = warc_records(
+            stream.withColumn("payload", F.col("media.payload")).drop("media"),
+            "payload",
+        )
+        resp = decode_body_text(
+            recs.filter(F.col("warc_type") == "response")
+        )
+        out = html_main_text(resp)
+        q = (
+            out.select("target_uri", "main_text")
+            .writeStream.format("memory")
+            .queryName("crawl_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r.target_uri: r.main_text
+            for r in spark.sql("SELECT * FROM crawl_stream").collect()
+        }
+        assert rows == {
+            f"http://s.example/{k}": f"page {k}\nstream body {k}"
+            for k in range(3)
+        }
