@@ -2648,6 +2648,38 @@ def webdataset_extract_row(spark, sf):
     )
 
 
+def exif_scrub_check(spark, sf):
+    """EXIF extraction + privacy scrub (functions/exif.py, r12):
+    camera-style JPEGs with APP1 Exif (byte order cycles II/MM by
+    key%2, GPS sub-IFD on key%3==0 at quarter/half-degree coordinates
+    — exact in the DMS rationals). The row extracts the metadata,
+    SCRUBS it, and re-decodes: px_sum must still equal the baseline
+    closed form (strip never touches entropy data), scrubbed_bytes is
+    exactly the APP1 size (68 plain / 182 with GPS)."""
+    from nekton_spark.functions.exif import (
+        media_exif,
+        scrub_media_metadata,
+        synth_jpeg_exif_media,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    withmeta = media_exif(synth_jpeg_exif_media(d))
+    scrubbed = scrub_media_metadata(withmeta)
+    dec = decode_image(scrubbed)
+    return dec.select(
+        "doc_id",
+        "orientation",
+        "exif_datetime",
+        "has_gps",
+        "gps_lat",
+        "gps_lon",
+        "scrubbed_bytes",
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+    )
+
+
 def charset_decode_check(spark, sf):
     """Real-crawl charset handling (warc.decode_body_text, r12 —
     WHATWG-abridged sniffing: BOM → HTTP header → <meta charset>,
@@ -3304,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": charset_decode_check,
         "html_meta": html_meta_check,
         "webdataset_extract": webdataset_extract_row,
+        "exif_scrub": exif_scrub_check,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
@@ -3597,7 +3630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_ivfpq_index_persist_equals_inline + fuzz seed 111). After
     # this round no row's driver evidence is older than two rounds.
     #
-    # r13 window pre-solve (updated r12s4): NINETEEN rows with no
+    # r13 window pre-solve (updated r12s4): TWENTY rows with no
+    # driver evidence (the nineteen below + exif_scrub, oracle-exact +
+    # fuzz seed 129) + 30 of the r10 tail = exactly 50.
+    # Previous count, kept for the session record: NINETEEN rows with no
     # driver evidence yet — ann_index_roundtrip (deferred from r12 per
     # the rationale above), the four first-wave r12 rows
     # (jpeg_progressive_decode, png_palette_decode,
@@ -6927,6 +6963,30 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # exif_scrub (r12): orientation/datetime/GPS are direct
+        # functions of doc_id; px_sum is the synth_block_values closed
+        # form (constant pixel (key*31 + b*17)%256 per 8x8 block, bx =
+        # 1+key%3 blocks across, by = 1+key%2 down) — the scrub must
+        # leave it untouched; scrubbed_bytes = the APP1 size
+        "exif_scrub": """
+SELECT doc_id,
+       (1 + doc_id % 8)::INT AS orientation,
+       '2021:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' '
+         || lpad((doc_id % 24)::VARCHAR, 2, '0') || ':'
+         || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':'
+         || lpad(((doc_id * 7) % 60)::VARCHAR, 2, '0') AS exif_datetime,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS has_gps,
+       CASE WHEN doc_id % 3 = 0
+            THEN (doc_id % 90) + 0.25 END AS gps_lat,
+       CASE WHEN doc_id % 3 = 0
+            THEN -((doc_id % 180) + 0.5) END AS gps_lon,
+       (CASE WHEN doc_id % 3 = 0 THEN 182 ELSE 68 END)::INT AS scrubbed_bytes,
+       (64 * list_reduce(
+          list_transform(range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+            b -> (doc_id * 31 + b * 17) % 256),
+          (a, c) -> a + c))::BIGINT AS px_sum
+FROM documents
 """,
         # webdataset_extract (r12): 2 + doc_id%2 samples per shard;
         # caption/label are closed forms (s=0 carries the raw text,

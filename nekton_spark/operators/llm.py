@@ -993,3 +993,26 @@ def webdataset_samples_processor(
         df = df.withColumn("_tar_payload", F.col("media.payload"))
         return webdataset_samples(df, "_tar_payload").drop("media")
     return webdataset_samples(df, payload_col)
+
+
+@register_processor("media_exif")
+def media_exif_processor(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """EXIF columns for JPEG media (functions/exif.py): orientation,
+    capture datetime, GPS presence + coordinates — triage before the
+    privacy scrub. Map-only Arrow pass."""
+    from ..functions.exif import media_exif
+
+    return media_exif(df, media_col)
+
+
+@register_processor("scrub_media_metadata")
+def scrub_media_metadata_processor(
+    df: DataFrame, media_col: str = "media"
+) -> DataFrame:
+    """Strip APPn/COM metadata (EXIF/XMP/comments — the PII-bearing
+    segments) from JPEG payloads in place; decoded pixels are
+    byte-identical by construction. scrubbed_bytes records shed
+    metadata per row."""
+    from ..functions.exif import scrub_media_metadata
+
+    return scrub_media_metadata(df, media_col)

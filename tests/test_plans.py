@@ -481,6 +481,7 @@ PLAN_BUDGET = {
     "domain_rollup_urls": (0, 2),  # exact countDistinct = two-phase agg
     "html_meta": (1, 0),
     "webdataset_extract": (2, 0),  # shard synth + in-shard sample grouping
+    "exif_scrub": (4, 0),  # synth + extract + scrub + decode, still 0-shuffle
 }
 
 
