@@ -2680,6 +2680,25 @@ def exif_scrub_check(spark, sf):
     )
 
 
+def robots_check(spark, sf):
+    """robots.txt evaluation (functions/robots.py, RFC 9309): the
+    synth body exercises group selection (specific token vs the '*'
+    fallback), wildcard + end-anchor path rules, the longest-rule
+    precedence and the Allow tiebreak. Two agents evaluated per path;
+    every verdict is a closed-form CASE on doc_id % 6."""
+    from nekton_spark.functions.robots import robots_filter, synth_robots
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = robots_filter(
+        robots_filter(
+            synth_robots(d), agent="randombot", out_col="allowed_any"
+        ),
+        agent="TrainBot/1.0",
+        out_col="allowed_trainbot",
+    )
+    return out.select("doc_id", "path", "allowed_any", "allowed_trainbot")
+
+
 def charset_decode_check(spark, sf):
     """Real-crawl charset handling (warc.decode_body_text, r12 —
     WHATWG-abridged sniffing: BOM → HTTP header → <meta charset>,
@@ -3337,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": html_meta_check,
         "webdataset_extract": webdataset_extract_row,
         "exif_scrub": exif_scrub_check,
+        "robots_eval": robots_check,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
@@ -3630,9 +3650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # test_ivfpq_index_persist_equals_inline + fuzz seed 111). After
     # this round no row's driver evidence is older than two rounds.
     #
-    # r13 window pre-solve (updated r12s4): TWENTY rows with no
-    # driver evidence (the nineteen below + exif_scrub, oracle-exact +
-    # fuzz seed 129) + 30 of the r10 tail = exactly 50.
+    # r13 window pre-solve (updated r12s4): TWENTY-ONE rows with no
+    # driver evidence (the nineteen below + exif_scrub and robots_eval,
+    # each oracle-exact + fuzzed, seeds 129/131) + 29 of the r10 tail
+    # = exactly 50.
     # Previous count, kept for the session record: NINETEEN rows with no
     # driver evidence yet — ann_index_roundtrip (deferred from r12 per
     # the rationale above), the four first-wave r12 rows
@@ -6963,6 +6984,25 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # robots_eval (r12): path cycles doc_id%6; the '*' group
+        # disallows /private/ (with a longer /private/ok/ Allow) and
+        # anchors /tmp/*.bin$; the trainbot group disallows everything
+        # except /public/
+        "robots_eval": """
+SELECT doc_id,
+       CASE doc_id % 6
+            WHEN 0 THEN '/index.html'
+            WHEN 1 THEN '/private/a.html'
+            WHEN 2 THEN '/private/ok/b.html'
+            WHEN 3 THEN '/tmp/x.bin'
+            WHEN 4 THEN '/tmp/x.bin.gz'
+            ELSE '/public/c.html' END AS path,
+       (CASE doc_id % 6 WHEN 1 THEN 0 WHEN 3 THEN 0 ELSE 1 END)::INT
+         AS allowed_any,
+       (CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END)::INT
+         AS allowed_trainbot
+FROM documents
 """,
         # exif_scrub (r12): orientation/datetime/GPS are direct
         # functions of doc_id; px_sum is the synth_block_values closed

@@ -1016,3 +1016,19 @@ def scrub_media_metadata_processor(
     from ..functions.exif import scrub_media_metadata
 
     return scrub_media_metadata(df, media_col)
+
+
+@register_processor("robots_filter")
+def robots_filter_processor(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    path_col: str = "path",
+    agent: str = "*",
+    out_col: str = "robots_allowed",
+) -> DataFrame:
+    """RFC 9309 robots.txt verdict per row (functions/robots.py) —
+    join the per-host robots relation (broadcast, host-cardinality)
+    before this map; filter out_col = 1 for a compliant corpus."""
+    from ..functions.robots import robots_filter
+
+    return robots_filter(df, robots_col, path_col, agent, out_col)

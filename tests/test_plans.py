@@ -482,6 +482,7 @@ PLAN_BUDGET = {
     "html_meta": (1, 0),
     "webdataset_extract": (2, 0),  # shard synth + in-shard sample grouping
     "exif_scrub": (4, 0),  # synth + extract + scrub + decode, still 0-shuffle
+    "robots_eval": (1, 0),  # two agent verdicts fuse into one Arrow node
 }
 
 
