@@ -189,3 +189,75 @@ def synth_wds_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_i
             yield pdf.assign(shard=pdf.apply(one, axis=1))
 
     return df.mapInPandas(run, out_schema)
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str = "sample_key",
+    exts_col: str = "exts",
+    n_shards: int = 32,
+    gz: bool = False,
+) -> int:
+    """The WRITE side: rows (sample_key, ext → bytes map) → tar shards
+    under ``path`` — the format training loaders stream directly.
+
+    Deterministic shard layout (same contract as the parquet shard
+    sink): sample s lands in shard pmod(xxhash64(key), n_shards) and
+    samples within a shard are tar'd in key order, so shard bytes are
+    a pure function of the data — reproducible across re-runs, input
+    partitioning and cluster size. One shuffle (repartition on the
+    shard id); each shard is built and written by ITS OWN task via a
+    partition-local tar assembly, so no shard ever materializes on the
+    driver. Returns the number of samples written.
+
+    Local/posix + cluster note: each task writes
+    ``shard-<k>.tar[.gz]`` directly under ``path`` with a plain
+    file write; on object stores mount/commit semantics are the
+    caller's (same envelope as the ann_index sink's meta files).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(path, exist_ok=True)
+    sharded = df.select(
+        F.col(key_col).alias("k"), F.col(exts_col).alias("e"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).alias("_shard"),
+    ).repartition(n_shards, "_shard")
+
+    def write_part(it):
+        by_shard: dict[int, list] = {}
+        for row in it:
+            by_shard.setdefault(int(row["_shard"]), []).append(
+                (row["k"], row["e"])
+            )
+        n = 0
+        for sh, rows in by_shard.items():
+            rows.sort(key=lambda r: r[0])
+            members = []
+            for k, exts in rows:
+                # Arrow map columns may arrive as list-of-(k, v) pairs
+                # rather than dicts depending on the conversion path
+                e = exts if isinstance(exts, dict) else dict(exts)
+                for ext in sorted(e):
+                    members.append((f"{k}.{ext}", bytes(e[ext])))
+                n += 1
+            data = tar_encode(members, gz=gz)
+            fn = os.path.join(path, f"shard-{sh:05d}.tar" + (".gz" if gz else ""))
+            with open(fn, "wb") as f:
+                f.write(data)
+        yield pd.DataFrame({"n": [n]})
+
+    out = sharded.mapInPandas(
+        lambda it: write_part(_concat_rows(it)), "n long"
+    )
+    return int(out.agg({"n": "sum"}).collect()[0][0] or 0)
+
+
+def _concat_rows(batches):
+    """mapInPandas gives an iterator of pdf batches; the tar assembly
+    wants row dicts across the whole partition."""
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            yield row

@@ -229,3 +229,22 @@ def shard_sink(
         writer = writer.option(k, v)
     writer.save(path)
     return None
+
+
+@register_sink("webdataset")
+def webdataset_sink(
+    df: DataFrame,
+    path: str,
+    key_col: str = "sample_key",
+    exts_col: str = "exts",
+    n_shards: int = 32,
+    gz: bool = False,
+):
+    """Write (sample_key, ext → bytes) rows as WebDataset tar shards —
+    the format training loaders stream. Deterministic layout: sample →
+    shard pmod(xxhash64(key), n_shards), key-ordered within the shard,
+    one shuffle total (functions/webdataset.write_webdataset)."""
+    from ..functions.webdataset import write_webdataset
+
+    n = write_webdataset(df, path, key_col, exts_col, n_shards, gz)
+    print(f"webdataset: wrote {n} samples to {path}", file=sys.stderr)

@@ -107,3 +107,60 @@ class TestSpark:
         df = spark.createDataFrame([(1, bytearray(shard))], "sid long, payload binary")
         assert PROCESSORS["tar_records"](df).first().member_name == "k.txt"
         assert PROCESSORS["webdataset_samples"](df).first().sample_key == "k"
+
+
+class TestWriteSide:
+    def test_round_trip_write_read(self, spark, tmp_path):
+        """write_webdataset → media-file read-back → webdataset_samples
+        reproduces every sample; re-running writes byte-identical
+        shards (deterministic layout)."""
+        import os
+
+        from nekton_spark.functions.webdataset import write_webdataset
+
+        rows = [
+            (f"k{i:03d}", {"txt": bytearray(f"cap {i}".encode()),
+                           "cls": bytearray([i % 7])})
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "sample_key string, exts map<string, binary>"
+        )
+        out = str(tmp_path / "wds")
+        n = write_webdataset(df, out, n_shards=4)
+        assert n == 40
+        files = sorted(os.listdir(out))
+        assert all(f.startswith("shard-") and f.endswith(".tar") for f in files)
+        # read back through the source-side path
+        from nekton_spark.functions.webdataset import tar_members, _sample_key
+
+        got = {}
+        for f in files:
+            for name, data in tar_members(open(os.path.join(out, f), "rb").read()):
+                key, ext = _sample_key(name)
+                got.setdefault(key, {})[ext] = data
+        assert len(got) == 40
+        for i in range(40):
+            k = f"k{i:03d}"
+            assert got[k]["txt"] == f"cap {i}".encode()
+            assert got[k]["cls"] == bytes([i % 7])
+        # determinism: second write is byte-identical
+        out2 = str(tmp_path / "wds2")
+        write_webdataset(df, out2, n_shards=4)
+        for f in files:
+            a = open(os.path.join(out, f), "rb").read()
+            b = open(os.path.join(out2, f), "rb").read()
+            assert a == b, f
+
+    def test_sink_registry(self, spark, tmp_path):
+        from nekton_spark.registry import SINKS
+
+        df = spark.createDataFrame(
+            [("k", {"txt": bytearray(b"v")})],
+            "sample_key string, exts map<string, binary>",
+        )
+        out = str(tmp_path / "snk")
+        SINKS["webdataset"](df, path=out, n_shards=1)
+        import os
+
+        assert os.listdir(out) == ["shard-00000.tar"]
