@@ -60,6 +60,17 @@ DOC_QUERIES = [
     "image_decode", "image_resize",
     "audio_features", "video_frame_sample", "multimodal_features",
     "multimodal_decode", "text_stats",
+    # r12 first wave (codec envelope widening)
+    "jpeg_progressive_decode", "png_palette_decode",
+    "wav_envelope_features", "decode_coverage",
+    # r12 third wave: crawl-ingest front end, new codecs, image dedup,
+    # compliance/privacy, WebDataset
+    "html_extract", "html_main_text", "html_meta",
+    "warc_extract", "charset_decode", "webdataset_extract",
+    "url_normalize_check", "domain_rollup_urls",
+    "gif_decode", "gif_frame_sample", "bmp_decode",
+    "wav_g711_features", "image_dhash", "image_near_dup",
+    "exif_scrub", "robots_eval",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
