@@ -3728,8 +3728,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     assert len(r12_window) == 50, len(r12_window)
     assert set(r12_window) <= set(q), sorted(set(r12_window) - set(q))
-    ordered = {k: q[k] for k in r12_window} | {
-        k: v for k, v in q.items() if k not in r12_window
+    # Round-13 rotation (r12 verdict #1 — EXECUTING the pre-solve above):
+    # the TWENTY-ONE rows with no driver CORRECTNESS evidence (every row
+    # new in r12 plus the deferred ann_index_roundtrip — all 21 were
+    # independently re-run by the r12 judge against the DuckDB oracle,
+    # 21/21 exact-PASS) + 29 of the 50-row r10 staleness tail
+    # (recomputed this round from CORRECTNESS_r01-r12 by the standing
+    # histogram recipe: r10:50 / r11:50 / r12:50, 150 evidenced of 171)
+    # = exactly 50.  The 21 squeezed r10-tail rows head the r14 window;
+    # per the pre-solve they are the rows whose ENGINE PATHS are shared
+    # with an in-window (or ≤1-round-stale) twin, so the paths stay
+    # covered even while the rows wait:
+    #   events_sliding_window (↔ events_tumbling_window, in-window),
+    #   events_lead_lag + events_topk_users (↔ running_revenue_window
+    #     in-window + topk_customers_per_nation r12 — same window-
+    #     function/rank engine), jpeg_color_decode (↔
+    #     jpeg_progressive_decode in-window + jpeg_420_decode r12),
+    #   zorder_key_check (↔ zorder_key_n r12), minhash_xxh_pairset
+    #     (↔ dedup_minhash_lsh in-window; minhash_xxh r12),
+    #   approx_quantile_check (↔ approx_distinct_check in-window —
+    #     same sketch battery), sample_hash_10pct (↔
+    #     train_val_test_split in-window — same hash-split family),
+    #   bpe_encode_docs (↔ bpe_merge_candidates r12 + bpe_roundtrip
+    #     r11), date_arithmetic + string_functions + conditional_
+    #     aggregation (↔ scalar_functions r12 — expression batteries),
+    #   exists_subquery (↔ scalar_subquery_above_avg r11 +
+    #     customers_without_orders r12 — semi/anti-join engine),
+    #   q07/q09/q11/q12/q15/q16/q19/q21 (relational-analog family;
+    #     the four structurally distinct analogs q08 multi-join,
+    #     q13 outer-join-count, q17 correlated scalar subquery,
+    #     q20 nested subqueries STAY in-window).
+    r13_window = [
+        # (a) the 21 never-driver-checked rows (r12 judge: 21/21 exact)
+        "ann_index_roundtrip",
+        "bmp_decode",
+        "charset_decode",
+        "decode_coverage",
+        "domain_rollup_urls",
+        "exif_scrub",
+        "gif_decode",
+        "gif_frame_sample",
+        "html_extract",
+        "html_main_text",
+        "html_meta",
+        "image_dhash",
+        "image_near_dup",
+        "jpeg_progressive_decode",
+        "png_palette_decode",
+        "robots_eval",
+        "url_normalize_check",
+        "warc_extract",
+        "wav_envelope_features",
+        "wav_g711_features",
+        "webdataset_extract",
+        # (b) 29 of the r10 staleness tail (shared-path twins squeezed
+        #     to r14, see rationale above)
+        "approx_distinct_check",
+        "chunk_documents",
+        "common_passages",
+        "dedup_connected_components",
+        "dedup_minhash_lsh",
+        "dedup_ngram_dfcut",
+        "embedding_outliers",
+        "events_asof_join",
+        "events_interval_join",
+        "events_sessionization",
+        "events_tumbling_window",
+        "fuzzy_decontamination",
+        "grouping_sets_orders",
+        "min_max_by_nation",
+        "mixture_sample",
+        "mmr_diverse_topk",
+        "normalize_text",
+        "pack_sequences_check",
+        "percentiles_by_segment",
+        "pipe_subprocess",
+        "pivot_order_status",
+        "q08_market_share",
+        "q13_customer_distribution",
+        "q17_small_quantity_revenue",
+        "q20_excess_suppliers",
+        "range_join_value_bands",
+        "repeated_span_removal",
+        "running_revenue_window",
+        "train_val_test_split",
+    ]
+    assert len(r13_window) == 50, len(r13_window)
+    assert set(r13_window) <= set(q), sorted(set(r13_window) - set(q))
+    # r14 window pre-solve: the 21 squeezed r10-tail rows above + the
+    # remaining r11-evidence rows by the same histogram recipe
+    # (recompute from CORRECTNESS_r01-r13 at r14 start) = 50.
+    ordered = {k: q[k] for k in r13_window} | {
+        k: v for k, v in q.items() if k not in r13_window
     }
     return ordered
 
