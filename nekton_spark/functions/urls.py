@@ -45,7 +45,10 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _REST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
 _VALID_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+"
-_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)="
+# (?i) — tracking params are matched case-insensitively (UTM_Source=,
+# FBCLID= are common in the wild); scheme/host are lowercased by the
+# normal form but query params keep their case EXCEPT for this filter.
+_TRACKING_RE = r"(?i)^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)="
 
 # common second-level public-suffix entries (publicsuffix.org-class
 # data, abbreviated): host last-two-labels in this set → eTLD+1 is
@@ -138,10 +141,35 @@ def domain_rollup(
     """Per-registered-domain crawl inventory: total URLs and distinct
     canonical pages. One shuffle on the domain key (partial-aggregated
     map-side); the standard input to domain quotas and per-domain
-    caps."""
-    d = with_url_keys(df, url_col)
+    caps.
+
+    The derived keys are pinned behind an ``explode(array(struct))``
+    Generate barrier before the aggregate: CollapseProject would
+    otherwise re-inline the full normalization regexp chain into
+    ``registered_domain`` AND into ``countDistinct``'s Expand +
+    partial/final agg phases — measured as ~22 s of driver-side
+    codegen/compile and MiB-scale task binaries for a 3-row result
+    (constant cost, but pure waste). A Generate's output attribute
+    cannot be collapsed into, so the chain compiles and evaluates
+    exactly once per row while the plan stays one narrow stage +
+    one partial-aggregated shuffle. Two chained barriers: the first
+    pins ``norm_url`` (so ``registered_domain`` consumes the pinned
+    attribute, not a re-inlined copy of the chain), the second pins
+    ``domain`` (so the aggregate's Expand consumes an attribute).
+    ``explode(array(x))`` on a scalar is 1:1 even for NULL x
+    (``array(NULL)`` is a one-element array), so row counts are
+    preserved."""
+    s1 = df.select(
+        F.explode(F.array(url_normalize(F.col(url_col)))).alias("norm_url")
+    )
+    pinned = s1.select(
+        "norm_url",
+        F.explode(
+            F.array(registered_domain(F.col("norm_url")))
+        ).alias("domain"),
+    )
     return (
-        d.filter(F.col("domain").isNotNull())
+        pinned.filter(F.col("domain").isNotNull())
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_urls"),

@@ -486,6 +486,33 @@ PLAN_BUDGET = {
 }
 
 
+# r13 (r12 verdict #2): serialized-plan-SIZE budget. CollapseProject
+# re-inlining a derived-key expression chain into a distinct-agg's
+# Expand + partial/final phases (the domain_rollup_urls defect: 22 s
+# of driver codegen + 2.8 MiB task binaries for a 3-row result) shows
+# up as a plan string an order of magnitude over its calibrated size
+# long before anyone profiles task binaries. Sizes are simple_plan()
+# character counts at sf0.001, budgeted at ~1.5x current; the default
+# covers everything not named (current max in that set: 6.5k).
+PLAN_SIZE_DEFAULT = 10_000
+PLAN_SIZE_BUDGET = {
+    # deliberate codegen ADC LUT chains (one sq_dist term per PQ
+    # subspace) — big by design, budgeted at their own calibration
+    "ann_topk_ivfpq_residual_k": 60_000,
+    "ann_topk_ivfpq_residual": 60_000,
+    "ann_topk_pq_rerank": 55_000,
+    "ann_topk_ivfpq": 50_000,
+    "ann_index_roundtrip": 50_000,
+    "ann_topk_pq": 50_000,
+    "hybrid_search_rrf": 25_000,
+    "dsir_select": 20_000,
+    "bm25_search": 15_000,
+    "embedding_pca": 13_000,
+    "ann_topk_lsh_mp": 12_000,
+    "ann_topk_lsh": 11_000,
+}
+
+
 class TestPlanBudgets:
     @pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
     def test_budget(self, spark, name):
@@ -494,6 +521,13 @@ class TestPlanBudgets:
         p = plans.simple_plan(df)
         py = sum(p.count(k) for k in PY_NODE_MARKERS)
         ex = plans.count_exchanges(df)
+        max_chars = PLAN_SIZE_BUDGET.get(name, PLAN_SIZE_DEFAULT)
+        assert len(p) <= max_chars, (
+            f"{name}: plan serialized to {len(p)} chars > budget "
+            f"{max_chars} — an expression chain is probably being "
+            "re-inlined per consumer (missing Generate barrier / "
+            "materialize()?)"
+        )
         assert py <= max_py, (
             f"{name}: {py} Python-eval nodes > budget {max_py} — a "
             "reused subtree is probably re-executing per branch "

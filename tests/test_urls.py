@@ -37,6 +37,13 @@ CASES = [
      "example.com"),
     # param sort is bytewise; empty segments (a&&b) vanish
     ("http://e.com/p?z=1&&y=2", "http://e.com/p?y=2&z=1", "e.com"),
+    # tracking params match case-insensitively (r12 ADVICE): scheme and
+    # host are lowercased by the normal form but query-param NAMES keep
+    # their case in the wild — UTM_Source= / FBCLID= must still vanish
+    ("http://e.com/p?UTM_Source=x&a=1", "http://e.com/p?a=1", "e.com"),
+    ("http://e.com/p?FBCLID=z&Utm_Medium=m", "http://e.com/p", "e.com"),
+    # ...while non-tracking params keep their (significant) case
+    ("http://e.com/p?Page=2", "http://e.com/p?Page=2", "e.com"),
 ]
 
 
