@@ -123,7 +123,12 @@ def exif_extract(payload: bytes) -> dict:
     app1 = None
     for off, m, ln in _jpeg_segments(b):
         if m == 0xE1 and b[off + 4 : off + 10] == b"Exif\x00\x00":
-            app1 = b[off + 10 : off + 2 + ln]
+            # ln is the TOTAL segment length (marker + length bytes
+            # included), so the segment ends at off + ln exactly —
+            # off + 2 + ln would leak 2 bytes of the NEXT marker into
+            # the TIFF buffer and let its bounds checks admit them
+            # (r12 ADVICE off-by-two).
+            app1 = b[off + 10 : off + ln]
             break
     if app1 is None:
         return out

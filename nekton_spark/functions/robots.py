@@ -6,10 +6,12 @@ it at all (and well-run training pipelines re-check at curation time —
 politeness snapshots go stale). Original implementation from the
 public RFC 9309 / Google REP documentation:
 
-- group selection: the group whose ``User-agent`` line most
-  specifically matches the product token (longest match wins;
-  ``*`` is the fallback group); multiple user-agents may share one
-  group; matching is case-insensitive;
+- group selection: the groups whose ``User-agent`` token most
+  specifically matches the product token (longest token that is a
+  case-insensitive PREFIX of the product token wins; ``*`` is the
+  fallback); ALL groups at the winning specificity merge their rules
+  (§2.2.1 — duplicate-token groups are a single logical group);
+  multiple user-agents may share one group;
 - rule matching: ``Allow``/``Disallow`` paths match as prefixes with
   ``*`` (any chars) and ``$`` (end anchor) wildcards;
 - precedence: the LONGEST matching rule wins; on a length tie, Allow
@@ -95,21 +97,36 @@ def parse_robots(txt: str | None) -> list[tuple[str, list[tuple[bool, str]]]]:
 
 def robots_allowed(txt: str | None, agent: str, path: str) -> int:
     """1 if ``agent`` may fetch ``path`` under ``txt`` (RFC 9309
-    precedence), else 0. Missing robots → allowed."""
+    precedence), else 0. Missing robots → allowed.
+
+    Group selection (RFC 9309 §2.2.1, r12 ADVICE fix): a ``User-agent``
+    token matches when it is a case-insensitive PREFIX of the product
+    token (``trainbot`` matches ``trainbot-news``; ``bot`` does NOT
+    match ``trainbot`` — the substring matching this replaces would
+    have); the winning specificity is the longest matching token, and
+    the rules of ALL groups at that specificity are MERGED (a second
+    ``User-agent: x`` group later in the file contributes its rules
+    instead of being silently ignored). ``*`` groups merge likewise as
+    the fallback."""
     groups = parse_robots(txt)
     if not groups:
         return 1
     agent = agent.lower()
-    # most-specific user-agent match: longest token that is a
-    # substring-prefix match of the agent name; '*' is the fallback
-    best_len, rules = -1, None
-    for token, rs in groups:
-        if token == "*":
-            if best_len < 0:
-                best_len, rules = 0, rs
-        elif token in agent and len(token) > best_len:
-            best_len, rules = len(token), rs
-    if rules is None:
+    best_len = -1
+    for token, _ in groups:
+        if token != "*" and agent.startswith(token) and len(token) > best_len:
+            best_len = len(token)
+    if best_len >= 0:
+        rules = [
+            r
+            for token, rs in groups
+            if token != "*" and len(token) == best_len
+            and agent.startswith(token)
+            for r in rs
+        ]
+    elif any(token == "*" for token, _ in groups):
+        rules = [r for token, rs in groups if token == "*" for r in rs]
+    else:
         return 1
     verdict, best_rule_len = 1, -1
     for is_allow, rule in rules:

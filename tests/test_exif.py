@@ -65,6 +65,33 @@ class TestKernel:
         j = base[:2] + com + base[2:]
         assert jpeg_strip_metadata(j) == base
 
+    def test_app1_slice_ends_at_segment_boundary(self):
+        """r12 ADVICE off-by-two: the TIFF buffer must end exactly at
+        the APP1 segment boundary. A GPS rational whose final 8 bytes
+        would only fit by reading 2 bytes of the NEXT JPEG marker must
+        refuse as truncated, not silently admit those bytes."""
+        import struct
+
+        f = "<"
+        # IFD0 @8: one entry -> GPS IFD @26; GPS IFD: lat rationals @44
+        tiff = bytearray()
+        tiff += b"II" + struct.pack(f + "H", 42) + struct.pack(f + "I", 8)
+        tiff += struct.pack(f + "H", 1)
+        tiff += struct.pack(f + "HHI", 0x8825, 4, 1) + struct.pack(f + "I", 26)
+        tiff += struct.pack(f + "I", 0)
+        tiff += struct.pack(f + "H", 1)
+        tiff += struct.pack(f + "HHI", 0x2, 5, 3) + struct.pack(f + "I", 44)
+        tiff += struct.pack(f + "I", 0)
+        assert len(tiff) == 44
+        # 3 rationals need 24 bytes; provide only 22 -> last read is
+        # 2 bytes short of the segment end
+        tiff += struct.pack(f + "IIII", 10, 1, 20, 1) + b"\x00" * 6
+        seg = b"\xff\xe1" + struct.pack(">H", 8 + len(tiff)) + b"Exif\x00\x00" + bytes(tiff)
+        base = _base()
+        j = base[:2] + seg + base[2:]
+        with pytest.raises(ValueError, match="rational beyond payload"):
+            exif_extract(j)
+
     def test_refusals(self):
         with pytest.raises(ValueError, match="SOI"):
             exif_extract(b"nope")

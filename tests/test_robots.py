@@ -59,6 +59,37 @@ class TestSemantics:
         assert robots_allowed(sh, "b", "/x") == 0
         assert robots_allowed(sh, "c", "/x") == 1  # no * fallback
 
+    def test_duplicate_token_groups_merge(self):
+        """RFC 9309 §2.2.1 (r12 ADVICE): two groups for the same agent
+        token are one logical group — the second group's Disallow must
+        not fail open."""
+        t = ("User-agent: a\nDisallow: /x/\n\n"
+             "Sitemap: http://e.com/s.xml\n\n"
+             "User-agent: a\nDisallow: /y/\n")
+        assert robots_allowed(t, "a", "/x/1") == 0
+        assert robots_allowed(t, "a", "/y/z") == 0  # was 1 pre-fix
+        assert robots_allowed(t, "a", "/z/1") == 1
+        # '*' fallback groups merge the same way
+        s = "User-agent: *\nDisallow: /x/\n\nUser-agent: *\nDisallow: /y/\n"
+        assert robots_allowed(s, "other", "/y/z") == 0
+
+    def test_merge_only_at_winning_specificity(self):
+        """A shorter matching token's rules do NOT merge into the more
+        specific group's verdict (longest-token group wins alone)."""
+        t = ("User-agent: train\nDisallow: /a/\n\n"
+             "User-agent: trainbot\nDisallow: /b/\n")
+        assert robots_allowed(t, "trainbot", "/a/1") == 1  # less specific
+        assert robots_allowed(t, "trainbot", "/b/1") == 0
+        assert robots_allowed(t, "train-x", "/a/1") == 0  # 'train' group
+
+    def test_prefix_not_substring_token_match(self):
+        """Token matches as a prefix of the product token: 'bot' must
+        not capture 'trainbot' (the pre-fix substring match did)."""
+        t = "User-agent: bot\nDisallow: /\n"
+        assert robots_allowed(t, "trainbot", "/x") == 1
+        assert robots_allowed(t, "bot-news", "/x") == 0
+        assert robots_allowed(t, "BotRider/2", "/x") == 0
+
     def test_comments_and_unknown_directives(self):
         t = ("# banner\nUser-agent: *  # inline\nCrawl-delay: 5\n"
              "Disallow: /x/ # comment\n")
