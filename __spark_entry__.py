@@ -2608,6 +2608,23 @@ def warc_extract_row(spark, sf):
     )
 
 
+def crawl_coverage_check(spark, sf):
+    """Crawl-ingest coverage telemetry (functions/warc.py:
+    crawl_coverage — r12 verdict #7, the front-end mirror of
+    decode_coverage): synth_warc_hostile cycles every ingest refusal
+    reason by doc_id % 6 (clean / brotli coding / corrupt chunking /
+    colon-less HTTP header / unknown declared charset / mis-declared
+    charset), the engine runs the REAL WARC framing + per-record-
+    isolated HTTP unwrap + strict charset decode, and the rollup
+    counts (stage, status, reason). The oracle replays the rollup
+    closed-form over the residues. Map-only ingest pass + ONE bounded
+    partial-agg'd shuffle (≤ |reason codes| rows)."""
+    from nekton_spark.functions.warc import crawl_coverage, synth_warc_hostile
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return crawl_coverage(synth_warc_hostile(d).drop("doc_id", "text"))
+
+
 def html_meta_check(spark, sf):
     """Page-level curation metadata (html.html_meta, r12): title,
     <html lang>, canonical link, robots noindex/nofollow — the page's
@@ -3352,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_envelope_features": wav_envelope_features,
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
+        "crawl_coverage": crawl_coverage_check,
         "charset_decode": charset_decode_check,
         "html_meta": html_meta_check,
         "webdataset_extract": webdataset_extract_row,
@@ -7074,6 +7092,24 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # crawl_coverage (r13): synth_warc_hostile makes every
+        # (stage, status, reason) a pure function of doc_id % 6 — the
+        # engine must frame, isolate, and refuse its way to the counts
+        "crawl_coverage": """
+SELECT CASE WHEN leg = 0 THEN 'ok'
+            WHEN leg IN (1, 2, 3) THEN 'http'
+            ELSE 'charset' END AS stage,
+       CASE WHEN leg = 0 THEN 'ok' ELSE 'refused' END AS status,
+       CASE leg WHEN 0 THEN 'utf-8'
+            WHEN 1 THEN 'content_coding'
+            WHEN 2 THEN 'bad_chunking'
+            WHEN 3 THEN 'bad_header_line'
+            WHEN 4 THEN 'unknown_charset:klingon'
+            ELSE 'undecodable:utf-8' END AS reason,
+       count(*)::BIGINT AS n
+FROM (SELECT doc_id % 6 AS leg FROM documents)
+GROUP BY 1, 2, 3
 """,
         # robots_eval (r12): path cycles doc_id%6; the '*' group
         # disallows /private/ (with a longer /private/ok/ Allow) and

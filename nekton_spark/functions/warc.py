@@ -26,7 +26,19 @@ Original implementation from the public ISO 28500 spec and RFC 9112
   codings refuse (no library in this environment);
 - non-response records (request, warcinfo, metadata, …) pass through
   with NULL http fields, so a filter on ``warc_type`` is a plain
-  Catalyst predicate.
+  Catalyst predicate;
+- per-record error ISOLATION (r12 ADVICE): the HTTP layer consumes
+  untrusted SERVER output, and real Common Crawl files routinely carry
+  a few records with a brotli coding, a corrupt chunk, or a malformed
+  header line — one such record must not discard the file's other
+  ~50k good records. Any HTTP-unwrap failure (and any WARC header line
+  without a ':') emits the record with NULL http fields, the RAW block
+  as ``body``, and a stable reason code in ``refusal`` (mirroring the
+  decode_coverage per-row refusal pattern; :func:`crawl_coverage`
+  rolls the codes up). Hard ValueError stays reserved for WARC-LEVEL
+  framing damage — a bad version line, an unterminated header, a
+  missing/malformed Content-Length, a wrong record terminator — where
+  the record boundary itself is unrecoverable.
 
 Execution shape: one Arrow-batched pass, each WARC file explodes into
 its records (``mapInPandas``, no shuffle). A 100 TB crawl is many
@@ -40,6 +52,7 @@ import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MAX_INFLATE = 1 << 30  # per-member / per-body decompression bound
@@ -148,9 +161,54 @@ def _parse_http_response(block: bytes):
     return status, headers, body
 
 
+# (message substring, stable reason code) — first match wins; the
+# substrings are this module's own refusal wordings, pinned by tests
+# so a reworded exception can't silently retire a code (same contract
+# as multimodal._REFUSAL_CODES)
+_CRAWL_REFUSAL_CODES = [
+    ("Content-Encoding", "content_coding"),  # br / unknown codings
+    ("chunk", "bad_chunking"),
+    ("gzip", "bad_gzip"),
+    ("deflate", "bad_deflate"),
+    ("status", "bad_status_line"),
+    ("header terminator", "no_header_terminator"),
+    ("header line", "bad_header_line"),
+]
+
+
+def _crawl_refusal_code(e: BaseException) -> str:
+    s = str(e)
+    for key, code in _CRAWL_REFUSAL_CODES:
+        if key in s:
+            return code
+    return "corrupt_http"
+
+
+def _parse_warc_headers_lenient(text: bytes) -> tuple[dict[str, str], bool]:
+    """WARC named headers, skipping (and flagging) lines without a
+    ':' — the record can still be framed via Content-Length, so a
+    stray line downgrades to a reason-coded refusal instead of
+    discarding the whole file."""
+    headers: dict[str, str] = {}
+    bad = False
+    for line in text.split(b"\r\n"):
+        if not line:
+            continue
+        if b":" not in line:
+            bad = True
+            continue
+        k, v = line.split(b":", 1)
+        headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+            "latin-1"
+        )
+    return headers, bad
+
+
 def warc_parse_records(payload: bytes) -> list[dict]:
     """WARC bytes (plain or .gz) → list of record dicts with the HTTP
-    layer unwrapped for response records."""
+    layer unwrapped for response records. Per-record failures are
+    isolated into the ``refusal`` field (module docstring); only
+    WARC-level framing damage raises."""
     b = bytes(payload)
     if b[:2] == b"\x1f\x8b":
         b = _gunzip_members(b)
@@ -172,7 +230,7 @@ def warc_parse_records(payload: bytes) -> list[dict]:
         version = b[pos:ver_end].decode("latin-1")
         if version not in ("WARC/1.0", "WARC/1.1"):
             raise NotImplementedError(f"WARC version {version!r} not supported")
-        headers = _parse_headers(b[ver_end + 2 : hdr_end], "WARC")
+        headers, bad_hdr = _parse_warc_headers_lenient(b[ver_end + 2 : hdr_end])
         try:
             length = int(headers["content-length"])
         except KeyError:
@@ -197,13 +255,18 @@ def warc_parse_records(payload: bytes) -> list[dict]:
             "http_status": None,
             "http_content_type": None,
             "body": block,
+            "refusal": "bad_warc_header_line" if bad_hdr else None,
         }
         ct = (rec["content_type"] or "").lower()
         if ct.startswith("application/http") and "msgtype=response" in ct:
-            status, hh, body = _parse_http_response(block)
-            rec["http_status"] = status
-            rec["http_content_type"] = hh.get("content-type")
-            rec["body"] = body
+            try:
+                status, hh, body = _parse_http_response(block)
+            except (ValueError, NotImplementedError) as e:
+                rec["refusal"] = _crawl_refusal_code(e)
+            else:
+                rec["http_status"] = status
+                rec["http_content_type"] = hh.get("content-type")
+                rec["body"] = body
         records.append(rec)
         pos = block_end + 4
     return records
@@ -218,6 +281,10 @@ _WARC_SCHEMA_FIELDS = [
     T.StructField("http_status", T.IntegerType(), True),
     T.StructField("http_content_type", T.StringType(), True),
     T.StructField("body", T.BinaryType(), True),
+    # NULL for clean records; a _CRAWL_REFUSAL_CODES code when the
+    # HTTP unwrap (or a WARC header line) failed and the record was
+    # isolated instead of failing the file
+    T.StructField("refusal", T.StringType(), True),
 ]
 
 
@@ -455,6 +522,139 @@ def decode_body_text(
                 texts.append(t)
                 charsets.append(c)
             yield pdf.assign(**{text_col: texts, "charset": charsets})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def crawl_coverage(
+    df: DataFrame, payload_col: str = "warc"
+) -> DataFrame:
+    """Reason-coded crawl-ingest coverage rollup (r12 verdict #7) —
+    the front-end mirror of ``multimodal.decode_coverage``: run WARC
+    framing + HTTP unwrap + charset decode over response records and
+    roll up what survived each stage and WHY the rest refused:
+
+    - ``stage='http'`` — the HTTP unwrap refused (brotli coding,
+      corrupt chunking, malformed header …); ``reason`` is the
+      record's ``refusal`` code;
+    - ``stage='charset'`` — bytes arrived but the declared charset
+      refused (unknown or mis-declared); ``reason`` is the
+      ``refused:``-stripped charset tag;
+    - ``stage='ok'`` — decoded text; ``reason`` names the charset
+      that decoded it.
+
+    Without this counter a refuse-don't-mojibake front end silently
+    looks like full coverage; with it, a 100 TB user reads what
+    fraction of a crawl actually survives to text. Plan: the map-only
+    ingest pass + ONE bounded partial-agg'd shuffle (≤ |reason codes|
+    rows out)."""
+    recs = warc_records(df, payload_col)
+    resp = recs.filter(F.col("warc_type") == "response")
+    dec = decode_body_text(resp)
+    refused_cs = F.col("charset").startswith("refused:")
+    stage = (
+        F.when(F.col("refusal").isNotNull(), F.lit("http"))
+        .when(refused_cs, F.lit("charset"))
+        .otherwise(F.lit("ok"))
+    )
+    status = F.when(
+        F.col("refusal").isNotNull() | refused_cs, F.lit("refused")
+    ).otherwise(F.lit("ok"))
+    reason = (
+        F.when(F.col("refusal").isNotNull(), F.col("refusal"))
+        .when(refused_cs, F.expr("substring(charset, 9)"))
+        .otherwise(F.col("charset"))
+    )
+    return (
+        dec.select(
+            stage.alias("stage"), status.alias("status"), reason.alias("reason")
+        )
+        .groupBy("stage", "status", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _warc_wrap(uri: str, http: bytes, record_id: str) -> bytes:
+    """Frame raw (possibly broken) HTTP response bytes as one valid
+    WARC record — the WARC layer is intact so per-record isolation,
+    not file refusal, must carry the damage."""
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Record-ID: {record_id}\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def synth_warc_hostile(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """One WARC payload per row cycling every ingest refusal reason by
+    key % 6 (the crawl_coverage fixture — each leg's (stage, status,
+    reason) is a pure function of the residue):
+
+    0. clean identity response (ok / utf-8);
+    1. ``Content-Encoding: br`` (http / content_coding);
+    2. corrupt chunked body — non-hex size line (http / bad_chunking);
+    3. HTTP header line without ':' (http / bad_header_line);
+    4. declared ``charset=klingon`` (charset / unknown_charset);
+    5. declared utf-8, latin-1 bytes (charset / undecodable).
+
+    Containers gzip per-record on odd keys so both WARC envelopes ride
+    every round."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("warc", T.BinaryType(), True)]
+    )
+
+    def run(batches):
+        def one(row) -> bytes:
+            key = int(row[key_col])
+            uri = f"http://crawl.example/doc/{key}"
+            rid = f"<urn:uuid:{key}>"
+            leg = key % 6
+            if leg == 0:
+                rec = warc_encode_response(
+                    uri, synth_page_bytes(key, row[text_col]), record_id=rid
+                )
+            elif leg == 1:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\nContent-Length: 4\r\n\r\nXXXX"
+                )
+                rec = _warc_wrap(uri, http, rid)
+            elif leg == 2:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\nzz\r\nbody\r\n0\r\n\r\n"
+                )
+                rec = _warc_wrap(uri, http, rid)
+            elif leg == 3:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type text/html\r\n\r\nbody"
+                )
+                rec = _warc_wrap(uri, http, rid)
+            elif leg == 4:
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=klingon\r\n"
+                    b"Content-Length: 4\r\n\r\nbody"
+                )
+                rec = _warc_wrap(uri, http, rid)
+            else:
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    b"Content-Length: 5\r\n\r\ncaf\xe9!"
+                )
+                rec = _warc_wrap(uri, http, rid)
+            return warc_gzip([rec]) if key % 2 else rec
+
+        for pdf in batches:
+            yield pdf.assign(warc=pdf.apply(one, axis=1))
 
     return df.mapInPandas(run, out_schema)
 

@@ -909,6 +909,25 @@ def warc_records_processor(
     return warc_records(df, payload_col)
 
 
+@register_processor("crawl_coverage")
+def crawl_coverage_processor(
+    df: DataFrame, payload_col: str = "warc", media: bool = False
+) -> DataFrame:
+    """Crawl-ingest coverage rollup (functions/warc.crawl_coverage,
+    r13 — the front-end mirror of decode_coverage): WARC framing +
+    HTTP unwrap + charset decode over response records, rolled up to
+    (stage, status, reason, n) so a 100 TB user reads what fraction of
+    a crawl survives to text and why the rest refused. ``media: true``
+    reads the payload out of the media struct the media_files source
+    produces."""
+    from ..functions.warc import crawl_coverage
+
+    if media:
+        df = df.withColumn("_warc_payload", F.col("media.payload"))
+        return crawl_coverage(df, "_warc_payload")
+    return crawl_coverage(df, payload_col)
+
+
 @register_processor("image_dhash")
 def image_dhash_processor(
     df: DataFrame,

@@ -470,6 +470,9 @@ PLAN_BUDGET = {
     "html_extract": (1, 0),
     "html_main_text": (1, 0),
     "warc_extract": (3, 0),  # synth + record explode + block parse
+    # hostile synth + record explode + charset decode; ONE bounded
+    # rollup shuffle (≤ |reason codes| rows)
+    "crawl_coverage": (3, 1),
     "charset_decode": (2, 0),
     "gif_decode": (2, 0),
     "gif_frame_sample": (2, 0),

@@ -75,6 +75,54 @@ class TestFraming:
                 b"WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
             )
 
+    def test_per_record_error_isolation(self):
+        """r12 ADVICE: one bad record among good ones must not fail
+        the file — the HTTP unwrap is isolated per record with a
+        stable reason code, NULL http fields and the RAW block as
+        body; only WARC-level framing damage still raises."""
+        from nekton_spark.functions.warc import _warc_wrap
+
+        br = _warc_wrap(
+            "http://e.com/br",
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nXX",
+            "<urn:uuid:br>",
+        )
+        chunk = _warc_wrap(
+            "http://e.com/ch",
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx",
+            "<urn:uuid:ch>",
+        )
+        nocolon = _warc_wrap(
+            "http://e.com/nc",
+            b"HTTP/1.1 200 OK\r\nBadHeaderNoColon\r\n\r\nbody",
+            "<urn:uuid:nc>",
+        )
+        good = warc_encode_response("http://e.com/ok", HTML)
+        rs = warc_parse_records(good + br + chunk + nocolon + good)
+        assert len(rs) == 5
+        assert [r["refusal"] for r in rs] == [
+            None, "content_coding", "bad_chunking", "bad_header_line", None,
+        ]
+        for r in (rs[0], rs[4]):
+            assert r["http_status"] == 200 and r["body"] == HTML
+        for r in rs[1:4]:
+            assert r["http_status"] is None
+            assert r["body"].startswith(b"HTTP/1.1")  # raw block kept
+            assert r["target_uri"] is not None  # WARC headers survive
+
+    def test_warc_header_line_without_colon_is_isolated(self):
+        """A stray colon-less WARC header line flags the record
+        (refusal=bad_warc_header_line) but the record still frames via
+        Content-Length and its HTTP layer still unwraps."""
+        rec = warc_encode_response("http://e.com/a", HTML)
+        bad = rec.replace(b"\r\n\r\nHTTP/", b"\r\nJunkNoColon\r\n\r\nHTTP/", 1)
+        good = warc_encode_response("http://e.com/b", HTML + b"2")
+        rs = warc_parse_records(bad + good)
+        assert len(rs) == 2
+        assert rs[0]["refusal"] == "bad_warc_header_line"
+        assert rs[0]["http_status"] == 200 and rs[0]["body"] == HTML
+        assert rs[1]["refusal"] is None and rs[1]["body"] == HTML + b"2"
+
     def test_multi_record_offsets(self):
         recs = [
             warc_encode_response(f"http://e.com/{i}", HTML + bytes([48 + i]))
@@ -151,6 +199,46 @@ class TestSparkSurface:
         out = PROCESSORS["warc_records"](df).collect()
         assert out[0].target_uri == "http://e.com/x"
         assert bytes(out[0].body) == HTML
+
+    def test_crawl_coverage_rollup(self, spark):
+        """crawl_coverage (r13): the hostile synth cycles every ingest
+        refusal reason by key % 6; the rollup must land on the exact
+        closed-form counts per (stage, status, reason)."""
+        from nekton_spark.functions.warc import (
+            crawl_coverage,
+            synth_warc_hostile,
+        )
+
+        d = spark.createDataFrame(
+            [(k, f"text {k}") for k in range(24)], "doc_id long, text string"
+        )
+        got = {
+            (r.stage, r.status, r.reason): r.n
+            for r in crawl_coverage(
+                synth_warc_hostile(d).drop("doc_id", "text")
+            ).collect()
+        }
+        assert got == {
+            ("ok", "ok", "utf-8"): 4,
+            ("http", "refused", "content_coding"): 4,
+            ("http", "refused", "bad_chunking"): 4,
+            ("http", "refused", "bad_header_line"): 4,
+            ("charset", "refused", "unknown_charset:klingon"): 4,
+            ("charset", "refused", "undecodable:utf-8"): 4,
+        }
+
+    def test_crawl_coverage_processor(self, spark):
+        from nekton_spark.functions.warc import synth_warc_hostile
+        from nekton_spark.registry import PROCESSORS
+
+        d = spark.createDataFrame(
+            [(k, "t") for k in range(6)], "doc_id long, text string"
+        )
+        out = PROCESSORS["crawl_coverage"](
+            synth_warc_hostile(d).drop("doc_id", "text")
+        ).collect()
+        assert sum(r.n for r in out) == 6
+        assert {r.stage for r in out} == {"ok", "http", "charset"}
 
     def test_streaming_crawl_ingest(self, spark, tmp_path):
         """The crawl front end is stateless maps, so it composes with
