@@ -2011,11 +2011,13 @@ def gif_decode_check(spark, sf):
 
 def gif_frame_sample_check(spark, sf):
     """Animated-GIF frame sampling (multimodal.frame_sample over
-    image/gif, r12): genuine multi-frame GIF89a payloads (2 + key%3
-    full-canvas frames, GCE per frame, interlace on odd keys) →
-    container walk → every 2nd frame LZW-decoded; skipped frames cost
-    only the sub-block walk. The oracle replays frame membership,
-    dims, and both pixel checksums from the closed forms."""
+    image/gif, r12 + r13 delta frames): genuine multi-frame GIF89a
+    payloads — key%3==0 all-full-canvas (legacy sparse path: skipped
+    frames cost only the sub-block walk), key%3!=0 with frames >0 as
+    sub-canvas disposal-1 inset patches, so sampling runs the REAL
+    composition chain (gif._iter_composited) and emits RGBA canvases.
+    The oracle replays frame membership, dims, and both pixel
+    checksums from the composited closed forms."""
     from nekton_spark.functions.multimodal import frame_sample, synth_gif_anim_media
 
     d = _t(spark, sf, "documents").select("doc_id")
@@ -6797,34 +6799,50 @@ SELECT id_a, id_b, bit_count(xor(da, db))::INT AS hamming
 FROM cand
 WHERE bit_count(xor(da, db)) <= 3
 """,
-        # gif_frame_sample (r12): F = 2 + doc_id%3 frames, every=2 →
-        # sampled frame list [0] when F=2 else [0,2]; per frame the
-        # flat RGB replay of gif_decode with idx shifted by +f
+        # gif_frame_sample (r12, r13 delta frames): F = 2 + doc_id%3,
+        # every=2 → sampled [0] when F=2 else [0,2]. doc_id%3 == 0 is
+        # the all-full-canvas legacy path (flat RGB replay); doc_id%3
+        # != 0 carries frames >0 as inset (1,1)..(w-2,h-2) disposal-1
+        # patches, so the sampled canvas is the COMPOSITED RGBA:
+        # interior = frame-f colors, 1-px border = frame-0 colors,
+        # alpha 255
         "gif_frame_sample": """
 WITH g AS (
   SELECT doc_id,
          (8 + doc_id % 7)::INT AS h,
          (8 + doc_id % 9)::INT AS w,
+         (doc_id % 3)::INT AS m,
          unnest(CASE WHEN doc_id % 3 = 0
                      THEN list_value(0) ELSE list_value(0, 2) END) AS f
-  FROM documents)
+  FROM documents),
+v AS (
+  SELECT doc_id, h, w, m, f,
+         CASE WHEN m = 0
+              THEN list_transform(range(0, 3 * h * w),
+                i -> (doc_id * 7
+                      + ((doc_id + f + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
+                      + (i % 3) * 29) % 256)
+              ELSE list_transform(range(0, 4 * h * w),
+                i -> CASE WHEN i % 4 = 3 THEN 255
+                     ELSE (doc_id * 7
+                           + ((doc_id
+                               + (CASE WHEN f > 0
+                                       AND ((i // 4) // w) BETWEEN 1 AND h - 2
+                                       AND ((i // 4) % w) BETWEEN 1 AND w - 2
+                                  THEN f ELSE 0 END)
+                               + 3 * ((i // 4) // w) + ((i // 4) % w)) % 16) * 13
+                           + (i % 4) * 29) % 256 END)
+         END AS px
+  FROM g)
 SELECT doc_id,
        f::INT AS frame_idx,
        h AS dec_height,
        w AS dec_width,
+       list_reduce(px, (a, b) -> a + b)::BIGINT AS px_sum,
        list_reduce(
-         list_transform(range(0, 3 * h * w),
-           i -> (doc_id * 7
-                 + ((doc_id + f + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
-                 + (i % 3) * 29) % 256),
-         (a, b) -> a + b)::BIGINT AS px_sum,
-       list_reduce(
-         list_transform(range(0, 3 * h * w),
-           i -> (i + 1) * ((doc_id * 7
-                 + ((doc_id + f + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
-                 + (i % 3) * 29) % 256)),
+         list_transform(range(0, len(px)), i -> (i + 1) * px[i + 1]),
          (a, b) -> a + b)::BIGINT AS px_weighted
-FROM g
+FROM v
 """,
         # decode_coverage: every (status, reason) is a pure function of
         # doc_id % 5 by construction of synth_coverage_media — the

@@ -17,12 +17,29 @@ discipline:
 - 4-pass row interlace (rows 0::8, 4::8, 2::4, 1::2);
 - Graphic Control Extension: transparency index → RGBA output;
   other extensions (application/comment/plain-text) skip by length;
-- animation: every frame decodes independently; frames that cover the
-  full canvas decode exactly. A sub-canvas frame (x/y offset or
-  smaller w/h than the screen) REQUIRES composition against prior
-  frames under its disposal method — out of scope for corpus feature
-  extraction, so :func:`gif_decode` refuses it explicitly rather than
-  return wrong pixels.
+- animation (r13 — sub-canvas COMPOSITION, closing the r12 verdict's
+  largest codec gap): real animated GIFs are predominantly delta
+  frames — sub-canvas patches composited onto the prior canvas under
+  a per-frame disposal method. The composition contract:
+
+  * the canvas starts fully TRANSPARENT (what browsers render);
+  * each frame's patch rectangle must lie inside the canvas (else
+    ValueError); patch pixels equal to the frame's transparent index
+    leave the canvas unchanged, all others write (palette RGB, 255);
+  * the emitted frame is the canvas AFTER the patch lands — always
+    (h, w, 4) RGBA on the composition path;
+  * disposal 0 (unspecified) / 1 (do not dispose) leave the canvas;
+    disposal 2 (restore to background) clears the patch RECTANGLE to
+    transparent after the frame is emitted (browser semantics — the
+    spec's "background color" renders as transparency);
+  * disposal 3 (restore to previous) still refuses — it needs an
+    extra saved canvas per frame and is vanishingly rare in crawls.
+
+  BYTE-IDENTICAL legacy contract: an animation whose frames ALL cover
+  the full canvas decodes exactly as before — each frame independent,
+  RGB (or RGBA via its own GCE transparency), no composition state.
+  Only the presence of at least one sub-canvas frame switches the
+  container to the composition path.
 
 Structural damage (bad signature, truncated sub-blocks, out-of-range
 LZW codes, palette index overflow, missing trailer) refuses as
@@ -246,6 +263,67 @@ def gif_encode(
     return bytes(body)
 
 
+def gif_encode_anim(
+    patches,
+    palette: np.ndarray,
+    canvas: tuple[int, int],
+    interlace: bool = False,
+    delay_cs: int = 4,
+) -> bytes:
+    """GIF89a with per-frame placement/disposal/transparency — the
+    delta-frame fixture writer for the composition path. ``patches``
+    is a list of dicts: ``indices`` (fh, fw) palette indices, ``x0`` /
+    ``y0`` placement (default 0), ``disposal`` 0|1|2 (default 0) and
+    ``transparent`` index or None; ``canvas`` is (w, h). Shares the
+    LZW/packaging guts with :func:`gif_encode`."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    n_colors = pal.shape[0]
+    if n_colors < 2 or n_colors > 256 or n_colors & (n_colors - 1):
+        raise ValueError(f"palette size {n_colors} must be a power of two in 2..256")
+    depth = max(1, int(n_colors).bit_length() - 1)
+    w, h = canvas
+    body = bytearray()
+    body += b"GIF89a"
+    body += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((depth - 1) & 7) << 4 | (depth - 1), 0, 0
+    )
+    body += pal.tobytes()
+    min_code = max(2, depth)
+    for p in patches:
+        idx = np.asarray(p["indices"], dtype=np.uint8)
+        fh, fw = idx.shape
+        x0, y0 = int(p.get("x0", 0)), int(p.get("y0", 0))
+        disposal = int(p.get("disposal", 0))
+        transparent = p.get("transparent")
+        if disposal not in (0, 1, 2):
+            raise ValueError(f"disposal {disposal} not encodable here")
+        if x0 + fw > w or y0 + fh > h:
+            raise ValueError("patch rectangle exceeds canvas")
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("palette index out of range")
+        tflag = 1 if transparent is not None else 0
+        body += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, (disposal << 2) | tflag, delay_cs,
+            transparent or 0, 0,
+        )
+        if interlace:
+            rows = []
+            for start, step in _INTERLACE:
+                rows.append(idx[start::step])
+            idx = np.concatenate(rows, axis=0)
+        body += struct.pack(
+            "<BHHHHB", 0x2C, x0, y0, fw, fh, 0x40 if interlace else 0
+        )
+        body += bytes([min_code])
+        stream = _lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            body += bytes([len(chunk)]) + chunk
+        body += b"\x00"
+    body += b"\x3b"
+    return bytes(body)
+
+
 # ------------------------------------------------------------ decoder
 
 def _read_color_table(b: bytes, pos: int, depth_bits: int):
@@ -285,6 +363,7 @@ def _parse(payload: bytes):
     if packed & 0x80:
         gct, pos = _read_color_table(b, pos, packed & 7)
     transparent = None
+    pending_disposal = 0
     saw_trailer = False
     frames = []
     while pos < len(b):
@@ -311,6 +390,7 @@ def _parse(payload: bytes):
                         f"GIF disposal method {disposal} requires frame "
                         "composition (restore-to-previous)"
                     )
+                pending_disposal = disposal
             else:  # application / comment / plain text: skip by length
                 pos = _skip_subblocks(b, pos)
             continue
@@ -342,24 +422,26 @@ def _parse(payload: bytes):
                 "min_code": min_code,
                 "lzw": bytes(raw),
                 "transparent": transparent,
+                "disposal": pending_disposal,
             }
         )
         transparent = None
+        pending_disposal = 0
     if not saw_trailer:
         raise ValueError("truncated GIF: missing trailer")
     return sw, sh, frames
 
 
-def _decode_frame(sw: int, sh: int, fr: dict) -> np.ndarray:
-    if (fr["x0"], fr["y0"], fr["w"], fr["h"]) != (0, 0, sw, sh):
-        raise NotImplementedError(
-            "sub-canvas GIF frame requires composition against prior "
-            f"frames (frame {fr['w']}x{fr['h']}@{fr['x0']},{fr['y0']} on "
-            f"a {sw}x{sh} canvas)"
-        )
+def _decode_patch(fr: dict) -> np.ndarray:
+    """One frame's LZW stream → (fh, fw) palette-index array
+    (deinterlaced, palette-range-checked) — the shared kernel of the
+    independent and composition paths."""
     if fr["table"] is None:
         raise ValueError("GIF frame has neither local nor global color table")
-    n = sw * sh
+    fh, fw = fr["h"], fr["w"]
+    n = fw * fh
+    if n == 0:
+        raise ValueError("zero-dimension GIF frame refused")
     idx = np.frombuffer(
         _lzw_decode(fr["lzw"], fr["min_code"], n), dtype=np.uint8
     )
@@ -368,40 +450,94 @@ def _decode_frame(sw: int, sh: int, fr: dict) -> np.ndarray:
             f"GIF pixel data inconsistent with frame size: {len(idx)} "
             f"indices for {n} expected"
         )
-    table = fr["table"]
-    if int(idx.max(initial=0)) >= table.shape[0]:
+    if int(idx.max(initial=0)) >= fr["table"].shape[0]:
         raise ValueError("corrupt GIF: palette index out of range")
-    idx = idx.reshape(sh, sw)
+    idx = idx.reshape(fh, fw)
     if fr["interlace"]:
         de = np.empty_like(idx)
         row = 0
         for start, step in _INTERLACE:
-            cnt = len(range(start, sh, step))
+            cnt = len(range(start, fh, step))
             de[start::step] = idx[row : row + cnt]
             row += cnt
         idx = de
-    rgb = table[idx]
+    return idx
+
+
+def _decode_frame(sw: int, sh: int, fr: dict) -> np.ndarray:
+    """Independent (legacy, byte-identical) decode of one FULL-CANVAS
+    frame: RGB, or RGBA via the frame's own GCE transparency."""
+    if (fr["x0"], fr["y0"], fr["w"], fr["h"]) != (0, 0, sw, sh):
+        raise NotImplementedError(
+            "sub-canvas GIF frame requires composition against prior "
+            f"frames (frame {fr['w']}x{fr['h']}@{fr['x0']},{fr['y0']} on "
+            f"a {sw}x{sh} canvas) — use the composition path"
+        )
+    idx = _decode_patch(fr)
+    rgb = fr["table"][idx]
     if fr["transparent"] is not None:
         alpha = np.where(idx == fr["transparent"], 0, 255).astype(np.uint8)
         return np.dstack([rgb, alpha])
     return rgb
 
 
+def _full_canvas(sw: int, sh: int, frames: list[dict]) -> bool:
+    return all(
+        (fr["x0"], fr["y0"], fr["w"], fr["h"]) == (0, 0, sw, sh)
+        for fr in frames
+    )
+
+
+def _iter_composited(sw: int, sh: int, frames: list[dict]):
+    """Yield the composited (sh, sw, 4) RGBA canvas after each frame
+    (module-docstring contract). The yielded array is the LIVE canvas —
+    callers that keep a frame must ``.copy()`` it before advancing."""
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    for fr in frames:
+        x0, y0, fw, fh = fr["x0"], fr["y0"], fr["w"], fr["h"]
+        if x0 + fw > sw or y0 + fh > sh:
+            raise ValueError(
+                f"corrupt GIF: frame rectangle {fw}x{fh}@{x0},{y0} "
+                f"exceeds the {sw}x{sh} canvas"
+            )
+        idx = _decode_patch(fr)
+        rgb = fr["table"][idx]
+        region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        if fr["transparent"] is not None:
+            opaque = idx != fr["transparent"]
+            region[opaque, :3] = rgb[opaque]
+            region[opaque, 3] = 255
+        else:
+            region[..., :3] = rgb
+            region[..., 3] = 255
+        yield canvas
+        if fr["disposal"] == 2:
+            region[:] = 0
+
+
 def gif_decode(payload: bytes) -> np.ndarray:
     """First frame → (h, w, 3) uint8 RGB, or (h, w, 4) RGBA when the
-    frame's GCE marks a transparent index."""
+    frame's GCE marks a transparent index. A sub-canvas first frame
+    composites onto the transparent canvas → (h, w, 4) RGBA."""
     sw, sh, frames = _parse(payload)
     if not frames:
         raise ValueError("GIF contains no image data")
-    return _decode_frame(sw, sh, frames[0])
+    if _full_canvas(sw, sh, frames[:1]):
+        return _decode_frame(sw, sh, frames[0])
+    return next(_iter_composited(sw, sh, frames[:1])).copy()
 
 
 def gif_decode_frames(payload: bytes) -> list[np.ndarray]:
-    """All full-canvas frames (the animation path)."""
+    """All frames. All-full-canvas animations decode independently
+    (legacy byte-identical contract); any sub-canvas frame switches
+    the whole container to the composition path (every emitted frame
+    is the composited (h, w, 4) RGBA canvas)."""
     sw, sh, frames = _parse(payload)
     if not frames:
         raise ValueError("GIF contains no image data")
-    return [_decode_frame(sw, sh, fr) for fr in frames]
+    if _full_canvas(sw, sh, frames):
+        return [_decode_frame(sw, sh, fr) for fr in frames]
+    return [c.copy() for c in _iter_composited(sw, sh, frames)]
 
 
 def gif_frame_count(payload: bytes) -> int:

@@ -482,13 +482,21 @@ def synth_gif_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
 
 
 def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
-    """Attach a REAL animated GIF per row: 2 + key % 3 full-canvas
-    frames over one 16-color global table, interlaced on odd keys.
-    Frame f's index map is (key + f + 3y + x) % 16 with the shared
-    closed-form palette, so sampled-frame pixels replay in SQL."""
+    """Attach a REAL animated GIF per row: 2 + key % 3 frames over one
+    16-color global table, interlaced on odd keys. Frame f's index map
+    is (key + f + 3y + x) % 16 with the shared closed-form palette.
+
+    r13 — DELTA frames: keys with key % 3 != 0 carry frame 0 full
+    canvas and every later frame as a SUB-CANVAS inset patch (x0=y0=1,
+    (h-2)x(w-2), disposal 1) whose indices follow the same global
+    formula on the patch region — so the composited canvas at frame f
+    is closed-form: interior = frame-f colors, 1-pixel border = frame-0
+    colors, alpha 255 (RGBA, the composition-path contract). Keys with
+    key % 3 == 0 stay all-full-canvas and exercise the byte-identical
+    legacy path (RGB) in the same driver row."""
     import numpy as np
 
-    from .gif import gif_encode
+    from .gif import gif_encode, gif_encode_anim
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
@@ -502,12 +510,33 @@ def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
             ).astype(np.uint8)
             yy, xx = np.mgrid[0:h, 0:w]
-            frames = [
-                ((key + f + 3 * yy + xx) % 16).astype(np.uint8)
-                for f in range(2 + key % 3)
-            ]
+            n_frames = 2 + key % 3
+            if key % 3 == 0:
+                frames = [
+                    ((key + f + 3 * yy + xx) % 16).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                payload = gif_encode(frames, pal, interlace=bool(key % 2))
+            else:
+                pyy, pxx = np.mgrid[1 : h - 1, 1 : w - 1]
+                patches = [
+                    {"indices": ((key + 3 * yy + xx) % 16).astype(np.uint8)}
+                ] + [
+                    {
+                        "indices": (
+                            (key + f + 3 * pyy + pxx) % 16
+                        ).astype(np.uint8),
+                        "x0": 1,
+                        "y0": 1,
+                        "disposal": 1,
+                    }
+                    for f in range(1, n_frames)
+                ]
+                payload = gif_encode_anim(
+                    patches, pal, (w, h), interlace=bool(key % 2)
+                )
             return {
-                "payload": gif_encode(frames, pal, interlace=bool(key % 2)),
+                "payload": payload,
                 "mime": "image/gif",
                 "meta": {"origin": "synth-gif-anim"},
             }
@@ -1602,13 +1631,36 @@ def frame_sample(
                         return jpeg_decode(_f[i])
 
                 elif m["mime"] == "image/gif":
-                    from .gif import _decode_frame, _parse
+                    from .gif import (
+                        _decode_frame,
+                        _full_canvas,
+                        _iter_composited,
+                        _parse,
+                    )
 
                     sw, sh, gframes = _parse(m["payload"])
                     frames = gframes
+                    if _full_canvas(sw, sh, gframes):
+                        # legacy sparse path: only sampled frames pay
+                        # for LZW; skipped frames cost just the walk
+                        def dec_ith(i, _sw=sw, _sh=sh, _f=gframes):
+                            return _decode_frame(_sw, _sh, _f[i])
 
-                    def dec_ith(i, _sw=sw, _sh=sh, _f=gframes):
-                        return _decode_frame(_sw, _sh, _f[i])
+                    else:
+                        # delta frames (r13): composition is a chain —
+                        # prior frames must decode regardless, so walk
+                        # the compositor once, copying ONLY sampled
+                        # canvases (sampled indices ascend by
+                        # construction of range())
+                        comp = {"it": _iter_composited(sw, sh, gframes), "next": 0}
+
+                        def dec_ith(i, _c=comp):
+                            canvas = None
+                            while _c["next"] <= i:
+                                canvas = next(_c["it"])
+                                _c["next"] += 1
+                            assert canvas is not None, "sampling must ascend"
+                            return canvas.copy()
 
                 else:
                     raise NotImplementedError(

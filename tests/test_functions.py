@@ -1747,6 +1747,94 @@ class TestMultimodal:
         outs = gif_decode_frames(p)
         assert all((o[:, :, :3] == 0).sum() >= 0 for o in outs)
 
+    def test_gif_subcanvas_composition(self):
+        """r13 (r12 verdict #3): delta frames composite exactly —
+        transparent-index holes reveal the prior canvas, disposal 2
+        clears the patch rectangle to transparent, and pixels never
+        written stay alpha-0."""
+        from nekton_spark.functions.gif import (
+            gif_decode,
+            gif_decode_frames,
+            gif_encode,
+            gif_encode_anim,
+        )
+
+        pal = (np.arange(16 * 3, dtype=np.uint8) * 5 % 256).reshape(16, 3)
+        base = (np.add.outer(np.arange(6), np.arange(8)) % 16).astype(np.uint8)
+        patch = ((np.add.outer(np.arange(3), np.arange(4)) + 7) % 16).astype(
+            np.uint8
+        )
+        patch[1, 2] = 9  # the transparent hole
+
+        # frame 0 full canvas; frame 1: 4x3 patch at (2,1) with
+        # transparent index 9 and disposal 2; frame 2: full canvas
+        p = gif_encode_anim(
+            [
+                {"indices": base, "disposal": 1},
+                {"indices": patch, "x0": 2, "y0": 1, "transparent": 9,
+                 "disposal": 2},
+                {"indices": (base + 1) % 16},
+            ],
+            pal,
+            (8, 6),
+        )
+        f0, f1, f2 = gif_decode_frames(p)
+        assert f0.shape == f1.shape == f2.shape == (6, 8, 4)
+        # frame 0: base everywhere, opaque
+        assert (f0[:, :, :3] == pal[base]).all() and (f0[:, :, 3] == 255).all()
+        # frame 1: patch lands except the hole (prior canvas shows)
+        exp1 = pal[base].copy()
+        for py in range(3):
+            for px in range(4):
+                if patch[py, px] != 9:
+                    exp1[1 + py, 2 + px] = pal[patch[py, px]]
+        assert (f1[:, :, :3] == exp1).all() and (f1[:, :, 3] == 255).all()
+        # frame 2 is full-canvas: overwrites everything incl. the
+        # disposal-2-cleared rectangle
+        assert (f2[:, :, :3] == pal[(base + 1) % 16]).all()
+        assert (f2[:, :, 3] == 255).all()
+
+        # disposal 2 visibility: drop frame 2 — after the clear, a
+        # THIRD frame that paints nothing would show the hole; verify
+        # via a sub-canvas first frame instead (never-written pixels
+        # stay alpha 0)
+        q = gif_encode_anim(
+            [{"indices": patch, "x0": 2, "y0": 1, "transparent": 9}],
+            pal,
+            (8, 6),
+        )
+        g = gif_decode(q)
+        assert g.shape == (6, 8, 4)
+        n_opaque = int((patch != 9).sum())
+        assert (g[:, :, 3] == 0).sum() == 8 * 6 - n_opaque
+        assert g[1 + 1, 2 + 2, 3] == 0  # the hole itself is transparent
+        assert (g[1, 2, :3] == pal[patch[0, 0]]).all()
+
+        # disposal-2 clear feeds the NEXT frame: repeat frame-1 patch
+        # twice; second application lands on the CLEARED region, so
+        # the hole pixel is transparent (not base)
+        r2 = gif_encode_anim(
+            [
+                {"indices": base, "disposal": 1},
+                {"indices": patch, "x0": 2, "y0": 1, "transparent": 9,
+                 "disposal": 2},
+                {"indices": patch, "x0": 2, "y0": 1, "transparent": 9},
+            ],
+            pal,
+            (8, 6),
+        )
+        h0, h1, h2 = gif_decode_frames(r2)
+        assert h1[2, 4, 3] == 255  # hole shows base in frame 1
+        assert (h1[2, 4, :3] == pal[base[2, 4]]).all()
+        assert h2[2, 4, 3] == 0  # after the clear, the hole is empty
+
+        # legacy byte-identity: an all-full-canvas animation decodes
+        # exactly as gif_encode/gif_decode_frames always did (RGB)
+        frames = [base, (base + 1) % 16]
+        legacy = gif_decode_frames(gif_encode(frames, pal))
+        assert legacy[0].shape == (6, 8, 3)
+        assert (legacy[1] == pal[(base + 1) % 16]).all()
+
     def test_gif_decode_rejects_corruption(self):
         import struct as _s
 
@@ -1773,12 +1861,26 @@ class TestMultimodal:
         huge[6:10] = _s.pack("<HH", 60000, 60000)
         with pytest.raises(ValueError, match="decode cap"):
             gif_decode(bytes(huge))
-        # sub-canvas frame refuses (composition, not silent wrong pixels)
+        # a frame rectangle hanging off the canvas refuses (r13: sub-
+        # canvas frames now COMPOSITE, so the bounds check is what's
+        # left of the old refusal)
         sub = bytearray(good)
         di = sub.index(0x2C, 13 + 48)  # image separator after GCT
-        sub[di + 1 : di + 3] = _s.pack("<H", 1)  # x0 = 1
-        with pytest.raises(NotImplementedError, match="composition"):
+        sub[di + 1 : di + 3] = _s.pack("<H", 1)  # x0 = 1, fw still = sw
+        with pytest.raises(ValueError, match="exceeds"):
             gif_decode(bytes(sub))
+        # disposal 3 (restore-to-previous) still refuses
+        from nekton_spark.functions.gif import gif_encode_anim
+
+        d3 = bytearray(
+            gif_encode_anim(
+                [{"indices": idx, "disposal": 1}], pal, (8, 9)
+            )
+        )
+        gce = d3.index(0xF9, 13)  # GCE label after GCT
+        d3[gce + 2] = (3 << 2)  # disposal 3
+        with pytest.raises(NotImplementedError, match="composition"):
+            gif_decode(bytes(d3))
 
     def test_gif_spark_decode(self, spark):
         """decode_image over image/gif media: RGB and RGBA rows, and
@@ -1823,24 +1925,35 @@ class TestMultimodal:
             synth_gif_anim_media,
         )
 
-        df = spark.createDataFrame([(2,), (5,)], "doc_id long")
+        df = spark.createDataFrame([(2,), (3,), (5,)], "doc_id long")
         got = {}
         for r in frame_sample(synth_gif_anim_media(df), every=2).collect():
             got.setdefault(r.doc_id, {})[r.frame_idx] = r
-        # F = 2 + key%3: key 2 -> 4 frames -> sampled {0, 2};
-        # key 5 -> 4 frames -> sampled {0, 2}
+        # F = 2 + key%3: keys 2/5 -> 4 frames -> sampled {0, 2}
+        # (delta-frame keys: composited RGBA); key 3 -> 2 full-canvas
+        # frames -> sampled {0} (legacy RGB path)
         assert set(got[2]) == {0, 2} and set(got[5]) == {0, 2}
-        for key in (2, 5):
+        assert set(got[3]) == {0}
+        for key in (2, 3, 5):
             w, h = 8 + key % 9, 8 + key % 7
             i = np.arange(16)
             pal = np.stack(
                 [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)], axis=1
             )
             yy, xx = np.mgrid[0:h, 0:w]
-            for f in (0, 2):
-                exp = pal[(key + f + 3 * yy + xx) % 16]
+            for f in sorted(got[key]):
                 r = got[key][f]
                 assert (r.dec_height, r.dec_width) == (h, w)
+                if key % 3 == 0:
+                    exp = pal[(key + f + 3 * yy + xx) % 16]
+                else:
+                    # composited canvas: interior = frame-f colors,
+                    # 1-px border = frame-0 colors, alpha 255
+                    eff = np.zeros((h, w), dtype=np.int64)
+                    if f > 0:
+                        eff[1 : h - 1, 1 : w - 1] = f
+                    rgb = pal[(key + eff + 3 * yy + xx) % 16]
+                    exp = np.dstack([rgb, np.full((h, w), 255)])
                 assert r.pixels == exp.ravel().astype(np.int64).tolist()
 
     def test_bmp_codec_round_trip_pure(self):

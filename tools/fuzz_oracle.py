@@ -558,7 +558,12 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         _wav_parse,
     )
     from nekton_spark.functions.bmp import bmp_decode, bmp_encode
-    from nekton_spark.functions.gif import gif_decode, gif_encode
+    from nekton_spark.functions.gif import (
+        gif_decode,
+        gif_decode_frames,
+        gif_encode,
+        gif_encode_anim,
+    )
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
 
     rng = random.Random(seed * 7919 + 11)
@@ -661,6 +666,16 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
             axis=1,
         ).astype(np.uint8)
         pidx = ((key + np.add.outer(3 * np.arange(11), np.arange(13))) % 16)
+        # r13 delta-frame ground truth: frame-0 canvas with the
+        # (5, 6)@(3, 2) patch composited (transparent-index holes on
+        # key %% 3 == 0 keep frame-0 pixels)
+        _panim = (
+            (key + 1 + np.add.outer(3 * np.arange(5), np.arange(6))) % 16
+        ).astype(np.uint8)
+        _ptr = (key % 16) if key % 3 == 0 else None
+        _panim_exp = pal[pidx].copy()
+        _pm = np.ones((5, 6), bool) if _ptr is None else (_panim != _ptr)
+        _panim_exp[2:7, 3:9][_pm] = pal[_panim][_pm]
         bases = [
             ("png", _png_encode(pix), _png_decode, pix),
             ("png_color", _png_encode(cpix), _png_decode, cpix),
@@ -679,6 +694,24 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 ),
                 lambda p: gif_decode(p)[:, :, :3],
                 pal[pidx],
+            ),
+            (
+                "gif_anim",  # r13: delta-frame composition battery
+                gif_encode_anim(
+                    [
+                        {"indices": pidx.astype(np.uint8), "disposal": 1},
+                        {
+                            "indices": _panim,
+                            "x0": 3,
+                            "y0": 2,
+                            "transparent": _ptr,
+                        },
+                    ],
+                    pal,
+                    (13, 11),
+                ),
+                lambda p: gif_decode_frames(p)[-1][:, :, :3],
+                _panim_exp,
             ),
             (
                 "bmp",  # r12: indexed-8 via BI_RLE8 / 24-bit raw
