@@ -191,6 +191,68 @@ def synth_wds_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_i
     return df.mapInPandas(run, out_schema)
 
 
+def _open_fs(path: str):
+    """(filesystem, in-fs path) via pyarrow.fs: plain paths → the
+    local filesystem, URIs (``file://``, ``hdfs://``, ``s3://``, …) →
+    whatever pyarrow resolves. Constructed INSIDE each task (cheap,
+    avoids shipping credentials/handles through pickles)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+class _TarSink:
+    """Minimal write/tell file adapter: streams tarfile output into a
+    pyarrow output stream, optionally through one gzip member (single
+    final flush, so bytes match :func:`tar_encode`'s whole-buffer
+    compress exactly)."""
+
+    def __init__(self, raw, gz: bool):
+        self._raw = raw
+        self._off = 0
+        self._co = (
+            zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            if gz
+            else None
+        )
+
+    def write(self, b) -> int:
+        b = bytes(b)
+        d = self._co.compress(b) if self._co is not None else b
+        if d:
+            self._raw.write(d)
+        self._off += len(b)
+        return len(b)
+
+    def tell(self) -> int:
+        return self._off
+
+    def finish(self) -> None:
+        if self._co is not None:
+            tail = self._co.flush()
+            if tail:
+                self._raw.write(tail)
+
+
+def _tar_stream(members, out, gz: bool) -> None:
+    """Stream deterministic ustar members (zeroed metadata, same
+    writer and member order as :func:`tar_encode`, so shard bytes are
+    identical) to an open output stream without materializing the
+    archive."""
+    sink = _TarSink(out, gz)
+    with tarfile.open(fileobj=sink, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    sink.finish()
+
+
 def write_webdataset(
     df: DataFrame,
     path: str,
@@ -198,6 +260,7 @@ def write_webdataset(
     exts_col: str = "exts",
     n_shards: int = 32,
     gz: bool = False,
+    max_shard_bytes: int = 1 << 30,
 ) -> int:
     """The WRITE side: rows (sample_key, ext → bytes map) → tar shards
     under ``path`` — the format training loaders stream directly.
@@ -207,46 +270,73 @@ def write_webdataset(
     samples within a shard are tar'd in key order, so shard bytes are
     a pure function of the data — reproducible across re-runs, input
     partitioning and cluster size. One shuffle (repartition on the
-    shard id); each shard is built and written by ITS OWN task via a
-    partition-local tar assembly, so no shard ever materializes on the
-    driver. Returns the number of samples written.
+    shard id); each shard is built and written by ITS OWN task, so no
+    shard ever materializes on the driver. Returns the number of
+    samples written.
 
-    Local/posix + cluster note: each task writes
-    ``shard-<k>.tar[.gz]`` directly under ``path`` with a plain
-    file write; on object stores mount/commit semantics are the
-    caller's (same envelope as the ann_index sink's meta files).
-    """
-    import os
+    Cluster-grade write path (r12 verdict #4): tasks write through
+    ``pyarrow.fs`` resolved from the path — plain paths and
+    ``file://`` hit the local filesystem, ``hdfs://``/``s3://``/…
+    whatever pyarrow resolves — with a per-task-attempt temp name +
+    rename commit (atomic on POSIX/HDFS; on object stores the rename
+    is copy+delete, but the temp upload itself only becomes visible
+    on close, and deterministic bytes make duplicate attempts
+    idempotent). No executor-local ``open()`` remains.
 
+    Memory envelope: a task holds ITS shards' sample bytes (the tar
+    assembly itself streams — nothing is double-buffered). Sizing
+    rule: ``n_shards ≈ corpus_bytes / target_shard_bytes`` (WebDataset
+    convention ~100 MB–1 GB per shard). The ``max_shard_bytes`` guard
+    (default 1 GiB) refuses early — while collecting, before any
+    write — when a shard's payload exceeds it, naming the n_shards
+    fix, instead of OOMing the executor."""
     from pyspark.sql import functions as F
 
-    os.makedirs(path, exist_ok=True)
+    fs, base = _open_fs(path)
+    fs.create_dir(base, recursive=True)
     sharded = df.select(
         F.col(key_col).alias("k"), F.col(exts_col).alias("e"),
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).alias("_shard"),
     ).repartition(n_shards, "_shard")
 
     def write_part(it):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tfs, tbase = _open_fs(path)
         by_shard: dict[int, list] = {}
+        sizes: dict[int, int] = {}
         for row in it:
-            by_shard.setdefault(int(row["_shard"]), []).append(
-                (row["k"], row["e"])
-            )
+            sh = int(row["_shard"])
+            # Arrow map columns may arrive as list-of-(k, v) pairs
+            # rather than dicts depending on the conversion path
+            e = row["e"] if isinstance(row["e"], dict) else dict(row["e"])
+            sizes[sh] = sizes.get(sh, 0) + sum(len(v) for v in e.values())
+            if sizes[sh] > max_shard_bytes:
+                raise ValueError(
+                    f"webdataset shard {sh} exceeds max_shard_bytes="
+                    f"{max_shard_bytes}: raise n_shards to about "
+                    f"corpus_bytes / {max_shard_bytes // 2} (or raise "
+                    "max_shard_bytes if the executors have the memory)"
+                )
+            by_shard.setdefault(sh, []).append((row["k"], e))
         n = 0
-        for sh, rows in by_shard.items():
+        for sh, rows in sorted(by_shard.items()):
             rows.sort(key=lambda r: r[0])
-            members = []
-            for k, exts in rows:
-                # Arrow map columns may arrive as list-of-(k, v) pairs
-                # rather than dicts depending on the conversion path
-                e = exts if isinstance(exts, dict) else dict(exts)
-                for ext in sorted(e):
-                    members.append((f"{k}.{ext}", bytes(e[ext])))
-                n += 1
-            data = tar_encode(members, gz=gz)
-            fn = os.path.join(path, f"shard-{sh:05d}.tar" + (".gz" if gz else ""))
-            with open(fn, "wb") as f:
-                f.write(data)
+            members = [
+                (f"{k}.{ext}", bytes(e[ext]))
+                for k, e in rows
+                for ext in sorted(e)
+            ]
+            final = f"{tbase.rstrip('/')}/shard-{sh:05d}.tar" + (
+                ".gz" if gz else ""
+            )
+            tmp = f"{final}.inprogress-{attempt}"
+            with tfs.open_output_stream(tmp) as out:
+                _tar_stream(members, out, gz)
+            tfs.move(tmp, final)
+            n += len(rows)
         yield pd.DataFrame({"n": [n]})
 
     out = sharded.mapInPandas(

@@ -239,12 +239,19 @@ def webdataset_sink(
     exts_col: str = "exts",
     n_shards: int = 32,
     gz: bool = False,
+    max_shard_bytes: int = 1 << 30,
 ):
     """Write (sample_key, ext → bytes) rows as WebDataset tar shards —
     the format training loaders stream. Deterministic layout: sample →
     shard pmod(xxhash64(key), n_shards), key-ordered within the shard,
-    one shuffle total (functions/webdataset.write_webdataset)."""
+    one shuffle total. Cluster-grade: tasks write via pyarrow.fs
+    (local / file:// / hdfs:// / s3://) with temp + rename commit; the
+    max_shard_bytes guard refuses oversized shards with an n_shards
+    sizing rule instead of OOMing (functions/webdataset.
+    write_webdataset)."""
     from ..functions.webdataset import write_webdataset
 
-    n = write_webdataset(df, path, key_col, exts_col, n_shards, gz)
+    n = write_webdataset(
+        df, path, key_col, exts_col, n_shards, gz, max_shard_bytes
+    )
     print(f"webdataset: wrote {n} samples to {path}", file=sys.stderr)

@@ -152,6 +152,56 @@ class TestWriteSide:
             b = open(os.path.join(out2, f), "rb").read()
             assert a == b, f
 
+    def test_write_through_fs_uri(self, spark, tmp_path):
+        """r12 verdict #4: the write path goes through pyarrow.fs, so
+        a non-local-style file: URI lands byte-identically to the
+        plain-path write, with no .inprogress temp left behind."""
+        import os
+
+        from nekton_spark.functions.webdataset import write_webdataset
+
+        rows = [
+            (f"k{i:03d}", {"txt": bytearray(f"cap {i}".encode())})
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "sample_key string, exts map<string, binary>"
+        )
+        plain = str(tmp_path / "plain")
+        uri_dir = tmp_path / "via_uri"
+        n1 = write_webdataset(df, plain, n_shards=3)
+        n2 = write_webdataset(df, f"file://{uri_dir}", n_shards=3)
+        assert n1 == n2 == 20
+        files = sorted(os.listdir(plain))
+        assert files == sorted(os.listdir(uri_dir))
+        assert not any(".inprogress" in f for f in os.listdir(uri_dir))
+        for f in files:
+            assert (
+                open(os.path.join(plain, f), "rb").read()
+                == open(os.path.join(uri_dir, f), "rb").read()
+            )
+
+    def test_max_shard_bytes_guard(self, spark, tmp_path):
+        """The per-shard memory guard refuses BEFORE writing, naming
+        the n_shards sizing rule."""
+        from nekton_spark.functions.webdataset import write_webdataset
+
+        rows = [
+            (f"k{i}", {"bin": bytearray(b"x" * 4096)}) for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            rows, "sample_key string, exts map<string, binary>"
+        )
+        with pytest.raises(Exception, match="raise n_shards"):
+            write_webdataset(
+                df, str(tmp_path / "guard"), n_shards=1,
+                max_shard_bytes=8192,
+            )
+        # and a compliant sizing succeeds
+        assert write_webdataset(
+            df, str(tmp_path / "ok"), n_shards=8, max_shard_bytes=1 << 20
+        ) == 8
+
     def test_sink_registry(self, spark, tmp_path):
         from nekton_spark.registry import SINKS
 
