@@ -103,6 +103,7 @@ def image_near_dup_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    salt_tile: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs ``(id_a, id_b, hamming)`` over decoded
     frames — the simhash_near_dup_pairs plan on the dHash. Exact
@@ -113,12 +114,28 @@ def image_near_dup_pairs(
     Hot buckets: N byte-identical images share every band key, so the
     TRUE pair set — and therefore the output — is quadratic in N;
     that is pair semantics, not a plan defect (same exposure as the
-    text-side simhash pairs; rehearsed: a 6 000-image clique inside a
-    20 000-image corpus completes bounded). The right pipeline order
-    removes exact duplicates (hash-groupBy on the payload) BEFORE
-    perceptual pairing; set ``max_bucket`` to REFUSE — engine policy,
-    rather than silently materialize N²/2 rows — when any (band, key)
-    bucket exceeds it."""
+    text-side simhash pairs). The right pipeline order removes exact
+    duplicates (hash-groupBy on the payload) BEFORE perceptual
+    pairing; two knobs govern what happens when a corpus arrives
+    dirty anyway:
+
+    - ``max_bucket`` — REFUSE (engine policy, rather than silently
+      materialize N²/2 rows) when any (band, key) bucket exceeds it;
+    - ``salt_tile`` (r13, the embedding_near_dup tile salt ported to
+      the equi-join plan) — opt INTO completion with the quadratic
+      work SPREAD across the cluster instead of one straggler task:
+      rows in a bucket larger than ``salt_tile`` get a deterministic
+      tile t = pmod(xxhash64(id), ceil(bucket/tile)) and are
+      replicated once per tile u into subgroup (band, key,
+      least(t, u), greatest(t, u)); the join keys on the subgroup and
+      a side-consistency predicate makes every unordered pair meet in
+      EXACTLY one subgroup per shared band, so the pair set is
+      IDENTICAL to the unsalted plan (pinned by test) while a c-row
+      clique becomes ~(c/tile)²/2 independent join tasks. Buckets ≤
+      ``salt_tile`` (the overwhelming mass) take the nt=1 fast path:
+      zero replication, the same join as the unsalted plan.
+      Replication volume is nt× rows for oversized buckets only —
+      the same O(c²/tile) order their pair output already pays."""
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_hamming > bands - 1:
@@ -128,6 +145,8 @@ def image_near_dup_pairs(
         )
     if max_bucket is not None and max_bucket < 2:
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    if salt_tile is not None and salt_tile < 2:
+        raise ValueError(f"salt_tile must be >= 2, got {salt_tile}")
     r = 64 // bands
     mask = (1 << r) - 1
     base = image_dhash(df, pixels_col, h_col, w_col).select(
@@ -164,14 +183,69 @@ def image_near_dup_pairs(
                 "quadratic — run exact payload dedup first, or raise "
                 "max_bucket deliberately"
             )
-    left, right = banded.alias("l"), banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+    join_keys = [
+        F.col("l.band") == F.col("r.band"),
+        F.col("l.key") == F.col("r.key"),
+    ]
+    if salt_tile is not None:
+        # bucket census is tiny (oversized buckets only); AQE sees it
+        # at the stage boundary and broadcasts the left join below
+        banded = banded.transform(materialize)
+        big = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("bucket_n"))
+            .filter(F.col("bucket_n") > salt_tile)
         )
+        banded = (
+            banded.join(big, ["band", "key"], "left")
+            .withColumn(
+                "nt",
+                F.ceil(
+                    F.coalesce(F.col("bucket_n"), F.lit(1)) / salt_tile
+                ).cast("int"),
+            )
+            .withColumn("t", F.pmod(F.xxhash64("id"), F.col("nt")).cast("int"))
+            .select(
+                "id",
+                "dh",
+                "band",
+                "key",
+                "t",
+                F.explode(F.sequence(F.lit(0), F.col("nt") - 1)).alias("u"),
+            )
+            .select(
+                "id",
+                "dh",
+                "band",
+                "key",
+                "t",
+                F.least("t", "u").alias("ti"),
+                F.greatest("t", "u").alias("tj"),
+            )
+        )
+        # subgroup key spreads the quadratic bucket over ~nt²/2 join
+        # partitions; the side-consistency predicate makes each
+        # unordered pair meet exactly ONCE per shared band (tiles
+        # (ta, tb) only in subgroup (min, max) with the matching
+        # orientation; ta == tb only in the diagonal subgroup)
+        join_keys += [
+            F.col("l.ti") == F.col("r.ti"),
+            F.col("l.tj") == F.col("r.tj"),
+            (
+                (F.col("l.t") == F.col("l.ti"))
+                & (F.col("r.t") == F.col("l.tj"))
+            )
+            | (
+                (F.col("l.t") == F.col("l.tj"))
+                & (F.col("r.t") == F.col("l.ti"))
+            ),
+        ]
+    left, right = banded.alias("l"), banded.alias("r")
+    cond = join_keys[0] & (F.col("l.id") < F.col("r.id"))
+    for k in join_keys[1:]:
+        cond = cond & k
+    cand = (
+        left.join(right, cond)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),

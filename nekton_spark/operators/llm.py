@@ -949,13 +949,20 @@ def image_near_dup_processor(
     id_col: str = "doc_id",
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
+    salt_tile: int | None = None,
 ) -> DataFrame:
     """Image near-dup pairs over decoded frames: banded dHash
     self-join + popcount verify; exact recall for max_hamming <=
-    bands-1."""
+    bands-1. ``max_bucket`` refuses hot cliques; ``salt_tile`` (r13)
+    opts into completing them with the quadratic work tile-spread
+    across the cluster, output unchanged."""
     from ..functions.imagehash import image_near_dup_pairs
 
-    return image_near_dup_pairs(df, id_col=id_col, bands=bands, max_hamming=max_hamming)
+    return image_near_dup_pairs(
+        df, id_col=id_col, bands=bands, max_hamming=max_hamming,
+        max_bucket=max_bucket, salt_tile=salt_tile,
+    )
 
 
 @register_processor("decode_body_text")
