@@ -2076,6 +2076,27 @@ def image_dhash_check(spark, sf):
     return image_dhash(synth_gray_frames(d)).select("doc_id", "dhash")
 
 
+def image_auto_orient_check(spark, sf):
+    """EXIF orientation normalization (imagehash.auto_orient, r13 —
+    r12 verdict #8): stored pixels carry the INVERSE display transform
+    for orientation (1, 3, 6, 8)[key % 4]; auto_orient rotates/flips
+    them upright (swapping dims for 6/8), so image_dhash must land on
+    the SAME closed-form hash for every orientation — camera-rotated
+    re-shoots become Hamming-0 dedup pairs. Map-only Arrow passes, no
+    shuffle; the oracle replays the upright dHash bit by bit."""
+    from nekton_spark.functions.imagehash import (
+        auto_orient,
+        image_dhash,
+        synth_oriented_frames,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = image_dhash(auto_orient(synth_oriented_frames(d)))
+    return out.select(
+        "doc_id", "orientation", "dec_height", "dec_width", "dhash"
+    )
+
+
 def image_near_dup_check(spark, sf):
     """Image near-dup mining (imagehash.image_near_dup_pairs): the
     simhash banding plan on the dHash — 4×16-bit bands, one banded
@@ -3319,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_frame_sample": gif_frame_sample_check,
         "bmp_decode": bmp_decode_check,
         "image_dhash": image_dhash_check,
+        "image_auto_orient": image_auto_orient_check,
         "image_near_dup": image_near_dup_check,
         "decode_coverage": decode_coverage_check,
         "common_passages": common_passages_check,
@@ -6755,6 +6777,31 @@ h AS (
       (a, c) -> a + c) AS hh
   FROM p)
 SELECT doc_id,
+       (CASE WHEN hh >= 9223372036854775808::HUGEINT
+             THEN hh - 18446744073709551616::HUGEINT
+             ELSE hh END)::BIGINT AS dhash
+FROM h
+""",
+        # image_auto_orient (r13): after normalization every
+        # orientation leg must land on the UPRIGHT base-pattern hash
+        # (q = doc_id, no odd variant) with upright 8x9 dims
+        "image_auto_orient": """
+WITH h AS (
+  SELECT doc_id,
+    list_reduce(list_transform(range(0, 64), b ->
+      CASE WHEN
+        ((doc_id*131 + (b // 8)*17 + (b % 8)*23
+          + (doc_id*(b // 8 + 1)*(b % 8 + 1)) % 97) % 251)
+        > ((doc_id*131 + (b // 8)*17 + (b % 8 + 1)*23
+            + (doc_id*(b // 8 + 1)*(b % 8 + 2)) % 97) % 251)
+      THEN (1::HUGEINT << b) ELSE 0::HUGEINT END),
+      (a, c) -> a + c) AS hh
+  FROM documents)
+SELECT doc_id,
+       (CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 6
+             ELSE 8 END)::INT AS orientation,
+       8::INT AS dec_height,
+       9::INT AS dec_width,
        (CASE WHEN hh >= 9223372036854775808::HUGEINT
              THEN hh - 18446744073709551616::HUGEINT
              ELSE hh END)::BIGINT AS dhash

@@ -261,6 +261,134 @@ def image_near_dup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def orient_pixels(a: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Apply the EXIF orientation's DISPLAY transform (TIFF/EP tag
+    274): stored pixels → upright pixels. 1/None = identity, 2 =
+    mirror, 3 = rotate 180, 4 = vertical flip, 5 = transpose, 6 =
+    rotate 90 CW, 7 = transverse, 8 = rotate 90 CCW. Works on
+    (h, w[, ch]) arrays; 5–8 swap the output dims."""
+    o = 1 if orientation is None else int(orientation)
+    if o == 1:
+        return a
+    if o == 2:
+        return a[:, ::-1]
+    if o == 3:
+        return a[::-1, ::-1]
+    if o == 4:
+        return a[::-1, :]
+    if o == 5:
+        return np.swapaxes(a, 0, 1)
+    if o == 6:
+        return np.rot90(a, k=-1, axes=(0, 1))
+    if o == 7:
+        return np.rot90(a, k=-1, axes=(0, 1))[:, ::-1]
+    if o == 8:
+        return np.rot90(a, k=1, axes=(0, 1))
+    raise ValueError(f"EXIF orientation {o} out of range 1..8")
+
+
+def auto_orient(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    h_col: str = "dec_height",
+    w_col: str = "dec_width",
+    orient_col: str = "orientation",
+) -> DataFrame:
+    """Rotate/flip decoded pixels upright per the row's EXIF
+    orientation (r12 verdict #8): camera-rotated re-shoots of the same
+    picture hash to the SAME dHash once normalized, so image dedup is
+    robust to orientation metadata. NULL orientation = 1 (upright).
+    One Arrow pass, map-only; rewrites pixels and swaps the dims for
+    orientations 5–8. Compose decode_media → exif_extract →
+    auto_orient → image_dhash."""
+    out_schema = T.StructType(
+        [
+            f
+            if f.name not in (pixels_col, h_col, w_col)
+            else T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            px, hh, ww = [], [], []
+            for p, h, w, o in zip(
+                pdf[pixels_col], pdf[h_col], pdf[w_col], pdf[orient_col]
+            ):
+                a = np.asarray(p, dtype=np.int64)
+                ch = len(a) // (int(h) * int(w))
+                a = a.reshape(int(h), int(w), ch)
+                u = orient_pixels(a, None if pd.isna(o) else int(o))
+                px.append(u.ravel().tolist())
+                hh.append(u.shape[0])
+                ww.append(u.shape[1])
+            yield pdf.assign(**{pixels_col: px, h_col: hh, w_col: ww})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_oriented_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Driver-row synth for orientation normalization: the UPRIGHT
+    image is synth_gray_frames' even-doc base pattern (8×9); the
+    STORED pixels are that image passed through the INVERSE of the
+    display transform for orientation (1, 3, 6, 8)[key % 4], tagged
+    with that orientation — so auto_orient must land every row back on
+    the same upright pixels and image_dhash on the same closed-form
+    hash the image_dhash oracle already replays."""
+
+    def _inverse(o: int, a: np.ndarray) -> np.ndarray:
+        if o == 1:
+            return a
+        if o == 3:
+            return a[::-1, ::-1]
+        if o == 6:  # display rotates 90 CW → store rotated 90 CCW
+            return np.rot90(a, k=1, axes=(0, 1))
+        if o == 8:
+            return np.rot90(a, k=-1, axes=(0, 1))
+        raise AssertionError(o)
+
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("pixels", T.ArrayType(T.LongType()), True),
+            T.StructField("dec_height", T.IntegerType(), True),
+            T.StructField("dec_width", T.IntegerType(), True),
+        ]
+    )
+
+    def run(batches):
+        def one(key: int):
+            q = key
+            yy, xx = np.mgrid[0:_GRID_H, 0:_GRID_W]
+            base = (
+                q * 131 + yy * 17 + xx * 23 + (q * (yy + 1) * (xx + 1)) % 97
+            ) % 251
+            o = (1, 3, 6, 8)[key % 4]
+            stored = _inverse(o, base)
+            return (
+                o,
+                stored.ravel().tolist(),
+                stored.shape[0],
+                stored.shape[1],
+            )
+
+        for pdf in batches:
+            cols = [one(int(k)) for k in pdf[key_col]]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col],
+                    "orientation": [c[0] for c in cols],
+                    "pixels": [c[1] for c in cols],
+                    "dec_height": [c[2] for c in cols],
+                    "dec_width": [c[3] for c in cols],
+                }
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_gray_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Synthetic decoded-frame rows for the dHash driver rows: an
     8×9 single-channel image (identity downsample, so the oracle

@@ -943,6 +943,23 @@ def image_dhash_processor(
     return image_dhash(df, pixels_col, h_col, w_col)
 
 
+@register_processor("auto_orient")
+def auto_orient_processor(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    h_col: str = "dec_height",
+    w_col: str = "dec_width",
+    orient_col: str = "orientation",
+) -> DataFrame:
+    """Rotate/flip decoded pixels upright per EXIF orientation
+    (functions/imagehash.auto_orient, r13) — compose media_exif →
+    decode_media → auto_orient → image_dhash so camera-rotated
+    re-shoots dedup at Hamming 0. Map-only Arrow pass."""
+    from ..functions.imagehash import auto_orient
+
+    return auto_orient(df, pixels_col, h_col, w_col, orient_col)
+
+
 @register_processor("image_near_dup")
 def image_near_dup_processor(
     df: DataFrame,

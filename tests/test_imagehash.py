@@ -156,6 +156,94 @@ class TestSpark:
         assert vals[1] == vals[2]
         assert vals[1] == dhash64(pal[idx])
 
+    def test_orient_pixels_all_eight(self):
+        """Every EXIF orientation's display transform lands back on
+        the upright image when applied to the correspondingly stored
+        pixels (inverse round trip), and invalid values refuse."""
+        from nekton_spark.functions.imagehash import orient_pixels
+
+        rng = np.random.default_rng(7)
+        up = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+        inverses = {
+            1: lambda a: a,
+            2: lambda a: a[:, ::-1],
+            3: lambda a: a[::-1, ::-1],
+            4: lambda a: a[::-1, :],
+            5: lambda a: np.swapaxes(a, 0, 1),
+            6: lambda a: np.rot90(a, k=1, axes=(0, 1)),
+            7: lambda a: np.rot90(a[:, ::-1], k=1, axes=(0, 1)),
+            8: lambda a: np.rot90(a, k=-1, axes=(0, 1)),
+        }
+        for o, inv in inverses.items():
+            stored = inv(up)
+            assert (orient_pixels(stored, o) == up).all(), o
+        assert (orient_pixels(up, None) == up).all()
+        with pytest.raises(ValueError, match="orientation"):
+            orient_pixels(up, 9)
+
+    def test_auto_orient_rotated_pairs_hamming_zero(self, spark):
+        """r12 verdict #8 end-to-end: a real JPEG and its 90°-rotated
+        re-shoot tagged EXIF orientation 6 — media_exif → decode →
+        auto_orient → near-dup pairs lands the pair at Hamming 0;
+        without auto_orient the hashes differ."""
+        from nekton_spark.functions.exif import (
+            exif_encode_app1,
+            insert_app1,
+            media_exif,
+        )
+        from nekton_spark.functions.imagehash import (
+            auto_orient,
+            image_near_dup_pairs,
+        )
+        from nekton_spark.functions.jpeg import jpeg_encode_blocks
+        from nekton_spark.functions.multimodal import decode_image, pack_media
+
+        # upright: 2x3 blocks of distinct DCs. Orientation 6 means the
+        # stored image needs a 90° CW rotation to display — i.e. it
+        # was STORED rotated 90° CCW: np.rot90(grid, k=1)
+        # (block-constant, so the DC-only codec reproduces the
+        # rotation exactly)
+        grid = np.array([[10, -20, 30], [-40, 50, -60]])
+        up = jpeg_encode_blocks([int(v) for v in grid.ravel()], 3, 24, 16)
+        rot = np.rot90(grid, k=1)
+        rj = jpeg_encode_blocks([int(v) for v in rot.ravel()], 2, 16, 24)
+        rj = insert_app1(rj, exif_encode_app1(orientation=6))
+        rows = [
+            (1, bytearray(up), "image/jpeg"),
+            (2, bytearray(rj), "image/jpeg"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, mime string"
+        ).select(
+            "doc_id",
+            pack_media(F.col("payload"), F.col("mime")).alias("media"),
+        )
+        dec = decode_image(media_exif(df))
+        pairs = image_near_dup_pairs(auto_orient(dec)).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+        # control: without normalization the rotated hash differs
+        assert image_near_dup_pairs(dec).count() == 0
+
+    def test_synth_oriented_frames_oracle_shape(self, spark):
+        """auto_orient over the driver-row synth lands every
+        orientation leg on the upright base pattern."""
+        from nekton_spark.functions.imagehash import (
+            auto_orient,
+            image_dhash,
+            synth_oriented_frames,
+        )
+
+        d = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+        out = image_dhash(auto_orient(synth_oriented_frames(d))).collect()
+        for r in out:
+            assert (r.dec_height, r.dec_width) == (8, 9)
+            q = r.doc_id
+            yy, xx = np.mgrid[0:8, 0:9]
+            base = (
+                q * 131 + yy * 17 + xx * 23 + (q * (yy + 1) * (xx + 1)) % 97
+            ) % 251
+            assert r.dhash == dhash64(base)
+
     def test_processor_registry(self, spark):
         from nekton_spark.registry import PROCESSORS
 

@@ -479,6 +479,7 @@ PLAN_BUDGET = {
     "bmp_decode": (2, 0),
     "wav_g711_features": (2, 0),
     "image_dhash": (1, 0),
+    "image_auto_orient": (3, 0),  # synth + orient + dhash, 0-shuffle
     "image_near_dup": (0, 1),  # hash behind materialize; banded join only
     "url_normalize_check": (0, 0),  # pure codegen, no Python at all
     "domain_rollup_urls": (0, 2),  # exact countDistinct = two-phase agg

@@ -71,6 +71,8 @@ DOC_QUERIES = [
     "gif_decode", "gif_frame_sample", "bmp_decode",
     "wav_g711_features", "image_dhash", "image_near_dup",
     "exif_scrub", "robots_eval",
+    # r13: ingest coverage telemetry + EXIF orientation normalization
+    "crawl_coverage", "image_auto_orient",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
