@@ -2631,6 +2631,26 @@ def warc_extract_row(spark, sf):
     )
 
 
+def pdf_extract_check(spark, sf):
+    """PDF text extraction (functions/pdf.py, r13 — ISO 32000 subset,
+    the crawl's other big document format): genuine PDFs cycling Flate
+    + WinAnsi Tj lines / plain Identity-H hex strings carrying the raw
+    document text / two-page object-stream layout / kerned TJ arrays
+    with an /Info title. The engine scans the object index, inflates
+    streams (PNG predictors ready), walks the page tree and replays
+    the BT/ET text operators through the font decoders; the oracle
+    replays every page's text closed-form. One row per page, map-only
+    Arrow pass, no shuffle."""
+    from nekton_spark.functions.pdf import pdf_extract, synth_pdf_media
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = pdf_extract(synth_pdf_media(d).drop("text"), "pdf")
+    return out.select(
+        "doc_id", "page_no", "n_pages", "title",
+        F.col("text").alias("extracted"), "refusal",
+    )
+
+
 def crawl_coverage_check(spark, sf):
     """Crawl-ingest coverage telemetry (functions/warc.py:
     crawl_coverage — r12 verdict #7, the front-end mirror of
@@ -3393,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_envelope_features": wav_envelope_features,
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
+        "pdf_extract": pdf_extract_check,
         "crawl_coverage": crawl_coverage_check,
         "charset_decode": charset_decode_check,
         "html_meta": html_meta_check,
@@ -7157,6 +7178,29 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # pdf_extract (r13): per-page text is a pure function of
+        # (doc_id, text) by construction of synth_pdf_media; the
+        # chr(10) join replays the Td line model
+        "pdf_extract": """
+WITH legs AS (
+  SELECT doc_id, doc_id % 4 AS leg, coalesce(text, '') AS t
+  FROM documents),
+pages AS (
+  SELECT doc_id, leg, t,
+         unnest(CASE WHEN leg = 2 THEN [0, 1] ELSE [0] END) AS page_no
+  FROM legs)
+SELECT doc_id,
+       page_no::INT AS page_no,
+       (CASE WHEN leg = 2 THEN 2 ELSE 1 END)::INT AS n_pages,
+       CASE WHEN leg = 3 THEN 'T' || (doc_id % 7) END AS title,
+       CASE leg
+            WHEN 0 THEN 'Doc ' || doc_id || chr(10) || 'line ' || doc_id
+            WHEN 1 THEN 't ' || doc_id || chr(10) || t
+            WHEN 2 THEN 'pg ' || page_no || ' of ' || doc_id
+            ELSE 'café ' || doc_id END AS extracted,
+       NULL::VARCHAR AS refusal
+FROM pages
 """,
         # crawl_coverage (r13): synth_warc_hostile makes every
         # (stage, status, reason) a pure function of doc_id % 6 — the

@@ -909,6 +909,23 @@ def warc_records_processor(
     return warc_records(df, payload_col)
 
 
+@register_processor("pdf_extract")
+def pdf_extract_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """PDF → one row per page of extracted text + metadata
+    (functions/pdf.py, r13 — ISO 32000 subset; per-row reason-coded
+    refusal, never mojibake). ``media: true`` reads the payload out of
+    the media struct the media_files source produces."""
+    from ..functions.pdf import pdf_extract
+
+    if media:
+        df = df.withColumn("_pdf_payload", F.col("media.payload"))
+        keep = [c for c in df.columns if c not in ("media", "_pdf_payload")]
+        return pdf_extract(df, "_pdf_payload", keep_cols=keep)
+    return pdf_extract(df, payload_col)
+
+
 @register_processor("crawl_coverage")
 def crawl_coverage_processor(
     df: DataFrame, payload_col: str = "warc", media: bool = False

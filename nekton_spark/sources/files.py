@@ -89,6 +89,7 @@ _MEDIA_MIME_BY_EXT = {
     "bmp": "image/bmp",
     "warc": "application/warc",
     "tar": "application/x-tar",
+    "pdf": "application/pdf",
     "wav": "audio/wav",
     "avi": "video/avi",
 }

@@ -1,0 +1,162 @@
+"""PDF text extraction (functions/pdf.py, ISO 32000 subset): lexer /
+filter / page-tree / text-operator round trips across the fixture
+envelope, refusal contracts, per-row isolation, and the Spark
+surfaces. The driver row pdf_extract carries the closed-form oracle."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nekton_spark.functions.pdf import (
+    _Lexer,
+    pdf_encode,
+    pdf_extract,
+    pdf_info,
+    pdf_page_texts,
+    synth_pdf_media,
+)
+
+
+class TestLexer:
+    def test_objects(self):
+        lx = _Lexer(b"<< /A 1 /B [2 3.5 (s) /N] /C 4 0 R /D <414243> >>")
+        d = lx.read_object()
+        assert d["A"] == 1
+        assert d["B"][:2] == [2, 3.5]
+        assert d["B"][2] == b"s" and str(d["B"][3]) == "N"
+        assert d["C"].num == 4
+        assert d["D"] == b"ABC"
+
+    def test_literal_string_escapes(self):
+        lx = _Lexer(rb"(a\(b\)c \\ \n \101 (nested) end)")
+        assert lx.read_object() == b"a(b)c \\ \n A (nested) end"
+
+    def test_name_hex_escape(self):
+        lx = _Lexer(b"/Adobe#20Green")
+        assert str(lx.read_object()) == "Adobe Green"
+
+    def test_hex_string_odd_digit_pads(self):
+        lx = _Lexer(b"<41424>")
+        assert lx.read_object() == b"AB@"
+
+
+class TestRoundTrip:
+    def test_winansi_flate(self):
+        p = pdf_encode([["Doc 5", "line 5 0", "café naïve"]], title="T5")
+        assert pdf_page_texts(p) == ["Doc 5\nline 5 0\ncafé naïve"]
+        assert pdf_info(p) == {"n_pages": 1, "title": "T5"}
+
+    def test_unicode_identity_h(self):
+        txt = "привет мир 🙂 日本語 \t tab"
+        p = pdf_encode([["t 7", txt]], flate=False, unicode_font=True)
+        assert pdf_page_texts(p) == ["t 7\n" + txt]
+
+    def test_multi_page_objstm(self):
+        p = pdf_encode(
+            [["pg 0"], ["pg 1"], ["pg 2"]], unicode_font=True, objstm=True
+        )
+        assert pdf_page_texts(p) == ["pg 0", "pg 1", "pg 2"]
+        assert pdf_info(p)["n_pages"] == 3
+
+    def test_tj_kerned_arrays(self):
+        p = pdf_encode([["Doc 9", "line ab"]], tj_split=True)
+        assert pdf_page_texts(p) == ["Doc 9\nline ab"]
+
+    def test_empty_line_and_empty_page(self):
+        p = pdf_encode([["", "x"], []], unicode_font=True)
+        assert pdf_page_texts(p) == ["\nx", ""]
+
+
+class TestRefusals:
+    def test_not_a_pdf(self):
+        with pytest.raises(ValueError, match="PDF"):
+            pdf_page_texts(b"not a pdf at all")
+
+    def test_encrypted_refuses(self):
+        p = pdf_encode([["x"]])
+        bad = p.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+        with pytest.raises(NotImplementedError, match="encrypted"):
+            pdf_page_texts(bad)
+
+    def test_unsupported_filter_refuses(self):
+        p = pdf_encode([["x"]])
+        bad = p.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+        with pytest.raises(NotImplementedError, match="LZWDecode"):
+            pdf_page_texts(bad)
+
+    def test_corrupt_flate_refuses(self):
+        p = bytearray(pdf_encode([["hello corrupt flate"]]))
+        i = p.index(b"stream\n") + 7
+        p[i : i + 4] = b"\x00\x00\x00\x00"
+        with pytest.raises(ValueError, match="flate|corrupt"):
+            pdf_page_texts(bytes(p))
+
+    def test_missing_page_tree_refuses(self):
+        b = b"%PDF-1.5\n1 0 obj\n<< /X 1 >>\nendobj\ntrailer\n<< /Size 2 >>\n%%EOF"
+        with pytest.raises(ValueError, match="Catalog|no_page_tree"):
+            pdf_page_texts(b)
+
+    def test_obj_pattern_inside_stream_ignored(self):
+        """'N G obj' bytes inside compressed data must not shadow real
+        objects (the covered_end guard)."""
+        # craft content whose DEFLATE bytes are irrelevant — instead
+        # plant the pattern in an UNCOMPRESSED content stream
+        p = pdf_encode([["A 1 0 obj B", "second"]], flate=False)
+        assert pdf_page_texts(p) == ["A 1 0 obj B\nsecond"]
+
+
+class TestSpark:
+    def test_pdf_extract_rows(self, spark):
+        d = spark.createDataFrame(
+            [(k, f"text {k}") for k in range(8)], "doc_id long, text string"
+        )
+        out = pdf_extract(synth_pdf_media(d).drop("text"), "pdf").collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.doc_id, []).append(r)
+        for k in range(8):
+            rows = sorted(by_key[k], key=lambda r: r.page_no)
+            leg = k % 4
+            assert len(rows) == (2 if leg == 2 else 1)
+            assert all(r.refusal is None for r in rows)
+            if leg == 0:
+                assert rows[0].text == f"Doc {k}\nline {k}"
+            elif leg == 1:
+                assert rows[0].text == f"t {k}\ntext {k}"
+            elif leg == 2:
+                assert [r.text for r in rows] == [
+                    f"pg 0 of {k}", f"pg 1 of {k}",
+                ]
+                assert rows[0].n_pages == 2
+            else:
+                assert rows[0].text == f"café {k}"
+                assert rows[0].title == f"T{k % 7}"
+
+    def test_per_row_isolation(self, spark):
+        """One refusing PDF among good ones emits a reason-coded row
+        instead of failing the task."""
+        good = pdf_encode([["fine"]])
+        enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+        rows = [
+            (1, bytearray(good)),
+            (2, bytearray(enc)),
+            (3, bytearray(b"junk")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {r.doc_id: r for r in pdf_extract(df).collect()}
+        assert got[1].text == "fine" and got[1].refusal is None
+        assert got[2].text is None and got[2].refusal == "encrypted"
+        assert got[3].refusal == "bad_signature"
+
+    def test_processor_and_media_source_ext(self, spark, tmp_path):
+        from nekton_spark.registry import PROCESSORS
+        from nekton_spark.sources.files import media_files_source
+
+        p = tmp_path / "docs"
+        p.mkdir()
+        (p / "a.pdf").write_bytes(pdf_encode([["from file"]]))
+        media = media_files_source(spark, str(p))
+        assert media.first().media.mime == "application/pdf"
+        out = PROCESSORS["pdf_extract"](media, media=True).collect()
+        assert out[0].text == "from file"

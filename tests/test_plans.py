@@ -473,6 +473,7 @@ PLAN_BUDGET = {
     # hostile synth + record explode + charset decode; ONE bounded
     # rollup shuffle (≤ |reason codes| rows)
     "crawl_coverage": (3, 1),
+    "pdf_extract": (2, 0),  # synth + page explode, 0-shuffle
     "charset_decode": (2, 0),
     "gif_decode": (2, 0),
     "gif_frame_sample": (2, 0),

@@ -72,7 +72,8 @@ DOC_QUERIES = [
     "wav_g711_features", "image_dhash", "image_near_dup",
     "exif_scrub", "robots_eval",
     # r13: ingest coverage telemetry + EXIF orientation normalization
-    "crawl_coverage", "image_auto_orient",
+    # + PDF extraction
+    "crawl_coverage", "image_auto_orient", "pdf_extract",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
