@@ -2631,6 +2631,23 @@ def warc_extract_row(spark, sf):
     )
 
 
+def html_markdown_check(spark, sf):
+    """Structure-preserving HTML → Markdown (html.html_to_markdown,
+    r13): the synth page exercises every rule — h2 heading, paragraph
+    carrying the entity-escaped document text with bold + link,
+    unordered and ORDERED list items, a raw <pre> fence (whitespace
+    preserved), a blockquote. The oracle rebuilds the exact Markdown
+    closed-form from (doc_id, text). Map-only, one Arrow crossing."""
+    from nekton_spark.functions.html import (
+        html_to_markdown,
+        synth_html_markdown,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = html_to_markdown(synth_html_markdown(d))
+    return out.select("doc_id", "markdown")
+
+
 def pdf_extract_check(spark, sf):
     """PDF text extraction (functions/pdf.py, r13 — ISO 32000 subset,
     the crawl's other big document format): genuine PDFs cycling Flate
@@ -3423,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
+        "html_markdown": html_markdown_check,
         "html_main_text": html_main_text_row,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
@@ -7177,6 +7195,28 @@ SELECT doc_id,
             ELSE 'T' || chr(10) || 'Doc & ' || doc_id || chr(10) || nt
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
+FROM n
+""",
+        # html_markdown (r13): the synth page's Markdown is a closed
+        # form of (doc_id, text); the engine must drop the script,
+        # decode entities, wrap inline elements and keep the <pre>
+        # fence RAW (double space preserved) for the hash to match
+        "html_markdown": """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id,
+  '## Doc ' || doc_id || chr(10) || chr(10)
+  || CASE WHEN nt = '' THEN '' ELSE nt || ' ' END
+  || 'has **bold ' || doc_id || '** and [a link](/l/' || (doc_id % 7) || ')'
+  || chr(10) || chr(10) || '- item zero'
+  || chr(10) || chr(10) || '- item ' || (doc_id % 5)
+  || chr(10) || chr(10) || '1. first'
+  || chr(10) || chr(10) || '2. second ' || doc_id
+  || chr(10) || chr(10) || '```' || chr(10) || 'raw  ' || doc_id
+  || chr(10) || 'code' || chr(10) || '```'
+  || chr(10) || chr(10) || '> quote ' || doc_id AS markdown
 FROM n
 """,
         # pdf_extract (r13): per-page text is a pure function of

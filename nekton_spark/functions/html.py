@@ -257,6 +257,238 @@ def synth_html(
     return df.withColumn(out_col, html)
 
 
+# ----------------------------------------------------------- markdown
+
+_MD_INLINE = {"b": "**", "strong": "**", "i": "*", "em": "*", "code": "`"}
+_MD_HEADINGS = {f"h{i}": i for i in range(1, 7)}
+
+
+def _parse_markdown(html: str) -> str:
+    """One document → Markdown (the structure-preserving extraction —
+    headings, lists, links, emphasis, code fences and blockquotes
+    survive into the training text instead of flattening away).
+    Documented deterministic contract, replayed by the driver row's
+    oracle:
+
+    - ``h1``–``h6`` → ``#``·n heading blocks; ``p``/``div``/other
+      block tags → paragraph blocks; blocks join with a blank line;
+    - ``ul``/``ol`` items → ``- `` / ``n. `` lines (2-space indent per
+      nesting level), one block per list item;
+    - ``blockquote`` content gets a ``> `` prefix;
+    - ``pre`` emits a fenced code block with its text RAW (no
+      whitespace collapse — the one exception);
+    - inline: ``**bold**``, ``*italic*``, ``​`code`​``,
+      ``[text](href)`` — inner whitespace of an inline element trims
+      into the wrapper; block text whitespace-collapses as in
+      :func:`html_extract`;
+    - script/style/noscript/template content and comments vanish.
+    """
+    from html.parser import HTMLParser
+
+    out_blocks: list[str] = []
+
+    class _M(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.drop = 0
+            self.pre = 0
+            self.quote = 0
+            self.lists: list[list[int]] = []  # [counter] per level; ul=-1
+            self.prefix = ""
+            # stack of (kind, href, parts) for open inline elements;
+            # bottom entry is the block buffer
+            self.stack: list[list] = [["block", None, []]]
+
+        # -- block assembly
+        def _emit(self, text: str) -> None:
+            if text:
+                out_blocks.append(text)
+
+        def _flush(self) -> None:
+            # collapse any inline elements left open at a block edge
+            while len(self.stack) > 1:
+                self._close_inline()
+            parts = self.stack[0][2]
+            self.stack[0][2] = []
+            if self.pre:
+                text = "".join(p for p in parts if p is not None)
+            else:
+                # None markers (from <br>) become markdown hard
+                # breaks; each line collapses independently. An
+                # out-of-band marker — no in-band sentinel a hostile
+                # document could collide with.
+                segs: list[list[str]] = [[]]
+                for p in parts:
+                    if p is None:
+                        segs.append([])
+                    else:
+                        segs[-1].append(p)
+                lines = [" ".join("".join(s).split()) for s in segs]
+                text = "  \n".join(ln for ln in lines if ln)
+            if not text:
+                return
+            if self.pre:
+                self._emit("```\n" + text.strip("\n") + "\n```")
+            else:
+                pre = self.prefix
+                if self.quote:
+                    pre = "> " * self.quote + pre
+                self._emit(pre + text)
+            self.prefix = ""
+
+        # -- inline assembly
+        def _open_inline(self, kind: str, href: str | None = None) -> None:
+            self.stack.append([kind, href, []])
+
+        def _close_inline(self) -> None:
+            kind, href, parts = self.stack.pop()
+            inner = " ".join(
+                "".join(p for p in parts if p is not None).split()
+            )
+            if kind == "a":
+                wrapped = f"[{inner}]({href or ''})" if inner else ""
+            else:
+                mark = _MD_INLINE[kind]
+                wrapped = f"{mark}{inner}{mark}" if inner else ""
+            self.stack[-1][2].append(wrapped)
+
+        # -- parser events
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag in _DROP_CONTENT:
+                self.drop += 1
+                return
+            if self.drop:
+                return
+            if tag in _MD_HEADINGS:
+                self._flush()
+                self.prefix = "#" * _MD_HEADINGS[tag] + " "
+            elif tag == "pre":
+                self._flush()
+                self.pre += 1
+            elif tag == "blockquote":
+                self._flush()
+                self.quote += 1
+            elif tag in ("ul", "ol"):
+                self._flush()
+                self.lists.append([0 if tag == "ol" else -1])
+            elif tag == "li":
+                self._flush()
+                depth = max(len(self.lists) - 1, 0)
+                if self.lists and self.lists[-1][0] >= 0:
+                    self.lists[-1][0] += 1
+                    self.prefix = "  " * depth + f"{self.lists[-1][0]}. "
+                else:
+                    self.prefix = "  " * depth + "- "
+            elif tag in _MD_INLINE:
+                if not self.pre:
+                    self._open_inline(tag)
+            elif tag == "a":
+                if not self.pre:
+                    href = dict(attrs).get("href")
+                    self._open_inline("a", href)
+            elif tag == "br":
+                self.stack[-1][2].append("\n" if self.pre else None)
+            elif tag in _BLOCK or tag == "hr":
+                self._flush()
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag in _DROP_CONTENT:
+                self.drop = max(0, self.drop - 1)
+                return
+            if self.drop:
+                return
+            # markdown-specific containers FIRST — several are also in
+            # the generic _BLOCK set and must run their state pops
+            if tag == "pre":
+                self._flush()
+                self.pre = max(0, self.pre - 1)
+            elif tag == "blockquote":
+                self._flush()
+                self.quote = max(0, self.quote - 1)
+            elif tag in ("ul", "ol"):
+                self._flush()
+                if self.lists:
+                    self.lists.pop()
+            elif tag in _MD_HEADINGS or tag == "li" or tag in _BLOCK:
+                self._flush()
+            elif tag in _MD_INLINE or tag == "a":
+                if not self.pre and len(self.stack) > 1:
+                    self._close_inline()
+
+        def handle_startendtag(self, tag: str, attrs) -> None:
+            if tag == "br":
+                self.handle_starttag(tag, attrs)
+            elif tag in _DROP_CONTENT:
+                pass
+            else:
+                self.handle_starttag(tag, attrs)
+                self.handle_endtag(tag)
+
+        def handle_data(self, data: str) -> None:
+            if not self.drop:
+                self.stack[-1][2].append(data)
+
+    p = _M()
+    p.feed(html)
+    p.close()
+    p._flush()
+    return "\n\n".join(out_blocks)
+
+
+def html_to_markdown(
+    df: DataFrame, html_col: str = "html", out_col: str = "markdown"
+) -> DataFrame:
+    """Structure-preserving extraction: HTML → Markdown per the
+    :func:`_parse_markdown` contract. Flat text extraction
+    (:func:`html_extract`) loses headings/lists/code — the structure a
+    pretraining corpus increasingly keeps. One Arrow pass, map-only."""
+
+    @F.pandas_udf(T.StringType())
+    def _md(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if h is None else _parse_markdown(h) for h in s],
+            dtype="object",
+        )
+
+    return df.withColumn(out_col, _md(F.col(html_col)))
+
+
+def synth_html_markdown(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+    out_col: str = "html",
+) -> DataFrame:
+    """Deterministic page exercising every Markdown rule — heading,
+    paragraph with bold + link (document text rides the paragraph,
+    entity-escaped), ordered and unordered list items, a raw
+    ``<pre>`` fence, a blockquote — each a closed form of (key, text)
+    for the driver row's oracle."""
+    esc = F.col(text_col)
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    esc = F.coalesce(esc, F.lit(""))
+    key = F.col(key_col).cast("string")
+    html = F.concat(
+        F.lit("<html><head><script>no()</script></head><body><h2>Doc "),
+        key,
+        F.lit("</h2><p>"),
+        esc,
+        F.lit(" has <b>bold "),
+        key,
+        F.lit('</b> and <a href="/l/'),
+        (F.col(key_col) % 7).cast("string"),
+        F.lit('">a link</a></p><ul><li>item zero</li><li>item '),
+        (F.col(key_col) % 5).cast("string"),
+        F.lit("</li></ul><ol><li>first</li><li>second "),
+        key,
+        F.lit("</li></ol><pre>raw  "),
+        key,
+        F.lit("\ncode</pre><blockquote>quote "),
+        key,
+        F.lit("</blockquote></body></html>"),
+    )
+    return df.withColumn(out_col, html)
+
+
 def _parse_meta(html: str) -> tuple:
     """One pass for page-level curation metadata: title text, the
     ``<html lang>`` attribute, the canonical link href, and the

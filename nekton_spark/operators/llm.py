@@ -847,6 +847,20 @@ def html_extract_processor(
     return html_extract(df, html_col=html_col, text_col=text_col)
 
 
+@register_processor("html_to_markdown")
+def html_to_markdown_processor(
+    df: DataFrame, html_col: str = "html", out_col: str = "markdown"
+) -> DataFrame:
+    """Structure-preserving HTML → Markdown (functions/html.py, r13):
+    headings, lists, links, emphasis, code fences and blockquotes
+    survive into the training text instead of flattening away — the
+    extraction mode modern pretraining corpora keep. Map-only, one
+    Arrow crossing."""
+    from ..functions.html import html_to_markdown
+
+    return html_to_markdown(df, html_col=html_col, out_col=out_col)
+
+
 @register_processor("html_main_text")
 def html_main_text_processor(
     df: DataFrame,

@@ -161,3 +161,84 @@ class TestMeta:
             [(1, "<title>t</title>")], "doc_id long, html string"
         )
         assert PROCESSORS["html_meta"](df).first().title == "t"
+
+
+class TestMarkdown:
+    def test_rules(self):
+        from nekton_spark.functions.html import _parse_markdown
+
+        h = (
+            "<h1>Top</h1><h3>Sub</h3>"
+            "<p>plain <b>bold</b> <em>it</em> <code>c()</code> "
+            '<a href="/x">lnk</a></p>'
+            "<ul><li>a</li><li>b<ul><li>deep</li></ul></li></ul>"
+            "<ol><li>one</li><li>two</li></ol>"
+            "<pre>keep  raw\n  indent</pre>"
+            "<blockquote>q1</blockquote>"
+        )
+        assert _parse_markdown(h) == (
+            "# Top\n\n### Sub\n\n"
+            "plain **bold** *it* `c()` [lnk](/x)\n\n"
+            "- a\n\n- b\n\n  - deep\n\n"
+            "1. one\n\n2. two\n\n"
+            "```\nkeep  raw\n  indent\n```\n\n"
+            "> q1"
+        )
+
+    def test_br_hard_break_and_hostile_nul(self):
+        from nekton_spark.functions.html import _parse_markdown
+
+        assert _parse_markdown("<p>x<br>y</p>") == "x  \ny"
+        # a literal NUL in data is content, not a break marker
+        assert _parse_markdown("<p>a\x00b</p>") == "a\x00b"
+
+    def test_script_comments_vanish_entities_decode(self):
+        from nekton_spark.functions.html import _parse_markdown
+
+        h = "<script>no()</script><p>A &amp; B</p><!-- c -->"
+        assert _parse_markdown(h) == "A & B"
+
+    def test_empty_inline_emits_nothing(self):
+        from nekton_spark.functions.html import _parse_markdown
+
+        assert _parse_markdown("<p>x <b></b>y</p>") == "x y"
+        assert _parse_markdown('<p><a href="/z"></a>w</p>') == "w"
+
+    def test_unclosed_inline_at_block_edge(self):
+        from nekton_spark.functions.html import _parse_markdown
+
+        assert _parse_markdown("<p>a <b>bold</p><p>next</p>") == (
+            "a **bold**\n\nnext"
+        )
+
+    def test_nested_quote_prefix(self):
+        from nekton_spark.functions.html import _parse_markdown
+
+        assert _parse_markdown(
+            "<blockquote>outer<blockquote>inner</blockquote></blockquote>"
+        ) == "> outer\n\n> > inner"
+
+    def test_spark_surface_and_processor(self, spark):
+        from nekton_spark.functions.html import (
+            html_to_markdown,
+            synth_html_markdown,
+        )
+        from nekton_spark.registry import PROCESSORS
+
+        d = spark.createDataFrame(
+            [(3, "T  3"), (4, None)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.markdown
+            for r in html_to_markdown(synth_html_markdown(d)).collect()
+        }
+        assert got[3].startswith("## Doc 3\n\nT 3 has **bold 3** and ")
+        assert "[a link](/l/3)" in got[3]
+        assert "\n\n```\nraw  3\ncode\n```\n\n> quote 3" in got[3]
+        # NULL text follows the empty-document contract
+        assert got[4].startswith("## Doc 4\n\nhas **bold 4**")
+
+        df = spark.createDataFrame(
+            [(1, "<h1>t</h1>")], "doc_id long, html string"
+        )
+        assert PROCESSORS["html_to_markdown"](df).first().markdown == "# t"
