@@ -2648,6 +2648,26 @@ def html_markdown_check(spark, sf):
     return out.select("doc_id", "markdown")
 
 
+def sitemap_extract_check(spark, sf):
+    """Sitemap protocol parsing (functions/sitemap.py, r13 — the
+    robots.txt companion: the site's own crawl inventory): payloads
+    cycle XML urlset (entity-decoded loc, lastmod/changefreq/priority)
+    / the same urlset gzipped / a sitemapindex (kind='sitemap' for
+    recursion) / a plain-text sitemap. One row per entry, map-only
+    Arrow pass; the oracle replays every field closed-form."""
+    from nekton_spark.functions.sitemap import (
+        sitemap_entries,
+        synth_sitemap_media,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = sitemap_entries(synth_sitemap_media(d))
+    return out.select(
+        "doc_id", "kind", "loc", "lastmod", "changefreq", "priority",
+        "refusal",
+    )
+
+
 def pdf_extract_check(spark, sf):
     """PDF text extraction (functions/pdf.py, r13 — ISO 32000 subset,
     the crawl's other big document format): genuine PDFs cycling Flate
@@ -3431,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
         "pdf_extract": pdf_extract_check,
+        "sitemap_extract": sitemap_extract_check,
         "crawl_coverage": crawl_coverage_check,
         "charset_decode": charset_decode_check,
         "html_meta": html_meta_check,
@@ -7218,6 +7239,31 @@ SELECT doc_id,
   || chr(10) || 'code' || chr(10) || '```'
   || chr(10) || chr(10) || '> quote ' || doc_id AS markdown
 FROM n
+""",
+        # sitemap_extract (r13): every entry field is a closed form of
+        # (doc_id % 4, u); leg 1 is gzipped (3 urls — odd keys), the
+        # urlset locs carry an &amp; the engine must decode
+        "sitemap_extract": """
+WITH e AS (
+  SELECT doc_id, doc_id % 4 AS leg,
+         unnest(CASE WHEN doc_id % 4 = 1 THEN [0, 1, 2]
+                     ELSE [0, 1] END) AS u
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN leg = 2 THEN 'sitemap' ELSE 'url' END AS kind,
+  CASE WHEN leg IN (0, 1)
+       THEN 'https://s.example/p?a=1&k=' || doc_id || 'u' || u
+       WHEN leg = 2
+       THEN 'https://s.example/sm' || doc_id || '_' || u || '.xml'
+       ELSE 'https://s.example/t/' || doc_id || '/' || u END AS loc,
+  CASE WHEN leg IN (0, 1) THEN '2024-0' || (1 + (doc_id + u) % 9) || '-01'
+       WHEN leg = 2 THEN '2024-1' || u || '-05' END AS lastmod,
+  CASE WHEN leg IN (0, 1)
+       THEN ['daily', 'weekly', 'monthly'][((doc_id + u) % 3)::INT + 1]
+       END AS changefreq,
+  CASE WHEN leg IN (0, 1) THEN (doc_id % 10) / 10.0 END AS priority,
+  NULL::VARCHAR AS refusal
+FROM e
 """,
         # pdf_extract (r13): per-page text is a pure function of
         # (doc_id, text) by construction of synth_pdf_media; the

@@ -940,6 +940,24 @@ def pdf_extract_processor(
     return pdf_extract(df, payload_col)
 
 
+@register_processor("sitemap_entries")
+def sitemap_entries_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """Sitemap payloads → one row per entry (functions/sitemap.py,
+    r13): urlset urls / sitemapindex children (kind='sitemap') /
+    plain-text lines; gzip inflates bounded; refusals isolate per row
+    reason-coded. ``media: true`` reads the payload out of the media
+    struct."""
+    from ..functions.sitemap import sitemap_entries
+
+    if media:
+        df = df.withColumn("_sm_payload", F.col("media.payload"))
+        keep = [c for c in df.columns if c not in ("media", "_sm_payload")]
+        return sitemap_entries(df, "_sm_payload", keep_cols=keep)
+    return sitemap_entries(df, payload_col)
+
+
 @register_processor("crawl_coverage")
 def crawl_coverage_processor(
     df: DataFrame, payload_col: str = "warc", media: bool = False
