@@ -102,6 +102,25 @@ HEADLINE3 = [
     "wav_g711_features",
     "image_near_dup",
 ]
+# r13 NOTE (comparability): the list above is frozen, but
+# gif_frame_sample's SEMANTICS changed in r13 — synth keys %3 != 0 now
+# carry sub-canvas delta frames and run the real composition chain, so
+# its wall recalibrated 3.35 → ~4.6 s at sf0.1 BY DESIGN (see the
+# BASELINE.md r13 decade-rehearsal entry). Compare HEADLINE3 against
+# the r13 recalibration, not the r12 12.39 s.
+
+# FOURTH headline set, frozen at r13: the r13 ingest/extraction
+# families — PDF text extraction, structure-preserving Markdown,
+# sitemap inventory, ingest-coverage telemetry, EXIF orientation
+# normalization. Same contract: NEVER edit; reported as
+# value4/queries4 alongside.
+HEADLINE4 = [
+    "pdf_extract",
+    "html_markdown",
+    "sitemap_extract",
+    "crawl_coverage",
+    "image_auto_orient",
+]
 
 
 # pinned on the r7 session host at its quietest observed moment
@@ -593,6 +612,7 @@ def main() -> int:
     times, times_eval = run_set(HEADLINE)
     times2, times2_eval = run_set(HEADLINE2)
     times3, times3_eval = run_set(HEADLINE3)
+    times4, times4_eval = run_set(HEADLINE4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
@@ -629,6 +649,13 @@ def main() -> int:
         "value3_canary_normalized": round(sum(times3.values()) / factor, 3),
         "queries3_evaluated": times3_eval,
         "value3_evaluated": round(sum(times3_eval.values()), 3),
+        # fourth headline set (frozen r13): PDF / Markdown / sitemap /
+        # coverage / orientation families
+        "queries4": times4,
+        "value4": round(sum(times4.values()), 3),
+        "value4_canary_normalized": round(sum(times4.values()) / factor, 3),
+        "queries4_evaluated": times4_eval,
+        "value4_evaluated": round(sum(times4_eval.values()), 3),
     }
     try:
         out["streaming"] = _streaming_bench(spark)
