@@ -2648,6 +2648,28 @@ def html_markdown_check(spark, sf):
     return out.select("doc_id", "markdown")
 
 
+def docx_extract_check(spark, sf):
+    """DOCX extraction (functions/docx.py, r13 — ECMA-376
+    WordprocessingML over the stdlib zip reader): each document
+    becomes a genuine deterministic DOCX (3 paragraphs — heading, the
+    raw document text with tabs/newlines round-tripping through
+    <w:tab/>/<w:br/>, a trailer — plus a <dc:title> on key%3==0); the
+    engine unzips, scans <w:p>/<w:t>, decodes entities and joins
+    paragraphs. Every field is a closed form of (doc_id, text).
+    Map-only Arrow pass, no shuffle."""
+    from nekton_spark.functions.docx import docx_extract, synth_docx_media
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = docx_extract(synth_docx_media(d).drop("text"), "docx")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("extracted"),
+        "title",
+        "n_paragraphs",
+        "refusal",
+    )
+
+
 def sitemap_extract_check(spark, sf):
     """Sitemap protocol parsing (functions/sitemap.py, r13 — the
     robots.txt companion: the site's own crawl inventory): payloads
@@ -3451,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
         "pdf_extract": pdf_extract_check,
+        "docx_extract": docx_extract_check,
         "sitemap_extract": sitemap_extract_check,
         "crawl_coverage": crawl_coverage_check,
         "charset_decode": charset_decode_check,
@@ -7239,6 +7262,18 @@ SELECT doc_id,
   || chr(10) || 'code' || chr(10) || '```'
   || chr(10) || chr(10) || '> quote ' || doc_id AS markdown
 FROM n
+""",
+        # docx_extract (r13): the paragraph join is a closed form of
+        # (doc_id, text) — raw text round-trips through <w:t> runs
+        # with tabs/newlines as <w:tab/>/<w:br/>
+        "docx_extract": """
+SELECT doc_id,
+       'Doc ' || doc_id || chr(10) || coalesce(text, '') || chr(10)
+         || 'end ' || (doc_id % 9) AS extracted,
+       CASE WHEN doc_id % 3 = 0 THEN 'T' || (doc_id % 7) END AS title,
+       3::INT AS n_paragraphs,
+       NULL::VARCHAR AS refusal
+FROM documents
 """,
         # sitemap_extract (r13): every entry field is a closed form of
         # (doc_id % 4, u); leg 1 is gzipped (3 urls — odd keys), the

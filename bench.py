@@ -116,6 +116,7 @@ HEADLINE3 = [
 # value4/queries4 alongside.
 HEADLINE4 = [
     "pdf_extract",
+    "docx_extract",
     "html_markdown",
     "sitemap_extract",
     "crawl_coverage",

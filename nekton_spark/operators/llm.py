@@ -940,6 +940,23 @@ def pdf_extract_processor(
     return pdf_extract(df, payload_col)
 
 
+@register_processor("docx_extract")
+def docx_extract_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """DOCX → text + title + paragraph count (functions/docx.py, r13
+    — ECMA-376 WordprocessingML subset over the stdlib zip reader);
+    per-row reason-coded refusal. ``media: true`` reads the payload
+    out of the media struct."""
+    from ..functions.docx import docx_extract
+
+    if media:
+        df = df.withColumn("_docx_payload", F.col("media.payload"))
+        keep = [c for c in df.columns if c not in ("media", "_docx_payload")]
+        return docx_extract(df, "_docx_payload", keep_cols=keep)
+    return docx_extract(df, payload_col)
+
+
 @register_processor("sitemap_entries")
 def sitemap_entries_processor(
     df: DataFrame, payload_col: str = "payload", media: bool = False

@@ -90,6 +90,10 @@ _MEDIA_MIME_BY_EXT = {
     "warc": "application/warc",
     "tar": "application/x-tar",
     "pdf": "application/pdf",
+    "docx": (
+        "application/vnd.openxmlformats-officedocument"
+        ".wordprocessingml.document"
+    ),
     "wav": "audio/wav",
     "avi": "video/avi",
 }

@@ -74,7 +74,7 @@ DOC_QUERIES = [
     # r13: ingest coverage telemetry + EXIF orientation normalization
     # + PDF extraction
     "crawl_coverage", "image_auto_orient", "pdf_extract",
-    "html_markdown", "sitemap_extract",
+    "html_markdown", "sitemap_extract", "docx_extract",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
