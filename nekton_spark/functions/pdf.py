@@ -690,6 +690,15 @@ def _extract_page_text(doc: _Doc, page: dict) -> str:
             continue
         op = m.group(0)
         lex.pos += len(op)
+        if op == b"BI":
+            # inline image: binary data between ID and EI would skid
+            # through the lexer as garbage operands — skip to EI
+            end = data.find(b"EI", lex.pos)
+            if end < 0:
+                raise ValueError("corrupt PDF: inline image without EI")
+            lex.pos = end + 2
+            stack.clear()
+            continue
         if op == b"Tf":
             if len(stack) >= 2 and isinstance(stack[-2], _Name):
                 fname = str(stack[-2])
@@ -807,6 +816,7 @@ def pdf_extract(
             rows = []
             for _, row in pdf_batch.iterrows():
                 base = {c: row[c] for c in keep}
+                doc_rows: list[dict] = []
                 try:
                     payload = bytes(row[payload_col])
                     doc = _Doc(payload)
@@ -831,14 +841,17 @@ def pdf_extract(
                             text=_extract_page_text(doc, p),
                             refusal=None,
                         )
-                        rows.append(r)
+                        doc_rows.append(r)
                 except (ValueError, NotImplementedError) as e:
+                    # atomic per document: a page failing mid-walk must
+                    # not leave earlier page rows next to the refusal
                     r = dict(base)
                     r.update(
                         page_no=None, n_pages=None, title=None, text=None,
                         refusal=_pdf_refusal_code(e),
                     )
-                    rows.append(r)
+                    doc_rows = [r]
+                rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows,
                 columns=[*keep, "page_no", "n_pages", "title", "text",

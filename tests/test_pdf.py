@@ -97,6 +97,39 @@ class TestRefusals:
         with pytest.raises(ValueError, match="Catalog|no_page_tree"):
             pdf_page_texts(b)
 
+    def test_inline_image_skipped(self):
+        """BI...ID <binary> EI inline images must not skid through the
+        content lexer as garbage operands."""
+        p = pdf_encode([["before", "after"]], flate=False)
+        inj = (
+            b"BI /W 2 /H 2 /BPC 8 /CS /G ID \xff\x00\xfe(\x89 EI\n"
+            b"BT\n/F1 12 Tf\n72 600 Td\n(img ok) Tj\nET"
+        )
+        bad = p.replace(b"ET", b"ET\n" + inj, 1)
+        # fix the content stream Length to match the injected bytes
+        import re as _re
+
+        m = _re.search(rb"<< /Length (\d+) >>", bad)
+        new_len = int(m.group(1)) + len(inj) + 1
+        bad = bad.replace(m.group(0), b"<< /Length %d >>" % new_len, 1)
+        assert pdf_page_texts(bad) == ["before\nafter\nimg ok"]
+
+    def test_refusal_is_atomic_per_document(self, spark):
+        """A failure on page 2 must not leave page-1 rows next to the
+        refusal row."""
+        good = pdf_encode([["p0"], ["p1"]], flate=False)
+        # break page 2's content: point its /Contents at a dict object
+        bad = good.replace(b"pg", b"pg")  # no-op, keep bytes
+        # corrupt the SECOND content stream's flate... plain here, so
+        # instead retarget page 2's Contents to the catalog (object 1)
+        bad = bad.replace(b"/Contents 6 0 R", b"/Contents 1 0 R", 1)
+        df = spark.createDataFrame(
+            [(1, bytearray(bad))], "doc_id long, payload binary"
+        )
+        rows = pdf_extract(df).collect()
+        assert len(rows) == 1
+        assert rows[0].refusal is not None and rows[0].text is None
+
     def test_obj_pattern_inside_stream_ignored(self):
         """'N G obj' bytes inside compressed data must not shadow real
         objects (the covered_end guard)."""
