@@ -2648,6 +2648,27 @@ def html_markdown_check(spark, sf):
     return out.select("doc_id", "markdown")
 
 
+def document_extract_check(spark, sf):
+    """Mixed-format ingest router (functions/documents.py, r13): a
+    corpus cycling PDF / DOCX / HTML / plain text / an unsupported
+    mime by key % 5 routes through ONE Arrow pass to the matching
+    extractor and lands on the normalized (doc_format, unit_no,
+    n_units, title, text, refusal) schema — the one-call front door
+    for a mixed document directory. Every field replays closed-form;
+    the unsupported leg must refuse reason-coded, not fail the task."""
+    from nekton_spark.functions.documents import (
+        extract_documents,
+        synth_document_media,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = extract_documents(synth_document_media(d).drop("text"))
+    return out.select(
+        "doc_id", "doc_format", "unit_no", "n_units", "title",
+        F.col("text").alias("extracted"), "refusal",
+    )
+
+
 def docx_extract_check(spark, sf):
     """DOCX extraction (functions/docx.py, r13 — ECMA-376
     WordprocessingML over the stdlib zip reader): each document
@@ -3474,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": warc_extract_row,
         "pdf_extract": pdf_extract_check,
         "docx_extract": docx_extract_check,
+        "document_extract": document_extract_check,
         "sitemap_extract": sitemap_extract_check,
         "crawl_coverage": crawl_coverage_check,
         "charset_decode": charset_decode_check,
@@ -7268,6 +7290,35 @@ SELECT doc_id,
   || chr(10) || chr(10) || '```' || chr(10) || 'raw  ' || doc_id
   || chr(10) || 'code' || chr(10) || '```'
   || chr(10) || chr(10) || '> quote ' || doc_id AS markdown
+FROM n
+""",
+        # document_extract (r13): every normalized field is a closed
+        # form of (doc_id % 5, text) — the PDF/DOCX legs carry the raw
+        # text, the HTML leg replays html_extract's collapse form
+        "document_extract": """
+WITH n AS (
+  SELECT doc_id, doc_id % 5 AS leg, coalesce(text, '') AS t,
+         trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id,
+  CASE leg WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'html'
+       WHEN 3 THEN 'text' ELSE 'application/zstd' END AS doc_format,
+  CASE WHEN leg <= 3 THEN 0 END::INT AS unit_no,
+  CASE leg WHEN 0 THEN 1 WHEN 1 THEN 2
+       WHEN 2 THEN (CASE WHEN nt = '' THEN 3 ELSE 4 END)
+       WHEN 3 THEN 1 END::INT AS n_units,
+  CASE WHEN leg = 1 THEN 'T' || (doc_id % 7)
+       WHEN leg = 2 THEN 'T' END AS title,
+  CASE leg
+       WHEN 0 THEN 'd ' || doc_id || chr(10) || t
+       WHEN 1 THEN 'd ' || doc_id || chr(10) || t
+       WHEN 2 THEN CASE WHEN nt = ''
+            THEN 'T' || chr(10) || 'Doc & ' || doc_id || chr(10)
+                 || 'Home Next >'
+            ELSE 'T' || chr(10) || 'Doc & ' || doc_id || chr(10) || nt
+                 || chr(10) || 'Home Next >' END
+       WHEN 3 THEN 'plain ' || doc_id || chr(10) || t END AS extracted,
+  CASE WHEN leg = 4 THEN 'unsupported_mime' END AS refusal
 FROM n
 """,
         # docx_extract (r13): the paragraph join is a closed form of

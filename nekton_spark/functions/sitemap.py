@@ -125,7 +125,7 @@ def parse_sitemap(payload: bytes) -> list[dict]:
     item_tag = "sitemap" if is_index else "url"
     kind = "sitemap" if is_index else "url"
     for m in re.finditer(
-        rf"<(?:\w+:)?{item_tag}\s*>(.*?)</(?:\w+:)?{item_tag}\s*>",
+        rf"<(?:\w+:)?{item_tag}(?:\s[^>]*)?>(.*?)</(?:\w+:)?{item_tag}\s*>",
         text,
         re.S | re.I,
     ):

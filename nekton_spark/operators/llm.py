@@ -940,6 +940,21 @@ def pdf_extract_processor(
     return pdf_extract(df, payload_col)
 
 
+@register_processor("extract_documents")
+def extract_documents_processor(
+    df: DataFrame, media_col: str = "media"
+) -> DataFrame:
+    """Mixed-format ingest router (functions/documents.py, r13):
+    route each media row by mime to the PDF / DOCX / HTML / plain-text
+    extractor in one Arrow pass, landing on the normalized
+    (doc_format, unit_no, n_units, title, text, refusal) schema —
+    point media_files at a mixed directory and get text rows."""
+    from ..functions.documents import extract_documents
+
+    keep = [c for c in df.columns if c != media_col]
+    return extract_documents(df, media_col, keep_cols=keep)
+
+
 @register_processor("docx_extract")
 def docx_extract_processor(
     df: DataFrame, payload_col: str = "payload", media: bool = False

@@ -94,6 +94,9 @@ _MEDIA_MIME_BY_EXT = {
         "application/vnd.openxmlformats-officedocument"
         ".wordprocessingml.document"
     ),
+    "html": "text/html",
+    "htm": "text/html",
+    "txt": "text/plain",
     "wav": "audio/wav",
     "avi": "video/avi",
 }

@@ -47,6 +47,15 @@ class TestKernel:
             "lastmod": "2023-12-31", "changefreq": None, "priority": None,
         }]
 
+    def test_item_tags_with_attributes(self):
+        """<url> elements carrying attributes still parse, and the
+        item regex never mistakes the <urlset>/<sitemapindex> roots
+        for items."""
+        got = parse_sitemap(
+            b'<urlset><url data-x="1"><loc>https://e/a</loc></url></urlset>'
+        )
+        assert [e["loc"] for e in got] == ["https://e/a"]
+
     def test_gzip_and_plain_text(self):
         co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
         gz = co.compress(URLSET) + co.flush()
