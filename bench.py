@@ -117,6 +117,7 @@ HEADLINE3 = [
 HEADLINE4 = [
     "pdf_extract",
     "docx_extract",
+    "document_extract",
     "html_markdown",
     "sitemap_extract",
     "crawl_coverage",
