@@ -2711,6 +2711,28 @@ def sitemap_extract_check(spark, sf):
     )
 
 
+def html_jsonld_check(spark, sf):
+    """JSON-LD provenance extraction (html.html_jsonld, r13): Article
+    blocks with license URL (CC / ToS / rightsstatements by key%3),
+    datePublished, author; key%4==0 adds an INVALID second block that
+    must count in n_ld_bad, not fail; key%5==0 wraps the article in
+    @graph (flattened one level). Every field replays closed-form."""
+    from nekton_spark.functions.html import html_jsonld, synth_html_jsonld
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = html_jsonld(synth_html_jsonld(d))
+    return out.select(
+        "doc_id",
+        F.element_at("ld_types", 1).alias("ld_type"),
+        F.size("ld_types").alias("n_types"),
+        "license",
+        "date_published",
+        "author",
+        "n_ld_blocks",
+        "n_ld_bad",
+    )
+
+
 def pdf_extract_check(spark, sf):
     """PDF text extraction (functions/pdf.py, r13 — ISO 32000 subset,
     the crawl's other big document format): genuine PDFs cycling Flate
@@ -3507,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup_urls": domain_rollup_urls,
         "html_extract": html_extract_row,
         "html_markdown": html_markdown_check,
+        "html_jsonld": html_jsonld_check,
         "html_main_text": html_main_text_row,
         "topk_customers_per_nation": topk_customers_per_nation,
         "rollup_orders": rollup_orders,
@@ -7270,6 +7293,23 @@ SELECT doc_id,
                  || chr(10) || 'Home Next >' END AS extracted,
        (CASE WHEN nt = '' THEN 3 ELSE 4 END)::INT AS n_blocks
 FROM n
+""",
+        # html_jsonld (r13): one Article object per page — every
+        # provenance field is a pure function of doc_id
+        "html_jsonld": """
+SELECT doc_id,
+       'Article' AS ld_type,
+       1::INT AS n_types,
+       CASE doc_id % 3
+            WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
+            WHEN 1 THEN 'https://example.com/tos'
+            ELSE 'https://rightsstatements.org/page/InC/1.0/'
+       END AS license,
+       '2024-0' || (doc_id % 9 + 1) || '-01' AS date_published,
+       'A. ' || (doc_id % 11) AS author,
+       1::INT AS n_ld_blocks,
+       (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::INT AS n_ld_bad
+FROM documents
 """,
         # html_markdown (r13): the synth page's Markdown is a closed
         # form of (doc_id, text); the engine must drop the script,

@@ -257,6 +257,183 @@ def synth_html(
     return df.withColumn(out_col, html)
 
 
+# ------------------------------------------------------------ JSON-LD
+
+
+def _parse_jsonld(html: str) -> tuple[list[dict], int]:
+    """``<script type="application/ld+json">`` blocks → (parsed JSON
+    objects, n_bad). Tag scan via the tolerant stdlib parser (type
+    attribute matched case-insensitively); blocks that fail
+    ``json.loads`` count in ``n_bad`` instead of failing the page.
+    A top-level JSON array contributes each object; ``@graph`` nodes
+    flatten one level (the common publisher layout)."""
+    import json
+    from html.parser import HTMLParser
+
+    raw_blocks: list[str] = []
+
+    class _J(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=False)
+            self.in_ld = False
+            self.buf: list[str] = []
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if tag == "script":
+                t = next((v for k, v in attrs if k == "type"), "")
+                self.in_ld = (t or "").strip().lower() == "application/ld+json"
+                self.buf = []
+
+        def handle_endtag(self, tag: str) -> None:
+            if tag == "script" and self.in_ld:
+                raw_blocks.append("".join(self.buf))
+                self.in_ld = False
+
+        def handle_data(self, data: str) -> None:
+            if self.in_ld:
+                self.buf.append(data)
+
+    p = _J()
+    p.feed(html)
+    p.close()
+    objs: list[dict] = []
+    n_bad = 0
+    for raw in raw_blocks:
+        try:
+            v = json.loads(raw)
+        except (ValueError, RecursionError):
+            n_bad += 1
+            continue
+        items = v if isinstance(v, list) else [v]
+        for it in items:
+            if isinstance(it, dict):
+                graph = it.get("@graph")
+                if isinstance(graph, list):
+                    objs.extend(g for g in graph if isinstance(g, dict))
+                else:
+                    objs.append(it)
+    return objs, n_bad
+
+
+def _jsonld_str(v) -> str | None:
+    """Normalize a JSON-LD value to one string: strings pass, dicts
+    take 'name' then '@id' then 'url' (the schema.org conventions),
+    lists take their first normalizable element."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, dict):
+        for k in ("name", "@id", "url"):
+            if isinstance(v.get(k), str):
+                return v[k]
+        return None
+    if isinstance(v, list):
+        for x in v:
+            s = _jsonld_str(x)
+            if s is not None:
+                return s
+    return None
+
+
+def html_jsonld(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Provenance/compliance metadata from embedded JSON-LD (r13): the
+    schema.org signals a compliant training corpus keeps per page —
+    ``@type`` inventory, ``license`` (string or object normal form),
+    ``datePublished``, ``author`` (name normal form), plus block
+    counts (``n_ld_blocks`` parsed, ``n_ld_bad`` unparseable). First
+    non-NULL value wins across a page's objects, document order.
+    Map-only, one Arrow pass."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("ld_types", T.ArrayType(T.StringType()), True),
+            T.StructField("license", T.StringType(), True),
+            T.StructField("date_published", T.StringType(), True),
+            T.StructField("author", T.StringType(), True),
+            T.StructField("n_ld_blocks", T.IntegerType(), False),
+            T.StructField("n_ld_bad", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        def one(h):
+            if h is None:
+                return [], None, None, None, 0, 0
+            objs, n_bad = _parse_jsonld(h)
+            types: list[str] = []
+            lic = datep = author = None
+            for o in objs:
+                t = o.get("@type")
+                for tv in t if isinstance(t, list) else [t]:
+                    if isinstance(tv, str):
+                        types.append(tv)
+                if lic is None:
+                    lic = _jsonld_str(o.get("license"))
+                if datep is None:
+                    v = o.get("datePublished")
+                    datep = v if isinstance(v, str) else None
+                if author is None:
+                    author = _jsonld_str(o.get("author"))
+            return types, lic, datep, author, len(objs), n_bad
+
+        for pdf in batches:
+            cols = [one(h) for h in pdf[html_col]]
+            yield pdf.assign(
+                ld_types=[c[0] for c in cols],
+                license=[c[1] for c in cols],
+                date_published=[c[2] for c in cols],
+                author=[c[3] for c in cols],
+                n_ld_blocks=[c[4] for c in cols],
+                n_ld_bad=[c[5] for c in cols],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_html_jsonld(
+    df: DataFrame, key_col: str = "doc_id", out_col: str = "html"
+) -> DataFrame:
+    """Page with one JSON-LD Article block — license URL cycling
+    key % 3 (incl. a CC URL), datePublished and author closed-form;
+    key % 4 == 0 adds a second block that is INVALID JSON (must count
+    in n_ld_bad, not fail); key % 5 == 0 wraps the article in @graph."""
+    key = F.col(key_col)
+    lic = (
+        F.when(key % 3 == 0,
+               F.lit("https://creativecommons.org/licenses/by/4.0/"))
+        .when(key % 3 == 1, F.lit("https://example.com/tos"))
+        .otherwise(F.lit("https://rightsstatements.org/page/InC/1.0/"))
+    )
+    body = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"Article",'
+              '"license":"'),
+        lic,
+        F.lit('","datePublished":"2024-0'),
+        (key % 9 + 1).cast("string"),
+        F.lit('-01","author":{"@type":"Person","name":"A. '),
+        (key % 11).cast("string"),
+        F.lit('"}}'),
+    )
+    block = F.when(
+        key % 5 == 0,
+        F.concat(F.lit('{"@context":"https://schema.org","@graph":['),
+                 body, F.lit("]}")),
+    ).otherwise(body)
+    bad = F.when(
+        key % 4 == 0,
+        F.lit('<script type="application/ld+json">{not json</script>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        block,
+        F.lit("</script>"),
+        bad,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    return df.withColumn(out_col, html)
+
+
 # ----------------------------------------------------------- markdown
 
 _MD_INLINE = {"b": "**", "strong": "**", "i": "*", "em": "*", "code": "`"}

@@ -861,6 +861,19 @@ def html_to_markdown_processor(
     return html_to_markdown(df, html_col=html_col, out_col=out_col)
 
 
+@register_processor("html_jsonld")
+def html_jsonld_processor(
+    df: DataFrame, html_col: str = "html"
+) -> DataFrame:
+    """Provenance/compliance metadata from embedded JSON-LD
+    (functions/html.py, r13): @type inventory, license, datePublished,
+    author + block counts — the schema.org signals a compliant corpus
+    keeps per page. Map-only, one Arrow crossing."""
+    from ..functions.html import html_jsonld
+
+    return html_jsonld(df, html_col=html_col)
+
+
 @register_processor("html_main_text")
 def html_main_text_processor(
     df: DataFrame,

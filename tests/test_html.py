@@ -242,3 +242,55 @@ class TestMarkdown:
             [(1, "<h1>t</h1>")], "doc_id long, html string"
         )
         assert PROCESSORS["html_to_markdown"](df).first().markdown == "# t"
+
+
+class TestJsonLd:
+    def test_blocks_and_fields(self):
+        from nekton_spark.functions.html import _parse_jsonld
+
+        h = (
+            '<script type="application/ld+json">'
+            '{"@type":"Article","license":"L"}</script>'
+            '<script type="application/ld+json">{bad</script>'
+            '<SCRIPT TYPE="APPLICATION/LD+JSON">'
+            '{"@graph":[{"@type":"Person","name":"P"}]}</SCRIPT>'
+            "<script>var x = 1;</script>"
+        )
+        objs, n_bad = _parse_jsonld(h)
+        assert n_bad == 1
+        assert [o.get("@type") for o in objs] == ["Article", "Person"]
+
+    def test_value_normal_forms(self):
+        from nekton_spark.functions.html import _jsonld_str
+
+        assert _jsonld_str("s") == "s"
+        assert _jsonld_str({"name": "N", "@id": "I"}) == "N"
+        assert _jsonld_str({"@id": "I"}) == "I"
+        assert _jsonld_str([{"url": "U"}]) == "U"
+        assert _jsonld_str(7) is None
+
+    def test_spark_surface(self, spark):
+        from nekton_spark.functions.html import html_jsonld, synth_html_jsonld
+        from nekton_spark.registry import PROCESSORS
+
+        d = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+        got = {r.doc_id: r for r in html_jsonld(synth_html_jsonld(d)).collect()}
+        for k in range(12):
+            r = got[k]
+            assert r.ld_types == ["Article"]
+            assert r.date_published == f"2024-0{k % 9 + 1}-01"
+            assert r.author == f"A. {k % 11}"
+            assert r.n_ld_blocks == 1
+            assert r.n_ld_bad == (1 if k % 4 == 0 else 0)
+        assert "creativecommons" in got[0].license
+        # NULL html = no metadata, not a crash
+        nul = spark.createDataFrame([(1, None)], "doc_id long, html string")
+        rn = html_jsonld(nul).first()
+        assert rn.n_ld_blocks == 0 and rn.license is None
+
+        df = spark.createDataFrame(
+            [(1, '<script type="application/ld+json">'
+                 '{"@type":"Book","license":"X"}</script>')],
+            "doc_id long, html string",
+        )
+        assert PROCESSORS["html_jsonld"](df).first().license == "X"

@@ -478,6 +478,7 @@ PLAN_BUDGET = {
     "sitemap_extract": (2, 0),  # synth + entry explode, 0-shuffle
     "docx_extract": (2, 0),  # synth + zip/XML extract, 0-shuffle
     "document_extract": (2, 0),  # synth + mime-routed extract, 0-shuffle
+    "html_jsonld": (1, 0),  # one Arrow crossing, 0-shuffle
     "charset_decode": (2, 0),
     "gif_decode": (2, 0),
     "gif_frame_sample": (2, 0),
