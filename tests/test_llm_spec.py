@@ -701,3 +701,89 @@ output:
         (row,) = out.collect()
         # vocab: a=0 b=1 c=2 d=3, ab=4, abab=5 -> "abab"=[5], "cd"=[2,3]
         assert row.bpe_ids == [5, 2, 3] and row.n_bpe == 3
+
+
+class TestComplianceGate:
+    def test_end_to_end_gate(self, spark, tmp_path):
+        """The specs/compliance-gate.yml composition: WARC -> decode ->
+        meta + JSON-LD -> URL keys -> broadcast robots join ->
+        robots_filter -> keep allowed, indexable pages with their
+        license."""
+        from nekton_spark.functions.warc import warc_encode_response
+
+        warcs = tmp_path / "warcs"
+        warcs.mkdir()
+        pages = [
+            ("http://a.example/public/x", "", '"license":"CC"'),
+            ("http://a.example/private/y", "", '"license":"X"'),
+            ("http://a.example/public/z",
+             '<meta name="robots" content="noindex">', '"license":"X"'),
+            ("http://b.example/ok", "", '"license":"ToS"'),
+        ]
+        recs = []
+        for i, (uri, meta, lic) in enumerate(pages):
+            html = (
+                f"<html><head><title>P{i}</title>{meta}"
+                f'<script type="application/ld+json">'
+                f'{{"@type":"Article",{lic}}}</script>'
+                f"</head><body><p>body {i}</p></body></html>"
+            )
+            recs.append(
+                warc_encode_response(uri, html.encode(), record_id=f"<u:{i}>")
+            )
+        (warcs / "dump.warc").write_bytes(b"".join(recs))
+        robots_dir = tmp_path / "robots"
+        spark.createDataFrame(
+            [
+                ("a.example", "User-agent: *\nDisallow: /private/\n"),
+                ("b.example", "User-agent: *\nDisallow:\n"),
+            ],
+            "domain string, robots_txt string",
+        ).write.parquet(str(robots_dir))
+        out = compile_df(
+            spark,
+            f"""
+input:
+  type: media_files
+  path: {warcs}
+  glob: "*.warc"
+pipeline:
+  processors:
+    - type: warc_records
+      media: true
+    - type: filter
+      predicate: "warc_type = 'response' AND http_status = 200"
+    - type: decode_body_text
+    - type: html_meta
+    - type: html_jsonld
+    - type: url_keys
+      url_col: target_uri
+    - type: with_column
+      name: path
+      expr: "regexp_extract(target_uri, '^[a-z]+://[^/]+(/.*)$', 1)"
+    - type: join
+      other:
+        type: file
+        path: {robots_dir}
+        format: parquet
+        as_messages: false
+      "on": ["domain"]
+      how: left
+      broadcast: true
+    - type: robots_filter
+      agent: trainbot
+    - type: filter
+      predicate: "robots_allowed = 1 AND noindex = 0"
+    - type: select
+      columns: ["norm_url", "title", "license"]
+output:
+  type: memory
+""",
+        )
+        rows = sorted(
+            (r.norm_url, r.title, r.license) for r in out.collect()
+        )
+        assert rows == [
+            ("http://a.example/public/x", "P0", "CC"),
+            ("http://b.example/ok", "P3", "ToS"),
+        ]
