@@ -1496,7 +1496,9 @@ class TestMultimodal:
         by_path = {r.media["meta"]["path"].rsplit("/", 1)[-1]: r for r in rows}
         assert by_path["img3.png"].media["mime"] == "image/png"
         assert by_path["img4.jpg"].media["mime"] == "image/jpeg"
-        assert by_path["notes.txt"].media["mime"] == "application/octet-stream"
+        # r13: .txt maps to text/plain (the document router reads it);
+        # unknown extensions still fall back to octet-stream
+        assert by_path["notes.txt"].media["mime"] == "text/plain"
         assert len({r.doc_id for r in rows}) == 4  # stable distinct ids
         # decode the image subset exactly through the normal operator
         imgs = src.filter(F.col("media.mime").startswith("image/"))
