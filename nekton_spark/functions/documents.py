@@ -122,6 +122,9 @@ def extract_documents(
 ) -> DataFrame:
     """Route every media row to its format's extractor (module
     docstring). One Arrow pass, map-only."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy per-row parse: see pdf_extract
     keep = keep_cols if keep_cols is not None else [
         f.name for f in df.schema.fields if f.name != media_col
     ]

@@ -136,6 +136,9 @@ def docx_extract(
 ) -> DataFrame:
     """One row per document: (text, title, n_paragraphs, refusal) —
     refusing files isolate reason-coded. Map-only Arrow pass."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy per-row parse: see pdf_extract
     keep = keep_cols if keep_cols is not None else [
         f.name for f in df.schema.fields if f.name != payload_col
     ]

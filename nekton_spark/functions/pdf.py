@@ -797,6 +797,12 @@ def pdf_extract(
     reason code instead of failing the task. Map-only Arrow pass, no
     shuffle; 100 TB of PDFs parallelize by file through media_files
     like every other binary source."""
+    from .similarity import ensure_parallelism
+
+    # the parse is ~ms/doc of pure Python: a compact single-file input
+    # (1-2 parquet splits) would pin the whole corpus on 2 cores —
+    # fan out round-robin when (and only when) under-partitioned
+    df = ensure_parallelism(df)
     keep = keep_cols if keep_cols is not None else [
         f.name for f in df.schema.fields if f.name != payload_col
     ]

@@ -56,6 +56,11 @@ def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFr
     500-row corpus gets ~4 tasks instead of 32 near-empty Python
     workers, while a 100 TB corpus is left alone (its natural split
     count already exceeds any target this could pick)."""
+    if df.isStreaming:
+        # micro-batch partitioning is the source's business; the
+        # heavy-extractor call sites (r13) share this helper and must
+        # stay stream-composable
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     files = [f for f in df.inputFiles() if f.startswith("file:")]

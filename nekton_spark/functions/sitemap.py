@@ -185,6 +185,9 @@ def sitemap_entries(
     """Explode sitemap payload bytes into one row per entry; a
     refusing payload emits ONE reason-coded row instead of failing
     the task. Map-only Arrow pass, no shuffle."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy per-row parse: see pdf_extract
     keep = keep_cols if keep_cols is not None else [
         f.name for f in df.schema.fields if f.name != payload_col
     ]

@@ -294,6 +294,12 @@ def warc_records(
     """Explode WARC payload bytes into one row per record. ``keep_cols``
     (default: every non-payload column) carry through to each record
     row. Map-only; each input file's records materialize once."""
+    from .similarity import ensure_parallelism
+
+    # WARC unwrap is heavy per-byte Python: fan a compact or
+    # single-file input out round-robin when under-partitioned (no-op
+    # at real scale and on streams — ensure_parallelism guards both)
+    df = ensure_parallelism(df)
     keep = keep_cols if keep_cols is not None else [
         f.name for f in df.schema.fields if f.name != payload_col
     ]
