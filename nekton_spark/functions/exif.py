@@ -274,6 +274,10 @@ _EXIF_SCHEMA = T.StructType(
 def media_exif(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Attach EXIF columns to JPEG media rows (non-JPEG / Exif-less
     rows get NULLs). One Arrow pass, map-only."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
 
     @F.pandas_udf(_EXIF_SCHEMA)
     def _ex(media: pd.DataFrame) -> pd.DataFrame:
@@ -303,6 +307,10 @@ def scrub_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Strip APPn (n≥1) / COM from JPEG media payloads in place;
     ``scrubbed_bytes`` records how much identity-bearing metadata each
     row shed. Decoded pixels are unchanged by construction."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("scrubbed_bytes", T.IntegerType())]
     )

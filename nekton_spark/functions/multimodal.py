@@ -134,6 +134,10 @@ def decode_image(
     deterministic stub decoder. The mapInPandas plumbing (Arrow batches
     of binary, flat pixel output) is identical for all paths.
     """
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -239,6 +243,10 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
     refuse-don't-misparse codec silently looks like full coverage.
     Map-only: one Arrow pass, decode results are discarded (statuses
     only), no shuffle."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -1412,6 +1420,10 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
     half-up). PCM square-sums accumulate as exact Python ints (24/32-
     bit squares overflow int64), so the double math is reproducible
     against a SQL oracle; float formats accumulate float64."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -1577,6 +1589,10 @@ def frame_sample(
     Inter-frame codecs (H.26x/VP9/AV1) still raise — not
     implementable from scratch; ``fake=True`` keeps the deterministic
     stub (frame_idx + md5) for them."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     if every < 1:
         raise ValueError(f"every must be >= 1, got {every}")
     if fake:

@@ -80,6 +80,10 @@ def _sample_key(name: str) -> tuple[str, str]:
 
 def tar_records(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Explode tar shard bytes into one row per member."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     keep = [f.name for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(
         [df.schema[c] for c in keep]
@@ -108,6 +112,10 @@ def tar_records(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 def webdataset_samples(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Explode tar shard bytes into one row per SAMPLE with an
     ext → bytes map. In-shard grouping, no shuffle."""
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)  # heavy Arrow pass: fan out when under-partitioned
+
     keep = [f.name for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(
         [df.schema[c] for c in keep]
