@@ -2691,6 +2691,23 @@ def docx_extract_check(spark, sf):
     )
 
 
+def feed_extract_check(spark, sf):
+    """RSS/Atom feed parsing (functions/feeds.py, r13 — the third
+    crawl-discovery surface after robots and sitemaps): payloads cycle
+    an RSS channel (entity-decoded titles, links, pubDate, guid) / an
+    Atom feed (CDATA titles, rel=alternate link selection among a self
+    link, updated, id) / a non-feed that must refuse reason-coded.
+    One row per entry, map-only; every field replays closed-form."""
+    from nekton_spark.functions.feeds import feed_entries, synth_feed_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    out = feed_entries(synth_feed_media(d))
+    return out.select(
+        "doc_id", "feed_kind", "feed_title", "title", "link",
+        "published", "entry_id", "refusal",
+    )
+
+
 def sitemap_extract_check(spark, sf):
     """Sitemap protocol parsing (functions/sitemap.py, r13 — the
     robots.txt companion: the site's own crawl inventory): payloads
@@ -3519,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_extract": docx_extract_check,
         "document_extract": document_extract_check,
         "sitemap_extract": sitemap_extract_check,
+        "feed_extract": feed_extract_check,
         "crawl_coverage": crawl_coverage_check,
         "charset_decode": charset_decode_check,
         "html_meta": html_meta_check,
@@ -7373,6 +7391,30 @@ SELECT doc_id,
        3::INT AS n_paragraphs,
        NULL::VARCHAR AS refusal
 FROM documents
+""",
+        # feed_extract (r13): every field is a closed form of
+        # (doc_id % 3, i); the non-feed leg must refuse reason-coded
+        "feed_extract": """
+WITH e AS (
+  SELECT doc_id, doc_id % 3 AS leg,
+         unnest(CASE WHEN doc_id % 3 = 2 THEN [0] ELSE [0, 1] END) AS i
+  FROM documents)
+SELECT doc_id,
+  CASE leg WHEN 0 THEN 'rss' WHEN 1 THEN 'atom' END AS feed_kind,
+  CASE leg WHEN 0 THEN 'Feed ' || doc_id
+       WHEN 1 THEN 'AFeed ' || doc_id END AS feed_title,
+  CASE leg WHEN 0 THEN 'T & ' || doc_id || '_' || i
+       WHEN 1 THEN 'A ' || doc_id || '_' || i END AS title,
+  CASE leg WHEN 0 THEN 'https://f.example/r/' || doc_id || '/' || i
+       WHEN 1 THEN 'https://f.example/a/' || doc_id || '/' || i
+       END AS link,
+  CASE leg WHEN 0 THEN 'Mon, 0' || (1 + (doc_id + i) % 9)
+                || ' Jan 2024 00:00:00 GMT'
+       WHEN 1 THEN '2024-02-0' || (1 + (doc_id + i) % 9) END AS published,
+  CASE leg WHEN 0 THEN 'g' || doc_id || '_' || i
+       WHEN 1 THEN 'urn:' || doc_id || ':' || i END AS entry_id,
+  CASE WHEN leg = 2 THEN 'not_a_feed' END AS refusal
+FROM e
 """,
         # sitemap_extract (r13): every entry field is a closed form of
         # (doc_id % 4, u); leg 1 is gzipped (3 urls — odd keys), the

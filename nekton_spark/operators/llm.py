@@ -985,6 +985,23 @@ def docx_extract_processor(
     return docx_extract(df, payload_col)
 
 
+@register_processor("feed_entries")
+def feed_entries_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """RSS/Atom feed payloads → one row per entry (functions/feeds.py,
+    r13): titles/links/dates/ids with CDATA and entity handling;
+    refusals isolate per row reason-coded. ``media: true`` reads the
+    payload out of the media struct."""
+    from ..functions.feeds import feed_entries
+
+    if media:
+        df = df.withColumn("_feed_payload", F.col("media.payload"))
+        keep = [c for c in df.columns if c not in ("media", "_feed_payload")]
+        return feed_entries(df, "_feed_payload", keep_cols=keep)
+    return feed_entries(df, payload_col)
+
+
 @register_processor("sitemap_entries")
 def sitemap_entries_processor(
     df: DataFrame, payload_col: str = "payload", media: bool = False

@@ -476,6 +476,7 @@ PLAN_BUDGET = {
     "pdf_extract": (2, 0),  # synth + page explode, 0-shuffle
     "html_markdown": (1, 0),  # one Arrow crossing, 0-shuffle
     "sitemap_extract": (2, 0),  # synth + entry explode, 0-shuffle
+    "feed_extract": (2, 0),  # synth + entry explode, 0-shuffle
     "docx_extract": (2, 0),  # synth + zip/XML extract, 0-shuffle
     "document_extract": (2, 0),  # synth + mime-routed extract, 0-shuffle
     "html_jsonld": (1, 0),  # one Arrow crossing, 0-shuffle

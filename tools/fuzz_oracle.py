@@ -75,7 +75,7 @@ DOC_QUERIES = [
     # + PDF extraction
     "crawl_coverage", "image_auto_orient", "pdf_extract",
     "html_markdown", "sitemap_extract", "docx_extract",
-    "document_extract", "html_jsonld",
+    "document_extract", "html_jsonld", "feed_extract",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
