@@ -351,3 +351,76 @@ class TestSaltedPairMiningInvariant:
         )
         assert sum(d for *_, d in unsalted) >= 9  # clique marked
         assert salted == unsalted
+
+
+class TestDocumentFormatProperties:
+    @given(
+        paras=st.lists(
+            st.text(
+                # any unicode except the XML-forbidden C0 controls the
+                # writer would emit raw (tab/newline are round-tripped
+                # via <w:tab/>/<w:br/> and stay)
+                st.characters(
+                    blacklist_categories=("Cs",),
+                    blacklist_characters="".join(
+                        chr(c) for c in range(0x20) if c not in (9, 10)
+                    ),
+                ),
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_docx_round_trips_any_unicode(self, paras):
+        from nekton_spark.functions.docx import docx_encode, docx_text
+
+        text, title, n = docx_text(docx_encode(paras))
+        assert text == "\n".join(paras)
+        assert n == len(paras) and title is None
+
+    @given(
+        lines=st.lists(
+            st.text(
+                st.characters(blacklist_categories=("Cs",)), max_size=50
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_pdf_identity_h_round_trips_any_unicode(self, lines):
+        from nekton_spark.functions.pdf import pdf_encode, pdf_page_texts
+
+        got = pdf_page_texts(
+            pdf_encode([lines], flate=False, unicode_font=True)
+        )
+        # the line model is exact: shown lines join with \n (the
+        # first show seeds the output, empty strings included)
+        assert got == ["\n".join(lines)]
+
+    @given(
+        paras=st.lists(
+            st.text(
+                alphabet=st.sampled_from(
+                    "abc ABC 123 àé€ 日本 🙂 &<>\"'\t\n"
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_pdf_flate_winansi_safe_subset(self, paras):
+        """WinAnsi legs: cp1252-encodable lines round-trip through the
+        Flate path; non-encodable ones are the documented refusal of
+        the WRITER (encode raises), not silent mojibake."""
+        from nekton_spark.functions.pdf import pdf_encode, pdf_page_texts
+
+        try:
+            p = pdf_encode([paras])
+        except UnicodeEncodeError:
+            return  # writer-side: line not representable in WinAnsi
+        assert pdf_page_texts(p) == ["\n".join(paras)]
