@@ -2604,6 +2604,21 @@ def domain_rollup_urls(spark, sf):
     return domain_rollup(synth_urls(d))
 
 
+def domain_quota_sample_check(spark, sf):
+    """Per-domain page caps (urls.domain_quota, r13): synth URLs map
+    each doc to one of three registered domains by doc_id % 3;
+    quality-first ranking (priority = doc_id, unique so the cut is
+    total) keeps the top 40 pages per eTLD+1. One shuffle on the
+    domain key, per-partition rank window — no global sort. The
+    oracle replays the rank-and-cut closed-form."""
+    from nekton_spark.functions.urls import domain_quota, synth_urls
+
+    d = synth_urls(_t(spark, sf, "documents").select("doc_id"))
+    d = d.withColumn("priority", F.col("doc_id"))
+    out = domain_quota(d, max_per_domain=40, priority_col="priority")
+    return out.select("doc_id")
+
+
 def warc_extract_row(spark, sf):
     """End-to-end crawl-ingest slice (functions/warc.py +
     functions/html.py, r12): each document becomes a genuine 2-record
@@ -3545,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_eval": robots_check,
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
+        "domain_quota_sample": domain_quota_sample_check,
         "html_extract": html_extract_row,
         "html_markdown": html_markdown_check,
         "html_jsonld": html_jsonld_check,
@@ -7596,6 +7612,17 @@ FROM u
         # domain_rollup_urls (r12): same construction grouped by the
         # eTLD+1 class (doc_id%3); pages are distinct canonical forms,
         # which vary by (doc_id%2, %7, %5) within the class
+        # domain_quota_sample (r13): domain = doc_id % 3 residue class
+        # (three registered domains by construction of synth_urls);
+        # priority = doc_id is unique, so the rank-and-cut is total
+        "domain_quota_sample": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id % 3
+                            ORDER BY doc_id DESC) AS rk
+  FROM documents)
+WHERE rk <= 40
+""",
         "domain_rollup_urls": """
 WITH u AS (
   SELECT doc_id,

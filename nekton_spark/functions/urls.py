@@ -178,6 +178,47 @@ def domain_rollup(
     )
 
 
+def domain_quota(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_domain: int = 1000,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Cap pages per registered domain — the balancing step between
+    URL canonicalization and content dedup (a handful of mega-domains
+    otherwise dominate a crawl corpus). Keeps at most
+    ``max_per_domain`` rows per eTLD+1: rank by ``priority_col``
+    descending when given (quality-first), else by
+    ``xxhash64(norm_url)`` (deterministic uniform sample of the
+    domain's pages — re-runs keep the SAME pages). Ties on the sort
+    key break by ``norm_url`` so the cut is total and reproducible.
+
+    Plan: derive keys (Generate-barriered like :func:`domain_rollup`),
+    ONE shuffle on the domain key, per-partition rank window — no
+    global sort, no driver state; NULL-domain rows (unparseable URLs)
+    are dropped, the same contract as the rollup."""
+    from pyspark.sql import Window
+
+    if max_per_domain < 1:
+        raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+    s1 = df.withColumn(
+        "_nu", F.explode(F.array(url_normalize(F.col(url_col))))
+    )
+    keyed = s1.withColumn(
+        "_dom", F.explode(F.array(registered_domain(F.col("_nu"))))
+    ).filter(F.col("_dom").isNotNull())
+    if priority_col is not None:
+        order = [F.col(priority_col).desc(), F.col("_nu").asc()]
+    else:
+        order = [F.xxhash64("_nu").asc(), F.col("_nu").asc()]
+    w = Window.partitionBy("_dom").orderBy(*order)
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_nu", "_dom", "_rk")
+    )
+
+
 def synth_urls(
     df: DataFrame, key_col: str = "doc_id", out_col: str = "url"
 ) -> DataFrame:

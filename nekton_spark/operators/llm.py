@@ -919,6 +919,22 @@ def domain_rollup_processor(df: DataFrame, url_col: str = "url") -> DataFrame:
     return domain_rollup(df, url_col)
 
 
+@register_processor("domain_quota")
+def domain_quota_processor(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_domain: int = 1000,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Cap pages per registered domain (urls.domain_quota, r13):
+    quality-first when ``priority_col`` is given, else a deterministic
+    uniform hash sample of each domain's pages. One domain-key
+    shuffle + rank window, no global sort."""
+    from ..functions.urls import domain_quota
+
+    return domain_quota(df, url_col, max_per_domain, priority_col)
+
+
 @register_processor("warc_records")
 def warc_records_processor(
     df: DataFrame, payload_col: str = "payload", media: bool = False

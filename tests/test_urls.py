@@ -110,3 +110,58 @@ class TestRollup:
         urls = synth_urls(d)
         assert "norm_url" in PROCESSORS["url_keys"](urls).columns
         assert PROCESSORS["domain_rollup"](urls).count() == 3
+
+
+class TestDomainQuota:
+    def test_caps_and_determinism(self, spark):
+        from nekton_spark.functions.urls import domain_quota, synth_urls
+
+        d = synth_urls(
+            spark.range(0, 90).selectExpr("id as doc_id")
+        )
+        out = domain_quota(d, max_per_domain=10)
+        got = out.selectExpr("doc_id % 3 as dom").groupBy("dom").count()
+        assert {r["count"] for r in got.collect()} == {10}
+        # deterministic: same pages survive on a re-run
+        a = sorted(r.doc_id for r in out.collect())
+        b = sorted(r.doc_id for r in domain_quota(d, max_per_domain=10).collect())
+        assert a == b
+
+    def test_priority_first(self, spark):
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.urls import domain_quota, synth_urls
+
+        d = synth_urls(
+            spark.range(0, 30).selectExpr("id as doc_id")
+        ).withColumn("priority", F.col("doc_id"))
+        out = domain_quota(d, max_per_domain=3, priority_col="priority")
+        kept = sorted(r.doc_id for r in out.collect())
+        # top-3 doc_ids per residue class of 3 domains
+        expect = sorted(
+            k for k in range(30)
+            if k in sorted([x for x in range(30) if x % 3 == k % 3],
+                           reverse=True)[:3]
+        )
+        assert kept == expect
+
+    def test_null_domain_dropped_and_validation(self, spark):
+        import pytest as _pt
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.urls import domain_quota
+
+        d = spark.createDataFrame(
+            [(1, "not a url"), (2, "https://ok.example/x")],
+            "doc_id long, url string",
+        )
+        assert [r.doc_id for r in domain_quota(d).collect()] == [2]
+        with _pt.raises(ValueError, match="max_per_domain"):
+            domain_quota(d, max_per_domain=0)
+
+    def test_processor(self, spark):
+        from nekton_spark.functions.urls import synth_urls
+        from nekton_spark.registry import PROCESSORS
+
+        d = synth_urls(spark.range(0, 12).selectExpr("id as doc_id"))
+        assert PROCESSORS["domain_quota"](d, max_per_domain=2).count() == 6
