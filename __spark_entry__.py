@@ -2604,6 +2604,30 @@ def domain_rollup_urls(spark, sf):
     return domain_rollup(synth_urls(d))
 
 
+def sentence_split_check(spark, sf):
+    """Sentence segmentation (text_analysis.split_sentences, r13):
+    rule-based boundaries (terminal punctuation + capital start,
+    abbreviation-guarded — the synth plants a 'Dr.' that must NOT
+    split and a quoted sentence start that must). The JVM lookbehind
+    pattern is not RE2-replayable, so the oracle rebuilds the exact
+    sentence array from the closed-form synth. Pure codegen split,
+    map-only."""
+    from nekton_spark.functions.text_analysis import (
+        split_sentences,
+        synth_sentence_text,
+    )
+
+    d = synth_sentence_text(_t(spark, sf, "documents").select("doc_id"))
+    out = split_sentences(d)
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        F.element_at("sentences", 1).alias("s1"),
+        F.element_at("sentences", 3).alias("s3"),
+        F.element_at("sentences", 4).alias("s4"),
+    )
+
+
 def domain_quota_sample_check(spark, sf):
     """Per-domain page caps (urls.domain_quota, r13): synth URLs map
     each doc to one of three registered domains by doc_id % 3;
@@ -3561,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_check": url_normalize_check,
         "domain_rollup_urls": domain_rollup_urls,
         "domain_quota_sample": domain_quota_sample_check,
+        "sentence_split": sentence_split_check,
         "html_extract": html_extract_row,
         "html_markdown": html_markdown_check,
         "html_jsonld": html_jsonld_check,
@@ -7613,6 +7638,17 @@ FROM u
         # domain_rollup_urls (r12): same construction grouped by the
         # eTLD+1 class (doc_id%3); pages are distinct canonical forms,
         # which vary by (doc_id%2, %7, %5) within the class
+        # sentence_split (r13): the synth paragraph segments to the
+        # same 5 sentences for every key — the 'Dr.' must NOT split,
+        # the quoted start must
+        "sentence_split": """
+SELECT doc_id,
+       5::INT AS n_sentences,
+       'Alpha ' || doc_id || '.' AS s1,
+       'Dr. Smith said ' || doc_id || '?' AS s3,
+       '"Quoted ' || doc_id || '."' AS s4
+FROM documents
+""",
         # domain_quota_sample (r13): domain = doc_id % 3 residue class
         # (three registered domains by construction of synth_urls);
         # priority = doc_id is unique, so the rank-and-cut is total

@@ -514,6 +514,53 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     )
 
 
+# sentence boundary: terminal punctuation (optionally closed by a
+# quote/bracket), whitespace, then an uppercase/digit (optionally
+# opened by a quote/bracket) start — guarded against the common
+# abbreviations (bounded variable-length lookbehind, which Java regex
+# allows; this is a JVM-side expression, NOT replayable in RE2, so the
+# driver row's oracle replays a closed-form synth instead).
+_SENTENCE_BOUNDARY = (
+    r"(?<!\b(?:Mr|Dr|Mrs|Ms|Prof|St|No|vs|etc|Fig|Jr|Sr|al|e\.g|i\.e)\.)"
+    r"(?<=[.!?][\"')\]]?)\s+(?=[\"'(\[]?[A-Z0-9])"
+)
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sentences",
+) -> DataFrame:
+    """Rule-based sentence segmentation — the granularity unit for
+    chunking, span dedup and quotation audits. Splits on
+    ``_SENTENCE_BOUNDARY`` (terminal punctuation + space + capital,
+    abbreviation-guarded); NULL text follows the engine-wide contract
+    (empty document → empty array). Pure codegen split, map-only, no
+    Python."""
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    arr = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, _SENTENCE_BOUNDARY)
+    )
+    return df.withColumn(out_col, arr).withColumn(
+        "n_sentences", F.size(out_col)
+    )
+
+
+def synth_sentence_text(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Deterministic multi-sentence paragraph per key — four
+    sentences with every boundary feature (period/bang/question,
+    a guarded 'Dr.' abbreviation, a quoted start): the driver row's
+    oracle rebuilds the exact sentence array."""
+    key = F.col(key_col).cast("string")
+    txt = F.concat(
+        F.lit("Alpha "), key, F.lit(". Beta "), key,
+        F.lit("! Dr. Smith said "), key,
+        F.lit('? "Quoted '), key, F.lit('." End '),
+        (F.col(key_col) % 9).cast("string"), F.lit("."),
+    )
+    return df.withColumn("text", txt)
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

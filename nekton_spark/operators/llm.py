@@ -1202,3 +1202,16 @@ def robots_filter_processor(
     from ..functions.robots import robots_filter
 
     return robots_filter(df, robots_col, path_col, agent, out_col)
+
+
+@register_processor("split_sentences")
+def split_sentences_processor(
+    df: DataFrame, text_col: str = "text", out_col: str = "sentences"
+) -> DataFrame:
+    """Rule-based sentence segmentation
+    (functions/text_analysis.split_sentences, r13): terminal
+    punctuation + capital start, abbreviation-guarded; adds
+    sentences array + n_sentences. Pure codegen, map-only."""
+    from ..functions.text_analysis import split_sentences
+
+    return split_sentences(df, text_col=text_col, out_col=out_col)

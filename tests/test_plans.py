@@ -491,6 +491,7 @@ PLAN_BUDGET = {
     "url_normalize_check": (0, 0),  # pure codegen, no Python at all
     "domain_rollup_urls": (0, 2),  # exact countDistinct = two-phase agg
     "domain_quota_sample": (0, 1),  # rank window: one domain-key shuffle
+    "sentence_split": (0, 0),  # pure codegen split, map-only
     "html_meta": (1, 0),
     "webdataset_extract": (2, 0),  # shard synth + in-shard sample grouping
     "exif_scrub": (4, 0),  # synth + extract + scrub + decode, still 0-shuffle

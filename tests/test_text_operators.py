@@ -364,3 +364,35 @@ class TestTrainedLangId:
             q.stop()
         truth = {i: t for i, (t, _) in enumerate(self.HELD_OUT[:6])}
         assert got == truth
+
+
+class TestSentenceSplit:
+    def test_boundaries_and_guards(self, spark):
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.text_analysis import split_sentences
+
+        rows = [
+            (1, 'Alpha one. Beta two! Dr. Smith spoke? "Quoted." End.'),
+            (2, "One sentence only"),
+            (3, "e.g. lowercase guard stays. Real End. Next 9 one."),
+            (4, None),
+            (5, "  "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.sentences, r.n_sentences)
+               for r in split_sentences(df).collect()}
+        assert got[1] == (
+            ["Alpha one.", "Beta two!", "Dr. Smith spoke?", '"Quoted."',
+             "End."], 5)
+        assert got[2] == (["One sentence only"], 1)
+        assert got[3] == (
+            ["e.g. lowercase guard stays.", "Real End.", "Next 9 one."], 3)
+        # NULL / whitespace text = empty document contract
+        assert got[4] == ([], 0) and got[5] == ([], 0)
+
+    def test_processor(self, spark):
+        from nekton_spark.registry import PROCESSORS
+
+        df = spark.createDataFrame([(1, "A b. C d.")], "doc_id long, text string")
+        assert PROCESSORS["split_sentences"](df).first().n_sentences == 2

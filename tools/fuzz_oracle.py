@@ -76,7 +76,7 @@ DOC_QUERIES = [
     "crawl_coverage", "image_auto_orient", "pdf_extract",
     "html_markdown", "sitemap_extract", "docx_extract",
     "document_extract", "html_jsonld", "feed_extract",
-    "domain_quota_sample",
+    "domain_quota_sample", "sentence_split",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
