@@ -4045,15 +4045,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert len(r13_window) == 50, len(r13_window)
     assert set(r13_window) <= set(q), sorted(set(r13_window) - set(q))
     # r14 window pre-solve (updated r13 close): the 21 squeezed
-    # r10-tail rows above + the TEN rows new in r13 with no driver
+    # r10-tail rows above + the ELEVEN rows new in r13 with no driver
     # evidence yet (crawl_coverage, image_auto_orient, pdf_extract,
     # html_markdown, sitemap_extract, docx_extract, document_extract,
-    # html_jsonld, feed_extract, domain_quota_sample — each
-    # oracle-verified exact at sf0.01 and fuzzed, seeds 142-157; grand
-    # fuzz 152/156 cover the battery) = 31, + 19 of the r11 staleness
-    # tail by the standing histogram recipe (recompute from
+    # html_jsonld, feed_extract, domain_quota_sample, sentence_split —
+    # each oracle-verified exact at sf0.01 and fuzzed, seeds 142-158;
+    # grand fuzz 152/156 cover the battery) = 32, + 18 of the r11
+    # staleness tail by the standing histogram recipe (recompute from
     # CORRECTNESS_r01-r13 at r14 start; expected histogram after this
-    # round: r10:21, r11:50, r12:50, r13:50, never:10). Prefer
+    # round: r10:21, r11:50, r12:50, r13:50, never:11). Prefer
     # squeezing r11-tail rows whose engine paths have in-window twins,
     # as this round did for the r10 tail.
     ordered = {k: q[k] for k in r13_window} | {
