@@ -4,7 +4,11 @@ Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
 against ``oracle_sql()`` via DuckDB: row count, sorted column names,
 and order-insensitive exact value comparison. Usage:
 
-    python tools/check_oracle.py [query ...]
+    python tools/check_oracle.py [--sf DIR] [--queries] [query ...]
+
+Unknown flag-like arguments REFUSE (r13: a ``--sf path`` invocation
+used to land in the query-name set, silently selecting ZERO queries
+and reporting a vacuous "0 failures" — a foot-gun, not a sweep).
 """
 
 from __future__ import annotations
@@ -62,11 +66,32 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
 
 
 def main():
+    global SF_DIR
     import __spark_entry__ as entrymod
 
     from nekton_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    only = set()
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--sf":
+            if i + 1 >= len(args):
+                print("--sf requires a directory argument")
+                return 2
+            SF_DIR = args[i + 1]
+            i += 2
+            continue
+        if a == "--queries":
+            i += 1
+            continue
+        if a.startswith("-"):
+            print(f"unknown flag {a!r}: refusing (a flag in the "
+                  "query-name set would silently select zero queries)")
+            return 2
+        only.add(a)
+        i += 1
     spark = get_spark("oracle-check")
 
     con = duckdb.connect()
