@@ -94,9 +94,16 @@ def main():
         i += 1
     spark = get_spark("oracle-check")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return c
+
+    con = fresh_con()
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -116,6 +123,23 @@ def main():
             continue
         try:
             oracle_pdf = con.sql(oracles[name]).df()
+        except (duckdb.OutOfMemoryException, duckdb.InvalidInputException):
+            # one in-memory connection accumulates buffer-pool pressure
+            # across a 182-query sweep (r13: 6 late-sweep oracle-side
+            # OOMs; engine results were fine). A fresh connection is a
+            # clean retry of the UNCHANGED oracle SQL, not a pass —
+            # same policy as tools/fuzz_oracle.py.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
+            try:
+                oracle_pdf = con.sql(oracles[name]).df()
+            except Exception as e:
+                failures.append(name)
+                print(f"FAIL  {name}: duckdb error (after fresh-connection retry): {type(e).__name__}: {str(e)[:200]}")
+                continue
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
