@@ -787,3 +787,48 @@ output:
             ("http://a.example/public/x", "P0", "CC"),
             ("http://b.example/ok", "P3", "ToS"),
         ]
+
+
+class TestDiscoveryInventory:
+    def test_sitemaps_to_domain_inventory(self, spark, tmp_path):
+        """The specs/discovery-inventory.yml composition: sitemap
+        payloads (plain + gzip) -> entries -> canonical URL keys ->
+        per-domain inventory; case-varying hosts and permuted query
+        params must collapse to one page."""
+        import zlib
+
+        d = tmp_path / "sitemaps"
+        d.mkdir()
+        (d / "a.xml").write_bytes(
+            b"<urlset><url><loc>https://A.example/p?b=2&amp;a=1</loc></url>"
+            b"<url><loc>https://a.example/p?a=1&amp;b=2</loc></url>"
+            b"<url><loc>https://a.example/q</loc></url></urlset>"
+        )
+        co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+        (d / "b.xml.gz").write_bytes(
+            co.compress(
+                b"<urlset><url><loc>https://b.example/x</loc></url></urlset>"
+            )
+            + co.flush()
+        )
+        out = compile_df(
+            spark,
+            f"""
+input:
+  type: media_files
+  path: {d}
+  glob: "*.xml*"
+pipeline:
+  processors:
+    - type: sitemap_entries
+      media: true
+    - type: filter
+      predicate: "refusal IS NULL AND kind = 'url'"
+    - type: domain_rollup
+      url_col: loc
+output:
+  type: memory
+""",
+        )
+        got = {r.domain: (r.n_urls, r.n_pages) for r in out.collect()}
+        assert got == {"a.example": (3, 2), "b.example": (1, 1)}
