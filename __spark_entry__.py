@@ -4056,8 +4056,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round: r10:21, r11:50, r12:50, r13:50, never:11). Prefer
     # squeezing r11-tail rows whose engine paths have in-window twins,
     # as this round did for the r10 tail.
-    ordered = {k: q[k] for k in r13_window} | {
-        k: v for k, v in q.items() if k not in r13_window
+    #
+    # Round-14 rotation (r13 verdict #1 — EXECUTING the pre-solve above):
+    # (a) the ELEVEN rows new in r13 with no driver evidence (r13 judge
+    # independently re-ran all 11 against the DuckDB oracle: 11/11
+    # exact-PASS), + (b) the full 21-row r10 staleness tail (verdict #6:
+    # flush it regardless of new-surface pressure), + (c) 18 of the
+    # 50-row r11 tail chosen by the standing twin recipe = exactly 50.
+    # The 32 squeezed r11 rows all have an in-window or ≤1-round-stale
+    # twin on the same engine path:
+    #   q01-q06/q14/q18/q22 (↔ q07/q09/q11/q12/q15/q16/q19/q21
+    #     in-window — relational-analog family; the four structurally
+    #     distinct r11 analogs have in-window counterparts),
+    #   jpeg_decode + png_color_decode + multimodal_decode (↔
+    #     jpeg_color_decode in-window — same codec battery),
+    #   hilbert_key_check (↔ zorder_key_check in-window),
+    #   bpe_roundtrip + vocab_coverage (↔ bpe_encode_docs in-window),
+    #   dedup_minhash_xxh + neardup_estimate (↔ minhash_xxh_pairset
+    #     in-window), dedup_ngram_sampled (↔ dedup_ngram_jaccard
+    #     in-window), dedup_simhash_hamming (↔ dedup_simhash in-window),
+    #   dedup_incremental (↔ dedup_exact in-window),
+    #   stratified_sample (↔ sample_hash_10pct in-window),
+    #   scalar_subquery_above_avg (↔ exists_subquery in-window),
+    #   events_json_extract (↔ events_sliding_window in-window),
+    #   null_semantics (↔ conditional_aggregation in-window),
+    #   line_dedup_firstkeep (↔ common_passages/repeated_span r13),
+    #   text_stats (↔ text_quality in-window), source_quality_rollup
+    #     (↔ corpus_quality_gate in-window), category_drift (↔
+    #     dataset_drift in-window), curriculum_buckets (↔
+    #     mixture_sample r13), embedding_quant_dedup (↔
+    #     embedding_outliers r13), unpivot_lineitem_metrics (↔
+    #     pivot_order_status r13), pipe_replace (↔ pipeline_chain
+    #     in-window — same replace engine).
+    # New r14 rows (dedup_minhash_cjk per verdict #2; any codec/crawl
+    # additions) are appended to slot (d) as they land, displacing the
+    # most-twinned (c) rows in this order: dedup_ngram_jaccard (twin
+    # dedup_ngram_dfcut r13), ann_topk_ivf (twin ann_index_roundtrip
+    # r13), text_quality (twin corpus_quality_gate stays in-window).
+    r14_window = [
+        # (a) the 11 never-driver-checked r13 rows (judge: 11/11 exact)
+        "crawl_coverage",
+        "docx_extract",
+        "document_extract",
+        "domain_quota_sample",
+        "feed_extract",
+        "html_jsonld",
+        "html_markdown",
+        "image_auto_orient",
+        "pdf_extract",
+        "sentence_split",
+        "sitemap_extract",
+        # (b) the full 21-row r10 staleness tail
+        "approx_quantile_check",
+        "bpe_encode_docs",
+        "conditional_aggregation",
+        "date_arithmetic",
+        "events_lead_lag",
+        "events_sliding_window",
+        "events_topk_users",
+        "exists_subquery",
+        "jpeg_color_decode",
+        "minhash_xxh_pairset",
+        "q07_volume_shipping",
+        "q09_product_profit",
+        "q11_important_suppliers",
+        "q12_late_shipments",
+        "q15_top_supplier",
+        "q16_part_supplier_counts",
+        "q19_discounted_revenue",
+        "q21_waiting_orders",
+        "sample_hash_10pct",
+        "string_functions",
+        "zorder_key_check",
+        # (c) 18 of the r11 staleness tail (no-twin preference)
+        "ann_topk_bruteforce",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "ann_topk_ivfpq",
+        "ann_topk_ivfpq_residual",
+        "compression_quality",
+        "pii_redaction",
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "text_quality",
+        "corpus_quality_gate",
+        "dataset_drift",
+        "doc_repetition",
+        "pipeline_chain",
+        "pipe_regex_replace",
+        "pipe_regex_select",
+        "pipe_regex_split",
+        # (d) new r14 rows land here (each displaces a (c) row above)
+    ]
+    assert len(r14_window) == 50, len(r14_window)
+    assert set(r14_window) <= set(q), sorted(set(r14_window) - set(q))
+    ordered = {k: q[k] for k in r14_window} | {
+        k: v for k, v in q.items() if k not in r14_window
     }
     return ordered
 
