@@ -2078,10 +2078,12 @@ def image_dhash_check(spark, sf):
 
 def image_auto_orient_check(spark, sf):
     """EXIF orientation normalization (imagehash.auto_orient, r13 —
-    r12 verdict #8): stored pixels carry the INVERSE display transform
-    for orientation (1, 3, 6, 8)[key % 4]; auto_orient rotates/flips
-    them upright (swapping dims for 6/8), so image_dhash must land on
-    the SAME closed-form hash for every orientation — camera-rotated
+    r12 verdict #8; r14 widened to all 8 tag values after the r13
+    ADVICE orientation-7 transverse fix): stored pixels carry the
+    INVERSE display transform for orientation (key % 8) + 1;
+    auto_orient rotates/flips them upright (swapping dims for 5-8), so
+    image_dhash must land on the SAME closed-form hash for every
+    orientation, pinning 5 vs 7 as distinct — camera-rotated
     re-shoots become Hamming-0 dedup pairs. Map-only Arrow passes, no
     shuffle; the oracle replays the upright dHash bit by bit."""
     from nekton_spark.functions.imagehash import (
@@ -7089,8 +7091,7 @@ WITH h AS (
       (a, c) -> a + c) AS hh
   FROM documents)
 SELECT doc_id,
-       (CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 6
-             ELSE 8 END)::INT AS orientation,
+       (doc_id % 8 + 1)::INT AS orientation,
        8::INT AS dec_height,
        9::INT AS dec_width,
        (CASE WHEN hh >= 9223372036854775808::HUGEINT

@@ -281,7 +281,10 @@ def orient_pixels(a: np.ndarray, orientation: int | None) -> np.ndarray:
     if o == 6:
         return np.rot90(a, k=-1, axes=(0, 1))
     if o == 7:
-        return np.rot90(a, k=-1, axes=(0, 1))[:, ::-1]
+        # Transverse: upright[i, j] = stored[H-1-j, W-1-i] (anti-
+        # transpose). NOT rot90(-1)[:, ::-1] — that simplifies to the
+        # plain transpose, i.e. orientation 5 (r13 ADVICE, medium).
+        return np.rot90(a, k=-1, axes=(0, 1))[::-1, :]
     if o == 8:
         return np.rot90(a, k=1, axes=(0, 1))
     raise ValueError(f"EXIF orientation {o} out of range 1..8")
@@ -332,18 +335,28 @@ def synth_oriented_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Driver-row synth for orientation normalization: the UPRIGHT
     image is synth_gray_frames' even-doc base pattern (8×9); the
     STORED pixels are that image passed through the INVERSE of the
-    display transform for orientation (1, 3, 6, 8)[key % 4], tagged
-    with that orientation — so auto_orient must land every row back on
-    the same upright pixels and image_dhash on the same closed-form
-    hash the image_dhash oracle already replays."""
+    display transform for orientation (key % 8) + 1 — ALL EIGHT tag
+    values, so the degenerate-transform class of bug (r13 ADVICE:
+    orientation 7 collapsing to the orientation-5 transpose) is pinned
+    by the driver row itself — tagged with that orientation; auto_orient
+    must land every row back on the same upright pixels and image_dhash
+    on the same closed-form hash the image_dhash oracle replays."""
 
     def _inverse(o: int, a: np.ndarray) -> np.ndarray:
         if o == 1:
             return a
+        if o == 2:  # mirror is an involution
+            return a[:, ::-1]
         if o == 3:
             return a[::-1, ::-1]
+        if o == 4:
+            return a[::-1, :]
+        if o == 5:  # transpose is an involution
+            return np.swapaxes(a, 0, 1)
         if o == 6:  # display rotates 90 CW → store rotated 90 CCW
             return np.rot90(a, k=1, axes=(0, 1))
+        if o == 7:  # anti-transpose is an involution
+            return np.swapaxes(a[::-1, ::-1], 0, 1)
         if o == 8:
             return np.rot90(a, k=-1, axes=(0, 1))
         raise AssertionError(o)
@@ -365,7 +378,7 @@ def synth_oriented_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
             base = (
                 q * 131 + yy * 17 + xx * 23 + (q * (yy + 1) * (xx + 1)) % 97
             ) % 251
-            o = (1, 3, 6, 8)[key % 4]
+            o = key % 8 + 1
             stored = _inverse(o, base)
             return (
                 o,

@@ -171,13 +171,21 @@ class TestSpark:
             4: lambda a: a[::-1, :],
             5: lambda a: np.swapaxes(a, 0, 1),
             6: lambda a: np.rot90(a, k=1, axes=(0, 1)),
-            7: lambda a: np.rot90(a[:, ::-1], k=1, axes=(0, 1)),
+            7: lambda a: np.rot90(a[::-1, :], k=1, axes=(0, 1)),
             8: lambda a: np.rot90(a, k=-1, axes=(0, 1)),
         }
         for o, inv in inverses.items():
             stored = inv(up)
             assert (orient_pixels(stored, o) == up).all(), o
         assert (orient_pixels(up, None) == up).all()
+        # The eight display transforms are pairwise DISTINCT on a
+        # generic image — pins the r13 ADVICE bug class (orientation 7
+        # silently collapsing onto orientation 5's transpose).
+        outs = {o: orient_pixels(up, o) for o in range(1, 9)}
+        for a in range(1, 9):
+            for b in range(a + 1, 9):
+                oa, ob = outs[a], outs[b]
+                assert oa.shape != ob.shape or (oa != ob).any(), (a, b)
         with pytest.raises(ValueError, match="orientation"):
             orient_pixels(up, 9)
 
