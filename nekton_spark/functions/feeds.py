@@ -64,10 +64,17 @@ def _text_of(block: str, tag: str) -> str | None:
 
 
 def _atom_link(block: str) -> str | None:
-    """First rel="alternate" (or rel-less) <link href=...>."""
+    """First rel="alternate" (or rel-less) <link href=...>. Accepts
+    both attribute quote styles — single-quoted href/rel is valid XML
+    (r13 ADVICE)."""
     best = None
     for m in re.finditer(r"<(?:\w+:)?link\s([^>]*?)/?>", block, re.S | re.I):
-        attrs = dict(re.findall(r'(\w+)\s*=\s*"([^"]*)"', m.group(1)))
+        attrs = {
+            k: v[1:-1]
+            for k, v in re.findall(
+                r"(\w+)\s*=\s*(\"[^\"]*\"|'[^']*')", m.group(1)
+            )
+        }
         rel = attrs.get("rel", "alternate").lower()
         href = attrs.get("href")
         if href and rel == "alternate":

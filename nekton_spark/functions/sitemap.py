@@ -51,8 +51,10 @@ def _unescape(s: str) -> str:
 
 
 def _tag_text(block: str, tag: str) -> str | None:
+    # optional attribute tail on the opening tag (r13 ADVICE: a <loc>
+    # carrying any attribute is still a valid sitemap entry)
     m = re.search(
-        rf"<(?:\w+:)?{tag}\s*>\s*(.*?)\s*</(?:\w+:)?{tag}\s*>",
+        rf"<(?:\w+:)?{tag}(?:\s[^>]*)?>\s*(.*?)\s*</(?:\w+:)?{tag}\s*>",
         block,
         re.S | re.I,
     )

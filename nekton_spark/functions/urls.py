@@ -201,21 +201,32 @@ def domain_quota(
 
     if max_per_domain < 1:
         raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+
+    # Collision-proof temp names (r13 ADVICE): an input that already
+    # carries a column named _nu/_dom/_rk must pass through untouched.
+    def _fresh(base: str) -> str:
+        name, i = base, 0
+        while name in df.columns:
+            i += 1
+            name = f"{base}_{i}"
+        return name
+
+    c_nu, c_dom, c_rk = _fresh("_nu"), _fresh("_dom"), _fresh("_rk")
     s1 = df.withColumn(
-        "_nu", F.explode(F.array(url_normalize(F.col(url_col))))
+        c_nu, F.explode(F.array(url_normalize(F.col(url_col))))
     )
     keyed = s1.withColumn(
-        "_dom", F.explode(F.array(registered_domain(F.col("_nu"))))
-    ).filter(F.col("_dom").isNotNull())
+        c_dom, F.explode(F.array(registered_domain(F.col(c_nu))))
+    ).filter(F.col(c_dom).isNotNull())
     if priority_col is not None:
-        order = [F.col(priority_col).desc(), F.col("_nu").asc()]
+        order = [F.col(priority_col).desc(), F.col(c_nu).asc()]
     else:
-        order = [F.xxhash64("_nu").asc(), F.col("_nu").asc()]
-    w = Window.partitionBy("_dom").orderBy(*order)
+        order = [F.xxhash64(c_nu).asc(), F.col(c_nu).asc()]
+    w = Window.partitionBy(c_dom).orderBy(*order)
     return (
-        keyed.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= max_per_domain)
-        .drop("_nu", "_dom", "_rk")
+        keyed.withColumn(c_rk, F.row_number().over(w))
+        .filter(F.col(c_rk) <= max_per_domain)
+        .drop(c_nu, c_dom, c_rk)
     )
 
 

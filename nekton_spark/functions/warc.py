@@ -31,11 +31,16 @@ Original implementation from the public ISO 28500 spec and RFC 9112
   untrusted SERVER output, and real Common Crawl files routinely carry
   a few records with a brotli coding, a corrupt chunk, or a malformed
   header line — one such record must not discard the file's other
-  ~50k good records. Any HTTP-unwrap failure (and any WARC header line
-  without a ':') emits the record with NULL http fields, the RAW block
-  as ``body``, and a stable reason code in ``refusal`` (mirroring the
-  decode_coverage per-row refusal pattern; :func:`crawl_coverage`
-  rolls the codes up). Hard ValueError stays reserved for WARC-LEVEL
+  ~50k good records. Any HTTP-unwrap failure emits the record with
+  NULL http fields, the RAW block as ``body``, and a stable reason
+  code in ``refusal`` (mirroring the decode_coverage per-row refusal
+  pattern; :func:`crawl_coverage` rolls the codes up). A WARC header
+  line without a ':' is merely FLAGGED (``refusal =
+  'bad_warc_header_line'``) while the record is otherwise processed
+  normally — if its HTTP unwrap succeeds the record still decodes to
+  text and counts as surviving coverage (r13 ADVICE); a failed unwrap
+  overwrites the flag with the http reason code. Hard ValueError stays
+  reserved for WARC-LEVEL
   framing damage — a bad version line, an unterminated header, a
   missing/malformed Content-Length, a wrong record terminator — where
   the record boundary itself is unrecoverable.
@@ -558,16 +563,25 @@ def crawl_coverage(
     resp = recs.filter(F.col("warc_type") == "response")
     dec = decode_body_text(resp)
     refused_cs = F.col("charset").startswith("refused:")
+    # 'bad_warc_header_line' is a WARC-envelope flag, not an HTTP-unwrap
+    # refusal: warc_parse_records OVERWRITES it when the unwrap fails,
+    # so a record still carrying it unwrapped (and usually decoded)
+    # fine — counting it as stage='http'/refused under-reports coverage
+    # (r13 ADVICE). Such records fall through to the charset/ok buckets
+    # on their own merits.
+    http_refused = F.col("refusal").isNotNull() & (
+        F.col("refusal") != "bad_warc_header_line"
+    )
     stage = (
-        F.when(F.col("refusal").isNotNull(), F.lit("http"))
+        F.when(http_refused, F.lit("http"))
         .when(refused_cs, F.lit("charset"))
         .otherwise(F.lit("ok"))
     )
-    status = F.when(
-        F.col("refusal").isNotNull() | refused_cs, F.lit("refused")
-    ).otherwise(F.lit("ok"))
+    status = F.when(http_refused | refused_cs, F.lit("refused")).otherwise(
+        F.lit("ok")
+    )
     reason = (
-        F.when(F.col("refusal").isNotNull(), F.col("refusal"))
+        F.when(http_refused, F.col("refusal"))
         .when(refused_cs, F.expr("substring(charset, 9)"))
         .otherwise(F.col("charset"))
     )
@@ -580,15 +594,20 @@ def crawl_coverage(
     )
 
 
-def _warc_wrap(uri: str, http: bytes, record_id: str) -> bytes:
+def _warc_wrap(
+    uri: str, http: bytes, record_id: str, extra_header: bytes = b""
+) -> bytes:
     """Frame raw (possibly broken) HTTP response bytes as one valid
     WARC record — the WARC layer is intact so per-record isolation,
-    not file refusal, must carry the damage."""
+    not file refusal, must carry the damage. ``extra_header`` splices
+    raw bytes into the WARC named-header block (e.g. a colonless line
+    to exercise the lenient-header flag)."""
     head = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
         + f"WARC-Record-ID: {record_id}\r\n".encode()
         + f"WARC-Target-URI: {uri}\r\n".encode()
+        + extra_header
         + b"Content-Type: application/http; msgtype=response\r\n"
         + f"Content-Length: {len(http)}\r\n".encode()
         + b"\r\n"
@@ -600,7 +619,7 @@ def synth_warc_hostile(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
     """One WARC payload per row cycling every ingest refusal reason by
-    key % 6 (the crawl_coverage fixture — each leg's (stage, status,
+    key % 7 (the crawl_coverage fixture — each leg's (stage, status,
     reason) is a pure function of the residue):
 
     0. clean identity response (ok / utf-8);
@@ -608,7 +627,10 @@ def synth_warc_hostile(
     2. corrupt chunked body — non-hex size line (http / bad_chunking);
     3. HTTP header line without ':' (http / bad_header_line);
     4. declared ``charset=klingon`` (charset / unknown_charset);
-    5. declared utf-8, latin-1 bytes (charset / undecodable).
+    5. declared utf-8, latin-1 bytes (charset / undecodable);
+    6. colonless WARC header line, clean HTTP response (ok / utf-8 —
+       the lenient-envelope flag must NOT count as an http refusal,
+       r13 ADVICE).
 
     Containers gzip per-record on odd keys so both WARC envelopes ride
     every round."""
@@ -621,7 +643,7 @@ def synth_warc_hostile(
             key = int(row[key_col])
             uri = f"http://crawl.example/doc/{key}"
             rid = f"<urn:uuid:{key}>"
-            leg = key % 6
+            leg = key % 7
             if leg == 0:
                 rec = warc_encode_response(
                     uri, synth_page_bytes(key, row[text_col]), record_id=rid
@@ -650,13 +672,22 @@ def synth_warc_hostile(
                     b"Content-Length: 4\r\n\r\nbody"
                 )
                 rec = _warc_wrap(uri, http, rid)
-            else:
+            elif leg == 5:
                 http = (
                     b"HTTP/1.1 200 OK\r\n"
                     b"Content-Type: text/html; charset=utf-8\r\n"
                     b"Content-Length: 5\r\n\r\ncaf\xe9!"
                 )
                 rec = _warc_wrap(uri, http, rid)
+            else:
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    b"Content-Length: 4\r\n\r\nok 6"
+                )
+                rec = _warc_wrap(
+                    uri, http, rid, extra_header=b"X-Bogus-Colonless-Line\r\n"
+                )
             return warc_gzip([rec]) if key % 2 else rec
 
         for pdf in batches:

@@ -52,6 +52,17 @@ class TestKernel:
         assert got[1]["published"] == "2024-03-01"
         assert [g["feed_title"] for g in got] == ["AF", "AF"]
 
+    def test_atom_single_quoted_attrs(self):
+        """Single-quoted href/rel attributes are valid XML and must
+        yield the link (r13 ADVICE)."""
+        feed = (
+            b"<feed><title>SQ</title><entry><title>e</title>"
+            b"<link rel='alternate' href='https://e/sq'/>"
+            b"<id>sq1</id></entry></feed>"
+        )
+        got = parse_feed(feed)
+        assert got[0]["link"] == "https://e/sq"
+
     def test_refusals(self):
         with pytest.raises(ValueError, match="rss/channel/feed"):
             parse_feed(b"<html>nope</html>")

@@ -56,6 +56,25 @@ class TestKernel:
         )
         assert [e["loc"] for e in got] == ["https://e/a"]
 
+    def test_child_tags_with_attributes(self):
+        """A <loc> (or any child tag) carrying attributes is still a
+        valid entry, not missing_loc (r13 ADVICE) — and a longer tag
+        sharing the prefix (<locations>) is still NOT mistaken for it."""
+        got = parse_sitemap(
+            b'<urlset><url><loc data-y="2">https://e/b</loc>'
+            b"<lastmod tz='z'>2024-05-06</lastmod></url></urlset>"
+        )
+        assert got == [{
+            "kind": "url", "loc": "https://e/b", "lastmod": "2024-05-06",
+            "changefreq": None, "priority": None,
+        }]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="missing required <loc>"):
+            parse_sitemap(
+                b"<urlset><url><locations>https://e/c</locations>"
+                b"</url></urlset>"
+            )
+
     def test_gzip_and_plain_text(self):
         co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
         gz = co.compress(URLSET) + co.flush()

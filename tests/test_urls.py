@@ -165,3 +165,17 @@ class TestDomainQuota:
 
         d = synth_urls(spark.range(0, 12).selectExpr("id as doc_id"))
         assert PROCESSORS["domain_quota"](d, max_per_domain=2).count() == 6
+
+    def test_temp_name_collision(self, spark):
+        """User columns named _nu/_dom/_rk survive untouched — the
+        window's temp columns must pick fresh names (r13 ADVICE)."""
+        from nekton_spark.functions.urls import domain_quota
+
+        d = spark.createDataFrame(
+            [(1, "https://ok.example/x", "keep-nu", 7, "keep-rk")],
+            "doc_id long, url string, _nu string, _dom long, _rk string",
+        )
+        out = domain_quota(d, max_per_domain=5)
+        assert out.columns == ["doc_id", "url", "_nu", "_dom", "_rk"]
+        row = out.collect()[0]
+        assert (row._nu, row._dom, row._rk) == ("keep-nu", 7, "keep-rk")

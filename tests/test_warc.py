@@ -202,15 +202,18 @@ class TestSparkSurface:
 
     def test_crawl_coverage_rollup(self, spark):
         """crawl_coverage (r13): the hostile synth cycles every ingest
-        refusal reason by key % 6; the rollup must land on the exact
-        closed-form counts per (stage, status, reason)."""
+        refusal reason by key % 7; the rollup must land on the exact
+        closed-form counts per (stage, status, reason). Leg 6 (r13
+        ADVICE) plants a colonless WARC header line over a CLEAN
+        response — the lenient-envelope flag must land in the ok
+        bucket, not as an http refusal."""
         from nekton_spark.functions.warc import (
             crawl_coverage,
             synth_warc_hostile,
         )
 
         d = spark.createDataFrame(
-            [(k, f"text {k}") for k in range(24)], "doc_id long, text string"
+            [(k, f"text {k}") for k in range(28)], "doc_id long, text string"
         )
         got = {
             (r.stage, r.status, r.reason): r.n
@@ -219,7 +222,7 @@ class TestSparkSurface:
             ).collect()
         }
         assert got == {
-            ("ok", "ok", "utf-8"): 4,
+            ("ok", "ok", "utf-8"): 8,  # leg 0 + leg 6 (flagged header)
             ("http", "refused", "content_coding"): 4,
             ("http", "refused", "bad_chunking"): 4,
             ("http", "refused", "bad_header_line"): 4,
@@ -232,12 +235,12 @@ class TestSparkSurface:
         from nekton_spark.registry import PROCESSORS
 
         d = spark.createDataFrame(
-            [(k, "t") for k in range(6)], "doc_id long, text string"
+            [(k, "t") for k in range(7)], "doc_id long, text string"
         )
         out = PROCESSORS["crawl_coverage"](
             synth_warc_hostile(d).drop("doc_id", "text")
         ).collect()
-        assert sum(r.n for r in out) == 6
+        assert sum(r.n for r in out) == 7
         assert {r.stage for r in out} == {"ok", "http", "charset"}
 
     def test_streaming_crawl_ingest(self, spark, tmp_path):
