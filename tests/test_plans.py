@@ -526,7 +526,33 @@ PLAN_SIZE_BUDGET = {
 }
 
 
+# r14 (r13 verdict #3): REQUIRED physical-plan markers — rewrites the
+# engine DEPENDS on for scale, pinned so a Spark upgrade or plan change
+# that silently drops them fails CI. domain_quota's rank-then-filter
+# relies on InferWindowGroupLimit inserting the MAP-SIDE partial top-k
+# (`WindowGroupLimit ... Partial`); without it every page of one
+# mega-domain lands in a single task — and one domain owning 30% of a
+# crawl is the NORMAL case, not the skew case. Each entry: list of
+# substring groups, every group must co-occur on one plan line.
+PLAN_REQUIRED_LINES = {
+    "domain_quota_sample": [("WindowGroupLimit", "Partial")],
+}
+
+
 class TestPlanBudgets:
+    @pytest.mark.parametrize("name", sorted(PLAN_REQUIRED_LINES))
+    def test_required_markers(self, spark, name):
+        df = em.queries()[name](spark, SF)
+        p = plans.simple_plan(df)
+        for group in PLAN_REQUIRED_LINES[name]:
+            assert any(
+                all(m in ln for m in group) for ln in p.splitlines()
+            ), (
+                f"{name}: no plan line carries {group} — the map-side "
+                "partial window limit is gone; the per-key top-k now "
+                "single-tasks hot keys"
+            )
+
     @pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
     def test_budget(self, spark, name):
         max_py, max_ex = PLAN_BUDGET[name]
