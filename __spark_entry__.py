@@ -1384,6 +1384,23 @@ def dedup_minhash_lsh(spark, sf):
     return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
 
+def dedup_minhash_cjk(spark, sf):
+    """Spaceless-script near-dup mining (r14, r13 verdict #2 —
+    functions/dedup.py:synth_cjk_docs + minhash_lsh_pairs
+    tokenize='script'): the synth plants clique-of-4 Han near-dups
+    with NO ASCII spaces (plus a 12-codepoint slice of the corpus
+    text, so hostile unicode rides through the spread kernel). The
+    word tokenizer provably mines ZERO pairs here (pinned red in
+    tests/test_functions.py); the script policy character-shingles the
+    runs and recovers every clique. The oracle replays the synth with
+    chr(), the explicit-range spread, and the full banded-MinHash +
+    exact-Jaccard chain. Same 2-shuffle plan as dedup_minhash_lsh."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup.minhash_lsh_pairs(
+        dedup.synth_cjk_docs(d), threshold=0.5, tokenize="script"
+    )
+
+
 def dedup_minhash_xxh(spark, sf):
     """Production-path MinHash LSH: pure-JVM xxhash64 signatures and
     band keys — zero Python workers, zero Arrow transfer. DuckDB has no
@@ -3475,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_minhash_cjk": dedup_minhash_cjk,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash_hamming": dedup_simhash_hamming,
         "dedup_incremental": dedup_incremental,
@@ -4142,7 +4160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction",
         "dedup_exact",
         "dedup_simhash",
-        "dedup_ngram_jaccard",
         "text_quality",
         "corpus_quality_gate",
         "dataset_drift",
@@ -4151,7 +4168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_regex_replace",
         "pipe_regex_select",
         "pipe_regex_split",
-        # (d) new r14 rows land here (each displaces a (c) row above)
+        # (d) new r14 rows (each displaced a (c) row per the order
+        # above: dedup_minhash_cjk displaced dedup_ngram_jaccard —
+        # twin dedup_ngram_dfcut r13 + the in-window minhash family)
+        "dedup_minhash_cjk",
     ]
     assert len(r14_window) == 50, len(r14_window)
     assert set(r14_window) <= set(q), sorted(set(r14_window) - set(q))
@@ -4169,17 +4189,57 @@ _H = hash60_sql  # (expr, seed) -> DuckDB fragment
 _TOKS = r"regexp_split_to_array(trim(coalesce(text, '')), '\s+')"
 _TOKS_LOWER = r"regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')"
 
+
+def _toks_script_sql() -> str:
+    """Script-aware token fragment (r14): the spaceless-script spread
+    (text_analysis.script_spread_sql — the SAME explicit-range class
+    string the JVM kernel compiles) runs before the \\s+ split, so
+    CJK/Thai runs tokenize per character in the oracle exactly as in
+    the engine."""
+    from nekton_spark.functions.text_analysis import script_spread_sql
+
+    return (
+        "regexp_split_to_array(trim("
+        + script_spread_sql("coalesce(text, '')")
+        + r"), '\s+')"
+    )
+
+
+# DuckDB replay of dedup.synth_cjk_docs: clique-of-4 Han base + member
+# tail + first-12-codepoint slice of the original text (chr(19968 + i)
+# == the engine's contiguous _CJK_ALPHABET lookup)
+_CJK_DOCS_SOURCE = """(
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 30),
+           i -> chr(19968 + ((qq*131 + i*17 + (qq*(i+1)) % 97) % 500)::INT)), '')
+      || array_to_string(list_transform(range(0, 2),
+           i -> chr(19968 + ((qq*131 + 2000 + i*17 + mm*17 + (qq*(i+31)) % 97) % 500)::INT)), '')
+      || ' ' || substring(coalesce(text, ''), 1, 12) AS text
+  FROM (SELECT doc_id, text,
+               ((doc_id % 4) + 4) % 4 AS mm,
+               ((((doc_id - ((doc_id % 4) + 4) % 4) // 4) % 500) + 500) % 500 AS qq
+        FROM documents)) cjk_docs"""
+
 _SHINGLES = (
     "CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE "
     "list_transform(range(0, len(toks) - 2), i -> array_to_string(toks[i+1:i+3], ' ')) END"
 )
 
 
-def _minhash_ctes(threshold: float, k: int = 16, bands: int = 8) -> str:
+def _minhash_ctes(
+    threshold: float,
+    k: int = 16,
+    bands: int = 8,
+    toks_sql: str | None = None,
+    source: str = "documents",
+) -> str:
     """CTE chain ending in ``mpairs(id_a, id_b, jaccard)``: banded
     MinHash candidates exact-verified against full shingle sets — the
     oracle for every operator built on the bounded pair-mining plan
-    (minhash_lsh_pairs / ngram_jaccard_pairs default / CC edges)."""
+    (minhash_lsh_pairs / ngram_jaccard_pairs default / CC edges).
+    ``toks_sql`` overrides the token fragment (default ``_TOKS``; the
+    CJK row passes the script-spread variant) and ``source`` the
+    relation scanned (a synth subquery for planted-corpus rows)."""
     from nekton_spark.functions.hashing import H0_MOD, REHASH_MASK, affine_consts
 
     r = k // bands
@@ -4200,7 +4260,7 @@ def _minhash_ctes(threshold: float, k: int = 16, bands: int = 8) -> str:
     )
     return f"""base AS (
   SELECT doc_id, {_SHINGLES} AS sh
-  FROM (SELECT doc_id, {_TOKS} AS toks, text FROM documents)
+  FROM (SELECT doc_id, {toks_sql or _TOKS} AS toks, text FROM {source})
 ), nonempty AS (
   SELECT doc_id, sh FROM base WHERE len(sh) > 0
 ), sigs AS (
@@ -6288,6 +6348,12 @@ SELECT doc_id, lang, source, n_chars
 FROM fresh JOIN keep USING (fp) WHERE doc_id = keep_id
 """,
         "dedup_minhash_lsh": _minhash_sql(threshold=0.1),
+        # dedup_minhash_cjk (r14): the synth + script-spread tokens +
+        # the standard banded chain, all replayed in SQL
+        "dedup_minhash_cjk": (
+            f"WITH {_minhash_ctes(0.5, toks_sql=_toks_script_sql(), source=_CJK_DOCS_SOURCE)}\n"
+            "SELECT id_a, id_b, jaccard FROM mpairs"
+        ),
         # pair-set equality of the xxhash64 engine vs the md5 engine:
         # the oracle is the md5 path's exact pair set with both
         # membership flags pinned true — a false from the Spark side's

@@ -85,7 +85,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _shingles_py(text: str, n: int) -> list[str]:
+def _shingles_py(text: str, n: int, tokenize: str = "word") -> list[str]:
     """Word n-grams, semantics matching text_analysis.ngrams: ASCII \\s+
     split of the SPACE-trimmed text (re.ASCII pins Python's \\s to the
     same ASCII class Java and RE2 use). The trim is ``strip(' ')``, not
@@ -93,27 +93,41 @@ def _shingles_py(text: str, n: int) -> list[str]:
     a leading/trailing newline leaves an empty token in BOTH engines
     ('\\nx' → ['', 'x']) — a full python strip() silently dropped it
     and made the UDF shingle sets diverge from the oracle's (caught by
-    tools/fuzz_oracle.py on whitespace-edged corpora)."""
+    tools/fuzz_oracle.py on whitespace-edged corpora).
+
+    ``tokenize="script"`` (r14): spaceless-script codepoints are
+    space-spread BEFORE the split (text_analysis.script_spread_py), so
+    CJK/Thai runs shingle as character n-grams instead of collapsing
+    to ≤1 token — the r13-verdict spaceless-script blind spot."""
     import re as _re
 
-    t = (text or "").strip(" ")
+    from .text_analysis import check_tokenize, script_spread_py
+
+    t = text or ""
+    if check_tokenize(tokenize) == "script":
+        t = script_spread_py(t)
+    t = t.strip(" ")
     toks = _re.split(r"\s+", t, flags=_re.ASCII) if t else []
     if len(toks) < n:
         return []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def _distinct_shingles_udf(shingle_n: int):
+def _distinct_shingles_udf(shingle_n: int, tokenize: str = "word"):
     import hashlib  # noqa: F401  (parity with sig udf env)
 
     @F.pandas_udf("array<string>")
     def _sh(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: list(dict.fromkeys(_shingles_py(t or "", shingle_n))))
+        return texts.map(
+            lambda t: list(
+                dict.fromkeys(_shingles_py(t or "", shingle_n, tokenize))
+            )
+        )
 
     return _sh
 
 
-def _sig_and_hashed_shingles_udf(k: int, shingle_n: int):
+def _sig_and_hashed_shingles_udf(k: int, shingle_n: int, tokenize: str = "word"):
     """One Arrow pass producing BOTH the k-long MinHash signature and
     the doc's distinct hashed shingle set (full 60-bit hash60 — no
     H0_MOD fold, minimizing collision odds): the md5 per shingle is
@@ -130,7 +144,7 @@ def _sig_and_hashed_shingles_udf(k: int, shingle_n: int):
     B = np.array(b_c, dtype=np.int64)[:, None]
 
     def one(text: str):
-        sh = _shingles_py(text or "", shingle_n)
+        sh = _shingles_py(text or "", shingle_n, tokenize)
         if not sh:
             return {"sig": None, "hs": None}
         h60 = [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) for s in sh]
@@ -145,7 +159,7 @@ def _sig_and_hashed_shingles_udf(k: int, shingle_n: int):
     return _both
 
 
-def _minhash_sig_udf(k: int, shingle_n: int):
+def _minhash_sig_udf(k: int, shingle_n: int, tokenize: str = "word"):
     """Arrow-batched signature computation. hashlib md5 produces the
     identical base hash to the JVM/DuckDB expression; the affine family
     is evaluated as one numpy broadcast (A[:,None]*h0 + B[:,None]) & mask
@@ -158,7 +172,7 @@ def _minhash_sig_udf(k: int, shingle_n: int):
     B = np.array(b_c, dtype=np.int64)[:, None]
 
     def sig_one(text: str):
-        sh = _shingles_py(text or "", shingle_n)
+        sh = _shingles_py(text or "", shingle_n, tokenize)
         if not sh:
             return None
         h0 = np.array(
@@ -174,7 +188,9 @@ def _minhash_sig_udf(k: int, shingle_n: int):
     return _sig
 
 
-def _shingles_expr(text_col: Column, shingle_n: int) -> Column:
+def _shingles_expr(
+    text_col: Column, shingle_n: int, tokenize: str = "word"
+) -> Column:
     """Word n-gram array as a JVM expression (semantics of _shingles_py:
     ASCII \\s+ split of the trimmed text; < n tokens → empty).
 
@@ -185,6 +201,10 @@ def _shingles_expr(text_col: Column, shingle_n: int) -> Column:
     family replays that). Both definitions are pinned by their own
     oracle rows; any edge-semantics change must be made against the
     matching oracle, never by merging the two helpers."""
+    from .text_analysis import check_tokenize, script_spread
+
+    if check_tokenize(tokenize) == "script":
+        text_col = script_spread(text_col)
     empty = F.array().cast("array<string>")
     toks = F.when(F.length(F.trim(text_col)) == 0, empty).otherwise(
         F.split(F.trim(text_col), r"\s+")
@@ -199,7 +219,12 @@ def _shingles_expr(text_col: Column, shingle_n: int) -> Column:
 
 
 def _minhash_sigs_jvm(
-    df: DataFrame, text_col: str, id_col: str, k: int, shingle_n: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    shingle_n: int,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Pure-JVM signatures: explode shingles, ``xxhash64`` base hash,
     k affine rehashes as plain columns, ``groupBy(id).agg(min × k)``.
@@ -214,7 +239,10 @@ def _minhash_sigs_jvm(
     md5 path instead of hash-matched."""
     a_c, b_c = affine_consts(k)
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles_expr(F.col(text_col), shingle_n)).alias("s")
+        F.col(id_col).alias("id"),
+        F.explode(
+            _shingles_expr(F.col(text_col), shingle_n, tokenize)
+        ).alias("s"),
     )
     # base hash reduced below 2^40 so A*h0 + B stays under 2^60:
     # Spark wraps int64 overflow silently, which would corrupt minima
@@ -282,6 +310,7 @@ def minhash_signatures(
     k: int = DEFAULT_K,
     shingle_n: int = 3,
     hash: str = "md5",
+    tokenize: str = "word",
 ) -> DataFrame:
     """(id, sig: array<long>[k]) — sig[i] = min over shingles of h_i(s),
     h_i the universal rehash family over one base hash per shingle.
@@ -298,16 +327,18 @@ def minhash_signatures(
     Docs with < shingle_n tokens yield no shingles and are dropped.
     """
     from .similarity import ensure_parallelism
+    from .text_analysis import check_tokenize
 
+    check_tokenize(tokenize)  # refuse at plan time, not inside the UDF
     # tiny corpora read as one parquet split → the whole shingle+hash
     # stage would run on one task; fan out proportional to input bytes
     # (no-op at real scale — see ensure_parallelism)
     df = ensure_parallelism(df)
     if hash == "xxhash64":
-        return _minhash_sigs_jvm(df, text_col, id_col, k, shingle_n)
+        return _minhash_sigs_jvm(df, text_col, id_col, k, shingle_n, tokenize)
     if hash != "md5":
         raise ValueError(f"unknown hash engine: {hash!r}")
-    sig = _minhash_sig_udf(k, shingle_n)(F.col(text_col))
+    sig = _minhash_sig_udf(k, shingle_n, tokenize)(F.col(text_col))
     return (
         df.select(F.col(id_col).alias("id"), sig.alias("sig"))
         .filter(F.col("sig").isNotNull())
@@ -323,8 +354,11 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hash: str = "md5",
+    tokenize: str = "word",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, exact-verified.
+    ``tokenize="script"`` switches every shingle kernel (signature,
+    verify) to the spaceless-script character-gram tokenizer (r14).
 
     Stages (2 shuffles total, both on uniform keys):
       1. signatures (map-only)
@@ -338,7 +372,9 @@ def minhash_lsh_pairs(
     so no salting needed; r=k/bands rows per band tunes the S-curve.
     """
     r = band_rows(k, bands)
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, hash=hash)
+    sigs = minhash_signatures(
+        df, text_col, id_col, k, shingle_n, hash=hash, tokenize=tokenize
+    )
     if hash == "xxhash64":
         # band key needs no oracle parity — keep the production path
         # fully JVM-native (one xxhash64 per band, no md5 anywhere)
@@ -381,7 +417,7 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shingle_set = _distinct_shingles_udf(shingle_n)
+    shingle_set = _distinct_shingles_udf(shingle_n, tokenize)
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .join(cand_ids, "id", "left_semi")
@@ -406,7 +442,7 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(col: Column, bits: int = 32) -> Column:
+def simhash(col: Column, bits: int = 32, tokenize: str = "word") -> Column:
     """SimHash over whitespace tokens: bit b of the result is the sign
     of Σ_tokens (±1 per token depending on bit b of hash60(token)).
 
@@ -426,9 +462,14 @@ def simhash(col: Column, bits: int = 32) -> Column:
     """
     if not 1 <= bits <= 60:
         raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
+    from .text_analysis import check_tokenize, script_spread
+
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     # NULL text = empty document (the engine-wide NULL-text contract)
-    toks = F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
+    c = F.coalesce(col, F.lit(""))
+    if check_tokenize(tokenize) == "script":
+        c = script_spread(c)
+    toks = F.split(F.trim(c), r"\s+")
     hashes = F.transform(toks, lambda t: hash60(t, 0))
     votes = F.aggregate(
         hashes,
@@ -553,6 +594,7 @@ def ngram_jaccard_pairs(
     hash: str = "md5",
     audit_sample: float | None = None,
     audit_seed: int = 42,
+    tokenize: str = "word",
 ) -> DataFrame:
     """n-gram Jaccard similarity pairs, exact-scored.
 
@@ -580,6 +622,9 @@ def ngram_jaccard_pairs(
     expectation. The audit stays honest — it is the full exhaustive
     plan over a reproducible subset, with per-pair scores exact.
     """
+    from .text_analysis import check_tokenize
+
+    check_tokenize(tokenize)
     if candidates == "lsh":
         if max_doc_freq is not None:
             raise ValueError("max_doc_freq applies to candidates='all' only")
@@ -587,7 +632,7 @@ def ngram_jaccard_pairs(
             raise ValueError("audit_sample applies to candidates='all' only")
         return minhash_lsh_pairs(
             df, text_col, id_col, k=k, bands=bands, shingle_n=n,
-            threshold=threshold, hash=hash,
+            threshold=threshold, hash=hash, tokenize=tokenize,
         )
     if candidates != "all":
         raise ValueError(f"unknown candidates plan: {candidates!r}")
@@ -595,7 +640,7 @@ def ngram_jaccard_pairs(
         from .sampling import hash_sample
 
         df = hash_sample(df, id_col, audit_sample, seed=audit_seed)
-    shingle_set = _distinct_shingles_udf(n)
+    shingle_set = _distinct_shingles_udf(n, tokenize)
     base = df.select(
         F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -650,3 +695,58 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# CJK near-dup driver-row synth (r14, r13 verdict #2). The 500-char
+# alphabet is the contiguous CJK Unified block head 0x4E00..0x4E00+499
+# (all assigned Han), so Spark's substring-lookup and the oracle's
+# chr(19968 + idx) construct IDENTICAL strings.
+_CJK_ALPHABET = "".join(chr(0x4E00 + i) for i in range(500))
+
+
+def synth_cjk_docs(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic spaceless-CJK corpus with planted near-dup
+    cliques, closed-form from the key (DuckDB replays it with
+    ``chr``): docs group into cliques of 4 (q = key div 4); each doc
+    is a 30-char Han base sequence shared by its clique + a 2-char
+    per-member tail + ``' ' || substring(original text, 1, 12)`` (so
+    hostile corpus text flows through the script tokenizer too). No
+    ASCII spaces inside the Han run — the WORD tokenizer sees ~1 token
+    and mines NOTHING (the r13-verdict blind spot, pinned red by
+    tests), while ``tokenize='script'`` shingles it as character
+    3-grams and recovers the cliques. Pure codegen, map-only."""
+    key = F.col(key_col)
+    m = F.pmod(key, F.lit(4))
+    q = F.expr(f"({key_col} - pmod({key_col}, 4)) div 4")
+    qq = F.pmod(q, F.lit(500))
+    # the (qq*(i+1)) % 97 term makes the index NON-LINEAR in i: a
+    # linear stride construction put every clique's base on one cyclic
+    # orbit, so nearby cliques shared long arcs (and hence shingles)
+    # and paired ACROSS cliques — planted cliques must be the only
+    # near-dups
+    parts = []
+    for i in range(30):
+        idx = F.pmod(
+            qq * 131 + F.lit(i * 17) + F.pmod(qq * (i + 1), F.lit(97)),
+            F.lit(500),
+        )
+        parts.append(
+            F.substring(F.lit(_CJK_ALPHABET), (idx + 1).cast("int"), F.lit(1))
+        )
+    for i in range(2):
+        idx = F.pmod(
+            qq * 131 + F.lit(2000 + i * 17) + m * 17
+            + F.pmod(qq * (i + 31), F.lit(97)),
+            F.lit(500),
+        )
+        parts.append(
+            F.substring(F.lit(_CJK_ALPHABET), (idx + 1).cast("int"), F.lit(1))
+        )
+    cjk = F.concat(
+        *parts,
+        F.lit(" "),
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 12),
+    )
+    return df.withColumn(text_col, cjk)

@@ -51,6 +51,88 @@ def normalize(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+# Script-aware tokenization for SPACELESS scripts (r13 verdict #1 /
+# r14): a Chinese/Japanese/Thai/Korean document carries no ASCII
+# spaces, so the \s+ word tokenizer reduces it to ~1 token and every
+# word-token kernel (shingles, BM25, chunk budgets) silently
+# under-functions on roughly a fifth of the real web. The CC-Net /
+# BigScience practice is character-grams for those script runs: the
+# ``"script"`` tokenize policy SPREADS each spaceless-script codepoint
+# with ASCII spaces before the \s+ split, so each CJK/Thai character
+# becomes its own token (and word n-grams become character n-grams
+# over those runs) while spaced scripts tokenize exactly as before.
+#
+# The script classes are EXPLICIT codepoint ranges, not engine script
+# tables (\p{IsHan} etc.): Java (Spark), RE2 (DuckDB oracle) and
+# Python may carry different Unicode versions, and one engine tagging
+# a newly-assigned ideograph that another doesn't would break
+# bit-exact oracle parity. All three spread kernels below derive from
+# this ONE table.
+SPACELESS_RANGES: list[tuple[int, int]] = [
+    (0x0E00, 0x0E7F),  # Thai
+    (0x1100, 0x11FF),  # Hangul Jamo
+    (0x3040, 0x309F),  # Hiragana
+    (0x30A0, 0x30FF),  # Katakana
+    (0x3130, 0x318F),  # Hangul Compatibility Jamo
+    (0x31F0, 0x31FF),  # Katakana Phonetic Extensions
+    (0x3400, 0x4DBF),  # CJK Unified Ideographs Extension A
+    (0x4E00, 0x9FFF),  # CJK Unified Ideographs
+    (0xAC00, 0xD7AF),  # Hangul Syllables
+    (0xF900, 0xFAFF),  # CJK Compatibility Ideographs
+    (0x20000, 0x2FA1F),  # CJK Extensions B-F + Compat Supplement
+]
+
+# \x{...} hex escapes parse identically in Java regex and RE2, so the
+# SAME class string feeds Spark and the DuckDB oracle fragments.
+SPREAD_CLASS = "[" + "".join(
+    f"\\x{{{lo:X}}}-\\x{{{hi:X}}}" for lo, hi in SPACELESS_RANGES
+) + "]"
+
+TOKENIZE_POLICIES = ("word", "script")
+
+
+def check_tokenize(policy: str) -> str:
+    if policy not in TOKENIZE_POLICIES:
+        raise ValueError(
+            f"unknown tokenize policy {policy!r} "
+            f"(expected one of {TOKENIZE_POLICIES})"
+        )
+    return policy
+
+
+def script_spread(col: Column) -> Column:
+    """JVM spread kernel: ``' ' || c || ' '`` around every spaceless-
+    script codepoint (whole-stage codegen, no Python)."""
+    return F.regexp_replace(
+        F.coalesce(col, F.lit("")), "(" + SPREAD_CLASS + ")", " $1 "
+    )
+
+
+def _spread_re_py():
+    import re as _re
+
+    cls = "[" + "".join(
+        f"{chr(lo)}-{chr(hi)}" for lo, hi in SPACELESS_RANGES
+    ) + "]"
+    return _re.compile(f"({cls})")
+
+
+_SPREAD_RE_PY = _spread_re_py()
+
+
+def script_spread_py(text: str) -> str:
+    """Python twin of :func:`script_spread` for the Arrow UDF kernels
+    (same explicit ranges — bit-exact with the JVM/RE2 spreads)."""
+    return _SPREAD_RE_PY.sub(r" \1 ", text)
+
+
+def script_spread_sql(expr: str) -> str:
+    """DuckDB (RE2) oracle fragment replaying :func:`script_spread`."""
+    return (
+        f"regexp_replace({expr}, '({SPREAD_CLASS})', ' \\1 ', 'g')"
+    )
+
+
 # NULL-text contract (engine-wide, r7): every text-consuming operator
 # treats a NULL document as the EMPTY document — same token list, same
 # scores, same chunk/line behavior. Without the coalesce, NULL
@@ -58,12 +140,22 @@ def normalize(col: Column) -> Column:
 # size(NULL) = NULL) than through the oracle's DuckDB chain, and a
 # production corpus WILL contain NULLs. Exposed by the NULL-text fuzz
 # leg (tools/fuzz_oracle.py null_text_rate).
-def tokenize(col: Column) -> Column:
-    return F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
-
-
-def token_count(col: Column) -> Column:
+def tokenize(col: Column, policy: str = "word") -> Column:
     c = F.coalesce(col, F.lit(""))
+    if check_tokenize(policy) == "script":
+        c = script_spread(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+# alias for functions whose own parameter named `tokenize` shadows the
+# module-level tokenizer (bm25_topk)
+_tokenize_col = tokenize
+
+
+def token_count(col: Column, policy: str = "word") -> Column:
+    c = F.coalesce(col, F.lit(""))
+    if check_tokenize(policy) == "script":
+        c = script_spread(c)
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
         F.size(tokenize(c))
     )
@@ -593,7 +685,7 @@ def chunk_documents(
             f"overlap={overlap} must be < chunk_tokens={chunk_tokens}: "
             "stride would be <= 0 and chunking would never advance"
         )
-    if tokenizer not in ("whitespace", "bpe"):
+    if tokenizer not in ("whitespace", "script", "bpe"):
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     stride = chunk_tokens - overlap
     if tokenizer == "bpe":
@@ -633,8 +725,9 @@ def chunk_documents(
                 chunk.alias("chunk_ids"),
             )
         )
-    toks = tokenize(F.col(text_col))
-    n = token_count(F.col(text_col))
+    policy = "script" if tokenizer == "script" else "word"
+    toks = tokenize(F.col(text_col), policy)
+    n = token_count(F.col(text_col), policy)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
         F.lit(1)
         + F.floor(
@@ -711,6 +804,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    tokenize: str = "word",
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval over the corpus: for each query,
     the k best documents by sum over the query's DISTINCT terms of
@@ -737,7 +831,7 @@ def bm25_topk(
     toks = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(tokenize(F.col(text_col))).alias("token"),
+            F.explode(_tokenize_col(F.col(text_col), tokenize)).alias("token"),
         )
         .filter(F.length("token") > 0)
     )
@@ -750,7 +844,7 @@ def bm25_topk(
     qterms = (
         queries_df.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(tokenize(F.col(query_text_col))).alias("token"),
+            F.explode(_tokenize_col(F.col(query_text_col), tokenize)).alias("token"),
         )
         .filter(F.length("token") > 0)
         .distinct()

@@ -520,6 +520,7 @@ def bm25_processor(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize: str = "word",
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval. Queries come inline from the spec
     (``queries: {1: "alpha beta", ...}``) or from a parquet table at
@@ -535,7 +536,7 @@ def bm25_processor(
         qdf = table_source(df.sparkSession, queries_path, queries_table)
     else:
         raise ValueError("bm25 needs either `queries` or `queries_path`")
-    return ta.bm25_topk(df, qdf, k, k1, b, id_col, text_col)
+    return ta.bm25_topk(df, qdf, k, k1, b, id_col, text_col, tokenize=tokenize)
 
 
 @register_processor("chunk")
@@ -545,9 +546,12 @@ def chunk_processor(
     overlap: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """RAG sliding-window chunking: one output row per token window."""
-    return ta.chunk_documents(df, chunk_tokens, overlap, id_col, text_col)
+    return ta.chunk_documents(
+        df, chunk_tokens, overlap, id_col, text_col, tokenizer
+    )
 
 
 @register_processor("bpe_merges")

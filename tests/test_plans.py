@@ -420,6 +420,7 @@ PLAN_BUDGET = {
     # name: (max python-eval nodes, max hash/range exchanges)
     "dedup_exact": (0, 1),
     "dedup_minhash_lsh": (0, 0),
+    "dedup_minhash_cjk": (0, 0),  # r14: same banded plan, synth+spread map-only
     "dedup_minhash_xxh": (0, 0),
     "minhash_xxh_pairset": (0, 2),
     "dedup_simhash": (0, 1),

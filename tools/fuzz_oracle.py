@@ -77,6 +77,9 @@ DOC_QUERIES = [
     "html_markdown", "sitemap_extract", "docx_extract",
     "document_extract", "html_jsonld", "feed_extract",
     "domain_quota_sample", "sentence_split",
+    # r14: spaceless-script tokenization (the corpus itself now plants
+    # whole-CJK docs and near-dup CJK cliques — see gen_documents)
+    "dedup_minhash_cjk",
 ]
 EMB_QUERIES = [
     "ann_topk_bruteforce", "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq",
@@ -123,7 +126,24 @@ VOCAB = [
     "alpha", "Beta", "GAMMA", "delta", "x", "punct!", "a-b", "the", "and",
     "of", "naïve", "Ω", "mail@example.com", "192.168.0.1", "...", "#",
     "nai\u0308ve",  # DECOMPOSED form of naïve — NFC-normalization fodder
+    # r14 spaceless-script fodder: mixed-in Han/kana/Thai/Hangul and a
+    # supplementary-plane ideograph ride through every text kernel (the
+    # word paths see them as ordinary opaque tokens; the script paths
+    # must spread them identically in all three engines)
+    "中文词", "データ", "ไทยคำ", "한국어", "𠀀浅",
 ]
+
+# spaceless-script alphabet for whole-CJK fuzz docs (Han + kana + Thai
+# + Hangul + astral Han — every SPACELESS_RANGES block gets hit)
+CJK_CHARS = (
+    [chr(0x4E00 + i) for i in range(0, 300, 7)]
+    + [chr(0x3041 + i) for i in range(0, 40, 3)]
+    + [chr(0x30A1 + i) for i in range(0, 40, 3)]
+    + [chr(0x0E01 + i) for i in range(0, 40, 3)]
+    + [chr(0xAC00 + i * 11) for i in range(20)]
+    + [chr(0x20000 + i) for i in range(4)]
+)
+_CJK_SET = frozenset(CJK_CHARS)
 
 
 def gen_documents(
@@ -149,6 +169,23 @@ def gen_documents(
             if len(base) > 3:
                 del base[rng.randrange(len(base))]
             text = " ".join(base)
+        elif kind < 0.18:
+            # r14: whole-CJK spaceless doc — near-dup CJK clique member
+            # on a re-roll (clone an earlier CJK doc, mutate one char);
+            # the word tokenizer sees ONE token here, the script paths
+            # must character-shingle it identically in both engines
+            cjk_prior = [
+                r[1] for r in nonnull
+                if r[1] and r[1][:1] in _CJK_SET
+            ]
+            if cjk_prior and rng.random() < 0.5:
+                base = list(cjk_prior[rng.randrange(len(cjk_prior))])
+                base[rng.randrange(len(base))] = rng.choice(CJK_CHARS)
+                text = "".join(base)
+            else:
+                text = "".join(
+                    rng.choice(CJK_CHARS) for _ in range(rng.randint(8, 30))
+                )
         else:
             n_tok = rng.randint(1, 40)
             toks = [rng.choice(VOCAB) for _ in range(n_tok)]
