@@ -2624,13 +2624,14 @@ def domain_rollup_urls(spark, sf):
 
 
 def sentence_split_check(spark, sf):
-    """Sentence segmentation (text_analysis.split_sentences, r13):
-    rule-based boundaries (terminal punctuation + capital start,
-    abbreviation-guarded — the synth plants a 'Dr.' that must NOT
-    split and a quoted sentence start that must). The JVM lookbehind
-    pattern is not RE2-replayable, so the oracle rebuilds the exact
-    sentence array from the closed-form synth. Pure codegen split,
-    map-only."""
+    """Sentence segmentation (text_analysis.split_sentences, r13; r14
+    widened the abbreviation guard per verdict #7): rule-based
+    boundaries (terminal punctuation + capital start, abbreviation-
+    guarded — the synth plants Dr., approx., No.-before-digit, U.S.
+    and Nr. that must NOT split, plus a quoted sentence start that
+    must). The JVM lookbehind pattern is not RE2-replayable, so the
+    oracle rebuilds the exact sentence array from the closed-form
+    synth. Pure codegen split, map-only."""
     from nekton_spark.functions.text_analysis import (
         split_sentences,
         synth_sentence_text,
@@ -2642,8 +2643,10 @@ def sentence_split_check(spark, sf):
         "doc_id",
         "n_sentences",
         F.element_at("sentences", 1).alias("s1"),
+        F.element_at("sentences", 2).alias("s2"),
         F.element_at("sentences", 3).alias("s3"),
         F.element_at("sentences", 4).alias("s4"),
+        F.element_at("sentences", 5).alias("s5"),
     )
 
 
@@ -7812,8 +7815,10 @@ FROM u
 SELECT doc_id,
        5::INT AS n_sentences,
        'Alpha ' || doc_id || '.' AS s1,
+       'Beta approx. ' || doc_id || ' No. ' || (doc_id % 7) || '!' AS s2,
        'Dr. Smith said ' || doc_id || '?' AS s3,
-       '"Quoted ' || doc_id || '."' AS s4
+       '"Quoted ' || doc_id || '."' AS s4,
+       'End U.S. Nr. ' || (doc_id % 9) || '.' AS s5
 FROM documents
 """,
         # domain_quota_sample (r13): domain = doc_id % 3 residue class

@@ -612,8 +612,20 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
 # abbreviations (bounded variable-length lookbehind, which Java regex
 # allows; this is a JVM-side expression, NOT replayable in RE2, so the
 # driver row's oracle replays a closed-form synth instead).
+#
+# The guard list is exported so the property test walks it: every
+# entry, followed by '.' and a capital/digit, must NEVER split (r13
+# verdict #7 widened the original 13-entry English list with the
+# high-frequency multilingual/citation offenders: Nr., art., approx.,
+# ca., cf., pp., Vol., U.S.).
+SENTENCE_ABBREVIATIONS = [
+    "Mr", "Dr", "Mrs", "Ms", "Prof", "St", "No", "vs", "etc", "Fig",
+    "Jr", "Sr", "al", r"e\.g", r"i\.e",
+    "Nr", "Art", "art", "approx", "Approx", "ca", "cf", "pp",
+    "Vol", "vol", r"U\.S",
+]
 _SENTENCE_BOUNDARY = (
-    r"(?<!\b(?:Mr|Dr|Mrs|Ms|Prof|St|No|vs|etc|Fig|Jr|Sr|al|e\.g|i\.e)\.)"
+    r"(?<!\b(?:" + "|".join(SENTENCE_ABBREVIATIONS) + r")\.)"
     r"(?<=[.!?][\"')\]]?)\s+(?=[\"'(\[]?[A-Z0-9])"
 )
 
@@ -639,15 +651,19 @@ def split_sentences(
 
 
 def synth_sentence_text(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
-    """Deterministic multi-sentence paragraph per key — four
-    sentences with every boundary feature (period/bang/question,
-    a guarded 'Dr.' abbreviation, a quoted start): the driver row's
-    oracle rebuilds the exact sentence array."""
+    """Deterministic multi-sentence paragraph per key — five
+    sentences with every boundary feature (period/bang/question, a
+    quoted start) and FOUR guarded abbreviations that must not split
+    (Dr., plus the r14 additions approx., No.-before-digit, U.S. and
+    Nr.): the driver row's oracle rebuilds the exact sentence array."""
     key = F.col(key_col).cast("string")
     txt = F.concat(
-        F.lit("Alpha "), key, F.lit(". Beta "), key,
+        F.lit("Alpha "), key,
+        F.lit(". Beta approx. "), key,
+        F.lit(" No. "), (F.col(key_col) % 7).cast("string"),
         F.lit("! Dr. Smith said "), key,
-        F.lit('? "Quoted '), key, F.lit('." End '),
+        F.lit('? "Quoted '), key,
+        F.lit('." End U.S. Nr. '),
         (F.col(key_col) % 9).cast("string"), F.lit("."),
     )
     return df.withColumn("text", txt)

@@ -396,3 +396,27 @@ class TestSentenceSplit:
 
         df = spark.createDataFrame([(1, "A b. C d.")], "doc_id long, text string")
         assert PROCESSORS["split_sentences"](df).first().n_sentences == 2
+
+    def test_guarded_abbreviations_never_split(self, spark):
+        """Property over the EXPORTED guard list (r13 verdict #7):
+        every abbreviation followed by '.' and a capitalized (and a
+        digit-led) continuation stays ONE sentence, while the same
+        shape with an unguarded word splits."""
+        from nekton_spark.functions.text_analysis import (
+            SENTENCE_ABBREVIATIONS,
+            split_sentences,
+        )
+
+        abbrs = [a.replace("\\.", ".") for a in SENTENCE_ABBREVIATIONS]
+        rows = []
+        for i, a in enumerate(abbrs):
+            rows.append((2 * i, f"We cite {a}. Smith here."))
+            rows.append((2 * i + 1, f"We cite {a}. 42 here."))
+        control = len(rows)
+        rows.append((control, "We cite word. Smith here."))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.n_sentences for r in split_sentences(df).collect()}
+        for i, a in enumerate(abbrs):
+            assert got[2 * i] == 1, f"{a}. before capital split"
+            assert got[2 * i + 1] == 1, f"{a}. before digit split"
+        assert got[control] == 2  # unguarded word still splits
