@@ -4156,7 +4156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) 18 of the r11 staleness tail (no-twin preference)
         "ann_topk_bruteforce",
         "ann_topk_lsh",
-        "ann_topk_ivf",
         "ann_topk_ivfpq",
         "ann_topk_ivfpq_residual",
         "compression_quality",
@@ -4171,10 +4170,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_regex_replace",
         "pipe_regex_select",
         "pipe_regex_split",
-        # (d) new r14 rows (each displaced a (c) row per the order
-        # above: dedup_minhash_cjk displaced dedup_ngram_jaccard —
-        # twin dedup_ngram_dfcut r13 + the in-window minhash family)
+        # (d) new/re-pinned r14 rows (each displaced a (c) row per the
+        # order above: dedup_minhash_cjk displaced dedup_ngram_jaccard
+        # — twin dedup_ngram_dfcut r13 + the in-window minhash family;
+        # gif_frame_sample re-pins because its r13 evidence predates
+        # the disposal-3 fixture legs — it displaced ann_topk_ivf,
+        # twin ann_index_roundtrip r13 + ann_topk_ivfpq in-window)
         "dedup_minhash_cjk",
+        "gif_frame_sample",
     ]
     assert len(r14_window) == 50, len(r14_window)
     assert set(r14_window) <= set(q), sorted(set(r14_window) - set(q))
@@ -7209,13 +7212,16 @@ SELECT id_a, id_b, bit_count(xor(da, db))::INT AS hamming
 FROM cand
 WHERE bit_count(xor(da, db)) <= 3
 """,
-        # gif_frame_sample (r12, r13 delta frames): F = 2 + doc_id%3,
-        # every=2 → sampled [0] when F=2 else [0,2]. doc_id%3 == 0 is
-        # the all-full-canvas legacy path (flat RGB replay); doc_id%3
-        # != 0 carries frames >0 as inset (1,1)..(w-2,h-2) disposal-1
-        # patches, so the sampled canvas is the COMPOSITED RGBA:
-        # interior = frame-f colors, 1-px border = frame-0 colors,
-        # alpha 255
+        # gif_frame_sample (r12, r13 delta frames, r14 disposal 3):
+        # F = 2 + doc_id%3, every=2 → sampled [0] when F=2 else [0,2].
+        # doc_id%3 == 0 is the all-full-canvas legacy path (flat RGB
+        # replay); == 1 carries frames >0 as inset (1,1)..(w-2,h-2)
+        # disposal-1 patches (composited RGBA: interior = frame-f
+        # colors, 1-px border = frame-0); == 2 plants frame 1 as a
+        # DISPOSAL-3 patch that must be REVERTED before the smaller
+        # (2,2)..(w-3,h-3) disposal-1 frame 2 lands — sampled frame 2
+        # shows frame-0 pixels in the ring frame 1 covered, frame-2
+        # colors only in the inner rectangle
         "gif_frame_sample": """
 WITH g AS (
   SELECT doc_id,
@@ -7236,9 +7242,13 @@ v AS (
                 i -> CASE WHEN i % 4 = 3 THEN 255
                      ELSE (doc_id * 7
                            + ((doc_id
-                               + (CASE WHEN f > 0
+                               + (CASE WHEN f > 0 AND m = 1
                                        AND ((i // 4) // w) BETWEEN 1 AND h - 2
                                        AND ((i // 4) % w) BETWEEN 1 AND w - 2
+                                  THEN f
+                                  WHEN f > 0 AND m = 2
+                                       AND ((i // 4) // w) BETWEEN 2 AND h - 3
+                                       AND ((i // 4) % w) BETWEEN 2 AND w - 3
                                   THEN f ELSE 0 END)
                                + 3 * ((i // 4) // w) + ((i // 4) % w)) % 16) * 13
                            + (i % 4) * 29) % 256 END)

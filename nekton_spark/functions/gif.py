@@ -32,13 +32,17 @@ discipline:
     disposal 2 (restore to background) clears the patch RECTANGLE to
     transparent after the frame is emitted (browser semantics — the
     spec's "background color" renders as transparency);
-  * disposal 3 (restore to previous) still refuses — it needs an
-    extra saved canvas per frame and is vanishingly rare in crawls.
+  * disposal 3 (restore to previous, r14 — the last GIF disposal):
+    after the frame is emitted, the patch RECTANGLE reverts to its
+    pre-render pixels (one saved patch copy per frame, never a second
+    full canvas); reserved values 4-7 refuse.
 
   BYTE-IDENTICAL legacy contract: an animation whose frames ALL cover
-  the full canvas decodes exactly as before — each frame independent,
-  RGB (or RGBA via its own GCE transparency), no composition state.
-  Only the presence of at least one sub-canvas frame switches the
+  the full canvas (and use no disposal-3 frame — a transparent
+  restore-to-previous frame changes what successors composite over
+  even at full canvas) decodes exactly as before — each frame
+  independent, RGB (or RGBA via its own GCE transparency), no
+  composition state. A sub-canvas or disposal-3 frame switches the
   container to the composition path.
 
 Structural damage (bad signature, truncated sub-blocks, out-of-range
@@ -273,7 +277,7 @@ def gif_encode_anim(
     """GIF89a with per-frame placement/disposal/transparency — the
     delta-frame fixture writer for the composition path. ``patches``
     is a list of dicts: ``indices`` (fh, fw) palette indices, ``x0`` /
-    ``y0`` placement (default 0), ``disposal`` 0|1|2 (default 0) and
+    ``y0`` placement (default 0), ``disposal`` 0|1|2|3 (default 0) and
     ``transparent`` index or None; ``canvas`` is (w, h). Shares the
     LZW/packaging guts with :func:`gif_encode`."""
     pal = np.asarray(palette, dtype=np.uint8)
@@ -295,7 +299,7 @@ def gif_encode_anim(
         x0, y0 = int(p.get("x0", 0)), int(p.get("y0", 0))
         disposal = int(p.get("disposal", 0))
         transparent = p.get("transparent")
-        if disposal not in (0, 1, 2):
+        if disposal not in (0, 1, 2, 3):
             raise ValueError(f"disposal {disposal} not encodable here")
         if x0 + fw > w or y0 + fh > h:
             raise ValueError("patch rectangle exceeds canvas")
@@ -385,10 +389,10 @@ def _parse(payload: bytes):
                 transparent = tidx if flags & 1 else None
                 disposal = (flags >> 2) & 7
                 pos = _skip_subblocks(b, pos)
-                if disposal not in (0, 1, 2):
+                if disposal not in (0, 1, 2, 3):
+                    # 4-7 are reserved in GIF89a — refuse, don't guess
                     raise NotImplementedError(
-                        f"GIF disposal method {disposal} requires frame "
-                        "composition (restore-to-previous)"
+                        f"GIF disposal method {disposal} is reserved"
                     )
                 pending_disposal = disposal
             else:  # application / comment / plain text: skip by length
@@ -482,8 +486,13 @@ def _decode_frame(sw: int, sh: int, fr: dict) -> np.ndarray:
 
 
 def _full_canvas(sw: int, sh: int, frames: list[dict]) -> bool:
+    """True when every frame may decode INDEPENDENTLY (the legacy
+    byte-identical contract): full-canvas rectangles and no
+    restore-to-previous disposal (a transparent disposal-3 frame
+    changes what its successors composite over even at full canvas)."""
     return all(
         (fr["x0"], fr["y0"], fr["w"], fr["h"]) == (0, 0, sw, sh)
+        and fr["disposal"] != 3
         for fr in frames
     )
 
@@ -503,6 +512,11 @@ def _iter_composited(sw: int, sh: int, frames: list[dict]):
         idx = _decode_patch(fr)
         rgb = fr["table"][idx]
         region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        # disposal 3 (restore to previous): the area overwritten by
+        # this frame reverts to its pre-render pixels after the frame
+        # is emitted — ONE saved patch-rectangle per frame, never a
+        # second full canvas (GIF89a §23; r13 verdict #5)
+        saved = region.copy() if fr["disposal"] == 3 else None
         if fr["transparent"] is not None:
             opaque = idx != fr["transparent"]
             region[opaque, :3] = rgb[opaque]
@@ -513,6 +527,8 @@ def _iter_composited(sw: int, sh: int, frames: list[dict]):
         yield canvas
         if fr["disposal"] == 2:
             region[:] = 0
+        elif saved is not None:
+            region[:] = saved
 
 
 def gif_decode(payload: bytes) -> np.ndarray:

@@ -494,14 +494,23 @@ def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     16-color global table, interlaced on odd keys. Frame f's index map
     is (key + f + 3y + x) % 16 with the shared closed-form palette.
 
-    r13 — DELTA frames: keys with key % 3 != 0 carry frame 0 full
+    r13 — DELTA frames: keys with key % 3 == 1 carry frame 0 full
     canvas and every later frame as a SUB-CANVAS inset patch (x0=y0=1,
     (h-2)x(w-2), disposal 1) whose indices follow the same global
     formula on the patch region — so the composited canvas at frame f
     is closed-form: interior = frame-f colors, 1-pixel border = frame-0
     colors, alpha 255 (RGBA, the composition-path contract). Keys with
     key % 3 == 0 stay all-full-canvas and exercise the byte-identical
-    legacy path (RGB) in the same driver row."""
+    legacy path (RGB) in the same driver row.
+
+    r14 — DISPOSAL 3 (r13 verdict #5): keys with key % 3 == 2 make the
+    restore-to-previous semantics OBSERVABLE in the sampled frame:
+    frame 1 is the (1,1) inset patch with disposal 3 (reverted after
+    emit), frame 2 a SMALLER (2,2) (h-4)x(w-4) disposal-1 patch — so
+    sampled frame 2's canvas must show frame-0 pixels in the ring
+    frame 1 covered (a decoder that treats disposal 3 as 'do not
+    dispose' leaves frame-1 colors there; as 'clear', transparency —
+    both change px_sum). Frame 3 is the (1,1) disposal-1 patch."""
     import numpy as np
 
     from .gif import gif_encode, gif_encode_anim
@@ -527,19 +536,33 @@ def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 payload = gif_encode(frames, pal, interlace=bool(key % 2))
             else:
                 pyy, pxx = np.mgrid[1 : h - 1, 1 : w - 1]
-                patches = [
-                    {"indices": ((key + 3 * yy + xx) % 16).astype(np.uint8)}
-                ] + [
-                    {
+                qyy, qxx = np.mgrid[2 : h - 2, 2 : w - 2]
+
+                def patch(f: int) -> dict:
+                    if key % 3 == 2 and f == 1:
+                        return {
+                            "indices": (
+                                (key + 1 + 3 * pyy + pxx) % 16
+                            ).astype(np.uint8),
+                            "x0": 1, "y0": 1, "disposal": 3,
+                        }
+                    if key % 3 == 2 and f == 2:
+                        return {
+                            "indices": (
+                                (key + 2 + 3 * qyy + qxx) % 16
+                            ).astype(np.uint8),
+                            "x0": 2, "y0": 2, "disposal": 1,
+                        }
+                    return {
                         "indices": (
                             (key + f + 3 * pyy + pxx) % 16
                         ).astype(np.uint8),
-                        "x0": 1,
-                        "y0": 1,
-                        "disposal": 1,
+                        "x0": 1, "y0": 1, "disposal": 1,
                     }
-                    for f in range(1, n_frames)
-                ]
+
+                patches = [
+                    {"indices": ((key + 3 * yy + xx) % 16).astype(np.uint8)}
+                ] + [patch(f) for f in range(1, n_frames)]
                 payload = gif_encode_anim(
                     patches, pal, (w, h), interlace=bool(key % 2)
                 )

@@ -1942,18 +1942,77 @@ class TestMultimodal:
         sub[di + 1 : di + 3] = _s.pack("<H", 1)  # x0 = 1, fw still = sw
         with pytest.raises(ValueError, match="exceeds"):
             gif_decode(bytes(sub))
-        # disposal 3 (restore-to-previous) still refuses
+        # reserved disposal methods 4-7 refuse (3 decodes since r14)
         from nekton_spark.functions.gif import gif_encode_anim
 
-        d3 = bytearray(
+        d5 = bytearray(
             gif_encode_anim(
                 [{"indices": idx, "disposal": 1}], pal, (8, 9)
             )
         )
-        gce = d3.index(0xF9, 13)  # GCE label after GCT
-        d3[gce + 2] = (3 << 2)  # disposal 3
-        with pytest.raises(NotImplementedError, match="composition"):
-            gif_decode(bytes(d3))
+        gce = d5.index(0xF9, 13)  # GCE label after GCT
+        d5[gce + 2] = (5 << 2)  # reserved disposal 5
+        with pytest.raises(NotImplementedError, match="reserved"):
+            gif_decode(bytes(d5))
+
+    def test_gif_disposal3_restore_to_previous(self):
+        """r14 (r13 verdict #5): after a disposal-3 frame is emitted,
+        its patch RECTANGLE reverts to the pre-render pixels — the
+        next frame composites over the RESTORED canvas, not over the
+        disposal-3 frame's paint."""
+        from nekton_spark.functions.gif import (
+            gif_decode_frames,
+            gif_encode,
+            gif_encode_anim,
+        )
+
+        pal = (np.arange(16 * 3, dtype=np.uint8) * 5 % 256).reshape(16, 3)
+        base = (np.add.outer(np.arange(6), np.arange(8)) % 16).astype(np.uint8)
+        big = ((np.add.outer(np.arange(4), np.arange(5)) + 7) % 16).astype(
+            np.uint8
+        )
+        small = ((np.add.outer(np.arange(2), np.arange(2)) + 3) % 16).astype(
+            np.uint8
+        )
+        p = gif_encode_anim(
+            [
+                {"indices": base, "disposal": 1},
+                {"indices": big, "x0": 1, "y0": 1, "disposal": 3},
+                {"indices": small, "x0": 2, "y0": 2, "disposal": 1},
+            ],
+            pal,
+            (8, 6),
+        )
+        f0, f1, f2 = gif_decode_frames(p)
+        # frame 1 shows the disposal-3 paint while current
+        exp1 = pal[base].copy()
+        exp1[1:5, 1:6] = pal[big]
+        assert (f1[:, :, :3] == exp1).all() and (f1[:, :, 3] == 255).all()
+        # frame 2: big's rectangle REVERTED to base; only small lands
+        exp2 = pal[base].copy()
+        exp2[2:4, 2:4] = pal[small]
+        assert (f2[:, :, :3] == exp2).all() and (f2[:, :, 3] == 255).all()
+        # the ring big covered but small does not shows BASE pixels
+        assert (f2[1, 1, :3] == pal[base[1, 1]]).all()
+        assert (f2[4, 5, :3] == pal[base[4, 5]]).all()
+
+        # a full-canvas animation containing a disposal-3 frame with a
+        # transparent hole must NOT take the legacy independent path:
+        # the hole in frame 2 reveals frame 0 (restored), not frame 1
+        holed = base.copy()
+        holed[3, 3] = 9
+        q = gif_encode_anim(
+            [
+                {"indices": (base + 5) % 16, "disposal": 1},
+                {"indices": base, "transparent": 9, "disposal": 3},
+                {"indices": holed, "transparent": 9},
+            ],
+            pal,
+            (8, 6),
+        )
+        g0, g1, g2 = gif_decode_frames(q)
+        assert g2.shape == (6, 8, 4)
+        assert (g2[3, 3, :3] == pal[(base[3, 3] + 5) % 16]).all()
 
     def test_gif_spark_decode(self, spark):
         """decode_image over image/gif media: RGB and RGBA rows, and
@@ -2020,11 +2079,16 @@ class TestMultimodal:
                 if key % 3 == 0:
                     exp = pal[(key + f + 3 * yy + xx) % 16]
                 else:
-                    # composited canvas: interior = frame-f colors,
-                    # 1-px border = frame-0 colors, alpha 255
+                    # composited canvas, alpha 255. m=1: interior
+                    # (1,1)-inset = frame-f colors. m=2 (r14 disposal
+                    # 3): frame 1's (1,1) patch was REVERTED, so
+                    # sampled frame 2 shows frame-f colors only in the
+                    # smaller (2,2)-inset rect, frame-0 elsewhere.
                     eff = np.zeros((h, w), dtype=np.int64)
-                    if f > 0:
+                    if f > 0 and key % 3 == 1:
                         eff[1 : h - 1, 1 : w - 1] = f
+                    elif f > 0:
+                        eff[2 : h - 2, 2 : w - 2] = f
                     rgb = pal[(key + eff + 3 * yy + xx) % 16]
                     exp = np.dstack([rgb, np.full((h, w), 255)])
                 assert r.pixels == exp.ravel().astype(np.int64).tolist()

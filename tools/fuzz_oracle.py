@@ -719,6 +719,14 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         _panim_exp = pal[pidx].copy()
         _pm = np.ones((5, 6), bool) if _ptr is None else (_panim != _ptr)
         _panim_exp[2:7, 3:9][_pm] = pal[_panim][_pm]
+        # r14 disposal-3 ground truth: the (5, 6)@(3, 2) middle patch
+        # is restore-to-previous, so the final canvas is frame 0 with
+        # ONLY the last (3, 4)@(4, 3) patch composited
+        _pd3 = (
+            (key + 2 + np.add.outer(3 * np.arange(3), np.arange(4))) % 16
+        ).astype(np.uint8)
+        _pd3_exp = pal[pidx].copy()
+        _pd3_exp[3:6, 4:8] = pal[_pd3]
         bases = [
             ("png", _png_encode(pix), _png_decode, pix),
             ("png_color", _png_encode(cpix), _png_decode, cpix),
@@ -755,6 +763,31 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 ),
                 lambda p: gif_decode_frames(p)[-1][:, :, :3],
                 _panim_exp,
+            ),
+            (
+                "gif_disp3",  # r14: restore-to-previous battery — the
+                # disposal-3 middle patch must be REVERTED before the
+                # final smaller patch lands
+                gif_encode_anim(
+                    [
+                        {"indices": pidx.astype(np.uint8), "disposal": 1},
+                        {
+                            "indices": _panim,
+                            "x0": 3,
+                            "y0": 2,
+                            "disposal": 3,
+                        },
+                        {
+                            "indices": _pd3,
+                            "x0": 4,
+                            "y0": 3,
+                        },
+                    ],
+                    pal,
+                    (13, 11),
+                ),
+                lambda p: gif_decode_frames(p)[-1][:, :, :3],
+                _pd3_exp,
             ),
             (
                 "bmp",  # r12: indexed-8 via BI_RLE8 / 24-bit raw
