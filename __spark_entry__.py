@@ -2835,11 +2835,12 @@ def crawl_coverage_check(spark, sf):
     """Crawl-ingest coverage telemetry (functions/warc.py:
     crawl_coverage — r12 verdict #7, the front-end mirror of
     decode_coverage): synth_warc_hostile cycles every ingest refusal
-    reason by doc_id % 7 (clean / brotli coding / corrupt chunking /
-    colon-less HTTP header / unknown declared charset / mis-declared
-    charset / colon-less WARC header over a CLEAN response — the r13
-    ADVICE leg that must count ok, not http-refused), the engine runs
-    the REAL WARC framing + per-record-
+    reason by doc_id % 8 (clean / unknown zstd coding / corrupt
+    chunking / colon-less HTTP header / unknown declared charset /
+    mis-declared charset / colon-less WARC header over a CLEAN
+    response — the r13 ADVICE leg that must count ok, not
+    http-refused / VALID brotli body that must decode — r14), the
+    engine runs the REAL WARC framing + per-record-
     isolated HTTP unwrap + strict charset decode, and the rollup
     counts (stage, status, reason). The oracle replays the rollup
     closed-form over the residues. Map-only ingest pass + ONE bounded
@@ -7689,19 +7690,20 @@ FROM pages
         # reason) a pure function of doc_id % 7 — the engine must
         # frame, isolate, and refuse its way to the counts
         "crawl_coverage": """
-SELECT CASE WHEN leg IN (0, 6) THEN 'ok'
+SELECT CASE WHEN leg IN (0, 6, 7) THEN 'ok'
             WHEN leg IN (1, 2, 3) THEN 'http'
             ELSE 'charset' END AS stage,
-       CASE WHEN leg IN (0, 6) THEN 'ok' ELSE 'refused' END AS status,
+       CASE WHEN leg IN (0, 6, 7) THEN 'ok' ELSE 'refused' END AS status,
        CASE leg WHEN 0 THEN 'utf-8'
             WHEN 6 THEN 'utf-8'
+            WHEN 7 THEN 'utf-8'
             WHEN 1 THEN 'content_coding'
             WHEN 2 THEN 'bad_chunking'
             WHEN 3 THEN 'bad_header_line'
             WHEN 4 THEN 'unknown_charset:klingon'
             ELSE 'undecodable:utf-8' END AS reason,
        count(*)::BIGINT AS n
-FROM (SELECT doc_id % 7 AS leg FROM documents)
+FROM (SELECT doc_id % 8 AS leg FROM documents)
 GROUP BY 1, 2, 3
 """,
         # robots_eval (r12): path cycles doc_id%6; the '*' group

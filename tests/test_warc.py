@@ -60,9 +60,15 @@ class TestFraming:
             warc_parse_records(rec[:-6])
         with pytest.raises(ValueError, match="Content-Length"):
             warc_parse_records(rec.replace(b"Content-Length", b"X-L", 1))
-        with pytest.raises(NotImplementedError, match="br"):
+        # br DECODES since r14 — corrupt br is a ValueError; unknown
+        # codings (zstd) still refuse NotImplementedError
+        with pytest.raises(ValueError, match="brotli"):
             _parse_http_response(
                 b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx"
+            )
+        with pytest.raises(NotImplementedError, match="zstd"):
+            _parse_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nx"
             )
         with pytest.raises(ValueError, match="chunk"):
             _parse_http_response(
@@ -86,7 +92,7 @@ class TestFraming:
             "http://e.com/br",
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nXX",
             "<urn:uuid:br>",
-        )
+        )  # corrupt brotli: isolates as bad_brotli (r14 — br decodes)
         chunk = _warc_wrap(
             "http://e.com/ch",
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx",
@@ -101,7 +107,7 @@ class TestFraming:
         rs = warc_parse_records(good + br + chunk + nocolon + good)
         assert len(rs) == 5
         assert [r["refusal"] for r in rs] == [
-            None, "content_coding", "bad_chunking", "bad_header_line", None,
+            None, "bad_brotli", "bad_chunking", "bad_header_line", None,
         ]
         for r in (rs[0], rs[4]):
             assert r["http_status"] == 200 and r["body"] == HTML
@@ -200,20 +206,64 @@ class TestSparkSurface:
         assert out[0].target_uri == "http://e.com/x"
         assert bytes(out[0].body) == HTML
 
+    def test_brotli_content_coding(self):
+        """r14 (r13 verdict #4 adjudication): Content-Encoding: br
+        unwraps through pyarrow's bundled reference brotli — valid
+        bodies decode exactly, damage refuses reason-coded, and the
+        chunked+br stack composes."""
+        import pyarrow as pa
+
+        from nekton_spark.functions.warc import (
+            _crawl_refusal_code,
+            _parse_http_response,
+        )
+
+        text = ("brotli page content " * 40).encode()
+        comp = bytes(pa.Codec("brotli").compress(text))
+
+        def resp(body: bytes, extra: bytes = b"") -> bytes:
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: br\r\n" + extra
+                + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+            )
+
+        status, hh, body = _parse_http_response(resp(comp))
+        assert status == 200 and body == text
+        # truncated / garbage streams refuse with the brotli code
+        for bad in (comp[: len(comp) // 2], b"\x00garbage not brotli"):
+            try:
+                _parse_http_response(resp(bad))
+                raise AssertionError("corrupt brotli did not refuse")
+            except ValueError as e:
+                assert _crawl_refusal_code(e) == "bad_brotli"
+        # chunked transfer + br content coding compose (RFC order:
+        # de-chunk first, then content-decode)
+        chunked = (
+            f"{len(comp):x}\r\n".encode() + comp + b"\r\n0\r\n\r\n"
+        )
+        st2, _, b2 = _parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: br\r\n\r\n"
+            + chunked
+        )
+        assert st2 == 200 and b2 == text
+
     def test_crawl_coverage_rollup(self, spark):
         """crawl_coverage (r13): the hostile synth cycles every ingest
-        refusal reason by key % 7; the rollup must land on the exact
+        refusal reason by key % 8; the rollup must land on the exact
         closed-form counts per (stage, status, reason). Leg 6 (r13
         ADVICE) plants a colonless WARC header line over a CLEAN
         response — the lenient-envelope flag must land in the ok
-        bucket, not as an http refusal."""
+        bucket, not as an http refusal; leg 7 (r14) a VALID brotli
+        body that must decode to the ok bucket."""
         from nekton_spark.functions.warc import (
             crawl_coverage,
             synth_warc_hostile,
         )
 
         d = spark.createDataFrame(
-            [(k, f"text {k}") for k in range(28)], "doc_id long, text string"
+            [(k, f"text {k}") for k in range(32)], "doc_id long, text string"
         )
         got = {
             (r.stage, r.status, r.reason): r.n
@@ -222,7 +272,8 @@ class TestSparkSurface:
             ).collect()
         }
         assert got == {
-            ("ok", "ok", "utf-8"): 8,  # leg 0 + leg 6 (flagged header)
+            # legs 0 + 6 (flagged header) + 7 (brotli)
+            ("ok", "ok", "utf-8"): 12,
             ("http", "refused", "content_coding"): 4,
             ("http", "refused", "bad_chunking"): 4,
             ("http", "refused", "bad_header_line"): 4,
@@ -235,12 +286,12 @@ class TestSparkSurface:
         from nekton_spark.registry import PROCESSORS
 
         d = spark.createDataFrame(
-            [(k, "t") for k in range(7)], "doc_id long, text string"
+            [(k, "t") for k in range(8)], "doc_id long, text string"
         )
         out = PROCESSORS["crawl_coverage"](
             synth_warc_hostile(d).drop("doc_id", "text")
         ).collect()
-        assert sum(r.n for r in out) == 7
+        assert sum(r.n for r in out) == 8
         assert {r.stage for r in out} == {"ok", "http", "charset"}
 
     def test_streaming_crawl_ingest(self, spark, tmp_path):
