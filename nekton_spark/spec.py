@@ -43,6 +43,18 @@ class Spec:
     input: dict
     processors: list[dict]
     output: dict
+    # optional top-level `engine:` block — session-level execution
+    # knobs the spec author sizes to the pipeline. Currently:
+    #   state_partitions: N — sets spark.sql.shuffle.partitions before
+    #   the query compiles. For STATEFUL streaming (watermarked dedup /
+    #   windows) this is the number of state-store instances, LOCKED
+    #   into the checkpoint at the first micro-batch; each instance
+    #   pays a per-batch delta-commit, so a small/medium stream with
+    #   the 32-partition default burns most of its wall on empty state
+    #   commits (r14 adjudication, BASELINE.md: 5.6 s → 2.3 s on the
+    #   sf0.1 dedup leg by 32 → 8, data constant). Size it to expected
+    #   keys/batch; leave unset at real corpus scale.
+    engine: dict = None  # type: ignore[assignment]
 
     @classmethod
     def from_yaml(cls, text_or_stream) -> "Spec":
@@ -54,6 +66,7 @@ class Spec:
             input=raw.get("input") or {},
             processors=list(pipeline.get("processors") or []),
             output=raw.get("output") or {},
+            engine=raw.get("engine") or {},
         )
 
     @classmethod
@@ -87,5 +100,17 @@ def run_spec(spark: SparkSession, spec: Spec | str):
             spec = Spec.from_file(spec)
         else:
             spec = Spec.from_yaml(spec)
+    eng = dict(spec.engine or {})
+    sp = eng.pop("state_partitions", None)
+    if eng:
+        raise ValueError(f"unknown engine option(s): {sorted(eng)}")
+    if sp is not None:
+        n = int(sp)
+        if n < 1:
+            raise ValueError(f"state_partitions must be >= 1, got {sp}")
+        # left set for the session: a stateful stream re-reads the
+        # partition count from its checkpoint anyway, and restoring it
+        # mid-run would race the first micro-batch's planning
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
     _, run_sink = compile_spec(spark, spec)
     return run_sink()

@@ -378,3 +378,81 @@ output:
         m, t = rowgroups_matching(p, "user_id", 100, 400, "value", 10.0, 30.0)
         assert t >= 8 and m < t
         assert spark.read.parquet(p).count() == e.count()
+
+
+class TestEngineBlock:
+    def test_state_partitions_sizes_stateful_stream(self, spark, tmp_path):
+        """r14 (r13 verdict #8): the spec-level engine.state_partitions
+        knob sets the shuffle-partition count the stateful stream locks
+        into its checkpoint — the per-batch state-store commit floor
+        scales with it (the adjudicated cost on small streams)."""
+        import pyspark.sql.functions as F
+
+        from nekton_spark.spec import Spec, run_spec
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        src = tmp_path / "src"
+        (
+            spark.range(200)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias(
+                    "ts"
+                ),
+                F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias(
+                    "text"
+                ),
+            )
+            .write.parquet(str(src))
+        )
+        spec = f"""
+engine:
+  state_partitions: 3
+input:
+  type: file
+  path: {src}
+  format: parquet
+  stream: true
+  as_messages: false
+  schema: "doc_id long, ts timestamp, text string"
+pipeline:
+  processors:
+    - type: fingerprint
+    - type: dedup_within_watermark
+      columns: [fp]
+      ts_col: ts
+      delay: 60 minutes
+output:
+  type: file_exactly_once
+  path: {tmp_path}/out
+  checkpoint: {tmp_path}/ckpt
+"""
+        try:
+            q = run_spec(spark, spec)
+            q.processAllAvailable()
+            q.stop()
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            out = spark.read.parquet(str(tmp_path / "out"))
+            assert out.count() == 50  # 50 distinct fingerprints survive
+            # the checkpointed state really is 3-way partitioned
+            import os
+
+            state_parts = os.listdir(str(tmp_path / "ckpt" / "state" / "0"))
+            assert sorted(p for p in state_parts if p.isdigit()) == [
+                "0", "1", "2",
+            ]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def test_unknown_engine_option_refuses(self, spark):
+        import pytest as _pt
+
+        from nekton_spark.spec import Spec, run_spec
+
+        spec = Spec.from_yaml(
+            "engine: {frobnicate: 1}\n"
+            "input: {type: stdin}\n"
+            "output: {type: stdout}\n"
+        )
+        with _pt.raises(ValueError, match="unknown engine option"):
+            run_spec(spark, spec)
