@@ -32,7 +32,13 @@ from .text_analysis import ngrams
 
 
 def _doc_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, alias: str, fan_out: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    alias: str,
+    fan_out: bool = False,
+    tokenize: str = "word",
 ) -> DataFrame:
     if fan_out:
         # small parquet inputs read as 1-2 splits; the explode+join
@@ -44,7 +50,9 @@ def _doc_shingles(
     return (
         df.select(
             F.col(id_col).alias(alias),
-            F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("s"),
+            F.explode(
+                F.array_distinct(ngrams(F.col(text_col), n, tokenize))
+            ).alias("s"),
         )
     )
 
@@ -55,12 +63,19 @@ def contamination_pairs(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize: str = "word",
 ) -> DataFrame:
     """(train_id, eval_id, n_shared): distinct word n-grams shared by a
     train/eval document pair. Docs shorter than ``n`` tokens yield no
-    shingles and cannot collide."""
-    tr = _doc_shingles(train, id_col, text_col, n, "train_id", fan_out=True)
-    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id")
+    shingles and cannot collide. ``tokenize="script"`` character-grams
+    spaceless-script runs (r14) — without it a CJK eval set can NEVER
+    collide with CJK training text (both sides are ~1 token)."""
+    tr = _doc_shingles(
+        train, id_col, text_col, n, "train_id", fan_out=True,
+        tokenize=tokenize,
+    )
+    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id",
+                       tokenize=tokenize)
     return (
         tr.join(F.broadcast(ev), "s")
         .groupBy("train_id", "eval_id")
@@ -75,11 +90,12 @@ def decontaminate(
     min_shared: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize: str = "word",
 ) -> DataFrame:
     """Training rows with no (or < ``min_shared``) eval n-gram overlap —
     the write-side of the contamination check."""
     flagged = (
-        contamination_pairs(train, eval_df, n, id_col, text_col)
+        contamination_pairs(train, eval_df, n, id_col, text_col, tokenize)
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("train_id").alias(id_col))
         .distinct()
@@ -126,12 +142,14 @@ def bloom_bits(
     k_hashes: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize: str = "word",
 ) -> DataFrame:
     """The SET-BIT RELATION of a Bloom filter over the eval set's
     distinct n-gram shingles: one int row per set position (≤ m_bits
     rows regardless of eval size). Deterministic (hash60 probes), so a
     SQL oracle replays it bit for bit."""
-    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id")
+    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id",
+                       tokenize=tokenize)
     m_bits = resolve_bloom_bits(ev, m_bits)
     return (
         ev.select(F.explode(_bloom_positions(F.col("s"), m_bits, k_hashes)).alias("pos"))
@@ -147,6 +165,7 @@ def bloom_contaminated_ids(
     k_hashes: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize: str = "word",
 ) -> DataFrame:
     """(train_id, n_hit_shingles): training docs with ≥1 shingle whose
     k Bloom probes ALL land on set bits — "possibly contaminated", a
@@ -163,9 +182,11 @@ def bloom_contaminated_ids(
     (train_id, shingle) against the distinct set-bit relation — the
     same arithmetic a DuckDB oracle replays exactly. No Python
     workers, no driver-side bitset."""
-    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id")
+    ev = _doc_shingles(eval_df, id_col, text_col, n, "eval_id",
+                       tokenize=tokenize)
     m_bits = resolve_bloom_bits(ev, m_bits)
-    tr = _doc_shingles(train, id_col, text_col, n, "train_id", fan_out=True)
+    tr = _doc_shingles(train, id_col, text_col, n, "train_id", fan_out=True,
+                       tokenize=tokenize)
     probes = tr.select(
         "train_id",
         "s",
@@ -194,6 +215,7 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify_exact: bool = True,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Bloom-gated decontamination: drop training docs the Bloom filter
     flags — after (default) exact verification of ONLY the flagged
@@ -202,13 +224,13 @@ def bloom_decontaminate(
     accepts the filter's false-positive rate and skips the second
     pass (the cheapest corpus-wide gate)."""
     flagged = bloom_contaminated_ids(
-        train, eval_df, n, m_bits, k_hashes, id_col, text_col
+        train, eval_df, n, m_bits, k_hashes, id_col, text_col, tokenize
     ).select(F.col("train_id").alias(id_col))
     if not verify_exact:
         return train.join(F.broadcast(flagged), id_col, "left_anti")
     suspects = train.join(F.broadcast(flagged), id_col, "left_semi")
     confirmed = (
-        contamination_pairs(suspects, eval_df, n, id_col, text_col)
+        contamination_pairs(suspects, eval_df, n, id_col, text_col, tokenize)
         .select(F.col("train_id").alias(id_col))
         .distinct()
     )
@@ -226,6 +248,7 @@ def fuzzy_contamination_pairs(
     text_col: str = "text",
     hash: str = "md5",
     exclude_same_id: bool = False,
+    tokenize: str = "word",
 ) -> DataFrame:
     """NEAR-duplicate contamination: (train_id, eval_id, jaccard) for
     training docs whose shingle-set Jaccard with an eval doc reaches
@@ -247,8 +270,12 @@ def fuzzy_contamination_pairs(
     from .hashing import hash60
 
     r = band_rows(k, bands)  # validated: r=0 would be an all-pairs join
-    tsig = minhash_signatures(train, text_col, id_col, k, shingle_n, hash=hash)
-    esig = minhash_signatures(eval_df, text_col, id_col, k, shingle_n, hash=hash)
+    tsig = minhash_signatures(
+        train, text_col, id_col, k, shingle_n, hash=hash, tokenize=tokenize
+    )
+    esig = minhash_signatures(
+        eval_df, text_col, id_col, k, shingle_n, hash=hash, tokenize=tokenize
+    )
     if hash == "xxhash64":
         def band_key(b):
             return F.xxhash64(F.concat_ws(",", F.slice("sig", b * r + 1, r)), F.lit(b))
@@ -280,7 +307,7 @@ def fuzzy_contamination_pairs(
         .distinct()
         .transform(materialize)  # verify branches reuse, not re-derive
     )
-    sh_udf = _distinct_shingles_udf(shingle_n)
+    sh_udf = _distinct_shingles_udf(shingle_n, tokenize)
     t_ids = cand.select(F.col("train_id").alias("id")).distinct()
     tsh = (
         train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("_t"))
@@ -317,13 +344,14 @@ def fuzzy_decontaminate(
     text_col: str = "text",
     hash: str = "md5",
     exclude_same_id: bool = False,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Training rows with no near-duplicate eval overlap — the
     write-side of the fuzzy contamination check."""
     flagged = (
         fuzzy_contamination_pairs(
             train, eval_df, k, bands, shingle_n, threshold, id_col, text_col,
-            hash, exclude_same_id,
+            hash, exclude_same_id, tokenize,
         )
         .select(F.col("train_id").alias(id_col))
         .distinct()

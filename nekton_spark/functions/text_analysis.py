@@ -169,9 +169,10 @@ def bpe_token_count(col: Column) -> Column:
     )
 
 
-def ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-grams as an array<string>; empty when fewer than n tokens."""
-    toks = tokenize(col)
+def ngrams(col: Column, n: int = 3, policy: str = "word") -> Column:
+    """Word n-grams as an array<string>; empty when fewer than n tokens.
+    ``policy="script"`` spreads spaceless-script runs first (r14)."""
+    toks = tokenize(col, policy)
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),

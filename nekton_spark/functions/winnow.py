@@ -42,7 +42,8 @@ from pyspark.sql import functions as F
 from ..materialize import materialize
 
 from nekton_spark.functions.hashing import hash60
-from nekton_spark.functions.text_analysis import token_count, tokenize
+from nekton_spark.functions.text_analysis import token_count
+from nekton_spark.functions.text_analysis import tokenize as _tokenize
 
 WINNOW_SALT = 5200
 
@@ -91,6 +92,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 4,
     w: int = 4,
+    tokenize: str = "word",
 ) -> DataFrame:
     """One row per selected fingerprint: (doc_id, pos, fp). Map-only —
     tokenize, hash the k-grams, winnow — no shuffle; empty/short docs
@@ -106,8 +108,8 @@ def winnow_fingerprints(
     be collapsed into, so each stage evaluates exactly once per row
     while the whole chain stays one narrow (shuffle-free) pipeline."""
     toks_n = F.struct(
-        tokenize(F.col(text_col)).alias("toks"),
-        token_count(F.col(text_col)).alias("n"),
+        _tokenize(F.col(text_col), tokenize).alias("toks"),
+        token_count(F.col(text_col), tokenize).alias("n"),
     )
     s1 = df.select(
         F.col(id_col).alias("doc_id"),
@@ -128,6 +130,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_doc_freq: int = 50,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Document pairs sharing winnowed fingerprints — the MOSS report:
     (id_a, id_b, n_shared, overlap) with id_a < id_b, ``n_shared`` =
@@ -147,7 +150,9 @@ def winnow_pairs(
     from nekton_spark.functions.similarity import ensure_parallelism
 
     fp = (
-        ensure_parallelism(winnow_fingerprints(df, text_col, id_col, k, w))
+        ensure_parallelism(
+            winnow_fingerprints(df, text_col, id_col, k, w, tokenize)
+        )
         .select("doc_id", "fp")
         .distinct()
         # feeds the df-cut, the sizes aggregate, and both join sides —

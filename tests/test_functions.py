@@ -3342,6 +3342,35 @@ class TestClassifierScore:
 
 
 class TestFuzzyDecontamination:
+    def test_cjk_eval_set_needs_script_tokenize(self, spark):
+        """r14: a spaceless Chinese eval question inside a training doc
+        is INVISIBLE to the word-token contamination check (both sides
+        are ~1 token, below n) — tokenize='script' character-grams the
+        runs and the leak is flagged by both the exact and the fuzzy
+        paths."""
+        from nekton_spark.functions.decontaminate import (
+            contamination_pairs,
+            decontaminate,
+            fuzzy_contamination_pairs,
+        )
+
+        leak = "北京是中华人民共和国的首都吗请回答"
+        tr = spark.createDataFrame(
+            [(1, "前言" + leak + "后记"), (2, "完全无关的另一段中文内容在此处")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+        assert contamination_pairs(tr, ev, n=8).count() == 0  # word: blind
+        got = contamination_pairs(tr, ev, n=8, tokenize="script").collect()
+        assert [(r.train_id, r.eval_id) for r in got] == [(1, 100)]
+        kept = decontaminate(tr, ev, n=8, tokenize="script").collect()
+        assert [r.doc_id for r in kept] == [2]
+        fz = fuzzy_contamination_pairs(
+            tr, ev, threshold=0.5, tokenize="script"
+        ).collect()
+        assert [(r.train_id, r.eval_id) for r in fz] == [(1, 100)]
+        assert fz[0].jaccard > 0.5
+
     def _jaccard(self, a, b, n=3):
         sa = {" ".join(a.split()[i : i + n]) for i in range(len(a.split()) - n + 1)}
         sb = {" ".join(b.split()[i : i + n]) for i in range(len(b.split()) - n + 1)}

@@ -137,3 +137,27 @@ class TestPairsOutput:
         assert len(pairs) == 1
         p = pairs[0]
         assert p.n_shared == 1 and p.overlap == pytest.approx(1.0)
+
+
+class TestScriptTokenize:
+    def test_cjk_shared_passage_needs_script_policy(self, spark):
+        """r14: two documents sharing a long spaceless-CJK passage are
+        invisible to word-token winnowing (each doc ~1 token < k);
+        tokenize='script' fingerprints per character and the pair
+        surfaces with the winnowing guarantee intact."""
+        from nekton_spark.functions.winnow import winnow_pairs
+
+        shared = "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少"  # 20 chars
+        d = spark.createDataFrame(
+            [
+                (1, "甲" + shared + "乙"),
+                (2, "丙丁" + shared),
+                (3, "完全不同的另外一段文字内容而已"),
+            ],
+            "doc_id long, text string",
+        )
+        assert winnow_pairs(d, k=4, w=4, min_shared=2).count() == 0
+        got = winnow_pairs(
+            d, k=4, w=4, min_shared=2, tokenize="script"
+        ).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
