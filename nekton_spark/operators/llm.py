@@ -115,9 +115,16 @@ def dedup_simhash_processor(df: DataFrame, text_col: str = "text", id_col: str =
 
 @register_processor("ngram_jaccard")
 def ngram_jaccard_processor(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    tokenize: str = "word",
 ) -> DataFrame:
-    return dd.ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    return dd.ngram_jaccard_pairs(
+        df, text_col, id_col, n, threshold, tokenize=tokenize
+    )
 
 
 def _select_queries(df: DataFrame, query_ids, id_col: str) -> DataFrame:
@@ -437,6 +444,7 @@ def fuzzy_decontaminate_processor(
     text_col: str = "text",
     hash: str = "xxhash64",
     exclude_same_id: bool = False,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Drop training docs near-duplicating any eval doc (banded MinHash
     across frames; eval side read from eval_path/eval_table). The spec
@@ -450,7 +458,7 @@ def fuzzy_decontaminate_processor(
     ev = table_source(df.sparkSession, eval_path, eval_table)
     return fuzzy_decontaminate(
         df, ev, k, bands, shingle_n, threshold, id_col, text_col, hash,
-        exclude_same_id,
+        exclude_same_id, tokenize,
     )
 
 
@@ -571,6 +579,7 @@ def bloom_decontaminate_processor(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify_exact: bool = True,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Bloom-gated exact-n-gram decontamination: drop training docs
     sharing an n-gram with the eval corpus at ``eval_path`` (the
@@ -581,7 +590,7 @@ def bloom_decontaminate_processor(
 
     ev = table_source(df.sparkSession, eval_path, eval_table)
     return bloom_decontaminate(
-        df, ev, n, m_bits, k_hashes, id_col, text_col, verify_exact
+        df, ev, n, m_bits, k_hashes, id_col, text_col, verify_exact, tokenize
     )
 
 
@@ -745,6 +754,7 @@ def dedup_winnow_processor(
     w: int = 4,
     min_shared: int = 2,
     max_doc_freq: int = 50,
+    tokenize: str = "word",
 ) -> DataFrame:
     """Winnowing fingerprint near-dup pairs (functions/winnow.py —
     Schleimer et al. 2003 / MOSS): density-bounded fingerprint
@@ -755,6 +765,7 @@ def dedup_winnow_processor(
     return winnow_pairs(
         df, text_col, id_col, k=k, w=w,
         min_shared=min_shared, max_doc_freq=max_doc_freq,
+        tokenize=tokenize,
     )
 
 
