@@ -4182,6 +4182,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     assert len(r14_window) == 50, len(r14_window)
     assert set(r14_window) <= set(q), sorted(set(r14_window) - set(q))
+    # r15 window pre-solve: after this round the histogram is r11:34,
+    # r12:50, r13:49, r14:50 (contract 183; never:0 — every r14
+    # addition took an in-window slot, unlike the r13 wave). Flush the
+    # FULL 34-row r11 tail (ann_topk_ivf + ann_topk_pq twins,
+    # bpe_roundtrip, the q01-q22 analogs squeezed this round,
+    # jpeg/png/multimodal decode twins, dedup_minhash_xxh,
+    # hilbert_key_check, stratified_sample, scalar_subquery_above_avg,
+    # events_json_extract, null_semantics, the drift/quality twins,
+    # unpivot_lineitem_metrics, pipe_replace, …) + 16 of the r12 tail
+    # by the standing twin recipe (recompute from CORRECTNESS_r01-r14
+    # at r15 start; prefer squeezing r12 rows whose engine paths have
+    # in-window or r13/r14 twins). Any new r15 rows take slots from
+    # the r12 half, never the r11 flush.
     ordered = {k: q[k] for k in r14_window} | {
         k: v for k, v in q.items() if k not in r14_window
     }
