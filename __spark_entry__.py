@@ -4231,14 +4231,17 @@ def _toks_script_sql() -> str:
 _CJK_DOCS_SOURCE = """(
   SELECT doc_id,
          array_to_string(list_transform(range(0, 30),
-           i -> chr(19968 + ((qq*131 + i*17 + (qq*(i+1)) % 97) % 500)::INT)), '')
+           i -> chr(19968 + ((qq*131 + i*17 + (qr*(i+1)) % 97) % 500)::INT)), '')
       || array_to_string(list_transform(range(0, 2),
-           i -> chr(19968 + ((qq*131 + 2000 + i*17 + mm*17 + (qq*(i+31)) % 97) % 500)::INT)), '')
+           i -> chr(19968 + ((qq*131 + 2000 + i*17 + mm*17 + (qr*(i+31)) % 97) % 500)::INT)), '')
       || ' ' || substring(coalesce(text, ''), 1, 12) AS text
-  FROM (SELECT doc_id, text,
-               ((doc_id % 4) + 4) % 4 AS mm,
-               ((((doc_id - ((doc_id % 4) + 4) % 4) // 4) % 500) + 500) % 500 AS qq
-        FROM documents)) cjk_docs"""
+  FROM (SELECT doc_id, text, mm,
+               ((qv % 500) + 500) % 500 AS qq,
+               ((qv % 499) + 499) % 499 AS qr
+        FROM (SELECT doc_id, text,
+                     ((doc_id % 4) + 4) % 4 AS mm,
+                     (doc_id - ((doc_id % 4) + 4) % 4) // 4 AS qv
+              FROM documents))) cjk_docs"""
 
 _SHINGLES = (
     "CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE "

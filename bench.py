@@ -123,6 +123,21 @@ HEADLINE4 = [
     "crawl_coverage",
     "image_auto_orient",
 ]
+# r14 NOTES (comparability, list frozen): crawl_coverage's synth grew
+# from 6 to 8 legs in r14 (adds a colonless-WARC-header leg and a REAL
+# brotli decode leg), and image_auto_orient widened from 4 to all 8
+# EXIF orientations — both walls recalibrate slightly BY DESIGN.
+
+# FIFTH headline set, frozen at r14: the r13-late + r14 families —
+# spaceless-script (CJK) near-dup mining through the script-spread
+# tokenizer, per-domain crawl quotas, sentence segmentation, feed
+# extraction. Same contract: NEVER edit; reported as value5/queries5.
+HEADLINE5 = [
+    "dedup_minhash_cjk",
+    "domain_quota_sample",
+    "sentence_split",
+    "feed_extract",
+]
 
 
 # pinned on the r7 session host at its quietest observed moment
@@ -615,6 +630,7 @@ def main() -> int:
     times2, times2_eval = run_set(HEADLINE2)
     times3, times3_eval = run_set(HEADLINE3)
     times4, times4_eval = run_set(HEADLINE4)
+    times5, times5_eval = run_set(HEADLINE5)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(times.values()), 3)
@@ -658,6 +674,13 @@ def main() -> int:
         "value4_canary_normalized": round(sum(times4.values()) / factor, 3),
         "queries4_evaluated": times4_eval,
         "value4_evaluated": round(sum(times4_eval.values()), 3),
+        # fifth headline set (frozen r14): CJK script-tokenized
+        # near-dup + crawl quota / sentence / feed families
+        "queries5": times5,
+        "value5": round(sum(times5.values()), 3),
+        "value5_canary_normalized": round(sum(times5.values()) / factor, 3),
+        "queries5_evaluated": times5_eval,
+        "value5_evaluated": round(sum(times5_eval.values()), 3),
     }
     try:
         out["streaming"] = _streaming_bench(spark)

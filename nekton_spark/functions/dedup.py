@@ -721,7 +721,15 @@ def synth_cjk_docs(
     m = F.pmod(key, F.lit(4))
     q = F.expr(f"({key_col} - pmod({key_col}, 4)) div 4")
     qq = F.pmod(q, F.lit(500))
-    # the (qq*(i+1)) % 97 term makes the index NON-LINEAR in i: a
+    # qr is a SECOND residue with a coprime modulus: with qq alone,
+    # cliques q and q+500 produced IDENTICAL base text, so planted-pair
+    # volume grew QUADRATICALLY with corpus size (25.6 s at sf0.1,
+    # caught by the r14 HEADLINE5 calibration). Mixing pmod(q, 499)
+    # into every character pushes the full-collision period to
+    # 500·499 ≈ 250k cliques ≈ 1M docs — pair volume stays linear at
+    # every declared rehearsal scale.
+    qr = F.pmod(q, F.lit(499))
+    # the (q·(i+1)) % 97 term makes the index NON-LINEAR in i: a
     # linear stride construction put every clique's base on one cyclic
     # orbit, so nearby cliques shared long arcs (and hence shingles)
     # and paired ACROSS cliques — planted cliques must be the only
@@ -729,7 +737,7 @@ def synth_cjk_docs(
     parts = []
     for i in range(30):
         idx = F.pmod(
-            qq * 131 + F.lit(i * 17) + F.pmod(qq * (i + 1), F.lit(97)),
+            qq * 131 + F.lit(i * 17) + F.pmod(qr * (i + 1), F.lit(97)),
             F.lit(500),
         )
         parts.append(
@@ -738,7 +746,7 @@ def synth_cjk_docs(
     for i in range(2):
         idx = F.pmod(
             qq * 131 + F.lit(2000 + i * 17) + m * 17
-            + F.pmod(qq * (i + 31), F.lit(97)),
+            + F.pmod(qr * (i + 31), F.lit(97)),
             F.lit(500),
         )
         parts.append(
