@@ -4228,20 +4228,30 @@ def _toks_script_sql() -> str:
 # DuckDB replay of dedup.synth_cjk_docs: clique-of-4 Han base + member
 # tail + first-12-codepoint slice of the original text (chr(19968 + i)
 # == the engine's contiguous _CJK_ALPHABET lookup)
-_CJK_DOCS_SOURCE = """(
+def _cjk_docs_source() -> str:
+    """DuckDB replay of dedup.synth_cjk_docs: every character is
+    hash60('cjkb:q:i' / 'cjkt:q:m:i') % 500 into the contiguous Han
+    block (chr(19968 + idx) == the engine's _CJK_ALPHABET lookup) —
+    no residue structure, so planted cliques are the only near-dups
+    at any corpus size."""
+    from nekton_spark.functions.hashing import hash60_sql
+
+    b = hash60_sql("'cjkb:' || qv || ':' || i", "0")
+    t = hash60_sql("'cjkt:' || qv || ':' || mm || ':' || i", "0")
+    return f"""(
   SELECT doc_id,
          array_to_string(list_transform(range(0, 30),
-           i -> chr(19968 + ((qq*131 + i*17 + (qr*(i+1)) % 97) % 500)::INT)), '')
+           i -> chr(19968 + ({b} % 500)::INT)), '')
       || array_to_string(list_transform(range(0, 2),
-           i -> chr(19968 + ((qq*131 + 2000 + i*17 + mm*17 + (qr*(i+31)) % 97) % 500)::INT)), '')
+           i -> chr(19968 + ({t} % 500)::INT)), '')
       || ' ' || substring(coalesce(text, ''), 1, 12) AS text
-  FROM (SELECT doc_id, text, mm,
-               ((qv % 500) + 500) % 500 AS qq,
-               ((qv % 499) + 499) % 499 AS qr
-        FROM (SELECT doc_id, text,
-                     ((doc_id % 4) + 4) % 4 AS mm,
-                     (doc_id - ((doc_id % 4) + 4) % 4) // 4 AS qv
-              FROM documents))) cjk_docs"""
+  FROM (SELECT doc_id, text,
+               ((doc_id % 4) + 4) % 4 AS mm,
+               (doc_id - ((doc_id % 4) + 4) % 4) // 4 AS qv
+        FROM documents)) cjk_docs"""
+
+
+_CJK_DOCS_SOURCE = _cjk_docs_source()
 
 _SHINGLES = (
     "CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE "

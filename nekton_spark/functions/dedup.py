@@ -720,38 +720,30 @@ def synth_cjk_docs(
     key = F.col(key_col)
     m = F.pmod(key, F.lit(4))
     q = F.expr(f"({key_col} - pmod({key_col}, 4)) div 4")
-    qq = F.pmod(q, F.lit(500))
-    # qr is a SECOND residue with a coprime modulus: with qq alone,
-    # cliques q and q+500 produced IDENTICAL base text, so planted-pair
-    # volume grew QUADRATICALLY with corpus size (25.6 s at sf0.1,
-    # caught by the r14 HEADLINE5 calibration). Mixing pmod(q, 499)
-    # into every character pushes the full-collision period to
-    # 500·499 ≈ 250k cliques ≈ 1M docs — pair volume stays linear at
-    # every declared rehearsal scale.
-    qr = F.pmod(q, F.lit(499))
-    # the (q·(i+1)) % 97 term makes the index NON-LINEAR in i: a
-    # linear stride construction put every clique's base on one cyclic
-    # orbit, so nearby cliques shared long arcs (and hence shingles)
-    # and paired ACROSS cliques — planted cliques must be the only
-    # near-dups
-    parts = []
-    for i in range(30):
-        idx = F.pmod(
-            qq * 131 + F.lit(i * 17) + F.pmod(qr * (i + 1), F.lit(97)),
-            F.lit(500),
+    # Every character is hash60-derived from (q, position): any
+    # ARITHMETIC construction tried here leaked structure — a linear
+    # stride put all cliques on one cyclic orbit (shared arcs), a
+    # single pmod(q, 500) fold made cliques q and q+500 byte-identical
+    # (quadratic pair growth, caught by the r14 HEADLINE5
+    # calibration), and a (q·(i+1)) % 97 "mixer" was still linear in i
+    # WITHIN each q-mod-97 class (90k phantom cross-clique pairs on a
+    # 50k contiguous-id corpus). Hashed characters have no residue
+    # structure at ANY corpus size: cross-clique trigram sharing is
+    # the random ~(1/500)³ floor, so planted cliques are the only
+    # near-dups and pair volume is linear in N. Pure codegen (md5),
+    # and the oracle rebuilds the same hash.
+
+    def ch(tag: str, *cols) -> Column:
+        payload = F.concat_ws(
+            ":", F.lit(tag), *[c.cast("string") for c in cols]
         )
-        parts.append(
-            F.substring(F.lit(_CJK_ALPHABET), (idx + 1).cast("int"), F.lit(1))
+        idx = F.pmod(hash60(payload, 0), F.lit(500))
+        return F.substring(
+            F.lit(_CJK_ALPHABET), (idx + 1).cast("int"), F.lit(1)
         )
-    for i in range(2):
-        idx = F.pmod(
-            qq * 131 + F.lit(2000 + i * 17) + m * 17
-            + F.pmod(qr * (i + 31), F.lit(97)),
-            F.lit(500),
-        )
-        parts.append(
-            F.substring(F.lit(_CJK_ALPHABET), (idx + 1).cast("int"), F.lit(1))
-        )
+
+    parts = [ch("cjkb", q, F.lit(i)) for i in range(30)]
+    parts += [ch("cjkt", q, m, F.lit(i)) for i in range(2)]
     cjk = F.concat(
         *parts,
         F.lit(" "),
