@@ -580,7 +580,12 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+def top_tokens(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    tokenize_policy: str = "word",
+) -> DataFrame:
     """Corpus vocabulary head: (token, n, rank), top-k by count with
     deterministic ties (count desc, token asc).
 
@@ -594,7 +599,11 @@ def top_tokens(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     from pyspark.sql import Window
 
     counts = (
-        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        df.select(
+            F.explode(tokenize(F.col(text_col), tokenize_policy)).alias(
+                "token"
+            )
+        )
         .filter(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -779,7 +788,10 @@ def chunk_documents(
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenize_policy: str = "word",
 ) -> DataFrame:
     """Per-document mean unigram log-likelihood under the corpus's OWN
     unigram distribution: avg over tokens of ln(count(token)/total) —
@@ -793,7 +805,12 @@ def unigram_logprob(
     keys on token (AQE broadcasts when the vocabulary fits); the
     per-doc mean partial-aggregates on doc_id (shuffle 2)."""
     toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col), tokenize_policy)).alias(
+                "token"
+            ),
+        )
         .filter(F.length("token") > 0)
     )
     freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -1004,6 +1021,7 @@ def tfidf_top_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenize_policy: str = "word",
 ) -> DataFrame:
     """Per-document top-k TF-IDF terms: (doc_id, token, tf, df, tfidf,
     rank), with idf = ln((N + 1) / (df + 1)) (add-one smoothed, N =
@@ -1024,7 +1042,12 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("token"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col), tokenize_policy)).alias(
+                "token"
+            ),
+        )
         .filter(F.length("token") > 0)
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))

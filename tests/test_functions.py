@@ -2942,6 +2942,33 @@ class TestResizeImage:
 
 
 class TestTfidf:
+    def test_cjk_script_policy_family(self, spark):
+        """r14: top_tokens / tfidf_top_terms / unigram_logprob with
+        tokenize_policy='script' see per-character terms on spaceless
+        text (the word policy sees one opaque blob per doc)."""
+        from nekton_spark.functions.text_analysis import (
+            tfidf_top_terms,
+            top_tokens,
+            unigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "茶茶茶饭"), (1, "茶饭饭"), (2, "山水")],
+            "doc_id long, text string",
+        )
+        # word policy: 3 distinct whole-doc tokens
+        assert top_tokens(df, k=10).count() == 3
+        tt = {r.token: r.n for r in top_tokens(
+            df, k=10, tokenize_policy="script").collect()}
+        assert tt == {"茶": 4, "饭": 3, "山": 1, "水": 1}
+        tf = tfidf_top_terms(
+            df, k=1, tokenize_policy="script").collect()
+        by_doc = {r.doc_id: r.token for r in tf}
+        assert by_doc[0] == "茶" and by_doc[2] in ("山", "水")
+        lp = {r.doc_id: r.n_tokens for r in unigram_logprob(
+            df, tokenize_policy="script").collect()}
+        assert lp == {0: 4, 1: 3, 2: 2}
+
     def test_hand_computed_example(self, spark):
         """3 docs: 'a' in all (idf ln(4/4)=0), 'b' in two, 'c' in one."""
         import math

@@ -56,6 +56,51 @@ output:
         ids = sorted(r.doc_id for r in df.collect())
         assert ids == [0, 2]  # doc 1 deduped against doc 0
 
+    def test_dedup_minhash_cjk_spec_tokenize(self, spark):
+        """r14 e2e: the YAML `tokenize: script` knob reaches the
+        minhash kernels — a spaceless-CJK near-dup pair survives a
+        word-policy spec untouched but dedupes under the script
+        policy."""
+        rows = [
+            (0, "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少甲"),
+            (1, "春眠不觉晓处处闻啼鸟夜来风雨声花落知多少乙"),
+            (2, "完全不同的另外一段文字内容而已再来几个字凑数"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).createOrReplaceTempView("cjk_docs")
+        word = compile_df(
+            spark,
+            """
+input:
+  type: sql_view
+  name: cjk_docs
+pipeline:
+  processors:
+    - type: dedup_minhash
+      threshold: 0.5
+output:
+  type: memory
+""",
+        )
+        assert sorted(r.doc_id for r in word.collect()) == [0, 1, 2]
+        script = compile_df(
+            spark,
+            """
+input:
+  type: sql_view
+  name: cjk_docs
+pipeline:
+  processors:
+    - type: dedup_minhash
+      threshold: 0.5
+      tokenize: script
+output:
+  type: memory
+""",
+        )
+        assert sorted(r.doc_id for r in script.collect()) == [0, 2]
+
     def test_ann_topk_spec(self, spark, sf_dir):
         df = compile_df(
             spark,
