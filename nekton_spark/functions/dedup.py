@@ -355,10 +355,21 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     hash: str = "md5",
     tokenize: str = "word",
+    max_bucket: int | None = None,
+    salt_tile: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, exact-verified.
     ``tokenize="script"`` switches every shingle kernel (signature,
     verify) to the spaceless-script character-gram tokenizer (r14).
+
+    Hot buckets (r14, the imagehash knobs on the text path — shared
+    banding.salted_band_pairs construction): the band KEY space is
+    uniform (hash-derived), but a genuine c-member near-dup clique
+    shares every band key, so its bucket — and the TRUE pair output —
+    is quadratic in c. ``max_bucket`` REFUSES loudly at the cap;
+    ``salt_tile`` opts into completion with the quadratic join work
+    tiled across ~(c/tile)²/2 tasks instead of one straggler, pair set
+    IDENTICAL to the unsalted plan (pinned by test).
 
     Stages (2 shuffles total, both on uniform keys):
       1. signatures (map-only)
@@ -393,16 +404,17 @@ def minhash_lsh_pairs(
         "id",
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    from .banding import salted_band_pairs
+
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.id") < F.col("r.id")),
+        salted_band_pairs(
+            banded,
+            ["band", "bh"],
+            id_col="id",
+            max_bucket=max_bucket,
+            salt_tile=salt_tile,
+            what="MinHash band bucket",
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
         .transform(materialize)
     )

@@ -122,20 +122,12 @@ def image_near_dup_pairs(
     - ``max_bucket`` — REFUSE (engine policy, rather than silently
       materialize N²/2 rows) when any (band, key) bucket exceeds it;
     - ``salt_tile`` (r13, the embedding_near_dup tile salt ported to
-      the equi-join plan) — opt INTO completion with the quadratic
-      work SPREAD across the cluster instead of one straggler task:
-      rows in a bucket larger than ``salt_tile`` get a deterministic
-      tile t = pmod(xxhash64(id), ceil(bucket/tile)) and are
-      replicated once per tile u into subgroup (band, key,
-      least(t, u), greatest(t, u)); the join keys on the subgroup and
-      a side-consistency predicate makes every unordered pair meet in
-      EXACTLY one subgroup per shared band, so the pair set is
-      IDENTICAL to the unsalted plan (pinned by test) while a c-row
-      clique becomes ~(c/tile)²/2 independent join tasks. Buckets ≤
-      ``salt_tile`` (the overwhelming mass) take the nt=1 fast path:
-      zero replication, the same join as the unsalted plan.
-      Replication volume is nt× rows for oversized buckets only —
-      the same O(c²/tile) order their pair output already pays."""
+      the equi-join plan; r14 factored into the SHARED
+      functions/banding.py helper so the text MinHash path uses the
+      identical construction) — opt INTO completion with the
+      quadratic work SPREAD across the cluster instead of one
+      straggler task; pair set IDENTICAL to the unsalted plan (pinned
+      by test). See banding.salted_band_pairs for the construction."""
     if not 1 <= bands <= 64 or 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
     if max_hamming > bands - 1:
@@ -167,93 +159,17 @@ def image_near_dup_pairs(
             )
         ).alias("band", "key"),
     )
-    if max_bucket is not None:
-        hot = (
-            banded.groupBy("band", "key")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .limit(1)
-            .collect()
-        )
-        if hot:
-            b, k, n = hot[0]["band"], hot[0]["key"], hot[0]["count"]
-            raise ValueError(
-                f"dHash band bucket (band={b}, key={k}) holds {n} images "
-                f"> max_bucket={max_bucket}: the pair output would be "
-                "quadratic — run exact payload dedup first, or raise "
-                "max_bucket deliberately"
-            )
-    join_keys = [
-        F.col("l.band") == F.col("r.band"),
-        F.col("l.key") == F.col("r.key"),
-    ]
-    if salt_tile is not None:
-        # bucket census is tiny (oversized buckets only); AQE sees it
-        # at the stage boundary and broadcasts the left join below
-        banded = banded.transform(materialize)
-        big = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("bucket_n"))
-            .filter(F.col("bucket_n") > salt_tile)
-        )
-        banded = (
-            banded.join(big, ["band", "key"], "left")
-            .withColumn(
-                "nt",
-                F.ceil(
-                    F.coalesce(F.col("bucket_n"), F.lit(1)) / salt_tile
-                ).cast("int"),
-            )
-            .withColumn("t", F.pmod(F.xxhash64("id"), F.col("nt")).cast("int"))
-            .select(
-                "id",
-                "dh",
-                "band",
-                "key",
-                "t",
-                F.explode(F.sequence(F.lit(0), F.col("nt") - 1)).alias("u"),
-            )
-            .select(
-                "id",
-                "dh",
-                "band",
-                "key",
-                "t",
-                F.least("t", "u").alias("ti"),
-                F.greatest("t", "u").alias("tj"),
-            )
-        )
-        # subgroup key spreads the quadratic bucket over ~nt²/2 join
-        # partitions; the side-consistency predicate makes each
-        # unordered pair meet exactly ONCE per shared band (tiles
-        # (ta, tb) only in subgroup (min, max) with the matching
-        # orientation; ta == tb only in the diagonal subgroup)
-        join_keys += [
-            F.col("l.ti") == F.col("r.ti"),
-            F.col("l.tj") == F.col("r.tj"),
-            (
-                (F.col("l.t") == F.col("l.ti"))
-                & (F.col("r.t") == F.col("l.tj"))
-            )
-            | (
-                (F.col("l.t") == F.col("l.tj"))
-                & (F.col("r.t") == F.col("l.ti"))
-            ),
-        ]
-    left, right = banded.alias("l"), banded.alias("r")
-    cond = join_keys[0] & (F.col("l.id") < F.col("r.id"))
-    for k in join_keys[1:]:
-        cond = cond & k
-    cand = (
-        left.join(right, cond)
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.dh").alias("dh_a"),
-            F.col("r.dh").alias("dh_b"),
-        )
-        .distinct()
-    )
+    from .banding import salted_band_pairs
+
+    cand = salted_band_pairs(
+        banded,
+        ["band", "key"],
+        id_col="id",
+        carry=("dh",),
+        max_bucket=max_bucket,
+        salt_tile=salt_tile,
+        what="dHash band bucket",
+    ).distinct()
     return cand.select(
         "id_a",
         "id_b",

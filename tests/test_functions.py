@@ -241,6 +241,37 @@ class TestDedup:
         with _pt.raises(ValueError, match="tokenize policy"):
             minhash_lsh_pairs(d, tokenize="bogus").collect()
 
+    def test_minhash_salt_tile_pair_set_identical(self, spark):
+        """r14: the imagehash hot-bucket knobs on the text path. A
+        12-member near-dup clique shares every band key; salt_tile
+        tiles its quadratic join without changing the PAIR SET, and
+        max_bucket refuses loudly at the cap."""
+        from nekton_spark.functions.dedup import minhash_lsh_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, f"{base} tail{i}") for i in range(12)]
+        rows += [(100, "entirely different words about other things here now")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        want = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_lsh_pairs(d, threshold=0.3).collect()
+        }
+        assert len(want) == 66  # C(12, 2) — the full clique
+        for tile in (2, 3, 50):
+            got = {
+                (r.id_a, r.id_b, round(r.jaccard, 9))
+                for r in minhash_lsh_pairs(
+                    d, threshold=0.3, salt_tile=tile
+                ).collect()
+            }
+            assert got == want, f"salt_tile={tile}"
+        import pytest as _pt
+
+        with _pt.raises(Exception, match="max_bucket"):
+            minhash_lsh_pairs(d, threshold=0.3, max_bucket=5).collect()
+        with _pt.raises(ValueError, match="salt_tile"):
+            minhash_lsh_pairs(d, salt_tile=1).collect()
+
     def test_minhash_xxhash64_equivalent_pairs(self, spark):
         """Production (pure-JVM xxhash64) and oracle (Arrow md5) hash
         engines are different hash families, so candidate recall can
