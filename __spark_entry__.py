@@ -4195,8 +4195,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at r15 start; prefer squeezing r12 rows whose engine paths have
     # in-window or r13/r14 twins). Any new r15 rows take slots from
     # the r12 half, never the r11 flush.
-    ordered = {k: q[k] for k in r14_window} | {
-        k: v for k, v in q.items() if k not in r14_window
+    # Round-15 rotation (r14 verdict #1 — EXECUTING the pre-solve above):
+    # (a) the FULL 34-row r11 staleness tail (flushed regardless of
+    # new-surface pressure, per the standing contract), + (b) 12 of the
+    # 50-row r12 tail chosen by the standing twin recipe — priority to
+    # rows whose ENGINE PATH CHANGED in r14 without a re-pin (the
+    # tokenize= threading touched unigram_logprob / tfidf_top_terms /
+    # vocab_top_tokens / decontamination_check / bloom_decontamination)
+    # and to ann_topk_lsh_mp ahead of this round's multiprobe default
+    # flip (verdict #5), then engines with no fresh twin (winnow, bm25,
+    # trained classifier, trained langid, KMV sketch, audio features),
+    # + (c) 4 new/re-pinned r15 rows = exactly 50.
+    # The 38 squeezed r12 rows all have an in-window or ≤2-round-stale
+    # twin on the same engine path:
+    #   q10/rollup_orders/scalar_functions/set_ops_customers/
+    #     topk_customers_per_nation/customers_without_orders/
+    #     distinct_customers_per_segment/latest_event_per_user/
+    #     events_tier_rollup (↔ q01-q22 analog family in-window),
+    #   ann_topk_pq + ann_topk_pq_rerank + ann_topk_ivf_kmeans +
+    #     ann_topk_ivfpq_residual_k (↔ ann_topk_ivf in-window +
+    #     ann_topk_ivfpq/_residual r14),
+    #   image_decode + image_resize + jpeg_420_decode +
+    #     multimodal_features + video_frame_sample (↔ jpeg_decode +
+    #     png_color_decode + multimodal_decode in-window +
+    #     gif_frame_sample r14),
+    #   bigram_logprob (↔ unigram_logprob in-window),
+    #   bpe_merge_candidates (↔ bpe_roundtrip in-window),
+    #   classifier_score_docs (↔ classifier_trained in-window),
+    #   data_validation_report (↔ null_semantics in-window),
+    #   dedup_keep_best (↔ line_dedup_firstkeep + dedup_minhash_xxh
+    #     in-window), dedup_winnow stays IN-window (own engine),
+    #   dsir_select + quota_sample_sources + weighted_sample_docs (↔
+    #     stratified_sample in-window + domain_quota_sample r14),
+    #   embedding_near_dup + embedding_pca + semdedup_prune +
+    #     kmeans_clusters* + kmeans_tiered (↔ embedding_quant_dedup
+    #     in-window; *kmeans_clusters displaced last, see (d)),
+    #   gopher_quality_rules + token_length_histogram (↔ text_stats +
+    #     source_quality_rollup in-window),
+    #   neardup_time_horizon (↔ dedup_incremental + neardup_estimate
+    #     in-window), zorder_key_n (↔ hilbert_key_check in-window),
+    #   boilerplate_removal (↔ html_markdown r14),
+    #   heavy_hitters_cms (↔ distinct_kmv in-window),
+    #   hybrid_search_rrf (↔ bm25_search in-window).
+    r15_window = [
+        # (a) the full 34-row r11 staleness tail
+        "ann_topk_ivf",
+        "bpe_roundtrip",
+        "category_drift",
+        "curriculum_buckets",
+        "dedup_incremental",
+        "dedup_minhash_xxh",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_sampled",
+        "dedup_simhash_hamming",
+        "embedding_quant_dedup",
+        "events_json_extract",
+        "hilbert_key_check",
+        "jpeg_decode",
+        "line_dedup_firstkeep",
+        "multimodal_decode",
+        "neardup_estimate",
+        "null_semantics",
+        "pipe_replace",
+        "png_color_decode",
+        "q01_pricing_summary",
+        "q02_min_cost_part",
+        "q03_shipping_priority",
+        "q04_order_priority",
+        "q05_region_revenue",
+        "q06_forecast_revenue",
+        "q14_promo_revenue",
+        "q18_large_orders",
+        "q22_idle_customers",
+        "scalar_subquery_above_avg",
+        "source_quality_rollup",
+        "stratified_sample",
+        "text_stats",
+        "unpivot_lineitem_metrics",
+        "vocab_coverage",
+        # (b) 12 of the r12 staleness tail (twin recipe above)
+        "ann_topk_lsh_mp",
+        "audio_features",
+        "bloom_decontamination",
+        "bm25_search",
+        "classifier_trained",
+        "decontamination_check",
+        "dedup_winnow",
+        "distinct_kmv",
+        "lang_id_trained",
+        "tfidf_top_terms",
+        "unigram_logprob",
+        "vocab_top_tokens",
+        # (d) new/re-pinned r15 rows (each displaced a most-twinned
+        # (b) candidate, displacement order: boilerplate_removal →
+        # heavy_hitters_cms → hybrid_search_rrf → kmeans_clusters):
+        # crawl_coverage re-pins (zstd Content-Encoding leg + the
+        # unknown-coding refusal re-pointed to `compress`, verdict #2);
+        # dedup_minhash_cjk re-pins (mixed Latin+Han single-doc leg,
+        # verdict #8); compression_quality re-pins (rows-only →
+        # constrained oracle, verdict #6); webp_decode is new (VP8L
+        # from-spec, verdict #3).
+        "crawl_coverage",
+        "dedup_minhash_cjk",
+        "compression_quality",
+        # slot 4 holds kmeans_clusters until webp_decode lands this
+        # round (it is the next displacement per the order above)
+        "kmeans_clusters",
+    ]
+    assert len(r15_window) == 50, len(r15_window)
+    assert set(r15_window) <= set(q), sorted(set(r15_window) - set(q))
+    # r16 window pre-solve: after this round the histogram is r12:38,
+    # r13:49, r14:47, r15:50 (contract 184 incl. the new webp_decode;
+    # never:0). Flush the FULL 38-row r12 tail + 12 of the r13 tail by
+    # the standing twin recipe (recompute from CORRECTNESS_r01-r15 at
+    # r16 start; prefer squeezing r13 rows whose engine paths have
+    # in-window or r14/r15 twins). Any new r16 rows take slots from
+    # the r13 half, never the r12 flush.
+    ordered = {k: q[k] for k in r15_window} | {
+        k: v for k, v in q.items() if k not in r15_window
     }
     return ordered
 
