@@ -2835,11 +2835,12 @@ def crawl_coverage_check(spark, sf):
     """Crawl-ingest coverage telemetry (functions/warc.py:
     crawl_coverage — r12 verdict #7, the front-end mirror of
     decode_coverage): synth_warc_hostile cycles every ingest refusal
-    reason by doc_id % 8 (clean / unknown zstd coding / corrupt
-    chunking / colon-less HTTP header / unknown declared charset /
-    mis-declared charset / colon-less WARC header over a CLEAN
-    response — the r13 ADVICE leg that must count ok, not
-    http-refused / VALID brotli body that must decode — r14), the
+    reason by doc_id % 9 (clean / undecodable 'compress' coding —
+    re-pointed r15 / corrupt chunking / colon-less HTTP header /
+    unknown declared charset / mis-declared charset / colon-less WARC
+    header over a CLEAN response — the r13 ADVICE leg that must count
+    ok, not http-refused / VALID brotli body — r14 / VALID zstd body —
+    r15 verdict #2), the
     engine runs the REAL WARC framing + per-record-
     isolated HTTP unwrap + strict charset decode, and the rollup
     counts (stage, status, reason). The oracle replays the rollup
@@ -7826,26 +7827,29 @@ SELECT doc_id,
        NULL::VARCHAR AS refusal
 FROM pages
 """,
-        # crawl_coverage (r13; r14 adds leg 6 — colonless WARC header
+        # crawl_coverage (r13; r14 added leg 6 — colonless WARC header
         # line over a clean response, which must count ok, not http-
-        # refused): synth_warc_hostile makes every (stage, status,
-        # reason) a pure function of doc_id % 7 — the engine must
-        # frame, isolate, and refuse its way to the counts
+        # refused; r15 adds leg 8 — valid zstd body, ok/utf-8 — and
+        # re-points leg 1's undecodable coding to RFC 9110 'compress'):
+        # synth_warc_hostile makes every (stage, status, reason) a pure
+        # function of doc_id % 9 (legs 0-8) — the engine must frame,
+        # isolate, and refuse its way to the counts
         "crawl_coverage": """
-SELECT CASE WHEN leg IN (0, 6, 7) THEN 'ok'
+SELECT CASE WHEN leg IN (0, 6, 7, 8) THEN 'ok'
             WHEN leg IN (1, 2, 3) THEN 'http'
             ELSE 'charset' END AS stage,
-       CASE WHEN leg IN (0, 6, 7) THEN 'ok' ELSE 'refused' END AS status,
+       CASE WHEN leg IN (0, 6, 7, 8) THEN 'ok' ELSE 'refused' END AS status,
        CASE leg WHEN 0 THEN 'utf-8'
             WHEN 6 THEN 'utf-8'
             WHEN 7 THEN 'utf-8'
+            WHEN 8 THEN 'utf-8'
             WHEN 1 THEN 'content_coding'
             WHEN 2 THEN 'bad_chunking'
             WHEN 3 THEN 'bad_header_line'
             WHEN 4 THEN 'unknown_charset:klingon'
             ELSE 'undecodable:utf-8' END AS reason,
        count(*)::BIGINT AS n
-FROM (SELECT doc_id % 8 AS leg FROM documents)
+FROM (SELECT doc_id % 9 AS leg FROM documents)
 GROUP BY 1, 2, 3
 """,
         # robots_eval (r12): path cycles doc_id%6; the '*' group

@@ -127,6 +127,8 @@ HEADLINE4 = [
 # from 6 to 8 legs in r14 (adds a colonless-WARC-header leg and a REAL
 # brotli decode leg), and image_auto_orient widened from 4 to all 8
 # EXIF orientations — both walls recalibrate slightly BY DESIGN.
+# r15 NOTE: crawl_coverage grew to 9 legs (adds a REAL zstd decode
+# leg; leg 1's undecodable coding re-pointed zstd → compress).
 
 # FIFTH headline set, frozen at r14: the r13-late + r14 families —
 # spaceless-script (CJK) near-dup mining through the script-spread

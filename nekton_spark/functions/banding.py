@@ -55,6 +55,13 @@ def salted_band_pairs(
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
     if salt_tile is not None and salt_tile < 2:
         raise ValueError(f"salt_tile must be >= 2, got {salt_tile}")
+    if max_bucket is not None or salt_tile is not None:
+        # the census/salting aggregations below re-execute the banded
+        # frame's lineage (e.g. an Arrow MinHash signature stage) and
+        # the self-join would then compute it a third time — pin it
+        # once up front (r15, ADVICE: previously only the salt_tile
+        # path materialized, so max_bucket-only callers paid double)
+        banded = banded.transform(materialize)
     if max_bucket is not None:
         hot = (
             banded.groupBy(*key_cols)
@@ -75,7 +82,6 @@ def salted_band_pairs(
     if salt_tile is not None:
         # bucket census is tiny (oversized buckets only); AQE sees it
         # at the stage boundary and broadcasts the left join below
-        banded = banded.transform(materialize)
         big = (
             banded.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("bucket_n"))

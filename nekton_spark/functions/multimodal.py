@@ -209,7 +209,10 @@ _REFUSAL_CODES = [
     ("not a JPEG", "bad_signature"),
     ("PNG", "bad_png"),
     ("zero-dimension", "zero_dim"),
-    ("composition", "gif_composition"),  # sub-canvas frame / disposal 3+
+    # sub-canvas composition errors; reserved disposals 4-7 word their
+    # refusal "GIF disposal method N is reserved" and map to bad_gif
+    # via the "GIF" row below (disposal 3 decodes since r14)
+    ("composition", "gif_composition"),
     ("LZW", "bad_lzw"),
     ("GIF", "bad_gif"),
     ("delta escape", "rle_delta"),

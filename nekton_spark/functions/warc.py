@@ -53,6 +53,7 @@ nothing here holds more than one file's records at once.
 
 from __future__ import annotations
 
+import functools as _functools
 import zlib
 
 import pandas as pd
@@ -159,6 +160,8 @@ def _parse_http_response(block: bytes):
             raise ValueError("deflate body exceeds inflate bound")
     elif ce == "br":
         body = _unbrotli(body)
+    elif ce == "zstd":
+        body = _unzstd(body)
     elif ce in ("", "identity"):
         pass
     else:
@@ -166,6 +169,20 @@ def _parse_http_response(block: bytes):
             f"HTTP Content-Encoding {ce!r} not decodable in this environment"
         )
     return status, headers, body
+
+
+@_functools.lru_cache(maxsize=None)
+def _arrow_codec_available(name: str) -> bool:
+    """One-time probe for a pyarrow-bundled codec (r15, ADVICE: the
+    per-record unwrap path was re-importing pyarrow and constructing a
+    probe Codec for every encoded record)."""
+    try:
+        import pyarrow as pa
+
+        pa.Codec(name)
+        return True
+    except Exception:  # pragma: no cover - codecs always ship here
+        return False
 
 
 def _unbrotli(body: bytes) -> bytes:
@@ -180,15 +197,13 @@ def _unbrotli(body: bytes) -> bytes:
     HTTP's Content-Length is the COMPRESSED size), output bounded by
     the shared inflate cap, arrow's OSError on damage mapped to the
     reason-coded refusal."""
-    try:
-        import pyarrow as pa
-
-        pa.Codec("brotli")
-    except Exception:  # pragma: no cover - codec always ships here
+    if not _arrow_codec_available("brotli"):  # pragma: no cover
         raise NotImplementedError(
             "HTTP Content-Encoding 'br' needs pyarrow's brotli codec, "
             "which this environment lacks"
-        ) from None
+        )
+    import pyarrow as pa
+
     try:
         stream = pa.CompressedInputStream(pa.BufferReader(body), "brotli")
         out = stream.read(_MAX_INFLATE + 1)
@@ -199,16 +214,46 @@ def _unbrotli(body: bytes) -> bytes:
     return bytes(out)
 
 
+def _unzstd(body: bytes) -> bytes:
+    """RFC 8878 zstd content-coding (r15, verdict #2 — the same
+    envelope adjudication as r14's brotli above: a from-spec decoder
+    is FSE/Huffman table machinery plus a window-management data wall,
+    while pyarrow is a baked-in dependency bundling the REFERENCE
+    zstd implementation for parquet codecs). Streaming read (zstd
+    frames need not declare content size, and HTTP's Content-Length is
+    the COMPRESSED size), output bounded by the shared inflate cap,
+    arrow's OSError on damage (including 'Truncated compressed
+    stream') mapped to the reason-coded refusal."""
+    if not _arrow_codec_available("zstd"):  # pragma: no cover
+        raise NotImplementedError(
+            "HTTP Content-Encoding 'zstd' needs pyarrow's zstd codec, "
+            "which this environment lacks"
+        )
+    import pyarrow as pa
+
+    try:
+        stream = pa.CompressedInputStream(pa.BufferReader(body), "zstd")
+        out = stream.read(_MAX_INFLATE + 1)
+    except OSError as e:
+        raise ValueError(f"corrupt zstd body: {e}") from None
+    if len(out) > _MAX_INFLATE:
+        raise ValueError("zstd body exceeds inflate bound")
+    return bytes(out)
+
+
 # (message substring, stable reason code) — first match wins; the
 # substrings are this module's own refusal wordings, pinned by tests
 # so a reworded exception can't silently retire a code (same contract
 # as multimodal._REFUSAL_CODES)
 _CRAWL_REFUSAL_CODES = [
-    ("Content-Encoding", "content_coding"),  # unknown codings (br decodes, r14)
+    # unknown codings (br decodes since r14, zstd since r15; the
+    # genuinely undecodable class is e.g. RFC 9110 'compress' — LZW)
+    ("Content-Encoding", "content_coding"),
     ("chunk", "bad_chunking"),
     ("gzip", "bad_gzip"),
     ("deflate", "bad_deflate"),
     ("brotli", "bad_brotli"),
+    ("zstd", "bad_zstd"),
     ("status", "bad_status_line"),
     ("header terminator", "no_header_terminator"),
     ("header line", "bad_header_line"),
@@ -653,12 +698,15 @@ def synth_warc_hostile(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
     """One WARC payload per row cycling every ingest refusal reason by
-    key % 8 (the crawl_coverage fixture — each leg's (stage, status,
+    key % 9 (the crawl_coverage fixture — each leg's (stage, status,
     reason) is a pure function of the residue):
 
     0. clean identity response (ok / utf-8);
-    1. ``Content-Encoding: zstd`` — an undecodable coding (http /
-       content_coding; was ``br`` until r14 made brotli decode);
+    1. ``Content-Encoding: compress`` — a genuinely undecodable coding
+       (http / content_coding; was ``zstd`` until r15 made zstd
+       decode, and ``br`` before r14 made brotli decode — RFC 9110's
+       LZW 'compress' has no bundled codec and is effectively dead on
+       the wire, so it is the honest permanent occupant of this leg);
     2. corrupt chunked body — non-hex size line (http / bad_chunking);
     3. HTTP header line without ':' (http / bad_header_line);
     4. declared ``charset=klingon`` (charset / unknown_charset);
@@ -667,10 +715,12 @@ def synth_warc_hostile(
        the lenient-envelope flag must NOT count as an http refusal,
        r13 ADVICE);
     7. VALID ``Content-Encoding: br`` body (ok / utf-8 — r14, the
-       brotli unwrap through pyarrow's reference codec).
+       brotli unwrap through pyarrow's reference codec);
+    8. VALID ``Content-Encoding: zstd`` body (ok / utf-8 — r15
+       verdict #2, the zstd unwrap through pyarrow's reference codec).
 
     Containers gzip per-record on odd keys so both WARC envelopes ride
-    every round."""
+    every leg over an 18-key cycle."""
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("warc", T.BinaryType(), True)]
     )
@@ -680,7 +730,7 @@ def synth_warc_hostile(
             key = int(row[key_col])
             uri = f"http://crawl.example/doc/{key}"
             rid = f"<urn:uuid:{key}>"
-            leg = key % 8
+            leg = key % 9
             if leg == 0:
                 rec = warc_encode_response(
                     uri, synth_page_bytes(key, row[text_col]), record_id=rid
@@ -688,7 +738,8 @@ def synth_warc_hostile(
             elif leg == 1:
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Content-Encoding: zstd\r\nContent-Length: 4\r\n\r\nXXXX"
+                    b"Content-Encoding: compress\r\n"
+                    b"Content-Length: 4\r\n\r\nXXXX"
                 )
                 rec = _warc_wrap(uri, http, rid)
             elif leg == 2:
@@ -728,13 +779,18 @@ def synth_warc_hostile(
             else:
                 import pyarrow as pa
 
+                coding, arrow_name = (
+                    ("br", "brotli") if leg == 7 else ("zstd", "zstd")
+                )
                 comp = bytes(
-                    pa.Codec("brotli").compress(f"br page {key}".encode())
+                    pa.Codec(arrow_name).compress(
+                        f"{coding} page {key}".encode()
+                    )
                 )
                 http = (
                     b"HTTP/1.1 200 OK\r\n"
                     b"Content-Type: text/html; charset=utf-8\r\n"
-                    b"Content-Encoding: br\r\n"
+                    + f"Content-Encoding: {coding}\r\n".encode()
                     + f"Content-Length: {len(comp)}\r\n\r\n".encode()
                     + comp
                 )

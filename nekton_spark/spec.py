@@ -104,13 +104,34 @@ def run_spec(spark: SparkSession, spec: Spec | str):
     sp = eng.pop("state_partitions", None)
     if eng:
         raise ValueError(f"unknown engine option(s): {sorted(eng)}")
+    prior_shuffle = None
     if sp is not None:
         n = int(sp)
         if n < 1:
             raise ValueError(f"state_partitions must be >= 1, got {sp}")
-        # left set for the session: a stateful stream re-reads the
-        # partition count from its checkpoint anyway, and restoring it
-        # mid-run would race the first micro-batch's planning
+        prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     _, run_sink = compile_spec(spark, spec)
-    return run_sink()
+    result = run_sink()
+    if prior_shuffle is not None:
+        if result is None:
+            # batch sink: the job is done, hand the session back with
+            # its prior partition count (r15, ADVICE: later specs /
+            # queries were silently inheriting this spec's small N)
+            spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+        else:
+            # streaming sink: must stay set — the stateful stream
+            # re-reads the count from its checkpoint anyway, and
+            # restoring mid-run would race the first micro-batch's
+            # planning. Warn so the session-wide change is visible.
+            import warnings
+
+            warnings.warn(
+                "engine.state_partitions left "
+                "spark.sql.shuffle.partitions="
+                f"{spark.conf.get('spark.sql.shuffle.partitions')} set "
+                f"session-wide (was {prior_shuffle}) for the lifetime "
+                "of the streaming query",
+                stacklevel=2,
+            )
+    return result

@@ -444,6 +444,88 @@ output:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
+    def test_state_partitions_restored_after_batch_sink(
+        self, spark, tmp_path
+    ):
+        """r15 (ADVICE): a BATCH spec with engine.state_partitions must
+        hand the session back with its prior shuffle-partition count —
+        previously any later query silently inherited the small N."""
+        from nekton_spark.spec import run_spec
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        assert prev != "3"
+        src = tmp_path / "in.txt"
+        src.write_text("alpha\nbeta\n")
+        run_spec(
+            spark,
+            f"""
+engine:
+  state_partitions: 3
+input:
+  type: file
+  path: {src}
+  format: text
+output:
+  type: file
+  path: {tmp_path}/out
+  format: parquet
+""",
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+    def test_state_partitions_streaming_warns_session_wide(
+        self, spark, tmp_path
+    ):
+        """r15 (ADVICE): the streaming path deliberately leaves the
+        conf set (checkpoint-pinned) but must say so out loud."""
+        import warnings
+
+        import pyspark.sql.functions as F
+
+        from nekton_spark.spec import run_spec
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        src = tmp_path / "src"
+        spark.range(5).select(
+            F.col("id").alias("doc_id"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+            F.lit("t").alias("text"),
+        ).write.parquet(str(src))
+        spec = f"""
+engine:
+  state_partitions: 2
+input:
+  type: file
+  path: {src}
+  format: parquet
+  stream: true
+  as_messages: false
+  schema: "doc_id long, ts timestamp, text string"
+pipeline:
+  processors:
+    - type: fingerprint
+    - type: dedup_within_watermark
+      columns: [fp]
+      ts_col: ts
+      delay: 60 minutes
+output:
+  type: file_exactly_once
+  path: {tmp_path}/out
+  checkpoint: {tmp_path}/ckpt
+"""
+        try:
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                q = run_spec(spark, spec)
+            q.processAllAvailable()
+            q.stop()
+            assert any(
+                "session-wide" in str(w.message) for w in caught
+            ), [str(w.message) for w in caught]
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
     def test_unknown_engine_option_refuses(self, spark):
         import pytest as _pt
 

@@ -60,15 +60,20 @@ class TestFraming:
             warc_parse_records(rec[:-6])
         with pytest.raises(ValueError, match="Content-Length"):
             warc_parse_records(rec.replace(b"Content-Length", b"X-L", 1))
-        # br DECODES since r14 — corrupt br is a ValueError; unknown
-        # codings (zstd) still refuse NotImplementedError
+        # br DECODES since r14, zstd since r15 — corrupt streams are
+        # ValueError; genuinely undecodable codings (RFC 9110
+        # 'compress') still refuse NotImplementedError
         with pytest.raises(ValueError, match="brotli"):
             _parse_http_response(
                 b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx"
             )
-        with pytest.raises(NotImplementedError, match="zstd"):
+        with pytest.raises(ValueError, match="zstd"):
             _parse_http_response(
                 b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nx"
+            )
+        with pytest.raises(NotImplementedError, match="compress"):
+            _parse_http_response(
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nx"
             )
         with pytest.raises(ValueError, match="chunk"):
             _parse_http_response(
@@ -249,21 +254,62 @@ class TestSparkSurface:
         )
         assert st2 == 200 and b2 == text
 
+    def test_zstd_content_coding(self):
+        """r15 (r14 verdict #2): Content-Encoding: zstd unwraps
+        through pyarrow's bundled reference zstd — the same envelope
+        adjudication as brotli: valid bodies decode exactly, damage
+        (including truncation, which zstd detects via its frame
+        checksum machinery) refuses reason-coded, and the chunked+zstd
+        stack composes in RFC order."""
+        import pyarrow as pa
+
+        from nekton_spark.functions.warc import (
+            _crawl_refusal_code,
+            _parse_http_response,
+        )
+
+        text = ("zstd page content " * 40).encode()
+        comp = bytes(pa.Codec("zstd").compress(text))
+
+        def resp(body: bytes) -> bytes:
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Encoding: zstd\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+            )
+
+        status, hh, body = _parse_http_response(resp(comp))
+        assert status == 200 and body == text
+        for bad in (comp[: len(comp) // 2], b"\x00garbage not zstd"):
+            try:
+                _parse_http_response(resp(bad))
+                raise AssertionError("corrupt zstd did not refuse")
+            except ValueError as e:
+                assert _crawl_refusal_code(e) == "bad_zstd"
+        chunked = f"{len(comp):x}\r\n".encode() + comp + b"\r\n0\r\n\r\n"
+        st2, _, b2 = _parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: zstd\r\n\r\n"
+            + chunked
+        )
+        assert st2 == 200 and b2 == text
+
     def test_crawl_coverage_rollup(self, spark):
         """crawl_coverage (r13): the hostile synth cycles every ingest
-        refusal reason by key % 8; the rollup must land on the exact
+        refusal reason by key % 9; the rollup must land on the exact
         closed-form counts per (stage, status, reason). Leg 6 (r13
         ADVICE) plants a colonless WARC header line over a CLEAN
         response — the lenient-envelope flag must land in the ok
-        bucket, not as an http refusal; leg 7 (r14) a VALID brotli
-        body that must decode to the ok bucket."""
+        bucket, not as an http refusal; legs 7 (r14) and 8 (r15) VALID
+        brotli / zstd bodies that must decode to the ok bucket; leg 1
+        (re-pointed r15) an undecodable 'compress' coding."""
         from nekton_spark.functions.warc import (
             crawl_coverage,
             synth_warc_hostile,
         )
 
         d = spark.createDataFrame(
-            [(k, f"text {k}") for k in range(32)], "doc_id long, text string"
+            [(k, f"text {k}") for k in range(36)], "doc_id long, text string"
         )
         got = {
             (r.stage, r.status, r.reason): r.n
@@ -272,8 +318,8 @@ class TestSparkSurface:
             ).collect()
         }
         assert got == {
-            # legs 0 + 6 (flagged header) + 7 (brotli)
-            ("ok", "ok", "utf-8"): 12,
+            # legs 0 + 6 (flagged header) + 7 (brotli) + 8 (zstd)
+            ("ok", "ok", "utf-8"): 16,
             ("http", "refused", "content_coding"): 4,
             ("http", "refused", "bad_chunking"): 4,
             ("http", "refused", "bad_header_line"): 4,
