@@ -1263,11 +1263,35 @@ def gopher_quality_rules(spark, sf):
 def compression_quality(spark, sf):
     """zlib compression-ratio quality proxy
     (text_analysis.compression_ratio): Arrow-batched pandas UDF,
-    map-only. ROWS-ONLY by design — DuckDB has no DEFLATE, so the
-    contract is pinned by fixed-vector unit tests instead of an SQL
-    oracle (same posture as dedup_minhash_xxh / multimodal_decode)."""
+    map-only. CONSTRAINED oracle (r15 verdict #6, upgraded from
+    rows-only): zlib_bytes itself is un-oracleable — DuckDB has no
+    DEFLATE — but everything around it is replayable, so the driver
+    row returns (a) n_bytes, exact UTF-8 byte length DuckDB recomputes
+    on the real corpus text, (b) ratio/flag self-consistency bits —
+    ratio re-derived JVM-side from the returned (zlib_bytes, n_bytes)
+    and flagged re-derived from ratio, both must equal the operator's
+    own columns, and (c) the DEFLATE envelope bound — zlib's
+    compressBound guarantees zlib_bytes ∈ (0, n + n/1000 + 13] for
+    non-empty input and the operator pins 0 for empty/NULL. The
+    actual DEFLATE values stay pinned by fixed-vector unit tests
+    (tests/test_functions.py::test_compression_ratio)."""
     _ship_package(spark)
-    return ta.compression_ratio(_t(spark, sf, "documents"))
+    base = ta.compression_ratio(_t(spark, sf, "documents"))
+    n, z = F.col("n_bytes"), F.col("zlib_bytes")
+    want_ratio = F.when(n == 0, F.lit(0.0)).otherwise(F.round(z / n, 6))
+    want_flag = F.when(n == 0, F.lit(0)).otherwise(
+        ((F.col("ratio") < 0.30) | (F.col("ratio") > 0.95)).cast("int")
+    )
+    in_bounds = F.when(n == 0, z == 0).otherwise(
+        (z > 0) & (z <= n + F.floor(n / 1000) + F.lit(13))
+    )
+    return base.select(
+        "doc_id",
+        "n_bytes",
+        (F.col("ratio") == want_ratio).cast("int").alias("ratio_consistent"),
+        (F.col("flagged") == want_flag).cast("int").alias("flag_consistent"),
+        in_bounds.cast("int").alias("zlib_in_bounds"),
+    )
 
 
 def pii_redaction(spark, sf):
@@ -3488,7 +3512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "unpivot_lineitem_metrics": unpivot_lineitem_metrics,
         "vocab_coverage": vocab_coverage,
-        # --- rows-only trio (no_oracle by design) — keep visibly cycling ---
+        # --- rows-only duo (no_oracle by design) — keep visibly
+        # cycling (compression_quality upgraded to a constrained
+        # oracle in r15, verdict #6) ---
         "compression_quality": compression_quality,
         "dedup_minhash_xxh": dedup_minhash_xxh,
         "minhash_xxh_pairset": minhash_xxh_pairset,
@@ -6311,6 +6337,21 @@ WITH t AS (SELECT doc_id, string_split(replace(coalesce(text, ''), 'table', 'TBL
            FROM documents),
 u AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM t)
 SELECT doc_id AS batch_id, (i - 1)::BIGINT AS pos, parts[i] AS token FROM u
+""",
+        # compression_quality (r15 verdict #6, rows-only → constrained
+        # oracle): zlib_bytes has no DuckDB replay (no DEFLATE), so the
+        # Spark row returns what IS replayable — exact UTF-8 byte
+        # length plus three self-consistency/envelope bits the engine
+        # must prove true per document (ratio = round(z/n, 6), flag =
+        # thresholds on ratio, z inside zlib's compressBound); the raw
+        # DEFLATE lengths stay pinned by fixed-vector unit tests
+        "compression_quality": """
+SELECT doc_id,
+       octet_length(encode(coalesce(text, '')))::INT AS n_bytes,
+       1::INT AS ratio_consistent,
+       1::INT AS flag_consistent,
+       1::INT AS zlib_in_bounds
+FROM documents
 """,
         "text_stats": f"""
 WITH t AS (

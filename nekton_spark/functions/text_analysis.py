@@ -491,9 +491,11 @@ def compression_ratio(
 
     The only Python in this family: an Arrow-batched pandas UDF (zlib
     is a C extension, so the per-row cost is the DEFLATE pass itself).
-    Map-only, no shuffle, linear — scales embarrassingly. Rows-only in
-    the driver gate: DuckDB has no DEFLATE, so there is no SQL oracle;
-    fixed-vector unit tests pin the contract instead.
+    Map-only, no shuffle, linear — scales embarrassingly. DuckDB has
+    no DEFLATE, so zlib_bytes itself has no SQL oracle; fixed-vector
+    unit tests pin it, and the driver row checks everything AROUND it
+    (exact n_bytes, ratio/flag self-consistency, the DEFLATE envelope
+    bound — r15 verdict #6).
     """
     # only the DEFLATE length crosses into Python; byte count, ratio,
     # and the flag stay JVM-side codegen
@@ -503,7 +505,9 @@ def compression_ratio(
 
         return s.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), level)) if t else 0)
 
-    n = F.octet_length(F.col(text_col))
+    # engine-wide NULL-text contract: NULL = empty document (r15 —
+    # previously NULL text produced NULL n_bytes/ratio here)
+    n = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
     out = df.select(
         F.col(id_col),
         n.alias("n_bytes"),

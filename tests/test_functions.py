@@ -106,15 +106,17 @@ class TestTextAnalysis:
 
         rep = "spam " * 200
         mixed = "the quick brown fox jumps over the lazy dog " * 3
-        df = docs_df(spark, [rep, mixed, ""])
+        df = docs_df(spark, [rep, mixed, "", None])
         rows = ta.compression_ratio(df).orderBy("doc_id").collect()
-        r_rep, r_mix, r_empty = rows
+        r_rep, r_mix, r_empty, r_null = rows
         # exact: python zlib is the same C library in driver and worker
         assert r_rep.zlib_bytes == len(zlib.compress(rep.encode(), 6))
         assert r_rep.ratio == round(r_rep.zlib_bytes / 1000, 6)
         assert r_rep.flagged == 1 and r_rep.ratio < 0.1  # templated text
         assert r_mix.flagged == 0 and 0.30 <= r_mix.ratio <= 0.95
         assert r_empty.n_bytes == 0 and r_empty.ratio == 0.0 and r_empty.flagged == 0
+        # engine-wide NULL-text contract: NULL = empty document (r15)
+        assert (r_null.n_bytes, r_null.zlib_bytes, r_null.ratio, r_null.flagged) == (0, 0, 0.0, 0)
 
     def test_ngrams(self, spark):
         from nekton_spark.functions import text_analysis as ta
