@@ -1512,15 +1512,20 @@ def ann_topk_lsh(spark, sf):
     width). The oracle replays the SAME width from count(*) with
     integer-exact arithmetic and masks the matching lower bits of a
     max-width (56-bit) literal-hyperplane sketch, so the exact bucket
-    structure is reproduced without pinning."""
+    structure is reproduced without pinning. multiprobe pinned 0: this
+    row is the ORACLE TWIN for the classic single-probe plan (the
+    engine default flipped to multiprobe=1 in r15, verdict #5 — that
+    default path is pinned by ann_topk_lsh_mp)."""
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, q, k=5)
+    return similarity.lsh_topk(emb, q, k=5, multiprobe=0)
 
 
 def ann_topk_lsh_mp(spark, sf):
     """Multi-probe LSH (similarity.lsh_topk multiprobe=1 — Lv 2007,
-    r11): each query additionally probes every band key at Hamming
+    r11; the ENGINE DEFAULT since r15, verdict #5 — kept explicit here
+    so the row's meaning survives any future default change): each
+    query additionally probes every band key at Hamming
     distance 1, so a near-miss whose sketch differs by one hyperplane
     sign still meets its neighbors. Corpus storage/bucketing
     unchanged; the query side fans out ×(1+r) (bounded small side).

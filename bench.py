@@ -457,7 +457,11 @@ def _ann_recall_bench(spark) -> dict:
         # round comparability — the engine DEFAULT is kmeans since r12,
         # measured by the *_kmeans/*_k legs (which therefore double as
         # the default-path recall floor)
-        "lsh": sim.lsh_topk,
+        # single-probe pinned (multiprobe=0) for comparability — the
+        # engine DEFAULT is multiprobe since r15 (verdict #5), measured
+        # by the lsh_mp leg (which therefore doubles as the
+        # default-path recall floor)
+        "lsh": lambda c, q, k: sim.lsh_topk(c, q, k=k, multiprobe=0),
         "ivf": lambda c, q, k: sim.ivf_topk(c, q, k=k, coarse="sample"),
         "pq": sim.pq_topk,
         "pq_rerank": sim.pq_topk_rerank,

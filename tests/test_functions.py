@@ -606,7 +606,9 @@ class TestSimilarity:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         q = df.filter(F.col("vec_id") < 3)
         base = {}
-        for r in lsh_topk(df, q, k=5).collect():
+        # multiprobe=0 pinned: the default IS multiprobe since r15, so
+        # the superset comparison needs the classic plan explicitly
+        for r in lsh_topk(df, q, k=5, multiprobe=0).collect():
             base.setdefault(r.query_id, set()).add(r.neighbor_id)
         out1 = sorted(map(tuple, lsh_topk(df, q, k=5, multiprobe=1).collect()))
         out2 = sorted(map(tuple, lsh_topk(df, q, k=5, multiprobe=1).collect()))
