@@ -228,6 +228,7 @@ def _streaming_bench(spark) -> dict:
 
     out: dict[str, dict] = {}
     work = tempfile.mkdtemp(prefix="bench_stream_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # ---- leg 1: curation chain over documents ----
         docs_src = os.path.join(work, "docs_src")
@@ -241,7 +242,19 @@ def _streaming_bench(spark) -> dict:
         )
         n_docs = docs.count()
         docs.repartition(32).write.mode("overwrite").parquet(docs_src)
-        spec_tpl = """
+        # state_partitions pinned at 8 (r15, r14 verdict #4): the r14
+        # A/B adjudicated the curation floor as per-partition
+        # state-store delta-commit cost (32→8→2 partitions gave
+        # 5.6→2.3→2.2 s on constant data), so an UNpinned leg measured
+        # the session's ambient shuffle count, not the engine — the
+        # 821→410 rows/s r13→r14 driver swing class. Pinning makes the
+        # BASELINE.md rows/s floor a one-look adjudication. The
+        # session conf is restored before the events leg below
+        # (run_spec leaves it set for streaming sinks by design).
+        curation_state_partitions = 8
+        spec_tpl = (
+            f"engine:\n  state_partitions: {curation_state_partitions}\n"
+        ) + """
 input:
   type: file
   path: {src}
@@ -305,6 +318,7 @@ output:
             "rows": n_docs,
             "wall_sec": round(wall, 3),
             "rows_per_sec": round(n_docs / wall),
+            "state_partitions": curation_state_partitions,
             # r9 verdict #5: micro-batch duration breakdown of the best
             # full-chain run (summed across batches) — separates
             # batch-execution cost from offset/commit/planning overhead
@@ -332,6 +346,10 @@ output:
             )
         out["curation"]["stage_attribution_sec"] = stage_attr
         print(f"# curation stages: {stage_attr}", file=sys.stderr)
+
+        # the curation specs' engine block left the session at the
+        # pinned count; hand the ambient value back before leg 2
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
         # ---- leg 2: watermarked tumbling agg over events ----
         ev_src = os.path.join(work, "ev_src")
@@ -372,6 +390,9 @@ output:
             "rows_per_sec": round(n_ev / wall),
         }
     finally:
+        # idempotent re-restore: covers a curation-leg exception
+        # escaping before the inline restore above
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
     return out
 
