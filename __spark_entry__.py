@@ -1413,7 +1413,10 @@ def dedup_minhash_cjk(spark, sf):
     functions/dedup.py:synth_cjk_docs + minhash_lsh_pairs
     tokenize='script'): the synth plants clique-of-4 Han near-dups
     with NO ASCII spaces (plus a 12-codepoint slice of the corpus
-    text, so hostile unicode rides through the spread kernel). The
+    text, so hostile unicode rides through the spread kernel; r15
+    verdict #8 — every third clique splices a hash-derived Latin token
+    mid-Han-run, Latin+Han in ONE doc, pinning the spread kernel's
+    run-boundary space insertion). The
     word tokenizer provably mines ZERO pairs here (pinned red in
     tests/test_functions.py); the script policy character-shingles the
     runs and recovers every clique. The oracle replays the synth with
@@ -4381,14 +4384,22 @@ def _cjk_docs_source() -> str:
     hash60('cjkb:q:i' / 'cjkt:q:m:i') % 500 into the contiguous Han
     block (chr(19968 + idx) == the engine's _CJK_ALPHABET lookup) —
     no residue structure, so planted cliques are the only near-dups
-    at any corpus size."""
+    at any corpus size. r15 (verdict #8): cliques with qv % 3 = 0
+    splice the hash-derived Latin token 'x' || hash60('cjkl:qv')%1000
+    into the middle of the Han base — mixed Latin+Han in one doc, no
+    spaces — pinning the spread kernel's boundary behavior."""
     from nekton_spark.functions.hashing import hash60_sql
 
     b = hash60_sql("'cjkb:' || qv || ':' || i", "0")
     t = hash60_sql("'cjkt:' || qv || ':' || mm || ':' || i", "0")
+    lat = hash60_sql("'cjkl:' || qv", "0")
     return f"""(
   SELECT doc_id,
-         array_to_string(list_transform(range(0, 30),
+         array_to_string(list_transform(range(0, 15),
+           i -> chr(19968 + ({b} % 500)::INT)), '')
+      || CASE WHEN qv % 3 = 0
+              THEN 'x' || ({lat} % 1000)::VARCHAR ELSE '' END
+      || array_to_string(list_transform(range(15, 30),
            i -> chr(19968 + ({b} % 500)::INT)), '')
       || array_to_string(list_transform(range(0, 2),
            i -> chr(19968 + ({t} % 500)::INT)), '')

@@ -728,7 +728,19 @@ def synth_cjk_docs(
     ASCII spaces inside the Han run — the WORD tokenizer sees ~1 token
     and mines NOTHING (the r13-verdict blind spot, pinned red by
     tests), while ``tokenize='script'`` shingles it as character
-    3-grams and recovers the cliques. Pure codegen, map-only."""
+    3-grams and recovers the cliques.
+
+    Mixed-script leg (r15, r14 verdict #8): cliques with q % 3 == 0
+    additionally splice a hash-derived Latin token (``x`` + 0-999)
+    into the MIDDLE of the Han base with no spaces on either side —
+    Latin+Han in ONE document — so the spread kernel's boundary
+    behavior (space insertion where a spaceless run meets a Latin run)
+    stays oracle-pinned as the tokenize policy spreads to more
+    operators. The splice is a pure function of q, identical across
+    the clique, so within-clique similarity (and recovery) is
+    unchanged; hash-derived digits keep cross-clique sharing at the
+    random floor (the standing no-residue-structure rule below).
+    Pure codegen, map-only."""
     key = F.col(key_col)
     m = F.pmod(key, F.lit(4))
     q = F.expr(f"({key_col} - pmod({key_col}, 4)) div 4")
@@ -754,7 +766,21 @@ def synth_cjk_docs(
             F.lit(_CJK_ALPHABET), (idx + 1).cast("int"), F.lit(1)
         )
 
-    parts = [ch("cjkb", q, F.lit(i)) for i in range(30)]
+    # the r15 mixed-script splice: empty for 2 of 3 cliques, else a
+    # Latin token hash-derived from q, glued to Han on both sides
+    latin = F.when(
+        F.pmod(q, F.lit(3)) == 0,
+        F.concat(
+            F.lit("x"),
+            F.pmod(
+                hash60(F.concat_ws(":", F.lit("cjkl"), q.cast("string")), 0),
+                F.lit(1000),
+            ).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    parts = [ch("cjkb", q, F.lit(i)) for i in range(15)]
+    parts += [latin]
+    parts += [ch("cjkb", q, F.lit(i)) for i in range(15, 30)]
     parts += [ch("cjkt", q, m, F.lit(i)) for i in range(2)]
     cjk = F.concat(
         *parts,

@@ -197,6 +197,18 @@ class TestDedup:
         assert len(pairs) >= 23
         assert all(p.id_a // 4 == p.id_b // 4 for p in pairs)
         assert all(p.jaccard > 0.5 for p in pairs)
+        # r15 (verdict #8): cliques q % 3 == 0 carry the mixed-script
+        # splice — a Latin token glued mid-Han-run with no spaces; the
+        # planted docs really are Latin+Han in one document, and those
+        # cliques recover through the boundary spread exactly like the
+        # pure-Han ones (docs 0-3 are clique q=0, docs 12-15 q=3)
+        import re
+
+        texts = {r.doc_id: r.text for r in planted.collect()}
+        assert re.search(r"[一-鿿]x\d{1,3}[一-鿿]", texts[0])
+        assert "x" not in texts[4].split(" ")[0]  # q=1: pure Han run
+        mixed_pairs = [p for p in pairs if p.id_a // 4 in (0, 3)]
+        assert len(mixed_pairs) >= 11  # 2 mixed cliques × 6 pairs − 1
 
     def test_script_spread_three_kernel_parity(self, spark):
         """The Python, JVM and DuckDB spread kernels derive from ONE
