@@ -2058,6 +2058,42 @@ def gif_decode_check(spark, sf):
     )
 
 
+def webp_decode_check(spark, sf):
+    """Lossless-WebP round trip (functions/webp.py, r15 — VP8L
+    implemented complete from the public WebP Lossless Bitstream
+    Specification; verdict #3): genuine RIFF/VP8L bytes per doc
+    through three closed-form legs (doc_id % 3) — truecolor literals
+    (subtract-green + color cache varying by key), distance-1 LZ77
+    runs, and the color-indexing transform with 1/2/4-bit pixel
+    bundling — decoded by the full from-spec path: canonical prefix
+    codes via the 19-symbol code-length code, the LZ77
+    length/distance prefix layer, color cache, and inverse
+    transforms. Always (h, w, 4) RGBA; alpha is closed-form on
+    doc_id % 5 == 0 keys and 255 otherwise, so the DuckDB oracle
+    replays the exact flat array — any corruption anywhere in the
+    bit-reader/Huffman/LZ77/transform chain breaks the hash. The
+    codec itself is additionally pinned bit-exact against the
+    reference libwebp decoder in tests/test_webp.py (bidirectional,
+    gated on the library's presence)."""
+    from nekton_spark.functions.multimodal import synth_webp_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_webp_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def gif_frame_sample_check(spark, sf):
     """Animated-GIF frame sampling (multimodal.frame_sample over
     image/gif, r12 + r13 delta frames): genuine multi-frame GIF89a
@@ -3576,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_decode": jpeg_progressive_decode_check,
         "png_palette_decode": png_palette_decode_check,
         "gif_decode": gif_decode_check,
+        "webp_decode": webp_decode_check,
         "gif_frame_sample": gif_frame_sample_check,
         "bmp_decode": bmp_decode_check,
         "image_dhash": image_dhash_check,
@@ -4333,9 +4370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_coverage",
         "dedup_minhash_cjk",
         "compression_quality",
-        # slot 4 holds kmeans_clusters until webp_decode lands this
-        # round (it is the next displacement per the order above)
-        "kmeans_clusters",
+        # slot 4: webp_decode landed (VP8L from-spec, verdict #3) and
+        # takes the slot that kmeans_clusters was holding
+        "webp_decode",
     ]
     assert len(r15_window) == 50, len(r15_window)
     assert set(r15_window) <= set(q), sorted(set(r15_window) - set(q))
@@ -7291,6 +7328,74 @@ SELECT doc_id,
                       + (i % ch) * 29) % 256
                 ELSE CASE WHEN ((doc_id + 3 * ((i // ch) // w) + ((i // ch) % w)) % n)
                           = doc_id % n THEN 0 ELSE 255 END END)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM g
+""",
+        # webp_decode (r15): always RGBA; flat index i → pixel p=i//4,
+        # channel c=i%4, y=p//w, x=p%w. Leg doc_id%3: 0 truecolor
+        # v=(k*31+y*17+x*7+c*11)%256 (alpha keys k%5==0 extend the
+        # same form to c=3, else alpha 255); 1 the same at x-=x%3
+        # (the LZ77 run leg); 2 palette idx=(k+3y+x)%n with
+        # n=2^[1,2,4,8][k%4], value=(k*7+idx*13+c*29)%256, alpha keys
+        # (k*7+idx*13+97)%256
+        "webp_decode": """
+WITH g AS (
+  SELECT doc_id,
+         (8 + doc_id % 7)::INT AS h,
+         (8 + doc_id % 9)::INT AS w,
+         (1 << ([1, 2, 4, 8][(doc_id % 4)::INT + 1])) AS n,
+         (doc_id % 3) AS leg,
+         (doc_id % 5 = 0) AS ak
+  FROM documents)
+SELECT doc_id,
+       h AS dec_height,
+       w AS dec_width,
+       (4 * h * w)::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, 4 * h * w),
+           i -> CASE
+             WHEN leg < 2 THEN
+               CASE WHEN i % 4 < 3 OR ak
+                 THEN (doc_id * 31 + ((i // 4) // w) * 17
+                       + (CASE WHEN leg = 1
+                          THEN ((i // 4) % w) - ((i // 4) % w) % 3
+                          ELSE (i // 4) % w END) * 7
+                       + (i % 4) * 11) % 256
+                 ELSE 255 END
+             ELSE
+               CASE WHEN i % 4 < 3
+                 THEN (doc_id * 7
+                       + ((doc_id + 3 * ((i // 4) // w) + ((i // 4) % w)) % n) * 13
+                       + (i % 4) * 29) % 256
+                 WHEN ak
+                 THEN (doc_id * 7
+                       + ((doc_id + 3 * ((i // 4) // w) + ((i // 4) % w)) % n) * 13
+                       + 97) % 256
+                 ELSE 255 END
+           END),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 4 * h * w),
+           i -> (i + 1) * (CASE
+             WHEN leg < 2 THEN
+               CASE WHEN i % 4 < 3 OR ak
+                 THEN (doc_id * 31 + ((i // 4) // w) * 17
+                       + (CASE WHEN leg = 1
+                          THEN ((i // 4) % w) - ((i // 4) % w) % 3
+                          ELSE (i // 4) % w END) * 7
+                       + (i % 4) * 11) % 256
+                 ELSE 255 END
+             ELSE
+               CASE WHEN i % 4 < 3
+                 THEN (doc_id * 7
+                       + ((doc_id + 3 * ((i // 4) // w) + ((i // 4) % w)) % n) * 13
+                       + (i % 4) * 29) % 256
+                 WHEN ak
+                 THEN (doc_id * 7
+                       + ((doc_id + 3 * ((i // 4) // w) + ((i // 4) % w)) % n) * 13
+                       + 97) % 256
+                 ELSE 255 END
+           END)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM g
 """,

@@ -171,6 +171,10 @@ def decode_image(
                     from .bmp import bmp_decode
 
                     pix = bmp_decode(m["payload"])
+                elif m["mime"] == "image/webp":
+                    from .webp import webp_decode
+
+                    pix = webp_decode(m["payload"])
                 else:
                     raise NotImplementedError(
                         f"no codec for {m['mime']!r} in this environment; "
@@ -219,6 +223,13 @@ _REFUSAL_CODES = [
     ("RLE", "bad_rle"),
     ("BMP", "bad_bmp"),
     ("Huffman", "bad_entropy"),
+    # WebP (r15): VP8L decodes for real; lossy VP8 and animation are
+    # reason-coded envelope refusals, structural damage is bad_webp.
+    # (after the Huffman row so a broken-prefix-code refusal keeps the
+    # codec-family-neutral bad_entropy code)
+    ("lossy WebP", "lossy_webp"),
+    ("animated WebP", "webp_animation"),
+    ("WebP", "bad_webp"),
     ("marker", "bad_marker"),
     ("null media", "null_payload"),
 ]
@@ -281,6 +292,11 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
 
                     bmp_decode(m["payload"])
                     return "ok", "bmp"
+                if m["mime"] == "image/webp":
+                    from .webp import webp_decode
+
+                    webp_decode(m["payload"])
+                    return "ok", "webp"
                 raise NotImplementedError(
                     f"no codec for {m['mime']!r} in this environment"
                 )
@@ -484,6 +500,84 @@ def synth_gif_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 ),
                 "mime": "image/gif",
                 "meta": {"origin": "synth-gif"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_webp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL lossless WebP per row (functions/webp.py — VP8L
+    from spec, r15). Three closed-form legs by key % 3, each driving a
+    different part of the VP8L surface while keeping the decoded RGBA
+    array SQL-replayable (w = 8 + key%9, h = 8 + key%7; alpha is 255
+    except on key % 5 == 0, where it is closed-form too):
+
+    - 0 TRUECOLOR literals: v(y, x, c) = (key*31 + y*17 + x*7 + c*11)
+      % 256 for c in (R, G, B) and — on the alpha keys — c = 3 (so
+      alpha = v + 33). Encoded with subtract-green on odd keys and a
+      color cache of 1 + key%10 bits on key % 4 < 2: the bytes differ
+      per key, the decoded pixels never do.
+    - 1 RLE runs: the same form evaluated at x' = x - x%3 (horizontal
+      runs of three), encoded with distance-1 LZ77 copy tokens — the
+      length/distance prefix path.
+    - 2 PALETTE: the PNG-palette closed forms — d = (1,2,4,8)[key%4],
+      n = 2^d, palette[i][c] = (key*7 + i*13 + c*29) % 256 (alpha
+      keys: palette alpha = (key*7 + i*13 + 97) % 256), index(y, x) =
+      (key + 3y + x) % n — through the color-indexing transform with
+      spec pixel bundling (d = 1/2/4 packs 8/4/2 indices per green
+      byte)."""
+    import numpy as np
+
+    from .webp import webp_encode_lossless, webp_encode_palette
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            w, h = 8 + key % 9, 8 + key % 7
+            leg = key % 3
+            alpha_key = key % 5 == 0
+            if leg < 2:
+                yy, xx = np.mgrid[0:h, 0:w]
+                if leg == 1:
+                    xx = xx - xx % 3
+                img = np.stack(
+                    [(key * 31 + yy * 17 + xx * 7 + c * 11) % 256 for c in range(4)],
+                    axis=2,
+                ).astype(np.uint8)
+                if not alpha_key:
+                    img[..., 3] = 255
+                payload = webp_encode_lossless(
+                    img,
+                    subtract_green=bool(key % 2),
+                    cache_bits=(1 + key % 10) if key % 4 < 2 else 0,
+                    use_rle=leg == 1,
+                )
+            else:
+                d = (1, 2, 4, 8)[key % 4]
+                n = 1 << d
+                i = np.arange(n)
+                pal = np.stack(
+                    [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)]
+                    + [
+                        (key * 7 + i * 13 + 97) % 256
+                        if alpha_key
+                        else np.full(n, 255)
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = ((key + 3 * yy + xx) % n).astype(np.uint8)
+                payload = webp_encode_palette(idx, pal)
+            return {
+                "payload": payload,
+                "mime": "image/webp",
+                "meta": {"origin": "synth-webp"},
             }
 
         for pdf in batches:
