@@ -2260,15 +2260,17 @@ def jpeg_420_decode_check(spark, sf):
 def decode_coverage_check(spark, sf):
     """Decode-coverage telemetry rollup (functions/multimodal.py:
     decode_coverage — r11 verdict #8): a deterministic mixed corpus
-    (doc_id % 5 → PNG / gray JPEG / 4:2:0-with-restarts JPEG /
-    header-truncated JPEG / unsupported mime) runs the REAL decoders
-    and rolls (decode_status, decode_reason) counts up — the counter a
-    100 TB curation run reads to see what fraction of its media the
-    refuse-don't-misparse codec envelope actually decodes, reason-
-    coded. The oracle replays the rollup in closed form over the
-    doc_id residues (every status/reason here is a pure function of
-    doc_id % 5). Map-only decode pass + ONE bounded partial-agg'd
-    shuffle (≤ |reason codes| rows)."""
+    (doc_id % 7 → PNG / gray JPEG / 4:2:0-with-restarts JPEG /
+    header-truncated JPEG / unsupported mime / lossless WebP (r15 —
+    a REAL VP8L decode) / lossy WebP (the reason-coded 'lossy_webp'
+    refusal)) runs the REAL decoders and rolls (decode_status,
+    decode_reason) counts up — the counter a 100 TB curation run
+    reads to see what fraction of its media the refuse-don't-misparse
+    codec envelope actually decodes, reason-coded. The oracle replays
+    the rollup in closed form over the doc_id residues (every
+    status/reason here is a pure function of doc_id % 7). Map-only
+    decode pass + ONE bounded partial-agg'd shuffle (≤ |reason codes|
+    rows)."""
     from nekton_spark.functions.multimodal import (
         decode_coverage,
         synth_coverage_media,
@@ -7571,13 +7573,15 @@ SELECT doc_id,
 FROM v
 """,
         # decode_coverage: every (status, reason) is a pure function of
-        # doc_id % 5 by construction of synth_coverage_media — the
+        # doc_id % 7 by construction of synth_coverage_media (r15: legs
+        # 5/6 add a real VP8L decode and the lossy-WebP refusal) — the
         # engine must actually decode/refuse its way to the same counts
         "decode_coverage": """
 SELECT decode_status, decode_reason, count(*)::BIGINT AS n
-FROM (SELECT CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 'ok' ELSE 'refused' END AS decode_status,
-             CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
-                  WHEN 3 THEN 'truncated' ELSE 'unsupported_mime' END AS decode_reason
+FROM (SELECT CASE WHEN doc_id % 7 IN (0, 1, 2, 5) THEN 'ok' ELSE 'refused' END AS decode_status,
+             CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
+                  WHEN 3 THEN 'truncated' WHEN 5 THEN 'webp'
+                  WHEN 6 THEN 'lossy_webp' ELSE 'unsupported_mime' END AS decode_reason
       FROM documents)
 GROUP BY decode_status, decode_reason
 """,

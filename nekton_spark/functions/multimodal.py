@@ -769,18 +769,25 @@ def synth_jpeg_progressive_media(df: DataFrame, key_col: str = "doc_id") -> Data
 
 def synth_coverage_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Deterministic mixed-coverage corpus for the decode_coverage
-    oracle row: key % 5 selects the payload class — 0 PNG, 1 grayscale
+    oracle row: key % 7 selects the payload class — 0 PNG, 1 grayscale
     JPEG, 2 4:2:0 JPEG (restart interval key % 3), 3 a TRUNCATED JPEG
     (cut inside the APP0/DQT headers at 10 + key % 10 bytes, always a
-    'truncated' refusal), 4 an unsupported mime. The expected
-    (status, reason) is a pure function of the key residue, so a SQL
-    oracle replays the rollup in closed form."""
+    'truncated' refusal), 4 an unsupported mime, 5 a lossless WebP
+    (VP8L decodes for real, r15), 6 a lossy WebP (always the
+    reason-coded 'lossy_webp' refusal). The expected (status, reason)
+    is a pure function of the key residue, so a SQL oracle replays the
+    rollup in closed form."""
+    import struct as _struct
+
+    import numpy as np
+
     from .jpeg import (
         jpeg_encode_blocks,
         jpeg_encode_blocks_420,
         synth_420_block_values,
         synth_block_values,
     )
+    from .webp import webp_encode_lossless
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
@@ -788,7 +795,30 @@ def synth_coverage_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(key: int) -> dict:
-            r = key % 5
+            r = key % 7
+            if r == 5:
+                img = np.stack(
+                    [(key * 31 + np.add.outer(np.arange(8) * 17, np.arange(8) * 7)
+                      + c * 11) % 256 for c in range(3)]
+                    + [np.full((8, 8), 255)],
+                    axis=2,
+                ).astype(np.uint8)
+                return {
+                    "payload": webp_encode_lossless(
+                        img, subtract_green=bool(key % 2)
+                    ),
+                    "mime": "image/webp",
+                    "meta": {"cls": "webp"},
+                }
+            if r == 6:
+                return {
+                    "payload": (
+                        b"RIFF" + _struct.pack("<I", 16) + b"WEBP"
+                        + b"VP8 " + _struct.pack("<I", 4) + b"\x00" * 4
+                    ),
+                    "mime": "image/webp",
+                    "meta": {"cls": "lossy_webp"},
+                }
             if r == 0:
                 return {
                     "payload": _png_encode(_synth_pixels(key)),

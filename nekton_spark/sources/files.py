@@ -87,6 +87,7 @@ _MEDIA_MIME_BY_EXT = {
     "jfif": "image/jpeg",
     "gif": "image/gif",
     "bmp": "image/bmp",
+    "webp": "image/webp",
     "warc": "application/warc",
     "tar": "application/x-tar",
     "pdf": "application/pdf",

@@ -1532,17 +1532,19 @@ class TestMultimodal:
             synth_coverage_media,
         )
 
-        ids = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+        ids = spark.range(0, 28).select(F.col("id").alias("doc_id"))
         rows = decode_coverage(synth_coverage_media(ids)).collect()
         got = {r.doc_id: (r.decode_status, r.decode_reason) for r in rows}
-        for i in range(25):
+        for i in range(28):
             expect = {
                 0: ("ok", "png"),
                 1: ("ok", "jpeg"),
                 2: ("ok", "jpeg"),
                 3: ("refused", "truncated"),
                 4: ("refused", "unsupported_mime"),
-            }[i % 5]
+                5: ("ok", "webp"),  # r15: real VP8L decode
+                6: ("refused", "lossy_webp"),
+            }[i % 7]
             assert got[i] == expect, (i, got[i])
         # refusal-code mapper: drive the real decoder into each class
         from nekton_spark.functions.jpeg import jpeg_decode

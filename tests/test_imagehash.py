@@ -136,24 +136,29 @@ class TestSpark:
 
     def test_real_codec_integration(self, spark):
         """decode_image(BMP) → image_dhash: identical images hash
-        identically across container formats (BMP vs GIF of the same
-        pixels)."""
+        identically across container formats (BMP vs GIF vs lossless
+        WebP of the same pixels)."""
         from nekton_spark.functions.gif import gif_encode
         from nekton_spark.functions.bmp import bmp_encode
+        from nekton_spark.functions.webp import webp_encode_palette
         from nekton_spark.functions.multimodal import decode_image, pack_media
 
         rng = np.random.default_rng(23)
         pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
         idx = rng.integers(0, 16, (12, 18), dtype=np.uint8)
+        pal_rgba = np.concatenate(
+            [pal, np.full((16, 1), 255, dtype=np.uint8)], axis=1
+        )
         rows = [
             (1, bytearray(bmp_encode(pal[idx], 24)), "image/bmp"),
             (2, bytearray(gif_encode(idx, pal)), "image/gif"),
+            (3, bytearray(webp_encode_palette(idx, pal_rgba)), "image/webp"),
         ]
         df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
         media = df.select("doc_id", pack_media(F.col("payload"), F.col("mime")).alias("media"))
         hashed = image_dhash(decode_image(media)).select("doc_id", "dhash").collect()
         vals = {r.doc_id: r.dhash for r in hashed}
-        assert vals[1] == vals[2]
+        assert vals[1] == vals[2] == vals[3]
         assert vals[1] == dhash64(pal[idx])
 
     def test_orient_pixels_all_eight(self):

@@ -196,6 +196,26 @@ class TestRoundTrip:
             out = webp_decode(webp_encode_palette(idx, pal))
             assert (out == pal[idx]).all(), w
 
+    def test_vp8x_extended_container(self):
+        """A VP8X-wrapped VP8L (extended container without the
+        animation flag — e.g. alpha/ICC metadata layouts) decodes by
+        walking past the VP8X and metadata chunks to the image."""
+        img = np.full((6, 9, 4), 3, dtype=np.uint8)
+        img[..., 3] = 200
+        simple = webp_encode_lossless(img)
+        vp8l_at = simple.index(b"VP8L")
+        vp8l_chunk = simple[vp8l_at:]
+        # VP8X body: flags(1) + reserved(3) + canvas w-1 (3) + h-1 (3)
+        vp8x = (
+            b"VP8X" + struct.pack("<I", 10) + bytes([0x10]) + b"\x00\x00\x00"
+            + bytes([8, 0, 0]) + bytes([5, 0, 0])
+        )
+        icc = b"ICCP" + struct.pack("<I", 3) + b"abc\x00"  # odd size, padded
+        body = b"WEBP" + vp8x + icc + vp8l_chunk
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        out = webp_decode(payload)
+        assert (out == img).all()
+
     def test_alpha_channel_preserved(self):
         rng = np.random.default_rng(3)
         img = rng.integers(0, 256, (10, 10, 4), dtype=np.uint8)

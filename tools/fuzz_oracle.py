@@ -608,6 +608,11 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         gif_encode_anim,
     )
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
+    from nekton_spark.functions.webp import (
+        webp_decode,
+        webp_encode_lossless,
+        webp_encode_palette,
+    )
 
     rng = random.Random(seed * 7919 + 11)
     problems: list[str] = []
@@ -727,6 +732,18 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         ).astype(np.uint8)
         _pd3_exp = pal[pidx].copy()
         _pd3_exp[3:6, 4:8] = pal[_pd3]
+        # r15 WebP ground truths: RGBA truecolor (alpha closed-form)
+        # and an RGBA palette sharing the GIF/BMP index map
+        _webp_img = np.dstack(
+            [cpix, ((key + np.add.outer(np.arange(cpix.shape[0]),
+                                        np.arange(cpix.shape[1]))) % 256
+                    ).astype(np.uint8)]
+        )
+        _webp_pal = np.concatenate(
+            [pal, ((key * 7 + np.arange(16) * 13 + 97) % 256
+                   ).astype(np.uint8)[:, None]],
+            axis=1,
+        )
         bases = [
             ("png", _png_encode(pix), _png_decode, pix),
             ("png_color", _png_encode(cpix), _png_decode, cpix),
@@ -799,6 +816,24 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 ),
                 bmp_decode,
                 pal[pidx],
+            ),
+            (
+                "webp",  # r15: VP8L truecolor (subtract-green/cache/
+                # LZ77 runs vary by key) through the same battery
+                webp_encode_lossless(
+                    _webp_img,
+                    subtract_green=bool(key % 2),
+                    cache_bits=1 + key % 10,
+                    use_rle=True,
+                ),
+                webp_decode,
+                _webp_img,
+            ),
+            (
+                "webp_pal",  # r15: color-indexing + pixel bundling
+                webp_encode_palette(pidx.astype(np.uint8), _webp_pal),
+                webp_decode,
+                _webp_pal[pidx],
             ),
             (
                 "jpeg",
