@@ -2901,6 +2901,56 @@ def pdf_extract_check(spark, sf):
     )
 
 
+def pdf_images_check(spark, sf):
+    """PDF embedded-image extraction (functions/pdf.py:pdf_images,
+    r15 — the multimodal loop for document corpora: PDF → image
+    XObjects → the existing codec envelope → perceptual dedup).
+    synth_pdf_image_media embeds closed-form images by doc_id % 3 —
+    a DCTDecode grayscale JPEG (handed through verbatim and decoded
+    by the from-spec JPEG path), a FlateDecode RGB raster (PNG
+    predictor 12 on odd keys, re-wrapped losslessly as BMP), and a
+    CCITTFaxDecode refusal stub — plus a SECOND gray image on
+    doc_id % 4 == 0 keys (per-image isolation: on leg-2 keys the
+    sibling decodes even though img_no 0 refused). The row runs the
+    FULL chain (object index → filter stack → XObject walk →
+    decode_image) and the oracle replays dims, mimes, refusal codes
+    and both pixel checksums closed-form. Map-only Arrow passes, no
+    shuffle."""
+    from nekton_spark.functions.multimodal import decode_image
+    from nekton_spark.functions.pdf import pdf_images, synth_pdf_image_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    ex = pdf_images(synth_pdf_image_media(d), payload_col="pdf")
+    dec = decode_image(ex.filter(F.col("refusal").isNull())).select(
+        "doc_id",
+        "img_no",
+        "img_mime",
+        "width",
+        "height",
+        F.lit(None).cast("string").alias("refusal"),
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+    refused = ex.filter(F.col("refusal").isNotNull()).select(
+        "doc_id",
+        "img_no",
+        "img_mime",
+        "width",
+        "height",
+        "refusal",
+        F.lit(None).cast("int").alias("n_values"),
+        F.lit(None).cast("long").alias("px_sum"),
+        F.lit(None).cast("long").alias("px_weighted"),
+    )
+    return dec.unionByName(refused)
+
+
 def crawl_coverage_check(spark, sf):
     """Crawl-ingest coverage telemetry (functions/warc.py:
     crawl_coverage — r12 verdict #7, the front-end mirror of
@@ -3672,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_g711_features": wav_g711_features,
         "warc_extract": warc_extract_row,
         "pdf_extract": pdf_extract_check,
+        "pdf_images": pdf_images_check,
         "docx_extract": docx_extract_check,
         "document_extract": document_extract_check,
         "sitemap_extract": sitemap_extract_check,
@@ -4353,7 +4404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontamination",
         "bm25_search",
         "classifier_trained",
-        "decontamination_check",
         "dedup_winnow",
         "distinct_kmv",
         "lang_id_trained",
@@ -4375,6 +4425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot 4: webp_decode landed (VP8L from-spec, verdict #3) and
         # takes the slot that kmeans_clusters was holding
         "webp_decode",
+        # slot 5 (r15 late): pdf_images is NEW this round and must be
+        # driver-evidenced in its landing round; it displaces the 5th
+        # (b)-candidate decontamination_check, whose engine path stays
+        # evidenced in-window through its tokenize-threaded twin
+        # bloom_decontamination (decontamination_check itself rejoins
+        # in the r16 flush)
+        "pdf_images",
     ]
     assert len(r15_window) == 50, len(r15_window)
     assert set(r15_window) <= set(q), sorted(set(r15_window) - set(q))
@@ -7973,6 +8030,63 @@ FROM e
         # pdf_extract (r13): per-page text is a pure function of
         # (doc_id, text) by construction of synth_pdf_media; the
         # chr(10) join replays the Td line model
+        # pdf_images (r15): the pdf → XObject walk → decode chain in
+        # closed form. Leg doc_id%3: 0 DCT gray (the jpeg_decode
+        # replay), 1 Flate RGB (the png_color_decode replay at
+        # w=8+k%9), 2 the ccitt refusal (dims known, sums NULL);
+        # doc_id%4==0 adds img_no 1: 5×6 gray (k*5+3y+x)%256
+        # replicated ×3 by the BMP gray-palette re-wrap
+        "pdf_images": """
+SELECT doc_id, 0 AS img_no, 'image/jpeg' AS img_mime,
+       (8 * (1 + doc_id % 3))::INT AS width,
+       (8 * (1 + doc_id % 2))::INT AS height,
+       NULL AS refusal,
+       (64 * (1 + doc_id % 3) * (1 + doc_id % 2))::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, (1 + doc_id % 3) * (1 + doc_id % 2)),
+           b -> 64 * ((doc_id * 31 + b * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 64 * (1 + doc_id % 3) * (1 + doc_id % 2)),
+           i -> (i + 1) * ((doc_id * 31
+                 + ((i // (64 * (1 + doc_id % 3))) * (1 + doc_id % 3)
+                    + (i % (8 * (1 + doc_id % 3))) // 8) * 17) % 256)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 0, 'image/bmp',
+       (8 + doc_id % 9)::INT,
+       (8 + doc_id % 7)::INT,
+       NULL,
+       ((8 + doc_id % 7) * (8 + doc_id % 9) * 3)::INT,
+       list_reduce(
+         list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9) * 3),
+           i -> (doc_id * 31 + ((i // 3) // (8 + doc_id % 9)) * 17
+                 + ((i // 3) % (8 + doc_id % 9)) * 7 + (i % 3) * 11) % 256),
+         (a, b) -> a + b)::BIGINT,
+       list_reduce(
+         list_transform(range(0, (8 + doc_id % 7) * (8 + doc_id % 9) * 3),
+           i -> (i + 1) * ((doc_id * 31 + ((i // 3) // (8 + doc_id % 9)) * 17
+                 + ((i // 3) % (8 + doc_id % 9)) * 7 + (i % 3) * 11) % 256)),
+         (a, b) -> a + b)::BIGINT
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 0, NULL, 16, 16, 'ccitt',
+       NULL::INT, NULL::BIGINT, NULL::BIGINT
+FROM documents WHERE doc_id % 3 = 2
+UNION ALL
+SELECT doc_id, 1, 'image/bmp', 6, 5, NULL,
+       90,
+       list_reduce(
+         list_transform(range(0, 90),
+           i -> (doc_id * 5 + 3 * ((i // 3) // 6) + ((i // 3) % 6)) % 256),
+         (a, b) -> a + b)::BIGINT,
+       list_reduce(
+         list_transform(range(0, 90),
+           i -> (i + 1) * ((doc_id * 5 + 3 * ((i // 3) // 6) + ((i // 3) % 6)) % 256)),
+         (a, b) -> a + b)::BIGINT
+FROM documents WHERE doc_id % 4 = 0
+""",
         "pdf_extract": """
 WITH legs AS (
   SELECT doc_id, doc_id % 4 AS leg, coalesce(text, '') AS t

@@ -867,6 +867,208 @@ def pdf_extract(
     return df.mapInPandas(run, out_schema)
 
 
+# ------------------------------------------------------------ images
+
+# image-XObject refusal codes: stable, SQL-replayable — the codecs a
+# real PDF corpus carries that are outside this repo's envelope
+_IMG_FILTER_REFUSALS = {
+    "CCITTFaxDecode": "ccitt",
+    "JBIG2Decode": "jbig2",
+    "JPXDecode": "jpx",
+}
+
+_GRAY_PALETTE = None  # lazily-built identity palette for gray→BMP
+
+
+def pdf_image_payloads(payload: bytes) -> list[dict]:
+    """Embedded image XObjects of a PDF, per-image isolated.
+
+    PDFs are the crawl's second document format AND an image container:
+    scans, figures, and photos ship as ``/Subtype /Image`` stream
+    objects. Each image resolves to a dict with ``img_no`` (object-
+    number order), ``width``/``height``, and either a decodable
+    ``(mime, payload)`` pair or a reason-coded ``refusal``:
+
+    - ``DCTDecode`` payloads ARE baseline-JPEG byte streams — handed
+      through verbatim as ``image/jpeg`` (decodable pre-filters like
+      ASCIIHex/Flate ahead of the DCT stage are unwrapped first), so
+      the downstream decode rides the repo's from-spec JPEG envelope;
+    - ``FlateDecode``/plain raster payloads (8-bit DeviceGray /
+      DeviceRGB, PNG predictors honored via the shared filter path)
+      are re-wrapped LOSSLESSLY as ``image/bmp`` — a deterministic
+      container the envelope already decodes — with the origin noted;
+    - ``CCITTFaxDecode`` / ``JBIG2Decode`` / ``JPXDecode`` refuse
+      reason-coded (``ccitt`` / ``jbig2`` / ``jpx``); structurally
+      damaged images refuse ``image_corrupt`` / ``image_format`` —
+      one bad image never hides its siblings (per-image isolation).
+    """
+    import numpy as np
+
+    from .bmp import bmp_encode
+
+    global _GRAY_PALETTE
+    if _GRAY_PALETTE is None:
+        _GRAY_PALETTE = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    doc = _Doc(payload)
+    out: list[dict] = []
+    for num in sorted(doc.objects):
+        obj = doc.objects[num]
+        if not (isinstance(obj, dict) and num in doc._raw_streams):
+            continue
+        if str(doc.resolve(obj.get("Subtype", ""))) != "Image":
+            continue
+        rec: dict = {
+            "img_no": len(out),
+            "width": None,
+            "height": None,
+            "mime": None,
+            "payload": None,
+            "refusal": None,
+        }
+        out.append(rec)
+        try:
+            w = doc.resolve(obj.get("Width"))
+            h = doc.resolve(obj.get("Height"))
+            if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
+                rec["refusal"] = "image_corrupt"
+                continue
+            rec["width"], rec["height"] = w, h
+            if w * h > (1 << 26):
+                rec["refusal"] = "image_corrupt"
+                continue
+            filt = doc.resolve(obj.get("Filter"))
+            filters = (
+                [str(f) for f in filt]
+                if isinstance(filt, list)
+                else ([str(filt)] if filt is not None else [])
+            )
+            parms = doc.resolve(obj.get("DecodeParms"))
+            raw = doc._raw_streams[num]
+            bad = next(
+                (f for f in filters if f in _IMG_FILTER_REFUSALS), None
+            )
+            if bad is not None:
+                rec["refusal"] = _IMG_FILTER_REFUSALS[bad]
+                continue
+            if filters and filters[-1] == "DCTDecode":
+                pre = filters[:-1]
+                if pre:
+                    pre_parms = (
+                        parms[: len(pre)] if isinstance(parms, list) else parms
+                    )
+                    raw = _apply_filters(raw, [_Name(f) for f in pre], pre_parms)
+                rec["mime"] = "image/jpeg"
+                rec["payload"] = raw
+                continue
+            # raster path: everything decodable by the shared filters
+            data = doc.stream_data(num)
+            bits = doc.resolve(obj.get("BitsPerComponent", 8))
+            cs = doc.resolve(obj.get("ColorSpace"))
+            cs_name = str(cs) if isinstance(cs, (_Name, str)) else None
+            if bits != 8 or cs_name not in ("DeviceGray", "DeviceRGB"):
+                rec["refusal"] = "image_format"
+                continue
+            ncomp = 1 if cs_name == "DeviceGray" else 3
+            if len(data) != w * h * ncomp:
+                rec["refusal"] = "image_corrupt"
+                continue
+            arr = np.frombuffer(data, dtype=np.uint8)
+            if ncomp == 1:
+                bmp = bmp_encode(arr.reshape(h, w), 8, palette=_GRAY_PALETTE)
+            else:
+                bmp = bmp_encode(arr.reshape(h, w, 3), 24)
+            rec["mime"] = "image/bmp"
+            rec["payload"] = bmp
+        except (ValueError, NotImplementedError) as e:
+            rec["refusal"] = (
+                "image_filter"
+                if "filter" in str(e)
+                else "image_corrupt"
+            )
+    return out
+
+
+def pdf_images(
+    df: DataFrame, payload_col: str = "payload", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Explode PDF payloads into one row per embedded image XObject:
+    (img_no, width, height, img_mime, media, refusal) — ``media`` is
+    the engine's standard media struct, so the output feeds straight
+    into decode_image / decode_coverage / image_dhash: the multimodal
+    loop for document corpora (PDF → images → perceptual dedup)
+    without any new decode surface. Per-ROW and per-IMAGE isolation:
+    a refusing document emits one reason-coded row, a refusing image
+    only its own. Map-only Arrow pass, no shuffle; 100 TB of PDFs
+    parallelize by file through media_files."""
+    from .multimodal import MEDIA_SCHEMA
+    from .similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    keep = keep_cols if keep_cols is not None else [
+        f.name for f in df.schema.fields if f.name != payload_col
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("img_no", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("img_mime", T.StringType(), True),
+            T.StructField("media", MEDIA_SCHEMA, True),
+            T.StructField("refusal", T.StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf_batch in batches:
+            rows = []
+            for _, row in pdf_batch.iterrows():
+                base = {c: row[c] for c in keep}
+                try:
+                    imgs = pdf_image_payloads(bytes(row[payload_col]))
+                    doc_rows = []
+                    for im in imgs:
+                        r = dict(base)
+                        r.update(
+                            img_no=im["img_no"],
+                            width=im["width"],
+                            height=im["height"],
+                            img_mime=im["mime"],
+                            media=(
+                                {
+                                    "payload": im["payload"],
+                                    "mime": im["mime"],
+                                    "meta": {"origin": "pdf-xobject"},
+                                }
+                                if im["payload"] is not None
+                                else None
+                            ),
+                            refusal=im["refusal"],
+                        )
+                        doc_rows.append(r)
+                except (ValueError, NotImplementedError) as e:
+                    doc_rows = [
+                        dict(
+                            base,
+                            img_no=None,
+                            width=None,
+                            height=None,
+                            img_mime=None,
+                            media=None,
+                            refusal=_pdf_refusal_code(e),
+                        )
+                    ]
+                rows.extend(doc_rows)
+            yield pd.DataFrame(
+                rows,
+                columns=[*keep, "img_no", "width", "height", "img_mime",
+                         "media", "refusal"],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_pdf_media(
     df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
 ) -> DataFrame:
@@ -912,6 +1114,70 @@ def synth_pdf_media(
     return df.mapInPandas(run, out_schema)
 
 
+def synth_pdf_image_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """One REAL PDF per row with embedded image XObjects, every leg's
+    decoded pixels a pure function of the key (the driver row replays
+    the full pdf → extract → decode chain closed-form). Leg key % 3:
+
+    0. a DCTDecode grayscale JPEG (the jpeg fixtures' closed form:
+       w = 8(1 + k%3), h = 8(1 + k%2), pixel = (k*31 + block*17) % 256);
+    1. a FlateDecode RGB raster (w = 8 + k%9, h = 8 + k%7, pixel =
+       (k*31 + y*17 + x*7 + c*11) % 256), PNG predictor 12 on odd
+       keys — the Up-filter path through the shared filter stack;
+    2. a CCITTFaxDecode stub (16×16) — the reason-coded refusal leg.
+
+    Keys with k % 4 == 0 embed a SECOND image (img_no 1): a 5×6
+    FlateDecode gray raster g(y, x) = (k*5 + 3y + x) % 256 — on leg-2
+    keys this pins per-image isolation (the sibling decodes even
+    though img_no 0 refused)."""
+    import numpy as np
+
+    from .jpeg import jpeg_encode_blocks, synth_block_values
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("pdf", T.BinaryType(), True)]
+    )
+
+    def run(batches):
+        def one(key: int) -> bytes:
+            leg = key % 3
+            if leg == 0:
+                dcs, bx, w, h = synth_block_values(key)
+                imgs = [
+                    {
+                        "kind": "dct",
+                        "jpeg": jpeg_encode_blocks(dcs, bx, w, h),
+                        "width": w,
+                        "height": h,
+                        "gray": True,
+                    }
+                ]
+            elif leg == 1:
+                w, h = 8 + key % 9, 8 + key % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                rgb = np.stack(
+                    [(key * 31 + yy * 17 + xx * 7 + c * 11) % 256
+                     for c in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                imgs = [
+                    {"kind": "raw", "pixels": rgb,
+                     "predictor": 12 if key % 2 else 0}
+                ]
+            else:
+                imgs = [{"kind": "ccitt", "width": 16, "height": 16}]
+            if key % 4 == 0:
+                yy, xx = np.mgrid[0:5, 0:6]
+                gray = ((key * 5 + 3 * yy + xx) % 256).astype(np.uint8)
+                imgs.append({"kind": "raw", "pixels": gray, "predictor": 0})
+            return pdf_encode([[f"img doc {key}"]], images=imgs)
+
+        for pdf_batch in batches:
+            yield pdf_batch.assign(pdf=pdf_batch[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 # ------------------------------------------------------------ writer
 
 
@@ -931,6 +1197,7 @@ def pdf_encode(
     unicode_font: bool = False,
     tj_split: bool = False,
     objstm: bool = False,
+    images: list[dict] | None = None,
 ) -> bytes:
     """A genuine PDF for fixtures: classic xref with correct byte
     offsets, one content stream per page (Flate or plain), Helvetica
@@ -941,22 +1208,44 @@ def pdf_encode(
     extraction). ``tj_split`` shows each line as a kerned TJ array
     (two halves with an ignored adjustment number — WinAnsi only);
     ``objstm`` packs the catalog/pages/font/info dictionaries into a
-    PDF 1.5 object stream (the modern layout the index unpacks)."""
+    PDF 1.5 object stream (the modern layout the index unpacks).
+
+    ``images`` (r15) embeds image XObjects on page 0, referenced via
+    ``/XObject << /ImN … >>`` and painted with ``Do`` operators. Each
+    item is one of:
+
+    - ``{"kind": "dct", "jpeg": bytes, "width": w, "height": h,
+      "gray": bool}`` — a DCTDecode XObject carrying the JPEG bytes
+      verbatim;
+    - ``{"kind": "raw", "pixels": (h, w) or (h, w, 3) uint8 array,
+      "predictor": 0 | 12}`` — a FlateDecode raster (predictor 12
+      writes PNG Up-filtered rows + ``/DecodeParms``);
+    - ``{"kind": "ccitt", "width": w, "height": h}`` — a
+      CCITTFaxDecode stub (the envelope-refusal fixture)."""
     if tj_split and unicode_font:
         raise ValueError("tj_split fixtures are WinAnsi-only")
+    images = images or []
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
+    img_base = font_num + 3  # after font, cmap, info slots
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (
         f"<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>".encode()
     )
+    xobj_res = ""
+    if images:
+        refs = " ".join(
+            f"/Im{k} {img_base + k} 0 R" for k in range(len(images))
+        )
+        xobj_res = f" /XObject << {refs} >>"
     for i, lines in enumerate(pages):
         pg, ct = 3 + 2 * i, 4 + 2 * i
         objs[pg] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Resources << /Font << /F1 {font_num} 0 R >>"
+            f"{xobj_res if i == 0 else ''} >> "
             f"/Contents {ct} 0 R >>"
         ).encode()
         body = bytearray(b"BT\n/F1 12 Tf\n")
@@ -978,6 +1267,11 @@ def pdf_encode(
             else:
                 body += b"(" + _esc_literal(line.encode("cp1252")) + b") Tj\n"
         body += b"ET"
+        if i == 0:
+            for k in range(len(images)):
+                body += (
+                    f"\nq 96 0 0 96 {40 + 110 * k} 480 cm /Im{k} Do Q"
+                ).encode()
         data = bytes(body)
         if flate:
             data = zlib.compress(data, 6)
@@ -1016,6 +1310,61 @@ def pdf_encode(
         objs[info_num] = (
             b"<< /Title (" + _esc_literal(title.encode("cp1252")) + b") >>"
         )
+    for k, im in enumerate(images):
+        num = img_base + k
+        kind = im["kind"]
+        if kind == "dct":
+            data = im["jpeg"]
+            cs = "/DeviceGray" if im.get("gray", True) else "/DeviceRGB"
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {im['width']} "
+                f"/Height {im['height']} /BitsPerComponent 8 "
+                f"/ColorSpace {cs} /Filter /DCTDecode "
+                f"/Length {len(data)} >>"
+            )
+        elif kind == "raw":
+            px = im["pixels"]
+            h_px, w_px = px.shape[:2]
+            ncomp = 1 if px.ndim == 2 else px.shape[2]
+            samples = px.reshape(h_px, w_px * ncomp)
+            pred = int(im.get("predictor", 0))
+            if pred == 12:
+                # PNG Up rows: per-row filter tag 2 + (cur - prev)
+                rows = bytearray()
+                prev = bytes(w_px * ncomp)
+                for y in range(h_px):
+                    cur = samples[y].tobytes()
+                    rows += b"\x02" + bytes(
+                        (c - p) & 0xFF for c, p in zip(cur, prev)
+                    )
+                    prev = cur
+                data = zlib.compress(bytes(rows), 6)
+                parms = (
+                    f" /DecodeParms << /Predictor 12 /Colors {ncomp} "
+                    f"/Columns {w_px} /BitsPerComponent 8 >>"
+                )
+            elif pred == 0:
+                data = zlib.compress(samples.tobytes(), 6)
+                parms = ""
+            else:
+                raise ValueError(f"unsupported fixture predictor {pred}")
+            cs = "/DeviceGray" if ncomp == 1 else "/DeviceRGB"
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {w_px} "
+                f"/Height {h_px} /BitsPerComponent 8 /ColorSpace {cs} "
+                f"/Filter /FlateDecode{parms} /Length {len(data)} >>"
+            )
+        elif kind == "ccitt":
+            data = b"\x00\x01\x02\x03"
+            head = (
+                f"<< /Type /XObject /Subtype /Image /Width {im['width']} "
+                f"/Height {im['height']} /BitsPerComponent 1 "
+                f"/ColorSpace /DeviceGray /Filter /CCITTFaxDecode "
+                f"/Length {len(data)} >>"
+            )
+        else:
+            raise ValueError(f"unknown fixture image kind {kind!r}")
+        objs[num] = head.encode() + b"\nstream\n" + data + b"\nendstream"
     if objstm:
         # pack the non-stream dictionaries into one object stream
         packed_nums = [

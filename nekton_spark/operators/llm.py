@@ -984,6 +984,26 @@ def pdf_extract_processor(
     return pdf_extract(df, payload_col)
 
 
+@register_processor("pdf_images")
+def pdf_images_processor(
+    df: DataFrame, payload_col: str = "payload", media: bool = False
+) -> DataFrame:
+    """PDF → one row per embedded image XObject as a standard media
+    struct (functions/pdf.py, r15 — DCTDecode hands JPEG bytes
+    through, Flate rasters re-wrap losslessly as BMP, CCITT/JBIG2/JPX
+    refuse reason-coded, per-image isolation). Chains straight into
+    decode_image / image_dhash: the multimodal loop for document
+    corpora. ``media: true`` reads the payload out of the media
+    struct the media_files source produces."""
+    from ..functions.pdf import pdf_images
+
+    if media:
+        df = df.withColumn("_pdf_payload", F.col("media.payload"))
+        keep = [c for c in df.columns if c not in ("media", "_pdf_payload")]
+        return pdf_images(df, "_pdf_payload", keep_cols=keep)
+    return pdf_images(df, payload_col)
+
+
 @register_processor("extract_documents")
 def extract_documents_processor(
     df: DataFrame, media_col: str = "media"
