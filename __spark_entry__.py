@@ -2918,9 +2918,12 @@ def pdf_images_check(spark, sf):
     shuffle."""
     from nekton_spark.functions.multimodal import decode_image
     from nekton_spark.functions.pdf import pdf_images, synth_pdf_image_media
+    from nekton_spark.materialize import materialize
 
     d = _t(spark, sf, "documents").select("doc_id")
-    ex = pdf_images(synth_pdf_image_media(d), payload_col="pdf")
+    # both union branches read the extraction; materialize so the PDF
+    # corpus is object-indexed ONCE, not once per branch
+    ex = materialize(pdf_images(synth_pdf_image_media(d), payload_col="pdf"))
     dec = decode_image(ex.filter(F.col("refusal").isNull())).select(
         "doc_id",
         "img_no",

@@ -483,6 +483,11 @@ PLAN_BUDGET = {
     "html_jsonld": (1, 0),  # one Arrow crossing, 0-shuffle
     "charset_decode": (2, 0),
     "gif_decode": (2, 0),
+    "webp_decode": (2, 0),  # synth + VP8L decode, 0-shuffle (r15)
+    # r15: extraction behind materialize (the union's two branches must
+    # NOT re-run the PDF object index); decode is the only live Python
+    # stage, union is shuffle-free
+    "pdf_images": (1, 0),
     "gif_frame_sample": (2, 0),
     "bmp_decode": (2, 0),
     "wav_g711_features": (2, 0),
