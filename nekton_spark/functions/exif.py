@@ -304,7 +304,8 @@ def media_exif(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 def scrub_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Strip APPn (n≥1) / COM from JPEG media payloads in place;
+    """Strip APPn (n≥1) / COM from JPEG media payloads — and (r15)
+    EXIF / XMP / ICCP chunks from WebP containers — in place;
     ``scrubbed_bytes`` records how much identity-bearing metadata each
     row shed. Decoded pixels are unchanged by construction."""
     from .similarity import ensure_parallelism
@@ -317,9 +318,16 @@ def scrub_media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
 
     def run(batches):
         def one(m):
-            if m is None or m.get("payload") is None or m.get("mime") != "image/jpeg":
+            if m is None or m.get("payload") is None:
                 return m, 0
-            clean = jpeg_strip_metadata(m["payload"])
+            if m.get("mime") == "image/jpeg":
+                clean = jpeg_strip_metadata(m["payload"])
+            elif m.get("mime") == "image/webp":
+                from .webp import webp_strip_metadata
+
+                clean = webp_strip_metadata(m["payload"])
+            else:
+                return m, 0
             m2 = dict(m)
             m2["payload"] = clean
             return m2, len(m["payload"]) - len(clean)

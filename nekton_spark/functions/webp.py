@@ -628,6 +628,36 @@ def webp_decode(payload: bytes) -> np.ndarray:
     raise ValueError("no image chunk in WebP container")
 
 
+_META_CHUNKS = (b"EXIF", b"XMP ", b"ICCP")
+_META_FLAGS = 0x20 | 0x08 | 0x04  # ICC | EXIF | XMP bits in VP8X
+
+
+def webp_strip_metadata(payload: bytes) -> bytes:
+    """Remove EXIF / XMP / ICCP chunks from a WebP container (and
+    clear the matching VP8X feature flags); image chunks pass through
+    byte-exact, so decoded pixels are unchanged by construction — the
+    same privacy contract as :func:`exif.jpeg_strip_metadata`."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    off = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    body = bytearray()
+    while off + 8 <= end:
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        chunk = payload[off : off + 8 + size + (size & 1)]
+        if len(chunk) < 8 + size:
+            raise ValueError("truncated WebP container chunk")
+        if tag not in _META_CHUNKS:
+            if tag == b"VP8X" and size >= 1:
+                chunk = bytearray(chunk)
+                chunk[8] &= ~_META_FLAGS & 0xFF
+                chunk = bytes(chunk)
+            body += chunk
+        off += 8 + size + (size & 1)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
 # ------------------------------------------------------------ encoder
 
 

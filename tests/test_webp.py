@@ -423,3 +423,65 @@ class TestSparkWiring:
             ("refused", "lossy_webp"),
             ("refused", "bad_webp"),
         }
+
+
+class TestMetadataScrub:
+    def _with_metadata(self):
+        img = np.full((5, 7, 4), 42, dtype=np.uint8)
+        simple = webp_encode_lossless(img)
+        vp8l_chunk = simple[simple.index(b"VP8L"):]
+        vp8x = (
+            b"VP8X" + struct.pack("<I", 10)
+            + bytes([0x20 | 0x08 | 0x04]) + b"\x00\x00\x00"
+            + bytes([6, 0, 0]) + bytes([4, 0, 0])
+        )
+        icc = b"ICCP" + struct.pack("<I", 5) + b"prof!" + b"\x00"
+        exif = b"EXIF" + struct.pack("<I", 8) + b"II*\x00\x00\x00\x00\x00"
+        xmp = b"XMP " + struct.pack("<I", 4) + b"<x/>"
+        body = b"WEBP" + vp8x + icc + vp8l_chunk + exif + xmp
+        return img, b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_scrub_drops_metadata_keeps_pixels(self):
+        from nekton_spark.functions.webp import webp_strip_metadata
+
+        img, payload = self._with_metadata()
+        clean = webp_strip_metadata(payload)
+        assert len(clean) < len(payload)
+        for tag in (b"EXIF", b"XMP ", b"ICCP"):
+            assert tag not in clean
+        # VP8X survives with feature flags cleared
+        at = clean.index(b"VP8X") + 8
+        assert clean[at] & (0x20 | 0x08 | 0x04) == 0
+        assert (webp_decode(clean) == img).all()
+        # idempotent, and plain containers pass through byte-exact
+        assert webp_strip_metadata(clean) == clean
+        plain = webp_encode_lossless(img)
+        assert webp_strip_metadata(plain) == plain
+
+    def test_scrub_media_operator_handles_webp(self, spark):
+        import pandas as pd
+        from nekton_spark.functions.exif import scrub_media_metadata
+
+        img, payload = self._with_metadata()
+        pdf = pd.DataFrame(
+            {"media": [{"payload": payload, "mime": "image/webp", "meta": {}}]}
+        )
+        df = spark.createDataFrame(
+            pdf,
+            schema="media struct<payload:binary,mime:string,meta:map<string,string>>",
+        )
+        row = scrub_media_metadata(df).first()
+        assert row.scrubbed_bytes == len(payload) - len(
+            __import__(
+                "nekton_spark.functions.webp", fromlist=["webp_strip_metadata"]
+            ).webp_strip_metadata(payload)
+        )
+        assert (webp_decode(bytes(row.media.payload)) == img).all()
+
+    @pytest.mark.skipif(_LIBWEBP is None, reason="libwebp not in environment")
+    def test_scrubbed_bytes_still_decode_in_reference(self):
+        from nekton_spark.functions.webp import webp_strip_metadata
+
+        img, payload = self._with_metadata()
+        back = _ref_decode(webp_strip_metadata(payload))
+        assert (back == img).all()
