@@ -4438,9 +4438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     assert len(r15_window) == 50, len(r15_window)
     assert set(r15_window) <= set(q), sorted(set(r15_window) - set(q))
-    # r16 window pre-solve: after this round the histogram is r12:38,
-    # r13:49, r14:47, r15:50 (contract 184 incl. the new webp_decode;
-    # never:0). Flush the FULL 38-row r12 tail + 12 of the r13 tail by
+    # r16 window pre-solve: after this round the histogram is r12:39
+    # (incl. the displaced decontamination_check), r13:49, r14:47,
+    # r15:50 (contract 185 incl. the new webp_decode + pdf_images;
+    # never:0). Flush the FULL 39-row r12 tail + 11 of the r13 tail by
     # the standing twin recipe (recompute from CORRECTNESS_r01-r15 at
     # r16 start; prefer squeezing r13 rows whose engine paths have
     # in-window or r14/r15 twins). Any new r16 rows take slots from
