@@ -2122,6 +2122,41 @@ def gif_frame_sample_check(spark, sf):
     )
 
 
+def webp_frame_sample_check(spark, sf):
+    """Animated-WebP frame sampling (multimodal.frame_sample over
+    image/webp — r15, the VP8X/ANIM/ANMF container with every frame a
+    genuine VP8L stream): 2 + key%3 frames, frame 0 full-canvas,
+    frames >= 1 opaque inset patches at (2, 2) alternating the
+    no-blend / alpha-blend ANMF methods (opaque sources make both
+    land identical pixels — both container branches execute, the
+    oracle replay stays exact). Sampling walks the composition chain
+    once, copying only sampled canvases (every=2 → frames 0 and 2).
+    The oracle replays frame membership, dims, and both pixel
+    checksums from the composited closed forms: frame 0 = v0
+    everywhere; frame 2 = v0 outside the patch rect, v2 (patch-local
+    coords) inside."""
+    from nekton_spark.functions.multimodal import (
+        frame_sample,
+        synth_webp_anim_media,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    fr = frame_sample(synth_webp_anim_media(d), every=2)
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        "dec_height",
+        "dec_width",
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def bmp_decode_check(spark, sf):
     """BMP round trip (functions/bmp.py, r12): bpp (1,4,8,24)[key%4],
     the 8-bit leg through real BI_RLE8 (runs, end-of-line/bitmap
@@ -3668,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_palette_decode": png_palette_decode_check,
         "gif_decode": gif_decode_check,
         "webp_decode": webp_decode_check,
+        "webp_frame_sample": webp_frame_sample_check,
         "gif_frame_sample": gif_frame_sample_check,
         "bmp_decode": bmp_decode_check,
         "image_dhash": image_dhash_check,
@@ -7461,6 +7497,55 @@ SELECT doc_id,
            END)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM g
+""",
+        # webp_frame_sample (r15): sampled composited canvases in
+        # closed form — frame 0 = v0 = (k*31+y*17+x*7+c*11)%256
+        # (alpha 255); frame 2 (k%3 in (1,2)) = v0 outside the (2,2)
+        # inset rect, patch-local v2 = (k*31+106+py*17+px*7+c*11)%256
+        # inside
+        "webp_frame_sample": """
+WITH g AS (
+  SELECT doc_id, (8 + doc_id % 7)::INT AS h, (8 + doc_id % 9)::INT AS w
+  FROM documents)
+SELECT doc_id, 0 AS frame_idx, h AS dec_height, w AS dec_width,
+       list_reduce(
+         list_transform(range(0, 4 * h * w),
+           i -> CASE WHEN i % 4 < 3
+             THEN (doc_id * 31 + ((i // 4) // w) * 17
+                   + ((i // 4) % w) * 7 + (i % 4) * 11) % 256
+             ELSE 255 END),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, 4 * h * w),
+           i -> (i + 1) * (CASE WHEN i % 4 < 3
+             THEN (doc_id * 31 + ((i // 4) // w) * 17
+                   + ((i // 4) % w) * 7 + (i % 4) * 11) % 256
+             ELSE 255 END)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM g
+UNION ALL
+SELECT doc_id, 2, h, w,
+       list_reduce(
+         list_transform(range(0, 4 * h * w),
+           i -> CASE WHEN i % 4 = 3 THEN 255
+             WHEN ((i // 4) // w) >= 2 AND ((i // 4) // w) < h - 2
+                  AND ((i // 4) % w) >= 2 AND ((i // 4) % w) < w - 2
+             THEN (doc_id * 31 + 106 + (((i // 4) // w) - 2) * 17
+                   + (((i // 4) % w) - 2) * 7 + (i % 4) * 11) % 256
+             ELSE (doc_id * 31 + ((i // 4) // w) * 17
+                   + ((i // 4) % w) * 7 + (i % 4) * 11) % 256 END),
+         (a, b) -> a + b)::BIGINT,
+       list_reduce(
+         list_transform(range(0, 4 * h * w),
+           i -> (i + 1) * (CASE WHEN i % 4 = 3 THEN 255
+             WHEN ((i // 4) // w) >= 2 AND ((i // 4) // w) < h - 2
+                  AND ((i // 4) % w) >= 2 AND ((i // 4) % w) < w - 2
+             THEN (doc_id * 31 + 106 + (((i // 4) // w) - 2) * 17
+                   + (((i // 4) % w) - 2) * 7 + (i % 4) * 11) % 256
+             ELSE (doc_id * 31 + ((i // 4) // w) * 17
+                   + ((i // 4) % w) * 7 + (i % 4) * 11) % 256 END)),
+         (a, b) -> a + b)::BIGINT
+FROM g WHERE doc_id % 3 IN (1, 2)
 """,
         # bmp_decode (r12): always 3 channels; the gif_decode replay
         # with n = (2, 16, 256, 256)[key%4] — the 24-bit leg's pixels

@@ -586,6 +586,63 @@ def synth_webp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def synth_webp_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL animated WebP per row (functions/webp.py r15 —
+    VP8X/ANIM/ANMF container, every frame a genuine VP8L stream):
+    2 + key % 3 frames on a (w, h) = (8 + key%9, 8 + key%7) canvas.
+    Frame 0 covers the canvas, opaque, v0(y, x, c) = (key*31 + y*17 +
+    x*7 + c*11) % 256; frames f >= 1 are opaque inset patches at
+    (2, 2) of size (w-4, h-4) with PATCH-LOCAL closed form
+    vf(y, x, c) = (key*31 + f*53 + y*17 + x*7 + c*11) % 256, blend
+    method alternating no-blend (odd f) / alpha-blend (even f — an
+    opaque source makes both paths land identical pixels, so the
+    oracle replay is exact while both blend branches execute).
+    Disposal stays 0 here (dispose-to-background is pinned by the
+    unit tests' hand-computed canvases)."""
+    import numpy as np
+
+    from .webp import webp_encode_anim
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            w, h = 8 + key % 9, 8 + key % 7
+            n_frames = 2 + key % 3
+            yy, xx = np.mgrid[0:h, 0:w]
+            f0 = np.stack(
+                [(key * 31 + yy * 17 + xx * 7 + c * 11) % 256 for c in range(3)]
+                + [np.full((h, w), 255)],
+                axis=2,
+            ).astype(np.uint8)
+            frames = [{"rgba": f0, "x": 0, "y": 0, "blend": False}]
+            pyy, pxx = np.mgrid[0 : h - 4, 0 : w - 4]
+            for f in range(1, n_frames):
+                patch = np.stack(
+                    [
+                        (key * 31 + f * 53 + pyy * 17 + pxx * 7 + c * 11) % 256
+                        for c in range(3)
+                    ]
+                    + [np.full((h - 4, w - 4), 255)],
+                    axis=2,
+                ).astype(np.uint8)
+                frames.append(
+                    {"rgba": patch, "x": 2, "y": 2, "blend": f % 2 == 0}
+                )
+            return {
+                "payload": webp_encode_anim(frames, (w, h)),
+                "mime": "image/webp",
+                "meta": {"origin": "synth-webp-anim"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
 def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     """Attach a REAL animated GIF per row: 2 + key % 3 frames over one
     16-color global table, interlaced on odd keys. Frame f's index map
@@ -1828,10 +1885,42 @@ def frame_sample(
                             assert canvas is not None, "sampling must ascend"
                             return canvas.copy()
 
+                elif m["mime"] == "image/webp":
+                    # r15: animated WebP (ANMF + VP8L frames). Like the
+                    # GIF delta path, blend/dispose composition is a
+                    # chain — walk the compositor once, copying ONLY
+                    # sampled canvases; a still container is one frame
+                    from .webp import (
+                        _iter_webp_composited,
+                        webp_decode,
+                        webp_frame_count,
+                    )
+
+                    n_total = webp_frame_count(m["payload"])
+                    frames = range(n_total)
+                    if n_total <= 1:
+                        def dec_ith(i, _p=m["payload"]):
+                            return webp_decode(_p)
+
+                    else:
+                        comp = {
+                            "it": _iter_webp_composited(m["payload"]),
+                            "next": 0,
+                        }
+
+                        def dec_ith(i, _c=comp):
+                            canvas = None
+                            while _c["next"] <= i:
+                                canvas = next(_c["it"])
+                                _c["next"] += 1
+                            assert canvas is not None, "sampling must ascend"
+                            return canvas.copy()
+
                 else:
                     raise NotImplementedError(
-                        f"no video codec for {m['mime']!r} (MJPEG AVI or "
-                        "animated GIF); use fake=True for the stub sampler"
+                        f"no video codec for {m['mime']!r} (MJPEG AVI, "
+                        "animated GIF, or animated WebP); use fake=True "
+                        "for the stub sampler"
                     )
                 sampled = range(0, len(frames), every)
                 if n_frames is not None:

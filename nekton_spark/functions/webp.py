@@ -628,6 +628,200 @@ def webp_decode(payload: bytes) -> np.ndarray:
     raise ValueError("no image chunk in WebP container")
 
 
+# --------------------------------------------------------- animation
+
+
+def _read_u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _chunks(payload: bytes):
+    """Walk the RIFF chunk sequence (tag, body) — container-level
+    validation shared by the image, frame, and scrub paths."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    off = 12
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    while off + 8 <= end:
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        body = payload[off + 8 : off + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP container chunk")
+        yield tag, body
+        off += 8 + size + (size & 1)
+
+
+def webp_parse_anim(payload: bytes):
+    """(canvas_w, canvas_h, frames) for an animated WebP; frames are
+    dicts with placement/disposal/blend and the frame's VP8L chunk
+    payload. Lossy (VP8) frames refuse; a non-animated container
+    raises ValueError('not an animated WebP')."""
+    canvas = None
+    frames = []
+    animated = False
+    for tag, body in _chunks(payload):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated WebP stream (VP8X)")
+            canvas = (_read_u24(body, 4) + 1, _read_u24(body, 7) + 1)
+            animated = bool(body[0] & _ANIM_FLAG)
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated WebP stream (ANMF)")
+            fr = {
+                "x": 2 * _read_u24(body, 0),
+                "y": 2 * _read_u24(body, 3),
+                "w": _read_u24(body, 6) + 1,
+                "h": _read_u24(body, 9) + 1,
+                "duration": _read_u24(body, 12),
+                "dispose": body[15] & 0x01,
+                "blend": not (body[15] & 0x02),  # bit set = do NOT blend
+                "vp8l": None,
+            }
+            off2 = 16
+            while off2 + 8 <= len(body):
+                stag = body[off2 : off2 + 4]
+                (ssize,) = struct.unpack("<I", body[off2 + 4 : off2 + 8])
+                sbody = body[off2 + 8 : off2 + 8 + ssize]
+                if len(sbody) < ssize:
+                    raise ValueError("truncated WebP stream (frame chunk)")
+                if stag == b"VP8L":
+                    fr["vp8l"] = sbody
+                elif stag == b"VP8 ":
+                    raise ValueError(
+                        "lossy WebP (VP8) animation frame is outside the "
+                        "from-spec codec envelope"
+                    )
+                off2 += 8 + ssize + (ssize & 1)
+            if fr["vp8l"] is None:
+                raise ValueError("WebP animation frame without image data")
+            frames.append(fr)
+    if not (animated and frames):
+        raise ValueError("not an animated WebP")
+    if canvas is None:
+        raise ValueError("animated WebP without VP8X canvas")
+    return canvas[0], canvas[1], frames
+
+
+def _blend_rect(canvas: np.ndarray, frame: np.ndarray, x: int, y: int) -> None:
+    """Alpha-blend ``frame`` over the canvas rect (container spec
+    'over' operator on non-premultiplied RGBA, integer semantics:
+    dst_factor = dst_a*(255-src_a)//255, blend_a = src_a+dst_factor,
+    channel = (src*src_a + dst*dst_factor)//blend_a). Opaque source
+    pixels overwrite exactly."""
+    fh, fw = frame.shape[:2]
+    dst = canvas[y : y + fh, x : x + fw].astype(np.int64)
+    src = frame.astype(np.int64)
+    src_a = src[..., 3:4]
+    dst_factor = dst[..., 3:4] * (255 - src_a) // 255
+    blend_a = src_a + dst_factor
+    safe = np.maximum(blend_a, 1)
+    rgb = (src[..., :3] * src_a + dst[..., :3] * dst_factor) // safe
+    out = np.concatenate([rgb, blend_a], axis=2)
+    out[blend_a[..., 0] == 0] = 0
+    canvas[y : y + fh, x : x + fw] = out.astype(np.uint8)
+
+
+def _iter_webp_composited(payload: bytes):
+    """Yield the composited (h, w, 4) canvas after each animation
+    frame. The canvas starts fully TRANSPARENT (browser rendering —
+    the ANIM background color is advisory, same call as the GIF
+    compositor); dispose-to-background clears the frame RECTANGLE to
+    transparent after the frame is emitted."""
+    cw, ch, frames = webp_parse_anim(payload)
+    if cw * ch > _MAX_PIXELS:
+        raise ValueError("WebP image too large for the codec envelope")
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    for fr in frames:
+        px = vp8l_decode(fr["vp8l"])
+        if px.shape[:2] != (fr["h"], fr["w"]):
+            raise ValueError(
+                "WebP animation frame dims disagree with ANMF header"
+            )
+        if fr["x"] + fr["w"] > cw or fr["y"] + fr["h"] > ch:
+            raise ValueError("WebP animation frame exceeds canvas")
+        if fr["blend"]:
+            _blend_rect(canvas, px, fr["x"], fr["y"])
+        else:
+            canvas[fr["y"] : fr["y"] + fr["h"], fr["x"] : fr["x"] + fr["w"]] = px
+        yield canvas.copy()
+        if fr["dispose"]:
+            canvas[fr["y"] : fr["y"] + fr["h"], fr["x"] : fr["x"] + fr["w"]] = 0
+
+
+def webp_decode_frames(payload: bytes) -> list:
+    """All composited frames of an animated WebP (or the single image
+    of a still container, mirroring gif_decode_frames)."""
+    try:
+        return list(_iter_webp_composited(payload))
+    except ValueError as e:
+        if str(e) != "not an animated WebP":
+            raise
+        return [webp_decode(payload)]
+
+
+def webp_frame_count(payload: bytes) -> int:
+    n = 0
+    seen_image = False
+    for tag, _ in _chunks(payload):
+        if tag == b"ANMF":
+            n += 1
+        elif tag in (b"VP8L", b"VP8 "):
+            seen_image = True
+    return n if n else (1 if seen_image else 0)
+
+
+def webp_encode_anim(
+    frames: list,
+    canvas: tuple,
+    *,
+    loop: int = 0,
+) -> bytes:
+    """Genuine animated WebP: VP8X (ANIM flag + canvas size), ANIM
+    chunk, one ANMF per frame wrapping a real VP8L stream. Each frame
+    dict: ``rgba`` (fh, fw, 4) uint8, ``x``/``y`` (EVEN canvas
+    offsets — the container stores them halved), ``dispose`` (0 keep /
+    1 to-background), ``blend`` (True alpha-blend / False overwrite),
+    ``duration`` ms."""
+    cw, ch = canvas
+    body = bytearray()
+    flags = _ANIM_FLAG
+    vp8x = bytes([flags]) + b"\x00\x00\x00" + struct.pack("<I", cw - 1)[:3] + struct.pack("<I", ch - 1)[:3]
+    body += b"VP8X" + struct.pack("<I", 10) + vp8x
+    anim = struct.pack("<I", 0) + struct.pack("<H", loop)
+    body += b"ANIM" + struct.pack("<I", 6) + anim
+    for fr in frames:
+        rgba = fr["rgba"]
+        fh, fw = rgba.shape[:2]
+        x, y = fr.get("x", 0), fr.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("frame exceeds canvas")
+        sub = webp_encode_lossless(rgba)
+        vp8l_at = sub.index(b"VP8L")
+        vp8l_chunk = sub[vp8l_at:]
+        head = (
+            struct.pack("<I", x // 2)[:3]
+            + struct.pack("<I", y // 2)[:3]
+            + struct.pack("<I", fw - 1)[:3]
+            + struct.pack("<I", fh - 1)[:3]
+            + struct.pack("<I", fr.get("duration", 100))[:3]
+            + bytes(
+                [
+                    (0x02 if not fr.get("blend", False) else 0)
+                    | (0x01 if fr.get("dispose", 0) else 0)
+                ]
+            )
+        )
+        anmf = head + vp8l_chunk
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+
+
 _META_CHUNKS = (b"EXIF", b"XMP ", b"ICCP")
 _META_FLAGS = 0x20 | 0x08 | 0x04  # ICC | EXIF | XMP bits in VP8X
 

@@ -489,6 +489,7 @@ PLAN_BUDGET = {
     # stage, union is shuffle-free
     "pdf_images": (1, 0),
     "gif_frame_sample": (2, 0),
+    "webp_frame_sample": (2, 0),  # synth + composited sampler (r15)
     "bmp_decode": (2, 0),
     "wav_g711_features": (2, 0),
     "image_dhash": (1, 0),

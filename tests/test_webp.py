@@ -485,3 +485,164 @@ class TestMetadataScrub:
         img, payload = self._with_metadata()
         back = _ref_decode(webp_strip_metadata(payload))
         assert (back == img).all()
+
+
+class TestAnimation:
+    """r15: VP8X/ANIM/ANMF animated WebP — every frame a genuine VP8L
+    stream; composition (blend / no-blend / dispose-to-background)
+    pinned on hand-computed canvases."""
+
+    def test_compose_blend_and_dispose(self):
+        from nekton_spark.functions.webp import (
+            webp_decode_frames,
+            webp_encode_anim,
+            webp_frame_count,
+        )
+
+        rng = np.random.default_rng(3)
+        cw, ch = 12, 10
+        f0 = rng.integers(0, 256, (ch, cw, 4), dtype=np.uint8)
+        f0[..., 3] = 255
+        patch = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+        patch[..., 3] = 255
+        half = patch.copy()
+        half[..., 3] = 128
+        p = webp_encode_anim(
+            [
+                {"rgba": f0, "x": 0, "y": 0, "blend": False},
+                {"rgba": patch, "x": 2, "y": 4, "blend": False, "dispose": 1},
+                {"rgba": half, "x": 2, "y": 2, "blend": True},
+            ],
+            (cw, ch),
+        )
+        assert webp_frame_count(p) == 3
+        frames = webp_decode_frames(p)
+        assert len(frames) == 3
+        assert (frames[0] == f0).all()
+        exp1 = f0.copy()
+        exp1[4:8, 2:8] = patch
+        assert (frames[1] == exp1).all()
+        # dispose-to-background cleared [4:8, 2:8]; the half-alpha
+        # patch then blends over [2:6, 2:8] with the documented
+        # integer 'over' semantics
+        base = exp1.copy()
+        base[4:8, 2:8] = 0
+        dst = base[2:6, 2:8].astype(np.int64)
+        src = half.astype(np.int64)
+        sa = src[..., 3:4]
+        df = dst[..., 3:4] * (255 - sa) // 255
+        ba = sa + df
+        rgb = (src[..., :3] * sa + dst[..., :3] * df) // np.maximum(ba, 1)
+        out = np.concatenate([rgb, ba], axis=2)
+        out[ba[..., 0] == 0] = 0
+        exp2 = base.copy()
+        exp2[2:6, 2:8] = out.astype(np.uint8)
+        assert (frames[2] == exp2).all()
+
+    def test_opaque_blend_equals_overwrite(self):
+        from nekton_spark.functions.webp import (
+            webp_decode_frames,
+            webp_encode_anim,
+        )
+
+        rng = np.random.default_rng(5)
+        f0 = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        f0[..., 3] = 255
+        patch = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+        patch[..., 3] = 255
+        outs = []
+        for blend in (False, True):
+            p = webp_encode_anim(
+                [
+                    {"rgba": f0, "x": 0, "y": 0, "blend": False},
+                    {"rgba": patch, "x": 2, "y": 2, "blend": blend},
+                ],
+                (8, 8),
+            )
+            outs.append(webp_decode_frames(p)[-1])
+        assert (outs[0] == outs[1]).all()
+
+    def test_still_container_single_frame(self):
+        from nekton_spark.functions.webp import (
+            webp_decode_frames,
+            webp_frame_count,
+        )
+
+        img = np.full((5, 6, 4), 9, dtype=np.uint8)
+        p = webp_encode_lossless(img)
+        assert webp_frame_count(p) == 1
+        frames = webp_decode_frames(p)
+        assert len(frames) == 1 and (frames[0] == img).all()
+
+    def test_lossy_frame_refuses(self):
+        from nekton_spark.functions.webp import webp_decode_frames
+
+        vp8x = bytes([0x02]) + b"\x00\x00\x00" + bytes([7, 0, 0, 7, 0, 0])
+        anmf_head = bytes(16)
+        lossy = b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+        anmf = anmf_head + lossy
+        body = (
+            b"WEBP"
+            + b"VP8X" + struct.pack("<I", 10) + vp8x
+            + b"ANIM" + struct.pack("<I", 6) + bytes(6)
+            + b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(ValueError, match="lossy WebP"):
+            webp_decode_frames(payload)
+
+    def test_frame_exceeds_canvas_refuses(self):
+        from nekton_spark.functions.webp import (
+            webp_decode_frames,
+            webp_encode_anim,
+        )
+
+        big = np.zeros((6, 6, 4), dtype=np.uint8)
+        p = webp_encode_anim(
+            [{"rgba": big, "x": 0, "y": 0}], (6, 6)
+        )
+        # corrupt the stored x offset to push the frame off-canvas
+        at = p.index(b"ANMF") + 8
+        p = p[:at] + bytes([2]) + p[at + 1 :]
+        with pytest.raises(ValueError, match="exceeds canvas"):
+            webp_decode_frames(p)
+
+    def test_odd_offsets_refused_by_encoder(self):
+        from nekton_spark.functions.webp import webp_encode_anim
+
+        f = np.zeros((2, 2, 4), dtype=np.uint8)
+        with pytest.raises(ValueError, match="even"):
+            webp_encode_anim([{"rgba": f, "x": 1, "y": 0}], (8, 8))
+
+    def test_frame_sample_spark_path(self, spark):
+        from nekton_spark.functions.multimodal import (
+            frame_sample,
+            synth_webp_anim_media,
+        )
+
+        keys = list(range(12))
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+        rows = frame_sample(synth_webp_anim_media(df), every=2).collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r.doc_id, []).append(r.frame_idx)
+        for k in keys:
+            n = 2 + k % 3
+            assert sorted(by_key[k]) == list(range(0, n, 2)), k
+        # spot-check frame 2 pixels for one key against the closed form
+        k = 4  # n_frames=4, w=12, h=12 -> wait h=8+4%7=12? 4%7=4 -> h=12
+        w, h = 8 + k % 9, 8 + k % 7
+        r2 = next(
+            r for r in rows if r.doc_id == k and r.frame_idx == 2
+        )
+        yy, xx = np.mgrid[0:h, 0:w]
+        exp = np.zeros((h, w, 4), dtype=np.int64)
+        for c in range(3):
+            exp[..., c] = (k * 31 + yy * 17 + xx * 7 + c * 11) % 256
+        exp[..., 3] = 255
+        pyy, pxx = np.mgrid[0 : h - 4, 0 : w - 4]
+        for c in range(3):
+            exp[2 : h - 2, 2 : w - 2, c] = (
+                k * 31 + 2 * 53 + pyy * 17 + pxx * 7 + c * 11
+            ) % 256
+        assert r2.pixels == exp.ravel().tolist()

@@ -610,6 +610,8 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
     from nekton_spark.functions.webp import (
         webp_decode,
+        webp_decode_frames,
+        webp_encode_anim,
         webp_encode_lossless,
         webp_encode_palette,
     )
@@ -834,6 +836,23 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 webp_encode_palette(pidx.astype(np.uint8), _webp_pal),
                 webp_decode,
                 _webp_pal[pidx],
+            ),
+            (
+                "webp_anim",  # r15: ANMF composition (no-blend inset
+                # patch over a full first frame) through the battery
+                webp_encode_anim(
+                    [
+                        {"rgba": _webp_img, "x": 0, "y": 0, "blend": False},
+                        # no-blend: the patch's alpha plane is NOT
+                        # opaque, so alpha-blend would change pixels —
+                        # blend-path exactness is pinned in pytest
+                        {"rgba": _webp_img[2:7, 2:8], "x": 2, "y": 2,
+                         "blend": False},
+                    ],
+                    (_webp_img.shape[1], _webp_img.shape[0]),
+                ),
+                lambda p: webp_decode_frames(p)[-1],
+                _webp_img,  # patch copies the same pixels back
             ),
             (
                 "jpeg",
