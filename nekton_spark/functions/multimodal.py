@@ -531,7 +531,13 @@ def synth_webp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
       byte)."""
     import numpy as np
 
+    from .similarity import ensure_parallelism
     from .webp import webp_encode_lossless, webp_encode_palette
+
+    # the VP8L encoder (real per-image canonical Huffman builds) is
+    # the heaviest synth in the fixture family — fan out BEFORE the
+    # encode stage or a 1-split local parquet serializes it
+    df = ensure_parallelism(df)
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
@@ -601,7 +607,11 @@ def synth_webp_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     unit tests' hand-computed canvases)."""
     import numpy as np
 
+    from .similarity import ensure_parallelism
     from .webp import webp_encode_anim
+
+    # per-frame VP8L encodes: fan out before the heavy synth stage
+    df = ensure_parallelism(df)
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
