@@ -4476,12 +4476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert set(r15_window) <= set(q), sorted(set(r15_window) - set(q))
     # r16 window pre-solve: after this round the histogram is r12:39
     # (incl. the displaced decontamination_check), r13:49, r14:47,
-    # r15:50 (contract 185 incl. the new webp_decode + pdf_images;
-    # never:0). Flush the FULL 39-row r12 tail + 11 of the r13 tail by
-    # the standing twin recipe (recompute from CORRECTNESS_r01-r15 at
-    # r16 start; prefer squeezing r13 rows whose engine paths have
+    # r15:50, never:1 (webp_frame_sample — landed after the r15 window
+    # froze at 50; locally exact at sf0.001/sf0.01 + fuzz seed 213).
+    # Contract 186 incl. webp_decode + pdf_images + webp_frame_sample.
+    # r16 window = webp_frame_sample (the never-checked row goes
+    # FIRST) + the FULL 39-row r12 tail + 10 of the r13 tail by the
+    # standing twin recipe (recompute from CORRECTNESS_r01-r15 at r16
+    # start; prefer squeezing r13 rows whose engine paths have
     # in-window or r14/r15 twins). Any new r16 rows take slots from
-    # the r13 half, never the r12 flush.
+    # the r13 half, never the r12 flush or the never-checked slot.
     ordered = {k: q[k] for k in r15_window} | {
         k: v for k, v in q.items() if k not in r15_window
     }
