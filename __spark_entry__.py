@@ -2122,6 +2122,37 @@ def gif_frame_sample_check(spark, sf):
     )
 
 
+def tiff_decode_check(spark, sf):
+    """Baseline-TIFF round trip (functions/tiff.py, r15 — TIFF 6.0
+    from the public spec: both endians, IFD walk, strip organization,
+    TIFF-LZW with the early-change width bump, PackBits, Deflate,
+    horizontal predictor, bit-packed gray/palette rows, WhiteIsZero):
+    five closed-form legs by doc_id % 5 — uncompressed gray-8 /
+    LZW+predictor RGB multi-strip / PackBits palette-4 / Deflate gray
+    multi-strip / bilevel WhiteIsZero — through the REAL decoder. The
+    DuckDB oracle replays dims and both pixel checksums per leg; the
+    LZW bit stream, early change, predictor undo, PackBits runs, bit
+    unpacking, ColorMap expansion and photometric inversion all have
+    to be right for the hash to match."""
+    from nekton_spark.functions.multimodal import synth_tiff_media
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    dec = decode_image(synth_tiff_media(d))
+    return dec.select(
+        "doc_id",
+        "dec_height",
+        "dec_width",
+        F.size("pixels").alias("n_values"),
+        F.expr(
+            "aggregate(pixels, cast(0 as long), (acc, x) -> acc + x)"
+        ).alias("px_sum"),
+        F.expr(
+            "aggregate(pixels, struct(cast(0 as long) as s, cast(0 as long) as i),"
+            " (acc, x) -> struct(acc.s + (acc.i + 1) * x, acc.i + 1), acc -> acc.s)"
+        ).alias("px_weighted"),
+    )
+
+
 def webp_frame_sample_check(spark, sf):
     """Animated-WebP frame sampling (multimodal.frame_sample over
     image/webp — r15, the VP8X/ANIM/ANMF container with every frame a
@@ -3704,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_decode": gif_decode_check,
         "webp_decode": webp_decode_check,
         "webp_frame_sample": webp_frame_sample_check,
+        "tiff_decode": tiff_decode_check,
         "gif_frame_sample": gif_frame_sample_check,
         "bmp_decode": bmp_decode_check,
         "image_dhash": image_dhash_check,
@@ -4476,15 +4508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert set(r15_window) <= set(q), sorted(set(r15_window) - set(q))
     # r16 window pre-solve: after this round the histogram is r12:39
     # (incl. the displaced decontamination_check), r13:49, r14:47,
-    # r15:50, never:1 (webp_frame_sample — landed after the r15 window
-    # froze at 50; locally exact at sf0.001/sf0.01 + fuzz seed 213).
-    # Contract 186 incl. webp_decode + pdf_images + webp_frame_sample.
-    # r16 window = webp_frame_sample (the never-checked row goes
-    # FIRST) + the FULL 39-row r12 tail + 10 of the r13 tail by the
-    # standing twin recipe (recompute from CORRECTNESS_r01-r15 at r16
-    # start; prefer squeezing r13 rows whose engine paths have
-    # in-window or r14/r15 twins). Any new r16 rows take slots from
-    # the r13 half, never the r12 flush or the never-checked slot.
+    # r15:50, never:2 (webp_frame_sample, tiff_decode — landed after
+    # the r15 window froze at 50; both locally exact at
+    # sf0.001/sf0.01 + fuzz seeds 213/215). Contract 187 incl.
+    # webp_decode + pdf_images + webp_frame_sample + tiff_decode.
+    # r16 window = the two never-checked rows FIRST + the FULL 39-row
+    # r12 tail + 9 of the r13 tail by the standing twin recipe
+    # (recompute from CORRECTNESS_r01-r15 at r16 start; prefer
+    # squeezing r13 rows whose engine paths have in-window or r14/r15
+    # twins). Any new r16 rows take slots from the r13 half, never
+    # the r12 flush or the never-checked slots.
     ordered = {k: q[k] for k in r15_window} | {
         k: v for k, v in q.items() if k not in r15_window
     }
@@ -7500,6 +7533,57 @@ SELECT doc_id,
            END)),
          (a, b) -> a + b)::BIGINT AS px_weighted
 FROM g
+""",
+        # tiff_decode (r15): per-leg flat replay — legs 0/3 gray-8
+        # (k*31+y*17+x*7)%256, leg 1 RGB (+c*11), leg 2 palette
+        # (k*7+idx*13+c*29)%256 with idx=(k+3y+x)%16, leg 4 bilevel
+        # WhiteIsZero (bit 0 -> 255)
+        "tiff_decode": """
+WITH g AS (
+  SELECT doc_id, (8 + doc_id % 7)::INT AS h, (8 + doc_id % 9)::INT AS w,
+         (doc_id % 5) AS leg
+  FROM documents),
+v AS (
+  SELECT doc_id, h, w, leg,
+         CASE WHEN leg IN (1, 2) THEN 3 ELSE 1 END AS ch
+  FROM g)
+SELECT doc_id,
+       h AS dec_height,
+       w AS dec_width,
+       (ch * h * w)::INT AS n_values,
+       list_reduce(
+         list_transform(range(0, ch * h * w),
+           i -> CASE
+             WHEN leg IN (0, 3) THEN
+               (doc_id * 31 + (i // w) * 17 + (i % w) * 7) % 256
+             WHEN leg = 1 THEN
+               (doc_id * 31 + ((i // 3) // w) * 17
+                + ((i // 3) % w) * 7 + (i % 3) * 11) % 256
+             WHEN leg = 2 THEN
+               (doc_id * 7
+                + ((doc_id + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
+                + (i % 3) * 29) % 256
+             ELSE CASE WHEN (doc_id + 3 * (i // w) + (i % w)) % 2 = 0
+                  THEN 255 ELSE 0 END
+           END),
+         (a, b) -> a + b)::BIGINT AS px_sum,
+       list_reduce(
+         list_transform(range(0, ch * h * w),
+           i -> (i + 1) * (CASE
+             WHEN leg IN (0, 3) THEN
+               (doc_id * 31 + (i // w) * 17 + (i % w) * 7) % 256
+             WHEN leg = 1 THEN
+               (doc_id * 31 + ((i // 3) // w) * 17
+                + ((i // 3) % w) * 7 + (i % 3) * 11) % 256
+             WHEN leg = 2 THEN
+               (doc_id * 7
+                + ((doc_id + 3 * ((i // 3) // w) + ((i // 3) % w)) % 16) * 13
+                + (i % 3) * 29) % 256
+             ELSE CASE WHEN (doc_id + 3 * (i // w) + (i % w)) % 2 = 0
+                  THEN 255 ELSE 0 END
+           END)),
+         (a, b) -> a + b)::BIGINT AS px_weighted
+FROM v
 """,
         # webp_frame_sample (r15): sampled composited canvases in
         # closed form — frame 0 = v0 = (k*31+y*17+x*7+c*11)%256

@@ -175,6 +175,10 @@ def decode_image(
                     from .webp import webp_decode
 
                     pix = webp_decode(m["payload"])
+                elif m["mime"] == "image/tiff":
+                    from .tiff import tiff_decode
+
+                    pix = tiff_decode(m["payload"])
                 else:
                     raise NotImplementedError(
                         f"no codec for {m['mime']!r} in this environment; "
@@ -230,6 +234,13 @@ _REFUSAL_CODES = [
     ("lossy WebP", "lossy_webp"),
     ("animated WebP", "webp_animation"),
     ("WebP", "bad_webp"),
+    # TIFF (r15): CCITT/JPEG-in-TIFF/tiled are envelope refusals;
+    # structural damage is bad_tiff (LZW damage keeps the shared
+    # bad_lzw via the earlier row)
+    ("CCITT", "ccitt_tiff"),
+    ("JPEG compression", "tiff_jpeg"),
+    ("tiled TIFF", "tiff_tiled"),
+    ("TIFF", "bad_tiff"),
     ("marker", "bad_marker"),
     ("null media", "null_payload"),
 ]
@@ -297,6 +308,11 @@ def decode_coverage(df: DataFrame, media_col: str = "media") -> DataFrame:
 
                     webp_decode(m["payload"])
                     return "ok", "webp"
+                if m["mime"] == "image/tiff":
+                    from .tiff import tiff_decode
+
+                    tiff_decode(m["payload"])
+                    return "ok", "tiff"
                 raise NotImplementedError(
                     f"no codec for {m['mime']!r} in this environment"
                 )
@@ -584,6 +600,77 @@ def synth_webp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 "payload": payload,
                 "mime": "image/webp",
                 "meta": {"origin": "synth-webp"},
+            }
+
+        for pdf in batches:
+            yield pdf.assign(media=pdf[key_col].map(one))
+
+    return df.mapInPandas(run, out_schema)
+
+
+def synth_tiff_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL TIFF per row (functions/tiff.py — baseline TIFF
+    6.0 from spec, r15). Five closed-form legs by key % 5, each a
+    different (compression, photometric, bit-depth) corner while the
+    decoded pixels stay SQL-replayable (w = 8 + key%9, h = 8 + key%7):
+
+    - 0 gray-8 UNCOMPRESSED: v(y, x) = (key*31 + y*17 + x*7) % 256;
+    - 1 RGB-8 LZW + horizontal PREDICTOR, multi-strip (rows_per_strip
+      4): v(y, x, c) = (key*31 + y*17 + x*7 + c*11) % 256;
+    - 2 PALETTE-4 PackBits (bit-packed rows): palette[i][c] =
+      (key*7 + i*13 + c*29) % 256, index(y, x) = (key + 3y + x) % 16;
+    - 3 gray-8 DEFLATE, multi-strip (rows_per_strip 3): same form as
+      leg 0;
+    - 4 BILEVEL WhiteIsZero uncompressed: bit(y, x) = (key + 3y + x)
+      % 2, decoding to (1 - bit) * 255."""
+    import numpy as np
+
+    from .tiff import tiff_encode
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("media", MEDIA_SCHEMA, True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(key: int) -> dict:
+            w, h = 8 + key % 9, 8 + key % 7
+            leg = key % 5
+            yy, xx = np.mgrid[0:h, 0:w]
+            if leg == 0:
+                img = ((key * 31 + yy * 17 + xx * 7) % 256).astype(np.uint8)
+                payload = tiff_encode([img])
+            elif leg == 1:
+                img = np.stack(
+                    [(key * 31 + yy * 17 + xx * 7 + c * 11) % 256
+                     for c in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                payload = tiff_encode(
+                    [img], compression=5, predictor=2, rows_per_strip=4
+                )
+            elif leg == 2:
+                i = np.arange(16)
+                pal = np.stack(
+                    [(key * 7 + i * 13 + c * 29) % 256 for c in range(3)],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((key + 3 * yy + xx) % 16).astype(np.uint8)
+                payload = tiff_encode(
+                    [idx], compression=32773, photometric=3,
+                    palette=pal, bits=4,
+                )
+            elif leg == 3:
+                img = ((key * 31 + yy * 17 + xx * 7) % 256).astype(np.uint8)
+                payload = tiff_encode(
+                    [img], compression=8, rows_per_strip=3
+                )
+            else:
+                bits = ((key + 3 * yy + xx) % 2).astype(np.uint8)
+                payload = tiff_encode([bits], photometric=0, bits=1)
+            return {
+                "payload": payload,
+                "mime": "image/tiff",
+                "meta": {"origin": "synth-tiff"},
             }
 
         for pdf in batches:

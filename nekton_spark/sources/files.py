@@ -88,6 +88,8 @@ _MEDIA_MIME_BY_EXT = {
     "gif": "image/gif",
     "bmp": "image/bmp",
     "webp": "image/webp",
+    "tif": "image/tiff",
+    "tiff": "image/tiff",
     "warc": "application/warc",
     "tar": "application/x-tar",
     "pdf": "application/pdf",

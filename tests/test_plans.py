@@ -484,6 +484,7 @@ PLAN_BUDGET = {
     "charset_decode": (2, 0),
     "gif_decode": (2, 0),
     "webp_decode": (2, 0),  # synth + VP8L decode, 0-shuffle (r15)
+    "tiff_decode": (2, 0),  # synth + baseline-TIFF decode (r15)
     # r15: extraction behind materialize (the union's two branches must
     # NOT re-run the PDF object index); decode is the only live Python
     # stage, union is shuffle-free

@@ -608,6 +608,7 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
         gif_encode_anim,
     )
     from nekton_spark.functions.video import avi_decode_frames, avi_encode_mjpeg
+    from nekton_spark.functions.tiff import tiff_decode, tiff_encode
     from nekton_spark.functions.webp import (
         webp_decode,
         webp_decode_frames,
@@ -853,6 +854,23 @@ def run_media_fuzz(spark, seed: int) -> tuple[bool, str]:
                 ),
                 lambda p: webp_decode_frames(p)[-1],
                 _webp_img,  # patch copies the same pixels back
+            ),
+            (
+                "tiff_lzw",  # r15: TIFF-LZW + predictor, multi-strip
+                tiff_encode(
+                    [cpix], compression=5, predictor=2, rows_per_strip=4
+                ),
+                tiff_decode,
+                cpix,
+            ),
+            (
+                "tiff_pal",  # r15: PackBits palette-4, bit-packed rows
+                tiff_encode(
+                    [(pidx % 16).astype(np.uint8)], compression=32773,
+                    photometric=3, palette=pal, bits=4,
+                ),
+                tiff_decode,
+                pal[pidx % 16],
             ),
             (
                 "jpeg",
