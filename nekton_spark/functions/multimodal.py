@@ -2013,11 +2013,24 @@ def frame_sample(
                             assert canvas is not None, "sampling must ascend"
                             return canvas.copy()
 
+                elif m["mime"] == "image/tiff":
+                    # r15: multi-page TIFF (fax/scan corpora) — pages
+                    # are independent IFDs, so sampling is truly
+                    # sparse: the IFD walk is cheap, skipped pages
+                    # never decode
+                    from .tiff import _decode_page, _read_ifds
+
+                    _payload = bytes(m["payload"])
+                    frames = _read_ifds(_payload)
+
+                    def dec_ith(i, _b=_payload, _t=frames):
+                        return _decode_page(_b, _t[i])
+
                 else:
                     raise NotImplementedError(
                         f"no video codec for {m['mime']!r} (MJPEG AVI, "
-                        "animated GIF, or animated WebP); use fake=True "
-                        "for the stub sampler"
+                        "animated GIF, animated WebP, or multi-page "
+                        "TIFF); use fake=True for the stub sampler"
                     )
                 sampled = range(0, len(frames), every)
                 if n_frames is not None:

@@ -229,3 +229,45 @@ class TestSparkWiring:
         assert row.media.mime == "image/tiff"
         cov = decode_coverage(media).first()
         assert (cov.decode_status, cov.decode_reason) == ("ok", "tiff")
+
+    def test_frame_sample_multipage_sparse(self, spark):
+        """Multi-page TIFF through frame_sample: every-2nd page, and
+        ONLY sampled pages pay for decode (the sparse contract —
+        corrupting page 1's strip data must not affect sampling pages
+        0 and 2)."""
+        import pandas as pd
+        from nekton_spark.functions.multimodal import frame_sample
+
+        rng = np.random.default_rng(17)
+        pages = [
+            rng.integers(0, 256, (4 + i, 5), dtype=np.uint8)
+            for i in range(4)
+        ]
+        payload = tiff_encode(pages, compression=5)
+        # locate page 1's strip bytes and trash them: page 1 = second
+        # encoded strip blob; find via its LZW header position by
+        # re-encoding page 1 alone
+        strip1 = tiff_encode([pages[1]], compression=5)
+        # (cheap trick: the raw LZW bytes of page 1 appear verbatim)
+        from nekton_spark.functions.tiff import _lzw_encode_tiff
+
+        raw1 = _lzw_encode_tiff(pages[1].tobytes())
+        at = payload.index(raw1)
+        corrupted = (
+            payload[:at] + bytes(len(raw1)) + payload[at + len(raw1):]
+        )
+        pdf = pd.DataFrame(
+            {"media": [
+                {"payload": corrupted, "mime": "image/tiff", "meta": {}}
+            ]}
+        )
+        df = spark.createDataFrame(
+            pdf,
+            schema="media struct<payload:binary,mime:string,meta:map<string,string>>",
+        )
+        rows = frame_sample(df, every=2).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 2]
+        by = {r.frame_idx: r for r in rows}
+        for i in (0, 2):
+            assert by[i].pixels == pages[i].ravel().tolist()
+            assert (by[i].dec_height, by[i].dec_width) == pages[i].shape
