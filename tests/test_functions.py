@@ -1348,21 +1348,27 @@ class TestClustering:
 
 class TestMultimodal:
     def test_decode_requires_fake_flag_for_unknown_mime(self, spark):
-        """Mimes without a codec (PNG/JPEG/GIF/BMP are real as of r12;
-        TIFF etc. are not): the kernel raises at execution (mapInPandas
-        is lazy, so the error surfaces wrapped in Spark's Python-worker
-        exception). A supported mime with a garbage payload refuses as
-        structural damage, not as a missing codec."""
+        """Mimes without a codec (PNG/JPEG/GIF/BMP are real as of r12,
+        WebP and TIFF as of r15; AVIF etc. are not): the kernel raises
+        at execution (mapInPandas is lazy, so the error surfaces
+        wrapped in Spark's Python-worker exception). A supported mime
+        with a garbage payload refuses as structural damage, not as a
+        missing codec."""
         from pyspark.errors import PythonException
 
         from nekton_spark.functions.multimodal import decode_image, media_from_text
 
-        media = media_from_text(docs_df(spark, ["x"]), mime="image/tiff")
-        with pytest.raises(PythonException, match="no codec for 'image/tiff'"):
+        media = media_from_text(docs_df(spark, ["x"]), mime="image/avif")
+        with pytest.raises(PythonException, match="no codec for 'image/avif'"):
             decode_image(media).collect()
         gif = media_from_text(docs_df(spark, ["x"]), mime="image/gif")
         with pytest.raises(PythonException, match="not a GIF payload"):
             decode_image(gif).collect()
+        tif = media_from_text(docs_df(spark, ["x"]), mime="image/tiff")
+        with pytest.raises(
+            PythonException, match="truncated TIFF|not a TIFF"
+        ):
+            decode_image(tif).collect()
 
     def test_null_text_becomes_empty_payload(self, spark):
         """Fuzz-seed-88 catch: a NULL-text doc must flow through
