@@ -25,6 +25,24 @@ from ..materialize import materialize
 
 from .hashing import hash60
 
+
+def _shard_count(n: int) -> int:
+    """Shard count for the broadcast small-set rewrites below: the
+    nearest power of two at or above √n, clamped to [1, 1024]. Spark's
+    ``element_at``/``array_contains`` on a MapType/ArrayType literal is
+    a LINEAR scan of the entries (no hash structure exists for map
+    columns), so a flat lookup set makes the per-line membership test
+    O(|set|) — measured 15.4 s per evaluation at sf0.1 on
+    dedup_lines_keep_first (56k line occurrences × 2722 keys). Sharding
+    by pmod(xxhash64(key), s) with s ≈ √n turns each probe into
+    ~2√n compares (outer int-keyed map + inner shard) at byte-identical
+    results."""
+    import math
+
+    if n <= 1:
+        return 1
+    return min(1024, 1 << max(0, (math.isqrt(n) - 1).bit_length()))
+
 BPE_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]+"
 
 # tiny per-language stopword profiles (public common-word lists)
@@ -1136,21 +1154,56 @@ def remove_boilerplate_lines(
         .select("k")
         .transform(materialize)  # tiny; both rewrite paths reuse it
     )
-    if mined.count() <= small_set_max:
+    n_mined = mined.count()
+    if n_mined <= small_set_max:
         # collect_list over zero rows still yields one row with [] from
-        # a global aggregate, so an all-clean corpus passes through
-        bl = mined.agg(F.array_sort(F.collect_list("k")).alias("_bl"))
-        kept = F.filter(
-            lines, lambda l: ~F.array_contains(F.col("_bl"), normalize(l))
+        # a global aggregate, so an all-clean corpus passes through.
+        # r15 opt: the flagged set is SHARDED (map<shard, array<k>>) —
+        # array_contains is a linear scan, so the flat array cost
+        # O(lines × |flagged|) per evaluation; ~2√n compares after
+        # sharding, identical results (see dedup_lines_keep_first).
+        s = _shard_count(n_mined)
+
+        def _shard_of(key):
+            return F.pmod(F.xxhash64(key), F.lit(s)).cast("int")
+
+        bl = mined.agg(F.array_sort(F.collect_list("k")).alias("_e")).select(
+            F.map_from_entries(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(s - 1)),
+                    lambda sh: F.struct(
+                        sh.cast("int").alias("s"),
+                        F.filter(
+                            F.col("_e"),
+                            lambda k: _shard_of(k) == sh.cast("int"),
+                        ).alias("a"),
+                    ),
+                )
+            ).alias("_bl")
         )
-        return (
-            df.crossJoin(F.broadcast(bl))
-            .select(
-                F.col(id_col).alias("doc_id"),
-                F.array_join(kept, sep).alias("text"),
-                F.size(lines).alias("n_lines"),
-                (F.size(lines) - F.size(kept)).alias("n_removed"),
+
+        def drop_line(l):
+            kk = normalize(l)
+            return F.coalesce(
+                F.array_contains(F.element_at(F.col("_bl"), _shard_of(kk)), kk),
+                F.lit(False),
             )
+
+        # chained projections: each expensive array computed once per
+        # row (see dedup_lines_keep_first's restructure note)
+        p1 = df.crossJoin(F.broadcast(bl)).select(
+            F.col(id_col).alias("doc_id"), lines.alias("_ls"), "_bl"
+        )
+        p2 = p1.select(
+            "doc_id",
+            "_ls",
+            F.filter(F.col("_ls"), lambda l: ~drop_line(l)).alias("_kept"),
+        )
+        return p2.select(
+            "doc_id",
+            F.array_join("_kept", sep).alias("text"),
+            F.size("_ls").alias("n_lines"),
+            (F.size("_ls") - F.size("_kept")).alias("n_removed"),
         )
     exploded = df.select(
         F.col(id_col).alias("doc_id"),
@@ -1246,29 +1299,79 @@ def dedup_lines_keep_first(
         .select("k", "first")
         .transform(materialize)  # tiny-to-moderate; reused by count + join
     )
-    if dups.count() <= small_set_max:
+    n_dups = dups.count()
+    if n_dups <= small_set_max:
         # the keeper MAP (key -> first (doc_id, pos)) rides back as a
         # broadcast 1-row map column and the rewrite is a pure per-row
         # index-aware array filter — NO second corpus shuffle (the
-        # sibling's array path, upgraded to a per-key value compare)
-        m = dups.agg(
-            F.map_from_entries(F.collect_list(F.struct("k", "first"))).alias("_m")
+        # sibling's array path, upgraded to a per-key value compare).
+        # r15 opt: the map is SHARDED two-level (shard -> inner map) —
+        # element_at on MapType is a linear entry scan, so the flat map
+        # cost O(lines × |dups|) per evaluation (measured 15.4 s at
+        # sf0.1; ~2√|dups| compares after sharding). Built as pure
+        # expressions over ONE global collect_list row, so the rewrite
+        # plan stays at zero hash/range exchanges (plan-budget pin).
+        s = _shard_count(n_dups)
+
+        def _shard_of(key):
+            return F.pmod(F.xxhash64(key), F.lit(s)).cast("int")
+
+        m = dups.agg(F.collect_list(F.struct("k", "first")).alias("_e")).select(
+            F.map_from_entries(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(s - 1)),
+                    lambda sh: F.struct(
+                        sh.cast("int").alias("s"),
+                        F.map_from_entries(
+                            F.filter(
+                                F.col("_e"),
+                                lambda e: _shard_of(e["k"]) == sh.cast("int"),
+                            )
+                        ).alias("m"),
+                    ),
+                )
+            ).alias("_m")
         )
 
         def keep_line(l, i):
-            e = F.element_at(F.col("_m"), normalize(l))
+            kk = normalize(l)
+            e = F.element_at(F.element_at(F.col("_m"), _shard_of(kk)), kk)
             # key absent (unique or structural line) -> comparison is
             # NULL -> coalesce keeps; present -> keep only the keeper
+            # (runs after the p1 projection below, where id_col is
+            # already aliased to doc_id). ONE struct equality, not
+            # e.d==… & e.p==…: each field access would re-inline the
+            # whole lookup chain (normalize + both map scans) — the
+            # expression tree is duplicated per reference outside
+            # codegen.
             return F.coalesce(
-                (e["d"] == F.col(id_col)) & (e["p"] == i), F.lit(True)
+                e
+                == F.struct(
+                    F.col("doc_id").alias("d"), i.cast("int").alias("p")
+                ),
+                F.lit(True),
             )
 
-        kept = F.filter(lines, keep_line)
-        return df.crossJoin(F.broadcast(m)).select(
-            F.col(id_col).alias("doc_id"),
-            F.array_join(kept, sep).alias("text"),
-            F.size(lines).alias("n_lines"),
-            (F.size(lines) - F.size(kept)).alias("n_removed"),
+        # chained projections so each expensive array is computed ONCE
+        # per row: writing `lines` / `kept` twice inside one projection
+        # duplicates the whole interpreted-HOF chain (no common-subexpr
+        # elimination outside codegen), and CollapseProject will not
+        # re-inline a non-cheap expression referenced more than once
+        # (SPARK-36718). Measured 21.7 → 15.4 s per extra evaluation of
+        # the flat-map filter at sf0.1 before this restructure.
+        p1 = df.crossJoin(F.broadcast(m)).select(
+            F.col(id_col).alias("doc_id"), lines.alias("_ls"), "_m"
+        )
+        p2 = p1.select(
+            "doc_id",
+            "_ls",
+            F.filter(F.col("_ls"), keep_line).alias("_kept"),
+        )
+        return p2.select(
+            "doc_id",
+            F.array_join("_kept", sep).alias("text"),
+            F.size("_ls").alias("n_lines"),
+            (F.size("_ls") - F.size("_kept")).alias("n_removed"),
         )
     # large duplicated sets: shuffle equi-join on the line key (every
     # occurrence of a mega-duplicated line meets ONE dim row — AQE
