@@ -1423,8 +1423,14 @@ def dedup_minhash_cjk(spark, sf):
     chr(), the explicit-range spread, and the full banded-MinHash +
     exact-Jaccard chain. Same 2-shuffle plan as dedup_minhash_lsh."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
+    # fan out BEFORE the synth projection (r15 opt): a 1-split local
+    # parquet otherwise runs the 32-md5-per-doc synth on one scan task
+    # (the chain's own ensure_parallelism fans out ABOVE its input's
+    # projection); same construction as the WebP/GIF synth call sites
     return dedup.minhash_lsh_pairs(
-        dedup.synth_cjk_docs(d), threshold=0.5, tokenize="script"
+        dedup.synth_cjk_docs(similarity.ensure_parallelism(d)),
+        threshold=0.5,
+        tokenize="script",
     )
 
 

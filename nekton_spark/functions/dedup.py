@@ -127,34 +127,63 @@ def _distinct_shingles_udf(shingle_n: int, tokenize: str = "word"):
     return _sh
 
 
+def _md5_h60_batch(sh_lists: list[list[str]]) -> dict[str, int]:
+    """md5-derived 60-bit hash for every DISTINCT shingle across an
+    Arrow batch, each computed exactly once (r15 opt): near-dup batches
+    are full of shared shingles by construction — a clique of c docs
+    repeats its whole shingle set c times, and parquet row order keeps
+    clique members in the same batch — so per-occurrence hashing paid
+    c× the md5 work. ``int.from_bytes(digest[:8]) >> 4`` is the first
+    15 hex digits of the digest read directly from the bytes
+    (bit-identical to ``int(hexdigest()[:15], 16)``, without
+    materializing the hex string)."""
+    import hashlib
+
+    memo: dict[str, int] = {}
+    for sh in sh_lists:
+        for s in sh:
+            if s not in memo:
+                memo[s] = (
+                    int.from_bytes(
+                        hashlib.md5(b"0:" + s.encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                )
+    return memo
+
+
 def _sig_and_hashed_shingles_udf(k: int, shingle_n: int, tokenize: str = "word"):
     """One Arrow pass producing BOTH the k-long MinHash signature and
     the doc's distinct hashed shingle set (full 60-bit hash60 — no
     H0_MOD fold, minimizing collision odds): the md5 per shingle is
-    computed once and feeds both outputs. Used by the exact-verify
-    near-dup paths that carry the shingle set through a join — hashed
-    8-byte elements instead of shingle strings is ~10× narrower join
-    state, and deriving them here avoids both a second Arrow pass and
-    ~|corpus|×|shingles| JVM md5 calls a post-hoc transform would cost
-    (measured r8: the transform variant was +40% wall at sf10)."""
-    import hashlib
-
+    computed once per DISTINCT shingle per batch (see
+    :func:`_md5_h60_batch`) and feeds both outputs. Used by the
+    exact-verify near-dup paths that carry the shingle set through a
+    join — hashed 8-byte elements instead of shingle strings is ~10×
+    narrower join state, and deriving them here avoids both a second
+    Arrow pass and ~|corpus|×|shingles| JVM md5 calls a post-hoc
+    transform would cost (measured r8: the transform variant was +40%
+    wall at sf10)."""
     a_c, b_c = affine_consts(k)
     A = np.array(a_c, dtype=np.int64)[:, None]
     B = np.array(b_c, dtype=np.int64)[:, None]
 
-    def one(text: str):
-        sh = _shingles_py(text or "", shingle_n, tokenize)
-        if not sh:
-            return {"sig": None, "hs": None}
-        h60 = [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) for s in sh]
-        h0 = np.array(h60, dtype=np.int64) % H0_MOD
-        sig = ((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist()
-        return {"sig": sig, "hs": list(dict.fromkeys(h60))}
-
     @F.pandas_udf("sig array<long>, hs array<long>")
     def _both(texts: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([one(t) for t in texts], columns=["sig", "hs"])
+        sh_lists = [_shingles_py(t or "", shingle_n, tokenize) for t in texts]
+        memo = _md5_h60_batch(sh_lists)
+        rows = []
+        for sh in sh_lists:
+            if not sh:
+                rows.append({"sig": None, "hs": None})
+                continue
+            # dedupe on the HASH VALUE (not the shingle) to keep the
+            # legacy first-occurrence order even under a 2^-60 collision
+            hs = list(dict.fromkeys(memo[s] for s in sh))
+            h0 = np.fromiter(hs, dtype=np.int64, count=len(hs)) % H0_MOD
+            sig = ((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist()
+            rows.append({"sig": sig, "hs": hs})
+        return pd.DataFrame(rows, columns=["sig", "hs"])
 
     return _both
 
@@ -164,26 +193,27 @@ def _minhash_sig_udf(k: int, shingle_n: int, tokenize: str = "word"):
     identical base hash to the JVM/DuckDB expression; the affine family
     is evaluated as one numpy broadcast (A[:,None]*h0 + B[:,None]) & mask
     with an axis-min — replacing ~k×|shingles| interpreted HOF lambda
-    steps per document (measured ~1 ms/doc → ~30 µs/doc)."""
-    import hashlib
-
+    steps per document (measured ~1 ms/doc → ~30 µs/doc). Each DISTINCT
+    shingle in the batch is hashed once (:func:`_md5_h60_batch` — the
+    signature min is unchanged by duplicate shingles, within a doc or
+    across clique members)."""
     a_c, b_c = affine_consts(k)
     A = np.array(a_c, dtype=np.int64)[:, None]
     B = np.array(b_c, dtype=np.int64)[:, None]
 
-    def sig_one(text: str):
-        sh = _shingles_py(text or "", shingle_n, tokenize)
-        if not sh:
-            return None
-        h0 = np.array(
-            [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) % H0_MOD for s in sh],
-            dtype=np.int64,
-        )
-        return ((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist()
-
     @F.pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
-        return texts.map(sig_one)
+        sh_lists = [_shingles_py(t or "", shingle_n, tokenize) for t in texts]
+        memo = _md5_h60_batch(sh_lists)
+        out = []
+        for sh in sh_lists:
+            if not sh:
+                out.append(None)
+                continue
+            hs = dict.fromkeys(memo[s] for s in sh)
+            h0 = np.fromiter(hs, dtype=np.int64, count=len(hs)) % H0_MOD
+            out.append(((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist())
+        return pd.Series(out)
 
     return _sig
 
@@ -382,7 +412,20 @@ def minhash_lsh_pairs(
     threshold. At 100 TB the band join's key space is uniform (md5),
     so no salting needed; r=k/bands rows per band tunes the S-curve.
     """
+    from .similarity import ensure_parallelism
+    from .text_analysis import check_tokenize
+
+    check_tokenize(tokenize)
     r = band_rows(k, bands)
+    # fan out ONCE here, before any text projection: both the signature
+    # pass and the exact-verify shingle pass below consume `df`, and a
+    # 1-split local input would otherwise run each branch's per-doc
+    # Python work on a single task (the signature path's internal
+    # ensure_parallelism fans out ABOVE its projection, which leaves a
+    # caller-supplied synth/text expression on the scan task). The
+    # marker makes the inner calls no-ops — exactly one round-robin
+    # exchange, still a no-op at real scale.
+    df = ensure_parallelism(df)
     sigs = minhash_signatures(
         df, text_col, id_col, k, shingle_n, hash=hash, tokenize=tokenize
     )
@@ -419,21 +462,38 @@ def minhash_lsh_pairs(
         .transform(materialize)
     )
     # exact-Jaccard verification only needs shingle sets for docs that
-    # survived banding — semi-join the corpus down to candidate ids
-    # BEFORE the shingle UDF runs. Candidates ≪ corpus at scale, so
-    # this turns the verify stage from O(corpus) to O(candidate docs);
-    # checkpointing the (small) result keeps the a/b branches from
-    # running the UDF twice.
+    # survived banding — semi-join down to candidate ids first.
+    # Candidates ≪ corpus at scale, so the verify join state is
+    # O(candidate docs).
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    shingle_set = _distinct_shingles_udf(shingle_n, tokenize)
+    # r15 opt: the verify shingle sets are pure-JVM expressions —
+    # distinct HASHED shingles (hash60 for the md5 engine, xxhash64 for
+    # the production engine) instead of the Python string-set UDF this
+    # stage used to run. Drops the second Arrow crossing entirely and
+    # compares 8-byte longs in the pair join instead of shingle
+    # strings. |∩|/|∪| over hashed sets equals the string-set Jaccard
+    # barring a 60-bit collision inside one pair's union
+    # (~|union|²/2^61 ≈ 1e-14 — the engine-wide posture already
+    # documented for the inverted-index join and the streaming neardup
+    # verify, both oracle-pinned).
+    hash_g = (
+        (lambda g: F.xxhash64(g)) if hash == "xxhash64" else (lambda g: hash60(g, 0))
+    )
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .join(cand_ids, "id", "left_semi")
-        .select("id", shingle_set(F.col("_txt")).alias("sh"))
+        .select(
+            "id",
+            F.array_distinct(
+                F.transform(
+                    _shingles_expr(F.col("_txt"), shingle_n, tokenize), hash_g
+                )
+            ).alias("sh"),
+        )
         .transform(materialize)
     )
     a = sh.alias("a")

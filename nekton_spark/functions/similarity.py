@@ -42,6 +42,24 @@ def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _already_repartitioned(df: DataFrame) -> bool:
+    """True when the frame's logical plan already carries a Repartition
+    node (ours or the caller's) — walking node names via py4j, never
+    stringifying the plan (synth plans embed multi-KB literals)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in ("Repartition", "RepartitionByExpression"):
+                return True
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    except Exception:
+        return False
+    return False
+
+
 def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFrame:
     """Small corpora read as 1-2 parquet splits; with the query side
     broadcast there is no shuffle to fan the scoring out, so the whole
@@ -61,6 +79,21 @@ def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFr
         # heavy-extractor call sites (r13) share this helper and must
         # stay stream-composable
         return df
+    if getattr(df, "_nekton_fanned_out", False):
+        # idempotence marker (r15 opt): callers that fan out BEFORE a
+        # heavy projection (synth text, codec synth) hand the marked
+        # frame down a chain whose inner stages also call this helper —
+        # without the marker each call would stack another round-robin
+        # exchange of the full payload
+        return df
+    if _already_repartitioned(df):
+        # the marker does not survive .select()/.withColumn() (new
+        # DataFrame objects), so also recognise an upstream Repartition
+        # in the logical plan: entry paths fan out BEFORE their synth
+        # projection precisely so the heavy expression runs fanned —
+        # stacking a second exchange above it would undo nothing and
+        # shuffle the synthesized payload a second time
+        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     files = [f for f in df.inputFiles() if f.startswith("file:")]
@@ -68,7 +101,9 @@ def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFr
         # non-file-backed (in-memory test frames) or remote storage:
         # remote inputs are large/multi-split in practice — leave as-is
         if not df.inputFiles() and df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
+            out = df.repartition(target)
+            out._nekton_fanned_out = True
+            return out
         return df
     from urllib.parse import unquote, urlparse
 
@@ -87,7 +122,9 @@ def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFr
     est_splits = max(len(files), total // max_split)
     want = max(1, min(target, total // bytes_per_slice))
     if est_splits < want:
-        return df.repartition(want)
+        out = df.repartition(want)
+        out._nekton_fanned_out = True
+        return out
     return df
 
 
