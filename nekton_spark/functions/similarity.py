@@ -42,6 +42,71 @@ def as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _sql_double(x: float) -> str:
+    """Render a Python float as a Spark SQL double literal that parses
+    back to the IDENTICAL IEEE-754 value: Python's repr is the shortest
+    round-trip decimal, and Double.parseDouble returns the nearest
+    double to any decimal string — for a round-trip repr that nearest
+    double is the original. Non-finite spellings use the CAST form the
+    parser requires (cannot arise from finite training data; kept for
+    defensive completeness)."""
+    x = float(x)
+    if math.isfinite(x):
+        return repr(x) + "D"
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    return "CAST('Infinity' AS DOUBLE)" if x > 0 else "CAST('-Infinity' AS DOUBLE)"
+
+
+def _adc_chain_sql(luts: list[list[float]]) -> str:
+    """The per-query ADC score chain as ONE SQL fragment — the
+    left-associated sum of per-subspace element_at LUT lookups,
+    structurally identical to the former per-``F.lit`` Column build
+    (same Add/ElementAt/Literal tree after parsing, so values are
+    bit-identical) but costing ONE py4j round-trip per query instead of
+    ~m_sub·(ksub+2): profiling showed the Column construction spent
+    7.9 s of ann_topk_ivfpq_residual's 8.5 s build in 11k JVM gateway
+    calls, and the 200-query recall legs paid ~25k calls (guide §1
+    measure / §5 driver discipline — the driver was the bottleneck,
+    not the cluster)."""
+    terms = [
+        "element_at(array({}),(element_at(codes,{})+1))".format(
+            ",".join(_sql_double(v) for v in lut), s + 1
+        )
+        for s, lut in enumerate(luts)
+    ]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = "(" + chain + "+" + t + ")"
+    return chain
+
+
+def _adc_explode(struct_sqls: list[str]) -> Column:
+    """explode(array(<per-query named_structs>)) parsed in one py4j
+    call. Each element is ``named_struct('query_id', CAST(q AS BIGINT),
+    'score', <score_sql>)`` — the same struct the Column builders
+    produced."""
+    return F.expr("explode(array({}))".format(",".join(struct_sqls)))
+
+
+def _local_df(spark, rows: list[tuple], ddl: str) -> DataFrame:
+    """A driver-local relation built through the pandas/Arrow
+    converter instead of the pickled-``parallelize`` path. The plain
+    ``createDataFrame(list, ddl)`` route slices the rows into
+    ``defaultParallelism`` pickled partitions, and a downstream
+    ``coalesce(1)`` (the index writers' one-file layout) then walks
+    ALL of them through sequential Python-worker rounds — measured
+    6–7 s per kilobyte-scale write on local[32] vs 0.65 s through one
+    Arrow batch (guide §5 driver discipline). Values are exact either
+    way: float64/int64/strings cross Arrow bit-identically, ``None``
+    maps to null."""
+    schema = T._parse_datatype_string(ddl)
+    pdf = pd.DataFrame(
+        {f.name: [r[i] for r in rows] for i, f in enumerate(schema.fields)}
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def _already_repartitioned(df: DataFrame) -> bool:
     """True when the frame's logical plan already carries a Repartition
     node (ours or the caller's) — walking node names via py4j, never
@@ -697,7 +762,8 @@ def ivf_topk(
     # from the collected matrix (bounded by max_centroids) instead of
     # re-scanning the corpus saves the second scan the sampled branch
     # used to pay
-    cents = corpus.sparkSession.createDataFrame(
+    cents = _local_df(
+        corpus.sparkSession,
         [(int(i), [float(x) for x in v]) for i, v in zip(c_ids, c_mat)],
         "cid long, cv array<double>",
     )
@@ -876,23 +942,15 @@ def pq_topk(
     structs = []
     for r in q_rows:
         luts = [lut_for(list(r.qv), s) for s in range(m_sub)]
-        score = None
-        for s in range(m_sub):
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in luts[s]]),
-                F.element_at("codes", s + 1) + F.lit(1),
-            )
-            score = term if score is None else score + term
         structs.append(
-            F.struct(
-                F.lit(int(r.qid)).cast("long").alias("query_id"),
-                F.round(score, 6).alias("score"),
+            "named_struct('query_id',CAST({} AS BIGINT),'score',round({},6))".format(
+                int(r.qid), _adc_chain_sql(luts)
             )
         )
     scored = (
         encoded.select(
             F.col("id").alias("neighbor_id"),
-            F.explode(F.array(*structs)).alias("qs"),
+            _adc_explode(structs).alias("qs"),
         )
         .select("qs.query_id", "neighbor_id", "qs.score")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1070,28 +1128,21 @@ def _ivfpq_adc_topk(
         probed = sorted(range(len(c_ids)), key=lambda j: (-sims[j], c_ids[j]))
         cells = [int(c_ids[j]) for j in probed[:n_probe]]
         luts = [lut_for(list(r.qv), s) for s in range(m_sub)]
-        score = None
-        for s in range(m_sub):
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in luts[s]]),
-                F.element_at("codes", s + 1) + F.lit(1),
-            )
-            score = term if score is None else score + term
+        # probed-cell guard OUTSIDE the LUT chain: unprobed rows
+        # short-circuit to NULL without evaluating it
         structs.append(
-            F.struct(
-                F.lit(int(r.qid)).cast("long").alias("query_id"),
-                # probed-cell guard OUTSIDE the LUT chain: unprobed
-                # rows short-circuit to NULL without evaluating it
-                F.when(
-                    F.col("cid").isin(*cells), F.round(score, 6)
-                ).alias("score"),
+            "named_struct('query_id',CAST({} AS BIGINT),'score',"
+            "CASE WHEN (cid IN ({})) THEN round({},6) END)".format(
+                int(r.qid),
+                ",".join(str(c) for c in cells),
+                _adc_chain_sql(luts),
             )
         )
     scored = (
         encoded.select(
             F.col("id").alias("neighbor_id"),
             F.col("cid"),
-            F.explode(F.array(*structs)).alias("qs"),
+            _adc_explode(structs).alias("qs"),
         )
         .select("qs.query_id", "neighbor_id", "qs.score")
         .filter(F.col("score").isNotNull() & (F.col("query_id") != F.col("neighbor_id")))
@@ -1158,7 +1209,7 @@ def _write_index_meta(spark, path: str, meta: dict) -> None:
             t = "string"
         fields.append(f"{k} {t}")
         vals.append(v)
-    spark.createDataFrame([tuple(vals)], ", ".join(fields)).coalesce(
+    _local_df(spark, [tuple(vals)], ", ".join(fields)).coalesce(
         1
     ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
 
@@ -1274,11 +1325,13 @@ def ivfpq_index_build(
     encoded = _ivfpq_encode_pass(base, c_ids, c_mat, c_norm, cbs, m_sub, d0)
     encoded.write.mode("overwrite").parquet(path.rstrip("/") + "/codes")
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    _local_df(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in zip(c_ids, c_mat)],
         "cid long, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
-    spark.createDataFrame(
+    _local_df(
+        spark,
         [
             (s, j, [float(x) for x in cbs[s][j]])
             for s in range(m_sub)
@@ -1601,37 +1654,32 @@ def ivfpq_residual_topk(
         # coarse term <q, c_cid> per probed cell: the same 0.0-seeded
         # left fold as lut_for, replayed by the oracle's unrolled dot
         qlist = list(r.qv)
-        cterm = None
+        whens = []
         for j in cells:
             acc = 0.0
             for t in range(dim):
                 acc += qlist[t] * float(c_mat[j][t])
-            w = (F.col("cid") == int(c_ids[j]), F.lit(acc))
-            cterm = F.when(*w) if cterm is None else cterm.when(*w)
+            whens.append(
+                "WHEN (cid = {}) THEN {}".format(int(c_ids[j]), _sql_double(acc))
+            )
+        cterm = "CASE " + " ".join(whens) + " END"
         luts = [lut_for(qlist, s) for s in range(m_sub)]
-        chain = None
-        for s in range(m_sub):
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in luts[s]]),
-                F.element_at("codes", s + 1) + F.lit(1),
-            )
-            chain = term if chain is None else chain + term
+        # probed-cell guard OUTSIDE the chain: unprobed rows
+        # short-circuit to NULL without evaluating it; score = coarse
+        # term + residual ADC, left-associated (the cterm CASE is
+        # duplicated in guard and sum exactly as the former Column
+        # build duplicated its `cterm` expression tree)
+        chain = _adc_chain_sql(luts)
         structs.append(
-            F.struct(
-                F.lit(int(r.qid)).cast("long").alias("query_id"),
-                # probed-cell guard OUTSIDE the chain: unprobed rows
-                # short-circuit to NULL without evaluating it; score =
-                # coarse term + residual ADC, left-associated
-                F.when(
-                    cterm.isNotNull(), F.round(cterm + chain, 6)
-                ).alias("score"),
-            )
+            "named_struct('query_id',CAST({qid} AS BIGINT),'score',"
+            "CASE WHEN (({ct}) IS NOT NULL) THEN round((({ct})+{ch}),6) "
+            "END)".format(qid=int(r.qid), ct=cterm, ch=chain)
         )
     scored = (
         encoded.select(
             F.col("id").alias("neighbor_id"),
             F.col("cid"),
-            F.explode(F.array(*structs)).alias("qs"),
+            _adc_explode(structs).alias("qs"),
         )
         .select("qs.query_id", "neighbor_id", "qs.score")
         .filter(F.col("score").isNotNull() & (F.col("query_id") != F.col("neighbor_id")))
