@@ -150,9 +150,12 @@ def winnow_pairs(
     from nekton_spark.functions.similarity import ensure_parallelism
 
     fp = (
-        ensure_parallelism(
-            winnow_fingerprints(df, text_col, id_col, k, w, tokenize)
-        )
+        # fan out BELOW the fingerprint projection: a small corpus reads
+        # as one parquet split, and the winnow expression chain (gram
+        # hashing + window minima) is the heavy stage — repartitioning
+        # its OUTPUT would run it on one task and then shuffle the
+        # result (measured 1.9 s single-task vs 0.55 s fanned at sf0.1)
+        winnow_fingerprints(ensure_parallelism(df), text_col, id_col, k, w, tokenize)
         .select("doc_id", "fp")
         .distinct()
         # feeds the df-cut, the sizes aggregate, and both join sides —
