@@ -712,15 +712,28 @@ def ngram_jaccard_pairs(
         from .sampling import hash_sample
 
         df = hash_sample(df, id_col, audit_sample, seed=audit_seed)
+    from .similarity import ensure_parallelism
+
     shingle_set = _distinct_shingles_udf(n, tokenize)
-    base = df.select(
+    # fan out BELOW the shingle UDF: a small corpus reads as one parquet
+    # split and the corpus-wide Arrow shingle pass is the heavy stage —
+    # it must run fanned, not single-task (r15 opt; no-op at real scale)
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
     # join on the 60-bit shingle hash, not the shingle string: the
     # inverted-index shuffle moves 8-byte keys instead of text, and the
     # (quadratic) pair-join compares longs. Collisions are ~2^-60 and
     # the oracle hashes identically, so results are unchanged.
-    inv = base.select("id", F.explode(F.transform("sh", lambda g: hash60(g, 0))).alias("g"))
+    #
+    # Materialize the index BEFORE any census: it feeds the df-cut
+    # census, the sizes aggregate and BOTH self-join sides — without
+    # the pin the corpus-wide shingle UDF re-runs once per consumer
+    # (the census alone re-ran it; r15 opt measured 3.9 s -> 1.8 s at
+    # sf0.1 moving the pin above the cut).
+    inv = base.select(
+        "id", F.explode(F.transform("sh", lambda g: hash60(g, 0))).alias("g")
+    ).transform(materialize)
     if max_doc_freq is not None:
         # df-cut: drop shingles shared by more than max_doc_freq docs.
         # This caps the quadratic pair fan-out per shingle (the standard
@@ -733,20 +746,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("g")
         )
-        # the heavy-hitter list is small by definition → broadcast anti-join.
-        # Materialize the post-cut index once: it feeds sizes and BOTH
-        # self-join sides, which would otherwise re-run the shingle UDF
-        # and the df-cut three more times.
+        # the heavy-hitter list is small by definition → broadcast
+        # anti-join. Pin the post-cut index too: without it the census
+        # groupBy (corpus-scale at 100 TB) re-runs once per consumer
+        # (sizes + both self-join sides — plan budget caught 7
+        # exchanges vs 3). Two pins cost ~0.1 s extra at sf0.1 and keep
+        # both the shingle UDF and the census at exactly one execution.
         inv = inv.join(F.broadcast(cut), "g", "left_anti").transform(materialize)
-        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    else:
-        # no df-cut: the inverted index still feeds BOTH self-join
-        # sides and the sizes aggregate — materialize once here too
-        # (the dominant cost is the corpus-wide shingle UDF; without
-        # this it executed ~3x per action). sizes from the index (one
-        # row per DISTINCT shingle) equals size(sh) by construction.
-        inv = inv.transform(materialize)
-        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
