@@ -125,6 +125,11 @@ def connected_components_star(
             .filter(v > u)
             .select(v.alias("u"), F.col("m").alias("v"))
             .distinct()
+            # pin: feeds BOTH the small-star aggregate and the flatten
+            # join — unpinned, the whole large-star subtree (union +
+            # corpus-scale groupBy + join + distinct) evaluates twice
+            # per round (r15 opt)
+            .transform(materialize)
         )
         # small-star: flatten each node's remaining neighbors (all
         # smaller, by construction above) onto its minimum
@@ -136,11 +141,21 @@ def connected_components_star(
         )
         hung = m2.select("u", F.col("m").alias("v"))
         new_e = flattened.union(hung).distinct().transform(materialize)
-        # set equality as |new| == |old| plus new ⊆ old (both frames are
-        # distinct, so one exceptAll direction suffices — the symmetric
-        # check paid a second shuffle per round for nothing)
-        n_new = new_e.count()
-        converged = n_new == n_edges and new_e.exceptAll(e).isEmpty()
+        # set equality as |new| == |old| plus new ⊆ old (both frames
+        # are distinct, so one anti-join direction suffices). ONE job:
+        # left-join new→old and count rows + matches together, instead
+        # of a count job plus an exceptAll job per converged round —
+        # at scale that is one full pass over the edge set, not two.
+        stats = (
+            new_e.join(e.withColumn("_old", F.lit(1)), ["u", "v"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("_old").alias("matched"),
+            )
+            .collect()[0]
+        )
+        n_new = stats["n"]
+        converged = n_new == n_edges and stats["matched"] == n_new
         e, n_edges = new_e, n_new
         if converged:
             break
