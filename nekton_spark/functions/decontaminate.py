@@ -23,7 +23,7 @@ same codegen expression the dedup family uses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..materialize import materialize
@@ -266,7 +266,7 @@ def fuzzy_contamination_pairs(
     md5 (oracle-parity) or xxhash64 (pure-JVM production) exactly as
     in minhash_lsh_pairs.
     """
-    from .dedup import _distinct_shingles_udf, band_rows, minhash_signatures
+    from .dedup import band_rows, minhash_signatures
     from .hashing import hash60
 
     r = band_rows(k, bands)  # validated: r=0 would be an all-pairs join
@@ -307,15 +307,30 @@ def fuzzy_contamination_pairs(
         .distinct()
         .transform(materialize)  # verify branches reuse, not re-derive
     )
-    sh_udf = _distinct_shingles_udf(shingle_n, tokenize)
+    # r15 opt: verify shingle sets as pure-JVM codegen expressions —
+    # distinct HASHED shingles instead of the Python string-set UDF
+    # (the same rewrite as minhash_lsh_pairs' verify stage). Drops the
+    # second Arrow crossing and the verify join compares 8-byte longs
+    # instead of shingle strings. |∩|/|∪| over hashed sets equals the
+    # string-set Jaccard barring a 60-bit collision inside one pair's
+    # union (~1e-14 — the documented engine-wide posture).
+    from .dedup import _shingles_expr
+
+    hash_g = (
+        (lambda g: F.xxhash64(g)) if hash == "xxhash64" else (lambda g: hash60(g, 0))
+    )
+
+    def sh_set(c: Column) -> Column:
+        return F.array_distinct(F.transform(_shingles_expr(c, shingle_n, tokenize), hash_g))
+
     t_ids = cand.select(F.col("train_id").alias("id")).distinct()
     tsh = (
         train.select(F.col(id_col).alias("train_id"), F.col(text_col).alias("_t"))
         .join(t_ids.withColumnRenamed("id", "train_id"), "train_id", "left_semi")
-        .select("train_id", sh_udf(F.col("_t")).alias("tsh"))
+        .select("train_id", sh_set(F.col("_t")).alias("tsh"))
     )
     esh = eval_df.select(
-        F.col(id_col).alias("eval_id"), sh_udf(F.col(text_col)).alias("esh")
+        F.col(id_col).alias("eval_id"), sh_set(F.col(text_col)).alias("esh")
     )
     inter = F.size(F.array_intersect("tsh", "esh"))
     return (
