@@ -873,29 +873,41 @@ def bm25_topk(
     This is the retrieval primitive for RAG corpus curation (find the
     passages a query set would surface) and for contamination triage.
 
-    100 TB shape (all codegen, no Python): doc-side statistics are the
-    same two partial-aggregated shuffles as TF-IDF — (doc, term) tf
-    bounded by distinct pairs, then term df bounded by vocabulary; N
-    and avgdl enter as a broadcast 1-row aggregate (no driver action).
-    The query set is small by construction (it's a query WORKLOAD, not
-    a table), so the term match is a broadcast join — the scored frame
-    is bounded by (matching postings x queries), partial-aggregated on
-    (query, doc) before the final per-query top-k rank window, which
-    never globally sorts."""
+    100 TB shape (all codegen, no Python): the query set is small by
+    construction (it's a query WORKLOAD, not a table), so the posting
+    stream is cut to query terms by a broadcast semi-join BELOW the tf
+    aggregation — the one data-scale shuffle carries only matching
+    postings, never the corpus vocabulary. Per-doc length is map-only
+    (size of the token array, carried alongside each posting — no
+    second explode, no doc-keyed shuffle, no corpus-side join); term
+    df is a count window over the tf frame (postings are distinct
+    (doc, term) rows, so the partition count IS the doc frequency); N
+    and avgdl enter as a broadcast 1-row map-only aggregate (no
+    driver action). The scored frame is bounded by (matching postings
+    × queries), partial-aggregated on (query, doc) before the final
+    per-query top-k rank window, which never globally sorts."""
     from pyspark.sql import Window
 
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_tokenize_col(F.col(text_col), tokenize)).alias("token"),
-        )
-        .filter(F.length("token") > 0)
+    from nekton_spark.functions.similarity import ensure_parallelism
+
+    # fan out BELOW the tokenizer: a small corpus reads as one parquet
+    # split and the regex split would run single-task (no-op at scale)
+    toks_all = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
+        F.filter(
+            _tokenize_col(F.col(text_col), tokenize),
+            lambda t: F.length(t) > 0,
+        ).alias("_toks"),
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # N and avgdl over docs with >= 1 token — identical to the
+    # explode+groupBy census (a zero-token doc produced no exploded
+    # rows there, and is excluded by the dl > 0 gate here)
+    stats = (
+        toks_all.select(F.size("_toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
     qterms = (
         queries_df.select(
@@ -905,10 +917,21 @@ def bm25_topk(
         .filter(F.length("token") > 0)
         .distinct()
     )
+    qtok = qterms.select("token").distinct()
+    tf = (
+        toks_all.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("token"),
+        )
+        .join(F.broadcast(qtok), "token", "leftsemi")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    wdf = Window.partitionBy("token")
     scored = (
-        tf.join(F.broadcast(qterms), "token")
-        .join(dfreq, "token")
-        .join(dl, "doc_id")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .join(F.broadcast(qterms), "token")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "term_score",
