@@ -246,12 +246,22 @@ def embedding_pca(
     left-chained additions; the terminal round(…, 6) absorbs the
     engines' accumulation-order difference (raw-float sums, no grid
     boundary)."""
+    from nekton_spark.functions.similarity import _sql_double
+
     mu, comps, _ = pca_components(df, vec_col, dim, n_components, iters)
     cols = [F.col(id_col)]
+    # each component renders as ONE SQL fragment parsed in ONE py4j
+    # call (r15 opt — the per-literal Column build cost ~4 gateway
+    # round-trips per term, ~1.6 s of driver time per projection at
+    # d=64). `a + b + c` parses left-associative, so the parsed tree
+    # is the identical left-chained Add over
+    # (CAST(v[j] AS DOUBLE) - mu_j) * c_j terms, and _sql_double
+    # literals round-trip bit-exactly.
     for p, v in enumerate(comps, start=1):
-        acc = None
-        for j in range(dim):
-            t = (F.col(vec_col)[j].cast("double") - F.lit(mu[j])) * F.lit(v[j])
-            acc = t if acc is None else acc + t
-        cols.append(F.round(acc, 6).alias(f"pc{p}"))
+        chain = " + ".join(
+            f"((CAST({vec_col}[{j}] AS DOUBLE) - {_sql_double(mu[j])})"
+            f" * {_sql_double(v[j])})"
+            for j in range(dim)
+        )
+        cols.append(F.expr(f"round({chain}, 6)").alias(f"pc{p}"))
     return df.select(*cols)
