@@ -315,7 +315,11 @@ def synth_oriented_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the synth (r15 opt): 1-split corpus would run
+    # the per-row inverse-orient build on one task
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 def synth_gray_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:

@@ -80,6 +80,16 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+
+def _fanned(df: DataFrame) -> DataFrame:
+    """Fan a synth input out below its encode stage — a small corpus
+    reads as one parquet split and the per-row encoder would run on a
+    single task (ensure_parallelism no-ops at real scale and on
+    already-repartitioned/streaming frames)."""
+    from .similarity import ensure_parallelism
+
+    return ensure_parallelism(df)
+
 def pack_media(payload_col, mime_col, meta_col=None):
     meta = meta_col if meta_col is not None else F.lit(None).cast("map<string,string>")
     return F.struct(
@@ -408,7 +418,9 @@ def synth_wav_envelope_media(df: DataFrame, key_col: str = "doc_id") -> DataFram
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_wav_g711_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -438,7 +450,9 @@ def synth_wav_g711_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_png_palette_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -477,7 +491,9 @@ def synth_png_palette_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_gif_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -521,7 +537,9 @@ def synth_gif_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_webp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -676,7 +694,9 @@ def synth_tiff_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_webp_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -826,7 +846,9 @@ def synth_gif_anim_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_bmp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -873,7 +895,9 @@ def synth_bmp_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_jpeg_progressive_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -918,7 +942,9 @@ def synth_jpeg_progressive_media(df: DataFrame, key_col: str = "doc_id") -> Data
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_coverage_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -1012,7 +1038,9 @@ def synth_coverage_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1420,7 +1448,9 @@ def synth_png_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def _synth_pixels_color(key: int) -> np.ndarray:
@@ -1451,7 +1481,9 @@ def synth_png_color_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_jpeg_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -1481,7 +1513,9 @@ def synth_jpeg_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_jpeg_color_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -1505,7 +1539,9 @@ def synth_jpeg_color_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def synth_jpeg_420_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -1535,7 +1571,9 @@ def synth_jpeg_420_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def _synth_samples(key: int, n: int) -> "np.ndarray":
@@ -1576,7 +1614,9 @@ def synth_wav_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 _WAV_FMT_PCM, _WAV_FMT_FLOAT, _WAV_FMT_EXT = 1, 3, 0xFFFE
@@ -1865,7 +1905,9 @@ def synth_avi_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(media=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    # fan out BELOW the synth encoder (r15 opt): a 1-split local
+    # parquet would serialize the per-row encode on one task
+    return _fanned(df).mapInPandas(run, out_schema)
 
 
 def frame_sample(
