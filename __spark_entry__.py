@@ -1192,7 +1192,9 @@ def pipeline_chain(spark, sf):
 
 
 def text_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    # fan out below the regex/HOF stat chain (r15 opt): the 1-split
+    # local scan would evaluate it on one task; no-op at scale
+    d = similarity.ensure_parallelism(_t(spark, sf, "documents"))
     c = F.col("text")
     return d.select(
         "doc_id",
@@ -1205,7 +1207,8 @@ def text_stats(spark, sf):
 
 
 def text_quality(spark, sf):
-    d = _t(spark, sf, "documents")
+    # fan out below the quality chain (r15 opt, see text_stats)
+    d = similarity.ensure_parallelism(_t(spark, sf, "documents"))
     c = F.col("text")
     return d.select("doc_id", ta.quality_score(c).alias("quality"), ta.lang_id(c).alias("lang_guess"))
 

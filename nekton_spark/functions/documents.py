@@ -210,4 +210,8 @@ def synth_document_media(
                 media=[{"payload": p, "mime": m} for p, m in med]
             )
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)

@@ -281,4 +281,8 @@ def synth_docx_media(
         for pdf in batches:
             yield pdf.assign(docx=pdf.apply(one, axis=1))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)

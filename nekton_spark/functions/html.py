@@ -150,6 +150,11 @@ def html_blocks(
     ``(text, n_chars, link_chars)`` per document — the shared substrate
     both extraction modes select from. One Python crossing; everything
     downstream is codegen over the array."""
+    from .similarity import ensure_parallelism
+
+    # fan out below the parse (r15 opt): 1-split input would run the
+    # Arrow state-machine parser on one task; no-op at scale/streaming
+    df = ensure_parallelism(df)
     return df.withColumn(out_col, _blocks_udf()(F.col(html_col)))
 
 
@@ -388,7 +393,10 @@ def html_jsonld(
                 n_ld_bad=[c[5] for c in cols],
             )
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out below the parse (r15 opt, see html_blocks)
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 def synth_html_jsonld(
@@ -627,7 +635,10 @@ def html_to_markdown(
             dtype="object",
         )
 
-    return df.withColumn(out_col, _md(F.col(html_col)))
+    from .similarity import ensure_parallelism
+
+    # fan out below the parse (r15 opt, see html_blocks)
+    return ensure_parallelism(df).withColumn(out_col, _md(F.col(html_col)))
 
 
 def synth_html_markdown(
@@ -745,7 +756,10 @@ def html_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
             rows, columns=["title", "lang", "canonical", "noindex", "nofollow"]
         )
 
-    d = df.withColumn("_m", _meta(F.col(html_col)))
+    from .similarity import ensure_parallelism
+
+    # fan out below the parse (r15 opt, see html_blocks)
+    d = ensure_parallelism(df).withColumn("_m", _meta(F.col(html_col)))
     for c in ("title", "lang", "canonical", "noindex", "nofollow"):
         d = d.withColumn(c, F.col(f"_m.{c}"))
     return d.drop("_m")

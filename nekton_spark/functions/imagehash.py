@@ -91,6 +91,12 @@ def image_dhash(
             out.append(dhash64(a.reshape(int(h), int(w), ch)))
         return pd.Series(out, dtype="int64")
 
+    from .similarity import ensure_parallelism
+
+    # fan out below the hash (r15 opt): a 1-split synth input would
+    # run the Arrow pass on one task; no-op at scale / on already-
+    # repartitioned decode output
+    df = ensure_parallelism(df)
     return df.withColumn(out_col, _dh(F.col(pixels_col), F.col(h_col), F.col(w_col)))
 
 
@@ -333,6 +339,13 @@ def synth_gray_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
     the odd doc is the SAME pattern with gray(0,0) altered to flip
     exactly dHash bit 0 — a planted Hamming-1 near-dup per pair,
     replayable closed-form."""
+    # NOTE (r15 opt): deliberately NOT fanned out here — a Repartition
+    # below this Project lets Catalyst collapse the 72-term pixel
+    # expression INTO the downstream dhash UDF's argument list, where
+    # it evaluates interpreted per row (measured 10.3 s vs 1.8 s at
+    # sf0.1). image_dhash fans out ABOVE the built arrays instead,
+    # which keeps this Project codegen'd and feeds the Arrow pass from
+    # all cores.
     key = F.col(key_col)
     q = (key / 2).cast("long")
     base = lambda y, x: (  # noqa: E731

@@ -679,7 +679,11 @@ def lang_id_annotate(
             out[out_col] = langs
             yield out
 
-    return df.mapInPandas(annotate, schema)
+    from .similarity import ensure_parallelism
+
+    # fan out below the scorer (r15 opt): a 1-split input would run
+    # the trigram scoring on one task; no-op at scale and on streams
+    return ensure_parallelism(df).mapInPandas(annotate, schema)
 
 
 def langid_weight_values_sql() -> str:

@@ -1111,7 +1111,11 @@ def synth_pdf_media(
         for pdf_batch in batches:
             yield pdf_batch.assign(pdf=pdf_batch.apply(one, axis=1))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 def synth_pdf_image_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -1175,7 +1179,11 @@ def synth_pdf_image_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf_batch in batches:
             yield pdf_batch.assign(pdf=pdf_batch[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 # ------------------------------------------------------------ writer

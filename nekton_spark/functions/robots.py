@@ -158,7 +158,13 @@ def robots_filter(
             dtype="int32",
         )
 
-    return df.withColumn(out_col, _ra(F.col(robots_col), F.col(path_col)))
+    from .similarity import ensure_parallelism
+
+    # fan out below the matcher (r15 opt): 1-split input would run
+    # the Arrow pass on one task; no-op at scale and on streams
+    return ensure_parallelism(df).withColumn(
+        out_col, _ra(F.col(robots_col), F.col(path_col))
+    )
 
 
 def synth_robots(df: DataFrame, key_col: str = "doc_id") -> DataFrame:

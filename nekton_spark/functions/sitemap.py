@@ -275,4 +275,8 @@ def synth_sitemap_media(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pdf.assign(payload=pdf[key_col].map(one))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)

@@ -523,6 +523,11 @@ def compression_ratio(
 
         return s.map(lambda t: len(zlib.compress((t or "").encode("utf-8"), level)) if t else 0)
 
+    from nekton_spark.functions.similarity import ensure_parallelism
+
+    # fan out below the DEFLATE pass (r15 opt): 1-split input would
+    # run it on one task; no-op at scale and on streams
+    df = ensure_parallelism(df)
     # engine-wide NULL-text contract: NULL = empty document (r15 —
     # previously NULL text produced NULL n_bytes/ratio here)
     n = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
@@ -579,12 +584,16 @@ def normalize_text(
             lambda x: unicodedata.normalize("NFC", x) if x is not None else None
         )
 
+    from nekton_spark.functions.similarity import ensure_parallelism
+
     col = _nfc(F.col(text_col))
     if lowercase:
         col = F.lower(col)
     if collapse_ws:
         col = F.trim(F.regexp_replace(col, r"\s+", " "))
-    return df.withColumn(out_col, col)
+    # fan out below the NFC pass (r15 opt): 1-split input would run
+    # it on one task; no-op at scale and on streams
+    return ensure_parallelism(df).withColumn(out_col, col)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1693,7 +1702,11 @@ def curriculum_buckets(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     import pandas as pd
 
-    scored = df.select(
+    from nekton_spark.functions.similarity import ensure_parallelism
+
+    # fan out below the score projection (r15 opt): 1-split input
+    # would run the regex/HOF quality chain on one task
+    scored = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         quality_score(F.col(text_col)).alias("score"),
     )

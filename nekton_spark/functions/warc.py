@@ -519,7 +519,11 @@ def synth_warc_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_
         for pdf in batches:
             yield pdf.assign(warc=pdf.apply(one, axis=1))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 # charsets decodable with the stdlib and common enough in crawls to
@@ -613,7 +617,11 @@ def decode_body_text(
                 charsets.append(c)
             yield pdf.assign(**{text_col: texts, "charset": charsets})
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 def crawl_coverage(
@@ -800,7 +808,11 @@ def synth_warc_hostile(
         for pdf in batches:
             yield pdf.assign(warc=pdf.apply(one, axis=1))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 def synth_charset_bodies(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
@@ -851,4 +863,8 @@ def synth_charset_bodies(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 cts.append(ct)
             yield pdf.assign(body=bodies, http_content_type=cts)
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)

@@ -196,7 +196,11 @@ def synth_wds_media(df: DataFrame, text_col: str = "text", key_col: str = "doc_i
         for pdf in batches:
             yield pdf.assign(shard=pdf.apply(one, axis=1))
 
-    return df.mapInPandas(run, out_schema)
+    from .similarity import ensure_parallelism
+
+    # fan out BELOW the per-row Python pass (r15 opt): a 1-split
+    # local input would serialize it on one task; no-op at scale
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
 
 
 def _open_fs(path: str):
