@@ -324,7 +324,11 @@ def bpe_encode(
 
         return words.map(one)
 
-    words = df.select(
+    from .similarity import ensure_parallelism
+
+    # fan out below the tokenizer (r15 opt): a 1-split input would run
+    # the regex split + explode + partial distinct on one task
+    words = ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode_outer(tokenize(F.col(text_col))).alias("wpos", "w"),
     )

@@ -56,8 +56,13 @@ def _bits_per_row(width: int, depth: int) -> int:
 
 
 def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    from .similarity import ensure_parallelism
+
+    # fan out below the tokenizer (r15 opt): a 1-split input would run
+    # the regex split + hash + partial agg on one task; no-op at scale
     return (
-        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        ensure_parallelism(df)
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
         .where(F.length("token") > 0)
     )
 
