@@ -127,6 +127,16 @@ class _BitReader:
         return v
 
 
+def _bit_reverse(code: int, length: int) -> int:
+    """``code``'s low ``length`` bits in reverse order (MSB-first wire
+    emission under an LSB-first writer)."""
+    rev = 0
+    for _ in range(length):
+        rev = (rev << 1) | (code & 1)
+        code >>= 1
+    return rev
+
+
 class _BitWriter:
     """LSB-first bit writer matching :class:`_BitReader`."""
 
@@ -149,9 +159,12 @@ class _BitWriter:
         """Emit a canonical prefix code MSB-first (the over-the-wire
         orientation for VP8L prefix codes under an LSB-first byte
         fill — the reference decoder builds bit-reversed lookup
-        tables for exactly this reason)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        tables for exactly this reason). Emitting the bit-REVERSED
+        code LSB-first in one ``write`` lands the identical bits in
+        the identical order as ``length`` single-bit writes did — one
+        call instead of ``length`` (the bit writer was the encoder's
+        top profile line)."""
+        self.write(_bit_reverse(code, length), length)
 
     def getvalue(self) -> bytes:
         out = bytes(self._buf)
@@ -178,14 +191,29 @@ class _PrefixCode:
         self.max_len = max_len
 
     def read(self, br: _BitReader) -> int:
+        # hot path: one call per coded symbol. Bits are pulled inline
+        # from the reader's buffer (a br.read(1) call per bit measured
+        # as the decoder's top profile line) and the table is keyed by
+        # the int (length << 16) | code instead of a tuple — same walk,
+        # same symbols, same pos advance, same truncation error.
         if self.trivial is not None:
             return self.trivial
+        data = br.data
+        pos = br.pos
+        nbits = br.nbits
         code = 0
         table = self.table
+        get = table.get
         for length in range(1, self.max_len + 1):
-            code = (code << 1) | br.read(1)
-            sym = table.get((length, code))
+            if pos >= nbits:
+                raise ValueError(
+                    "truncated WebP stream (bit reader past end)"
+                )
+            code = (code << 1) | ((data[pos >> 3] >> (pos & 7)) & 1)
+            pos += 1
+            sym = get((length << 16) | code)
             if sym is not None:
+                br.pos = pos
                 return sym
         raise ValueError("broken Huffman code in WebP stream (no symbol)")
 
@@ -214,7 +242,9 @@ def _canonical_decode(lengths: Iterable[int]) -> _PrefixCode:
         next_code[ln] = code
     table = {}
     for ln, sym in sorted(used):
-        table[(ln, next_code[ln])] = sym
+        # int key (ln << 16) | code — see _PrefixCode.read; code < 2^15
+        # is guaranteed by the max_len check above
+        table[(ln << 16) | next_code[ln]] = sym
         next_code[ln] += 1
     return _PrefixCode(None, table, max_len)
 
@@ -273,7 +303,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
         if s1 >= alphabet_size:
             raise ValueError("broken Huffman code in WebP stream (symbol range)")
         # 1-bit codes in read order: first symbol <-> bit 0
-        return _PrefixCode(None, {(1, 0): s0, (1, 1): s1}, 1)
+        # (int keys (ln << 16) | code — see _PrefixCode.read)
+        return _PrefixCode(None, {(1 << 16) | 0: s0, (1 << 16) | 1: s1}, 1)
     num_codes = 4 + br.read(4)
     cl_lengths = [0] * 19
     for i in range(num_codes):
@@ -976,9 +1007,11 @@ def _write_prefix_code(bw: _BitWriter, lengths: list) -> dict:
     cl_codes = _canonical_codes(cl_lengths) if n_used > 1 else {
         next(i for i, f in enumerate(cl_freq) if f): (0, 0)
     }
+    cl_rev = {
+        sym: (_bit_reverse(code, ln), ln) for sym, (code, ln) in cl_codes.items()
+    }
     for sym, ebits, extra in ops:
-        code, ln = cl_codes[sym]
-        bw.write_code(code, ln)
+        bw.write(*cl_rev[sym])
         if ebits:
             bw.write(extra, ebits)
     return _canonical_codes(lengths)
@@ -1089,31 +1122,41 @@ def _write_spatial(
         else:
             lengths = _huff_lengths(f, 15)
         codes.append(_write_prefix_code(bw, lengths))
-    g_codes, r_codes, b_codes, a_codes, d_codes = codes
-
-    def emit(cmap, sym):
-        code, ln = cmap[sym]
-        bw.write_code(code, ln)
-
+    # pre-reverse each table once: payload emission is then one plain
+    # LSB-first write per symbol (identical bits to write_code — see
+    # _bit_reverse) instead of a per-symbol bit loop over ~200k tokens
+    g_codes, r_codes, b_codes, a_codes, d_codes = (
+        {sym: (_bit_reverse(code, ln), ln) for sym, (code, ln) in cmap.items()}
+        for cmap in codes
+    )
+    write = bw.write
     for t in tokens:
         if t[0] == "lit":
             _, a, r, g, b = t
-            emit(g_codes, g)
-            emit(r_codes, r)
-            emit(b_codes, b)
-            emit(a_codes, a)
+            # one fused LSB-first write == the four sequential writes
+            cg, lg = g_codes[g]
+            cr, lr = r_codes[r]
+            cb, lb = b_codes[b]
+            ca, la = a_codes[a]
+            write(
+                cg
+                | (cr << lg)
+                | (cb << (lg + lr))
+                | (ca << (lg + lr + lb)),
+                lg + lr + lb + la,
+            )
         elif t[0] == "cache":
-            emit(g_codes, 280 + t[1])
+            write(*g_codes[280 + t[1]])
         else:
             _, length, dist_code = t
             lp, lbits, lextra = _prefix_encode(length)
-            emit(g_codes, 256 + lp)
+            write(*g_codes[256 + lp])
             if lbits:
-                bw.write(lextra, lbits)
+                write(lextra, lbits)
             dp, dbits, dextra = _prefix_encode(dist_code)
-            emit(d_codes, dp)
+            write(*d_codes[dp])
             if dbits:
-                bw.write(dextra, dbits)
+                write(dextra, dbits)
 
 
 def _pack_rgba_argb(rgba: np.ndarray) -> list:
