@@ -1365,10 +1365,12 @@ def doc_repetition(spark, sf):
     expressions."""
     d = _t(spark, sf, "documents")
     c = F.col("text")
-    g = ta.ngrams(c, 3)
     return d.select(
         "doc_id",
-        F.size(g).alias("n_ngrams"),
+        # token arithmetic == size(ngrams(c, 3)) exactly (r15 opt: the
+        # interpreted HOF built every gram string just to count them —
+        # 3.06 s vs 0.16 s at sf0.1); see ta.ngram_count
+        ta.ngram_count(c, 3).alias("n_ngrams"),
         F.round(ta.dup_ngram_fraction(c, 3), 6).alias("dup3_frac"),
     )
 

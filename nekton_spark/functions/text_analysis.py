@@ -199,6 +199,20 @@ def ngrams(col: Column, n: int = 3, policy: str = "word") -> Column:
     )
 
 
+def ngram_count(col: Column, n: int = 3, policy: str = "word") -> Column:
+    """``F.size(ngrams(col, n))`` as pure token arithmetic (r15 opt):
+    the interpreted ngram HOF materializes every gram STRING
+    (transform + slice + concat_ws per gram) just to be counted —
+    measured 3.06 s vs 0.16 s over 5k sf0.1 docs. Exactly equal:
+    ``tokenize`` coalesces NULL to "" so the token array is never
+    NULL and has size ≥ 1; ``ngrams`` returns an empty array below n
+    tokens and ``size(toks) - n + 1`` grams otherwise."""
+    toks = tokenize(col, policy)
+    return F.when(F.size(toks) < n, F.lit(0)).otherwise(
+        F.size(toks) - (n - 1)
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Content fingerprint = md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize(col))

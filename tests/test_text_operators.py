@@ -200,6 +200,32 @@ class TestDupNgramFractionParity:
             for r in rows:
                 assert r.arrow == r.expr, (n, texts[r.id], r.arrow, r.expr)
 
+    def test_ngram_count_equals_size_of_ngrams(self, spark):
+        """r15 opt parity witness: ngram_count (token arithmetic) must
+        equal size(ngrams(...)) — the HOF it replaced in
+        doc_repetition — on the same whitespace/NULL edge battery."""
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.text_analysis import ngram_count, ngrams
+
+        texts = [
+            None, "", "   ", "\n", "a", "a b", "a b c", "a b c a b c",
+            "a a a a a a", "\nx y z x y z", "x y z  \n", "x\ty z x y z",
+            "a b c d e f g h", "one two three one two three one two three",
+            " nbsp stays one token maybe", "a  b   c a  b",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        for n in (2, 3, 5):
+            rows = df.select(
+                "id",
+                ngram_count(F.col("text"), n).alias("fast"),
+                F.size(ngrams(F.col("text"), n)).alias("hof"),
+            ).collect()
+            for r in rows:
+                assert r.fast == r.hof, (n, texts[r.id], r.fast, r.hof)
+
 
 class TestTrainedLangId:
     """r8 verdict #7: the trained trigram-NB language id must beat the
