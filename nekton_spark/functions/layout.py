@@ -29,7 +29,7 @@ integer shifts/masks. NULL in either key column → NULL z-value
 
 from __future__ import annotations
 
-from functools import reduce
+from functools import lru_cache, reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -306,42 +306,150 @@ def _check_hilbert_bits(bits: int) -> None:
         raise ValueError(f"hilbert bits must be in [1, 30], got {bits}")
 
 
-def hilbert_expr(xb: Column, yb: Column, bits: int) -> Column:
-    """Hilbert index of two bucketized long columns as ONE pure
-    Catalyst expression: the per-level quadrant keys are pre-extracted
-    into an array with LITERAL shift amounts (shiftright takes only
-    literal bit counts), then a single ``aggregate`` fold walks the
-    state machine — the accumulator packs (d, state) as d*4+state, so
-    the fold is plain long arithmetic and the state/digit lookups are
-    ``element_at`` into two constant literal arrays. NULL in either
-    input poisons the fold to a NULL key (same contract as ``zv``).
-    No UDF, no shuffle; 16 interpreted fold steps per row (the HOF is
-    not codegen'd, but each step is ~6 scalar ops on a packed long —
-    measured fine next to the parquet scan)."""
-    _check_hilbert_bits(bits)
-    digit_arr = F.array(*[F.lit(v) for v in HILBERT_DIGIT])
-    next_arr = F.array(*[F.lit(v) for v in HILBERT_NEXT])
-    qs = F.array(
-        *[
-            (
-                F.shiftright(xb, i).bitwiseAND(F.lit(1)) * 2
-                + F.shiftright(yb, i).bitwiseAND(F.lit(1))
-            ).cast("long")
-            for i in range(bits - 1, -1, -1)
-        ]
-    )
-    acc = F.aggregate(
+_HILBERT_BLOCK = 4  # levels composed per fold step (table = 4 * 4^B entries)
+
+
+@lru_cache(maxsize=None)
+def _composed_hilbert_tables(s: int) -> tuple[tuple, tuple]:
+    """The ``s``-level composition of the 4-state Hilbert machine:
+    for start state ``st0`` and an MSB-first pack of ``s`` quadrant
+    keys ``b``, entry ``st0 * 4^s + b`` holds the 2s-bit digit run /
+    the end state of walking HILBERT_DIGIT/HILBERT_NEXT ``s`` times —
+    equality with the per-level walk is BY CONSTRUCTION (this loop IS
+    that walk) and pinned exhaustively in tests/test_layout.py."""
+    size = 1 << (2 * s)
+    dig = [0] * (4 * size)
+    nxt = [0] * (4 * size)
+    for st0 in range(4):
+        for b in range(size):
+            d, st = 0, st0
+            for k in range(s - 1, -1, -1):
+                q = (b >> (2 * k)) & 3
+                d = (d << 2) | HILBERT_DIGIT[st * 4 + q]
+                st = HILBERT_NEXT[st * 4 + q]
+            dig[st0 * size + b] = d
+            nxt[st0 * size + b] = st
+    return tuple(dig), tuple(nxt)
+
+
+def _long_array_expr(vals) -> Column:
+    """A literal array<long> rendered as ONE SQL fragment — the
+    per-literal ``F.array(*[F.lit(v)…])`` form costs 2 py4j calls per
+    entry (the PCA/ADC lesson); integer literals parse to the
+    identical tree."""
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
+def _hilbert_fold(acc: Column, qs: Column, s: int) -> Column:
+    """One ``aggregate`` fold over MSB-first ``2s``-bit quadrant packs
+    with the ``s``-level composed tables; ``acc`` packs (d, state) as
+    d*4+state exactly like the per-level form."""
+    dig, nxt = _composed_hilbert_tables(s)
+    digit_arr = _long_array_expr(dig)
+    next_arr = _long_array_expr(nxt)
+    size = 1 << (2 * s)
+    return F.aggregate(
         qs,
-        F.lit(0).cast("long"),
+        acc.cast("long"),
         lambda a, q: (
             F.shiftleft(
-                F.shiftleft(F.shiftright(a, 2), 2)
-                + F.element_at(digit_arr, (a.bitwiseAND(F.lit(3)) * 4 + q + 1).cast("int")),
+                F.shiftleft(F.shiftright(a, 2), 2 * s)
+                + F.element_at(
+                    digit_arr, (a.bitwiseAND(F.lit(3)) * size + q + 1).cast("int")
+                ),
                 2,
             )
-            + F.element_at(next_arr, (a.bitwiseAND(F.lit(3)) * 4 + q + 1).cast("int"))
+            + F.element_at(
+                next_arr, (a.bitwiseAND(F.lit(3)) * size + q + 1).cast("int")
+            )
         ).cast("long"),
     )
+
+
+@lru_cache(maxsize=None)
+def _interleave_tables(s: int) -> tuple[tuple, tuple]:
+    """Bit-spread tables for ``s``-bit slices: entry ``v`` of the x
+    (resp. y) table is ``v``'s bits spread to the odd (resp. even)
+    positions of a 2s-bit quadrant pack — quadrant of level ``i + k``
+    = x_bit<<1 | y_bit at pack position 2k."""
+    ix = tuple(
+        sum(((v >> k) & 1) << (2 * k + 1) for k in range(s))
+        for v in range(1 << s)
+    )
+    iy = tuple(
+        sum(((v >> k) & 1) << (2 * k) for k in range(s))
+        for v in range(1 << s)
+    )
+    return ix, iy
+
+
+def _quad_packs(xb: Column, yb: Column, blocks: list[list[int]], s: int) -> Column:
+    """MSB-first quadrant packs: one array element per block of ``s``
+    consecutive levels (each block listed descending), quadrant of the
+    block's top level in the pack's highest 2 bits. Each pack is two
+    shifted ``s``-bit slices spread through the interleave tables —
+    2 shifts + 2 masks + 2 element_at instead of 6 ops per LEVEL (the
+    extraction, not the fold, dominated after the block composition).
+    NULL input → NULL slice → NULL pack, matching the per-level form."""
+    ix, iy = _interleave_tables(s)
+    ix_arr = _long_array_expr(ix)
+    iy_arr = _long_array_expr(iy)
+    mask = F.lit((1 << s) - 1)
+    return F.array(
+        *[
+            (
+                F.element_at(
+                    ix_arr,
+                    (F.shiftright(xb, block[-1]).bitwiseAND(mask) + 1).cast("int"),
+                )
+                + F.element_at(
+                    iy_arr,
+                    (F.shiftright(yb, block[-1]).bitwiseAND(mask) + 1).cast("int"),
+                )
+            ).cast("long")
+            for block in blocks
+        ]
+    )
+
+
+def hilbert_expr(xb: Column, yb: Column, bits: int) -> Column:
+    """Hilbert index of two bucketized long columns as ONE pure
+    Catalyst expression: quadrant keys are pre-extracted with LITERAL
+    shift amounts (shiftright takes only literal bit counts), then an
+    ``aggregate`` fold walks the state machine — the accumulator packs
+    (d, state) as d*4+state, so the fold is plain long arithmetic and
+    the state/digit lookups are ``element_at`` into constant literal
+    arrays. NULL in either input poisons the fold to a NULL key (same
+    contract as ``zv``). No UDF, no shuffle.
+
+    The fold walks _HILBERT_BLOCK levels per step using the composed
+    tables of :func:`_composed_hilbert_tables` (r15 opt: the HOF is
+    interpreted, never codegen'd, and the per-level walk's 16 steps
+    measured 1.53 s vs the Morton key's 0.1 s over 100k rows — the
+    composition cuts the interpreted steps 4×, identical values by
+    construction). ``bits % _HILBERT_BLOCK`` leading levels run as a
+    first fold over the 1-level tables, seeding the block fold's
+    accumulator."""
+    _check_hilbert_bits(bits)
+    s = min(_HILBERT_BLOCK, bits)
+    r = bits % s
+    acc = F.lit(0).cast("long")
+    if r:
+        # leading partial block: per-level walk (cannot zero-pad — a
+        # q=0 step still moves the state machine)
+        acc = _hilbert_fold(
+            acc,
+            _quad_packs(
+                xb, yb, [[i] for i in range(bits - 1, bits - r - 1, -1)], 1
+            ),
+            1,
+        )
+    blocks = [
+        list(range(i + s - 1, i - 1, -1))
+        for i in range(bits - r - s, -1, -s)
+    ]
+    if blocks:
+        acc = _hilbert_fold(acc, _quad_packs(xb, yb, blocks, s), s)
     return F.shiftright(acc, 2)
 
 

@@ -193,6 +193,39 @@ class TestHilbertKey:
         for i, x, y in rows:
             assert out[i] == _xy2d_py(bits, x, y)
 
+    def test_composed_tables_equal_per_level_walk(self):
+        """r15 opt pin: the block-composed Hilbert tables and the
+        interleave spread tables must reproduce the 1-level state
+        machine EXHAUSTIVELY — every (state, quadrant-pack) cell for
+        every block size the fold can use."""
+        from nekton_spark.functions.layout import (
+            HILBERT_DIGIT,
+            HILBERT_NEXT,
+            _composed_hilbert_tables,
+            _interleave_tables,
+        )
+
+        for s in (1, 2, 3, 4):
+            dig, nxt = _composed_hilbert_tables(s)
+            size = 1 << (2 * s)
+            for st0 in range(4):
+                for b in range(size):
+                    d, st = 0, st0
+                    for k in range(s - 1, -1, -1):
+                        q = (b >> (2 * k)) & 3
+                        d = (d << 2) | HILBERT_DIGIT[st * 4 + q]
+                        st = HILBERT_NEXT[st * 4 + q]
+                    assert dig[st0 * size + b] == d, (s, st0, b)
+                    assert nxt[st0 * size + b] == st, (s, st0, b)
+            ix, iy = _interleave_tables(s)
+            for xv in range(1 << s):
+                for yv in range(1 << s):
+                    pack = ix[xv] + iy[yv]
+                    for k in range(s):
+                        q = (pack >> (2 * k)) & 3
+                        want = (((xv >> k) & 1) << 1) | ((yv >> k) & 1)
+                        assert q == want, (s, xv, yv, k)
+
     def test_null_key_gives_null_hv(self, spark):
         from nekton_spark.functions.layout import hilbert_value
 
