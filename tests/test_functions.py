@@ -246,6 +246,31 @@ class TestDedup:
             ).fetchone()[0]
             assert row.s == py == sql, repr(c)
 
+    def test_script_spread_translate_matches_regex_reference(self):
+        """r15 opt: script_spread_py runs on a str.translate table; the
+        original regex kernel stays as the reference. Exhaustive parity
+        at every range boundary (lo-1, lo, hi, hi+1 for each
+        SPACELESS_RANGES entry, embedded between Latin and Han
+        neighbors) plus interior samples — any table off-by-one or
+        missing range diverges here."""
+        from nekton_spark.functions.text_analysis import (
+            _SPREAD_RE_PY,
+            SPACELESS_RANGES,
+            script_spread_py,
+        )
+
+        ref = lambda t: _SPREAD_RE_PY.sub(r" \1 ", t)  # noqa: E731
+        probes = []
+        for lo, hi in SPACELESS_RANGES:
+            for cp in (lo - 1, lo, lo + (hi - lo) // 2, hi, hi + 1):
+                if 0 <= cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                    probes.append(chr(cp))
+        for p in probes:
+            for ctx in (p, f"a{p}b", f"中{p}中", f" {p} ", p * 3):
+                assert script_spread_py(ctx) == ref(ctx), hex(ord(p))
+        assert script_spread_py("") == ""
+        assert script_spread_py("plain ascii text") == "plain ascii text"
+
     def test_tokenize_policy_validation(self, spark):
         import pytest as _pt
 
