@@ -152,6 +152,40 @@ def _md5_h60_batch(sh_lists: list[list[str]]) -> dict[str, int]:
     return memo
 
 
+def _hashed_shingles_udf(shingle_n: int, tokenize: str = "word"):
+    """Distinct hash60(seed 0) shingle set per doc, Arrow-batched — the
+    md5-engine verify-stage kernel (r15 opt, second pass). The JVM
+    ``array_distinct(transform(shingles, hash60))`` expression it
+    replaces computes an md5 + string concat per gram OCCURRENCE inside
+    an interpreted HOF lambda (HOFs never codegen); this kernel hashes
+    each DISTINCT shingle once per Arrow batch (:func:`_md5_h60_batch`
+    — clique members share their whole shingle set and sit in the same
+    batch, so a c-doc clique pays 1× the md5 work, not c×). Measured
+    2× faster warm on the cjk verify pin at sf0.1 with the set output
+    proven identical element-for-element (test_hashed_shingles_udf
+    pins the JVM-expression parity over the NULL/empty/whitespace/CJK
+    edge battery). Set semantics match the JVM expression: empty/NULL
+    text → []; element order differs (first-occurrence-of-hash vs
+    first-occurrence-of-gram) but only |∩|/|∪| sizes are consumed.
+    Runs post-semi-join on candidates only — O(candidate docs) at
+    scale, the narrow (id, longs) crossing — distinct from the r15
+    REVERTED fused sig+hs experiment, which carried hs arrays through
+    the banding shuffle."""
+
+    @F.pandas_udf("array<long>")
+    def _hs(texts: pd.Series) -> pd.Series:
+        sh_lists = [_shingles_py(t or "", shingle_n, tokenize) for t in texts]
+        memo = _md5_h60_batch(sh_lists)
+        return pd.Series(
+            [
+                list(dict.fromkeys(memo[s] for s in sh)) if sh else []
+                for sh in sh_lists
+            ]
+        )
+
+    return _hs
+
+
 def _sig_and_hashed_shingles_udf(k: int, shingle_n: int, tokenize: str = "word"):
     """One Arrow pass producing BOTH the k-long MinHash signature and
     the doc's distinct hashed shingle set (full 60-bit hash60 — no
@@ -470,30 +504,32 @@ def minhash_lsh_pairs(
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # r15 opt: the verify shingle sets are pure-JVM expressions —
-    # distinct HASHED shingles (hash60 for the md5 engine, xxhash64 for
-    # the production engine) instead of the Python string-set UDF this
-    # stage used to run. Drops the second Arrow crossing entirely and
-    # compares 8-byte longs in the pair join instead of shingle
-    # strings. |∩|/|∪| over hashed sets equals the string-set Jaccard
-    # barring a 60-bit collision inside one pair's union
-    # (~|union|²/2^61 ≈ 1e-14 — the engine-wide posture already
-    # documented for the inverted-index join and the streaming neardup
-    # verify, both oracle-pinned).
-    hash_g = (
-        (lambda g: F.xxhash64(g)) if hash == "xxhash64" else (lambda g: hash60(g, 0))
-    )
+    # r15 opt: the verify shingle sets are distinct HASHED shingles
+    # instead of the Python STRING-set UDF this stage used to run —
+    # the pair join compares 8-byte longs, ~10× narrower join state.
+    # |∩|/|∪| over hashed sets equals the string-set Jaccard barring a
+    # 60-bit collision inside one pair's union (~|union|²/2^61 ≈ 1e-14
+    # — the engine-wide posture already documented for the
+    # inverted-index join and the streaming neardup verify, both
+    # oracle-pinned). The hashing kernel is per-engine (below).
+    if hash == "xxhash64":
+        # production engine stays pure-JVM (xxhash64 is a cheap native
+        # function; the whole path's posture is zero Python workers)
+        sh_col = F.array_distinct(
+            F.transform(
+                _shingles_expr(F.col("_txt"), shingle_n, tokenize),
+                lambda g: F.xxhash64(g),
+            )
+        )
+    else:
+        # md5 engine: Arrow batch kernel — hash60 per DISTINCT shingle
+        # per batch instead of an interpreted md5 per gram occurrence
+        # (see _hashed_shingles_udf; identical sets, 2× faster warm)
+        sh_col = _hashed_shingles_udf(shingle_n, tokenize)(F.col("_txt"))
     sh = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .join(cand_ids, "id", "left_semi")
-        .select(
-            "id",
-            F.array_distinct(
-                F.transform(
-                    _shingles_expr(F.col("_txt"), shingle_n, tokenize), hash_g
-                )
-            ).alias("sh"),
-        )
+        .select("id", sh_col.alias("sh"))
         .transform(materialize)
     )
     a = sh.alias("a")

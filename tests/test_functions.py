@@ -271,6 +271,61 @@ class TestDedup:
         assert script_spread_py("") == ""
         assert script_spread_py("plain ascii text") == "plain ascii text"
 
+    def test_hashed_shingles_udf_matches_jvm_expr(self, spark):
+        """r15 opt (verify-stage kernel swap): the Arrow batch kernel
+        `_hashed_shingles_udf` must produce the SAME hashed-shingle SET
+        as the JVM `array_distinct(transform(shingles, hash60))`
+        expression it replaces on the md5 engine — over the
+        NULL/empty/whitespace-edged battery, CJK under both tokenize
+        policies, and a shared-shingle clique (the batch-memo path).
+        Element order may differ (first-occurrence-of-hash vs of-gram);
+        the verify stage consumes only |∩|/|∪| sizes, so the pin is
+        sorted-set equality."""
+        from pyspark.sql import functions as F
+
+        from nekton_spark.functions.dedup import (
+            _hashed_shingles_udf,
+            _shingles_expr,
+        )
+        from nekton_spark.functions.hashing import hash60
+
+        rows = [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "\none two three\n"),
+            (4, " a  b\tc d "),
+            (5, "one two"),  # < n tokens → empty set
+            (6, "中文混合 english 词与词"),
+            (7, "ไทยแท้ๆ no spaces here at all"),
+            (8, "x y z " * 40),  # heavy duplication within one doc
+            (9, "alpha beta gamma delta epsilon"),
+            (10, "alpha beta gamma delta epsilon"),  # clique twin
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        for tok in ("word", "script"):
+            jvm = d.select(
+                "doc_id",
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            _shingles_expr(F.col("text"), 3, tok),
+                            lambda g: hash60(g, 0),
+                        )
+                    )
+                ).alias("sh"),
+            )
+            arrow = d.select(
+                "doc_id",
+                F.array_sort(
+                    _hashed_shingles_udf(3, tok)(F.col("text"))
+                ).alias("sh"),
+            )
+            got = {r.doc_id: r.sh for r in arrow.collect()}
+            want = {r.doc_id: r.sh for r in jvm.collect()}
+            assert got == want, tok
+            assert got[5] == [] and got[9] == got[10] != []
+
     def test_tokenize_policy_validation(self, spark):
         import pytest as _pt
 
