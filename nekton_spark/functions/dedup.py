@@ -113,20 +113,6 @@ def _shingles_py(text: str, n: int, tokenize: str = "word") -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def _distinct_shingles_udf(shingle_n: int, tokenize: str = "word"):
-    import hashlib  # noqa: F401  (parity with sig udf env)
-
-    @F.pandas_udf("array<string>")
-    def _sh(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: list(
-                dict.fromkeys(_shingles_py(t or "", shingle_n, tokenize))
-            )
-        )
-
-    return _sh
-
-
 def _md5_h60_batch(sh_lists: list[list[str]]) -> dict[str, int]:
     """md5-derived 60-bit hash for every DISTINCT shingle across an
     Arrow batch, each computed exactly once (r15 opt): near-dup batches
@@ -152,7 +138,9 @@ def _md5_h60_batch(sh_lists: list[list[str]]) -> dict[str, int]:
     return memo
 
 
-def _hashed_shingles_udf(shingle_n: int, tokenize: str = "word"):
+def _hashed_shingles_udf(
+    shingle_n: int, tokenize: str = "word", dedupe: str = "hash"
+):
     """Distinct hash60(seed 0) shingle set per doc, Arrow-batched — the
     md5-engine verify-stage kernel (r15 opt, second pass). The JVM
     ``array_distinct(transform(shingles, hash60))`` expression it
@@ -170,18 +158,33 @@ def _hashed_shingles_udf(shingle_n: int, tokenize: str = "word"):
     Runs post-semi-join on candidates only — O(candidate docs) at
     scale, the narrow (id, longs) crossing — distinct from the r15
     REVERTED fused sig+hs experiment, which carried hs arrays through
-    the banding shuffle."""
+    the banding shuffle.
+
+    ``dedupe`` names the distinct key, matching the JVM construction
+    each call site replaces bit-for-bit INCLUDING the ~2⁻⁶⁰ collision
+    edge: ``"hash"`` ≙ ``array_distinct(transform(sh, hash60))``
+    (minhash verify — a collision dedupes), ``"string"`` ≙
+    ``transform(array_distinct(sh), hash60)`` (inverted-index plan and
+    its DuckDB oracle — a collision keeps both rows)."""
+    if dedupe not in ("hash", "string"):
+        raise ValueError(f"unknown dedupe key: {dedupe!r}")
+    by_string = dedupe == "string"
 
     @F.pandas_udf("array<long>")
     def _hs(texts: pd.Series) -> pd.Series:
         sh_lists = [_shingles_py(t or "", shingle_n, tokenize) for t in texts]
         memo = _md5_h60_batch(sh_lists)
-        return pd.Series(
-            [
+        if by_string:
+            out = [
+                [memo[s] for s in dict.fromkeys(sh)] if sh else []
+                for sh in sh_lists
+            ]
+        else:
+            out = [
                 list(dict.fromkeys(memo[s] for s in sh)) if sh else []
                 for sh in sh_lists
             ]
-        )
+        return pd.Series(out)
 
     return _hs
 
@@ -750,26 +753,30 @@ def ngram_jaccard_pairs(
         df = hash_sample(df, id_col, audit_sample, seed=audit_seed)
     from .similarity import ensure_parallelism
 
-    shingle_set = _distinct_shingles_udf(n, tokenize)
+    # join on the 60-bit shingle hash, not the shingle string: the
+    # inverted-index shuffle moves 8-byte keys instead of text, and the
+    # (quadratic) pair-join compares longs. Collisions are ~2^-60 and
+    # the oracle hashes identically, so results are unchanged. The
+    # hashing happens INSIDE the Arrow shingle pass (r15 opt, second
+    # wave: _hashed_shingles_udf dedupe="string" — hash60 per DISTINCT
+    # shingle per batch): the old construction shipped the string
+    # arrays through Arrow only to feed an interpreted JVM
+    # transform(hash60) (an md5 + string concat per element — HOF
+    # lambdas never codegen). dedupe="string" keeps the oracle's exact
+    # list_distinct(strings)-then-hash semantics.
+    hashed_set = _hashed_shingles_udf(n, tokenize, dedupe="string")
     # fan out BELOW the shingle UDF: a small corpus reads as one parquet
     # split and the corpus-wide Arrow shingle pass is the heavy stage —
     # it must run fanned, not single-task (r15 opt; no-op at real scale)
     base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), shingle_set(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), hashed_set(F.col(text_col)).alias("sh")
     ).filter(F.size("sh") > 0)
-    # join on the 60-bit shingle hash, not the shingle string: the
-    # inverted-index shuffle moves 8-byte keys instead of text, and the
-    # (quadratic) pair-join compares longs. Collisions are ~2^-60 and
-    # the oracle hashes identically, so results are unchanged.
-    #
     # Materialize the index BEFORE any census: it feeds the df-cut
     # census, the sizes aggregate and BOTH self-join sides — without
     # the pin the corpus-wide shingle UDF re-runs once per consumer
     # (the census alone re-ran it; r15 opt measured 3.9 s -> 1.8 s at
     # sf0.1 moving the pin above the cut).
-    inv = base.select(
-        "id", F.explode(F.transform("sh", lambda g: hash60(g, 0))).alias("g")
-    ).transform(materialize)
+    inv = base.select("id", F.explode("sh").alias("g")).transform(materialize)
     if max_doc_freq is not None:
         # df-cut: drop shingles shared by more than max_doc_freq docs.
         # This caps the quadratic pair fan-out per shingle (the standard

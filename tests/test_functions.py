@@ -325,6 +325,26 @@ class TestDedup:
             want = {r.doc_id: r.sh for r in jvm.collect()}
             assert got == want, tok
             assert got[5] == [] and got[9] == got[10] != []
+            # dedupe="string" ≙ transform(array_distinct(sh), hash60)
+            # — the inverted-index plan's (and its oracle's) exact
+            # construction: distinct STRINGS each hashed, in
+            # first-occurrence-of-string order
+            jvm_s = d.select(
+                "doc_id",
+                F.transform(
+                    F.array_distinct(_shingles_expr(F.col("text"), 3, tok)),
+                    lambda g: hash60(g, 0),
+                ).alias("sh"),
+            )
+            arrow_s = d.select(
+                "doc_id",
+                _hashed_shingles_udf(3, tok, dedupe="string")(
+                    F.col("text")
+                ).alias("sh"),
+            )
+            got_s = {r.doc_id: r.sh for r in arrow_s.collect()}
+            want_s = {r.doc_id: r.sh for r in jvm_s.collect()}
+            assert got_s == want_s, tok  # ORDER-sensitive equality
 
     def test_tokenize_policy_validation(self, spark):
         import pytest as _pt
