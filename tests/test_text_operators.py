@@ -135,6 +135,52 @@ class TestDialectTranslation:
     def test_backslash(self):
         assert text.translate_replacement(r"a\b") == "a\\\\b"
 
+    def test_ascii_word_boundary_cross_engine(self, spark):
+        """r15 opt-round fuzz (seed 4651): Java's ``\\b`` is
+        Unicode-aware by default, RE2/DuckDB's is ASCII-only — on
+        ``a买b`` RE2 sees a boundary before ``b`` (买 ∉ ASCII \\w) and
+        Java does not (买 IS a Java word char), so the
+        pipe_regex_select driver row diverged from its oracle by one
+        row. The row now spells the boundary explicitly as
+        ``(?<![0-9A-Za-z_])`` — this test pins that spelling to RE2's
+        ``\\b`` in DuckDB on the hostile neighborhood battery, and
+        keeps the old blind spot red (the raw Java ``\\b`` still
+        disagrees on the CJK-adjacent case)."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        cases = [
+            "a买b delta",       # CJK word char abuts the match (the fuzz doc)
+            "a-b sat _b 9s",    # ASCII non-word / word neighborhoods
+            "bs b s",           # start-of-string + bare tokens
+            "买so Ωsat",        # spaceless + Greek (Ω is a Java word char too)
+            "naïve sb",         # accented Latin neighbor
+        ]
+        ascii_pat = r"(?<![0-9A-Za-z_])[bs][a-z]*"
+        d = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+        got = {
+            r.i: r.m
+            for r in d.select(
+                "i", F.regexp_extract_all("t", F.lit(ascii_pat), F.lit(0)).alias("m")
+            ).collect()
+        }
+        con = duckdb.connect()
+        for i, c in enumerate(cases):
+            want = con.execute(
+                r"SELECT regexp_extract_all(?, '\b[bs][a-z]*')", [c]
+            ).fetchone()[0]
+            assert got[i] == want, (c, got[i], want)
+        # the old blind spot stays red: raw Java \b misses the
+        # CJK-adjacent match RE2 finds
+        java_b = {
+            r.i: r.m
+            for r in d.select(
+                "i", F.regexp_extract_all("t", F.lit(r"\b[bs][a-z]*"), F.lit(0)).alias("m")
+            ).collect()
+        }
+        assert java_b[0] != got[0] and "b" in got[0]
+
 
 class TestBatchMetadata:
     """Reference MessageBatch.metadata analog (src/lib.rs:33): batch-
