@@ -53,7 +53,10 @@ class Spec:
     #   the 32-partition default burns most of its wall on empty state
     #   commits (r14 adjudication, BASELINE.md: 5.6 s → 2.3 s on the
     #   sf0.1 dedup leg by 32 → 8, data constant). Size it to expected
-    #   keys/batch; leave unset at real corpus scale.
+    #   keys/batch; leave unset at real corpus scale. The ambient
+    #   session value is restored when the spec finishes (batch: at
+    #   return; streaming: asynchronously at query termination via a
+    #   self-removing listener — r16).
     engine: dict = None  # type: ignore[assignment]
 
     @classmethod
@@ -120,18 +123,49 @@ def run_spec(spark: SparkSession, spec: Spec | str):
             # queries were silently inheriting this spec's small N)
             spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
         else:
-            # streaming sink: must stay set — the stateful stream
-            # re-reads the count from its checkpoint anyway, and
-            # restoring mid-run would race the first micro-batch's
-            # planning. Warn so the session-wide change is visible.
-            import warnings
-
-            warnings.warn(
-                "engine.state_partitions left "
-                "spark.sql.shuffle.partitions="
-                f"{spark.conf.get('spark.sql.shuffle.partitions')} set "
-                f"session-wide (was {prior_shuffle}) for the lifetime "
-                "of the streaming query",
-                stacklevel=2,
-            )
+            # streaming sink (r16, r15 verdict #8): the conf must stay
+            # set while the stream runs — the stateful query locks the
+            # count into its checkpoint at first-batch planning, and
+            # restoring mid-run would race that — but it must NOT leak
+            # to the session after the stream stops. A termination
+            # listener scoped to this query id restores the ambient
+            # value once the stream ends (the restore is asynchronous:
+            # it lands on the listener-bus thread shortly after
+            # ``stop()`` returns).
+            _restore_shuffle_on_termination(spark, result, prior_shuffle)
     return result
+
+
+def _restore_shuffle_on_termination(spark, query, prior_shuffle: str) -> None:
+    """Restore ``spark.sql.shuffle.partitions`` when ``query`` ends.
+
+    Registered per ``run_spec`` streaming invocation; self-removing.
+    Concurrent streaming specs restore in termination order (each
+    captured its own ambient value at start — the same semantics the
+    raw conf set/restore always had)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _Restore(StreamingQueryListener):
+        def onQueryStarted(self, event):  # pragma: no cover - unused
+            pass
+
+        def onQueryProgress(self, event):  # pragma: no cover - unused
+            pass
+
+        def onQueryIdle(self, event):  # pragma: no cover - unused
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) != qid:
+                return
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+            finally:
+                try:
+                    spark.streams.removeListener(self)
+                except Exception:
+                    pass
+
+    spark.streams.addListener(_Restore())
