@@ -970,9 +970,26 @@ def bm25_topk(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    wdf = Window.partitionBy("token")
+    # term df as a tiny aggregate + broadcast join (r16, r15 verdict
+    # #5): postings are distinct (doc, term) rows, so COUNT per token
+    # IS the doc frequency. The r15 plan computed it as a count window
+    # over the tf frame — an Exchange(token) + Sort over every
+    # matching posting. Now: pin tf once (it is bounded by MATCHING
+    # postings — the broadcast semi-join already cut the corpus — so
+    # the pin is workload-scale, not corpus-scale), aggregate df from
+    # the pinned frame (map-side partial collapses to ≤ |query terms|
+    # rows per task; the final agg is |query terms| rows, broadcastable
+    # by construction), and broadcast-join it back — the posting
+    # stream is never re-shuffled or sorted by token. The pin is
+    # load-bearing: without it the df branch re-derives the whole
+    # corpus scan + tokenize + explode subtree (measured — column
+    # pruning drops first(dl) from the df branch's partial aggregate,
+    # so the two tf exchanges differ and AQE exchange reuse never
+    # fires; the 'after' final plan had 6 corpus scans vs 4).
+    tf = tf.transform(materialize)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        tf.join(F.broadcast(dfreq), "token")
         .join(F.broadcast(qterms), "token")
         .crossJoin(F.broadcast(stats))
         .withColumn(

@@ -349,3 +349,103 @@ class TestZValueN:
         e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         df = z_value_n(e, ["user_id", "value", "event_id"]).select("event_id", "zv")
         assert plans.count_exchanges(df) == 0
+
+
+class TestFooterRanges:
+    """r16: the stats pre-pass reads parquet footer min/max (zero
+    jobs) when — and only when — exactness is provable."""
+
+    def _write(self, spark, tmp_path, rows, schema):
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        return spark.read.parquet(p)
+
+    def test_matches_aggregate_on_plain_scan(self, spark, tmp_path):
+        from nekton_spark.functions.layout import _footer_ranges
+
+        df = self._write(
+            spark,
+            tmp_path,
+            [(1, 2.5), (7, -3.25), (4, 0.5), (None, None)],
+            "a long, b double",
+        )
+        fr = _footer_ranges(df, ["a", "b"])
+        row = df.agg(
+            F.min(F.col("a").cast("double")),
+            F.max(F.col("a").cast("double")),
+            F.min(F.col("b").cast("double")),
+            F.max(F.col("b").cast("double")),
+        ).first()
+        assert fr == [(row[0], row[1]), (row[2], row[3])]
+
+    def test_filter_disqualifies(self, spark, tmp_path):
+        """Footer stats describe the FILES; a filtered frame must fall
+        back to the aggregate (its min/max differ from the files')."""
+        from nekton_spark.functions.layout import _footer_ranges
+
+        df = self._write(
+            spark, tmp_path, [(i, float(i)) for i in range(10)],
+            "a long, b double",
+        )
+        assert _footer_ranges(df.filter("a < 3"), ["a", "b"]) is None
+
+    def test_computed_column_disqualifies(self, spark, tmp_path):
+        from nekton_spark.functions.layout import _footer_ranges
+
+        df = self._write(
+            spark, tmp_path, [(i, float(i)) for i in range(10)],
+            "a long, b double",
+        )
+        shadowed = df.withColumn("b", F.col("b") * 2)
+        assert _footer_ranges(shadowed, ["a", "b"]) is None
+        renamed = df.select(F.col("a").alias("c"), "b")
+        assert _footer_ranges(renamed, ["c", "b"]) is None
+
+    def test_passthrough_project_allowed(self, spark, tmp_path):
+        """The engine's table_source adds a ts-conversion Project on
+        events; untouched columns must still take the footer path."""
+        from nekton_spark.functions.layout import _footer_ranges
+
+        df = self._write(
+            spark, tmp_path, [(i, float(i), i * 10) for i in range(10)],
+            "a long, b double, ts long",
+        )
+        proj = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+        assert _footer_ranges(proj, ["a", "b"]) == [(0.0, 9.0), (0.0, 9.0)]
+
+    def test_all_null_column_disqualifies(self, spark, tmp_path):
+        from nekton_spark.functions.layout import _footer_ranges
+
+        df = self._write(
+            spark, tmp_path, [(1, None), (2, None)], "a long, b double"
+        )
+        assert _footer_ranges(df, ["a", "b"]) is None
+
+    def test_string_column_disqualifies(self, spark, tmp_path):
+        from nekton_spark.functions.layout import _footer_ranges
+
+        df = self._write(
+            spark, tmp_path, [(1, "x"), (2, "y")], "a long, b string"
+        )
+        assert _footer_ranges(df, ["a", "b"]) is None
+
+    def test_hilbert_value_identical_on_footer_and_agg_paths(
+        self, spark, tmp_path
+    ):
+        """End-to-end: hv over a plain scan (footer path) equals hv
+        over the same rows reached through a no-op filter (aggregate
+        path) — the pre-pass source must never change the keys."""
+        from nekton_spark.functions.layout import hilbert_value
+
+        rows = [(i, i * 3 % 17, float(i * 7 % 23) / 3) for i in range(200)]
+        df = self._write(spark, tmp_path, rows, "id long, a long, b double")
+        fast = {
+            r.id: r.hv for r in hilbert_value(df, "a", "b").collect()
+        }
+        slow = {
+            r.id: r.hv
+            for r in hilbert_value(df.filter("id >= 0"), "a", "b").collect()
+        }
+        assert fast == slow
