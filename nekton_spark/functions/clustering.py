@@ -229,11 +229,12 @@ def kmeans(
             df, vec_col, id_col, k, iters, assign_mode, keep_vec,
             max_k, target_cluster, cell_cap,
         )
-    from .similarity import ensure_parallelism
+    from .similarity import VEC_BYTES_PER_SLICE, ensure_parallelism
 
     # small corpora read as 1-2 parquet splits would run every n·k
-    # assignment pass on 1-2 tasks; no-op at real scale
-    pts = ensure_parallelism(df).select(
+    # assignment pass on 1-2 tasks; no-op at real scale (vector-kernel
+    # slice size — see VEC_BYTES_PER_SLICE)
+    pts = ensure_parallelism(df, VEC_BYTES_PER_SLICE).select(
         F.col(id_col).alias("_kid"),
         F.col(vec_col).cast("array<double>").alias("_kv"),
     )
@@ -688,7 +689,7 @@ def semdedup(
     the degenerate case (a giant identical-vector cluster) is the
     pathology the docs route to quantized_dedup first.
     """
-    from .similarity import ensure_parallelism
+    from .similarity import VEC_BYTES_PER_SLICE, ensure_parallelism
 
     if assignment is None:
         # keep_vec: (id, v, cluster) from one projection — no corpus
@@ -704,7 +705,7 @@ def semdedup(
         )
     else:
         pts = (
-            ensure_parallelism(df)
+            ensure_parallelism(df, VEC_BYTES_PER_SLICE)
             .select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).cast("array<double>").alias("v"),

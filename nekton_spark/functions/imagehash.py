@@ -91,12 +91,13 @@ def image_dhash(
             out.append(dhash64(a.reshape(int(h), int(w), ch)))
         return pd.Series(out, dtype="int64")
 
-    from .similarity import ensure_parallelism
+    from .similarity import VEC_BYTES_PER_SLICE, ensure_parallelism
 
     # fan out below the hash (r15 opt): a 1-split synth input would
     # run the Arrow pass on one task; no-op at scale / on already-
-    # repartitioned decode output
-    df = ensure_parallelism(df)
+    # repartitioned decode output. Vector-kernel slice size (r16):
+    # the dHash is µs/row numpy — see VEC_BYTES_PER_SLICE
+    df = ensure_parallelism(df, VEC_BYTES_PER_SLICE)
     return df.withColumn(out_col, _dh(F.col(pixels_col), F.col(h_col), F.col(w_col)))
 
 
@@ -321,11 +322,12 @@ def synth_oriented_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    from .similarity import ensure_parallelism
+    from .similarity import VEC_BYTES_PER_SLICE, ensure_parallelism
 
     # fan out BELOW the synth (r15 opt): 1-split corpus would run
-    # the per-row inverse-orient build on one task
-    return ensure_parallelism(df).mapInPandas(run, out_schema)
+    # the per-row inverse-orient build on one task (µs/row numpy —
+    # vector-kernel slice size, r16)
+    return ensure_parallelism(df, VEC_BYTES_PER_SLICE).mapInPandas(run, out_schema)
 
 
 def synth_gray_frames(df: DataFrame, key_col: str = "doc_id") -> DataFrame:

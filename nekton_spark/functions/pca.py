@@ -97,7 +97,10 @@ def _moments_micro(
     import numpy as np
     import pandas as pd
 
-    from nekton_spark.functions.similarity import ensure_parallelism
+    from nekton_spark.functions.similarity import (
+        VEC_BYTES_PER_SLICE,
+        ensure_parallelism,
+    )
 
     def partials(batches):
         for pdf in batches:
@@ -112,7 +115,9 @@ def _moments_micro(
             )
 
     cells = (
-        ensure_parallelism(df.select(F.col(vec_col).alias("v")))
+        ensure_parallelism(
+            df.select(F.col(vec_col).alias("v")), VEC_BYTES_PER_SLICE
+        )
         .mapInPandas(partials, "idx long, s double")
         .groupBy("idx")
         .agg(F.sum("s").alias("s"))

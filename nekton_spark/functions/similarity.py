@@ -125,6 +125,25 @@ def _already_repartitioned(df: DataFrame) -> bool:
     return False
 
 
+# Slice granularity for the VECTOR kernels (sketch / dot-product /
+# quantize / PCA / k-means assignment / dHash): their per-row work is
+# ~µs-scale numpy batch arithmetic, so a task needs ≥ ~2500 wide rows
+# (~1 MiB of 64-dim doubles) before it amortizes its own scheduling +
+# Arrow round-trip. r15 sized these sites at the 64 KiB default tuned
+# for the ms-per-row codec/extract kernels, which spread a 2000-row
+# corpus over 12 near-empty Python tasks — the measured
+# embedding_near_dup regression (+30%, slower at 32 cores than 8,
+# r15 verdict #1). Interleaved same-session A/B at sf0.1 (min-of-2):
+# embedding_near_dup 1.65→1.38, image_near_dup 2.33→1.73, ann_topk_lsh
+# 2.33→1.69, kmeans_tiered 1.83→1.45, semdedup 1.37→1.13, pca
+# 0.78→0.51 — while webp_decode (ms/row codec; KEEPS the 64 KiB
+# default) was 1.5 s at 64 KiB vs 8.3 s at 1 MiB. At the decade
+# scales the coarser slice still fans: sf1 embeddings (7.8 MB) → 7
+# slices, sf10 (78 MB) → 32; at real scale the helper is a no-op
+# either way (natural splits exceed the target).
+VEC_BYTES_PER_SLICE = 1 << 20
+
+
 def ensure_parallelism(df: DataFrame, bytes_per_slice: int = 64 << 10) -> DataFrame:
     """Small corpora read as 1-2 parquet splits; with the query side
     broadcast there is no shuffle to fan the scoring out, so the whole
@@ -243,7 +262,8 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
     c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv"))
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")),
+        VEC_BYTES_PER_SLICE,
     )
     cos = cosine_udf()
     scored = (
@@ -504,7 +524,7 @@ def lsh_topk(
     # materialization the corpus-scale sketch UDF (the dominant map
     # cost) executes once per branch. Checkpoint volume = the same
     # bands× rows the bucket shuffle already moves.
-    cb = materialize(banded(ensure_parallelism(corpus), id_col, vec_col))
+    cb = materialize(banded(ensure_parallelism(corpus, VEC_BYTES_PER_SLICE), id_col, vec_col))
     qb = banded(queries, id_col, vec_col, probe=bool(multiprobe))
 
     # Salt oversized corpus buckets into ~tile-row subgroups (same
@@ -739,7 +759,7 @@ def ivf_topk(
     force is a quality property tested separately."""
     coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    base = ensure_parallelism(base)
+    base = ensure_parallelism(base, VEC_BYTES_PER_SLICE)
     cos = cosine_udf()
     # Assignment pays the n×C dot products every IVF build pays, but a
     # broadcast JOIN would ship both 64-dim vectors through Arrow for
@@ -883,7 +903,7 @@ def pq_topk(
     from .clustering import train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    base = ensure_parallelism(base)
+    base = ensure_parallelism(base, VEC_BYTES_PER_SLICE)
     n = _estimate_rows(base)
     stride = max(1, -(-n // train_cap))
     tr = base.filter(F.col("id") % stride == 0)
@@ -1022,7 +1042,7 @@ def ivfpq_topk(
     from .clustering import train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    base = ensure_parallelism(base)
+    base = ensure_parallelism(base, VEC_BYTES_PER_SLICE)
     n = _estimate_rows(base)
     pq_stride = max(1, -(-n // train_cap))
     c_ids, c_mat, _kc, _cs = _coarse_centroids(
@@ -1310,7 +1330,7 @@ def ivfpq_index_build(
     coarse = _resolve_coarse(coarse, centroid_stride, coarse_k)
     d0 = dim // m_sub
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    base = ensure_parallelism(base)
+    base = ensure_parallelism(base, VEC_BYTES_PER_SLICE)
     n = _estimate_rows(base)
     pq_stride = max(1, -(-n // train_cap))
     c_ids, c_mat, coarse_k, centroid_stride = _coarse_centroids(
@@ -1429,7 +1449,7 @@ def ivfpq_index_append(
     base = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
-    base = ensure_parallelism(base)
+    base = ensure_parallelism(base, VEC_BYTES_PER_SLICE)
     n_new = _estimate_rows(base)
     if n_new == 0:
         return dict(meta)
@@ -1533,7 +1553,7 @@ def ivfpq_residual_topk(
     from .clustering import train_subspace_codebooks
 
     base = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    base = ensure_parallelism(base)
+    base = ensure_parallelism(base, VEC_BYTES_PER_SLICE)
     n = _estimate_rows(base)
     pq_stride = max(1, -(-n // train_cap))
     # under kmeans the trained coarse cells give unimodal residuals AND
@@ -1695,7 +1715,8 @@ def ivfpq_residual_topk(
     cvec = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        )
+        ),
+        VEC_BYTES_PER_SLICE,
     )
     qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -1769,7 +1790,8 @@ def pq_topk_rerank(
     cvec = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        )
+        ),
+        VEC_BYTES_PER_SLICE,
     )
     qvec = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
@@ -1841,7 +1863,8 @@ def mmr_topk(
     cvec = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-        )
+        ),
+        VEC_BYTES_PER_SLICE,
     )
     # same for the vector fetch: cwith appears on both sides of the
     # pairwise join — checkpoint keeps the corpus fetch join single-run
@@ -1963,7 +1986,7 @@ def embedding_near_dup(
     mask = (1 << r) - 1
     sketch = sketch_udf(dim, n_bits)
     base = (
-        ensure_parallelism(df)
+        ensure_parallelism(df, VEC_BYTES_PER_SLICE)
         .select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("sk", sketch("v"))
         .select(
