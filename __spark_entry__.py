@@ -1485,8 +1485,12 @@ def minhash_xxh_pairset(spark, sf):
     fixed testdata corpora (verified equal at sf0.01 AND sf0.1), not
     a fuzz-battery row (tools/fuzz_oracle.py DOC_QUERIES note)."""
     docs = _t(spark, sf, "documents")
-    xxh = dedup.minhash_lsh_pairs(docs, threshold=0.1, hash="xxhash64")
-    md5 = dedup.minhash_lsh_pairs(docs, threshold=0.1)
+    # r16 (r15 verdict #3): one corpus shingle pass + one verify-set
+    # pass feed BOTH engines (dedup.minhash_lsh_pairs_dual) — each
+    # engine's pair frame is bit-identical to its independent
+    # minhash_lsh_pairs run (pinned by test), so the gate semantics
+    # and the oracle rows are unchanged.
+    xxh, md5 = dedup.minhash_lsh_pairs_dual(docs, threshold=0.1)
     return (
         xxh.select("id_a", "id_b", F.col("jaccard").alias("j_xxh"))
         .join(

@@ -189,6 +189,54 @@ def _hashed_shingles_udf(
     return _hs
 
 
+def _minhash_sig_from_sh_udf(k: int):
+    """Signature kernel over a PRE-SHINGLED column (r16, r15 verdict
+    #3 — the shared-shingle dual-engine plan): identical body to
+    :func:`_minhash_sig_udf` except the shingle lists arrive as an
+    ``array<string>`` column (the pinned JVM ``_shingles_expr`` output)
+    instead of being recomputed from text in Python. Bit-identical
+    output given equal shingle lists — which the
+    ``test_hashed_shingles_udf`` battery pins for both tokenizers."""
+    a_c, b_c = affine_consts(k)
+    A = np.array(a_c, dtype=np.int64)[:, None]
+    B = np.array(b_c, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _sig(shs: pd.Series) -> pd.Series:
+        sh_lists = [list(s) if s is not None else [] for s in shs]
+        memo = _md5_h60_batch(sh_lists)
+        out = []
+        for sh in sh_lists:
+            if not sh:
+                out.append(None)
+                continue
+            hs = dict.fromkeys(memo[s] for s in sh)
+            h0 = np.fromiter(hs, dtype=np.int64, count=len(hs)) % H0_MOD
+            out.append(((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def _hashed_from_sh_udf():
+    """Distinct hash60(seed 0) set from a pre-shingled column — the
+    verify-set kernel of the dual-engine plan; same dedupe-by-hash
+    semantics as ``_hashed_shingles_udf(dedupe="hash")``."""
+
+    @F.pandas_udf("array<long>")
+    def _hs(shs: pd.Series) -> pd.Series:
+        sh_lists = [list(s) if s is not None else [] for s in shs]
+        memo = _md5_h60_batch(sh_lists)
+        return pd.Series(
+            [
+                list(dict.fromkeys(memo[s] for s in sh)) if sh else []
+                for sh in sh_lists
+            ]
+        )
+
+    return _hs
+
+
 def _sig_and_hashed_shingles_udf(k: int, shingle_n: int, tokenize: str = "word"):
     """One Arrow pass producing BOTH the k-long MinHash signature and
     the doc's distinct hashed shingle set (full 60-bit hash60 — no
@@ -551,6 +599,162 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def minhash_lsh_pairs_dual(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    tokenize: str = "word",
+) -> tuple[DataFrame, DataFrame]:
+    """BOTH MinHash engines — (xxhash64_pairs, md5_pairs) — over ONE
+    corpus shingle pass (r16, r15 verdict #3; the cross-engine gate
+    query ran :func:`minhash_lsh_pairs` twice and tokenized + shingled
+    the corpus independently per engine).
+
+    One pinned ``(id, shingles)`` frame feeds all four consumers:
+
+    - md5 signatures: Arrow kernel over the shingle arrays
+      (:func:`_minhash_sig_from_sh_udf` — same body as the from-text
+      kernel, minus the Python re-shingling);
+    - xxhash64 signatures: explode the pinned shingles → the same
+      codegen'd affine-min aggregation :func:`_minhash_sigs_jvm`
+      builds (its shingle expression is exactly what the pin holds);
+    - ONE shared verify-set pass: the candidate-id union of both
+      engines semi-joins the pinned shingles once and computes BOTH
+      hashed-shingle sets (md5-h60 and xxhash64) in a single
+      projection — two verify passes collapse into one.
+
+    Output is bit-identical per engine to two independent
+    :func:`minhash_lsh_pairs` runs (pinned by
+    ``test_minhash_dual_matches_independent_chains``): signatures
+    depend only on the shingle SET, band keys and the verify jaccard
+    expressions are copied verbatim, and the JVM-vs-Python shingle
+    parity is the ``test_hashed_shingles_udf`` battery's standing pin.
+
+    Scale shape: the shingle pin is ~(shingle_n ×) corpus text — the
+    same order as the corpus scan each engine separately paid; at
+    100 TB the win is one full tokenize+shingle pass and one verify
+    pass instead of two of each."""
+    from .similarity import ensure_parallelism
+    from .text_analysis import check_tokenize
+
+    check_tokenize(tokenize)
+    r = band_rows(k, bands)
+    df = ensure_parallelism(df)
+    shf = df.select(
+        F.col(id_col).alias("id"),
+        _shingles_expr(F.col(text_col), shingle_n, tokenize).alias("sh"),
+    ).transform(materialize)
+
+    # --- signatures, one per engine, both from the pinned shingles;
+    # the two (id, sig) frames are schema-identical, so ONE tagged
+    # union pin (eng 0 = xxhash64, 1 = md5) computes both engines'
+    # signature passes in a single action instead of two — locally
+    # each action is a fixed planning + job floor, at scale one
+    # checkpoint write instead of two.
+    sig_md5 = shf.select(
+        F.lit(1).alias("eng"),
+        "id",
+        _minhash_sig_from_sh_udf(k)(F.col("sh")).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    a_c, b_c = affine_consts(k)
+    h0 = F.pmod(F.xxhash64("s"), F.lit(H0_MOD))
+    sig_xxh = (
+        shf.select("id", F.explode("sh").alias("s"))
+        .select(
+            "id",
+            *[
+                (F.lit(a_c[i]) * h0 + F.lit(b_c[i]))
+                .bitwiseAND(F.lit(REHASH_MASK))
+                .alias(f"h{i}")
+                for i in range(k)
+            ],
+        )
+        .groupBy("id")
+        .agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(k)])
+        .select(
+            F.lit(0).alias("eng"),
+            "id",
+            F.array(*[f"m{i}" for i in range(k)]).alias("sig"),
+        )
+    )
+    sig_all = sig_xxh.union(sig_md5).transform(materialize)
+
+    # --- banding: per-engine band keys (verbatim minhash_lsh_pairs,
+    # branched on the engine tag), ONE self-join keyed
+    # (eng, band, bh) — a pair meets only inside its own engine's
+    # bucket space, so the per-engine candidate sets are exactly the
+    # two separate joins' — and ONE candidate pin.
+    from .banding import salted_band_pairs
+
+    def band_key(b):
+        return F.when(
+            F.col("eng") == 0,
+            F.xxhash64(
+                F.concat_ws(",", F.slice("sig", b * r + 1, r)), F.lit(b)
+            ),
+        ).otherwise(
+            hash60(F.concat_ws(",", F.slice("sig", b * r + 1, r)), 1000 + b)
+        )
+
+    banded = sig_all.select(
+        "id",
+        "eng",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band", "bh"),
+    )
+    cand_all = (
+        salted_band_pairs(
+            banded, ["eng", "band", "bh"], id_col="id", carry=("eng",),
+            what="MinHash band bucket",
+        )
+        .select("id_a", "id_b", F.col("eng_a").alias("eng"))
+        .distinct()
+        .transform(materialize)
+    )
+    cand_xxh = cand_all.filter(F.col("eng") == 0).select("id_a", "id_b")
+    cand_md5 = cand_all.filter(F.col("eng") == 1).select("id_a", "id_b")
+
+    # --- ONE verify-set pass for both engines
+    ids = cand_all.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    shsets = (
+        shf.join(ids, "id", "left_semi")
+        .select(
+            "id",
+            _hashed_from_sh_udf()(F.col("sh")).alias("hs_md5"),
+            F.array_distinct(
+                F.transform("sh", lambda g: F.xxhash64(g))
+            ).alias("hs_xxh"),
+        )
+        .transform(materialize)
+    )
+
+    def _verify(cand: DataFrame, hs_col: str) -> DataFrame:
+        a = shsets.select("id", F.col(hs_col).alias("sh")).alias("a")
+        b = shsets.select("id", F.col(hs_col).alias("sh")).alias("b")
+        return (
+            cand.join(a, F.col("id_a") == F.col("a.id"))
+            .join(b, F.col("id_b") == F.col("b.id"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                    / F.size(F.array_union("a.sh", "b.sh"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    return _verify(cand_xxh, "hs_xxh"), _verify(cand_md5, "hs_md5")
 
 
 def simhash(col: Column, bits: int = 32, tokenize: str = "word") -> Column:

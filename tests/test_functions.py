@@ -416,6 +416,58 @@ class TestDedup:
         assert md5_pairs == expected
         assert xxh_pairs == expected
 
+    def test_minhash_dual_matches_independent_chains(self, spark):
+        """r16 (r15 verdict #3): minhash_lsh_pairs_dual shares ONE
+        shingle pass + ONE verify-set pass across both engines; each
+        engine's pair frame must be bit-identical (ids AND jaccard
+        doubles) to its independent minhash_lsh_pairs run — over a
+        hostile corpus with NULL/empty/whitespace-edged docs, a dup
+        clique, near-dups straddling the knee, and CJK text under
+        both tokenize policies."""
+        from nekton_spark.functions.dedup import (
+            minhash_lsh_pairs,
+            minhash_lsh_pairs_dual,
+        )
+
+        texts = (
+            ["the quick brown fox jumps over the lazy dog today"] * 3
+            + ["the quick brown fox jumps over the lazy dog tomorrow"]
+            + ["pack my box with five dozen liquor jugs now"] * 2
+            + [
+                None,
+                "",
+                "   ",
+                "\none two three four five six\n",
+                "one two",
+                "中文混合 english 词与词 中文混合 english 词与词",
+                "中文混合 english 词与词 中文混合 english 词与词",
+                "another completely different text entirely here right now",
+            ]
+        )
+        df = docs_df(spark, texts)
+        for tok in ("word", "script"):
+            for thr in (0.1, 0.5):
+                xxh_d, md5_d = minhash_lsh_pairs_dual(
+                    df, threshold=thr, tokenize=tok
+                )
+                got_x = {(r.id_a, r.id_b, r.jaccard) for r in xxh_d.collect()}
+                got_m = {(r.id_a, r.id_b, r.jaccard) for r in md5_d.collect()}
+                want_x = {
+                    (r.id_a, r.id_b, r.jaccard)
+                    for r in minhash_lsh_pairs(
+                        df, threshold=thr, hash="xxhash64", tokenize=tok
+                    ).collect()
+                }
+                want_m = {
+                    (r.id_a, r.id_b, r.jaccard)
+                    for r in minhash_lsh_pairs(
+                        df, threshold=thr, tokenize=tok
+                    ).collect()
+                }
+                assert got_x == want_x, (tok, thr)
+                assert got_m == want_m, (tok, thr)
+                assert got_m, (tok, thr)  # non-vacuous: clique mined
+
     def test_minhash_xxhash64_signature_shape(self, spark):
         from nekton_spark.functions.dedup import DEFAULT_K, minhash_signatures
         from nekton_spark.functions.hashing import REHASH_MASK
