@@ -1442,12 +1442,26 @@ def dedup_minhash_cjk(spark, sf):
     # fan out BEFORE the synth projection (r15 opt): a 1-split local
     # parquet otherwise runs the 32-md5-per-doc synth on one scan task
     # (the chain's own ensure_parallelism fans out ABOVE its input's
-    # projection); same construction as the WebP/GIF synth call sites
-    return dedup.minhash_lsh_pairs(
-        dedup.synth_cjk_docs(similarity.ensure_parallelism(d)),
-        threshold=0.5,
-        tokenize="script",
-    )
+    # projection); same construction as the WebP/GIF synth call sites.
+    # r16: PIN the synth output (within-query, re-paid every build —
+    # the same materialize() every multi-consumer operator uses). The
+    # 32-md5 + script-spread synth tree costs ~0.9 s of DRIVER-side
+    # analysis/codegen per action that re-plans it (measured: counting
+    # the synth frame costs 0.92 s warm, fully evaluating it via the
+    # noop sink costs 0.98 s — the tree is planning-bound, not
+    # compute-bound), and the chain re-plans it twice (signature pin +
+    # verify stage). One pin = one planning pass; downstream actions
+    # plan from a checkpoint-truncated frame. A real corpus is a
+    # parquet table whose plan is trivially cheap — this cost is
+    # synth-entry-specific, so the pin lives HERE, not in the chain.
+    from nekton_spark.materialize import materialize
+
+    synth = materialize(dedup.synth_cjk_docs(similarity.ensure_parallelism(d)))
+    # the pin truncates lineage, which would make the chain's inner
+    # ensure_parallelism re-fan what is already fanned (the
+    # logical-plan Repartition check cannot see through a checkpoint)
+    synth._nekton_fanned_out = True
+    return dedup.minhash_lsh_pairs(synth, threshold=0.5, tokenize="script")
 
 
 def dedup_minhash_xxh(spark, sf):
