@@ -4558,8 +4558,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # squeezing r13 rows whose engine paths have in-window or r14/r15
     # twins). Any new r16 rows take slots from the r13 half, never
     # the r12 flush or the never-checked slots.
-    ordered = {k: q[k] for k in r15_window} | {
-        k: v for k, v in q.items() if k not in r15_window
+    # Round-16 rotation (EXECUTING the pre-solve above; histogram
+    # recomputed from CORRECTNESS_r01-r15 at r16 start and it matches
+    # the pre-solve exactly — never:2, r12:39, r13:49, r14:47,
+    # r15:50): (a) the two never-driver-checked rows FIRST
+    # (webp_frame_sample, tiff_decode — landed after the r15 window
+    # froze; locally exact + fuzz seeds 213/215), (b) the FULL 39-row
+    # r12 staleness tail (flushed regardless of new-surface pressure,
+    # per the standing contract — incl. decontamination_check, which
+    # the r15 late-landing displaced), + (c) 9 slots from the r13
+    # half by the standing twin recipe, priority to rows whose ENGINE
+    # PATH CHANGED in r16 without a re-pin:
+    #   dedup_connected_components (star-CC window rewrite + signature
+    #     convergence, r16), mmr_diverse_topk / image_dhash /
+    #     image_near_dup / ann_index_roundtrip (vector-kernel fan-out
+    #     resizing, r16), minhash_xxh_pairset (last r14; the r16
+    #     dual-engine shared-shingle rewrite re-pins it — takes an
+    #     (c) slot per the "new r16 rows take r13-half slots" rule),
+    #   then engines with NO fresh twin: dedup_minhash_lsh (the md5
+    #     HEADLINE chain itself), fuzzy_decontamination (own
+    #     decontaminate.py verify engine; bloom_decontamination r15 is
+    #     a different algorithm), pipe_subprocess (the subprocess
+    #     processor — no twin anywhere in the contract).
+    # The 40 squeezed r13 rows all keep an in-window or ≤2-round twin:
+    #   events_* / q08 / q13 / q17 / q20 / window+join analogs (↔ the
+    #     q01-q22 + events analog family, r15), html_main_text /
+    #     html_meta / html_extract (↔ html_markdown r14 + feed/sitemap
+    #     r15), gif/bmp/png_palette/jpeg_progressive/charset decode
+    #     rows (↔ jpeg_decode + png_color_decode + webp_decode r15 +
+    #     the in-window media block), warc_extract / decode_coverage /
+    #     url_normalize_check / robots_eval / domain_rollup_urls (↔
+    #     crawl_coverage r15 + in-window sitemap family),
+    #   dedup_minhash_lsh stays IN-window (own slot), dedup_ngram_dfcut
+    #     (↔ dedup_ngram_jaccard + dedup_ngram_sampled r15),
+    #   wav_envelope_features (↔ audio_features r15 + wav_g711 twin),
+    #   chunk/pack/mixture/train_val (↔ bpe_roundtrip + curriculum +
+    #     stratified_sample r15), embedding_outliers (↔ in-window
+    #     embedding family + untouched engine), normalize_text /
+    #     repeated_span_removal / common_passages (↔ text_stats r15 +
+    #     in-window token_length/gopher rows).
+    r16_window = [
+        # (a) never driver-checked — go first
+        "webp_frame_sample",
+        "tiff_decode",
+        # (b) the full 39-row r12 staleness tail
+        "ann_topk_ivf_kmeans",
+        "ann_topk_ivfpq_residual_k",
+        "ann_topk_pq",
+        "ann_topk_pq_rerank",
+        "bigram_logprob",
+        "boilerplate_removal",
+        "bpe_merge_candidates",
+        "classifier_score_docs",
+        "customers_without_orders",
+        "data_validation_report",
+        "decontamination_check",
+        "dedup_keep_best",
+        "distinct_customers_per_segment",
+        "dsir_select",
+        "embedding_near_dup",
+        "embedding_pca",
+        "events_tier_rollup",
+        "gopher_quality_rules",
+        "heavy_hitters_cms",
+        "hybrid_search_rrf",
+        "image_decode",
+        "image_resize",
+        "jpeg_420_decode",
+        "kmeans_clusters",
+        "kmeans_tiered",
+        "latest_event_per_user",
+        "multimodal_features",
+        "neardup_time_horizon",
+        "q10_returned_items",
+        "quota_sample_sources",
+        "rollup_orders",
+        "scalar_functions",
+        "semdedup_prune",
+        "set_ops_customers",
+        "token_length_histogram",
+        "topk_customers_per_nation",
+        "video_frame_sample",
+        "weighted_sample_docs",
+        "zorder_key_n",
+        # (c) 9 r13-half slots: r16-touched engines + no-fresh-twin
+        "dedup_connected_components",
+        "mmr_diverse_topk",
+        "image_dhash",
+        "image_near_dup",
+        "ann_index_roundtrip",
+        "minhash_xxh_pairset",
+        "dedup_minhash_lsh",
+        "fuzzy_decontamination",
+        "pipe_subprocess",
+    ]
+    assert len(r16_window) == 50, len(r16_window)
+    assert set(r16_window) <= set(q), sorted(set(r16_window) - set(q))
+    # r17 window pre-solve: after this round the histogram is r13:42,
+    # r14:46, r15:50, r16:50 (contract 187; never:0 for the first
+    # time). r17 window = the FULL 42-row r13 tail + 8 of the r14
+    # tail by the standing twin recipe (recompute from
+    # CORRECTNESS_r01-r16 at r17 start; prefer squeezing r14 rows
+    # whose engine paths have in-window or r15/r16 twins). Any new
+    # r17 rows take slots from the r14 half, never the r13 flush.
+    ordered = {k: q[k] for k in r16_window} | {
+        k: v for k, v in q.items() if k not in r16_window
     }
     return ordered
 
