@@ -257,18 +257,23 @@ def _sig_and_hashed_shingles_udf(k: int, shingle_n: int, tokenize: str = "word")
     def _both(texts: pd.Series) -> pd.DataFrame:
         sh_lists = [_shingles_py(t or "", shingle_n, tokenize) for t in texts]
         memo = _md5_h60_batch(sh_lists)
-        rows = []
+        # two column lists, not a list of per-row dicts: building the
+        # return frame row-dict-wise made pandas re-infer each row and
+        # dominated the batch at 10× corpus scale (r16)
+        sig_col: list = []
+        hs_col: list = []
         for sh in sh_lists:
             if not sh:
-                rows.append({"sig": None, "hs": None})
+                sig_col.append(None)
+                hs_col.append(None)
                 continue
             # dedupe on the HASH VALUE (not the shingle) to keep the
             # legacy first-occurrence order even under a 2^-60 collision
             hs = list(dict.fromkeys(memo[s] for s in sh))
             h0 = np.fromiter(hs, dtype=np.int64, count=len(hs)) % H0_MOD
-            sig = ((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist()
-            rows.append({"sig": sig, "hs": hs})
-        return pd.DataFrame(rows, columns=["sig", "hs"])
+            sig_col.append(((A * h0[None, :] + B) & REHASH_MASK).min(axis=1).tolist())
+            hs_col.append(hs)
+        return pd.DataFrame({"sig": sig_col, "hs": hs_col})
 
     return _both
 

@@ -92,6 +92,16 @@ def streaming_minhash_near_dup(
     # every band key the hash of an EMPTY slice, i.e. one bucket and a
     # corpus-wide stream-stream cross join
     r = band_rows(k, bands)
+    # r16 (found by the decade re-sweep): the batch twin fed a
+    # 1-split local parquet straight into the Arrow signature pass —
+    # at the 10× corpus that was ONE 11.9 s task while 31 cores sat
+    # idle. Fan out BELOW the signature projection (repartitioning
+    # the input, not the projected frame, so the UDF runs fanned);
+    # no-op on streams (micro-batch partitioning is the source's
+    # business) and at real scale (natural splits exceed the target).
+    from nekton_spark.functions.similarity import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if verify == "exact":
         # one Arrow pass yields the signature AND the dictionary-
         # encoded (60-bit hashed) shingle set — 8 bytes/shingle of
